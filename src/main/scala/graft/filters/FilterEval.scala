@@ -1,0 +1,91 @@
+package graft.filters
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Row-at-a-time reference evaluator for the filter language — a direct
+  * transliteration of evtstrd/filters.py's closure semantics, used as
+  * (a) the model oracle for the ScalaCheck property suite and (b) the
+  * runtime evaluator for the *dynamic* fan-out path where filter strings
+  * arrive as data (broadcast-join residual predicate), mirroring the
+  * reference's per-listener compiled closures (evtstrd/listener.py:62).
+  *
+  * Jackson is used for JSON parsing (provided by the Spark classpath).
+  * Thread-safe and serializable; parsed filters are memoized per JVM so
+  * executor-side evaluation parses each distinct filter string once
+  * (the reference parses once per subscription, evtstrd/filters.py:85).
+  */
+object FilterEval extends Serializable {
+  @transient private lazy val mapper = new ObjectMapper()
+  @transient private lazy val filterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, EventFilter]()
+
+  private def parsed(s: String): EventFilter = {
+    val cached = filterCache.get(s)
+    if (cached != null) cached
+    else {
+      val f = FilterParser.parse(s)
+      filterCache.putIfAbsent(s, f)
+      f
+    }
+  }
+
+  /** Python code-point string comparison (== UTF-8 byte order). */
+  private def cmpCodePoints(a: String, b: String): Int = {
+    val ai = a.codePoints().iterator()
+    val bi = b.codePoints().iterator()
+    while (ai.hasNext && bi.hasNext) {
+      val c = Integer.compare(ai.nextInt(), bi.nextInt())
+      if (c != 0) return c
+    }
+    java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
+  }
+
+  private def applyOp(op: CmpOp, c: Int): Boolean = op match {
+    case CmpOp.Eq => c == 0
+    case CmpOp.Gt => c > 0
+    case CmpOp.Ge => c >= 0
+    case CmpOp.Lt => c < 0
+    case CmpOp.Le => c <= 0
+  }
+
+  /** jsonget-style path descent: each segment must land on an object
+    * field; missing => no match (evtstrd/filters.py:22-27).
+    */
+  private def descend(root: JsonNode, path: Seq[String]): Option[JsonNode] =
+    path.foldLeft(Option(root)) {
+      case (Some(n), seg) if n.isObject && n.has(seg) => Some(n.get(seg))
+      case _ => None
+    }
+
+  def evalFilter(f: EventFilter, message: JsonNode): Boolean =
+    descend(message, f.path) match {
+      case None => false
+      case Some(node) =>
+        f.value match {
+          case FilterValue.IntVal(v) =>
+            // Python type check: json int only (not float, not bool,
+            // not numeric string) — evtstrd/filters.py:47-53.
+            node.isIntegralNumber && !node.isBoolean &&
+              applyOp(f.op, java.lang.Long.compare(node.longValue(), v))
+          case FilterValue.Str(v) =>
+            node.isTextual &&
+              applyOp(f.op, cmpCodePoints(node.textValue(), v))
+          case FilterValue.DateVal(v) =>
+            node.isTextual && (IsoDate.parse(node.textValue()) match {
+              case Some(d) => applyOp(f.op, d.compareTo(v))
+              case None => false // unparseable date => no match
+            })
+        }
+    }
+
+  /** All filters must pass; bad JSON payload => no match; empty filter
+    * list => match (evtstrd/listener.py:62).
+    */
+  def matches(json: String, filters: Seq[String]): Boolean = {
+    val root =
+      try mapper.readTree(json)
+      catch { case _: Exception => null }
+    if (root == null) false
+    else filters.forall(s => evalFilter(parsed(s), root))
+  }
+}

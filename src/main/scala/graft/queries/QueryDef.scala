@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a Spark plan plus (when SQL-expressible) the
+  * equivalent ANSI SQL the driver runs in DuckDB as the correctness
+  * oracle. Column names/types and row order must agree between the two.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table is written with TIMESTAMP(NANOS), which Spark's
+    * parquet reader only surfaces via the nanosAsLong legacy conf. Read
+    * it that way and convert to a micros TimestampType column (floor
+    * division — matches DuckDB's `CAST(ts AS TIMESTAMP)` truncation, so
+    * oracle comparisons agree).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Exception => () } // non-settable => already decided
+    import org.apache.spark.sql.functions._
+    read(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL
+from <outDir>/oracle_sql.json in DuckDB over the sf parquet tables and
+compare (schema-insensitive to column order: columns sorted by name,
+rows compared as written) against the Spark parquet dumps in <outDir>.
+
+Usage: check_oracle.py <sfDir> <outDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+with open(f"{outdir}/oracle_sql.json") as f:
+    oracles = json.load(f)
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+
+fails = 0
+for name, sql in sorted(oracles.items()):
+    try:
+        spark_rel = con.sql(
+            f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        spark_cols = sorted(spark_rel.columns)
+        spark_rows = con.sql(
+            "SELECT " + ", ".join(f'"{c}"' for c in spark_cols) +
+            f" FROM '{outdir}/{name}/*.parquet'").fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: spark output unreadable: {e}")
+        fails += 1
+        continue
+    try:
+        duck_rel = con.sql(sql)
+        duck_cols = sorted(duck_rel.columns)
+        duck_rows = con.sql(
+            "SELECT " + ", ".join(f'"{c}"' for c in duck_cols) +
+            f" FROM ({sql})").fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql failed: {e}")
+        fails += 1
+        continue
+    if spark_cols != duck_cols:
+        print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
+        fails += 1
+        continue
+    sr = [tuple(canon(v) for v in r) for r in spark_rows]
+    dr = [tuple(canon(v) for v in r) for r in duck_rows]
+    if sr == dr:
+        print(f"PASS {name}: {len(sr)} rows")
+    else:
+        fails += 1
+        print(f"FAIL {name}: spark {len(sr)} rows vs duck {len(dr)} rows")
+        only_s = [r for r in sr if r not in set(dr)][:3]
+        only_d = [r for r in dr if r not in set(sr)][:3]
+        if not only_s and not only_d and sr != dr:
+            # same multiset, different order
+            for i, (a, b) in enumerate(zip(sr, dr)):
+                if a != b:
+                    print(f"  first order diff at row {i}: spark={a} duck={b}")
+                    break
+        for r in only_s:
+            print(f"  only-spark: {r}")
+        for r in only_d:
+            print(f"  only-duck:  {r}")
+
+print("RESULT:", "FAIL" if fails else "PASS", f"({len(oracles)} queries)")
+sys.exit(1 if fails else 0)
