@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` (north-star gap-fill): exact
+  * hash dedup, n-gram Jaccard, MinHash + banded LSH, SimHash. All hash
+  * material is md5 (identical in Spark and DuckDB), and minhashing
+  * takes the lexicographic MIN of md5 hex strings — engine-portable and
+  * a legitimate minwise family.
+  *
+  * Scale shape (100 TB): shingling is a per-row narrow op; signatures
+  * are one groupBy(doc); LSH banding shuffles by (band, key) — a
+  * *bounded* set of small keys — so candidate generation never does the
+  * O(n²) all-pairs join; only candidates are verified. The exact-
+  * Jaccard verify joins candidates back to shingle sets (co-partitioned
+  * by doc). At cluster scale each stage is a single hash shuffle with
+  * uniform keys; hot shingles can be salted but band keys already
+  * bound bucket sizes.
+  */
+object Dedup {
+
+  /** Distinct lowercase 3-gram token shingles, one row per (doc,
+    * shingle).
+    */
+  private[queries] def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+    val t = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val sh = when(
+      size(t) >= 3,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(t) - 2),
+          i =>
+            concat_ws(
+              " ",
+              element_at(t, i),
+              element_at(t, (i + lit(1)).cast("int")),
+              element_at(t, (i + lit(2)).cast("int"))))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(sh).as("shingle"))
+  }
+
+  private val ShinglesSql: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |  FROM toks)""".stripMargin
+
+  /** All co-shingled pairs with exact Jaccard similarity. */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.toDF("a", "shingle")
+      .join(sh.toDF("b", "shingle"), "shingle")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.toDF("a", "na"), "a")
+      .join(sizes.toDF("b", "nb"), "b")
+      .withColumn(
+        "jacc",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+  }
+
+  private val JaccSql: String =
+    """sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id a, b.doc_id b, CAST(count(*) AS BIGINT) inter
+      |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jacc AS (
+      |  SELECT a, b, inter, sa.n na, sb.n nb,
+      |    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) jacc
+      |  FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id)""".stripMargin
+
+  // --- exact dedup: md5 content groups ---
+
+  def dedupExactDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  def dedupExactDocsOracle: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  // --- n-gram Jaccard near-dup pairs ---
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingles(spark, dir))
+      .where(col("jacc") >= 0.3)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jacc"))
+      .orderBy("a", "b")
+
+  def ngramJaccardOracle: String =
+    s"""WITH $ShinglesSql,
+       |$JaccSql
+       |SELECT a, b, inter, na, nb, jacc FROM jacc
+       |WHERE jacc >= 0.3 ORDER BY a, b""".stripMargin
+
+  // --- MinHash signatures + banded LSH + exact verify ---
+
+  private val NumHashes = 8
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    // 8 minwise hashes per doc: min over shingles of md5(i || '|' || s).
+    val hashed = sh
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), lit(NumHashes - 1))).as("h"),
+        col("shingle"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(md5(concat(col("h"), lit("|"), col("shingle")))).as("mh"))
+    // 4 bands x 2 rows: band key = md5(mh_even || mh_odd).
+    val bands = hashed
+      .withColumn("band", floor(col("h") / 2))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat(min_by(col("mh"), col("h")), max_by(col("mh"), col("h"))))
+        .as("bkey"))
+    val candidates = bands.select(col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(
+        bands.select(col("band"), col("bkey"), col("doc_id").as("b")),
+        Seq("band", "bkey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    candidates
+      .join(jaccardPairs(sh), Seq("a", "b"))
+      .where(col("jacc") >= 0.5)
+      .select(col("a"), col("b"), col("jacc"))
+      .orderBy("a", "b")
+  }
+
+  def minhashLshOracle: String =
+    s"""WITH $ShinglesSql,
+       |hashed AS (
+       |  SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '|' || shingle)) mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) h)
+       |  GROUP BY doc_id, h),
+       |bands AS (
+       |  SELECT doc_id, h // 2 AS band,
+       |    md5(min_by(mh, h) || max_by(mh, h)) AS bkey
+       |  FROM hashed GROUP BY doc_id, h // 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id a, y.doc_id b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id < y.doc_id),
+       |$JaccSql
+       |SELECT j.a, j.b, j.jacc FROM jacc j JOIN cand USING (a, b)
+       |WHERE j.jacc >= 0.5 ORDER BY a, b""".stripMargin
+
+  // --- SimHash fingerprints (32-bit, md5-hexchar-parity bits) ---
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+    val tokCounts = docs
+      .select(
+        col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("w"))
+    val fp = tokCounts
+      .withColumn("j", explode(sequence(lit(1), lit(32))))
+      .withColumn("bit", expr("ascii(substr(md5(tok), j, 1)) % 2"))
+      .withColumn("contrib", col("w") * (col("bit") * 2 - 1))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("bitc", when(col("s") > 0, lit("1")).otherwise(lit("0")))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("j"), col("bitc")))),
+            x => x.getField("bitc")),
+          "").as("simhash"))
+    fp.select(
+        col("doc_id"), col("simhash"),
+        substring(col("simhash"), 1, 8).as("band1"),
+        substring(col("simhash"), 9, 8).as("band2"),
+        substring(col("simhash"), 17, 8).as("band3"),
+        substring(col("simhash"), 25, 8).as("band4"))
+      .orderBy("doc_id")
+  }
+
+  def simhashOracle: String =
+    """WITH tokc AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) w FROM (
+      |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) tok
+      |    FROM documents)
+      |  GROUP BY doc_id, tok),
+      |bits AS (
+      |  SELECT doc_id, j, SUM(w * ((ascii(substr(md5(tok), CAST(j AS INT), 1)) % 2) * 2 - 1)) s
+      |  FROM tokc CROSS JOIN (SELECT unnest(range(1, 33)) j)
+      |  GROUP BY doc_id, j),
+      |fp AS (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) simhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT doc_id, simhash,
+      |  substr(simhash, 1, 8) band1, substr(simhash, 9, 8) band2,
+      |  substr(simhash, 17, 8) band3, substr(simhash, 25, 8) band4
+      |FROM fp ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactDocsOracle)),
+    QueryDef("ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    QueryDef("minhash_lsh", minhashLsh, Some(minhashLshOracle)),
+    QueryDef("simhash", simhash, Some(simhashOracle)))
+}

@@ -143,9 +143,135 @@ object RefSurface {
       |FROM events WHERE event_id % 89 <> 0 AND event_id % 97 <> 0
       |GROUP BY event_type ORDER BY subsystem""".stripMargin
 
+  /** The filter-language semantics gate: a synthesized payload column
+    * mixes integer, string-typed-number, date (valid and invalid) and
+    * nested shapes; a fixed battery of filters (every comparator, every
+    * value type) is counted over it. Spark evaluates the compiled
+    * Catalyst predicates; the oracle evaluates [[FilterOracle]]'s
+    * generated SQL — any semantic drift between compiler and spec shows
+    * up as a count mismatch here.
+    */
+  val filterBattery: Seq[(String, String)] = Seq(
+    "f_int_le" -> "k<=50",
+    "f_int_gt" -> "k>49",
+    "f_int_eq" -> "k=87",
+    "f_str_ge" -> "k>='50'",
+    "f_str_lt" -> "k<'5'",
+    "f_date_ge" -> "d>=2024-01-15",
+    "f_date_eq" -> "d=2024-01-07",
+    "f_nested" -> "nested.k<75",
+    "f_missing" -> "nope=1")
+
+  def filterLang(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val kv = get_json_object(col("props"), "$.k")
+    val payload = when(col("event_id") % 4 === 0, col("props"))
+      .when(col("event_id") % 4 === 1, concat(lit("{\"k\": \""), kv, lit("\"}")))
+      .when(
+        col("event_id") % 4 === 2,
+        when(col("event_id") % 11 === 0, lit("{\"d\": \"2024-02-30\"}"))
+          .otherwise(
+            concat(
+              lit("{\"d\": \"2024-01-"),
+              lpad((lit(1) + col("event_id") % 31).cast("string"), 2, "0"),
+              lit("\"}"))))
+      .otherwise(concat(lit("{\"nested\": {\"k\": "), kv, lit("}}")))
+    val v = try_parse_json(payload)
+    val aggCols = filterBattery.map { case (name, f) =>
+      sum(
+        graft.filters.FilterCompiler
+          .compileOnVariant(graft.filters.FilterParser.parse(f), col("v"))
+          .cast("long")).as(name)
+    }
+    ev.select(col("event_id"), v.as("v"))
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  def filterLangOracle: String = {
+    val payload =
+      """CASE
+        | WHEN event_id % 4 = 0 THEN props
+        | WHEN event_id % 4 = 1 THEN '{"k": "' || (props->>'$.k') || '"}'
+        | WHEN event_id % 4 = 2 THEN (CASE WHEN event_id % 11 = 0 THEN '{"d": "2024-02-30"}'
+        |   ELSE '{"d": "2024-01-' || lpad(CAST(1 + event_id % 31 AS VARCHAR), 2, '0') || '"}' END)
+        | ELSE '{"nested": {"k": ' || (props->>'$.k') || '}}' END""".stripMargin
+    val aggs = filterBattery.map { case (name, f) =>
+      s"CAST(SUM(CASE WHEN ${FilterOracle.predicate(f, "payload")} THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+    }
+    s"WITH p AS (SELECT $payload AS payload FROM events)\n" +
+      s"SELECT ${aggs.mkString(",\n  ")} FROM p"
+  }
+
+  /** Stats aggregation over the fan-out result (evtstrd/stats.py:34-50
+    * shape): per-subscription delivery counters plus a JSON projection
+    * built with engine-portable string concat.
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val fo = fanout(spark, dir)
+    fo.groupBy(col("sub_id"))
+      .agg(
+        count(lit(1)).as("n_delivered"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .select(
+        col("sub_id"), col("n_delivered"), col("first_event"),
+        col("last_event"),
+        concat(
+          lit("{\"subscription\": "), col("sub_id"),
+          lit(", \"delivered\": "), col("n_delivered"), lit("}")).as("stats_json"))
+      .orderBy("sub_id")
+  }
+
+  def statsAggOracle: String = {
+    val branches = subscriptions.map { s =>
+      s"SELECT CAST(${s.id} AS BIGINT) AS sub_id, event_id " +
+        s"FROM events WHERE event_type = '${s.subsystem}' " +
+        s"AND ${FilterOracle.predicateAll(s.filters, "props")}"
+    }
+    s"""WITH fo AS (${branches.mkString(" UNION ALL ")})
+       |SELECT sub_id, CAST(COUNT(*) AS BIGINT) AS n_delivered,
+       |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+       |  '{"subscription": ' || sub_id || ', "delivered": ' || COUNT(*) || '}' AS stats_json
+       |FROM fo GROUP BY sub_id ORDER BY sub_id""".stripMargin
+  }
+
+  /** Strict dual-format ISO date parsing (evtstrd/date.py:4-16) over
+    * strings derived from order dates: dashed, compact, and invalid
+    * calendar forms; unparseable => null, job never fails.
+    */
+  def dateParse(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.read(spark, dir, "orders")
+    val dashed = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    val dateStr = when(col("o_orderkey") % 13 === 0, lit("2020-13-40"))
+      .when(col("o_orderkey") % 3 === 0, regexp_replace(dashed, "-", ""))
+      .otherwise(dashed)
+    val parsed = when(
+      dateStr.rlike("^\\d{4}-?\\d{2}-?\\d{2}$"),
+      call_function(
+        "try_to_date", regexp_replace(dateStr, "-", ""), lit("yyyyMMdd")))
+    ord.select(col("o_orderkey"), dateStr.as("date_str"), parsed.as("parsed"))
+      .orderBy("o_orderkey")
+  }
+
+  def dateParseOracle: String =
+    """WITH d AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN '2020-13-40'
+      |      WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y%m%d')
+      |      ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date_str
+      |  FROM orders)
+      |SELECT o_orderkey, date_str,
+      |  CASE WHEN regexp_matches(date_str, '^\d{4}-?\d{2}-?\d{2}$')
+      |    THEN CAST(try_strptime(regexp_replace(date_str, '-', '', 'g'), '%Y%m%d') AS DATE)
+      |  END AS parsed
+      |FROM d ORDER BY o_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("fanout", fanout, Some(fanoutOracle)),
     QueryDef("fanout_dynamic", fanoutDynamic, Some(fanoutDynamicOracle)),
     QueryDef("sse_chunks", sseChunks, Some(sseChunksOracle)),
-    QueryDef("envelope_stats", envelopeStats, Some(envelopeStatsOracle)))
+    QueryDef("envelope_stats", envelopeStats, Some(envelopeStatsOracle)),
+    QueryDef("filter_lang", filterLang, Some(filterLangOracle)),
+    QueryDef("stats_agg", statsAgg, Some(statsAggOracle)),
+    QueryDef("date_parse", dateParse, Some(dateParseOracle)))
 }

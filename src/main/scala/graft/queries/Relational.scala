@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Gap-fill relational inventory (SURVEY §2.6) over the TPC-H-ish star
+  * schema. All built-in Spark operators; every query is deterministic
+  * (explicit total ordering, exact decimal aggregation surfaced as
+  * double) so the DuckDB oracle hash-matches bit-for-bit.
+  *
+  * Scale notes (100 TB): dimension joins (region/nation/customer/
+  * supplier) broadcast — no shuffle of the fact side; fact-fact joins
+  * (orders⋈lineitem) hash-shuffle on the join key, which AQE re-plans
+  * at runtime; aggregations are partial+final automatically.
+  */
+object Relational {
+
+  /** Exact sum of a 2-decimal-place double column, surfaced as double:
+    * decimal aggregation is order-independent, so Spark's and DuckDB's
+    * parallel sums agree exactly (SURVEY §7.3 DuckDB-determinism).
+    */
+  private def sumExact(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+  private val SumExactSql = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private def ts(s: String): Column =
+    lit(java.sql.Timestamp.valueOf(s))
+
+  // --- q1: scan + filter + hash aggregation (TPC-H Q1 shape) ---
+
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.read(spark, dir, "lineitem")
+    val disc =
+      col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2)))
+    li.where(col("l_shipdate") <= ts("2000-12-31 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumExact(col("l_quantity")).as("sum_qty"),
+        sumExact(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        (sumExact(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def q1Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${SumExactSql.format("l_quantity")} AS sum_qty,
+       |  ${SumExactSql.format("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       |  ${SumExactSql.format("l_quantity")} / COUNT(*) AS avg_qty,
+       |  CAST(COUNT(*) AS BIGINT) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- q3: broadcast dim join + shuffle fact join + top-k ---
+
+  def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.read(spark, dir, "orders")
+      .where(col("o_orderdate") < ts("1999-01-01 00:00:00"))
+    val li = Tables.read(spark, dir, "lineitem")
+      .where(col("l_shipdate") > ts("1999-01-01 00:00:00"))
+    val disc =
+      col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2)))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(disc).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def q3Oracle: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // --- q5: multi-way join, dims broadcast, revenue per nation ---
+
+  def q5Regional(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.read(spark, dir, "region")
+      .where(col("r_name") === "ASIA")
+    val nation = Tables.read(spark, dir, "nation")
+    val cust = Tables.read(spark, dir, "customer")
+    val supp = Tables.read(spark, dir, "supplier")
+    val ord = Tables.read(spark, dir, "orders")
+      .where(
+        col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val li = Tables.read(spark, dir, "lineitem")
+    val disc =
+      col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2)))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(disc).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def q5Oracle: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // --- semi / anti / outer joins ---
+
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "customer")
+    val bigOrders = Tables.read(spark, dir, "orders")
+      .where(col("o_totalprice") > 400000.0)
+    cust
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  def joinSemiOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "customer")
+    val bigOrders = Tables.read(spark, dir, "orders")
+      .where(col("o_totalprice") > 400000.0)
+    cust
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  def joinAntiOracle: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  def joinLeftAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "customer")
+    val ord = Tables.read(spark, dir, "orders")
+    cust
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sumExact(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  def joinLeftAggOracle: String =
+    s"""SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       |  COALESCE(${SumExactSql.format("o_totalprice")}, 0.0) AS total_spent
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // --- window functions ---
+
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.read(spark, dir, "orders")
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        rank()
+          .over(Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc))
+          .cast("long")
+          .as("rk"))
+      .where(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  def windowRankOracle: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(
+        col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double")
+          .as("running_value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        row_number().over(w).cast("long").as("seq"))
+      .orderBy("user_id", "seq")
+  }
+
+  def windowRunningOracle: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+      |  LAG(value, 1) OVER w AS prev_value,
+      |  ROW_NUMBER() OVER w AS seq
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |ORDER BY user_id, seq""".stripMargin
+
+  // --- global top-k (TakeOrderedAndProject) ---
+
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  def topkOrdersOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // --- set operations ---
+
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.read(spark, dir, "orders")
+    def buyers(y: Int): DataFrame =
+      ord.where(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val both = buyers(1998).intersect(buyers(1999))
+      .select(lit("both").as("tag"), col("o_custkey"))
+    val only98 = buyers(1998).except(buyers(1999))
+      .select(lit("only_1998").as("tag"), col("o_custkey"))
+    both.union(only98).orderBy("tag", "o_custkey")
+  }
+
+  def setOpsOracle: String =
+    """SELECT 'both' AS tag, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1999)
+      |UNION ALL
+      |SELECT 'only_1998' AS tag, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1999)
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  // --- rollup / cube (grouping-set nulls materialized as 'ALL') ---
+
+  def rollupSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumExact(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  def rollupSalesOracle: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       |  COALESCE(l_linestatus, 'ALL') AS ls,
+       |  ${SumExactSql.format("l_quantity")} AS sum_qty,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY rf, ls""".stripMargin
+
+  def cubePriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  def cubePriorityOracle: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${SumExactSql.format("o_totalprice")} AS total
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  // --- distinct aggregation ---
+
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_cust"))
+      .orderBy("c_mktsegment")
+
+  def distinctAggOracle: String =
+    """SELECT c_mktsegment,
+      |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cust
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // --- exact dedup: keep first event per (user, type) ---
+
+  def dedupEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy("user_id", "event_type")
+  }
+
+  def dedupEventsOracle: String =
+    """SELECT user_id, event_type, event_id FROM (
+      |  SELECT user_id, event_type, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", q1Agg, Some(q1Oracle)),
+    QueryDef("q3_topk", q3TopK, Some(q3Oracle)),
+    QueryDef("q5_regional", q5Regional, Some(q5Oracle)),
+    QueryDef("join_semi", joinSemi, Some(joinSemiOracle)),
+    QueryDef("join_anti", joinAnti, Some(joinAntiOracle)),
+    QueryDef("join_left_agg", joinLeftAgg, Some(joinLeftAggOracle)),
+    QueryDef("window_rank", windowRank, Some(windowRankOracle)),
+    QueryDef("window_running", windowRunning, Some(windowRunningOracle)),
+    QueryDef("topk_orders", topkOrders, Some(topkOrdersOracle)),
+    QueryDef("set_ops", setOps, Some(setOpsOracle)),
+    QueryDef("rollup_sales", rollupSales, Some(rollupSalesOracle)),
+    QueryDef("cube_priority", cubePriority, Some(cubePriorityOracle)),
+    QueryDef("distinct_agg", distinctAgg, Some(distinctAggOracle)),
+    QueryDef("dedup_events", dedupEvents, Some(dedupEventsOracle)))
+}

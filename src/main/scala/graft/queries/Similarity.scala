@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (north-star gap-fill):
+  * brute-force cosine top-k as the exactness baseline, an IVF-bucketed
+  * variant as the scale path, and cosine near-dup pair mining.
+  *
+  * Determinism: embeddings are quantized to integer milli-units, so dot
+  * products and squared norms are exact integer arithmetic in both
+  * engines; the only floating point is one final division by one sqrt
+  * of an exactly-representable long — bit-identical everywhere.
+  *
+  * Scale shape (100 TB of vectors): queries broadcast against a
+  * partitioned candidate set (no shuffle of the big side); top-k is a
+  * per-partition partial top-k + tiny final merge (Spark's
+  * TakeOrdered/window over partitioned keys). IVF assignment is a
+  * broadcast nested-loop against ~sqrt(n) centroids and search touches
+  * only one cell — the standard inverted-file ANN layout.
+  */
+object Similarity {
+
+  /** Quantize float embedding to exact integer milli-units. */
+  private def quant(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  private val QuantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** Exact integer dot product of two long arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** cos = dot / sqrt(na * nb), all operands exact. */
+  private def cosine(d: Column, na: Column, nb: Column): Column =
+    d.cast("double") / sqrt((na * nb).cast("double"))
+
+  /** vec_id, quantized vector, exact squared norm (+ label). */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), quant(col("embedding")).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+
+  private val VectorsSql =
+    s"""vecs AS (
+       |  SELECT vec_id, label, $QuantSql v FROM embeddings),
+       |vn AS (
+       |  SELECT vec_id, label, v, ${dotSql("v", "v")} nrm FROM vecs)""".stripMargin
+
+  // --- brute-force cosine top-k ---
+
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val queries = vecs.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = vecs
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn(
+        "cos",
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor"), col("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
+  def knnBruteOracle: String =
+    s"""WITH $VectorsSql,
+       |q AS (SELECT vec_id q_id, v qv, nrm qn FROM vn WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    CAST(${dotSql("qv", "v")} AS DOUBLE) / sqrt(CAST(qn * nrm AS DOUBLE)) cos
+       |  FROM vn CROSS JOIN q WHERE vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, vec_id AS neighbor, cos FROM ranked
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  // --- embedding cosine near-dup pairs (blocked by label) ---
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val a = vecs.select(
+      col("label"), col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val b = vecs.select(
+      col("label"), col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, "label")
+      .where(col("a") < col("b"))
+      .withColumn("cos", cosine(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .where(col("cos") >= 0.35)
+      .select(col("label"), col("a"), col("b"), col("cos"))
+      .orderBy("a", "b")
+  }
+
+  def dedupEmbeddingOracle: String =
+    s"""WITH $VectorsSql
+       |SELECT x.label, x.vec_id a, y.vec_id b,
+       |  CAST(${dotSql("x.v", "y.v")} AS DOUBLE) / sqrt(CAST(x.nrm * y.nrm AS DOUBLE)) cos
+       |FROM vn x JOIN vn y ON x.label = y.label AND x.vec_id < y.vec_id
+       |WHERE CAST(${dotSql("x.v", "y.v")} AS DOUBLE) / sqrt(CAST(x.nrm * y.nrm AS DOUBLE)) >= 0.35
+       |ORDER BY a, b""".stripMargin
+
+  // --- IVF-bucketed approximate top-k ---
+
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val cents = vecs.where(col("vec_id") % 53 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    // assign every vector to its nearest centroid (exact integer L2^2)
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L),
+      (acc, x) => acc + x)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+    val assigned = vecs
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id").as("cell"))
+    val queries = assigned.where(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell").as("q_cell"))
+    val scored = assigned
+      .join(broadcast(queries), col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor"), col("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
+  def knnIvfOracle: String =
+    s"""WITH $VectorsSql,
+       |cents AS (SELECT vec_id c_id, v cv FROM vn WHERE vec_id % 53 = 0),
+       |dists AS (
+       |  SELECT vn.vec_id, vn.v, vn.nrm, c_id,
+       |    CAST(list_sum(list_transform(range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS BIGINT) d2
+       |  FROM vn CROSS JOIN cents),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, c_id cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) arn
+       |    FROM dists) WHERE arn = 1),
+       |q AS (SELECT vec_id q_id, v qv, nrm qn, cell q_cell FROM assigned WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    CAST(${dotSql("qv", "v")} AS DOUBLE) / sqrt(CAST(qn * nrm AS DOUBLE)) cos
+       |  FROM assigned JOIN q ON cell = q_cell AND vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, vec_id AS neighbor, cos FROM ranked
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
+    QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
+    QueryDef("knn_ivf", knnIvf, Some(knnIvfOracle)))
+}

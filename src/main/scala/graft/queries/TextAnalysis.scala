@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (north-star
+  * gap-fill: language-ID, quality scoring, token counting, document
+  * fingerprinting). Everything derives from exact integer counts so
+  * Spark and DuckDB agree bit-for-bit; the only doubles are divisions
+  * of identical integer operands.
+  *
+  * Scale: all queries are scan + narrow projection + hash aggregation —
+  * embarrassingly parallel, no shuffle except the final (tiny) group
+  * by. Token explosion is bounded per row, never materialized globally.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (mirrors the DuckDB side's
+    * `list_filter(regexp_split_to_array(...))`).
+    */
+  private def toks(c: Column): Column =
+    filter(split(c, "\\s+"), x => x =!= "")
+  private val ToksSql =
+    "list_filter(regexp_split_to_array(%s, '\\s+'), x -> x <> '')"
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .select(
+        col("lang"),
+        size(toks(col("text"))).cast("long").as("n_tok"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        max(col("n_tok")).as("max_tokens"),
+        min(col("n_tok")).as("min_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+
+  def textTokensOracle: String =
+    s"""WITH t AS (SELECT lang, CAST(len(${ToksSql.format("text")}) AS BIGINT) n_tok, n_chars FROM documents)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) total_tokens,
+       |  MAX(n_tok) max_tokens, MIN(n_tok) min_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) total_chars
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Per-document quality scoring: token/char/punctuation/stopword
+    * counts plus a composite score (stopword ratio + punctuation
+    * density + length saturation).
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+    val t = toks(col("text"))
+    val nTok = size(t).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nPunct =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long")
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop =
+      size(filter(t, x => array_contains(stopArr, x))).cast("long")
+    docs.select(
+        col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars_m"),
+        nPunct.as("n_punct"), nStop.as("n_stop"))
+      .withColumn(
+        "score",
+        when(
+          col("n_tokens") === 0 || col("n_chars_m") === 0, lit(0.0))
+          .otherwise(
+            col("n_stop").cast("double") / col("n_tokens") +
+              col("n_punct").cast("double") / col("n_chars_m") +
+              least(col("n_tokens").cast("double") / 100.0, lit(1.0))))
+      .orderBy("doc_id")
+  }
+
+  def textQualityOracle: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len(${ToksSql.format("text")}) AS BIGINT) n_tokens,
+       |  CAST(length(text) AS BIGINT) n_chars_m,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) n_punct,
+       |  CAST(len(list_filter(${ToksSql.format("text")}, x -> list_contains($stopList, x))) AS BIGINT) n_stop
+       | FROM documents)
+       |SELECT doc_id, n_tokens, n_chars_m, n_punct, n_stop,
+       |  CASE WHEN n_tokens = 0 OR n_chars_m = 0 THEN 0.0
+       |    ELSE CAST(n_stop AS DOUBLE) / n_tokens + CAST(n_punct AS DOUBLE) / n_chars_m
+       |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) END AS score
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Marker-token language-ID heuristic: count marker hits per
+    * language, argmax with fixed priority order on ties. Compared
+    * against the labeled `lang` column as a confusion matrix.
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "los", "y"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("de", "shi", "le"))
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+    val t = toks(lower(col("text")))
+    val scored = Markers.foldLeft(
+      docs.select(col("doc_id"), col("lang"), t.as("t"))) {
+      case (df, (l, ms)) =>
+        val arr = array(ms.map(lit): _*)
+        df.withColumn(
+          s"s_$l",
+          size(filter(col("t"), x => array_contains(arr, x))).cast("long"))
+    }
+    val langs = Markers.map(_._1)
+    val predicted = langs.init
+      .foldRight(lit(langs.last): Column) { (l, rest) =>
+        val beats = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o"))
+        when(beats.reduce(_ && _), lit(l)).otherwise(rest)
+      }
+    scored
+      .withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  def textLangidOracle: String = {
+    val scores = Markers.map { case (l, ms) =>
+      val list = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(t, x -> list_contains($list, x))) AS BIGINT) s_$l"
+    }
+    val langs = Markers.map(_._1)
+    val predicted = langs.init.reverse
+      .foldLeft(s"'${langs.last}'") { (rest, l) =>
+        val beats =
+          langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN $beats THEN '$l' ELSE $rest END"
+      }
+    s"""WITH t AS (SELECT doc_id, lang, ${ToksSql.format("lower(text)")} t FROM documents),
+       |s AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM t)
+       |SELECT lang, $predicted AS predicted, CAST(COUNT(*) AS BIGINT) n
+       |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  /** Normalized-content fingerprint (rolling-hash analog): md5 over
+    * lowercased, punctuation-collapsed text; 8-hex-char prefix as the
+    * dedup bucket key.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("fp"))
+      .withColumn("bucket", substring(col("fp"), 1, 8))
+      .orderBy("doc_id")
+
+  def textFingerprintOracle: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+      |  substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 8) AS bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_tokens", textTokens, Some(textTokensOracle)),
+    QueryDef("text_quality", textQuality, Some(textQualityOracle)),
+    QueryDef("text_langid", textLangid, Some(textLangidOracle)),
+    QueryDef("text_fingerprint", textFingerprint, Some(textFingerprintOracle)))
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + cross-strategy checks at sf0.001. The authoritative
+  * correctness gate is the driver's DuckDB oracle (tools/
+  * check_oracle.py); these specs catch regressions fast and pin
+  * relationships between strategies (compiled vs dynamic fan-out,
+  * LSH vs exhaustive Jaccard).
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every registered query runs and yields a schema at sf0.001") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty, name)
+      assert(df.count() >= 0, name)
+    }
+  }
+
+  test("every query has oracle SQL") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("compiled and dynamic fan-out agree") {
+    val c = RefSurface.fanout(spark, dir)
+      .select("sub_id", "event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d = RefSurface.fanoutDynamic(spark, dir)
+      .select("sub_id", "event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(c.nonEmpty)
+    assert(c.toSeq == d.toSeq)
+  }
+
+  test("string-typed filter subscription never matches integer props") {
+    val subs = RefSurface.fanout(spark, dir)
+      .select("sub_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!subs.contains(4L), "sub 4 (k<='50' string filter) must match nothing")
+  }
+
+  test("minhash LSH finds a subset of exhaustive jaccard pairs") {
+    val lsh = Dedup.minhashLsh(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.ngramJaccard(spark, dir)
+      .where("jacc >= 0.5")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(full))
+  }
+}
