@@ -25,7 +25,13 @@ object Dedup {
     */
   private[queries] def shingles(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.read(spark, dir, "documents")
-    val t = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    // explode(array(toks)) is a Generate barrier: the token array
+    // materializes once per row. Referencing the token expression
+    // directly inside the transform lambda would re-run the whole
+    // split/filter pipeline per element_at — O(tokens^2) per document
+    // (observed 22s -> ~2s at sf0.1).
+    val t = col("t")
     val sh = when(
       size(t) >= 3,
       array_distinct(
@@ -38,7 +44,8 @@ object Dedup {
               element_at(t, (i + lit(1)).cast("int")),
               element_at(t, (i + lit(2)).cast("int"))))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(sh).as("shingle"))
+    docs.select(col("doc_id"), explode(array(toks)).as("t"))
+      .select(col("doc_id"), explode(sh).as("shingle"))
   }
 
   private val ShinglesSql: String =
@@ -132,8 +139,21 @@ object Dedup {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-    candidates
-      .join(jaccardPairs(sh), Seq("a", "b"))
+    // Exact-Jaccard verify restricted to the (few) LSH candidates —
+    // the whole point of LSH is to never run the all-pairs join, so
+    // intersections are computed only for candidate pairs.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.toDF("a", "shingle"), "a")
+      .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a", "na"), "a")
+      .join(sizes.toDF("b", "nb"), "b")
+      .withColumn(
+        "jacc",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jacc") >= 0.5)
       .select(col("a"), col("b"), col("jacc"))
       .orderBy("a", "b")
@@ -153,9 +173,15 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id a, y.doc_id b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
        |  WHERE x.doc_id < y.doc_id),
-       |$JaccSql
-       |SELECT j.a, j.b, j.jacc FROM jacc j JOIN cand USING (a, b)
-       |WHERE j.jacc >= 0.5 ORDER BY a, b""".stripMargin
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) inter
+       |  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+       |  GROUP BY c.a, c.b)
+       |SELECT i.a, i.b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) jacc
+       |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+       |ORDER BY a, b""".stripMargin
 
   // --- SimHash fingerprints (32-bit, md5-hexchar-parity bits) ---
 

@@ -125,10 +125,14 @@ object RefSurface {
         .otherwise(line)
     val envSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "action STRING, subsystem STRING, event STRING, data STRING, id STRING")
+    // inline(array(from_json)) routes the parsed struct through a
+    // Generate, which evaluates from_json exactly once per row —
+    // filtering on env.* directly lets the optimizer inline one
+    // from_json per field reference (6x the parse cost; observed 36s
+    // vs 3s at sf0.1).
     events
       .select(corrupted.as("line"))
-      .select(from_json(col("line"), envSchema).as("env"))
-      .select(col("env.*"))
+      .select(inline(array(from_json(col("line"), envSchema))))
       .where(
         col("action") === "notify" && col("subsystem").isNotNull &&
           col("event").isNotNull && col("data").isNotNull &&
