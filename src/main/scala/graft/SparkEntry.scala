@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     RefSurface.defs ++ Relational.defs ++ TextAnalysis.defs ++
-      Dedup.defs ++ Similarity.defs
+      Dedup.defs ++ Similarity.defs ++ StreamingWindows.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

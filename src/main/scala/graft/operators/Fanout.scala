@@ -60,10 +60,12 @@ object Fanout {
       payloadCol: Column): DataFrame = {
     val matches = udf((json: String, filters: Seq[String]) =>
       json != null && FilterEval.matches(json, Option(filters).getOrElse(Nil)))
+    // rename the join key to keep the plan unambiguous when the event
+    // side also carries a `subsystem` column (the streaming envelope)
+    val subs = subscriptions.withColumnRenamed("subsystem", "__sub_subsystem")
     events
-      .join(
-        broadcast(subscriptions),
-        subsystemCol === subscriptions("subsystem"))
-      .where(matches(payloadCol, subscriptions("filters")))
+      .join(broadcast(subs), subsystemCol === subs("__sub_subsystem"))
+      .where(matches(payloadCol, subs("filters")))
+      .drop("__sub_subsystem")
   }
 }

@@ -1,0 +1,182 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.{InetSocketAddress, StandardProtocolFamily, UnixDomainSocketAddress}
+import java.nio.channels.{Channels, ServerSocketChannel, SocketChannel}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 micro-batch source replicating the reference's ingest
+  * side (evtstrd/socket_server.py:25-92): the source *listens* on a
+  * socket — Unix domain (option `path`, the reference's transport) or
+  * TCP (option `port`, for tests) — accepts any number of producer
+  * connections, and reads one JSON value per line. Lines buffer on the
+  * driver; each micro-batch drains the lines accumulated since the
+  * last offset, giving replay within the run (offsets are cumulative
+  * line counts). Envelope validation/corrupt-line dropping happens in
+  * the downstream plan (EventStreamPipeline.parseLines), exactly where
+  * the reference does it (util.py:11-21).
+  *
+  * Registered as format "evtstream" via its provider class name
+  * `graft.sources.EvtStreamSource`. Driver-side accumulation mirrors
+  * Spark's own TextSocketMicroBatchStream; at production scale the
+  * same interface fronts a partitioned transport (one accept loop per
+  * input partition).
+  */
+class EvtStreamSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EvtStreamSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new EvtStreamTable(properties)
+}
+
+object EvtStreamSource {
+  val Schema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** Test/ops hook: live line counts per source instance key. */
+  val buffered = new ConcurrentHashMap[String, Integer]()
+}
+
+final class EvtStreamTable(properties: util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "evtstream"
+  override def schema(): StructType = EvtStreamSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () =>
+      new Scan {
+        override def readSchema(): StructType = EvtStreamSource.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new EvtStreamMicroBatch(
+            Option(options.get("path")),
+            Option(options.get("port")).map(_.toInt))
+      }
+}
+
+final case class LineOffset(count: Long) extends Offset {
+  override def json(): String = count.toString
+}
+
+final class EvtStreamMicroBatch(path: Option[String], port: Option[Int])
+    extends MicroBatchStream {
+  private val lines = ArrayBuffer.empty[String]
+  private val running = new AtomicBoolean(true)
+  @volatile private var committed = 0L
+
+  private val channel: ServerSocketChannel = path match {
+    case Some(p) =>
+      val addr = UnixDomainSocketAddress.of(p)
+      Files.deleteIfExists(Path.of(p)) // stale socket removal (socket_server.py:48-57)
+      val ch = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
+      ch.bind(addr)
+      ch
+    case None =>
+      val ch = ServerSocketChannel.open()
+      ch.bind(new InetSocketAddress("127.0.0.1", port.getOrElse(0)))
+      ch
+  }
+
+  /** Key under which tests can observe buffered counts. */
+  val instanceKey: String = path.getOrElse {
+    "tcp:" + channel.getLocalAddress
+      .asInstanceOf[InetSocketAddress].getPort.toString
+  }
+
+  private val acceptThread = new Thread(() => {
+    while (running.get()) {
+      try {
+        val client = channel.accept()
+        val t = new Thread(() => readLoop(client), "evtstream-read")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () }
+    }
+  }, "evtstream-accept")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  private def readLoop(client: SocketChannel): Unit = {
+    try {
+      val reader = new BufferedReader(
+        new InputStreamReader(
+          Channels.newInputStream(client), StandardCharsets.UTF_8))
+      Iterator.continually(reader.readLine())
+        .takeWhile(_ != null) // EOF ends this producer (util.py:20-21)
+        .foreach { line =>
+          lines.synchronized {
+            lines += line
+            EvtStreamSource.buffered.put(instanceKey, lines.size)
+          }
+        }
+    } catch { case _: Exception => () }
+    finally {
+      try client.close()
+      catch { case _: Exception => () }
+    }
+  }
+
+  override def initialOffset(): Offset = LineOffset(0L)
+  override def latestOffset(): Offset =
+    lines.synchronized(LineOffset(committed + lines.size))
+  override def deserializeOffset(json: String): Offset =
+    LineOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LineOffset].count
+    val e = end.asInstanceOf[LineOffset].count
+    val slice = lines.synchronized {
+      lines.slice((s - committed).toInt, (e - committed).toInt).toArray
+    }
+    Array(LinesPartition(slice))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val rows = partition.asInstanceOf[LinesPartition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow =
+          InternalRow(UTF8String.fromString(rows(i)))
+        override def close(): Unit = ()
+      }
+    }
+
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[LineOffset].count
+    lines.synchronized {
+      val drop = (e - committed).toInt
+      if (drop > 0) { lines.remove(0, math.min(drop, lines.size)); committed = e }
+    }
+  }
+
+  override def stop(): Unit = {
+    running.set(false)
+    try channel.close()
+    catch { case _: Exception => () }
+    path.foreach(p =>
+      try Files.deleteIfExists(Path.of(p))
+      catch { case _: Exception => () })
+  }
+}
+
+final case class LinesPartition(rows: Array[String]) extends InputPartition

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import graft.operators.Fanout
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** End-to-end composition of the engine's streaming half — the full
+  * eventstreamd replacement (SURVEY §3):
+  *
+  *   EP1 ingest: `evtstream` DataSourceV2 socket source (JSON lines)
+  *     -> envelope parse/validate (EventStreamPipeline.parseLines)
+  *     -> per micro-batch: broadcast fan-out join against the current
+  *        subscription registry + residual filter predicates
+  *     -> SSE chunk writes to the matching listeners.
+  *   EP2 subscribe: HTTP GET /events on [[SseServer]] (registry insert,
+  *     filter compile at registration).
+  *   EP3 stats: HTTP GET /stats (registry aggregation).
+  *
+  * Spark executes the dataflow; the SseServer owns only sockets and
+  * the listener registry.
+  */
+final class EventStreamServer(
+    spark: SparkSession,
+    socketPath: Option[String] = None,
+    tcpPort: Option[Int] = None,
+    httpPort: Int = 0,
+    pingIntervalSec: Long = 20L,
+    auth: SseServer.AuthPlugin = SseServer.AllowAll) {
+
+  val sse = new SseServer(httpPort, pingIntervalSec, auth)
+
+  private val reader = spark.readStream.format("graft.sources.EvtStreamSource")
+  socketPath.foreach(p => reader.option("path", p))
+  tcpPort.foreach(p => reader.option("port", p.toString))
+  private val lines: DataFrame = reader.load()
+
+  /** Deliver one micro-batch: join the (tiny, broadcast) subscription
+    * snapshot, evaluate residual filters, render chunks in Spark, then
+    * hand (listenerId, chunk) pairs to the socket layer.
+    */
+  private def deliverBatch(batch: DataFrame, batchId: Long): Unit = {
+    import batch.sparkSession.implicits._
+    val subsSnapshot = sse.allListeners
+      .map(l => (l.id, l.subsystem, l.rawFilters))
+    if (subsSnapshot.isEmpty) return
+    val subsDf = batch.sparkSession.createDataFrame(subsSnapshot)
+      .toDF("sub_id", "subsystem", "filters")
+    val delivered = Fanout
+      .dynamic(batch, subsDf, col("subsystem"), col("data"))
+      .select(
+        col("sub_id"),
+        graft.functions.Sse
+          .chunk(graft.functions.Sse.frame(col("event"), col("data"), col("id")))
+          .as("chunk"))
+      .as[(Long, String)]
+      .collect()
+    delivered.foreach { case (lid, chunk) =>
+      sse.writeTo(lid, chunk.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  val query: StreamingQuery = EventStreamPipeline
+    .parseLines(lines)
+    .writeStream
+    .outputMode("append")
+    .foreachBatch(deliverBatch _)
+    .start()
+
+  def processAllAvailable(): Unit = query.processAllAvailable()
+
+  def close(): Unit = {
+    try query.stop()
+    catch { case _: Exception => () }
+    sse.close()
+  }
+}

@@ -1,0 +1,375 @@
+package graft.streaming
+
+import java.io.{BufferedReader, InputStreamReader, OutputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket, URLDecoder}
+import java.nio.charset.StandardCharsets
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+import java.util.concurrent.{ConcurrentHashMap, CopyOnWriteArrayList, Executors, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import scala.jdk.CollectionConverters._
+
+import graft.filters.{EventFilter, FilterEval, FilterParser, FilterSyntaxException}
+
+/** The consumer-facing half of the reference re-expressed as the
+  * engine's serving layer: an HTTP/1.1 Server-Sent-Events endpoint
+  * with per-listener filter predicates, subsystem-keyed routing,
+  * keepalive pings, auth-expiry logout, and the `/stats` aggregation
+  * (reference: evtstrd/http_server.py, dispatcher.py, listener.py,
+  * stats.py). This class owns only sockets + registry; all bulk
+  * dataflow (parse/validate/fan-out) runs in Spark and feeds
+  * [[notify]] / [[writeTo]] from `foreachBatch` (see
+  * [[EventStreamServer]]).
+  */
+object SseServer {
+  sealed trait AuthResult
+  case object AuthOk extends AuthResult
+  final case class AuthOkExpiring(expireAtMs: Long) extends AuthResult
+  final case class AuthUnauthorized(authenticate: String) extends AuthResult
+  case object AuthForbidden extends AuthResult
+
+  /** Auth plugin contract (evtstrd/auth.py:11-36,
+    * plugins/README.md:12-36); absent plugin => allow all.
+    */
+  trait AuthPlugin {
+    def check(
+        resource: String,
+        headers: Map[String, String],
+        subsystem: Option[String]): AuthResult
+  }
+  object AllowAll extends AuthPlugin {
+    def check(r: String, h: Map[String, String], s: Option[String]): AuthResult =
+      AuthOk
+  }
+
+  final case class ListenerConn(
+      id: Long,
+      subsystem: String,
+      filters: Seq[EventFilter],
+      rawFilters: Seq[String],
+      connectionTime: LocalDateTime,
+      remoteHost: String,
+      referer: Option[String],
+      socket: Socket,
+      out: OutputStream) {
+    val closed = new AtomicBoolean(false)
+  }
+}
+
+final class SseServer(
+    port: Int = 0,
+    pingIntervalSec: Long = 20L,
+    auth: SseServer.AuthPlugin = SseServer.AllowAll) {
+  import SseServer._
+
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress("127.0.0.1", port))
+  def actualPort: Int = server.getLocalPort
+
+  private val startTime = LocalDateTime.now()
+  private val totalConnections = new AtomicLong(0L)
+  private val nextListenerId = new AtomicLong(0L)
+  private val listeners =
+    new ConcurrentHashMap[String, CopyOnWriteArrayList[ListenerConn]]()
+  private val running = new AtomicBoolean(true)
+
+  private val scheduler = Executors.newScheduledThreadPool(2, r => {
+    val t = new Thread(r, "sse-scheduler"); t.setDaemon(true); t
+  })
+  scheduler.scheduleAtFixedRate(
+    () => pingAll(),
+    pingIntervalSec, pingIntervalSec, TimeUnit.SECONDS)
+
+  private val acceptThread = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handleConnection(sock), "sse-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () }
+    }
+  }, "sse-accept")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  // ---- HTTP plumbing (reference: evtstrd/http.py) ----
+
+  private val HttpDate =
+    DateTimeFormatter.ofPattern("EEE, dd MMM yyyy HH:mm:ss 'GMT'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .withLocale(java.util.Locale.US)
+
+  private def defaultHeaders: Seq[(String, String)] = Seq(
+    "Date" -> HttpDate.format(java.time.Instant.now()),
+    "Server" -> "eventstreamd")
+
+  private def writeHead(
+      out: OutputStream,
+      status: Int,
+      phrase: String,
+      headers: Seq[(String, String)]): Unit = {
+    val sb = new StringBuilder(s"HTTP/1.1 $status $phrase\r\n")
+    headers.foreach { case (h, v) => sb.append(s"$h: $v\r\n") }
+    sb.append("\r\n")
+    out.write(sb.toString.getBytes(StandardCharsets.US_ASCII))
+    out.flush()
+  }
+
+  private def writeError(
+      out: OutputStream,
+      status: Int,
+      phrase: String,
+      message: String,
+      extra: Seq[(String, String)] = Nil): Unit = {
+    writeHead(out, status, phrase, defaultHeaders ++ extra)
+    out.write((message + "\r\n").getBytes(StandardCharsets.UTF_8))
+    out.flush()
+  }
+
+  /** One HTTP chunk: lowercase hex byte length + CRLF + payload + CRLF
+    * (evtstrd/http.py:114-118).
+    */
+  private def writeChunk(out: OutputStream, payload: Array[Byte]): Unit = {
+    out.write(payload.length.toHexString.getBytes(StandardCharsets.US_ASCII))
+    out.write('\r'); out.write('\n')
+    out.write(payload)
+    out.write('\r'); out.write('\n')
+    out.flush()
+  }
+
+  private def handleConnection(sock: Socket): Unit = {
+    val out = sock.getOutputStream
+    try {
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.US_ASCII))
+      val requestLine = in.readLine()
+      if (requestLine == null) { sock.close(); return }
+      val parts = requestLine.split(" ")
+      if (parts.length != 3 || parts(2) != "HTTP/1.1") {
+        writeError(out, 400, "Bad Request", "invalid request line")
+        sock.close(); return
+      }
+      val Array(method, path, _) = parts
+      if (!Seq("HEAD", "GET", "POST", "PUT").contains(method)) {
+        writeError(out, 501, "Not Implemented", "")
+        sock.close(); return
+      }
+      // headers, lower-cased names (http.py:83)
+      val headers = Iterator
+        .continually(in.readLine())
+        .takeWhile(l => l != null && l.nonEmpty)
+        .flatMap { l =>
+          l.split(": ", 2) match {
+            case Array(h, v) => Some(h.toLowerCase -> v)
+            case _ => None
+          }
+        }
+        .toMap
+      val (rawPath, query) = path.span(_ != '?')
+      rawPath match {
+        case "/events" =>
+          if (method != "GET")
+            writeError(out, 405, "Method Not Allowed", s"method $method not allowed")
+          else handleEvents(sock, out, query.drop(1), headers)
+        case "/stats" =>
+          if (method != "GET")
+            writeError(out, 405, "Method Not Allowed", s"method $method not allowed")
+          else handleStats(out, headers)
+        case p =>
+          writeError(out, 404, "Not Found", s"'$p' not found")
+      }
+      if (rawPath != "/events") sock.close()
+    } catch {
+      case _: Exception =>
+        try {
+          writeError(out, 500, "Internal Server Error", "internal server error")
+          sock.close()
+        } catch { case _: Exception => () }
+    }
+  }
+
+  private def parseQuery(q: String): Map[String, Seq[String]] =
+    q.split("&").filter(_.nonEmpty).toSeq
+      .map { kv =>
+        val Array(k, v) = (kv.split("=", 2) ++ Array("")).take(2)
+        URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+      }
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+
+  private def handleEvents(
+      sock: Socket,
+      out: OutputStream,
+      query: String,
+      headers: Map[String, String]): Unit = {
+    val args = parseQuery(query)
+    val subsystem = args.get("subsystem").flatMap(_.headOption) match {
+      case Some(s) => s
+      case None =>
+        writeError(out, 400, "Bad Request", "subsystem: missing argument")
+        sock.close(); return
+    }
+    val rawFilters = args.getOrElse("filter", Nil)
+    val filters =
+      try rawFilters.map(FilterParser.parse)
+      catch {
+        case _: FilterSyntaxException =>
+          writeError(out, 400, "Bad Request", "filter: could not parse filter")
+          sock.close(); return
+      }
+    val expire = auth.check("events", headers, Some(subsystem)) match {
+      case AuthOk => None
+      case AuthOkExpiring(ms) => Some(ms)
+      case AuthUnauthorized(a) =>
+        writeError(out, 401, "Unauthorized", "Unauthorized",
+          Seq("WWW-Authenticate" -> a))
+        sock.close(); return
+      case AuthForbidden =>
+        writeError(out, 403, "Forbidden", "Forbidden")
+        sock.close(); return
+    }
+    val responseHeaders = defaultHeaders ++ Seq(
+      "Transfer-Encoding" -> "chunked",
+      "Content-Type" -> "text/event-stream",
+      "Connection" -> "keep-alive",
+      "Keep-Alive" -> "timeout=5, max=100") ++
+      headers.get("origin").toSeq.flatMap(o => Seq(
+        "Access-Control-Allow-Credentials" -> "true",
+        "Access-Control-Allow-Origin" -> o))
+    writeHead(out, 200, "OK", responseHeaders)
+    val conn = ListenerConn(
+      nextListenerId.incrementAndGet(),
+      subsystem, filters, rawFilters,
+      LocalDateTime.now(),
+      Option(sock.getInetAddress).map(_.getHostAddress).getOrElse("unknown"),
+      headers.get("referer"),
+      sock, out)
+    listeners
+      .computeIfAbsent(subsystem, _ => new CopyOnWriteArrayList[ListenerConn]())
+      .add(conn)
+    totalConnections.incrementAndGet()
+    // absolute-time logout timer (listener.py:80-84)
+    expire.foreach { ms =>
+      val delay = math.max(0L, ms - System.currentTimeMillis())
+      scheduler.schedule(
+        new Runnable { def run(): Unit = logout(conn) },
+        delay, TimeUnit.MILLISECONDS)
+    }
+  }
+
+  private def handleStats(out: OutputStream, headers: Map[String, String]): Unit = {
+    auth.check("stats", headers, None) match {
+      case AuthUnauthorized(a) =>
+        writeError(out, 401, "Unauthorized", "Unauthorized",
+          Seq("WWW-Authenticate" -> a)); return
+      case AuthForbidden =>
+        writeError(out, 403, "Forbidden", "Forbidden"); return
+      case _ => ()
+    }
+    val body = statsJson.getBytes(StandardCharsets.UTF_8)
+    writeHead(out, 200, "OK", defaultHeaders ++ Seq(
+      "Connection" -> "close",
+      "Content-Type" -> "application/json",
+      "Content-Length" -> body.length.toString))
+    out.write(body)
+    out.flush()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Stats document (evtstrd/stats.py:34-50): `referer` key omitted
+    * when absent.
+    */
+  def statsJson: String = {
+    val conns = allListeners.map { l =>
+      val base = Seq(
+        s""""subsystem": ${jsonStr(l.subsystem)}""",
+        s""""filters": [${l.rawFilters.map(jsonStr).mkString(", ")}]""",
+        s""""connection-time": ${jsonStr(l.connectionTime.toString)}""",
+        s""""remote-host": ${jsonStr(l.remoteHost)}""") ++
+        l.referer.map(r => s""""referer": ${jsonStr(r)}""")
+      base.mkString("{", ", ", "}")
+    }
+    s"""{"start-time": ${jsonStr(startTime.toString)}, """ +
+      s""""total-connections": ${totalConnections.get()}, """ +
+      s""""connections": [${conns.mkString(", ")}]}"""
+  }
+
+  def allListeners: Seq[ListenerConn] =
+    listeners.values.asScala.flatMap(_.asScala).toSeq.sortBy(_.id)
+
+  /** Deliver one event to every matching listener of its subsystem —
+    * the per-listener residual predicate runs here when called from
+    * the simple path; the Spark path pre-filters and calls [[writeTo]].
+    * (evtstrd/dispatcher.py:88-99, listener.py:56-70)
+    */
+  def notify(subsystem: String, eventType: String, data: String, id: String): Int = {
+    val bucket = listeners.get(subsystem)
+    if (bucket == null) return 0
+    var delivered = 0
+    // snapshot copy before iteration (dispatcher.py:91-93)
+    for (l <- bucket.asScala.toList) {
+      if (l.filters.forall(f => FilterEval.matches(data, Seq(f.raw)))) {
+        val idLine = if (id != null && id.nonEmpty) s"id: $id\r\n" else ""
+        val frame = s"event: $eventType\r\ndata: $data\r\n$idLine\r\n"
+        write(l, frame.getBytes(StandardCharsets.UTF_8))
+        delivered += 1
+      }
+    }
+    delivered
+  }
+
+  /** Write a pre-rendered chunk to a listener by id (Spark fan-out
+    * path).
+    */
+  def writeTo(listenerId: Long, chunkBytes: Array[Byte]): Unit =
+    allListeners.find(_.id == listenerId).foreach { l =>
+      l.out.write(chunkBytes)
+      try l.out.flush()
+      catch { case _: Exception => remove(l) }
+    }
+
+  private def write(l: ListenerConn, frame: Array[Byte]): Unit =
+    try writeChunk(l.out, frame)
+    catch { case _: Exception => remove(l) } // lazy disconnect detection
+
+  private def pingAll(): Unit =
+    for (l <- allListeners)
+      write(l, ConnectionTimers.PingFrame.getBytes(StandardCharsets.UTF_8))
+
+  private def logout(l: ListenerConn): Unit = {
+    write(l, ConnectionTimers.LogoutFrame.getBytes(StandardCharsets.UTF_8))
+    disconnect(l)
+  }
+
+  private def disconnect(l: ListenerConn): Unit = {
+    if (l.closed.compareAndSet(false, true)) {
+      try { writeChunk(l.out, Array.emptyByteArray); l.socket.close() }
+      catch { case _: Exception => () }
+      remove(l)
+    }
+  }
+
+  private def remove(l: ListenerConn): Unit = {
+    val bucket = listeners.get(l.subsystem)
+    if (bucket != null) bucket.remove(l)
+  }
+
+  /** Graceful drain: last chunk to every listener, close everything
+    * (evtstrd/dispatcher.py:101-103, server.py:26-29).
+    */
+  def close(): Unit = {
+    running.set(false)
+    allListeners.foreach(disconnect)
+    scheduler.shutdownNow()
+    try server.close()
+    catch { case _: Exception => () }
+  }
+}

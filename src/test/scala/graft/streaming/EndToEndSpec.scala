@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.net.{InetSocketAddress, Socket, StandardProtocolFamily, UnixDomainSocketAddress}
+import java.nio.channels.{Channels, SocketChannel}
+import java.nio.charset.StandardCharsets
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full EP1+EP2+EP3 integration: a producer writes JSON lines to the
+  * engine's Unix-domain socket source, Spark parses/validates/fans
+  * out, and real HTTP clients receive SSE chunks filtered by their
+  * subscription predicates — the complete eventstreamd behavior.
+  */
+class EndToEndSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def httpGet(port: Int, pathAndQuery: String,
+      headers: Seq[String] = Nil): Socket = {
+    val s = new Socket("127.0.0.1", port)
+    val w = new OutputStreamWriter(s.getOutputStream, StandardCharsets.US_ASCII)
+    w.write(s"GET $pathAndQuery HTTP/1.1\r\nHost: localhost\r\n" +
+      headers.map(_ + "\r\n").mkString + "\r\n")
+    w.flush()
+    s
+  }
+
+  private def readAvailable(s: Socket, until: String, timeoutMs: Long = 15000): String = {
+    s.setSoTimeout(500)
+    val in = s.getInputStream
+    val sb = new StringBuilder
+    val deadline = System.currentTimeMillis() + timeoutMs
+    val buf = new Array[Byte](8192)
+    while (!sb.toString.contains(until) && System.currentTimeMillis() < deadline) {
+      try {
+        val n = in.read(buf)
+        if (n > 0) sb.append(new String(buf, 0, n, StandardCharsets.UTF_8))
+      } catch { case _: java.net.SocketTimeoutException => () }
+    }
+    sb.toString
+  }
+
+  test("producer socket -> Spark pipeline -> filtered SSE delivery -> stats") {
+    val sockPath = s"/tmp/graft-evt-${System.nanoTime()}.sock"
+    val server = new EventStreamServer(
+      spark, socketPath = Some(sockPath), pingIntervalSec = 3600)
+    try {
+      val httpPort = server.sse.actualPort
+
+      // EP2: two subscribers with different predicates
+      val subLow = httpGet(httpPort, "/events?subsystem=jobs&filter=k%3C%3D50")
+      val subAll = httpGet(httpPort, "/events?subsystem=jobs",
+        Seq("Referer: https://app.example"))
+      val headLow = readAvailable(subLow, "\r\n\r\n")
+      assert(headLow.startsWith("HTTP/1.1 200 OK"))
+      assert(headLow.contains("Content-Type: text/event-stream"))
+      assert(headLow.contains("Transfer-Encoding: chunked"))
+      readAvailable(subAll, "\r\n\r\n")
+
+      // bad filter => 400; unknown path => 404; POST /events => 405
+      assert(readAvailable(
+        httpGet(httpPort, "/events?subsystem=jobs&filter=INVALID"), " ")
+        .startsWith("HTTP/1.1 400"))
+      assert(readAvailable(httpGet(httpPort, "/nope"), " ")
+        .startsWith("HTTP/1.1 404"))
+
+      // EP1: producer writes JSON lines on the unix socket
+      val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+      ch.connect(UnixDomainSocketAddress.of(sockPath))
+      val pw = new OutputStreamWriter(
+        Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+      pw.write(
+        """{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": 10}, "id": "e1"}""" + "\n")
+      pw.write("garbage line\n") // dropped, never fails
+      pw.write(
+        """{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": 99}, "id": "e2"}""" + "\n")
+      pw.write(
+        """{"action": "notify", "subsystem": "other", "event": "add", "data": {"k": 1}, "id": "e3"}""" + "\n")
+      pw.flush()
+
+      // wait for the source to buffer, then drain micro-batches
+      val deadline = System.currentTimeMillis() + 15000
+      while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < 4
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      server.processAllAvailable()
+
+      // filtered listener gets only k<=50; unfiltered gets both
+      val lowBody = readAvailable(subLow, "id: e1")
+      assert(lowBody.contains("event: add\r\ndata: {\"k\":10}\r\nid: e1"))
+      assert(!lowBody.contains("id: e2"))
+      val allBody = readAvailable(subAll, "id: e2")
+      assert(allBody.contains("id: e1"))
+      assert(allBody.contains("id: e2"))
+      assert(!allBody.contains("id: e3")) // other subsystem
+
+      // EP3: stats reflect both live connections
+      val statsBody = readAvailable(
+        httpGet(httpPort, "/stats"), "connections")
+      assert(statsBody.contains("\"total-connections\": 2"))
+      assert(statsBody.contains("\"subsystem\": \"jobs\""))
+      assert(statsBody.contains("\"filters\": [\"k<=50\"]"))
+      assert(statsBody.contains("\"referer\": \"https://app.example\""))
+
+      subLow.close(); subAll.close()
+    } finally server.close()
+  }
+
+  test("ping keepalive and graceful drain emit control frames") {
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      val p = ss.getLocalPort; ss.close(); p
+    }
+    val server = new EventStreamServer(
+      spark, tcpPort = Some(port), pingIntervalSec = 1)
+    try {
+      val sub = httpGet(server.sse.actualPort, "/events?subsystem=x")
+      readAvailable(sub, "\r\n\r\n")
+      val body = readAvailable(sub, "event: ping", 10000)
+      assert(body.contains("event: ping\r\ndata: \r\n\r\n"))
+      server.close()
+      val tail = readAvailable(sub, "0\r\n\r\n", 5000)
+      assert(tail.contains("0\r\n\r\n")) // terminal chunk on drain
+      sub.close()
+    } finally server.close()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.operators.Fanout.Subscription
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runs the EP1 pipeline as an actual Structured Streaming query over
+  * a MemoryStream and asserts exact parity with the identical plan
+  * executed in batch mode — the stream/batch unification the engine is
+  * built on.
+  */
+class StreamingPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val subs = Seq(
+    Subscription(1L, "jobs", Seq("k<=50")),
+    Subscription(2L, "jobs", Seq("k>10", "k<90")),
+    Subscription(3L, "alerts", Nil),
+    Subscription(4L, "jobs", Seq("k<='50'")))
+
+  private val lines: Seq[String] =
+    (0 until 200).map { i =>
+      val sub = if (i % 3 == 0) "jobs" else "alerts"
+      s"""{"action": "notify", "subsystem": "$sub", "event": "add", "data": {"k": ${i % 100}}, "id": "evt-$i"}"""
+    } ++ Seq(
+      "not json at all",
+      """{"action": "ping", "subsystem": "jobs", "event": "x", "data": {}, "id": "i"}""",
+      """{"action": "notify", "subsystem": "jobs", "event": "x", "id": "missing-data"}""")
+
+  test("streaming pipeline output equals batch pipeline output") {
+    import spark.implicits._
+    val batchOut = EventStreamPipeline
+      .full(lines.toDF("value"), subs)
+      .select("sub_id", "id", "chunk")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted
+
+    val mem = MemoryStream[String](spark)
+    val q = EventStreamPipeline
+      .full(mem.toDF(), subs)
+      .writeStream
+      .format("memory")
+      .queryName("pipe_out")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(lines.take(100))
+      q.processAllAvailable()
+      mem.addData(lines.drop(100))
+      q.processAllAvailable()
+      val streamOut = spark.table("pipe_out")
+        .select("sub_id", "id", "chunk")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sorted
+      assert(streamOut.nonEmpty)
+      assert(streamOut.toSeq == batchOut.toSeq)
+    } finally q.stop()
+  }
+
+  test("invalid lines are dropped, not failed") {
+    import spark.implicits._
+    val out = EventStreamPipeline.parseLines(lines.toDF("value"))
+    assert(out.count() == 200) // the 3 bad/ignored lines dropped
+  }
+
+  test("streaming windowed aggregation with watermark runs and matches batch") {
+    import spark.implicits._
+    val ts = (0 until 120).map(i =>
+      (java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 97L)),
+        s"u${i % 5}"))
+    val batch = ts.toDF("ts", "user")
+      .groupBy(window(col("ts"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("user"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+
+    val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val q = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("user"), col("n"))
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete")
+      .start()
+    try {
+      mem.addData(ts)
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      assert(got.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+}
