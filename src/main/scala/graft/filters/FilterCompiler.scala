@@ -77,9 +77,33 @@ object FilterCompiler {
     coalesce(pred, lit(false))
   }
 
-  /** Compile against a JSON-string column. */
-  def compile(f: EventFilter, jsonCol: Column): Column =
-    compileOnVariant(f, try_parse_json(jsonCol))
+  /** Compile against a JSON-string column using the native codegen'd
+    * probe expressions ([[graft.functions.JsonStrictLong]] /
+    * [[JsonStrictString]]) — one Jackson pass per predicate, inside
+    * whole-stage codegen. This is the default production path; the
+    * variant-based composition below is the all-builtins alternative,
+    * held to the same corpus + property suites.
+    */
+  def compile(f: EventFilter, jsonCol: Column): Column = {
+    import graft.functions.JsonStrictFunctions._
+    val pred = f.value match {
+      case FilterValue.IntVal(n) =>
+        cmp(f.op, jsonIntStrict(jsonCol, f.path), lit(n))
+      case FilterValue.Str(s) =>
+        cmp(f.op, jsonStringStrict(jsonCol, f.path), lit(s))
+      case FilterValue.DateVal(d) =>
+        val raw = jsonStringStrict(jsonCol, f.path)
+        raw.rlike(DateRegex) &&
+          cmp(
+            f.op,
+            call_function(
+              "try_to_date",
+              regexp_replace(raw, "-", ""),
+              lit("yyyyMMdd")),
+            lit(java.sql.Date.valueOf(d)))
+    }
+    coalesce(pred, lit(false))
+  }
 
   def compile(filterString: String, jsonCol: Column): Column =
     compile(FilterParser.parse(filterString), jsonCol)
@@ -88,7 +112,14 @@ object FilterCompiler {
     * (evtstrd/listener.py:62 — `all([]) == True`).
     */
   def compileAll(filters: Seq[String], jsonCol: Column): Column =
-    compileAllOnVariant(filters, try_parse_json(jsonCol))
+    filters
+      .map(s => compile(FilterParser.parse(s), jsonCol))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  /** Variant-based compile (all built-in Spark functions). */
+  def compileVariant(f: EventFilter, jsonCol: Column): Column =
+    compileOnVariant(f, try_parse_json(jsonCol))
 
   def compileAllOnVariant(filters: Seq[String], v: Column): Column =
     filters

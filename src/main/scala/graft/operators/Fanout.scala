@@ -39,11 +39,10 @@ object Fanout {
       subsystemCol: Column,
       payloadCol: Column): DataFrame = {
     require(subs.nonEmpty, "at least one subscription")
-    val v = try_parse_json(payloadCol)
     val matched = subs.map { s =>
       when(
         subsystemCol === s.subsystem &&
-          FilterCompiler.compileAllOnVariant(s.filters, v),
+          FilterCompiler.compileAll(s.filters, payloadCol),
         lit(s.id)).otherwise(lit(null).cast("long"))
     }
     events

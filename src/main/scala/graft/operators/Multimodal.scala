@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+
+/** Multimodal-column operators: media (image/audio/video) is carried
+  * as opaque `binary` columns with typed metadata; decode / feature
+  * extraction runs as a typed `mapPartitions` pipeline so per-partition
+  * codec initialization amortizes across rows (the Scala analog of a
+  * batched pandas-UDF stage).
+  *
+  * The decode step itself is a STUB: media codecs are not available in
+  * this environment, so [[StubCodec]] produces a deterministic fake
+  * "decode" derived from the content bytes. Everything Spark-side —
+  * the binary schema, the partition-wise batching, the typed feature
+  * output, the partitioning behavior — is real and tested
+  * (MultimodalSpec); swapping StubCodec for a real codec changes no
+  * plumbing.
+  */
+object Multimodal {
+
+  final case class MediaRecord(
+      doc_id: Long,
+      media_type: String,
+      content: Array[Byte])
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Int,
+      checksum: String,
+      embedding: Array[Float],
+      n_frames: Int)
+
+  /** Deterministic fake codec. A real implementation would hold the
+    * decoder context allocated once per partition (the expensive init
+    * that motivates mapPartitions).
+    */
+  final class StubCodec {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+
+    def checksum(bytes: Array[Byte]): String =
+      md.digest(bytes).map("%02x".format(_)).mkString
+
+    /** "Decode" to a fixed-dim embedding seeded by content. */
+    def decode(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
+      val d = md.digest(bytes)
+      Array.tabulate(dim)(i => ((d(i % d.length) & 0xff) - 128) / 128.0f)
+    }
+
+    /** Frame-sample stub: frame count derived from length. */
+    def frameCount(bytes: Array[Byte]): Int = 1 + bytes.length / 4096
+  }
+
+  implicit private val featEnc: Encoder[MediaFeatures] =
+    Encoders.product[MediaFeatures]
+
+  /** Binary records -> typed features; one codec per partition. */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+    records.mapPartitions { it =>
+      val codec = new StubCodec // per-partition init, amortized
+      it.map { r =>
+        MediaFeatures(
+          r.doc_id,
+          r.media_type,
+          r.content.length,
+          codec.checksum(r.content),
+          codec.decode(r.content),
+          codec.frameCount(r.content))
+      }
+    }
+}

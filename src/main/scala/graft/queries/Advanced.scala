@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Advanced relational operators the reference lacks entirely
+  * (SURVEY §2.6): as-of join, banded range join, pivot, exact
+  * quantiles, BPE-style subword tokenization, and a custom typed
+  * Aggregator (UDAF). Each chooses the scale-correct physical shape:
+  * the as-of join is a single windowed pass (no join at all), the
+  * range join banded so the join key stays equi (no O(n^2) theta
+  * join), the pivot a fixed-width conditional aggregation.
+  */
+object Advanced {
+
+  /** As-of join: for every purchase event, the most recent click by
+    * the same user at or before it. Expressed as one windowed pass
+    * over the unioned stream — the idiomatic distributed as-of: no
+    * join, one shuffle on user_id.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("purchase", "click"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn(
+        "last_click_id",
+        last(
+          when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn(
+        "last_click_ts",
+        last(
+          when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        col("last_click_id"),
+        unix_micros(col("last_click_ts")).as("last_click_us"))
+      .orderBy("event_id")
+  }
+
+  def asofJoinOracle: String =
+    """SELECT event_id, user_id, last_click_id, last_click_us FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER w AS last_click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS) OVER w AS last_click_us
+      |  FROM events WHERE event_type IN ('purchase', 'click')
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  /** Range join: pairs of events by the same user within 60 seconds
+    * of each other. Banded: bucket each event to a 60s slot and join
+    * on (user, slot) x (user, slot±1) — an equi join Catalyst hash-
+    * partitions, instead of an O(n^2) theta join; the residual |dt|
+    * predicate filters exactly. The oracle states the same relation
+    * as the naive theta join.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val banded = ev.withColumn("slot", expr("us div 60000000"))
+    val right = banded
+      .select(
+        col("user_id"),
+        col("event_id").as("b_id"),
+        col("us").as("b_us"),
+        explode(
+          array(col("slot") - 1, col("slot"), col("slot") + 1)).as("slot"))
+    banded
+      .join(right, Seq("user_id", "slot"))
+      .where(
+        col("event_id") < col("b_id") &&
+          abs(col("b_us") - col("us")) <= 60000000L)
+      .select(
+        col("user_id"),
+        col("event_id").as("a_id"),
+        col("b_id"),
+        (col("b_us") - col("us")).as("dt_us"))
+      .orderBy("user_id", "a_id", "b_id")
+  }
+
+  def rangeJoinOracle: String =
+    """SELECT a.user_id AS user_id, a.event_id a_id, b.event_id b_id,
+      |  epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) dt_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      |  AND abs(epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))) <= 60000000
+      |ORDER BY user_id, a_id, b_id""".stripMargin
+
+  /** Pivot: per-user event-type counts as fixed columns. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    EventTypes
+      .foldLeft(pivoted)((df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("user_id")
+  }
+
+  def pivotCountsOracle: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(COUNT(*) FILTER (event_type = '$t') AS BIGINT) AS \"$t\"")
+    s"""SELECT user_id, ${cols.mkString(", ")}
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Exact quantiles via explicit rank arithmetic (identical formula
+    * both engines — no reliance on interpolation-convention parity):
+    * median = mean of the two middle values on the ordered column.
+    */
+  def exactMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.read(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    li.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .where(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+      .groupBy(col("l_returnflag"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("median_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  def exactMedianOracle: String =
+    """SELECT l_returnflag, SUM(l_quantity) / COUNT(*) AS median_qty FROM (
+      |  SELECT l_returnflag, l_quantity,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) n
+      |  FROM lineitem)
+      |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** BPE-style subword tokenization: letter runs, digit runs, and
+    * punctuation runs as separate tokens; global top-20 subwords.
+    */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .select(
+        explode(
+          regexp_extract_all(
+            lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"),
+            lit(0))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  def bpeTokensOracle: String =
+    """SELECT token, CAST(COUNT(*) AS BIGINT) cnt FROM (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) token
+      |  FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
+  /** Custom typed Aggregator (UDAF): exact weighted mean via integer
+    * cent arithmetic — order-independent, so distributed partial
+    * aggregation is deterministic.
+    */
+  object WeightedMean
+      extends Aggregator[(Double, Double), (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), a: (Double, Double)): (Long, Long) =
+      (b._1 + math.round(a._1 * 100), b._2 + math.round(a._2 * 100))
+    def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(b: (Long, Long)): Double = b._1.toDouble / b._2
+    def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  def udafWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val wm = udaf(WeightedMean)
+    Tables.read(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        wm(col("l_extendedprice"), col("l_quantity"))
+          .as("price_per_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  def udafWeightedOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS price_per_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("asof_join", asofJoin, Some(asofJoinOracle)),
+    QueryDef("range_join", rangeJoin, Some(rangeJoinOracle)),
+    QueryDef("pivot_counts", pivotCounts, Some(pivotCountsOracle)),
+    QueryDef("exact_median", exactMedian, Some(exactMedianOracle)),
+    QueryDef("bpe_tokens", bpeTokens, Some(bpeTokensOracle)),
+    QueryDef("udaf_weighted", udafWeighted, Some(udafWeightedOracle)))
+}

@@ -12,13 +12,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class FilterCompilerSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  /** Batch-evaluate one filter against several JSON docs. */
+  /** Batch-evaluate one filter against several JSON docs through BOTH
+    * compile paths (native codegen probes and variant built-ins),
+    * asserting they agree.
+    */
   private def eval(filter: String, docs: Seq[String]): Seq[Boolean] = {
     import spark.implicits._
+    val parsed = FilterParser.parse(filter)
     docs.toDF("j")
-      .select(FilterCompiler.compile(filter, col("j")).as("r"))
+      .select(
+        FilterCompiler.compile(parsed, col("j")).as("n"),
+        FilterCompiler.compileVariant(parsed, col("j")).as("v"))
       .collect()
-      .map(_.getBoolean(0))
+      .map { r =>
+        assert(r.getBoolean(0) == r.getBoolean(1),
+          s"native/variant disagree for [$filter]")
+        r.getBoolean(0)
+      }
       .toSeq
   }
   private def eval1(filter: String, doc: String): Boolean =

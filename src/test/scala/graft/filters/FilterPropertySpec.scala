@@ -56,16 +56,21 @@ class FilterPropertySpec extends AnyFunSuite {
     val df = docs.toDF("j").cache()
     try {
       for (f <- filters) {
+        val parsed = FilterParser.parse(f)
         val got = df
-          .select(col("j"), FilterCompiler.compile(f, col("j")).as("r"))
+          .select(
+            col("j"),
+            FilterCompiler.compile(parsed, col("j")).as("native"),
+            FilterCompiler.compileVariant(parsed, col("j")).as("variant"))
           .collect()
-          .map(r => r.getString(0) -> r.getBoolean(1))
+          .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2)))
           .toMap
         for (d <- docs) {
           val want = FilterEval.matches(d, Seq(f))
+          val (nat, vrt) = got(d)
           assert(
-            got(d) == want,
-            s"filter [$f] doc [$d]: compiled=${got(d)} model=$want")
+            nat == want && vrt == want,
+            s"filter [$f] doc [$d]: native=$nat variant=$vrt model=$want")
         }
       }
     } finally df.unpersist()
