@@ -350,7 +350,22 @@ object Relational {
       |  FROM events)
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** Sketch aggregation: HyperLogLog++ distinct counts next to exact
+    * ones. No DuckDB oracle (sketch internals are engine-specific);
+    * the driver records a rows-only check and RelationalSpec bounds
+    * the estimation error.
+    */
+  def sketchDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+      .orderBy("event_type")
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sketch_distinct", sketchDistinct, None),
     QueryDef("q1_agg", q1Agg, Some(q1Oracle)),
     QueryDef("q3_topk", q3TopK, Some(q3Oracle)),
     QueryDef("q5_regional", q5Regional, Some(q5Oracle)),

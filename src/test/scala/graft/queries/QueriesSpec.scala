@@ -21,9 +21,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("every query has oracle SQL") {
+  test("every query has oracle SQL except declared sketch ops") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing.isEmpty, s"queries without oracle: $missing")
+    assert(missing == Set("sketch_distinct"), s"unexpected: $missing")
+  }
+
+  test("HLL sketch estimates within 10% of exact distinct counts") {
+    val rows = Relational.sketchDistinct(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"approx=$approx exact=$exact")
+    }
   }
 
   test("entry (flagship) returns rows") {

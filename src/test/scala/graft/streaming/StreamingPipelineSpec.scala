@@ -67,6 +67,30 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(out.count() == 200) // the 3 bad/ignored lines dropped
   }
 
+  test("dropDuplicatesWithinWatermark dedups replayed event ids") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 50).map(i =>
+      (java.sql.Timestamp.from(base.plusSeconds(i)), s"id-${i % 25}"))
+    val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val q = mem.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(rows.take(30))
+      q.processAllAvailable()
+      mem.addData(rows.drop(30)) // replays of the same 25 ids
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out")
+        .select("event_id").as[String].collect()
+      assert(ids.length == 25)
+      assert(ids.toSet.size == 25)
+    } finally q.stop()
+  }
+
   test("streaming windowed aggregation with watermark runs and matches batch") {
     import spark.implicits._
     val ts = (0 until 120).map(i =>
