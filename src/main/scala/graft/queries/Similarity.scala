@@ -29,9 +29,13 @@ object Similarity {
   private val QuantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  /** Exact integer dot product of two long arrays. */
+  /** Exact integer dot product — native codegen'd kernel
+    * (graft.functions.LongArrayDot); the built-in
+    * `aggregate(zip_with(...))` equivalent evaluates interpreted per
+    * element and costs ~2x at sf0.1.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotLong(a, b)
 
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"
@@ -116,10 +120,7 @@ object Similarity {
     val cents = vecs.where(col("vec_id") % 53 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     // assign every vector to its nearest centroid (exact integer L2^2)
-    val d2 = aggregate(
-      zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L),
-      (acc, x) => acc + x)
+    val d2 = graft.functions.VectorFunctions.l2sqLong(col("v"), col("cv"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
     val assigned = vecs
       .crossJoin(broadcast(cents))
