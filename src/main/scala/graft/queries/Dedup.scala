@@ -195,8 +195,11 @@ object Dedup {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("w"))
     val fp = tokCounts
+      // md5 hoisted above the Generate: hashed once per (doc, token),
+      // not once per bit position
+      .withColumn("h", md5(col("tok")))
       .withColumn("j", explode(sequence(lit(1), lit(32))))
-      .withColumn("bit", expr("ascii(substr(md5(tok), j, 1)) % 2"))
+      .withColumn("bit", expr("ascii(substr(h, j, 1)) % 2"))
       .withColumn("contrib", col("w") * (col("bit") * 2 - 1))
       .groupBy(col("doc_id"), col("j"))
       .agg(sum(col("contrib")).as("s"))
@@ -223,9 +226,10 @@ object Dedup {
       |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) tok
       |    FROM documents)
       |  GROUP BY doc_id, tok),
+      |hashed AS (SELECT doc_id, md5(tok) h, w FROM tokc),
       |bits AS (
-      |  SELECT doc_id, j, SUM(w * ((ascii(substr(md5(tok), CAST(j AS INT), 1)) % 2) * 2 - 1)) s
-      |  FROM tokc CROSS JOIN (SELECT unnest(range(1, 33)) j)
+      |  SELECT doc_id, j, SUM(w * ((ascii(substr(h, CAST(j AS INT), 1)) % 2) * 2 - 1)) s
+      |  FROM hashed CROSS JOIN (SELECT unnest(range(1, 33)) j)
       |  GROUP BY doc_id, j),
       |fp AS (
       |  SELECT doc_id,

@@ -180,14 +180,13 @@ object RefSurface {
               lpad((lit(1) + col("event_id") % 31).cast("string"), 2, "0"),
               lit("\"}"))))
       .otherwise(concat(lit("{\"nested\": {\"k\": "), kv, lit("}}")))
-    val v = try_parse_json(payload)
     val aggCols = filterBattery.map { case (name, f) =>
       sum(
         graft.filters.FilterCompiler
-          .compileOnVariant(graft.filters.FilterParser.parse(f), col("v"))
+          .compile(graft.filters.FilterParser.parse(f), col("payload"))
           .cast("long")).as(name)
     }
-    ev.select(col("event_id"), v.as("v"))
+    ev.select(col("event_id"), payload.as("payload"))
       .agg(aggCols.head, aggCols.tail: _*)
   }
 
