@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Server configuration with the reference's defaults, config-file
+  * keys, and CLI flags (evtstrd/config.py, evtstrd/cmdargs.py,
+  * sample.conf). INI subset parser: `[Section]` headers and
+  * `Key = Value` lines; `#`/`;` comments.
+  */
+final case class ServerConfig(
+    socketFile: String = "/var/run/eventstreamd.sock",
+    socketMode: Int = Integer.parseInt("600", 8),
+    socketOwner: Option[String] = None,
+    socketGroup: Option[String] = None,
+    httpPort: Int = 8888,
+    pingIntervalSec: Long = 20L,
+    debug: Boolean = false)
+
+object ServerConfig {
+  val DefaultConfigFile = "/etc/eventstreamd.conf"
+
+  def parseIni(lines: Seq[String]): Map[String, Map[String, String]] = {
+    var section = ""
+    val out = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, String]]
+    for (raw <- lines) {
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#") && !line.startsWith(";")) {
+        if (line.startsWith("[") && line.endsWith("]"))
+          section = line.substring(1, line.length - 1)
+        else
+          line.split("=", 2) match {
+            case Array(k, v) =>
+              out.getOrElseUpdate(section, scala.collection.mutable.Map.empty)
+                .put(k.trim, v.trim)
+            case _ => ()
+          }
+      }
+    }
+    out.view.mapValues(_.toMap).toMap
+  }
+
+  def readConfig(path: String): ServerConfig = {
+    val ini = parseIni(Files.readAllLines(Path.of(path)).asScala.toSeq)
+    val g = ini.getOrElse("General", Map.empty)
+    ServerConfig(
+      socketFile = g.getOrElse("SocketFile", "/var/run/eventstreamd.sock"),
+      socketMode = g.get("SocketMode")
+        .map(Integer.parseInt(_, 8))
+        .getOrElse(Integer.parseInt("600", 8)),
+      socketOwner = g.get("SocketOwner").filter(_.nonEmpty),
+      socketGroup = g.get("SocketGroup").filter(_.nonEmpty),
+      httpPort = g.get("HTTPPort").map(_.toInt).getOrElse(8888))
+  }
+
+  /** CLI parity with the reference: `-c/--config-file`, `-s/--socket`,
+    * `-p/--port`, `-d/--debug`, plus `--ping-interval`.
+    */
+  def parseArgs(args: Array[String]): ServerConfig = {
+    var cfg: Option[ServerConfig] = None
+    var socket: Option[String] = None
+    var port: Option[Int] = None
+    var ping: Option[Long] = None
+    var debug = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-c" | "--config-file" => cfg = Some(readConfig(args(i + 1))); i += 2
+        case "-s" | "--socket" => socket = Some(args(i + 1)); i += 2
+        case "-p" | "--port" => port = Some(args(i + 1).toInt); i += 2
+        case "--ping-interval" => ping = Some(args(i + 1).toLong); i += 2
+        case "-d" | "--debug" => debug = true; i += 1
+        case other =>
+          throw new IllegalArgumentException(s"unknown argument '$other'")
+      }
+    }
+    val base = cfg.getOrElse {
+      if (Files.exists(Path.of(DefaultConfigFile)))
+        readConfig(DefaultConfigFile)
+      else ServerConfig()
+    }
+    base.copy(
+      socketFile = socket.getOrElse(base.socketFile),
+      httpPort = port.getOrElse(base.httpPort),
+      pingIntervalSec = ping.getOrElse(base.pingIntervalSec),
+      debug = debug)
+  }
+}
+
+/** `eventstreamd`-compatible entry point: starts the Spark pipeline
+  * (socket source -> validate -> fan-out) and the SSE HTTP endpoint.
+  */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val cfg = ServerConfig.parseArgs(args)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("eventstreamdspark")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(if (cfg.debug) "INFO" else "WARN")
+    val server = new EventStreamServer(
+      spark,
+      socketPath = Some(cfg.socketFile),
+      httpPort = cfg.httpPort,
+      pingIntervalSec = cfg.pingIntervalSec)
+    println(s"eventstreamdspark listening: socket=${cfg.socketFile} " +
+      s"http=${server.sse.actualPort} ping=${cfg.pingIntervalSec}s")
+    sys.addShutdownHook(server.close())
+    server.query.awaitTermination()
+  }
+}
