@@ -166,8 +166,71 @@ object Similarity {
        |SELECT q_id, rnk, vec_id AS neighbor, cos FROM ranked
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  // --- LSH-bucketed approximate top-k (random hyperplane signs) ---
+
+  /** 8 deterministic ±1 hyperplanes (md5-seeded, materialized as
+    * literals in both engines).
+    */
+  private[queries] val Hyperplanes: Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 8).map { h =>
+      (0 until 64).map { i =>
+        val d = md.digest(s"${h}_$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 1) 1L else -1L
+      }
+    }
+  }
+
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{typedlit, concat}
+    val vecs = vectors(spark, dir)
+    val bucket = concat(Hyperplanes.map { hp =>
+      when(dot(col("v"), typedlit(hp)) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    val bucketed = vecs.withColumn("bucket", bucket)
+    val queries = bucketed.where(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket").as("q_bucket"))
+    val scored = bucketed
+      .join(
+        broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor"), col("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
+  def knnLshOracle: String = {
+    def dotHp(hp: Seq[Long]): String = {
+      val lits = hp.mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, 65), i -> v[i] * ($lits)[i]))"
+    }
+    val bucket = Hyperplanes
+      .map(hp => s"CASE WHEN ${dotHp(hp)} >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH $VectorsSql,
+       |bk AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM vn),
+       |q AS (SELECT vec_id q_id, v qv, nrm qn, bucket q_bucket FROM bk WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    CAST(${dotSql("qv", "v")} AS DOUBLE) / sqrt(CAST(qn * nrm AS DOUBLE)) cos
+       |  FROM bk JOIN q ON bucket = q_bucket AND vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, vec_id AS neighbor, cos FROM ranked
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
-    QueryDef("knn_ivf", knnIvf, Some(knnIvfOracle)))
+    QueryDef("knn_ivf", knnIvf, Some(knnIvfOracle)),
+    QueryDef("knn_lsh", knnLsh, Some(knnLshOracle)))
 }

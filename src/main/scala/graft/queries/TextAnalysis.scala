@@ -164,9 +164,62 @@ object TextAnalysis {
       |  substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 8) AS bucket
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Winnowing-style rolling-hash fingerprint: Rabin-Karp hash of the
+    * normalized text plus the minimum over 64-char windows at stride
+    * 32 (the codegen'd [[graft.functions.RollingHash]] expression; the
+    * oracle folds the identical polynomial with list_reduce).
+    */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RollingHashFunction.rollingHash
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val s = col("s")
+    val nw = greatest(
+      expr("(length(s) - 64) div 32").cast("long") + 1, lit(1L))
+    val windowHashes = transform(
+      sequence(lit(0L), col("nw") - 1),
+      k =>
+        rollingHash(
+          call_function("substring", s, (k * 32 + 1).cast("int"), lit(64))))
+    Tables.read(spark, dir, "documents")
+      // Generate barrier: normalize once per row, not per window
+      .select(col("doc_id"), explode(array(norm)).as("s"))
+      .withColumn("nw", nw)
+      .select(
+        col("doc_id"),
+        rollingHash(s).as("full_hash"),
+        array_min(windowHashes).as("winnow_min"),
+        col("nw").as("n_windows"))
+      .orderBy("doc_id")
+  }
+
+  def rollingFingerprintOracle: String = {
+    val hashFold =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), %s), (x, y) -> (x * 31 + y) %% 1000000007)"
+    def chars(e: String) =
+      s"list_transform(range(1, length($e) + 1), i -> CAST(ord(substr($e, CAST(i AS INT), 1)) AS BIGINT))"
+    val win = "substr(s, CAST(k * 32 + 1 AS INT), 64)"
+    s"""WITH n AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) s
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, s,
+       |    greatest((length(s) - 64) // 32 + 1, 1) AS nw
+       |  FROM n)
+       |SELECT doc_id,
+       |  ${hashFold.format(chars("s"))} AS full_hash,
+       |  list_min(list_transform(range(0, nw), k ->
+       |    ${hashFold.format(chars(win))})) AS winnow_min,
+       |  CAST(nw AS BIGINT) AS n_windows
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_tokens", textTokens, Some(textTokensOracle)),
     QueryDef("text_quality", textQuality, Some(textQualityOracle)),
     QueryDef("text_langid", textLangid, Some(textLangidOracle)),
-    QueryDef("text_fingerprint", textFingerprint, Some(textFingerprintOracle)))
+    QueryDef("text_fingerprint", textFingerprint, Some(textFingerprintOracle)),
+    QueryDef(
+      "rolling_fingerprint",
+      rollingFingerprint,
+      Some(rollingFingerprintOracle)))
 }
