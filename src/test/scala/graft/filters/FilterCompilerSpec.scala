@@ -91,6 +91,9 @@ class FilterCompilerSpec extends AnyFunSuite {
     assert(!eval1("foo=2016-03-24", """{"foo": "INVALID"}"""))
     // date filter vs int field => false
     assert(!eval1("foo=2016-03-24", """{"foo": 20160324}"""))
+    // leap-year calendar strictness
+    assert(eval1("foo=2024-02-29", """{"foo": "2024-02-29"}"""))
+    assert(!eval1("foo>=2024-01-01", """{"foo": "2023-02-29"}"""))
     // range comparisons
     assert(eval1("foo>=2016-03-24", """{"foo": "2016-03-25"}"""))
     assert(!eval1("foo<2016-03-24", """{"foo": "2016-03-24"}"""))
