@@ -118,20 +118,26 @@ object Dedup {
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-    // 8 minwise hashes per doc: min over shingles of md5(i || '|' || s).
-    val hashed = sh
-      .select(
-        col("doc_id"),
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("h"),
-        col("shingle"))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(md5(concat(col("h"), lit("|"), col("shingle")))).as("mh"))
-    // 4 bands x 2 rows: band key = md5(mh_even || mh_odd).
-    val bands = hashed
-      .withColumn("band", floor(col("h") / 2))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat(min_by(col("mh"), col("h")), max_by(col("mh"), col("h"))))
-        .as("bkey"))
+    // 8 minwise hashes per doc in ONE aggregation: each (doc, shingle)
+    // row carries all 8 hash values as columns; min() per position is
+    // map-side combinable, so the shuffle moves one 8-column row per
+    // doc per partition instead of an exploded (doc, h) row per
+    // shingle-hash (8x the shingle count).
+    val sigCols = (0 until NumHashes).map(h =>
+      min(md5(concat(lit(h), lit("|"), col("shingle")))).as(s"mh$h"))
+    val sig = sh
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    // 4 bands x 2 rows: band key = md5(mh_even || mh_odd), exploded to
+    // (doc, band, key) rows for the bucket join.
+    val bandCols = (0 until NumHashes / 2).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val candidates = bands.select(col("band"), col("bkey"), col("doc_id").as("a"))
       .join(
         bands.select(col("band"), col("bkey"), col("doc_id").as("b")),
