@@ -173,6 +173,7 @@ final class EvtStreamMicroBatch(path: Option[String], port: Option[Int])
     running.set(false)
     try channel.close()
     catch { case _: Exception => () }
+    EvtStreamSource.buffered.remove(instanceKey)
     path.foreach(p =>
       try Files.deleteIfExists(Path.of(p))
       catch { case _: Exception => () })
