@@ -269,7 +269,35 @@ object RefSurface {
       |  END AS parsed
       |FROM d ORDER BY o_orderkey""".stripMargin
 
+  /** JSON connector round trip: serialize events to JSON lines
+    * (the wire format) and read them back through the `json` data
+    * source with an explicit schema, then aggregate — exercising the
+    * json reader the streaming path's dev-mode uses.
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val jsonLines =
+      Tables.events(spark, dir).select(col("event_id"), col("event_type"), col("value")).toJSON
+    spark.read.schema(schema).json(jsonLines)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .orderBy("event_type")
+  }
+
+  def jsonRoundtripOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) total
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("json_roundtrip", jsonRoundtrip, Some(jsonRoundtripOracle)),
     QueryDef("fanout", fanout, Some(fanoutOracle)),
     QueryDef("fanout_dynamic", fanoutDynamic, Some(fanoutDynamicOracle)),
     QueryDef("sse_chunks", sseChunks, Some(sseChunksOracle)),

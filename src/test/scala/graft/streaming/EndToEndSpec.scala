@@ -102,6 +102,28 @@ class EndToEndSpec extends AnyFunSuite {
       assert(statsBody.contains("\"filters\": [\"k<=50\"]"))
       assert(statsBody.contains("\"referer\": \"https://app.example\""))
 
+      // registry mutation mid-stream: a subscriber joining now receives
+      // only later events (dispatcher bucket append, dispatcher.py:44-58)
+      val subLate = httpGet(httpPort, "/events?subsystem=jobs")
+      readAvailable(subLate, "\r\n\r\n")
+      pw.write(
+        """{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": 5}, "id": "e4"}""" + "\n")
+      pw.flush()
+      val dl2 = System.currentTimeMillis() + 15000
+      while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < 1
+        && System.currentTimeMillis() < dl2) Thread.sleep(50)
+      server.processAllAvailable()
+      val lateBody = readAvailable(subLate, "id: e4")
+      assert(lateBody.contains("id: e4"))
+      assert(!lateBody.contains("id: e1")) // no replay of earlier events
+
+      // total-connections is cumulative: disconnecting doesn't decrement
+      // (stats.py:28-31 counts total ever connected)
+      subLate.close()
+      Thread.sleep(200)
+      val stats2 = readAvailable(httpGet(httpPort, "/stats"), "connections")
+      assert(stats2.contains("\"total-connections\": 3"))
+
       subLow.close(); subAll.close()
     } finally server.close()
   }
