@@ -1,0 +1,95 @@
+package graft
+
+import graft.filters.{FilterCompiler, FilterParser}
+import graft.functions.{JsonStrictLong, JsonStrictString, LongArrayDot, LongArrayL2Sq, RollingHash}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.StringType
+
+/** SQL-surface registration for the engine's function library, so the
+  * filter mini-language and the native kernels are usable from
+  * `spark.sql(...)`:
+  *
+  *   evt_filter(json, 'k<=50')       -- compiled filter predicate
+  *   evt_filter_all(json, 'f1', ...) -- AND of several filters
+  *   json_int_strict(json, 'a.b')    -- strict-typed probes
+  *   json_string_strict(json, 'a.b')
+  *   vec_dot(a, b) / vec_l2sq(a, b)  -- integer-vector kernels
+  *   rolling_hash(s)                 -- Rabin-Karp polynomial hash
+  *
+  * Filter strings must be literals: they compile at plan time into the
+  * same Catalyst predicate trees the DataFrame path uses (the
+  * reference's compile-at-subscribe, evtstrd/http_server.py:150).
+  * Available either per session ([[register]]) or globally through
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  private def literalString(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case _ =>
+      throw new IllegalArgumentException(
+        s"$what must be a literal string, got: $e")
+  }
+
+  private def pathOf(e: Expression): Seq[String] =
+    literalString(e, "json path").split('.').toSeq
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "evt_filter" -> { args =>
+      require(args.length == 2, "evt_filter(json, 'filter')")
+      ColumnBridge.eagerExpression(
+        FilterCompiler.compile(
+          FilterParser.parse(literalString(args(1), "filter string")),
+          ColumnBridge.column(args(0))))
+    },
+    "evt_filter_all" -> { args =>
+      require(args.length >= 1, "evt_filter_all(json, 'f1', 'f2', ...)")
+      ColumnBridge.eagerExpression(
+        FilterCompiler.compileAll(
+          args.tail.map(literalString(_, "filter string")),
+          ColumnBridge.column(args.head)))
+    },
+    "json_int_strict" -> { args =>
+      require(args.length == 2, "json_int_strict(json, 'a.b')")
+      JsonStrictLong(args(0), pathOf(args(1)))
+    },
+    "json_string_strict" -> { args =>
+      require(args.length == 2, "json_string_strict(json, 'a.b')")
+      JsonStrictString(args(0), pathOf(args(1)))
+    },
+    "vec_dot" -> { args =>
+      require(args.length == 2, "vec_dot(a, b)")
+      LongArrayDot(args(0), args(1))
+    },
+    "vec_l2sq" -> { args =>
+      require(args.length == 2, "vec_l2sq(a, b)")
+      LongArrayL2Sq(args(0), args(1))
+    },
+    "rolling_hash" -> { args =>
+      require(args.length == 1, "rolling_hash(s)")
+      RollingHash(args(0))
+    })
+
+  /** Register on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+}
+
+/** `spark.sql.extensions`-compatible entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft.GraftFunctions", name),
+          b))
+    }
+}

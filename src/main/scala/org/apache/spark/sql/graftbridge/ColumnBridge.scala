@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager lowering: converts the Column's node tree to a concrete
+    * Catalyst expression immediately (function-registry builders must
+    * return real expression trees, not the lazy ColumnNodeExpression
+    * placeholder, which is Unevaluable).
+    */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
