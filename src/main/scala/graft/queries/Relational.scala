@@ -364,8 +364,34 @@ object Relational {
         approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
       .orderBy("event_type")
 
+  /** Two-phase salted aggregation: the skew pattern for low-cardinality
+    * hot keys (5 event types over the whole table would hash to 5
+    * reducers at cluster scale). Phase 1 groups by (key, salt) — 16-way
+    * fan-out of each hot key with map-side combine; phase 2 merges the
+    * tiny salted partials. Result is identical to the direct groupBy
+    * (the oracle states the plain aggregation).
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 2))).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("pn")).as("n"),
+        sum(col("pv")).cast("double").as("total"))
+      .orderBy("event_type")
+
+  def saltedAggOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) total
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sketch_distinct", sketchDistinct, None),
+    QueryDef("salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("q1_agg", q1Agg, Some(q1Oracle)),
     QueryDef("q3_topk", q3TopK, Some(q3Oracle)),
     QueryDef("q5_regional", q5Regional, Some(q5Oracle)),

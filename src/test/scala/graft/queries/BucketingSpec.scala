@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Co-located join via bucketing: writing both fact tables bucketed by
+  * the join key lets the sort-merge join run with ZERO exchanges —
+  * the repeated-workload layout for fact⋈fact joins at 100 TB
+  * (SCALE.md). Verified by asserting the physical plan contains no
+  * Exchange.
+  */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed fact tables join without any shuffle") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li_b")
+        .saveAsTable("li_b")
+      spark.read.parquet(s"$dir/orders.parquet")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/ord_b")
+        .saveAsTable("ord_b")
+
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      // the final groupBy (different key) legitimately shuffles; the
+      // JOIN subtree — everything below the SortMergeJoin — must not
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!joinSubtree.contains("Exchange"),
+        s"bucketed join subtree should not shuffle:\n$plan")
+
+      // and it computes the same thing as the plain-parquet join
+      val expected = spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(
+          spark.read.parquet(s"$dir/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val got = joined.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    }
+  }
+}
