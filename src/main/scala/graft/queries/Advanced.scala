@@ -121,9 +121,12 @@ object Advanced {
   def exactMedian(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.read(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity"))
+    // group sizes via a tiny broadcast aggregate — a count() window over
+    // the whole partition would materialize every row a second time
+    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
     li.withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .join(broadcast(counts), "l_returnflag")
       .where(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
       .groupBy(col("l_returnflag"))
       .agg((sum(col("l_quantity")) / count(lit(1))).as("median_qty"))

@@ -58,12 +58,28 @@ object Dedup {
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
       |  FROM toks)""".stripMargin
 
-  /** All co-shingled pairs with exact Jaccard similarity. */
+  /** All co-shingled pairs with exact Jaccard similarity. Pair
+    * generation groups by shingle ONCE and expands ordered doc pairs
+    * from the (sorted) posting list locally — one shuffle instead of a
+    * two-sided self-join, and singleton shingles die in the aggregate
+    * before producing any join traffic.
+    */
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.toDF("a", "shingle")
-      .join(sh.toDF("b", "shingle"), "shingle")
-      .where(col("a") < col("b"))
+    val ds = col("ds")
+    val pairExpr = flatten(
+      transform(
+        ds,
+        (a, i) =>
+          transform(
+            slice(ds, i + lit(2), size(ds)),
+            b => struct(a.as("a"), b.as("b")))))
+    val pairs = sh
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(ds) > 1)
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
     pairs
