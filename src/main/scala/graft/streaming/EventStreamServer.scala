@@ -37,19 +37,36 @@ final class EventStreamServer(
   tcpPort.foreach(p => reader.option("port", p.toString))
   private val lines: DataFrame = reader.load()
 
-  /** Deliver one micro-batch: join the (tiny, broadcast) subscription
-    * snapshot, evaluate residual filters, render chunks in Spark, then
-    * hand (listenerId, chunk) pairs to the socket layer.
+  /** Above this registry size the per-batch plan would unroll too many
+    * predicate branches; switch to the broadcast-join + runtime-eval
+    * path.
+    */
+  private val CompiledSubsLimit = 64
+
+  /** Deliver one micro-batch. Small registries compile into the plan
+    * (codegen'd predicates, the reference's compile-at-subscribe —
+    * evtstrd/http_server.py:150); large ones broadcast-join the
+    * subscription snapshot with runtime residual evaluation. Rendered
+    * (listenerId, chunk) pairs hand off to the socket layer.
     */
   private def deliverBatch(batch: DataFrame, batchId: Long): Unit = {
     import batch.sparkSession.implicits._
-    val subsSnapshot = sse.allListeners
-      .map(l => (l.id, l.subsystem, l.rawFilters))
-    if (subsSnapshot.isEmpty) return
-    val subsDf = batch.sparkSession.createDataFrame(subsSnapshot)
-      .toDF("sub_id", "subsystem", "filters")
-    val delivered = Fanout
-      .dynamic(batch, subsDf, col("subsystem"), col("data"))
+    val listeners = sse.allListeners
+    if (listeners.isEmpty) return
+    val matched =
+      if (listeners.size <= CompiledSubsLimit)
+        Fanout.compiled(
+          batch,
+          listeners.map(l => Fanout.Subscription(l.id, l.subsystem, l.rawFilters)),
+          col("subsystem"),
+          col("data"))
+      else {
+        val subsDf = batch.sparkSession
+          .createDataFrame(listeners.map(l => (l.id, l.subsystem, l.rawFilters)))
+          .toDF("sub_id", "subsystem", "filters")
+        Fanout.dynamic(batch, subsDf, col("subsystem"), col("data"))
+      }
+    val delivered = matched
       .select(
         col("sub_id"),
         graft.functions.Sse
