@@ -49,10 +49,10 @@ class FilterPropertySpec extends AnyFunSuite {
     (0 until n).flatMap(i =>
       g.apply(Gen.Parameters.default, rng.Seed(42L + seedOffset + i)))
 
-  test("compiled Column == reference evaluator on 30 filters x 60 docs") {
+  test("compiled Column == reference evaluator on 60 filters x 120 docs") {
     import spark.implicits._
-    val filters = sample(filterGen, 30, 0).distinct
-    val docs = sample(docGen, 60, 1000).distinct
+    val filters = sample(filterGen, 60, 0).distinct
+    val docs = sample(docGen, 120, 1000).distinct
     val df = docs.toDF("j").cache()
     try {
       for (f <- filters) {
