@@ -296,7 +296,31 @@ object RefSurface {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) total
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** CSV connector round trip: serialize a projection to CSV text and
+    * parse it back with `from_csv` + explicit schema.
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val line = concat_ws(",", col("event_id"), col("event_type"))
+    val schema = "event_id BIGINT, event_type STRING"
+    Tables.events(spark, dir)
+      .select(line.as("line"))
+      .select(inline(array(from_csv(
+        col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(schema),
+        Map.empty[String, String]))))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
+  def csvRoundtripOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) n, MAX(event_id) max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle)),
     QueryDef("json_roundtrip", jsonRoundtrip, Some(jsonRoundtripOracle)),
     QueryDef("fanout", fanout, Some(fanoutOracle)),
     QueryDef("fanout_dynamic", fanoutDynamic, Some(fanoutDynamicOracle)),

@@ -166,6 +166,35 @@ object Relational {
       |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Full outer join with orphans on both sides: nations having
+    * high-balance customers vs nations having low-balance suppliers.
+    */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.read(spark, dir, "customer")
+      .where(col("c_acctbal") > 9000.0)
+      .groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+    val suppN = Tables.read(spark, dir, "supplier")
+      .where(col("s_acctbal") < 500.0)
+      .groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    custN
+      .join(suppN, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  def joinFullOracle: String =
+    """SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+      |FROM (SELECT c_nationkey nk, CAST(COUNT(*) AS BIGINT) n_cust
+      |      FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey nk, CAST(COUNT(*) AS BIGINT) n_supp
+      |      FROM supplier WHERE s_acctbal < 500.0 GROUP BY 1) s
+      |  ON c.nk = s.nk
+      |ORDER BY nationkey""".stripMargin
+
   def joinLeftAgg(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.read(spark, dir, "customer")
     val ord = Tables.read(spark, dir, "orders")
@@ -397,6 +426,7 @@ object Relational {
     QueryDef("q5_regional", q5Regional, Some(q5Oracle)),
     QueryDef("join_semi", joinSemi, Some(joinSemiOracle)),
     QueryDef("join_anti", joinAnti, Some(joinAntiOracle)),
+    QueryDef("join_full", joinFull, Some(joinFullOracle)),
     QueryDef("join_left_agg", joinLeftAgg, Some(joinLeftAggOracle)),
     QueryDef("window_rank", windowRank, Some(windowRankOracle)),
     QueryDef("window_running", windowRunning, Some(windowRunningOracle)),
