@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.streaming.ExpiryTimers.{ConnEvt, ExpiryFrame}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time timer semantics through transformWithState: a logout
+  * fires exactly when the watermark passes the registered expiry,
+  * disconnect cancels the timer. RocksDB state store (required by
+  * transformWithState).
+  */
+class ExpiryTimersSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  private val T0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+  private def ts(sec: Long) =
+    java.sql.Timestamp.from(T0.plusSeconds(sec))
+  private def ms(sec: Long) = T0.plusSeconds(sec).toEpochMilli
+
+  test("watermark passing the expiry fires logout + terminal chunk") {
+    import spark.implicits._
+    val mem = MemoryStream[ConnEvt](spark)
+    val q = ExpiryTimers.process(mem.toDS())
+      .writeStream.format("memory").queryName("expiry_out")
+      .outputMode("append").start()
+    try {
+      // conn 1 expires at t+60; conn 2 never expires
+      mem.addData(Seq(
+        ConnEvt(1L, "connect", ts(0), ms(60)),
+        ConnEvt(2L, "connect", ts(0), -1L)))
+      q.processAllAvailable()
+      // advance watermark past the expiry, then one more batch so the
+      // new watermark takes effect and fires the timer
+      mem.addData(Seq(ConnEvt(99L, "connect", ts(120), -1L)))
+      q.processAllAvailable()
+      mem.addData(Seq(ConnEvt(98L, "connect", ts(121), -1L)))
+      q.processAllAvailable()
+
+      val frames = spark.table("expiry_out").as[ExpiryFrame]
+        .collect().toSeq.sortBy(f => (f.connId, f.terminal))
+      assert(frames.map(f => (f.connId, f.frame, f.terminal)) == Seq(
+        (1L, ConnectionTimers.LogoutFrame, false),
+        (1L, "0\r\n\r\n", true)))
+    } finally q.stop()
+  }
+
+  test("disconnect cancels the expiry timer") {
+    import spark.implicits._
+    val mem = MemoryStream[ConnEvt](spark)
+    val q = ExpiryTimers.process(mem.toDS())
+      .writeStream.format("memory").queryName("expiry_out2")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(ConnEvt(5L, "connect", ts(0), ms(60))))
+      q.processAllAvailable()
+      mem.addData(Seq(ConnEvt(5L, "disconnect", ts(10), -1L)))
+      q.processAllAvailable()
+      mem.addData(Seq(ConnEvt(97L, "connect", ts(120), -1L)))
+      q.processAllAvailable()
+      mem.addData(Seq(ConnEvt(96L, "connect", ts(121), -1L)))
+      q.processAllAvailable()
+      val frames = spark.table("expiry_out2").as[ExpiryFrame]
+        .collect().toSeq
+      // only the disconnect's terminal chunk; no logout ever fires
+      assert(frames.map(f => (f.connId, f.frame, f.terminal)) == Seq(
+        (5L, "0\r\n\r\n", true)))
+    } finally q.stop()
+  }
+}
