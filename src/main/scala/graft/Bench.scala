@@ -33,13 +33,16 @@ object Bench {
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try run(name)
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { run(name); true }
+        catch { case _: Throwable => false }
+      // -1 marks a failed query so a regression can't masquerade as a
+      // fast pass
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

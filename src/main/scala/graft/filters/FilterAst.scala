@@ -31,6 +31,14 @@ object FilterValue {
   final case class Str(v: String) extends FilterValue
   final case class IntVal(v: Long) extends FilterValue
   final case class DateVal(v: LocalDate) extends FilterValue
+
+  /** Integer literal outside int64 range (Python ints are unbounded,
+    * so the reference accepts these — evtstrd/filters.py:82). Matchable
+    * payload values are int64, so comparisons constant-fold: a huge
+    * positive literal satisfies every `<`/`<=`, no `>`/`>=`/`=`, and
+    * vice versa for huge negative.
+    */
+  final case class BigIntVal(v: BigInt) extends FilterValue
 }
 
 /** One parsed filter. `path` is the dot-split field; `raw` is kept for
@@ -76,7 +84,10 @@ object FilterParser {
   def parse(string: String): EventFilter = string match {
     case FilterRe(field, opSym, valueStr) =>
       val op = CmpOp.all.find(_.sym == opSym).get
-      EventFilter(field.split('.').toSeq, op, parseValue(valueStr), string)
+      // -1 limit keeps trailing empty segments: the reference maps
+      // "foo." to jsonget path "foo/" whose empty final segment never
+      // resolves, so the filter parses fine but never matches.
+      EventFilter(field.split("\\.", -1).toSeq, op, parseValue(valueStr), string)
     case _ =>
       throw new FilterSyntaxException(s"invalid filter '$string'")
   }
@@ -90,7 +101,10 @@ object FilterParser {
         case Some(d) => FilterValue.DateVal(d)
         case None =>
           val t = v.trim
-          if (PyIntRe.matches(t)) FilterValue.IntVal(t.replace("_", "").toLong)
-          else throw new FilterSyntaxException(s"invalid filter value '$v'")
+          if (PyIntRe.matches(t)) {
+            val b = BigInt(t.replace("_", ""))
+            if (b.isValidLong) FilterValue.IntVal(b.toLong)
+            else FilterValue.BigIntVal(b)
+          } else throw new FilterSyntaxException(s"invalid filter value '$v'")
       }
 }

@@ -27,9 +27,16 @@ import org.apache.spark.sql.functions._
 object FilterCompiler {
   /** Bracket-style variant path, e.g. `$['foo']['bar']` — field chars
     * are restricted to [a-z-] by the grammar so no quoting is needed.
+    * Empty segments (trailing-dot fields like `foo.`) can't be
+    * expressed in variant path syntax; substitute a key that never
+    * resolves, so the predicate is false (the native probe path,
+    * which is the production default, resolves empty-string keys
+    * exactly like the reference's jsonget).
     */
   private def variantPath(path: Seq[String]): String =
-    "$" + path.map(p => s"['$p']").mkString
+    "$" + path
+      .map(p => if (p.isEmpty) "['__graft_never__']" else s"['$p']")
+      .mkString
 
   private val IntSchemas = Seq("TINYINT", "SMALLINT", "INT", "BIGINT")
 
@@ -48,6 +55,17 @@ object FilterCompiler {
     case CmpOp.Le => l <= r
   }
 
+  /** An out-of-int64 literal against the int64 payload domain:
+    * every int payload is below a huge positive literal and above a
+    * huge negative one; equality never holds.
+    */
+  private[filters] def hugeLiteralMatches(op: CmpOp, positive: Boolean): Boolean =
+    (op, positive) match {
+      case (CmpOp.Lt | CmpOp.Le, true) => true
+      case (CmpOp.Gt | CmpOp.Ge, false) => true
+      case _ => false
+    }
+
   /** Compile against an already-parsed VARIANT column (preferred: parse
     * the payload once, evaluate many filters against it).
     */
@@ -58,6 +76,9 @@ object FilterCompiler {
       case FilterValue.IntVal(n) =>
         sch.isin(IntSchemas: _*) &&
           cmp(f.op, try_variant_get(v, variantPath(f.path), "bigint"), lit(n))
+      case FilterValue.BigIntVal(b) =>
+        if (hugeLiteralMatches(f.op, b > 0)) sch.isin(IntSchemas: _*)
+        else lit(false)
       case FilterValue.Str(s) =>
         sch === "STRING" &&
           cmp(f.op, try_variant_get(v, variantPath(f.path), "string"), lit(s))
@@ -89,6 +110,10 @@ object FilterCompiler {
     val pred = f.value match {
       case FilterValue.IntVal(n) =>
         cmp(f.op, jsonIntStrict(jsonCol, f.path), lit(n))
+      case FilterValue.BigIntVal(b) =>
+        if (hugeLiteralMatches(f.op, b > 0))
+          jsonIntStrict(jsonCol, f.path).isNotNull
+        else lit(false)
       case FilterValue.Str(s) =>
         cmp(f.op, jsonStringStrict(jsonCol, f.path), lit(s))
       case FilterValue.DateVal(d) =>

@@ -64,9 +64,16 @@ object FilterEval extends Serializable {
         f.value match {
           case FilterValue.IntVal(v) =>
             // Python type check: json int only (not float, not bool,
-            // not numeric string) — evtstrd/filters.py:47-53.
+            // not numeric string) — evtstrd/filters.py:47-53. Payload
+            // domain is int64 (wider integers are rejected everywhere,
+            // keeping all four evaluation paths consistent).
             node.isIntegralNumber && !node.isBoolean &&
+              node.canConvertToLong &&
               applyOp(f.op, java.lang.Long.compare(node.longValue(), v))
+          case FilterValue.BigIntVal(b) =>
+            node.isIntegralNumber && !node.isBoolean &&
+              node.canConvertToLong &&
+              FilterCompiler.hugeLiteralMatches(f.op, b > 0)
           case FilterValue.Str(v) =>
             node.isTextual &&
               applyOp(f.op, cmpCodePoints(node.textValue(), v))

@@ -18,9 +18,17 @@ object FilterOracle {
     val p = jsonPath(f.path)
     val typ = s"json_type($jsonExpr, ${sqlStr(p)})"
     val core = f.value match {
+      case _ if f.path.exists(_.isEmpty) => "false" // trailing-dot field
       case FilterValue.IntVal(n) =>
+        // TRY_CAST: a UBIGINT-range payload (> int64) nulls out here
+        // and the Spark side's canConvertToLong check matches that
         s"$typ IN ('UBIGINT','BIGINT') AND " +
-          s"CAST(json_extract_string($jsonExpr, ${sqlStr(p)}) AS BIGINT) ${f.op.sym} $n"
+          s"TRY_CAST(json_extract_string($jsonExpr, ${sqlStr(p)}) AS BIGINT) ${f.op.sym} $n"
+      case FilterValue.BigIntVal(b) =>
+        if (FilterCompiler.hugeLiteralMatches(f.op, b > 0))
+          s"$typ IN ('UBIGINT','BIGINT') AND " +
+            s"TRY_CAST(json_extract_string($jsonExpr, ${sqlStr(p)}) AS BIGINT) IS NOT NULL"
+        else "false"
       case FilterValue.Str(s) =>
         s"$typ = 'VARCHAR' AND " +
           s"json_extract_string($jsonExpr, ${sqlStr(p)}) ${f.op.sym} ${sqlStr(s)}"

@@ -26,10 +26,13 @@ object JsonStrict {
     n
   }
 
-  /** JSON integral number at path, else null. */
+  /** JSON integral number at path, else null. Integers wider than
+    * int64 are rejected (longValue() would silently truncate them
+    * into false matches).
+    */
   def getLong(json: UTF8String, path: Array[String]): java.lang.Long = {
     val n = descend(json, path)
-    if (n != null && n.isIntegralNumber && !n.isBoolean)
+    if (n != null && n.isIntegralNumber && !n.isBoolean && n.canConvertToLong)
       java.lang.Long.valueOf(n.longValue())
     else null
   }

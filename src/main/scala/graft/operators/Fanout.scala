@@ -57,8 +57,13 @@ object Fanout {
       subscriptions: DataFrame,
       subsystemCol: Column,
       payloadCol: Column): DataFrame = {
-    val matches = udf((json: String, filters: Seq[String]) =>
-      json != null && FilterEval.matches(json, Option(filters).getOrElse(Nil)))
+    // zero filters match unconditionally, before touching the payload
+    // (reference all([]) == True, evtstrd/listener.py:62) — keeps the
+    // dynamic path identical to the compiled one on unparseable data
+    val matches = udf((json: String, filters: Seq[String]) => {
+      val fs = Option(filters).getOrElse(Nil)
+      fs.isEmpty || (json != null && FilterEval.matches(json, fs))
+    })
     // rename the join key to keep the plan unambiguous when the event
     // side also carries a `subsystem` column (the streaming envelope)
     val subs = subscriptions.withColumnRenamed("subsystem", "__sub_subsystem")

@@ -68,7 +68,10 @@ final class EvtStreamTable(properties: util.Map[String, String])
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new EvtStreamMicroBatch(
             Option(options.get("path")),
-            Option(options.get("port")).map(_.toInt))
+            Option(options.get("port")).map(_.toInt),
+            Option(options.get("mode")).map(Integer.parseInt(_, 8)),
+            Option(options.get("owner")),
+            Option(options.get("group")))
       }
 }
 
@@ -76,7 +79,12 @@ final case class LineOffset(count: Long) extends Offset {
   override def json(): String = count.toString
 }
 
-final class EvtStreamMicroBatch(path: Option[String], port: Option[Int])
+final class EvtStreamMicroBatch(
+    path: Option[String],
+    port: Option[Int],
+    socketMode: Option[Int] = None,
+    socketOwner: Option[String] = None,
+    socketGroup: Option[String] = None)
     extends MicroBatchStream {
   private val lines = ArrayBuffer.empty[String]
   private val running = new AtomicBoolean(true)
@@ -88,11 +96,39 @@ final class EvtStreamMicroBatch(path: Option[String], port: Option[Int])
       Files.deleteIfExists(Path.of(p)) // stale socket removal (socket_server.py:48-57)
       val ch = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
       ch.bind(addr)
+      // chmod/chown like the reference (socket_server.py:59-70);
+      // ownership changes need privilege and fail soft, as there
+      applySocketPerms(Path.of(p))
       ch
     case None =>
       val ch = ServerSocketChannel.open()
       ch.bind(new InetSocketAddress("127.0.0.1", port.getOrElse(0)))
       ch
+  }
+
+  private def applySocketPerms(p: Path): Unit = {
+    socketMode.foreach { mode =>
+      val perms = new java.util.HashSet[java.nio.file.attribute.PosixFilePermission]()
+      import java.nio.file.attribute.PosixFilePermission._
+      val bits = Seq(
+        OWNER_READ, OWNER_WRITE, OWNER_EXECUTE,
+        GROUP_READ, GROUP_WRITE, GROUP_EXECUTE,
+        OTHERS_READ, OTHERS_WRITE, OTHERS_EXECUTE)
+      bits.zipWithIndex.foreach { case (perm, i) =>
+        if ((mode & (1 << (8 - i))) != 0) perms.add(perm)
+      }
+      try Files.setPosixFilePermissions(p, perms)
+      catch { case _: Exception => () }
+    }
+    val lookup = p.getFileSystem.getUserPrincipalLookupService
+    socketOwner.foreach(o =>
+      try Files.setOwner(p, lookup.lookupPrincipalByName(o))
+      catch { case _: Exception => () })
+    socketGroup.foreach(g =>
+      try Files.getFileAttributeView(
+        p, classOf[java.nio.file.attribute.PosixFileAttributeView])
+        .setGroup(lookup.lookupPrincipalByGroupName(g))
+      catch { case _: Exception => () })
   }
 
   /** Key under which tests can observe buffered counts. */

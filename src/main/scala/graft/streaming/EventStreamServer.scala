@@ -28,13 +28,19 @@ final class EventStreamServer(
     tcpPort: Option[Int] = None,
     httpPort: Int = 0,
     pingIntervalSec: Long = 20L,
-    auth: SseServer.AuthPlugin = SseServer.AllowAll) {
+    auth: SseServer.AuthPlugin = SseServer.AllowAll,
+    socketMode: Option[Int] = None,
+    socketOwner: Option[String] = None,
+    socketGroup: Option[String] = None) {
 
   val sse = new SseServer(httpPort, pingIntervalSec, auth)
 
   private val reader = spark.readStream.format("graft.sources.EvtStreamSource")
   socketPath.foreach(p => reader.option("path", p))
   tcpPort.foreach(p => reader.option("port", p.toString))
+  socketMode.foreach(m => reader.option("mode", Integer.toOctalString(m)))
+  socketOwner.foreach(o => reader.option("owner", o))
+  socketGroup.foreach(g => reader.option("group", g))
   private val lines: DataFrame = reader.load()
 
   /** Above this registry size the per-batch plan would unroll too many

@@ -105,7 +105,10 @@ object ServerMain {
       spark,
       socketPath = Some(cfg.socketFile),
       httpPort = cfg.httpPort,
-      pingIntervalSec = cfg.pingIntervalSec)
+      pingIntervalSec = cfg.pingIntervalSec,
+      socketMode = Some(cfg.socketMode),
+      socketOwner = cfg.socketOwner,
+      socketGroup = cfg.socketGroup)
     println(s"eventstreamdspark listening: socket=${cfg.socketFile} " +
       s"http=${server.sse.actualPort} ping=${cfg.pingIntervalSec}s")
     sys.addShutdownHook(server.close())

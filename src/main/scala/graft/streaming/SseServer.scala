@@ -71,6 +71,7 @@ final class SseServer(
   private val nextListenerId = new AtomicLong(0L)
   private val listeners =
     new ConcurrentHashMap[String, CopyOnWriteArrayList[ListenerConn]]()
+  private val listenersById = new ConcurrentHashMap[Long, ListenerConn]()
   private val running = new AtomicBoolean(true)
 
   private val scheduler = Executors.newScheduledThreadPool(2, r => {
@@ -167,19 +168,23 @@ final class SseServer(
         }
         .toMap
       val (rawPath, query) = path.span(_ != '?')
-      rawPath match {
+      // only a successful /events registration keeps the socket open
+      val registered = rawPath match {
         case "/events" =>
-          if (method != "GET")
+          if (method != "GET") {
             writeError(out, 405, "Method Not Allowed", s"method $method not allowed")
-          else handleEvents(sock, out, query.drop(1), headers)
+            false
+          } else handleEvents(sock, out, query.drop(1), headers)
         case "/stats" =>
           if (method != "GET")
             writeError(out, 405, "Method Not Allowed", s"method $method not allowed")
           else handleStats(out, headers)
+          false
         case p =>
           writeError(out, 404, "Not Found", s"'$p' not found")
+          false
       }
-      if (rawPath != "/events") sock.close()
+      if (!registered) sock.close()
     } catch {
       case _: Exception =>
         try {
@@ -198,17 +203,20 @@ final class SseServer(
       .groupBy(_._1)
       .view.mapValues(_.map(_._2)).toMap
 
+  /** Returns true when the connection was registered as a listener
+    * (and must stay open); false on any error response.
+    */
   private def handleEvents(
       sock: Socket,
       out: OutputStream,
       query: String,
-      headers: Map[String, String]): Unit = {
+      headers: Map[String, String]): Boolean = {
     val args = parseQuery(query)
     val subsystem = args.get("subsystem").flatMap(_.headOption) match {
       case Some(s) => s
       case None =>
         writeError(out, 400, "Bad Request", "subsystem: missing argument")
-        sock.close(); return
+        return false
     }
     val rawFilters = args.getOrElse("filter", Nil)
     val filters =
@@ -216,7 +224,7 @@ final class SseServer(
       catch {
         case _: FilterSyntaxException =>
           writeError(out, 400, "Bad Request", "filter: could not parse filter")
-          sock.close(); return
+          return false
       }
     val expire = auth.check("events", headers, Some(subsystem)) match {
       case AuthOk => None
@@ -224,10 +232,10 @@ final class SseServer(
       case AuthUnauthorized(a) =>
         writeError(out, 401, "Unauthorized", "Unauthorized",
           Seq("WWW-Authenticate" -> a))
-        sock.close(); return
+        return false
       case AuthForbidden =>
         writeError(out, 403, "Forbidden", "Forbidden")
-        sock.close(); return
+        return false
     }
     val responseHeaders = defaultHeaders ++ Seq(
       "Transfer-Encoding" -> "chunked",
@@ -248,6 +256,7 @@ final class SseServer(
     listeners
       .computeIfAbsent(subsystem, _ => new CopyOnWriteArrayList[ListenerConn]())
       .add(conn)
+    listenersById.put(conn.id, conn)
     totalConnections.incrementAndGet()
     // absolute-time logout timer (listener.py:80-84)
     expire.foreach { ms =>
@@ -256,6 +265,7 @@ final class SseServer(
         new Runnable { def run(): Unit = logout(conn) },
         delay, TimeUnit.MILLISECONDS)
     }
+    true
   }
 
   private def handleStats(out: OutputStream, headers: Map[String, String]): Unit = {
@@ -314,9 +324,10 @@ final class SseServer(
     val bucket = listeners.get(subsystem)
     if (bucket == null) return 0
     var delivered = 0
-    // snapshot copy before iteration (dispatcher.py:91-93)
+    // snapshot copy before iteration (dispatcher.py:91-93); one JSON
+    // parse per event covers the listener's whole filter list
     for (l <- bucket.asScala.toList) {
-      if (l.filters.forall(f => FilterEval.matches(data, Seq(f.raw)))) {
+      if (l.rawFilters.isEmpty || FilterEval.matches(data, l.rawFilters)) {
         val idLine = if (id != null && id.nonEmpty) s"id: $id\r\n" else ""
         val frame = s"event: $eventType\r\ndata: $data\r\n$idLine\r\n"
         write(l, frame.getBytes(StandardCharsets.UTF_8))
@@ -327,14 +338,17 @@ final class SseServer(
   }
 
   /** Write a pre-rendered chunk to a listener by id (Spark fan-out
-    * path).
+    * path). A dead socket removes the listener; it never propagates
+    * (an escaping IOException would kill the foreachBatch sink and
+    * with it every other subscriber's stream).
     */
-  def writeTo(listenerId: Long, chunkBytes: Array[Byte]): Unit =
-    allListeners.find(_.id == listenerId).foreach { l =>
-      l.out.write(chunkBytes)
-      try l.out.flush()
+  def writeTo(listenerId: Long, chunkBytes: Array[Byte]): Unit = {
+    val l = listenersById.get(listenerId)
+    if (l != null) {
+      try { l.out.write(chunkBytes); l.out.flush() }
       catch { case _: Exception => remove(l) }
     }
+  }
 
   private def write(l: ListenerConn, frame: Array[Byte]): Unit =
     try writeChunk(l.out, frame)
@@ -360,6 +374,7 @@ final class SseServer(
   private def remove(l: ListenerConn): Unit = {
     val bucket = listeners.get(l.subsystem)
     if (bucket != null) bucket.remove(l)
+    listenersById.remove(l.id)
   }
 
   /** Graceful drain: last chunk to every listener, close everything

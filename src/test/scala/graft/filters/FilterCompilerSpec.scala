@@ -108,6 +108,28 @@ class FilterCompilerSpec extends AnyFunSuite {
     assert(!eval1("foo=10", """"""))
   }
 
+  test("trailing-dot field never matches the parent key") {
+    assert(!eval1("foo.<=10", """{"foo": 10}"""))
+    assert(!eval1("foo.=1", """{"foo": 1}"""))
+  }
+
+  test("out-of-int64 literals: ordering folds over the int64 domain") {
+    val huge = "99999999999999999999999999"
+    assert(eval1(s"foo<=$huge", """{"foo": 5}"""))
+    assert(eval1(s"foo<$huge", """{"foo": 9223372036854775807}"""))
+    assert(!eval1(s"foo>=$huge", """{"foo": 5}"""))
+    assert(!eval1(s"foo=$huge", """{"foo": 5}"""))
+    assert(eval1(s"foo>=-$huge", """{"foo": -5}"""))
+    // type strictness still applies
+    assert(!eval1(s"foo<=$huge", """{"foo": "5"}"""))
+    assert(!eval1(s"foo<=$huge", """{"foo": 5.5}"""))
+  }
+
+  test("integers wider than int64 in the payload never match") {
+    assert(!eval1("foo>=1", """{"foo": 18446744073709551617}"""))
+    assert(!eval1("foo=1", """{"foo": 18446744073709551617}"""))
+  }
+
   test("conjunction: all filters must pass; empty list matches all") {
     import spark.implicits._
     val df = Seq("""{"k": 42}""").toDF("j")

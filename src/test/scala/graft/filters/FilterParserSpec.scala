@@ -25,6 +25,16 @@ class FilterParserSpec extends AnyFunSuite {
   test("dot path splits to segments; dashes allowed in fields") {
     assert(FilterParser.parse("foo.bar<=10").path == Seq("foo", "bar"))
     assert(FilterParser.parse("a-b.c-d=1").path == Seq("a-b", "c-d"))
+    // trailing dot keeps its empty segment (reference jsonget path
+    // "foo/" resolves the empty-string key, i.e. almost never)
+    assert(FilterParser.parse("foo.=1").path == Seq("foo", ""))
+  }
+
+  test("integer literals beyond int64 parse (Python ints are unbounded)") {
+    assert(FilterParser.parse("k<=99999999999999999999999999").value ==
+      FilterValue.BigIntVal(BigInt("99999999999999999999999999")))
+    assert(FilterParser.parse("k>=-99999999999999999999999999").value ==
+      FilterValue.BigIntVal(BigInt("-99999999999999999999999999")))
   }
 
   test("value types: quoted string, date, int") {
