@@ -128,6 +128,36 @@ class EndToEndSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("a dead subscriber socket does not break delivery to others") {
+    val sockPath = s"/tmp/graft-dead-${System.nanoTime()}.sock"
+    val server = new EventStreamServer(
+      spark, socketPath = Some(sockPath), pingIntervalSec = 3600)
+    try {
+      val dead = httpGet(server.sse.actualPort, "/events?subsystem=jobs")
+      val alive = httpGet(server.sse.actualPort, "/events?subsystem=jobs")
+      readAvailable(dead, "\r\n\r\n"); readAvailable(alive, "\r\n\r\n")
+      dead.close() // socket gone; server notices lazily at write time
+
+      val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+      ch.connect(UnixDomainSocketAddress.of(sockPath))
+      val pw = new OutputStreamWriter(
+        Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+      for (i <- 1 to 3) {
+        pw.write(s"""{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": $i}, "id": "d$i"}""" + "\n")
+      }
+      pw.flush()
+      val deadline = System.currentTimeMillis() + 15000
+      while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < 3
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      server.processAllAvailable()
+      // the live subscriber still gets everything; the query survived
+      val body = readAvailable(alive, "id: d3")
+      assert(body.contains("id: d1") && body.contains("id: d3"))
+      assert(server.query.isActive)
+      alive.close()
+    } finally server.close()
+  }
+
   test("ping keepalive and graceful drain emit control frames") {
     val port = {
       val ss = new java.net.ServerSocket(0)
