@@ -20,17 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct lowercase 3-gram token shingles, one row per (doc,
-    * shingle).
+  /** Distinct lowercase 3-gram token shingles as ONE array per doc —
+    * computed narrowly from the text column, no explode/regroup
+    * shuffle. Every per-doc quantity downstream (shingle-set size,
+    * minhash signature, intersection) derives from this array, so the
+    * groupBy-doc shuffles the exploded representation would need
+    * simply never happen. Each explode(array(..)) is a Generate
+    * barrier: the token / shingle array materializes once per row
+    * (referencing the expression from several consumers would let
+    * CollapseProject inline one copy per reference — the round-1
+    * quadratic trap).
     */
-  private[queries] def shingles(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def docShingleArrays(
+      spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.read(spark, dir, "documents")
     val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
-    // explode(array(toks)) is a Generate barrier: the token array
-    // materializes once per row. Referencing the token expression
-    // directly inside the transform lambda would re-run the whole
-    // split/filter pipeline per element_at — O(tokens^2) per document
-    // (observed 22s -> ~2s at sf0.1).
     val t = col("t")
     val sh = when(
       size(t) >= 3,
@@ -45,8 +49,15 @@ object Dedup {
               element_at(t, (i + lit(2)).cast("int"))))))
       .otherwise(array().cast("array<string>"))
     docs.select(col("doc_id"), explode(array(toks)).as("t"))
-      .select(col("doc_id"), explode(sh).as("shingle"))
+      .select(col("doc_id"), explode(array(sh)).as("arr"))
   }
+
+  /** One row per (doc, shingle) — the exploded form, for posting-list
+    * construction only.
+    */
+  private[queries] def shingles(spark: SparkSession, dir: String): DataFrame =
+    docShingleArrays(spark, dir)
+      .select(col("doc_id"), explode(col("arr")).as("shingle"))
 
   private val ShinglesSql: String =
     """toks AS (
@@ -64,21 +75,13 @@ object Dedup {
     * two-sided self-join, and singleton shingles die in the aggregate
     * before producing any join traffic.
     */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val ds = col("ds")
-    val pairExpr = flatten(
-      transform(
-        ds,
-        (a, i) =>
-          transform(
-            slice(ds, i + lit(2), size(ds)),
-            b => struct(a.as("a"), b.as("b")))))
+  private def jaccardPairs(sh: DataFrame, sizes: DataFrame): DataFrame = {
     val pairs = sh
       .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .where(size(ds) > 1)
-      .select(explode(pairExpr).as("p"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(
+        explode(graft.functions.PairFunctions.orderedPairs(col("ds"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
@@ -116,11 +119,16 @@ object Dedup {
 
   // --- n-gram Jaccard near-dup pairs ---
 
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(shingles(spark, dir))
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // sizes come narrowly from the per-doc array (arr is distinct, so
+    // size(arr) == the distinct-shingle count) — no groupBy(doc) shuffle
+    val sizes = docShingleArrays(spark, dir)
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
+    jaccardPairs(shingles(spark, dir), sizes)
       .where(col("jacc") >= 0.3)
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jacc"))
       .orderBy("a", "b")
+  }
 
   def ngramJaccardOracle: String =
     s"""WITH $ShinglesSql,
@@ -133,17 +141,23 @@ object Dedup {
   private val NumHashes = 8
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    // 8 minwise hashes per doc in ONE aggregation: each (doc, shingle)
-    // row carries all 8 hash values as columns; min() per position is
-    // map-side combinable, so the shuffle moves one 8-column row per
-    // doc per partition instead of an exploded (doc, h) row per
-    // shingle-hash (8x the shingle count).
+    // Everything per-doc is narrow: the 8 minwise hashes are
+    // array_min over the shingle array (min of md5(h|s) across the
+    // set — same minwise family as an agg-side min, zero shuffles),
+    // and the exact verify intersects the two docs' shingle ARRAYS
+    // instead of re-joining exploded shingle rows. The only wide ops
+    // left are the tiny (doc, band, bkey) bucket self-join and the
+    // candidate joins back to the per-doc arrays.
+    val docarr = docShingleArrays(spark, dir)
     val sigCols = (0 until NumHashes).map(h =>
-      min(md5(concat(lit(h), lit("|"), col("shingle")))).as(s"mh$h"))
-    val sig = sh
-      .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
+      element_at(col("sig"), h + 1).as(s"mh$h"))
+    val sig = docarr
+      .select(
+        col("doc_id"),
+        explode(array(
+          graft.functions.TextHashFunctions.minhashSig(col("arr"), NumHashes)))
+          .as("sig"))
+      .select(Seq(col("doc_id")) ++ sigCols: _*)
     // 4 bands x 2 rows: band key = md5(mh_even || mh_odd), exploded to
     // (doc, band, key) rows for the bucket join.
     val bandCols = (0 until NumHashes / 2).map { b =>
@@ -162,17 +176,18 @@ object Dedup {
       .select(col("a"), col("b"))
       .distinct()
     // Exact-Jaccard verify restricted to the (few) LSH candidates —
-    // the whole point of LSH is to never run the all-pairs join, so
-    // intersections are computed only for candidate pairs.
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.toDF("a", "shingle"), "a")
-      .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("a", "na"), "a")
-      .join(sizes.toDF("b", "nb"), "b")
+    // the whole point of LSH is to never run the all-pairs join;
+    // intersections come from array_intersect over the co-joined
+    // shingle arrays (arrays are distinct, so sizes are set sizes).
+    val withArrays = candidates
+      .join(docarr.select(col("doc_id").as("a"), col("arr").as("arr_a")), "a")
+      .join(docarr.select(col("doc_id").as("b"), col("arr").as("arr_b")), "b")
+      .select(
+        col("a"), col("b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("inter"),
+        size(col("arr_a")).cast("long").as("na"),
+        size(col("arr_b")).cast("long").as("nb"))
+    withArrays
       .withColumn(
         "jacc",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
@@ -209,30 +224,19 @@ object Dedup {
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.read(spark, dir, "documents")
-    val tokCounts = docs
+    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    // The oracle's weighted sum over distinct tokens (w * sign) equals
+    // the plain sum of signs over token OCCURRENCES — so no
+    // (doc, token) counting aggregation is needed at all. The whole
+    // fingerprint computes with zero shuffles in one codegen'd pass
+    // per document (graft.functions.SimHash32); the round-1 shape
+    // shuffled tokens x 32 bit rows twice.
+    val fp = docs
+      .select(col("doc_id"), explode(array(toks)).as("t"))
+      .where(size(col("t")) > 0) // oracle emits no row for token-less docs
       .select(
         col("doc_id"),
-        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
-          .as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("w"))
-    val fp = tokCounts
-      // md5 hoisted above the Generate: hashed once per (doc, token),
-      // not once per bit position
-      .withColumn("h", md5(col("tok")))
-      .withColumn("j", explode(sequence(lit(1), lit(32))))
-      .withColumn("bit", expr("ascii(substr(h, j, 1)) % 2"))
-      .withColumn("contrib", col("w") * (col("bit") * 2 - 1))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("bitc", when(col("s") > 0, lit("1")).otherwise(lit("0")))
-      .groupBy(col("doc_id"))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("j"), col("bitc")))),
-            x => x.getField("bitc")),
-          "").as("simhash"))
+        graft.functions.TextHashFunctions.simhash32(col("t")).as("simhash"))
     fp.select(
         col("doc_id"), col("simhash"),
         substring(col("simhash"), 1, 8).as("band1"),

@@ -120,23 +120,25 @@ object RefSurface {
         lit("add").as("event"),
         col("props").as("data"),
         col("event_id").cast("string").as("id")))
+    // valid JSON but data is a number, not an object — the reference
+    // rejects non-dict data (evtstrd/socket_server.py:107)
+    val scalarDataLine = concat(
+      lit("{\"action\": \"notify\", \"subsystem\": \""),
+      col("event_type"),
+      lit("\", \"event\": \"add\", \"data\": "),
+      col("event_id").cast("string"),
+      lit(", \"id\": \""),
+      col("event_id").cast("string"),
+      lit("\"}"))
     val corrupted =
       when(col("event_id") % 97 === 0, concat(lit("{oops"), line))
+        .when(col("event_id") % 101 === 0, scalarDataLine)
         .otherwise(line)
-    val envSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "action STRING, subsystem STRING, event STRING, data STRING, id STRING")
-    // inline(array(from_json)) routes the parsed struct through a
-    // Generate, which evaluates from_json exactly once per row —
-    // filtering on env.* directly lets the optimizer inline one
-    // from_json per field reference (6x the parse cost; observed 36s
-    // vs 3s at sf0.1).
-    events
-      .select(corrupted.as("line"))
-      .select(inline(array(from_json(col("line"), envSchema))))
-      .where(
-        col("action") === "notify" && col("subsystem").isNotNull &&
-          col("event").isNotNull && col("data").isNotNull &&
-          col("id").isNotNull)
+    // runs the actual ingest-path plan (single Generate-guarded parse,
+    // validity + data-is-object filters) so its semantics stay
+    // oracle-checked
+    graft.streaming.EventStreamPipeline
+      .parseLines(events.select(corrupted.as("value")))
       .groupBy(col("subsystem"))
       .agg(count(lit(1)).as("n_events"))
       .orderBy("subsystem")
@@ -144,7 +146,7 @@ object RefSurface {
 
   def envelopeStatsOracle: String =
     """SELECT event_type AS subsystem, CAST(count(*) AS BIGINT) AS n_events
-      |FROM events WHERE event_id % 89 <> 0 AND event_id % 97 <> 0
+      |FROM events WHERE event_id % 89 <> 0 AND event_id % 97 <> 0 AND event_id % 101 <> 0
       |GROUP BY event_type ORDER BY subsystem""".stripMargin
 
   /** The filter-language semantics gate: a synthesized payload column

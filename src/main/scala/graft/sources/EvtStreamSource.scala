@@ -180,6 +180,16 @@ final class EvtStreamMicroBatch(
     val s = start.asInstanceOf[LineOffset].count
     val e = end.asInstanceOf[LineOffset].count
     val slice = lines.synchronized {
+      // A restart from checkpoint resets this instance (committed=0,
+      // empty buffer); a range outside the live window means the
+      // checkpoint references data this volatile transport no longer
+      // holds. Fail fast rather than silently replaying an empty
+      // slice as successful progress.
+      if (s < committed || e - committed > lines.size)
+        throw new IllegalStateException(
+          s"evtstream offset range [$s, $e) outside buffered window " +
+            s"[$committed, ${committed + lines.size}); checkpointed data " +
+            "is not replayable from a live socket — start a fresh query")
       lines.slice((s - committed).toInt, (e - committed).toInt).toArray
     }
     Array(LinesPartition(slice))

@@ -23,6 +23,15 @@ object EventStreamPipeline {
   val envelopeSchema: StructType = StructType.fromDDL(
     "action STRING, subsystem STRING, event STRING, data STRING, id STRING")
 
+  /** `data` must be a JSON *object* (evtstrd/socket_server.py:107
+    * requires dict): from_json captures any JSON value as its string
+    * form for a STRING field, so `{"data": 5}` yields "5" here —
+    * re-probe with the variant parser and require an OBJECT shape.
+    * Null/unparseable collapses to null => dropped by the filter.
+    */
+  private[graft] def isJsonObject(c: org.apache.spark.sql.Column) =
+    schema_of_variant(try_parse_json(c)).startsWith("OBJECT")
+
   /** JSON line column -> valid envelope rows. The Generate
     * (inline/array) guarantees one parse per line; invalid JSON yields
     * a null struct whose fields fail the validity filter.
@@ -33,7 +42,7 @@ object EventStreamPipeline {
       .where(
         col("action") === "notify" && col("subsystem").isNotNull &&
           col("event").isNotNull && col("data").isNotNull &&
-          col("id").isNotNull)
+          col("id").isNotNull && isJsonObject(col("data")))
 
   /** Envelopes -> one delivery row per matching subscription with the
     * serialized SSE frame. Plan-compiled subscriptions (the reference

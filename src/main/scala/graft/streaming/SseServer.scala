@@ -53,6 +53,18 @@ object SseServer {
       socket: Socket,
       out: OutputStream) {
     val closed = new AtomicBoolean(false)
+
+    /** All writes to [[out]] after the response head go through here.
+      * Multiple threads write concurrently (the ping scheduler, the
+      * Spark foreachBatch delivery thread, expiry logout); the
+      * reference is race-free only because asyncio is single-threaded,
+      * so we serialize per connection instead. The chunk is
+      * pre-rendered to one buffer and written with a single locked
+      * write+flush so HTTP/1.1 chunked framing can never interleave.
+      */
+    private[streaming] val writeLock = new Object
+    private[streaming] def writeBytes(b: Array[Byte]): Unit =
+      writeLock.synchronized { out.write(b); out.flush() }
   }
 }
 
@@ -128,15 +140,17 @@ final class SseServer(
     out.flush()
   }
 
-  /** One HTTP chunk: lowercase hex byte length + CRLF + payload + CRLF
-    * (evtstrd/http.py:114-118).
+  /** One HTTP chunk, rendered to a single buffer: lowercase hex byte
+    * length + CRLF + payload + CRLF (evtstrd/http.py:114-118).
     */
-  private def writeChunk(out: OutputStream, payload: Array[Byte]): Unit = {
-    out.write(payload.length.toHexString.getBytes(StandardCharsets.US_ASCII))
-    out.write('\r'); out.write('\n')
-    out.write(payload)
-    out.write('\r'); out.write('\n')
-    out.flush()
+  private def renderChunk(payload: Array[Byte]): Array[Byte] = {
+    val len = payload.length.toHexString.getBytes(StandardCharsets.US_ASCII)
+    val buf = new Array[Byte](len.length + payload.length + 4)
+    System.arraycopy(len, 0, buf, 0, len.length)
+    buf(len.length) = '\r'; buf(len.length + 1) = '\n'
+    System.arraycopy(payload, 0, buf, len.length + 2, payload.length)
+    buf(buf.length - 2) = '\r'; buf(buf.length - 1) = '\n'
+    buf
   }
 
   private def handleConnection(sock: Socket): Unit = {
@@ -194,12 +208,18 @@ final class SseServer(
     }
   }
 
+  /** Mirrors Python `parse_qs` defaults (keep_blank_values=False,
+    * evtstrd/http_server.py:146): a pair with an empty value is
+    * dropped entirely, so `filter=` means "no filter" and
+    * `subsystem=` means "missing argument", not empty-string.
+    */
   private def parseQuery(q: String): Map[String, Seq[String]] =
     q.split("&").filter(_.nonEmpty).toSeq
       .map { kv =>
         val Array(k, v) = (kv.split("=", 2) ++ Array("")).take(2)
         URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
       }
+      .filter(_._2.nonEmpty)
       .groupBy(_._1)
       .view.mapValues(_.map(_._2)).toMap
 
@@ -258,6 +278,10 @@ final class SseServer(
       .add(conn)
     listenersById.put(conn.id, conn)
     totalConnections.incrementAndGet()
+    // reference ping_loop writes a ping before its first sleep
+    // (evtstrd/listener.py:72-78): send one immediately so proxies see
+    // bytes right after the 200 head instead of idling a full interval
+    write(conn, ConnectionTimers.PingFrame.getBytes(StandardCharsets.UTF_8))
     // absolute-time logout timer (listener.py:80-84)
     expire.foreach { ms =>
       val delay = math.max(0L, ms - System.currentTimeMillis())
@@ -345,13 +369,13 @@ final class SseServer(
   def writeTo(listenerId: Long, chunkBytes: Array[Byte]): Unit = {
     val l = listenersById.get(listenerId)
     if (l != null) {
-      try { l.out.write(chunkBytes); l.out.flush() }
+      try l.writeBytes(chunkBytes)
       catch { case _: Exception => remove(l) }
     }
   }
 
   private def write(l: ListenerConn, frame: Array[Byte]): Unit =
-    try writeChunk(l.out, frame)
+    try l.writeBytes(renderChunk(frame))
     catch { case _: Exception => remove(l) } // lazy disconnect detection
 
   private def pingAll(): Unit =
@@ -365,7 +389,7 @@ final class SseServer(
 
   private def disconnect(l: ListenerConn): Unit = {
     if (l.closed.compareAndSet(false, true)) {
-      try { writeChunk(l.out, Array.emptyByteArray); l.socket.close() }
+      try { l.writeBytes(renderChunk(Array.emptyByteArray)); l.socket.close() }
       catch { case _: Exception => () }
       remove(l)
     }

@@ -57,6 +57,9 @@ class EndToEndSpec extends AnyFunSuite {
       assert(headLow.contains("Content-Type: text/event-stream"))
       assert(headLow.contains("Transfer-Encoding: chunked"))
       readAvailable(subAll, "\r\n\r\n")
+      // first ping is written immediately on registration, before the
+      // first interval sleep (listener.py:72-78) — interval here is 1h
+      assert(readAvailable(subLow, "event: ping", 5000).contains("event: ping"))
 
       // bad filter => 400; unknown path => 404; POST /events => 405
       assert(readAvailable(
@@ -175,5 +178,67 @@ class EndToEndSpec extends AnyFunSuite {
       assert(tail.contains("0\r\n\r\n")) // terminal chunk on drain
       sub.close()
     } finally server.close()
+  }
+
+  test("blank query values are dropped like parse_qs keep_blank_values=False") {
+    val sse = new SseServer(pingIntervalSec = 3600)
+    try {
+      val port = sse.actualPort
+      // 'subsystem=' is NOT an empty-string subsystem — it's missing
+      assert(readAvailable(httpGet(port, "/events?subsystem="), " ", 5000)
+        .startsWith("HTTP/1.1 400"))
+      // 'filter=' is NOT a parse-failing empty filter — it's no filter
+      val sub = httpGet(port, "/events?subsystem=jobs&filter=")
+      assert(readAvailable(sub, "\r\n\r\n", 5000).startsWith("HTTP/1.1 200"))
+      sub.close()
+    } finally sse.close()
+  }
+
+  test("concurrent ping and delivery never corrupt chunked framing") {
+    val sse = new SseServer(pingIntervalSec = 3600)
+    try {
+      val sub = httpGet(sse.actualPort, "/events?subsystem=race")
+      val pre = readAvailable(sub, "event: ping", 5000) // head + immediate ping
+      // hammer the same connection from many threads, mixing frame
+      // deliveries with pings (the reference is single-threaded; we
+      // must serialize per connection)
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          var i = 0
+          while (i < 200) {
+            if (t % 2 == 0) sse.notify("race", "add", s"""{"t":$t,"i":$i}""", s"$t-$i")
+            else sse.notify("race", "ping", "", "")
+            i += 1
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val body = pre + readAvailable(sub, "id: 0-199", 15000)
+      // re-parse the chunked stream (after the response head): every
+      // chunk must frame exactly — payloads here are pure ASCII so
+      // byte lengths equal char lengths
+      var rest = body.substring(body.indexOf("\r\n\r\n") + 4)
+      var chunks = 0
+      var ok = true
+      while (ok && rest.contains("\r\n")) {
+        val idx = rest.indexOf("\r\n")
+        val lenHex = rest.substring(0, idx)
+        if (lenHex.isEmpty || !lenHex.forall(c => Character.digit(c, 16) >= 0)) ok = false
+        else {
+          val len = Integer.parseInt(lenHex, 16)
+          val start = idx + 2
+          if (rest.length < start + len + 2) rest = "" // truncated tail: stop
+          else {
+            assert(rest.substring(start + len, start + len + 2) == "\r\n",
+              s"chunk $chunks not terminated by CRLF")
+            rest = rest.substring(start + len + 2)
+            chunks += 1
+          }
+        }
+      }
+      assert(ok, "encountered a malformed chunk length — framing corrupted")
+      assert(chunks > 100)
+      sub.close()
+    } finally sse.close()
   }
 }

@@ -27,7 +27,12 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } ++ Seq(
       "not json at all",
       """{"action": "ping", "subsystem": "jobs", "event": "x", "data": {}, "id": "i"}""",
-      """{"action": "notify", "subsystem": "jobs", "event": "x", "id": "missing-data"}""")
+      """{"action": "notify", "subsystem": "jobs", "event": "x", "id": "missing-data"}""",
+      // data must be a JSON object (socket_server.py:107) — scalar,
+      // string and array payloads are all rejected
+      """{"action": "notify", "subsystem": "jobs", "event": "x", "data": 5, "id": "num-data"}""",
+      """{"action": "notify", "subsystem": "jobs", "event": "x", "data": "x", "id": "str-data"}""",
+      """{"action": "notify", "subsystem": "jobs", "event": "x", "data": [1], "id": "arr-data"}""")
 
   test("streaming pipeline output equals batch pipeline output") {
     import spark.implicits._
@@ -64,7 +69,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
   test("invalid lines are dropped, not failed") {
     import spark.implicits._
     val out = EventStreamPipeline.parseLines(lines.toDF("value"))
-    assert(out.count() == 200) // the 3 bad/ignored lines dropped
+    assert(out.count() == 200) // the 6 bad/ignored lines dropped
   }
 
   test("dropDuplicatesWithinWatermark dedups replayed event ids") {
