@@ -117,19 +117,40 @@ object Advanced {
   /** Exact quantiles via explicit rank arithmetic (identical formula
     * both engines — no reliance on interpolation-convention parity):
     * median = mean of the two middle values on the ordered column.
+    *
+    * Computed from a value HISTOGRAM, not a sort: l_quantity has ~50
+    * distinct values, so a count per (flag, value) reduces the table
+    * to a tiny frame whose cumulative counts locate the two middle
+    * ranks. A row_number window partitioned by l_returnflag would
+    * funnel the whole table through 3 reducers and fully sort each —
+    * the classic low-cardinality-partition skew; the histogram shape
+    * is one map-side-combinable shuffle regardless of table size.
     */
   def exactMedian(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.read(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity"))
-    // group sizes via a tiny broadcast aggregate — a count() window over
-    // the whole partition would materialize every row a second time
-    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-    li.withColumn("rn", row_number().over(w).cast("long"))
-      .join(broadcast(counts), "l_returnflag")
-      .where(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+    val hist = Tables.read(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    // rank interval [lo, hi] covered by each distinct value; the two
+    // middle ranks r1/r2 fall in 1 or 2 of these tiny intervals
+    val ranked = hist
+      .withColumn("hi", sum(col("cnt")).over(w))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("r1", expr("(n + 1) div 2"))
+      .withColumn("r2", expr("(n + 2) div 2"))
+    val contrib =
+      (col("r1") >= col("lo") && col("r1") <= col("hi")).cast("long") +
+        (col("r2") >= col("lo") && col("r2") <= col("hi")).cast("long")
+    ranked
+      .withColumn("c", contrib)
+      .where(col("c") > 0)
       .groupBy(col("l_returnflag"))
-      .agg((sum(col("l_quantity")) / count(lit(1))).as("median_qty"))
+      .agg((sum(col("l_quantity") * col("c")) / sum(col("c"))).as("median_qty"))
       .orderBy("l_returnflag")
   }
 

@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second-round gap-fill inventory: grouping sets, lag/lead, ntile,
+  * ordered string aggregation, decorrelated scalar subqueries, tf-df
+  * term ranking, edit-distance near-dup, salted skew joins, and the
+  * Spark 4 VARIANT path for semi-structured payloads. Everything
+  * deterministic (integer/decimal-exact aggregates, total orderings)
+  * for the DuckDB oracle.
+  *
+  * Scale notes (100 TB): every aggregation here is partial+final
+  * combinable; the only global-order operator is ntile (inherently a
+  * total order — at cluster scale it range-partitions first, see
+  * SCALE.md); the skew join demonstrates key salting for hot keys too
+  * large to broadcast.
+  */
+object Extended {
+
+  // --- explicit GROUPING SETS (beyond rollup/cube) ---
+
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  def groupingSetsOracle: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY rf, ls""".stripMargin
+
+  // --- lag/lead: per-user inter-event gaps ---
+
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn(
+        "gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(col("gap_us")).as("n_gaps"),
+        sum(col("gap_us")).as("total_gap_us"))
+      .orderBy("user_id")
+  }
+
+  def windowLagOracle: String =
+    """SELECT user_id, CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+      |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+      |FROM (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+      |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+      |  FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- ntile quartiles over a total order ---
+
+  def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.read(spark, dir, "orders")
+      .withColumn("bucket", ntile(4).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("bucket")
+  }
+
+  def ntileBucketsOracle: String =
+    """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM (
+      |  SELECT o_totalprice,
+      |    CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+      |  FROM orders)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // --- ordered string aggregation per group ---
+
+  def stringAggNations(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))
+      .orderBy("nationkey")
+
+  def stringAggNationsOracle: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS names
+      |FROM customer GROUP BY 1 ORDER BY nationkey""".stripMargin
+
+  // --- correlated scalar subquery, decorrelated as a window ---
+
+  /** "Orders above their customer's average order value" — the
+    * correlated-subquery shape, decorrelated into one pass with
+    * window aggregates (no per-row re-aggregation). Exactness: the
+    * comparison is price * n > sum (decimal), never a divided
+    * average.
+    */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.read(spark, dir, "orders")
+      .withColumn("s", sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn(
+        "above",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * col("n") > col("s"))
+          .cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("above")).as("n_above"))
+      .orderBy("o_custkey")
+  }
+
+  def aboveAvgOrdersOracle: String =
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(above) AS BIGINT) AS n_above
+      |FROM (
+      |  SELECT o_custkey,
+      |    CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) * COUNT(*) OVER w
+      |              > SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+      |         THEN 1 ELSE 0 END AS above
+      |  FROM orders WINDOW w AS (PARTITION BY o_custkey))
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // --- tf/df term ranking (the integer-exact core of tf-idf) ---
+
+  /** Top term per document by (term frequency desc, document
+    * frequency asc, term asc) — the tf-idf ranking with its float
+    * log removed: for a single document's terms, ordering by
+    * (tf, -df) ranks identically to tf * log(N/df) whenever tf and
+    * df alone decide, and stays integer-exact for the oracle.
+    */
+  def topTerm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.read(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"))
+      .orderBy("doc_id")
+  }
+
+  def topTermOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |r AS (
+      |  SELECT doc_id, term, tf, df,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rn
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, term, tf, df FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // --- edit-distance near-dup over adjacent documents ---
+
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+    val a = docs.select(col("doc_id").as("a"), col("text").as("ta"))
+    val b = docs.select((col("doc_id") - 1).as("a"), col("doc_id").as("b"),
+      col("text").as("tb"))
+    a.join(b, "a")
+      .select(
+        col("a"), col("b"),
+        levenshtein(
+          substring(col("ta"), 1, 40), substring(col("tb"), 1, 40)).cast("long")
+          .as("dist"))
+      .orderBy("a")
+  }
+
+  def nearDupPairsOracle: String =
+    """SELECT a.doc_id AS a, b.doc_id AS b,
+      |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS dist
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |ORDER BY a""".stripMargin
+
+  // --- salted join: hot-key fan-out when the build side can't broadcast ---
+
+  /** The fact side's 5 event types would funnel a 100 TB shuffle join
+    * into 5 reducers; salting replicates each dim row SALT ways and
+    * spreads each hot key across SALT reducers. (When the dim side
+    * fits in memory a broadcast join is the simpler answer — this is
+    * the pattern for when it does not.) Result is identical to the
+    * unsalted join, which is what the oracle states.
+    */
+  private val Salt = 8
+
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = ev.groupBy(col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"))
+      .withColumn("salt", explode(sequence(lit(0), lit(Salt - 1))))
+    val salted = ev
+      .withColumn("salt", pmod(col("event_id"), lit(Salt)).cast("int"))
+      .join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
+    salted
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), min(col("first_event_id")).as("first_event_id"))
+      .orderBy("event_type")
+  }
+
+  def skewJoinOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(event_id) AS first_event_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- Spark 4 VARIANT path for semi-structured payloads ---
+
+  /** Typed extraction through the binary VARIANT encoding (parse
+    * once, probe many) — the modern engine shape for schemaless JSON
+    * columns; the oracle states the same result via JSON text
+    * operators.
+    */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        try_variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  def variantExtractOracle: String =
+    """SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("grouping_sets", groupingSets, Some(groupingSetsOracle)),
+    QueryDef("window_lag", windowLag, Some(windowLagOracle)),
+    QueryDef("ntile_buckets", ntileBuckets, Some(ntileBucketsOracle)),
+    QueryDef("string_agg_nations", stringAggNations, Some(stringAggNationsOracle)),
+    QueryDef("above_avg_orders", aboveAvgOrders, Some(aboveAvgOrdersOracle)),
+    QueryDef("top_term", topTerm, Some(topTermOracle)),
+    QueryDef("near_dup_pairs", nearDupPairs, Some(nearDupPairsOracle)),
+    QueryDef("skew_join", skewJoin, Some(skewJoinOracle)),
+    QueryDef("variant_extract", variantExtract, Some(variantExtractOracle)))
+}

@@ -65,4 +65,29 @@ class QueriesSpec extends AnyFunSuite {
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(full))
   }
+
+  test("salted skew join equals the unsalted aggregation") {
+    import org.apache.spark.sql.functions._
+    val salted = Extended.skewJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val plain = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("f"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(salted.nonEmpty)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("ntile buckets cover every order exactly once") {
+    import org.apache.spark.sql.functions._
+    val buckets = Extended.ntileBuckets(spark, dir).collect()
+    assert(buckets.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val total = buckets.map(_.getLong(1)).sum
+    assert(total == Tables.read(spark, dir, "orders").count())
+    // quartile boundaries are monotone
+    val byBucket = buckets.sortBy(_.getLong(0))
+    for (Seq(lo, hi) <- byBucket.sliding(2).map(_.toSeq).toSeq if hi != null)
+      assert(lo.getDouble(3) <= hi.getDouble(2) + 1e-9)
+  }
 }
