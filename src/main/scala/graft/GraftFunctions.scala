@@ -1,7 +1,7 @@
 package graft
 
 import graft.filters.{FilterCompiler, FilterParser}
-import graft.functions.{JsonStrictLong, JsonStrictString, LongArrayDot, LongArrayL2Sq, RollingHash}
+import graft.functions.{JsonStrictLong, JsonStrictString, LongArrayDot, LongArrayL2Sq, MinHashSig, OrderedPairs, RollingHash, SimHash32}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.StringType
   *   json_string_strict(json, 'a.b')
   *   vec_dot(a, b) / vec_l2sq(a, b)  -- integer-vector kernels
   *   rolling_hash(s)                 -- Rabin-Karp polynomial hash
+  *   simhash32(tokens)               -- one-pass 32-bit simhash
+  *   minhash_sig(shingles, k)        -- k minwise md5 signatures
+  *   ordered_pairs(ids)              -- a<b pair expansion of a list
   *
   * Filter strings must be literals: they compile at plan time into the
   * same Catalyst predicate trees the DataFrame path uses (the
@@ -70,6 +73,23 @@ object GraftFunctions {
     "rolling_hash" -> { args =>
       require(args.length == 1, "rolling_hash(s)")
       RollingHash(args(0))
+    },
+    "simhash32" -> { args =>
+      require(args.length == 1, "simhash32(tokens)")
+      SimHash32(args(0))
+    },
+    "minhash_sig" -> { args =>
+      require(args.length == 2, "minhash_sig(shingles, numHashes)")
+      val k = args(1) match {
+        case Literal(v: Int, _) => v
+        case e => throw new IllegalArgumentException(
+          s"numHashes must be a literal int, got: $e")
+      }
+      MinHashSig(args(0), k)
+    },
+    "ordered_pairs" -> { args =>
+      require(args.length == 1, "ordered_pairs(ids)")
+      OrderedPairs(args(0))
     })
 
   /** Register on an existing session. */

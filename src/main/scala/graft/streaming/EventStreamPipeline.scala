@@ -25,12 +25,15 @@ object EventStreamPipeline {
 
   /** `data` must be a JSON *object* (evtstrd/socket_server.py:107
     * requires dict): from_json captures any JSON value as its string
-    * form for a STRING field, so `{"data": 5}` yields "5" here —
-    * re-probe with the variant parser and require an OBJECT shape.
-    * Null/unparseable collapses to null => dropped by the filter.
+    * form for a STRING field, so `{"data": 5}` yields "5" here. A
+    * captured object re-serializes starting with '{'; scalars/arrays
+    * never do, so the cheap prefix test short-circuits for them and
+    * only '{'-shaped values pay the variant re-parse (which weeds out
+    * string-typed fields like `{"data": "{x"}` whose capture starts
+    * with '{' but is not valid JSON). Null collapses => dropped.
     */
   private[graft] def isJsonObject(c: org.apache.spark.sql.Column) =
-    schema_of_variant(try_parse_json(c)).startsWith("OBJECT")
+    c.startsWith("{") && try_parse_json(c).isNotNull
 
   /** JSON line column -> valid envelope rows. The Generate
     * (inline/array) guarantees one parse per line; invalid JSON yields

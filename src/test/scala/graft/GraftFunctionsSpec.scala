@@ -45,6 +45,26 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getLong(5) == (104L * 31 + 105) % 1000000007L)
   }
 
+  test("text-hash kernels from SQL match their built-in statements") {
+    // simhash32 = md5 hex-char parity sums; cross-check one token by
+    // hand against the md5 of 'abc'
+    val r = spark.sql(
+      """SELECT
+        |  simhash32(array('abc')),
+        |  minhash_sig(array('x', 'y'), 2),
+        |  ordered_pairs(array(3L, 1L, 2L))""".stripMargin).head()
+    val md5abc = "900150983cd24fb0d6963f7d28e17f72"
+    val expected = md5abc.map(c => if (c.toInt % 2 == 1) '1' else '0').mkString
+    assert(r.getString(0) == expected)
+    val sig = r.getSeq[String](1)
+    assert(sig == Seq(
+      Seq("0|x", "0|y").map(s => org.apache.commons.codec.digest.DigestUtils.md5Hex(s)).min,
+      Seq("1|x", "1|y").map(s => org.apache.commons.codec.digest.DigestUtils.md5Hex(s)).min))
+    val pairs = r.getSeq[org.apache.spark.sql.Row](2)
+      .map(p => (p.getLong(0), p.getLong(1)))
+    assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("non-literal filter string is rejected at plan time") {
     import spark.implicits._
     Seq(("""{"k": 1}""", "k<=50")).toDF("j", "f")

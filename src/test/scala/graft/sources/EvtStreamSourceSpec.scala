@@ -1,0 +1,47 @@
+package graft.sources
+
+import java.io.OutputStreamWriter
+import java.net.InetSocketAddress
+import java.nio.channels.SocketChannel
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.connector.read.streaming.Offset
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level contract of the micro-batch source's offset window:
+  * replay within the run works; a range outside the buffered window
+  * (the restart-from-checkpoint case for a volatile socket transport)
+  * must fail fast instead of silently returning an empty slice.
+  */
+class EvtStreamSourceSpec extends AnyFunSuite {
+
+  private def lines(p: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+    p.flatMap(_.asInstanceOf[LinesPartition].rows).toSeq
+
+  test("offsets slice the buffered window; out-of-window ranges fail fast") {
+    val mb = new EvtStreamMicroBatch(path = None, port = Some(0))
+    try {
+      val port = mb.instanceKey.stripPrefix("tcp:").toInt
+      val ch = SocketChannel.open(new InetSocketAddress("127.0.0.1", port))
+      val w = new OutputStreamWriter(
+        java.nio.channels.Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+      (1 to 4).foreach(i => w.write(s"line-$i\n"))
+      w.flush()
+      val deadline = System.currentTimeMillis() + 10000
+      while (EvtStreamSource.buffered.getOrDefault(mb.instanceKey, 0) < 4
+        && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      def off(n: Long): Offset = LineOffset(n)
+
+      assert(lines(mb.planInputPartitions(off(0), off(2))) == Seq("line-1", "line-2"))
+      assert(lines(mb.planInputPartitions(off(2), off(4))) == Seq("line-3", "line-4"))
+      mb.commit(off(2))
+      // within the remaining window after a commit
+      assert(lines(mb.planInputPartitions(off(2), off(4))) == Seq("line-3", "line-4"))
+      // start below the committed watermark => gone from the buffer
+      intercept[IllegalStateException](mb.planInputPartitions(off(0), off(2)))
+      // end beyond what was ever buffered (fresh-restart replay case)
+      intercept[IllegalStateException](mb.planInputPartitions(off(2), off(99)))
+      ch.close()
+    } finally mb.stop()
+  }
+}
