@@ -51,8 +51,25 @@ object Multimodal {
     def frameCount(bytes: Array[Byte]): Int = 1 + bytes.length / 4096
   }
 
+  final case class ResizedMedia(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      byte_len: Int,
+      content: Array[Byte])
+
+  final case class FrameSample(
+      doc_id: Long,
+      frame_idx: Int,
+      byte_offset: Long,
+      frame_hash: String)
+
   implicit private val featEnc: Encoder[MediaFeatures] =
     Encoders.product[MediaFeatures]
+  implicit private val resizedEnc: Encoder[ResizedMedia] =
+    Encoders.product[ResizedMedia]
+  implicit private val frameEnc: Encoder[FrameSample] =
+    Encoders.product[FrameSample]
 
   /** Binary records -> typed features; one codec per partition. */
   def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] =
@@ -66,6 +83,41 @@ object Multimodal {
           codec.checksum(r.content),
           codec.decode(r.content),
           codec.frameCount(r.content))
+      }
+    }
+
+  /** Binary -> binary resize plumbing (image thumbnailing shape): the
+    * stub emits a deterministic w*h-byte "image" tiled from the
+    * content digest; a real codec swaps in without touching schema,
+    * batching or partitioning.
+    */
+  def resize(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] =
+    records.mapPartitions { it =>
+      val codec = new StubCodec
+      it.map { r =>
+        val d = codec.checksum(r.content).getBytes
+        val out = Array.tabulate(w * h)(i => d(i % d.length))
+        ResizedMedia(r.doc_id, w, h, out.length, out)
+      }
+    }
+
+  /** Frame sampling (video shape): one media row fans out to one row
+    * per sampled frame — index, byte offset into the stream, and a
+    * per-frame content hash (stub: md5 of "checksum:idx"). The
+    * flatMap-through-mapPartitions shape is exactly what a real
+    * demuxer uses; frame explosion stays partition-local (no
+    * shuffle).
+    */
+  def sampleFrames(records: Dataset[MediaRecord], every: Int): Dataset[FrameSample] =
+    records.mapPartitions { it =>
+      val codec = new StubCodec
+      it.flatMap { r =>
+        val cs = codec.checksum(r.content)
+        (0 until codec.frameCount(r.content) by every).map { idx =>
+          FrameSample(
+            r.doc_id, idx, idx.toLong * 4096L,
+            codec.checksum(s"$cs:$idx".getBytes("UTF-8")))
+        }
       }
     }
 }

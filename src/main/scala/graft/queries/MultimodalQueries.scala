@@ -33,9 +33,40 @@ object MultimodalQueries {
       |  CAST(1 + octet_length(CAST(text AS BLOB)) // 4096 AS BIGINT) n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling as a declarative plan (every 2nd frame): the same
+    * math as the typed [[graft.operators.Multimodal.sampleFrames]]
+    * path (MultimodalSpec asserts row-for-row parity), expressed with
+    * sequence+explode so the oracle can state it.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("cs"),
+        expr("1 + octet_length(text) div 4096").as("nf"))
+      .select(
+        col("doc_id"), col("cs"),
+        explode(sequence(lit(0), col("nf") - 1, lit(2))).as("i"))
+      .select(
+        col("doc_id"),
+        col("i").cast("long").as("frame_idx"),
+        (col("i") * 4096L).cast("long").as("byte_offset"),
+        md5(concat(col("cs"), lit(":"), col("i").cast("string")))
+          .as("frame_hash"))
+      .orderBy("doc_id", "frame_idx")
+
+  def frameSampleOracle: String =
+    """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |  CAST(i * 4096 AS BIGINT) AS byte_offset,
+      |  md5(md5(text) || ':' || CAST(i AS VARCHAR)) AS frame_hash
+      |FROM documents,
+      |  unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) // 4096, 2)) t(i)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "multimodal_features",
       multimodalFeatures,
-      Some(multimodalFeaturesOracle)))
+      Some(multimodalFeaturesOracle)),
+    QueryDef("frame_sample", frameSample, Some(frameSampleOracle)))
 }

@@ -44,4 +44,27 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().sortBy(_.doc_id).map(f => (f.doc_id, f.checksum, f.embedding.toSeq))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("resize emits fixed-dimension deterministic binaries") {
+    val out = Multimodal.resize(records, 16, 9).collect().sortBy(_.doc_id)
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.width == 16 && r.height == 9))
+    assert(out.forall(r => r.byte_len == 144 && r.content.length == 144))
+    val again = Multimodal.resize(records.repartition(5), 16, 9)
+      .collect().sortBy(_.doc_id)
+    assert(out.map(_.content.toSeq).toSeq == again.map(_.content.toSeq).toSeq)
+  }
+
+  test("typed frame sampling equals the declarative frame_sample query") {
+    val typed = Multimodal.sampleFrames(records, every = 2)
+      .collect()
+      .map(f => (f.doc_id, f.frame_idx.toLong, f.byte_offset, f.frame_hash))
+      .sortBy(x => (x._1, x._2))
+    val query = graft.queries.MultimodalQueries
+      .frameSample(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(typed.nonEmpty)
+    assert(typed.toSeq == query.toSeq)
+  }
 }

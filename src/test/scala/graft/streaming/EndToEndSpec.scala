@@ -59,7 +59,7 @@ class EndToEndSpec extends AnyFunSuite {
       readAvailable(subAll, "\r\n\r\n")
       // first ping is written immediately on registration, before the
       // first interval sleep (listener.py:72-78) — interval here is 1h
-      assert(readAvailable(subLow, "event: ping", 5000).contains("event: ping"))
+      assert(readAvailable(subLow, "event: ping", 15000).contains("event: ping"))
 
       // bad filter => 400; unknown path => 404; POST /events => 405
       assert(readAvailable(
@@ -185,7 +185,7 @@ class EndToEndSpec extends AnyFunSuite {
     try {
       val port = sse.actualPort
       // 'subsystem=' is NOT an empty-string subsystem — it's missing
-      assert(readAvailable(httpGet(port, "/events?subsystem="), " ", 5000)
+      assert(readAvailable(httpGet(port, "/events?subsystem="), " ", 15000)
         .startsWith("HTTP/1.1 400"))
       // 'filter=' is NOT a parse-failing empty filter — it's no filter
       val sub = httpGet(port, "/events?subsystem=jobs&filter=")
@@ -198,7 +198,7 @@ class EndToEndSpec extends AnyFunSuite {
     val sse = new SseServer(pingIntervalSec = 3600)
     try {
       val sub = httpGet(sse.actualPort, "/events?subsystem=race")
-      val pre = readAvailable(sub, "event: ping", 5000) // head + immediate ping
+      val pre = readAvailable(sub, "event: ping", 15000) // head + immediate ping
       // hammer the same connection from many threads, mixing frame
       // deliveries with pings (the reference is single-threaded; we
       // must serialize per connection)
