@@ -19,11 +19,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * (so no upstream `sort_array` either).
   */
 object PairKernel {
+  /** Guard far below Int overflow (n ~ 46k would overflow n*(n-1)/2):
+    * a bucket this hot is a stopword-class key the caller must cap or
+    * filter — fail with that advice instead of a
+    * NegativeArraySizeException deep in codegen.
+    */
+  private val MaxPairs = 50_000_000L
+
   def orderedPairs(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
+    val nPairs = n.toLong * (n - 1) / 2
+    if (nPairs > MaxPairs)
+      throw new IllegalArgumentException(
+        s"ordered_pairs: posting list of $n elements expands to $nPairs " +
+          s"pairs (> $MaxPairs); cap or filter hot keys before expansion")
     val ds = arr.toLongArray()
     Arrays.sort(ds)
-    val out = new Array[AnyRef](n * (n - 1) / 2)
+    val out = new Array[AnyRef](nPairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {

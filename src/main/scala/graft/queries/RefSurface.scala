@@ -113,13 +113,16 @@ object RefSurface {
     val events = Tables.events(spark, dir)
     val action =
       when(col("event_id") % 89 === 0, lit("ping")).otherwise(lit("notify"))
-    val line = to_json(
-      struct(
-        action.as("action"),
-        col("event_type").as("subsystem"),
-        lit("add").as("event"),
-        col("props").as("data"),
-        col("event_id").cast("string").as("id")))
+    // string-concat, NOT to_json(struct(...)): props must embed as a
+    // raw JSON object — a struct STRING field would render it as a
+    // quoted/escaped JSON *string*, which the ingest path now rejects
+    // by variant type (data must be a dict, socket_server.py:107)
+    val line = concat(
+      lit("{\"action\": \""), action,
+      lit("\", \"subsystem\": \""), col("event_type"),
+      lit("\", \"event\": \"add\", \"data\": "), col("props"),
+      lit(", \"id\": \""), col("event_id").cast("string"),
+      lit("\"}"))
     // valid JSON but data is a number, not an object — the reference
     // rejects non-dict data (evtstrd/socket_server.py:107)
     val scalarDataLine = concat(

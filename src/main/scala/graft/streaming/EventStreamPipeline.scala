@@ -17,35 +17,38 @@ import org.apache.spark.sql.types.StructType
 object EventStreamPipeline {
 
   /** Wire envelope (evtstrd/socket_server.py:102-112): all fields
-    * required; `data` stays a JSON string payload probed dynamically by
-    * filters.
+    * required. `data` parses as VARIANT so its JSON *type* survives
+    * the parse — a STRING-typed schema field would capture any value
+    * as text, making `{"data": 5}` and worse `{"data": "{\"a\":1}"}`
+    * (a string whose content merely looks like an object)
+    * indistinguishable from real objects.
     */
   val envelopeSchema: StructType = StructType.fromDDL(
-    "action STRING, subsystem STRING, event STRING, data STRING, id STRING")
+    "action STRING, subsystem STRING, event STRING, data VARIANT, id STRING")
 
   /** `data` must be a JSON *object* (evtstrd/socket_server.py:107
-    * requires dict): from_json captures any JSON value as its string
-    * form for a STRING field, so `{"data": 5}` yields "5" here. A
-    * captured object re-serializes starting with '{'; scalars/arrays
-    * never do, so the cheap prefix test short-circuits for them and
-    * only '{'-shaped values pay the variant re-parse (which weeds out
-    * string-typed fields like `{"data": "{x"}` whose capture starts
-    * with '{' but is not valid JSON). Null collapses => dropped.
+    * requires dict): the variant's own type tag decides — scalars,
+    * arrays, strings (whatever their content), and JSON null all
+    * fail. Null collapses => dropped.
     */
   private[graft] def isJsonObject(c: org.apache.spark.sql.Column) =
-    c.startsWith("{") && try_parse_json(c).isNotNull
+    schema_of_variant(c).startsWith("OBJECT")
 
-  /** JSON line column -> valid envelope rows. The Generate
-    * (inline/array) guarantees one parse per line; invalid JSON yields
-    * a null struct whose fields fail the validity filter.
+  /** JSON line column -> valid envelope rows, `data` re-serialized to
+    * its JSON text (the reference also delivers json.dumps of the
+    * parsed dict, not the original wire bytes — evtstrd/events.py:
+    * 48-49). The Generate (inline/array) guarantees one parse per
+    * line; invalid JSON yields a null struct whose fields fail the
+    * validity filter.
     */
   def parseLines(lines: DataFrame): DataFrame =
     lines
       .select(inline(array(from_json(col("value"), envelopeSchema))))
       .where(
         col("action") === "notify" && col("subsystem").isNotNull &&
-          col("event").isNotNull && col("data").isNotNull &&
-          col("id").isNotNull && isJsonObject(col("data")))
+          col("event").isNotNull && col("id").isNotNull &&
+          col("data").isNotNull && isJsonObject(col("data")))
+      .withColumn("data", to_json(col("data")))
 
   /** Envelopes -> one delivery row per matching subscription with the
     * serialized SSE frame. Plan-compiled subscriptions (the reference

@@ -370,13 +370,25 @@ final class SseServer(
     val l = listenersById.get(listenerId)
     if (l != null) {
       try l.writeBytes(chunkBytes)
-      catch { case _: Exception => remove(l) }
+      catch { case _: Exception => dropDead(l) }
     }
   }
 
   private def write(l: ListenerConn, frame: Array[Byte]): Unit =
     try l.writeBytes(renderChunk(frame))
-    catch { case _: Exception => remove(l) } // lazy disconnect detection
+    catch { case _: Exception => dropDead(l) } // lazy disconnect detection
+
+  /** A write failed: the peer is gone. Deregister AND close our end —
+    * remove() alone would leak the file descriptor of every dead
+    * subscriber on a long-running server. No terminal chunk (the
+    * socket is already broken).
+    */
+  private def dropDead(l: ListenerConn): Unit = {
+    l.closed.set(true)
+    try l.socket.close()
+    catch { case _: Exception => () }
+    remove(l)
+  }
 
   private def pingAll(): Unit =
     for (l <- allListeners)

@@ -32,7 +32,12 @@ class StreamingPipelineSpec extends AnyFunSuite {
       // string and array payloads are all rejected
       """{"action": "notify", "subsystem": "jobs", "event": "x", "data": 5, "id": "num-data"}""",
       """{"action": "notify", "subsystem": "jobs", "event": "x", "data": "x", "id": "str-data"}""",
-      """{"action": "notify", "subsystem": "jobs", "event": "x", "data": [1], "id": "arr-data"}""")
+      """{"action": "notify", "subsystem": "jobs", "event": "x", "data": [1], "id": "arr-data"}""",
+      // a STRING whose content looks like an object is still a string
+      // (isinstance-dict check, socket_server.py:107) — the variant
+      // type tag, not the text shape, decides
+      """{"action": "notify", "subsystem": "jobs", "event": "x", "data": "{\"a\": 1}", "id": "strobj-data"}""",
+      """{"action": "notify", "subsystem": "jobs", "event": "x", "data": null, "id": "null-data"}""")
 
   test("streaming pipeline output equals batch pipeline output") {
     import spark.implicits._
@@ -69,7 +74,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
   test("invalid lines are dropped, not failed") {
     import spark.implicits._
     val out = EventStreamPipeline.parseLines(lines.toDF("value"))
-    assert(out.count() == 200) // the 6 bad/ignored lines dropped
+    assert(out.count() == 200) // the 8 bad/ignored lines dropped
   }
 
   test("dropDuplicatesWithinWatermark dedups replayed event ids") {
@@ -93,6 +98,51 @@ class StreamingPipelineSpec extends AnyFunSuite {
         .select("event_id").as[String].collect()
       assert(ids.length == 25)
       assert(ids.toSet.size == 25)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join with watermarks matches batch") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def t(s: Long) = java.sql.Timestamp.from(base.plusSeconds(s))
+    // impressions every 10s per user; clicks follow some impressions
+    val imps = (0 until 60).map(i => (t(i * 10L), s"u${i % 4}", s"imp-$i"))
+    val clicks = (0 until 60).filter(_ % 3 == 0)
+      .map(i => (t(i * 10L + 25), s"u${i % 4}", s"clk-$i"))
+
+    def joinPlan(
+        l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame) = {
+      val i = l.toDF("its", "user", "imp_id")
+        .withWatermark("its", "1 minute")
+      val c = r.toDF("cts", "cuser", "clk_id")
+        .withWatermark("cts", "1 minute")
+      // click attributed to an impression of the same user within 30s
+      i.join(
+        c,
+        col("user") === col("cuser") &&
+          col("cts") >= col("its") && col("cts") <= col("its") + expr("interval 30 seconds"))
+        .select(col("imp_id"), col("clk_id"))
+    }
+
+    val batchOut = joinPlan(imps.toDF(), clicks.toDF())
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+
+    val mi = MemoryStream[(java.sql.Timestamp, String, String)](spark)
+    val mc = MemoryStream[(java.sql.Timestamp, String, String)](spark)
+    val q = joinPlan(mi.toDF(), mc.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .start()
+    try {
+      mi.addData(imps.take(30)); mc.addData(clicks.take(10))
+      q.processAllAvailable()
+      mi.addData(imps.drop(30)); mc.addData(clicks.drop(10))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(got.nonEmpty)
+      assert(got.toSeq == batchOut.toSeq)
     } finally q.stop()
   }
 
