@@ -253,6 +253,95 @@ object Extended {
       |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- time spine: resample to a dense hourly grid, zero-filling gaps ---
+
+  /** Dense (hour × event_type) grid over the observed range with
+    * zero-filled gaps — the resample/gap-fill primitive every
+    * time-series feature pipeline needs. The spine generates from the
+    * global min/max (one tiny agg), cross-joins the type dimension,
+    * and left-joins the hourly counts; at scale the spine side is
+    * dimension-sized (hours × types), so it broadcasts.
+    */
+  def timeSpine(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(
+        (unix_timestamp(date_trunc("hour", col("ts")))).as("hour_start"),
+        col("event_type"))
+    val bounds = ev.agg(
+      min(col("hour_start")).as("lo"), max(col("hour_start")).as("hi"))
+    val hours = bounds.select(
+      explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_start"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(col("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    hours.crossJoin(types)
+      .join(counts, Seq("hour_start", "event_type"), "left")
+      .select(
+        col("hour_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  def timeSpineOracle: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000 AS hour_start,
+      |    event_type
+      |  FROM events),
+      |bounds AS (SELECT min(hour_start) lo, max(hour_start) hi FROM ev),
+      |hours AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_start FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |counts AS (
+      |  SELECT hour_start, event_type, CAST(COUNT(*) AS BIGINT) n
+      |  FROM ev GROUP BY 1, 2)
+      |SELECT h.hour_start AS hour_start, t.event_type AS event_type, COALESCE(c.n, 0) AS n
+      |FROM hours h CROSS JOIN types t
+      |LEFT JOIN counts c ON c.hour_start = h.hour_start AND c.event_type = t.event_type
+      |ORDER BY h.hour_start, t.event_type""".stripMargin
+
+  // --- lag-based sessionization (gap > 30 min starts a new session) ---
+
+  /** The classic sessionize-by-inactivity composition: lag to detect
+    * gaps, running sum to number sessions — all inside one
+    * user-partitioned window pass (same shuffle the session_window
+    * streaming operator uses, but expressed relationally).
+    */
+  def sessionizeLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn(
+        "new_session",
+        when(
+          lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  def sessionizeLagOracle: String =
+    """SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts2, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts2,
+      |      CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+      |             OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+      |             OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |             > 1800000000
+      |        THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("grouping_sets", groupingSets, Some(groupingSetsOracle)),
     QueryDef("window_lag", windowLag, Some(windowLagOracle)),
@@ -262,5 +351,7 @@ object Extended {
     QueryDef("top_term", topTerm, Some(topTermOracle)),
     QueryDef("near_dup_pairs", nearDupPairs, Some(nearDupPairsOracle)),
     QueryDef("skew_join", skewJoin, Some(skewJoinOracle)),
-    QueryDef("variant_extract", variantExtract, Some(variantExtractOracle)))
+    QueryDef("variant_extract", variantExtract, Some(variantExtractOracle)),
+    QueryDef("time_spine", timeSpine, Some(timeSpineOracle)),
+    QueryDef("sessionize_lag", sessionizeLag, Some(sessionizeLagOracle)))
 }
