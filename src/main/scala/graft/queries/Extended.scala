@@ -342,6 +342,36 @@ object Extended {
       |    FROM events))
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- deterministic train/val/test split (reproducible sampling) ---
+
+  /** Content-hash split assignment: md5 of the stable id decides the
+    * bucket (8/1/1), so the split is reproducible across engines,
+    * runs, partitionings and cluster sizes — the property random()
+    * sampling lacks. Narrow per-row work + one tiny aggregation.
+    */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) % 10
+    val split = when(bucket < 8, lit("train"))
+      .when(bucket === 8, lit("val"))
+      .otherwise(lit("test"))
+    Tables.read(spark, dir, "documents")
+      .select(split.as("split"), col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+  }
+
+  def trainSplitOracle: String =
+    """SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT CASE
+      |    WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 8 THEN 'train'
+      |    WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 = 8 THEN 'val'
+      |    ELSE 'test' END AS split, n_chars
+      |  FROM documents)
+      |GROUP BY split ORDER BY split""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("grouping_sets", groupingSets, Some(groupingSetsOracle)),
     QueryDef("window_lag", windowLag, Some(windowLagOracle)),
@@ -353,5 +383,6 @@ object Extended {
     QueryDef("skew_join", skewJoin, Some(skewJoinOracle)),
     QueryDef("variant_extract", variantExtract, Some(variantExtractOracle)),
     QueryDef("time_spine", timeSpine, Some(timeSpineOracle)),
-    QueryDef("sessionize_lag", sessionizeLag, Some(sessionizeLagOracle)))
+    QueryDef("sessionize_lag", sessionizeLag, Some(sessionizeLagOracle)),
+    QueryDef("train_split", trainSplit, Some(trainSplitOracle)))
 }
