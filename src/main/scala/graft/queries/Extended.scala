@@ -267,13 +267,16 @@ object Extended {
       .select(
         (unix_timestamp(date_trunc("hour", col("ts")))).as("hour_start"),
         col("event_type"))
-    val bounds = ev.agg(
+    // ONE scan of the fact table: bounds and the type dimension both
+    // derive from the (dimension-sized) counts aggregate, not from
+    // separate re-scans
+    val counts = ev.groupBy(col("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(
       min(col("hour_start")).as("lo"), max(col("hour_start")).as("hi"))
     val hours = bounds.select(
       explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_start"))
-    val types = ev.select(col("event_type")).distinct()
-    val counts = ev.groupBy(col("hour_start"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+    val types = counts.select(col("event_type")).distinct()
     hours.crossJoin(types)
       .join(counts, Seq("hour_start", "event_type"), "left")
       .select(
@@ -344,13 +347,17 @@ object Extended {
 
   // --- deterministic train/val/test split (reproducible sampling) ---
 
-  /** Content-hash split assignment: md5 of the stable id decides the
-    * bucket (8/1/1), so the split is reproducible across engines,
-    * runs, partitionings and cluster sizes — the property random()
-    * sampling lacks. Narrow per-row work + one tiny aggregation.
+  /** Content-hash split assignment: the first 16 bits of md5 of the
+    * stable id decide the bucket (8/1/1 to within 65536-value hash
+    * granularity, each bucket within ±0.01% of nominal), so the split
+    * is reproducible across engines, runs, partitionings and cluster
+    * sizes — the property random() sampling lacks. Narrow per-row
+    * work + one tiny aggregation.
     */
   def trainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) % 10
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
     val split = when(bucket < 8, lit("train"))
       .when(bucket === 8, lit("val"))
       .otherwise(lit("test"))
@@ -366,8 +373,8 @@ object Extended {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM (
       |  SELECT CASE
-      |    WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 8 THEN 'train'
-      |    WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 = 8 THEN 'val'
+      |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 8 THEN 'train'
+      |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 = 8 THEN 'val'
       |    ELSE 'test' END AS split, n_chars
       |  FROM documents)
       |GROUP BY split ORDER BY split""".stripMargin

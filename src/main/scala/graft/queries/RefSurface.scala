@@ -116,10 +116,16 @@ object RefSurface {
     // string-concat, NOT to_json(struct(...)): props must embed as a
     // raw JSON object — a struct STRING field would render it as a
     // quoted/escaped JSON *string*, which the ingest path now rejects
-    // by variant type (data must be a dict, socket_server.py:107)
+    // by variant type (data must be a dict, socket_server.py:107).
+    // event_type is JSON-escaped defensively so a quote/backslash in
+    // the data could never silently invalidate lines (and desync the
+    // oracle, which counts raw event_type values).
+    val subsystemEsc = regexp_replace(
+      regexp_replace(col("event_type"), "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\"")
     val line = concat(
       lit("{\"action\": \""), action,
-      lit("\", \"subsystem\": \""), col("event_type"),
+      lit("\", \"subsystem\": \""), subsystemEsc,
       lit("\", \"event\": \"add\", \"data\": "), col("props"),
       lit(", \"id\": \""), col("event_id").cast("string"),
       lit("\"}"))

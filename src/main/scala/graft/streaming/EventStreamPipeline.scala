@@ -35,11 +35,16 @@ object EventStreamPipeline {
     schema_of_variant(c).startsWith("OBJECT")
 
   /** JSON line column -> valid envelope rows, `data` re-serialized to
-    * its JSON text (the reference also delivers json.dumps of the
-    * parsed dict, not the original wire bytes — evtstrd/events.py:
-    * 48-49). The Generate (inline/array) guarantees one parse per
-    * line; invalid JSON yields a null struct whose fields fail the
-    * validity filter.
+    * JSON text. Like the reference, delivery re-serializes the parsed
+    * dict rather than passing original wire bytes (evtstrd/events.py:
+    * 48-49) — but the renderings differ cosmetically: json.dumps
+    * keeps insertion order with ", "/": " separators, while the
+    * variant encoding renders compact separators with keys in
+    * dictionary order. Values are identical; byte layout of the
+    * delivered frame is not guaranteed to match the reference's.
+    * The Generate (inline/array) guarantees one parse per line;
+    * invalid JSON yields a null struct whose fields fail the validity
+    * filter.
     */
   def parseLines(lines: DataFrame): DataFrame =
     lines

@@ -174,7 +174,7 @@ class EndToEndSpec extends AnyFunSuite {
       val body = readAvailable(sub, "event: ping", 10000)
       assert(body.contains("event: ping\r\ndata: \r\n\r\n"))
       server.close()
-      val tail = readAvailable(sub, "0\r\n\r\n", 5000)
+      val tail = readAvailable(sub, "0\r\n\r\n", 15000)
       assert(tail.contains("0\r\n\r\n")) // terminal chunk on drain
       sub.close()
     } finally server.close()
@@ -199,6 +199,15 @@ class EndToEndSpec extends AnyFunSuite {
     try {
       val sub = httpGet(sse.actualPort, "/events?subsystem=race")
       val pre = readAvailable(sub, "event: ping", 15000) // head + immediate ping
+      // drain CONCURRENTLY with the writers: ~80KB of frames would
+      // fill the loopback send buffer and block writeBytes forever if
+      // nobody reads until after join()
+      val drained = new StringBuilder
+      val reader = new Thread(() => {
+        val got = readAvailable(sub, "id: 0-199", 30000)
+        drained.synchronized(drained.append(got))
+      })
+      reader.start()
       // hammer the same connection from many threads, mixing frame
       // deliveries with pings (the reference is single-threaded; we
       // must serialize per connection)
@@ -213,7 +222,8 @@ class EndToEndSpec extends AnyFunSuite {
         })
       }
       threads.foreach(_.start()); threads.foreach(_.join())
-      val body = pre + readAvailable(sub, "id: 0-199", 15000)
+      reader.join()
+      val body = pre + drained.synchronized(drained.toString)
       // re-parse the chunked stream (after the response head): every
       // chunk must frame exactly — payloads here are pure ASCII so
       // byte lengths equal char lengths
