@@ -58,4 +58,27 @@ class BucketingSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
     }
   }
+
+  test("partitioned write is pruned to one partition at read time") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val dir = "/root/testdata/sf0.001"
+    Tables.events(spark, dir)
+      .write.mode("overwrite")
+      .partitionBy("event_type")
+      .parquet(s"$out/events_p")
+    val one = spark.read.parquet(s"$out/events_p")
+      .where(col("event_type") === "purchase")
+    // the directory-partition filter must prune at planning time, not
+    // scan-and-filter: the scan node reports it as a PartitionFilter
+    // and reads only the matching directory
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"),
+      s"partition filter not pushed:\n$scan")
+    val expected = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase").count()
+    assert(one.count() == expected && expected > 0)
+  }
 }
