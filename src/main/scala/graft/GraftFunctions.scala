@@ -37,7 +37,10 @@ object GraftFunctions {
   }
 
   private def pathOf(e: Expression): Seq[String] =
-    literalString(e, "json path").split('.').toSeq
+    // limit -1 keeps trailing empty segments: 'a.' probes ["a",""]
+    // exactly like the filter language (FilterParser splits the same
+    // way), instead of silently collapsing to ["a"]
+    literalString(e, "json path").split("\\.", -1).toSeq
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "evt_filter" -> { args =>

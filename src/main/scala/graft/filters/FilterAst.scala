@@ -85,8 +85,10 @@ object FilterParser {
     case FilterRe(field, opSym, valueStr) =>
       val op = CmpOp.all.find(_.sym == opSym).get
       // -1 limit keeps trailing empty segments: the reference maps
-      // "foo." to jsonget path "foo/" whose empty final segment never
-      // resolves, so the filter parses fine but never matches.
+      // "foo." to jsonget path "foo/", whose empty final segment is a
+      // literal ""-key lookup — it matches only a payload that
+      // actually has an empty-string key there (so in practice it
+      // almost never matches, but it is not a parse error).
       EventFilter(field.split("\\.", -1).toSeq, op, parseValue(valueStr), string)
     case _ =>
       throw new FilterSyntaxException(s"invalid filter '$string'")

@@ -27,16 +27,13 @@ import org.apache.spark.sql.functions._
 object FilterCompiler {
   /** Bracket-style variant path, e.g. `$['foo']['bar']` — field chars
     * are restricted to [a-z-] by the grammar so no quoting is needed.
-    * Empty segments (trailing-dot fields like `foo.`) can't be
-    * expressed in variant path syntax; substitute a key that never
-    * resolves, so the predicate is false (the native probe path,
-    * which is the production default, resolves empty-string keys
-    * exactly like the reference's jsonget).
+    * Empty segments (trailing-dot fields like `foo.`) render as
+    * `['']`, a literal empty-string-key lookup — the same semantics
+    * as the native probe, FilterEval, and the oracle's JSON-Pointer
+    * rendering.
     */
   private def variantPath(path: Seq[String]): String =
-    "$" + path
-      .map(p => if (p.isEmpty) "['__graft_never__']" else s"['$p']")
-      .mkString
+    "$" + path.map(p => s"['$p']").mkString
 
   private val IntSchemas = Seq("TINYINT", "SMALLINT", "INT", "BIGINT")
 

@@ -6,8 +6,15 @@ package graft.filters
   * strict type matching, strict date parsing).
   */
 object FilterOracle {
+  /** JSON *Pointer* rendering (DuckDB accepts both `$.a.b` and
+    * `/a/b`): unlike the `$.`-path syntax, a pointer can address
+    * empty-string keys (`foo.` => `/foo/`), so the oracle resolves
+    * them exactly like the production native probe and FilterEval do.
+    * Grammar restricts segments to [a-z-], so no `~`/`/` escaping is
+    * ever needed.
+    */
   private def jsonPath(path: Seq[String]): String =
-    "$." + path.map(p => "\"" + p + "\"").mkString(".")
+    "/" + path.mkString("/")
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -18,7 +25,6 @@ object FilterOracle {
     val p = jsonPath(f.path)
     val typ = s"json_type($jsonExpr, ${sqlStr(p)})"
     val core = f.value match {
-      case _ if f.path.exists(_.isEmpty) => "false" // trailing-dot field
       case FilterValue.IntVal(n) =>
         // TRY_CAST: a UBIGINT-range payload (> int64) nulls out here
         // and the Spark side's canConvertToLong check matches that

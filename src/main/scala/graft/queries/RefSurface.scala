@@ -175,6 +175,7 @@ object RefSurface {
     "f_date_ge" -> "d>=2024-01-15",
     "f_date_eq" -> "d=2024-01-07",
     "f_nested" -> "nested.k<75",
+    "f_empty_seg" -> "k.<75", // trailing dot = literal ""-key lookup
     "f_missing" -> "nope=1")
 
   def filterLang(spark: SparkSession, dir: String): DataFrame = {
@@ -190,7 +191,13 @@ object RefSurface {
               lit("{\"d\": \"2024-01-"),
               lpad((lit(1) + col("event_id") % 31).cast("string"), 2, "0"),
               lit("\"}"))))
-      .otherwise(concat(lit("{\"nested\": {\"k\": "), kv, lit("}}")))
+      // arm 3 also carries an empty-string key under "k": existing
+      // int/string filters on "k" see an OBJECT (type mismatch =>
+      // false, same as the previous missing-"k"), while the
+      // trailing-dot filter resolves it
+      .otherwise(concat(
+        lit("{\"nested\": {\"k\": "), kv,
+        lit("}, \"k\": {\"\": "), kv, lit("}}")))
     val aggCols = filterBattery.map { case (name, f) =>
       sum(
         graft.filters.FilterCompiler
@@ -208,7 +215,7 @@ object RefSurface {
         | WHEN event_id % 4 = 1 THEN '{"k": "' || (props->>'$.k') || '"}'
         | WHEN event_id % 4 = 2 THEN (CASE WHEN event_id % 11 = 0 THEN '{"d": "2024-02-30"}'
         |   ELSE '{"d": "2024-01-' || lpad(CAST(1 + event_id % 31 AS VARCHAR), 2, '0') || '"}' END)
-        | ELSE '{"nested": {"k": ' || (props->>'$.k') || '}}' END""".stripMargin
+        | ELSE '{"nested": {"k": ' || (props->>'$.k') || '}, "k": {"": ' || (props->>'$.k') || '}}' END""".stripMargin
     val aggs = filterBattery.map { case (name, f) =>
       s"CAST(SUM(CASE WHEN ${FilterOracle.predicate(f, "payload")} THEN 1 ELSE 0 END) AS BIGINT) AS $name"
     }

@@ -25,8 +25,14 @@ object Relational {
     sum(c.cast(DecimalType(18, 2))).cast("double")
   private val SumExactSql = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** Timestamp literal resolved in the SESSION timezone (UTC per
+    * build.sbt/Verify/Bench), not the JVM default —
+    * java.sql.Timestamp.valueOf would shift the boundary on any
+    * non-UTC driver host and silently diverge from the DuckDB
+    * oracle's naive TIMESTAMP literals.
+    */
   private def ts(s: String): Column =
-    lit(java.sql.Timestamp.valueOf(s))
+    to_timestamp(lit(s))
 
   // --- q1: scan + filter + hash aggregation (TPC-H Q1 shape) ---
 

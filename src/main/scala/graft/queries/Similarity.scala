@@ -44,10 +44,17 @@ object Similarity {
   private def cosine(d: Column, na: Column, nb: Column): Column =
     d.cast("double") / sqrt((na * nb).cast("double"))
 
-  /** vec_id, quantized vector, exact squared norm (+ label). */
+  /** vec_id, quantized vector, exact squared norm (+ label).
+    * explode(array(..)) is the Generate barrier that materializes the
+    * quantized vector ONCE per row — without it CollapseProject
+    * inlines the interpreted transform lambda into every reference
+    * (v, both dot operands) and into every downstream consumer.
+    */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), quant(col("embedding")).as("v"))
+      .select(
+        col("vec_id"), col("label"),
+        explode(array(quant(col("embedding")))).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
 
   private val VectorsSql =

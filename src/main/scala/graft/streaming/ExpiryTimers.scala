@@ -40,9 +40,19 @@ object ExpiryTimers {
         rows: Iterator[ConnEvt],
         timerValues: TimerValues): Iterator[ExpiryFrame] = {
       val out = Seq.newBuilder[ExpiryFrame]
-      rows.foreach { e =>
+      // Event-time order within the batch: rows arrive in partition
+      // order, so a connect+disconnect pair landing in one micro-batch
+      // could otherwise process disconnect-first (no terminal chunk,
+      // then a stale timer). Ties: connect before disconnect.
+      val ordered = rows.toSeq.sortBy(e =>
+        (e.ts.getTime, if (e.kind == "connect") 0 else 1))
+      ordered.foreach { e =>
         e.kind match {
           case "connect" =>
+            // a re-connect replaces any previously registered timer —
+            // leaving it live would fire a premature logout
+            if (expireAt.exists() && expireAt.get() >= 0)
+              getHandle.deleteTimer(expireAt.get())
             expireAt.update(e.expireAtMs)
             if (e.expireAtMs >= 0) getHandle.registerTimer(e.expireAtMs)
           case "disconnect" =>

@@ -41,6 +41,12 @@ object ServerConfig {
     out.view.mapValues(_.toMap).toMap
   }
 
+  /** Reads exactly the keys the reference reads (evtstrd/config.py:
+    * 31-53): SocketFile/SocketMode/SocketOwner/SocketGroup/HTTPPort.
+    * The ping interval is deliberately NOT a config-file key there
+    * either (config.py:23 pins the constant); our `--ping-interval`
+    * CLI flag is the only override, as an extension.
+    */
   def readConfig(path: String): ServerConfig = {
     val ini = parseIni(Files.readAllLines(Path.of(path)).asScala.toSeq)
     val g = ini.getOrElse("General", Map.empty)

@@ -266,6 +266,11 @@ final class SseServer(
         "Access-Control-Allow-Credentials" -> "true",
         "Access-Control-Allow-Origin" -> o))
     writeHead(out, 200, "OK", responseHeaders)
+    // Past this point the 200 head is on the wire: never let an
+    // exception bubble to handleConnection's catch-all, which would
+    // write a second response head mid-chunked-stream (a protocol
+    // violation) and leave a registered listener behind. Tear down
+    // cleanly instead.
     val conn = ListenerConn(
       nextListenerId.incrementAndGet(),
       subsystem, filters, rawFilters,
@@ -273,23 +278,29 @@ final class SseServer(
       Option(sock.getInetAddress).map(_.getHostAddress).getOrElse("unknown"),
       headers.get("referer"),
       sock, out)
-    listeners
-      .computeIfAbsent(subsystem, _ => new CopyOnWriteArrayList[ListenerConn]())
-      .add(conn)
-    listenersById.put(conn.id, conn)
-    totalConnections.incrementAndGet()
-    // reference ping_loop writes a ping before its first sleep
-    // (evtstrd/listener.py:72-78): send one immediately so proxies see
-    // bytes right after the 200 head instead of idling a full interval
-    write(conn, ConnectionTimers.PingFrame.getBytes(StandardCharsets.UTF_8))
-    // absolute-time logout timer (listener.py:80-84)
-    expire.foreach { ms =>
-      val delay = math.max(0L, ms - System.currentTimeMillis())
-      scheduler.schedule(
-        new Runnable { def run(): Unit = logout(conn) },
-        delay, TimeUnit.MILLISECONDS)
+    try {
+      listeners
+        .computeIfAbsent(subsystem, _ => new CopyOnWriteArrayList[ListenerConn]())
+        .add(conn)
+      listenersById.put(conn.id, conn)
+      totalConnections.incrementAndGet()
+      // reference ping_loop writes a ping before its first sleep
+      // (evtstrd/listener.py:72-78): send one immediately so proxies see
+      // bytes right after the 200 head instead of idling a full interval
+      write(conn, ConnectionTimers.PingFrame.getBytes(StandardCharsets.UTF_8))
+      // absolute-time logout timer (listener.py:80-84)
+      expire.foreach { ms =>
+        val delay = math.max(0L, ms - System.currentTimeMillis())
+        scheduler.schedule(
+          new Runnable { def run(): Unit = logout(conn) },
+          delay, TimeUnit.MILLISECONDS)
+      }
+      true
+    } catch {
+      case _: Exception =>
+        dropDead(conn) // deregister + close; no further bytes written
+        true // the socket is handled; handleConnection must not reuse it
     }
-    true
   }
 
   private def handleStats(out: OutputStream, headers: Map[String, String]): Unit = {

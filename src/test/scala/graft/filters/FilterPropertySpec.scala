@@ -14,7 +14,7 @@ class FilterPropertySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private val fieldGen: Gen[String] =
-    Gen.oneOf("k", "foo", "foo.bar", "a-b", "deep.er.path")
+    Gen.oneOf("k", "foo", "foo.bar", "a-b", "deep.er.path", "k.", ".k")
   private val opGen: Gen[String] = Gen.oneOf("=", ">", ">=", "<", "<=")
   private val valueGen: Gen[String] = Gen.oneOf(
     Gen.chooseNum(-5L, 105L).map(_.toString),
@@ -42,6 +42,9 @@ class FilterPropertySpec extends AnyFunSuite {
     leafGen.map(v => s"""{"foo": {"bar": $v}}"""),
     leafGen.map(v => s"""{"a-b": $v, "k": 1}"""),
     leafGen.map(v => s"""{"deep": {"er": {"path": $v}}}"""),
+    // empty-string keys: 'k.' / '.k' fields resolve these literally
+    leafGen.map(v => s"""{"k": {"": $v}}"""),
+    leafGen.map(v => s"""{"": {"k": $v}}"""),
     Gen.const("""{"other": 1}"""),
     Gen.const("""not json at all"""))
 
