@@ -73,4 +73,59 @@ class ExpiryTimersSpec extends AnyFunSuite {
         (5L, "0\r\n\r\n", true)))
     } finally q.stop()
   }
+
+  test("connect+disconnect in one batch process in event-time order") {
+    import spark.implicits._
+    val mem = MemoryStream[ConnEvt](spark)
+    val q = ExpiryTimers.process(mem.toDS())
+      .writeStream.format("memory").queryName("expiry_out3")
+      .outputMode("append").start()
+    try {
+      // same micro-batch, disconnect listed FIRST: the processor must
+      // order by event time, emit the terminal chunk, and cancel the
+      // timer — no logout later
+      mem.addData(Seq(
+        ConnEvt(7L, "disconnect", ts(10), -1L),
+        ConnEvt(7L, "connect", ts(0), ms(60))))
+      q.processAllAvailable()
+      mem.addData(Seq(ConnEvt(95L, "connect", ts(120), -1L)))
+      q.processAllAvailable()
+      mem.addData(Seq(ConnEvt(94L, "connect", ts(121), -1L)))
+      q.processAllAvailable()
+      val frames = spark.table("expiry_out3").as[ExpiryFrame].collect().toSeq
+      assert(frames.map(f => (f.connId, f.frame, f.terminal)) == Seq(
+        (7L, "0\r\n\r\n", true)))
+    } finally q.stop()
+  }
+
+  test("re-connect replaces the previous expiry timer") {
+    import spark.implicits._
+    val mem = MemoryStream[ConnEvt](spark)
+    val q = ExpiryTimers.process(mem.toDS())
+      .writeStream.format("memory").queryName("expiry_out4")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(ConnEvt(8L, "connect", ts(0), ms(60))))
+      q.processAllAvailable()
+      // re-auth with a LATER expiry before the first fires
+      mem.addData(Seq(ConnEvt(8L, "connect", ts(10), ms(300))))
+      q.processAllAvailable()
+      // pass the OLD expiry: nothing may fire (old timer replaced)
+      mem.addData(Seq(ConnEvt(93L, "connect", ts(90), -1L)))
+      q.processAllAvailable()
+      mem.addData(Seq(ConnEvt(92L, "connect", ts(91), -1L)))
+      q.processAllAvailable()
+      assert(spark.table("expiry_out4").isEmpty)
+      // pass the NEW expiry: exactly one logout + terminal
+      mem.addData(Seq(ConnEvt(91L, "connect", ts(400), -1L)))
+      q.processAllAvailable()
+      mem.addData(Seq(ConnEvt(90L, "connect", ts(401), -1L)))
+      q.processAllAvailable()
+      val frames = spark.table("expiry_out4").as[ExpiryFrame]
+        .collect().toSeq.sortBy(_.terminal)
+      assert(frames.map(f => (f.connId, f.frame, f.terminal)) == Seq(
+        (8L, ConnectionTimers.LogoutFrame, false),
+        (8L, "0\r\n\r\n", true)))
+    } finally q.stop()
+  }
 }
