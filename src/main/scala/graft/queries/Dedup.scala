@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * takes the lexicographic MIN of md5 hex strings — engine-portable and
   * a legitimate minwise family.
   *
-  * Scale shape (100 TB): shingling is a per-row narrow op; signatures
-  * are one groupBy(doc); LSH banding shuffles by (band, key) — a
-  * *bounded* set of small keys — so candidate generation never does the
-  * O(n²) all-pairs join; only candidates are verified. The exact-
-  * Jaccard verify joins candidates back to shingle sets (co-partitioned
-  * by doc). At cluster scale each stage is a single hash shuffle with
-  * uniform keys; hot shingles can be salted but band keys already
-  * bound bucket sizes.
+  * Scale shape (100 TB): shingling, signatures, set sizes and
+  * fingerprints are all per-row NARROW work over each doc's shingle
+  * array (one-pass codegen kernels — no groupBy(doc) anywhere); LSH
+  * banding shuffles tiny (doc, band, key) rows so candidate
+  * generation never does the O(n²) all-pairs join, and the exact
+  * verify intersects the two candidates' shingle arrays in-row. The
+  * n-gram-Jaccard baseline is the only posting-list (shuffle-by-
+  * shingle) pipeline. At cluster scale each remaining stage is a
+  * single hash shuffle with bounded keys; hot shingles can be salted
+  * but band keys already bound bucket sizes.
   */
 object Dedup {
 
