@@ -91,8 +91,19 @@ object GraftFunctions {
       MinHashSig(args(0), k)
     },
     "ordered_pairs" -> { args =>
-      require(args.length == 1, "ordered_pairs(ids)")
-      OrderedPairs(args(0))
+      require(
+        args.length == 1 || args.length == 2,
+        "ordered_pairs(ids[, maxPairs])")
+      if (args.length == 1) OrderedPairs(args(0))
+      else {
+        val cap = args(1) match {
+          case Literal(v: Int, _) => v.toLong
+          case Literal(v: Long, _) => v
+          case e => throw new IllegalArgumentException(
+            s"maxPairs must be a literal integer, got: $e")
+        }
+        OrderedPairs(args(0), cap)
+      }
     })
 
   /** Register on an existing session. */

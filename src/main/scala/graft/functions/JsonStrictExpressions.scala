@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -16,13 +16,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are pinned by the same corpus + property suites that
   * cover the variant-based compiler.
   */
-abstract class JsonStrictProbe extends UnaryExpression {
+abstract class JsonStrictProbe extends UnaryExpression with ExpectsInputTypes {
   def path: Seq[String]
   protected def helperName: String
   @transient protected lazy val pathArray: Array[String] = path.toArray
 
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
+  // SQL-exposed (json_int_strict / json_string_strict): non-string
+  // arguments fail at analysis time
+  override def inputTypes = Seq(StringType)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial (Rabin-Karp) rolling hash over a string's bytes:
@@ -13,9 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `list_reduce(... (x*31+y) % 1000000007)` over `ord()` values
   * (equal byte-wise for ASCII content).
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // SQL-exposed (rolling_hash): non-string arguments fail at analysis
+  override def inputTypes = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -118,9 +118,13 @@ object TextHashKernel {
 }
 
 /** simhash32 over a token array (see [[TextHashKernel.simhash32]]). */
-case class SimHash32(child: Expression) extends UnaryExpression {
+case class SimHash32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
+  // SQL-exposed: wrong argument types are analysis errors, not
+  // executor ClassCastExceptions (null elements are skipped in eval)
+  override def inputTypes = Seq(ArrayType(StringType))
 
   override def nullSafeEval(input: Any): Any =
     TextHashKernel.simhash32(input.asInstanceOf[ArrayData])
@@ -135,10 +139,11 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
 /** Minwise signature array (see [[TextHashKernel.minhashSig]]). */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(numHashes > 0 && numHashes <= 10, "single-digit hash seeds only")
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(StringType))
 
   override def nullSafeEval(input: Any): Any =
     TextHashKernel.minhashSig(input.asInstanceOf[ArrayData], numHashes)

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
 
 /** Native codegen'd integer-vector kernels for the similarity path.
   * The built-in composition (`aggregate(zip_with(...))`) allocates an
@@ -15,9 +16,17 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * (graft.queries.Similarity), so arithmetic is exact and
   * order-independent.
   */
-abstract class LongVectorKernel extends BinaryExpression {
+abstract class LongVectorKernel extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // analysis-time typing (these kernels are SQL-exposed as vec_dot /
+  // vec_l2sq): wrong argument types fail the query plan, not the
+  // executor; `sameType` is nullability-insensitive, so arrays with
+  // nullable elements still pass (null elements read as 0 via
+  // ArrayData.getLong — same as before). No explicit result type:
+  // AbstractDataType is private[sql], the inferred Seq[ArrayType]
+  // conforms.
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
 
   /** Java statement(s): given array vars `$a`,`$b`, length `$n`,
     * index `$i`, accumulate into long `$s`. */
@@ -76,6 +85,79 @@ case class LongArrayL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-row argmin against a broadcast centroid table: one tight loop
+  * over `array<struct<c_id: long, cv: array<long>>>`, returning the
+  * c_id with the smallest exact L2^2 distance (ties -> smaller c_id,
+  * so the result is independent of centroid array order). This is the
+  * IVF assignment step as narrow per-row work: the crossJoin(N x K
+  * rows) + row_number window it replaces shuffled the expanded table
+  * just to take this argmin. Null/empty centroid set => null (no
+  * assignment), mirroring the argmin-over-nothing semantics.
+  */
+object CentroidKernel {
+  def nearest(v: ArrayData, cents: ArrayData): java.lang.Long = {
+    val k = cents.numElements()
+    var bestD = Long.MaxValue
+    var bestId = Long.MaxValue
+    var found = false
+    var i = 0
+    while (i < k) {
+      if (!cents.isNullAt(i)) {
+        val c = cents.getStruct(i, 2)
+        val cid = c.getLong(0)
+        val cv = c.getArray(1)
+        val n = math.min(v.numElements(), cv.numElements())
+        var d = 0L
+        var j = 0
+        while (j < n) {
+          val t = v.getLong(j) - cv.getLong(j)
+          d += t * t
+          j += 1
+        }
+        if (!found || d < bestD || (d == bestD && cid < bestId)) {
+          bestD = d; bestId = cid; found = true
+        }
+      }
+      i += 1
+    }
+    if (found) bestId else null
+  }
+}
+
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // empty centroid set => null
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(s: StructType, _))
+        if s.length == 2 && s(0).dataType == LongType &&
+          s(1).dataType.isInstanceOf[ArrayType] &&
+          s(1).dataType.asInstanceOf[ArrayType].elementType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid expects (array<long>, array<struct<long, array<long>>>), got ($l, $r)")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CentroidKernel.nearest(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val tmp = ctx.freshName("cid")
+      s"""
+        java.lang.Long $tmp = graft.functions.CentroidKernel.nearest($v, $c);
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(
@@ -83,4 +165,7 @@ object VectorFunctions {
   def l2sqLong(a: Column, b: Column): Column =
     ColumnBridge.column(
       LongArrayL2Sq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def nearestCentroid(v: Column, cents: Column): Column =
+    ColumnBridge.column(
+      NearestCentroid(ColumnBridge.expression(v), ColumnBridge.expression(cents)))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.filters.{FilterCompiler, FilterEval}
+import graft.filters.FilterCompiler
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -51,25 +51,38 @@ object Fanout {
 
   /** Runtime fan-out over a subscriptions DataFrame with columns
     * (sub_id: long, subsystem: string, filters: array<string>).
+    *
+    * No Scala UDF anywhere: the payload is parsed to VARIANT once per
+    * EVENT row (below the join, so N payload parses — not N x subs),
+    * and the residual predicate is the codegen'd
+    * [[graft.functions.VariantFilters]] kernel walking that compact
+    * binary per (event, subscription) pair. Zero filters match
+    * unconditionally, before touching the payload (reference
+    * all([]) == True, evtstrd/listener.py:62) — null/unparseable
+    * payloads still reach every zero-filter subscription.
     */
   def dynamic(
       events: DataFrame,
       subscriptions: DataFrame,
       subsystemCol: Column,
       payloadCol: Column): DataFrame = {
-    // zero filters match unconditionally, before touching the payload
-    // (reference all([]) == True, evtstrd/listener.py:62) — keeps the
-    // dynamic path identical to the compiled one on unparseable data
-    val matches = udf((json: String, filters: Seq[String]) => {
-      val fs = Option(filters).getOrElse(Nil)
-      fs.isEmpty || (json != null && FilterEval.matches(json, fs))
-    })
     // rename the join key to keep the plan unambiguous when the event
     // side also carries a `subsystem` column (the streaming envelope)
     val subs = subscriptions.withColumnRenamed("subsystem", "__sub_subsystem")
+    val fs = subs("filters")
+    val noFilters = fs.isNull || size(fs) === 0
     events
+      // explode(array(..)) is the usual Generate barrier: the parsed
+      // variant materializes once per event row instead of being
+      // inlined into each downstream reference by CollapseProject
+      .withColumn("__payload_variant", explode(array(try_parse_json(payloadCol))))
       .join(broadcast(subs), subsystemCol === subs("__sub_subsystem"))
-      .where(matches(payloadCol, subs("filters")))
-      .drop("__sub_subsystem")
+      .where(
+        noFilters ||
+          coalesce(
+            graft.functions.VariantFilterFunctions
+              .variantFilters(col("__payload_variant"), fs),
+            lit(false)))
+      .drop("__sub_subsystem", "__payload_variant")
   }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication suite over `documents` (north-star gap-fill): exact
   * hash dedup, n-gram Jaccard, MinHash + banded LSH, SimHash. All hash
@@ -54,11 +55,31 @@ object Dedup {
       .select(col("doc_id"), explode(array(sh)).as("arr"))
   }
 
+  /** The (doc_id, shingle-array) relation, persisted DISK_ONLY and
+    * shared by every dedup consumer in the session: ngram_jaccard
+    * references it twice (sizes + posting explode), minhash_lsh three
+    * times (signatures + both candidate-verify sides) — without the
+    * shared persist each reference re-scans `documents` and re-runs
+    * the shingling (5+ scans across the suite; at 100 TB the
+    * shingling is the dominant narrow cost, so materializing it once
+    * is the SCALE.md multi-consumer shape). DISK_ONLY because the
+    * array column is large relative to executor memory at scale;
+    * keyed per (session, dir) so concurrent sessions never share.
+    */
+  private val docarrCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[queries] def docShingleArraysShared(
+      spark: SparkSession, dir: String): DataFrame =
+    docarrCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) => docShingleArrays(s, d).persist(StorageLevel.DISK_ONLY) })
+
   /** One row per (doc, shingle) — the exploded form, for posting-list
     * construction only.
     */
   private[queries] def shingles(spark: SparkSession, dir: String): DataFrame =
-    docShingleArrays(spark, dir)
+    docShingleArraysShared(spark, dir)
       .select(col("doc_id"), explode(col("arr")).as("shingle"))
 
   private val ShinglesSql: String =
@@ -76,12 +97,25 @@ object Dedup {
     * from the (sorted) posting list locally — one shuffle instead of a
     * two-sided self-join, and singleton shingles die in the aggregate
     * before producing any join traffic.
+    *
+    * `hotCap`: opt-in guardrail for the inherent Σ df² pair blowup —
+    * a posting list longer than the cap is DROPPED before expansion
+    * (hot shingles are stopword-class n-grams that contribute little
+    * Jaccard evidence but quadratic join traffic). With the cap, the
+    * per-shingle expansion is bounded by cap², so the whole pipeline
+    * is bounded-bucket like the LSH path. Off (None) the result is
+    * the exact baseline; on, `inter` undercounts by the dropped
+    * shingles (na/nb stay exact), making the capped jacc a documented
+    * LOWER bound — both variants are oracle-checked.
     */
-  private def jaccardPairs(sh: DataFrame, sizes: DataFrame): DataFrame = {
-    val pairs = sh
+  private def jaccardPairs(
+      sh: DataFrame, sizes: DataFrame, hotCap: Option[Int] = None): DataFrame = {
+    val postings = sh
       .groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .where(size(col("ds")) > 1)
+    val capped = hotCap.fold(postings)(c => postings.where(size(col("ds")) <= c))
+    val pairs = capped
       .select(
         explode(graft.functions.PairFunctions.orderedPairs(col("ds"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
@@ -95,16 +129,19 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
   }
 
-  private val JaccSql: String =
-    """sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT a.doc_id a, b.doc_id b, CAST(count(*) AS BIGINT) inter
-      |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |jacc AS (
-      |  SELECT a, b, inter, sa.n na, sb.n nb,
-      |    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) jacc
-      |  FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id)""".stripMargin
+  private def jaccSql(hotCap: Option[Int] = None): String = {
+    val capFilter = hotCap.fold("")(c =>
+      s"\n  AND shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $c)")
+    s"""sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id a, b.doc_id b, CAST(count(*) AS BIGINT) inter
+       |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id$capFilter
+       |  GROUP BY 1, 2),
+       |jacc AS (
+       |  SELECT a, b, inter, sa.n na, sb.n nb,
+       |    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) jacc
+       |  FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id)""".stripMargin
+  }
 
   // --- exact dedup: md5 content groups ---
 
@@ -124,7 +161,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // sizes come narrowly from the per-doc array (arr is distinct, so
     // size(arr) == the distinct-shingle count) — no groupBy(doc) shuffle
-    val sizes = docShingleArrays(spark, dir)
+    val sizes = docShingleArraysShared(spark, dir)
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
     jaccardPairs(shingles(spark, dir), sizes)
       .where(col("jacc") >= 0.3)
@@ -134,7 +171,29 @@ object Dedup {
 
   def ngramJaccardOracle: String =
     s"""WITH $ShinglesSql,
-       |$JaccSql
+       |${jaccSql()}
+       |SELECT a, b, inter, na, nb, jacc FROM jacc
+       |WHERE jacc >= 0.3 ORDER BY a, b""".stripMargin
+
+  /** The guardrail variant: hot shingles (df > 5) dropped before pair
+    * expansion. At 100 TB this bounds each posting list's pair blowup
+    * at cap² where the exact baseline is unbounded; kept as a separate
+    * oracle-checked query so the default stays exact.
+    */
+  private[queries] val HotShingleCap = 5
+
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = docShingleArraysShared(spark, dir)
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
+    jaccardPairs(shingles(spark, dir), sizes, Some(HotShingleCap))
+      .where(col("jacc") >= 0.3)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jacc"))
+      .orderBy("a", "b")
+  }
+
+  def ngramJaccardCappedOracle: String =
+    s"""WITH $ShinglesSql,
+       |${jaccSql(Some(HotShingleCap))}
        |SELECT a, b, inter, na, nb, jacc FROM jacc
        |WHERE jacc >= 0.3 ORDER BY a, b""".stripMargin
 
@@ -150,7 +209,7 @@ object Dedup {
     // instead of re-joining exploded shingle rows. The only wide ops
     // left are the tiny (doc, band, bkey) bucket self-join and the
     // candidate joins back to the per-doc arrays.
-    val docarr = docShingleArrays(spark, dir)
+    val docarr = docShingleArraysShared(spark, dir)
     val sigCols = (0 until NumHashes).map(h =>
       element_at(col("sig"), h + 1).as(s"mh$h"))
     val sig = docarr
@@ -271,6 +330,8 @@ object Dedup {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactDocsOracle)),
     QueryDef("ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    QueryDef(
+      "ngram_jaccard_capped", ngramJaccardCapped, Some(ngramJaccardCappedOracle)),
     QueryDef("minhash_lsh", minhashLsh, Some(minhashLshOracle)),
     QueryDef("simhash", simhash, Some(simhashOracle)))
 }

@@ -13,10 +13,10 @@ import org.apache.spark.sql.types.DecimalType
   * for the DuckDB oracle.
   *
   * Scale notes (100 TB): every aggregation here is partial+final
-  * combinable; the only global-order operator is ntile (inherently a
-  * total order — at cluster scale it range-partitions first, see
-  * SCALE.md); the skew join demonstrates key salting for hot keys too
-  * large to broadcast.
+  * combinable; ntile's total order is computed by histogram rank
+  * arithmetic (see [[ntileBuckets]]) rather than a single-partition
+  * global window; the skew join demonstrates key salting for hot keys
+  * too large to broadcast.
   */
 object Extended {
 
@@ -72,15 +72,97 @@ object Extended {
 
   // --- ntile quartiles over a total order ---
 
+  /** Quartile buckets WITHOUT a global window (the r2 shape was
+    * `ntile(4) over (order by ...)` — Spark funnels the whole table
+    * through ONE partition for an unpartitioned window, a
+    * scale-killer). ntile's per-bucket count is pure arithmetic on the
+    * total row count, and because the ordering is primarily by price,
+    * each bucket's min/max price is an ORDER STATISTIC of the price
+    * multiset at the bucket-boundary ranks. Those 6 interior order
+    * statistics are located with the exact_median histogram trick
+    * (Advanced.exactMedian), two-level so it scales past low-
+    * cardinality columns:
+    *
+    *   1. coarse value histogram (price div 1000 bins) -> each target
+    *      rank's bin, via cumulative bin counts (tiny triangular
+    *      broadcast self-join over ~B bins — no window at all);
+    *   2. exact per-value sub-histogram INSIDE the <=6 boundary bins
+    *      only (each ~n/B rows), windowed per-bin (partitioned, tiny);
+    *   3. rank-interval lookup: the value whose [lo, hi] interval
+    *      covers the target rank is the order statistic.
+    *
+    * Cost at 100 TB: a few narrow single-column scans + KB-sized
+    * aggregates, vs. sorting the table on one reducer. The oracle
+    * still states plain `ntile(4)`.
+    */
   def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.read(spark, dir, "orders")
-      .withColumn("bucket", ntile(4).over(w).cast("long"))
+    val orders = Tables.read(spark, dir, "orders").select(col("o_totalprice").as("p"))
+    val binCol = floor(col("p") / 1000.0).cast("long")
+
+    // coarse histogram + cumulative rank interval [lo, hi] per bin
+    val bins = orders.groupBy(binCol.as("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = bins
+      .join(
+        broadcast(bins.select(col("bin").as("b2"), col("cnt").as("c2"))),
+        col("b2") <= col("bin"))
+      .groupBy(col("bin"), col("cnt"))
+      .agg(sum(col("c2")).as("hi"))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+
+    // the 6 interior boundary ranks: bucket i (1-based) holds
+    // n div 4 (+1 while i <= n % 4) rows, so its last row has global
+    // rank cum_i = i*(n div 4) + least(i, n mod 4); targets are the
+    // (rank, which-bucket, min-or-max) roles of cum_i and cum_i + 1
+    val tot = orders.agg(
+      count(lit(1)).as("n"), min(col("p")).as("gmin"), max(col("p")).as("gmax"))
+    val targets = tot
+      .select(col("n"), explode(expr("array(1L, 2L, 3L)")).as("i"))
+      .withColumn(
+        "cum", col("i") * expr("n div 4") + least(col("i"), expr("n % 4")))
+      .select(explode(array(
+        struct(col("cum").as("r"), col("i").as("bucket"), lit("hi").as("kind")),
+        struct((col("cum") + 1).as("r"), (col("i") + 1).as("bucket"),
+          lit("lo").as("kind")))).as("t"))
+      .select(col("t.r").as("r"), col("t.bucket").as("bucket"), col("t.kind").as("kind"))
+
+    // bins containing a target rank (<= 6 of them), then the exact
+    // per-value histogram inside those bins only; the window is
+    // partitioned by bin and each partition holds ~n/B rows
+    val hotBins = cum
+      .join(broadcast(targets), col("r") >= col("lo") && col("r") <= col("hi"))
+      .select(col("bin"), (col("lo") - 1).as("bin_base"))
+      .distinct()
+    val wb = Window.partitionBy(col("bin")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fine = orders
+      .withColumn("bin", binCol)
+      .join(broadcast(hotBins), "bin")
+      .groupBy(col("bin"), col("bin_base"), col("p"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("fhi", col("bin_base") + sum(col("c")).over(wb))
+      .withColumn("flo", col("fhi") - col("c") + 1)
+    val boundaryVals = fine
+      .join(broadcast(targets), col("r") >= col("flo") && col("r") <= col("fhi"))
       .groupBy(col("bucket"))
       .agg(
-        count(lit(1)).as("n"),
-        min(col("o_totalprice")).as("min_price"),
-        max(col("o_totalprice")).as("max_price"))
+        min(when(col("kind") === "lo", col("p"))).as("lo_val"),
+        max(when(col("kind") === "hi", col("p"))).as("hi_val"))
+
+    // assemble: counts by rank arithmetic; bucket 1 min / bucket 4 max
+    // are the global extremes
+    tot
+      .select(
+        col("n"), col("gmin"), col("gmax"),
+        explode(expr("array(1L, 2L, 3L, 4L)")).as("bucket"))
+      .withColumn(
+        "bn", expr("n div 4") + (col("bucket") <= expr("n % 4")).cast("long"))
+      .where(col("bn") > 0) // n < 4: ntile emits no row for empty buckets
+      .join(broadcast(boundaryVals), Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        col("bn").as("n"),
+        coalesce(col("lo_val"), col("gmin")).as("min_price"),
+        coalesce(col("hi_val"), col("gmax")).as("max_price"))
       .orderBy("bucket")
   }
 

@@ -130,10 +130,11 @@ object RefSurface {
       lit(", \"id\": \""), col("event_id").cast("string"),
       lit("\"}"))
     // valid JSON but data is a number, not an object — the reference
-    // rejects non-dict data (evtstrd/socket_server.py:107)
+    // rejects non-dict data (evtstrd/socket_server.py:107); subsystem
+    // gets the same defensive escaping as the main line
     val scalarDataLine = concat(
       lit("{\"action\": \"notify\", \"subsystem\": \""),
-      col("event_type"),
+      subsystemEsc,
       lit("\", \"event\": \"add\", \"data\": "),
       col("event_id").cast("string"),
       lit(", \"id\": \""),
@@ -178,6 +179,25 @@ object RefSurface {
     "f_empty_seg" -> "k.<75", // trailing dot = literal ""-key lookup
     "f_missing" -> "nope=1")
 
+  /** Conjunctions + out-of-int64 literals, the riskiest corners of the
+    * semantics: mixed-type conjunctions must collapse to false via
+    * strict typing (a key is never both int and string), and huge
+    * literals hit the [[graft.filters.FilterCompiler.hugeLiteralMatches]]
+    * domain-reasoning branch (every int64 payload is below a huge
+    * positive literal / above a huge negative one; equality never
+    * holds). Each case is counted on BOTH the native codegen-probe
+    * path and the variant path (suffix `_v`), so the oracle pins the
+    * two production evaluation strategies independently.
+    */
+  val conjBattery: Seq[(String, Seq[String])] = Seq(
+    "c_int_range" -> Seq("k>=10", "k<90"),
+    "c_mixed_types" -> Seq("k>=10", "k<'90'"), // strictness: always 0
+    "c_nested_range" -> Seq("nested.k>10", "nested.k<75"),
+    "c_huge_conj" -> Seq("k<9223372036854775808", "k>=50"),
+    "f_huge_lt" -> Seq("k<9223372036854775808"), // 2^63: any int matches
+    "f_huge_gt_neg" -> Seq("k>-9223372036854775809"),
+    "f_huge_eq" -> Seq("k=99999999999999999999")) // equality: always 0
+
   def filterLang(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val kv = get_json_object(col("props"), "$.k")
@@ -203,8 +223,23 @@ object RefSurface {
         graft.filters.FilterCompiler
           .compile(graft.filters.FilterParser.parse(f), col("payload"))
           .cast("long")).as(name)
+    } ++ conjBattery.flatMap { case (name, fs) =>
+      Seq(
+        sum(
+          graft.filters.FilterCompiler
+            .compileAll(fs, col("payload"))
+            .cast("long")).as(name),
+        sum(
+          coalesce(
+            graft.filters.FilterCompiler.compileAllOnVariant(fs, col("pv")),
+            lit(false))
+            .cast("long")).as(s"${name}_v"))
     }
     ev.select(col("event_id"), payload.as("payload"))
+      // Generate barrier: the variant parses once per row; inlining
+      // try_parse_json into every try_variant_get reference would cost
+      // one parse per predicate leaf
+      .select(col("payload"), explode(array(try_parse_json(col("payload")))).as("pv"))
       .agg(aggCols.head, aggCols.tail: _*)
   }
 
@@ -218,6 +253,11 @@ object RefSurface {
         | ELSE '{"nested": {"k": ' || (props->>'$.k') || '}, "k": {"": ' || (props->>'$.k') || '}}' END""".stripMargin
     val aggs = filterBattery.map { case (name, f) =>
       s"CAST(SUM(CASE WHEN ${FilterOracle.predicate(f, "payload")} THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+    } ++ conjBattery.flatMap { case (name, fs) =>
+      val pred = FilterOracle.predicateAll(fs, "payload")
+      Seq(
+        s"CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS $name",
+        s"CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS ${name}_v")
     }
     s"WITH p AS (SELECT $payload AS payload FROM events)\n" +
       s"SELECT ${aggs.mkString(",\n  ")} FROM p"

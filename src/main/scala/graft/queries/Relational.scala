@@ -386,9 +386,13 @@ object Relational {
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
   /** Sketch aggregation: HyperLogLog++ distinct counts next to exact
-    * ones. No DuckDB oracle (sketch internals are engine-specific);
-    * the driver records a rows-only check and RelationalSpec bounds
-    * the estimation error.
+    * ones. Sketch internals are engine-specific, so the raw estimates
+    * can't hash-match DuckDB; instead the output carries the exact
+    * counts plus booleans asserting the HLL++ estimates stay inside
+    * their error bounds (3x the configured rsd), which the oracle
+    * states as constant TRUE — if an estimate ever drifted out of
+    * bounds the hash compare would go red. QueriesSpec additionally
+    * bounds the raw estimates.
     */
   def sketchDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -396,8 +400,22 @@ object Relational {
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+        approx_count_distinct(col("event_id"), 0.02).as("approx_events"),
+        countDistinct(col("event_id")).as("exact_events"))
+      .select(
+        col("event_type"), col("exact_users"), col("exact_events"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.15).as("users_in_bounds"),
+        (abs(col("approx_events") - col("exact_events")) <=
+          col("exact_events") * 0.06).as("events_in_bounds"))
       .orderBy("event_type")
+
+  def sketchDistinctOracle: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_events,
+      |  TRUE AS users_in_bounds, TRUE AS events_in_bounds
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Two-phase salted aggregation: the skew pattern for low-cardinality
     * hot keys (5 event types over the whole table would hash to 5
@@ -425,7 +443,7 @@ object Relational {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("sketch_distinct", sketchDistinct, None),
+    QueryDef("sketch_distinct", sketchDistinct, Some(sketchDistinctOracle)),
     QueryDef("salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("q1_agg", q1Agg, Some(q1Oracle)),
     QueryDef("q3_topk", q3TopK, Some(q3Oracle)),

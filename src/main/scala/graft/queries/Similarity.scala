@@ -124,17 +124,23 @@ object Similarity {
 
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir)
+    // The K centroids collapse to ONE row carrying the whole centroid
+    // array; broadcast-nested-loop against that single row appends the
+    // array to each vector row without expanding it (the r2 shape
+    // crossJoined N x K rows and hash-shuffled them through a
+    // row_number window just to take this argmin). Assignment is then
+    // a narrow per-row codegen kernel (ties -> smaller c_id, matching
+    // the oracle's ORDER BY d2, c_id): zero shuffles, no row
+    // expansion — the scan side never exchanges.
     val cents = vecs.where(col("vec_id") % 53 === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    // assign every vector to its nearest centroid (exact integer L2^2)
-    val d2 = graft.functions.VectorFunctions.l2sqLong(col("v"), col("cv"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+      .agg(collect_list(struct(col("vec_id").as("c_id"), col("v").as("cv")))
+        .as("cents"))
     val assigned = vecs
       .crossJoin(broadcast(cents))
-      .withColumn("d2", d2)
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id").as("cell"))
+      .withColumn(
+        "cell",
+        graft.functions.VectorFunctions.nearestCentroid(col("v"), col("cents")))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
     val queries = assigned.where(col("vec_id") < 10)
       .select(
         col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),

@@ -53,6 +53,7 @@ class FilterPropertySpec extends AnyFunSuite {
       g.apply(Gen.Parameters.default, rng.Seed(42L + seedOffset + i)))
 
   test("compiled Column == reference evaluator on 60 filters x 120 docs") {
+    import org.apache.spark.sql.functions.{array, coalesce, lit, try_parse_json}
     import spark.implicits._
     val filters = sample(filterGen, 60, 0).distinct
     val docs = sample(docGen, 120, 1000).distinct
@@ -64,16 +65,23 @@ class FilterPropertySpec extends AnyFunSuite {
           .select(
             col("j"),
             FilterCompiler.compile(parsed, col("j")).as("native"),
-            FilterCompiler.compileVariant(parsed, col("j")).as("variant"))
+            FilterCompiler.compileVariant(parsed, col("j")).as("variant"),
+            // the dynamic fan-out's filters-as-data kernel: same
+            // semantics with the filter string arriving at runtime
+            coalesce(
+              graft.functions.VariantFilterFunctions.variantFilters(
+                try_parse_json(col("j")), array(lit(f))),
+              lit(false)).as("kernel"))
           .collect()
-          .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2)))
+          .map(r =>
+            r.getString(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
           .toMap
         for (d <- docs) {
           val want = FilterEval.matches(d, Seq(f))
-          val (nat, vrt) = got(d)
+          val (nat, vrt, krn) = got(d)
           assert(
-            nat == want && vrt == want,
-            s"filter [$f] doc [$d]: native=$nat variant=$vrt model=$want")
+            nat == want && vrt == want && krn == want,
+            s"filter [$f] doc [$d]: native=$nat variant=$vrt kernel=$krn model=$want")
         }
       }
     } finally df.unpersist()

@@ -21,25 +21,61 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("every query has oracle SQL except declared sketch ops") {
+  test("every query has oracle SQL") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == Set("sketch_distinct"), s"unexpected: $missing")
+    assert(missing.isEmpty, s"missing oracle: $missing")
   }
 
-  test("HLL sketch estimates within 10% of exact distinct counts") {
-    val rows = Relational.sketchDistinct(spark, dir)
+  test("HLL sketch estimates within bounds (and bounds-booleans true)") {
+    import org.apache.spark.sql.functions._
+    // raw estimates, tighter than the oracle-checked 3x-rsd booleans
+    val raw = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
       .collect()
-    assert(rows.nonEmpty)
-    for (r <- rows) {
+    assert(raw.nonEmpty)
+    for (r <- raw) {
       val approx = r.getAs[Long]("approx_users").toDouble
       val exact = r.getAs[Long]("exact_users").toDouble
       assert(math.abs(approx - exact) / exact <= 0.1,
         s"approx=$approx exact=$exact")
     }
+    val rows = Relational.sketchDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Boolean]("users_in_bounds"), r.toString)
+      assert(r.getAs[Boolean]("events_in_bounds"), r.toString)
+    }
   }
 
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("capped ngram_jaccard engages on hot shingles and lower-bounds the exact run") {
+    import org.apache.spark.sql.functions._
+    // the cap must actually drop something at this SF, or the variant
+    // proves nothing
+    val maxDf = Dedup.shingles(spark, dir)
+      .groupBy("shingle").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxDf > Dedup.HotShingleCap, s"maxDf=$maxDf never exceeds cap")
+    val full = Dedup.ngramJaccard(spark, dir)
+      .select("a", "b", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val capped = Dedup.ngramJaccardCapped(spark, dir)
+      .select("a", "b", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped.nonEmpty)
+    // capped inter only loses dropped-shingle evidence, so capped jacc
+    // <= exact jacc: every surviving pair is in the exact result with
+    // at-least-equal intersection
+    for ((p, i) <- capped) {
+      assert(full.contains(p), s"pair $p not in exact result")
+      assert(i <= full(p), s"pair $p: capped inter $i > exact ${full(p)}")
+    }
   }
 
   test("compiled and dynamic fan-out agree") {
