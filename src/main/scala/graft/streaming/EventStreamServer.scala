@@ -31,9 +31,10 @@ final class EventStreamServer(
     auth: SseServer.AuthPlugin = SseServer.AllowAll,
     socketMode: Option[Int] = None,
     socketOwner: Option[String] = None,
-    socketGroup: Option[String] = None) {
+    socketGroup: Option[String] = None,
+    tls: Option[(String, String)] = None) {
 
-  val sse = new SseServer(httpPort, pingIntervalSec, auth)
+  val sse = new SseServer(httpPort, pingIntervalSec, auth, tls)
 
   private val reader = spark.readStream.format("graft.sources.EvtStreamSource")
   socketPath.foreach(p => reader.option("path", p))

@@ -18,12 +18,19 @@ import org.apache.spark.sql.streaming._
   */
 object ExpiryTimers {
 
-  /** kind: connect | disconnect; expireAtMs < 0 => no expiry. */
+  /** kind: connect | disconnect; expireAtMs < 0 => no expiry.
+    * `seq` is a producer-side monotonic sequence number that breaks
+    * same-millisecond ties in TRUE arrival order — inferring order
+    * from kind (connect-first) replays a same-ms disconnect-then-
+    * reconnect as connect-then-disconnect, deleting the new session's
+    * timer and emitting a spurious terminal chunk.
+    */
   final case class ConnEvt(
       connId: Long,
       kind: String,
       ts: java.sql.Timestamp,
-      expireAtMs: Long)
+      expireAtMs: Long,
+      seq: Long = 0L)
 
   final case class ExpiryFrame(connId: Long, frame: String, terminal: Boolean)
 
@@ -43,9 +50,10 @@ object ExpiryTimers {
       // Event-time order within the batch: rows arrive in partition
       // order, so a connect+disconnect pair landing in one micro-batch
       // could otherwise process disconnect-first (no terminal chunk,
-      // then a stale timer). Ties: connect before disconnect.
-      val ordered = rows.toSeq.sortBy(e =>
-        (e.ts.getTime, if (e.kind == "connect") 0 else 1))
+      // then a stale timer). Same-ms ties break by the producer's
+      // monotonic sequence number — true arrival order, covering both
+      // connect-then-disconnect AND disconnect-then-reconnect.
+      val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.seq))
       ordered.foreach { e =>
         e.kind match {
           case "connect" =>

@@ -15,7 +15,17 @@ final case class ServerConfig(
     socketGroup: Option[String] = None,
     httpPort: Int = 8888,
     pingIntervalSec: Long = 20L,
-    debug: Boolean = false)
+    certFile: Option[String] = None,
+    keyFile: Option[String] = None,
+    authPlugin: Option[String] = None,
+    debug: Boolean = false) {
+
+  /** TLS only when BOTH files are configured (evtstrd/config.py:26-28
+    * `with_ssl`).
+    */
+  def tls: Option[(String, String)] =
+    for (c <- certFile; k <- keyFile) yield (c, k)
+}
 
 object ServerConfig {
   val DefaultConfigFile = "/etc/eventstreamd.conf"
@@ -42,10 +52,12 @@ object ServerConfig {
   }
 
   /** Reads exactly the keys the reference reads (evtstrd/config.py:
-    * 31-53): SocketFile/SocketMode/SocketOwner/SocketGroup/HTTPPort.
-    * The ping interval is deliberately NOT a config-file key there
-    * either (config.py:23 pins the constant); our `--ping-interval`
-    * CLI flag is the only override, as an extension.
+    * 31-53): SocketFile/SocketMode/SocketOwner/SocketGroup/
+    * SSLCertificateFile/SSLKeyFile/HTTPPort (empty string => unset,
+    * matching the reference's `fallback=""` + truthiness check). The
+    * ping interval is deliberately NOT a config-file key there either
+    * (config.py:23 pins the constant); `--ping-interval` and the
+    * `AuthPlugin` key are our only extensions.
     */
   def readConfig(path: String): ServerConfig = {
     val ini = parseIni(Files.readAllLines(Path.of(path)).asScala.toSeq)
@@ -57,7 +69,10 @@ object ServerConfig {
         .getOrElse(Integer.parseInt("600", 8)),
       socketOwner = g.get("SocketOwner").filter(_.nonEmpty),
       socketGroup = g.get("SocketGroup").filter(_.nonEmpty),
-      httpPort = g.get("HTTPPort").map(_.toInt).getOrElse(8888))
+      httpPort = g.get("HTTPPort").map(_.toInt).getOrElse(8888),
+      certFile = g.get("SSLCertificateFile").filter(_.nonEmpty),
+      keyFile = g.get("SSLKeyFile").filter(_.nonEmpty),
+      authPlugin = g.get("AuthPlugin").filter(_.nonEmpty))
   }
 
   /** CLI parity with the reference: `-c/--config-file`, `-s/--socket`,
@@ -112,11 +127,16 @@ object ServerMain {
       socketPath = Some(cfg.socketFile),
       httpPort = cfg.httpPort,
       pingIntervalSec = cfg.pingIntervalSec,
+      auth = cfg.authPlugin
+        .map(AuthPluginLoader.load)
+        .getOrElse(SseServer.AllowAll),
       socketMode = Some(cfg.socketMode),
       socketOwner = cfg.socketOwner,
-      socketGroup = cfg.socketGroup)
+      socketGroup = cfg.socketGroup,
+      tls = cfg.tls)
     println(s"eventstreamdspark listening: socket=${cfg.socketFile} " +
-      s"http=${server.sse.actualPort} ping=${cfg.pingIntervalSec}s")
+      s"http${if (cfg.tls.isDefined) "s" else ""}=${server.sse.actualPort} " +
+      s"ping=${cfg.pingIntervalSec}s")
     sys.addShutdownHook(server.close())
     server.query.awaitTermination()
   }

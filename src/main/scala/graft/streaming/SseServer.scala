@@ -61,20 +61,46 @@ object SseServer {
       * so we serialize per connection instead. The chunk is
       * pre-rendered to one buffer and written with a single locked
       * write+flush so HTTP/1.1 chunked framing can never interleave.
+      *
+      * [[writeStart]] marks an in-flight blocking write: a peer that
+      * stops reading (TCP zero window, no RST) eventually blocks
+      * write() forever, wedging whichever shared thread hit it first
+      * and starving every other connection's pings/logouts. The
+      * server's watchdog closes the socket of any write stuck past
+      * the timeout, which unblocks the writer with an IOException
+      * => dropDead.
       */
     private[streaming] val writeLock = new Object
+    private[streaming] val writeStart = new AtomicLong(0L)
     private[streaming] def writeBytes(b: Array[Byte]): Unit =
-      writeLock.synchronized { out.write(b); out.flush() }
+      writeLock.synchronized {
+        writeStart.set(System.currentTimeMillis())
+        try { out.write(b); out.flush() }
+        finally writeStart.set(0L)
+      }
   }
 }
 
 final class SseServer(
     port: Int = 0,
     pingIntervalSec: Long = 20L,
-    auth: SseServer.AuthPlugin = SseServer.AllowAll) {
+    auth: SseServer.AuthPlugin = SseServer.AllowAll,
+    tls: Option[(String, String)] = None,
+    writeTimeoutMs: Long = 10_000L) {
   import SseServer._
 
-  private val server = new ServerSocket()
+  /** With (certFile, keyFile) configured the accept socket is an
+    * SSLServerSocket (reference: optional `ssl_context` passed to
+    * `asyncio.start_server`, evtstrd/http_server.py:49-56); the
+    * handshake happens lazily on first read/write of each accepted
+    * connection, and everything above the socket layer is unchanged.
+    */
+  private val server: ServerSocket = tls match {
+    case Some((certFile, keyFile)) =>
+      Tls.serverContext(certFile, keyFile)
+        .getServerSocketFactory.createServerSocket()
+    case None => new ServerSocket()
+  }
   server.bind(new InetSocketAddress("127.0.0.1", port))
   def actualPort: Int = server.getLocalPort
 
@@ -92,6 +118,30 @@ final class SseServer(
   scheduler.scheduleAtFixedRate(
     () => pingAll(),
     pingIntervalSec, pingIntervalSec, TimeUnit.SECONDS)
+
+  /** Write watchdog on its OWN thread: the shared scheduler pool is
+    * exactly what a wedged subscriber can starve (a blocking write in
+    * pingAll plus a blocked expiry logout occupy both threads), so the
+    * reaper must never share it. Closing the stuck connection's socket
+    * out-of-band unblocks its writer with an IOException, whose normal
+    * error path deregisters the listener (dropDead).
+    */
+  private val writeWatchdog = Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, "sse-write-watchdog"); t.setDaemon(true); t
+  })
+  private val watchdogPeriodMs = math.max(writeTimeoutMs / 4, 50L)
+  writeWatchdog.scheduleAtFixedRate(
+    () => reapStuckWriters(),
+    watchdogPeriodMs, watchdogPeriodMs, TimeUnit.MILLISECONDS)
+
+  private def reapStuckWriters(): Unit =
+    for (l <- allListeners) {
+      val started = l.writeStart.get()
+      if (started > 0 && System.currentTimeMillis() - started > writeTimeoutMs) {
+        try l.socket.close()
+        catch { case _: Exception => () }
+      }
+    }
 
   private val acceptThread = new Thread(() => {
     while (running.get()) {
@@ -431,6 +481,7 @@ final class SseServer(
     running.set(false)
     allListeners.foreach(disconnect)
     scheduler.shutdownNow()
+    writeWatchdog.shutdownNow()
     try server.close()
     catch { case _: Exception => () }
   }

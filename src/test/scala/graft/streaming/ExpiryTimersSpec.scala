@@ -98,6 +98,45 @@ class ExpiryTimersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("same-millisecond disconnect then reconnect keeps the new session live") {
+    import spark.implicits._
+    val mem = MemoryStream[ConnEvt](spark)
+    val q = ExpiryTimers.process(mem.toDS())
+      .writeStream.format("memory").queryName("expiry_out5")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(ConnEvt(9L, "connect", ts(0), ms(60), seq = 0L)))
+      q.processAllAvailable()
+      // SAME millisecond: disconnect (seq 1) then re-connect (seq 2).
+      // A kind-based tie-break replays this as connect-then-disconnect,
+      // deleting the NEW session's timer and leaving the live
+      // connection with no expiry.
+      mem.addData(Seq(
+        ConnEvt(9L, "disconnect", ts(10), -1L, seq = 1L),
+        ConnEvt(9L, "connect", ts(10), ms(300), seq = 2L)))
+      q.processAllAvailable()
+      // past the OLD expiry: only the disconnect's terminal chunk so far
+      mem.addData(Seq(ConnEvt(89L, "connect", ts(120), -1L)))
+      q.processAllAvailable()
+      mem.addData(Seq(ConnEvt(88L, "connect", ts(121), -1L)))
+      q.processAllAvailable()
+      assert(
+        spark.table("expiry_out5").as[ExpiryFrame].collect().toSeq
+          .map(f => (f.connId, f.terminal)) == Seq((9L, true)))
+      // past the NEW session's expiry: its logout must still fire
+      mem.addData(Seq(ConnEvt(87L, "connect", ts(400), -1L)))
+      q.processAllAvailable()
+      mem.addData(Seq(ConnEvt(86L, "connect", ts(401), -1L)))
+      q.processAllAvailable()
+      val frames = spark.table("expiry_out5").as[ExpiryFrame]
+        .collect().toSeq.map(f => (f.connId, f.frame, f.terminal)).sorted
+      assert(frames == Seq(
+        (9L, "0\r\n\r\n", true),
+        (9L, "0\r\n\r\n", true),
+        (9L, ConnectionTimers.LogoutFrame, false)).sorted)
+    } finally q.stop()
+  }
+
   test("re-connect replaces the previous expiry timer") {
     import spark.implicits._
     val mem = MemoryStream[ConnEvt](spark)
