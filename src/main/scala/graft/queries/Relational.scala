@@ -401,7 +401,12 @@ object Relational {
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("event_id"), 0.02).as("approx_events"),
-        countDistinct(col("event_id")).as("exact_events"))
+        // event_id is the table's primary key, so COUNT(*) ==
+        // COUNT(DISTINCT event_id); a second countDistinct column
+        // would force an Expand (x2 rows) for no information. The
+        // oracle deliberately states COUNT(DISTINCT event_id): if
+        // uniqueness ever broke, this row would go red.
+        count(lit(1)).as("exact_events"))
       .select(
         col("event_type"), col("exact_users"), col("exact_events"),
         (abs(col("approx_users") - col("exact_users")) <=
