@@ -12,7 +12,8 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     RefSurface.defs ++ Relational.defs ++ TextAnalysis.defs ++
       Dedup.defs ++ Similarity.defs ++ StreamingWindows.defs ++
-      MultimodalQueries.defs ++ Advanced.defs ++ Extended.defs
+      MultimodalQueries.defs ++ Advanced.defs ++ Extended.defs ++
+      TrainingPipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -158,6 +158,76 @@ case class NearestCentroid(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Element-wise sum of `array<long>` vectors as a typed imperative
+  * AGGREGATE — the building block for distributed centroid updates
+  * (k-means M-step): partial buffers sum map-side, merge is
+  * element-wise add, so a 100 TB E-step/M-step round is one
+  * map-side-combinable shuffle of K x dim longs. Quantized integer
+  * arithmetic keeps the result exact and order-independent (no float
+  * reduction nondeterminism across partitionings). The buffer sizes
+  * itself lazily to the first vector's length.
+  */
+case class LongVectorSum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val b = if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+      var i = 0
+      while (i < n) { b(i) += arr.getLong(i); i += 1 }
+      b
+    }
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    // always merge INTO (a copy of) b1 — the framework may reuse the
+    // input buffer
+    val b =
+      if (b1.length >= b2.length) b1 else java.util.Arrays.copyOf(b1, b2.length)
+    var i = 0
+    while (i < b2.length) { b(i) += b2(i); i += 1 }
+    b
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LongVectorSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LongVectorSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): LongVectorSum =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(
@@ -168,4 +238,7 @@ object VectorFunctions {
   def nearestCentroid(v: Column, cents: Column): Column =
     ColumnBridge.column(
       NearestCentroid(ColumnBridge.expression(v), ColumnBridge.expression(cents)))
+  def vecSum(v: Column): Column =
+    ColumnBridge.column(
+      LongVectorSum(ColumnBridge.expression(v)).toAggregateExpression())
 }

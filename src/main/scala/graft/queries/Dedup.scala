@@ -82,7 +82,7 @@ object Dedup {
     docShingleArraysShared(spark, dir)
       .select(col("doc_id"), explode(col("arr")).as("shingle"))
 
-  private val ShinglesSql: String =
+  private[queries] val ShinglesSql: String =
     """toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') t
       |  FROM documents),

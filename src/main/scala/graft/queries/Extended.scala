@@ -95,9 +95,19 @@ object Extended {
     * aggregates, vs. sorting the table on one reducer. The oracle
     * still states plain `ntile(4)`.
     */
-  def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.read(spark, dir, "orders").select(col("o_totalprice").as("p"))
-    val binCol = floor(col("p") / 1000.0).cast("long")
+  def ntileBuckets(spark: SparkSession, dir: String): DataFrame =
+    quartileBuckets(
+      Tables.read(spark, dir, "orders").select(col("o_totalprice").as("p")),
+      binWidth = 1000.0)
+
+  /** The reusable core: quartiles of a single-column (`p`) relation.
+    * `binWidth` trades coarse-histogram size against boundary-bin
+    * size; property-checked against Spark's own window ntile on
+    * random data (QueriesSpec).
+    */
+  private[queries] def quartileBuckets(
+      orders: DataFrame, binWidth: Double): DataFrame = {
+    val binCol = floor(col("p") / binWidth).cast("long")
 
     // coarse histogram + cumulative rank interval [lo, hi] per bin
     val bins = orders.groupBy(binCol.as("bin")).agg(count(lit(1)).as("cnt"))

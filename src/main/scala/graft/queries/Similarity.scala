@@ -179,6 +179,97 @@ object Similarity {
        |SELECT q_id, rnk, vec_id AS neighbor, cos FROM ranked
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  // --- IVF with one Lloyd (k-means) refinement of the centroids ---
+
+  /** The production IVF build: deterministic seeding (every 53rd
+    * vector) followed by one distributed Lloyd iteration — E-step
+    * assigns every vector to its nearest centroid with the zero-
+    * shuffle broadcast-argmin kernel, M-step recomputes each cell's
+    * element-wise mean with the [[graft.functions.LongVectorSum]]
+    * aggregate (map-side-combinable: one shuffle of K x dim longs) —
+    * then searches the refined cells exactly like [[knnIvf]].
+    *
+    * Rounding is floor(x + 0.5) on an exact-integer double quotient:
+    * bit-identical in both engines (IEEE division of integers < 2^53,
+    * no HALF_UP-vs-HALF_EVEN library drift).
+    */
+  def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    def centArr(df: DataFrame): DataFrame =
+      df.agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    def assign(cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn(
+          "cell",
+          graft.functions.VectorFunctions.nearestCentroid(col("v"), col("cents")))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val seeds = centArr(
+      vecs.where(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    // M-step: element-wise integer mean per cell (cell id carries over)
+    val refined = centArr(
+      assign(seeds)
+        .groupBy(col("cell"))
+        .agg(
+          graft.functions.VectorFunctions.vecSum(col("v")).as("s"),
+          count(lit(1)).as("cnt"))
+        .select(
+          col("cell").as("c_id"),
+          transform(
+            col("s"),
+            x => floor(x.cast("double") / col("cnt") + 0.5).cast("long"))
+            .as("cv")))
+    val assigned = assign(refined)
+    val queries = assigned.where(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell").as("q_cell"))
+    val scored = assigned
+      .join(
+        broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor"), col("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
+  def knnIvfKmeansOracle: String = {
+    def l2(v: String, cv: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($v) + 1), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i]))) AS BIGINT)"
+    def assignSql(cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, v, nrm, c_id cell FROM (
+         |    SELECT vn.vec_id, vn.v, vn.nrm, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id ORDER BY ${l2("v", "cv")}, c_id) arn
+         |    FROM vn CROSS JOIN $cents) WHERE arn = 1)""".stripMargin
+    s"""WITH $VectorsSql,
+       |seeds AS (SELECT vec_id c_id, v cv FROM vn WHERE vec_id % 53 = 0),
+       |${assignSql("seeds", "a0")},
+       |m1 AS (
+       |  SELECT cell, i,
+       |    CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) mu
+       |  FROM a0, unnest(range(1, 65)) t(i)
+       |  GROUP BY cell, i),
+       |refined AS (
+       |  SELECT cell c_id, list(mu ORDER BY i) cv FROM m1 GROUP BY cell),
+       |${assignSql("refined", "a1")},
+       |q AS (SELECT vec_id q_id, v qv, nrm qn, cell q_cell FROM a1 WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    CAST(${dotSql("qv", "v")} AS DOUBLE) / sqrt(CAST(qn * nrm AS DOUBLE)) cos
+       |  FROM a1 JOIN q ON cell = q_cell AND vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, vec_id AS neighbor, cos FROM ranked
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
   // --- LSH-bucketed approximate top-k (random hyperplane signs) ---
 
   /** 8 deterministic ±1 hyperplanes (md5-seeded, materialized as
@@ -245,5 +336,6 @@ object Similarity {
     QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("knn_ivf", knnIvf, Some(knnIvfOracle)),
+    QueryDef("knn_ivf_kmeans", knnIvfKmeans, Some(knnIvfKmeansOracle)),
     QueryDef("knn_lsh", knnLsh, Some(knnLshOracle)))
 }

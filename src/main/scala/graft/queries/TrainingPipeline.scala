@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-data pipeline operators past the dedup/similarity core:
+  * eval-set decontamination (cross-split n-gram overlap), stratified
+  * reproducible sampling (per-class rates), and sequence-length
+  * bucketing for batch packing. All reproducible by content hash —
+  * never `rand()` — so results are identical across engines, runs,
+  * partitionings and cluster sizes.
+  */
+object TrainingPipeline {
+
+  /** Content-hash split (same rule as `train_split`): md5 of the
+    * stable id, first 16 bits, mod 10; buckets 0-7 train, 8-9 eval.
+    */
+  private def isTrain(idCol: org.apache.spark.sql.Column) =
+    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10 < 8
+
+  private val IsTrainSql =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 8"
+
+  /** Decontamination: for each EVAL document, the train document
+    * sharing the most 3-gram shingles with it (reported when >= 3
+    * shared — the standard "n-gram collision" leakage check run
+    * before training on any corpus that might contain the eval set).
+    *
+    * Scale shape: shingle sides reuse the shared persisted doc-array
+    * relation; the overlap join is a posting-list equi-join on
+    * shingle (never doc x doc), partial+final counted on
+    * (eval_doc, train_doc); the top-1 window partitions by eval_doc
+    * (high cardinality, even spread). Eval is ~20% of docs, so the
+    * join's build side is the smaller shingle stream.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(spark, dir)
+      .withColumn("is_train", isTrain(col("doc_id")))
+    val trainSh = sh.where(col("is_train"))
+      .select(col("shingle"), col("doc_id").as("train_doc"))
+    val evalSh = sh.where(!col("is_train"))
+      .select(col("shingle"), col("doc_id").as("eval_doc"))
+    val overlap = evalSh.join(trainSh, "shingle")
+      .groupBy(col("eval_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("shared"))
+    val w = Window.partitionBy(col("eval_doc"))
+      .orderBy(col("shared").desc, col("train_doc"))
+    overlap
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1 && col("shared") >= 3)
+      .select(
+        col("eval_doc"),
+        col("train_doc").as("worst_train_doc"),
+        col("shared").as("shared_ngrams"))
+      .orderBy("eval_doc")
+  }
+
+  def decontaminateOracle: String =
+    s"""WITH ${Dedup.ShinglesSql},
+       |lab AS (SELECT doc_id, $IsTrainSql AS is_train FROM documents),
+       |tr AS (SELECT s.shingle, s.doc_id train_doc FROM sh s JOIN lab USING (doc_id) WHERE is_train),
+       |ev AS (SELECT s.shingle, s.doc_id eval_doc FROM sh s JOIN lab USING (doc_id) WHERE NOT is_train),
+       |ov AS (
+       |  SELECT eval_doc, train_doc, CAST(count(*) AS BIGINT) shared
+       |  FROM ev JOIN tr USING (shingle) GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_doc ORDER BY shared DESC, train_doc) rnk
+       |  FROM ov)
+       |SELECT eval_doc, train_doc AS worst_train_doc, shared AS shared_ngrams
+       |FROM rk WHERE rnk = 1 AND shared >= 3 ORDER BY eval_doc""".stripMargin
+
+  /** Stratified sampling with per-class rates (class rebalancing:
+    * downsample the over-represented event types hard, keep the rare
+    * ones) — the hash-gate makes it a pushdown-able narrow filter, so
+    * at 100 TB the sample never materializes the unsampled rows past
+    * the scan.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val gate =
+      conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    val rate = when(col("event_type") === "view", 2)
+      .when(col("event_type") === "click", 10)
+      .otherwise(50)
+    Tables.events(spark, dir)
+      .where(gate < rate)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  def stratifiedSampleOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) n_sampled,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) total_value
+      |FROM events
+      |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
+      |  CASE event_type WHEN 'view' THEN 2 WHEN 'click' THEN 10 ELSE 50 END
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Sequence-length bucketing for batch packing: documents binned to
+    * power-of-2 token-count buckets; per bucket the doc count, token
+    * total, and packing efficiency (fraction of a bucket-width-padded
+    * batch that is real tokens — the number a packing scheduler
+    * optimizes). Narrow per-row work + one tiny aggregation.
+    */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+      .cast("long")
+    Tables.read(spark, dir, "documents")
+      .select(toks.as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      // bucket cap = next power of two >= n_tokens. Integer-exact via
+      // the binary bit width of (n-1) — a float log2/power formula can
+      // flip a bucket at exact powers of two if the engines' log
+      // implementations differ by an ulp
+      .withColumn(
+        "bucket_cap",
+        when(col("n_tokens") === 1, lit(1L))
+          .otherwise(
+            call_function(
+              "shiftleft", lit(1L), length(bin(col("n_tokens") - 1)).cast("int"))
+              .cast("long")))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn(
+        "packing_efficiency",
+        col("total_tokens").cast("double") / (col("n_docs") * col("bucket_cap")))
+      .orderBy("bucket_cap")
+  }
+
+  def lengthBucketsOracle: String =
+    """WITH t AS (
+      |  SELECT CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT n_tokens,
+      |    CASE WHEN n_tokens = 1 THEN 1
+      |      ELSE 1::BIGINT << length(bin(n_tokens - 1)) END AS bucket_cap
+      |  FROM t WHERE n_tokens > 0)
+      |SELECT bucket_cap, CAST(COUNT(*) AS BIGINT) n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) total_tokens,
+      |  CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * bucket_cap) packing_efficiency
+      |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("decontaminate", decontaminate, Some(decontaminateOracle)),
+    QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
+    QueryDef("length_buckets", lengthBuckets, Some(lengthBucketsOracle)))
+}

@@ -73,6 +73,49 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("vec_sum aggregate == per-element model across partitionings") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = Seq.fill(257)( // odd count: uneven partials
+      (rnd.nextInt(5).toLong, Seq.fill(dim)(rnd.nextInt(2001) - 1000L)))
+    val expected = rows.groupBy(_._1).view.mapValues { vs =>
+      (0 until dim).map(i => vs.map(_._2(i)).sum)
+    }.toMap
+    // several partitionings exercise update/merge/serialize paths
+    for (parts <- Seq(1, 3, 32)) {
+      val got = rows.toDF("k", "v")
+        .repartition(parts)
+        .groupBy(col("k"))
+        .agg(VectorFunctions.vecSum(col("v")).as("s"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1))
+        .toMap
+      assert(got.view.mapValues(_.toSeq).toMap ==
+        expected.view.mapValues(_.toSeq).toMap, s"parts=$parts")
+    }
+  }
+
+  test("nearest_centroid kernel: argmin with smallest-id tie-break, null on empty") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def vec(xs: Long*) = ArrayData.toArrayData(xs.toArray)
+    def cent(id: Long, xs: Long*): InternalRow =
+      new GenericInternalRow(Array[Any](id, vec(xs: _*)))
+    val cents = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](cent(5L, 0L, 0L), cent(2L, 3L, 4L), cent(9L, 0L, 0L)))
+    // (1,1): d2 to (0,0)=2, to (3,4)=13 — nearest is (0,0); ids 5 and 9
+    // tie on the same point => smaller id wins
+    assert(CentroidKernel.nearest(vec(1L, 1L), cents) == 5L)
+    assert(CentroidKernel.nearest(vec(3L, 3L), cents) == 2L)
+    assert(
+      CentroidKernel.nearest(
+        vec(1L, 1L),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])) == null)
+  }
+
   test("kernels agree between interpreted eval and codegen paths") {
     // force the interpreted path via the kernel helpers directly
     import org.apache.spark.sql.catalyst.util.ArrayData

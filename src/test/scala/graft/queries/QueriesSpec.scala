@@ -54,6 +54,41 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("histogram quartiles == window ntile on random data (ties, skew, tiny n)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // shapes that stress the rank arithmetic: heavy ties (few distinct
+    // values), values straddling bin edges, n % 4 != 0, n < 4
+    val datasets = Seq(
+      Seq.fill(1000)(rnd.nextInt(7).toDouble), // massive ties
+      Seq.fill(997)(rnd.nextDouble() * 5000.0), // n % 4 = 1
+      Seq.fill(250)(math.floor(rnd.nextDouble() * 10) * 1000.0), // on edges
+      Seq.fill(3)(rnd.nextDouble() * 100.0), // n < 4
+      Seq.fill(500)(42.0)) // one single value
+    for ((data, i) <- datasets.zipWithIndex) {
+      val df = data.toDF("p")
+      val got = Extended.quartileBuckets(df, binWidth = 100.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      // ntile model in plain Scala (NOT a Spark global window, which
+      // would put the very warning the histogram shape exists to avoid
+      // into the test logs): bucket i of 4 gets n/4 (+1 while i <=
+      // n%4) consecutive rows of the sorted column
+      val sorted = data.sorted
+      val n = sorted.size
+      var idx = 0
+      val want = (1 to 4).flatMap { b =>
+        val sz = n / 4 + (if (b <= n % 4) 1 else 0)
+        if (sz == 0) None
+        else {
+          val slice = sorted.slice(idx, idx + sz)
+          idx += sz
+          Some((b.toLong, sz.toLong, slice.head, slice.last))
+        }
+      }
+      assert(got.toSeq == want, s"dataset $i (n=${data.size})")
+    }
+  }
+
   test("capped ngram_jaccard engages on hot shingles and lower-bounds the exact run") {
     import org.apache.spark.sql.functions._
     // the cap must actually drop something at this SF, or the variant
