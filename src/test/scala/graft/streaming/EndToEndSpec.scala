@@ -131,6 +131,42 @@ class EndToEndSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("full pipeline over TLS: producer socket -> SSE delivery on https") {
+    def fixture(name: String): String =
+      getClass.getResource(s"/tls/$name").getPath
+    val sockPath = s"/tmp/graft-evt-tls-${System.nanoTime()}.sock"
+    val server = new EventStreamServer(
+      spark, socketPath = Some(sockPath), pingIntervalSec = 3600,
+      tls = Some((fixture("cert.pem"), fixture("key.pem"))))
+    try {
+      val sock = Tls.clientContext(fixture("cert.pem"))
+        .getSocketFactory
+        .createSocket("127.0.0.1", server.sse.actualPort)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      sock.startHandshake()
+      val w = new OutputStreamWriter(sock.getOutputStream, StandardCharsets.US_ASCII)
+      w.write("GET /events?subsystem=jobs&filter=k%3C%3D50 HTTP/1.1\r\nHost: x\r\n\r\n")
+      w.flush()
+      assert(readAvailable(sock, "\r\n\r\n").startsWith("HTTP/1.1 200 OK"))
+
+      val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+      ch.connect(UnixDomainSocketAddress.of(sockPath))
+      val pw = new OutputStreamWriter(
+        Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+      pw.write(
+        """{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": 7}, "id": "t1"}""" + "\n")
+      pw.flush()
+      val deadline = System.currentTimeMillis() + 15000
+      while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < 1
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      server.processAllAvailable()
+
+      val body = readAvailable(sock, "id: t1")
+      assert(body.contains("event: add\r\ndata: {\"k\":7}\r\nid: t1"))
+      ch.close(); sock.close()
+    } finally server.close()
+  }
+
   test("a dead subscriber socket does not break delivery to others") {
     val sockPath = s"/tmp/graft-dead-${System.nanoTime()}.sock"
     val server = new EventStreamServer(
