@@ -108,7 +108,7 @@ object Dedup {
     * shingles (na/nb stay exact), making the capped jacc a documented
     * LOWER bound — both variants are oracle-checked.
     */
-  private def jaccardPairs(
+  private[queries] def jaccardPairs(
       sh: DataFrame, sizes: DataFrame, hotCap: Option[Int] = None): DataFrame = {
     val postings = sh
       .groupBy(col("shingle"))
@@ -129,7 +129,7 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
   }
 
-  private def jaccSql(hotCap: Option[Int] = None): String = {
+  private[queries] def jaccSql(hotCap: Option[Int] = None): String = {
     val capFilter = hotCap.fold("")(c =>
       s"\n  AND shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $c)")
     s"""sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),

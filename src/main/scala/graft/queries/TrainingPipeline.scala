@@ -147,8 +147,84 @@ object TrainingPipeline {
       |  CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * bucket_cap) packing_efficiency
       |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
 
+  /** The C4-style cleaning funnel, composed from the suite's own
+    * pieces: length gate -> quality-score gate (the text_quality
+    * formula) -> near-dup removal (exact-Jaccard >= 0.5 losers, the
+    * ngram_jaccard pipeline over the shared shingle relation; the
+    * larger doc_id of each pair loses). One funnel row: survivors at
+    * each stage plus the kept token mass — the report a corpus-prep
+    * run publishes before training.
+    *
+    * Scale shape: the gates are narrow per-row work; the loser list
+    * is the dedup pipeline's output (bounded as analyzed there),
+    * joined back as a broadcast-able keep-list.
+    */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val docs = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), explode(array(toksCol)).as("t"))
+    val stopArr = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+    val nTok = size(col("t")).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long")
+    val nStop = size(filter(col("t"), x => array_contains(stopArr, x))).cast("long")
+    val score = when(nTok === 0 || nChars === 0, lit(0.0)).otherwise(
+      nStop.cast("double") / nTok +
+        nPunct.cast("double") / nChars +
+        least(nTok.cast("double") / 100.0, lit(1.0)))
+    val scored = docs.select(col("doc_id"), nTok.as("n_tokens"), score.as("score"))
+    val sizes = Dedup.docShingleArraysShared(spark, dir)
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
+    val losers = Dedup.jaccardPairs(Dedup.shingles(spark, dir), sizes)
+      .where(col("jacc") >= 0.5)
+      .select(col("b").as("doc_id"))
+      .distinct()
+      .withColumn("is_loser", lit(true))
+    scored
+      .join(losers, Seq("doc_id"), "left")
+      .withColumn("len_ok", col("n_tokens") >= 20)
+      .withColumn("q_ok", col("len_ok") && col("score") >= 0.35)
+      .withColumn("kept", col("q_ok") && col("is_loser").isNull)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("len_ok").cast("long")).as("n_len_ok"),
+        sum(col("q_ok").cast("long")).as("n_quality_ok"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(lit(0L)))
+          .as("kept_tokens"))
+  }
+
+  def corpusCleanOracle: String =
+    s"""WITH ${Dedup.ShinglesSql},
+       |${Dedup.jaccSql()},
+       |losers AS (SELECT DISTINCT b AS doc_id FROM jacc WHERE jacc >= 0.5),
+       |q AS (SELECT doc_id,
+       |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) n_tokens,
+       |  CAST(length(text) AS BIGINT) n_chars,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) n_punct,
+       |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> list_contains(['the','a','and','of','to','in'], x))) AS BIGINT) n_stop
+       | FROM documents),
+       |s AS (SELECT doc_id, n_tokens,
+       |  CASE WHEN n_tokens = 0 OR n_chars = 0 THEN 0.0
+       |    ELSE CAST(n_stop AS DOUBLE) / n_tokens + CAST(n_punct AS DOUBLE) / n_chars
+       |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) END AS score
+       | FROM q),
+       |f AS (SELECT s.doc_id, n_tokens,
+       |  (n_tokens >= 20) len_ok,
+       |  (n_tokens >= 20 AND score >= 0.35) q_ok,
+       |  (n_tokens >= 20 AND score >= 0.35 AND l.doc_id IS NULL) kept
+       | FROM s LEFT JOIN losers l ON s.doc_id = l.doc_id)
+       |SELECT CAST(COUNT(*) AS BIGINT) n_total,
+       |  CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) n_len_ok,
+       |  CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) n_quality_ok,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+       |  CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) kept_tokens
+       |FROM f""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("decontaminate", decontaminate, Some(decontaminateOracle)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
-    QueryDef("length_buckets", lengthBuckets, Some(lengthBucketsOracle)))
+    QueryDef("length_buckets", lengthBuckets, Some(lengthBucketsOracle)),
+    QueryDef("corpus_clean", corpusClean, Some(corpusCleanOracle)))
 }
