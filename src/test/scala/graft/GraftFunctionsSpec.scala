@@ -65,6 +65,22 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("ordered_pairs maxPairs cap and type checking") {
+    // explicit cap form: a 3-element list expands to 3 pairs > cap 2
+    val e = intercept[Exception](
+      spark.sql("SELECT ordered_pairs(array(3L, 1L, 2L), 2)").collect())
+    assert(e.getMessage.contains("cap or filter hot keys")
+      || Option(e.getCause).exists(_.getMessage.contains("cap or filter hot keys")))
+    // cap large enough: normal expansion
+    val ok = spark.sql("SELECT ordered_pairs(array(3L, 1L, 2L), 10)").head()
+      .getSeq[org.apache.spark.sql.Row](0).map(p => (p.getLong(0), p.getLong(1)))
+    assert(ok == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // wrong element type fails at analysis, not in the executor
+    val t = intercept[Exception](
+      spark.sql("SELECT ordered_pairs(array('a', 'b'))").collect())
+    assert(t.getMessage.toLowerCase.contains("type"))
+  }
+
   test("non-literal filter string is rejected at plan time") {
     import spark.implicits._
     Seq(("""{"k": 1}""", "k<=50")).toDF("j", "f")
