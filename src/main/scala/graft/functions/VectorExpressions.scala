@@ -95,7 +95,16 @@ case class LongArrayL2Sq(left: Expression, right: Expression)
   * assignment), mirroring the argmin-over-nothing semantics.
   */
 object CentroidKernel {
-  def nearest(v: ArrayData, cents: ArrayData): java.lang.Long = {
+  def nearest(v: ArrayData, cents: ArrayData): java.lang.Long =
+    nearestExcluding(v, cents, Long.MinValue)
+
+  /** Argmin skipping `exclude` — rank-2 retrieval for multi-probe
+    * search composes as nearest + nearestExcluding(nearest), with the
+    * same (d2, c_id) tie-break as `ROW_NUMBER() OVER (ORDER BY d2,
+    * c_id)`. Pass Long.MinValue (never a real id) for plain argmin.
+    */
+  def nearestExcluding(
+      v: ArrayData, cents: ArrayData, exclude: Long): java.lang.Long = {
     val k = cents.numElements()
     var bestD = Long.MaxValue
     var bestId = Long.MaxValue
@@ -105,23 +114,64 @@ object CentroidKernel {
       if (!cents.isNullAt(i)) {
         val c = cents.getStruct(i, 2)
         val cid = c.getLong(0)
-        val cv = c.getArray(1)
-        val n = math.min(v.numElements(), cv.numElements())
-        var d = 0L
-        var j = 0
-        while (j < n) {
-          val t = v.getLong(j) - cv.getLong(j)
-          d += t * t
-          j += 1
-        }
-        if (!found || d < bestD || (d == bestD && cid < bestId)) {
-          bestD = d; bestId = cid; found = true
+        if (cid != exclude) {
+          val cv = c.getArray(1)
+          val n = math.min(v.numElements(), cv.numElements())
+          var d = 0L
+          var j = 0
+          while (j < n) {
+            val t = v.getLong(j) - cv.getLong(j)
+            d += t * t
+            j += 1
+          }
+          if (!found || d < bestD || (d == bestD && cid < bestId)) {
+            bestD = d; bestId = cid; found = true
+          }
         }
       }
       i += 1
     }
     if (found) bestId else null
   }
+}
+
+/** Second-probe argmin: nearest centroid whose id differs from the
+  * third argument (typically the first probe's result).
+  */
+case class NearestCentroidExcluding(
+    first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    NearestCentroid(first, second).checkInputDataTypes() match {
+      case TypeCheckResult.TypeCheckSuccess if third.dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case TypeCheckResult.TypeCheckSuccess =>
+        TypeCheckResult.TypeCheckFailure(
+          s"exclude id must be bigint, got ${third.dataType}")
+      case fail => fail
+    }
+
+  override def nullSafeEval(v: Any, c: Any, e: Any): Any =
+    CentroidKernel.nearestExcluding(
+      v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      e.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c, e) => {
+      val tmp = ctx.freshName("cid")
+      s"""
+        java.lang.Long $tmp = graft.functions.CentroidKernel.nearestExcluding($v, $c, $e);
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 case class NearestCentroid(left: Expression, right: Expression)
@@ -238,6 +288,11 @@ object VectorFunctions {
   def nearestCentroid(v: Column, cents: Column): Column =
     ColumnBridge.column(
       NearestCentroid(ColumnBridge.expression(v), ColumnBridge.expression(cents)))
+  def nearestCentroidExcluding(v: Column, cents: Column, exclude: Column): Column =
+    ColumnBridge.column(
+      NearestCentroidExcluding(
+        ColumnBridge.expression(v), ColumnBridge.expression(cents),
+        ColumnBridge.expression(exclude)))
   def vecSum(v: Column): Column =
     ColumnBridge.column(
       LongVectorSum(ColumnBridge.expression(v)).toAggregateExpression())

@@ -179,6 +179,77 @@ object Similarity {
        |SELECT q_id, rnk, vec_id AS neighbor, cos FROM ranked
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  // --- multi-probe IVF: queries search their 2 nearest cells ---
+
+  /** The recall knob of IVF search: the candidate set stays
+    * cell-restricted (here 2/K of the data instead of 1/K) while the
+    * scan side is still assigned once with the zero-shuffle argmin.
+    * The second probe is the `NearestCentroidExcluding` kernel —
+    * identical tie-break to rank 2 of the oracle's ROW_NUMBER — and
+    * probing explodes only the 10 query rows, never the scan side.
+    */
+  def knnIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val cents = vecs.where(col("vec_id") % 53 === 0)
+      .agg(collect_list(struct(col("vec_id").as("c_id"), col("v").as("cv")))
+        .as("cents"))
+    val assigned = vecs
+      .crossJoin(broadcast(cents))
+      .withColumn(
+        "cell",
+        graft.functions.VectorFunctions.nearestCentroid(col("v"), col("cents")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val queries = vecs.where(col("vec_id") < 10)
+      .crossJoin(broadcast(cents))
+      .withColumn(
+        "c1",
+        graft.functions.VectorFunctions.nearestCentroid(col("v"), col("cents")))
+      .withColumn(
+        "c2",
+        graft.functions.VectorFunctions
+          .nearestCentroidExcluding(col("v"), col("cents"), col("c1")))
+      .select(
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(col("c1"), col("c2"))).as("q_cell"))
+    val scored = assigned
+      .join(
+        broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor"), col("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
+  def knnIvfProbe2Oracle: String =
+    s"""WITH $VectorsSql,
+       |cents AS (SELECT vec_id c_id, v cv FROM vn WHERE vec_id % 53 = 0),
+       |dists AS (
+       |  SELECT vn.vec_id, vn.v, vn.nrm, c_id,
+       |    CAST(list_sum(list_transform(range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS BIGINT) d2
+       |  FROM vn CROSS JOIN cents),
+       |ranked_cells AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) arn
+       |  FROM dists),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, c_id cell FROM ranked_cells WHERE arn = 1),
+       |q AS (
+       |  SELECT vec_id q_id, v qv, nrm qn, c_id q_cell
+       |  FROM ranked_cells WHERE vec_id < 10 AND arn <= 2),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    CAST(${dotSql("qv", "v")} AS DOUBLE) / sqrt(CAST(qn * nrm AS DOUBLE)) cos
+       |  FROM assigned JOIN q ON cell = q_cell AND vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, vec_id AS neighbor, cos FROM ranked
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   // --- IVF with one Lloyd (k-means) refinement of the centroids ---
 
   /** The production IVF build: deterministic seeding (every 53rd
@@ -337,5 +408,6 @@ object Similarity {
     QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("knn_ivf_kmeans", knnIvfKmeans, Some(knnIvfKmeansOracle)),
+    QueryDef("knn_ivf_probe2", knnIvfProbe2, Some(knnIvfProbe2Oracle)),
     QueryDef("knn_lsh", knnLsh, Some(knnLshOracle)))
 }

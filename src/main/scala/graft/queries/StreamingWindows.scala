@@ -94,8 +94,56 @@ object StreamingWindows {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Stream-stream interval join semantics (click -> purchase by the
+    * same user within 30 minutes AFTER the click), stated as the
+    * banded equi-join: both sides bucket to 30-minute slots and join
+    * on (user, slot) with the purchase side exploded to {slot,
+    * slot-1}, so each qualifying pair matches exactly once and the
+    * join key stays hashable — no O(n²) theta join, and the same
+    * banding is the state-cleanup story under watermarks. The LIVE
+    * watermarked interval join runs in StreamingPipelineSpec and is
+    * asserted equal to the batch plan; here the semantics are
+    * oracle-checked (the oracle states the naive theta join).
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 1800000000L // 30 minutes in micros
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(
+        col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_us"))
+      .withColumn("slot", expr(s"c_us div $W"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("pslot", expr(s"p_us div $W"))
+      .select(
+        col("user_id"), col("purchase_id"), col("p_us"),
+        explode(array(col("pslot"), col("pslot") - 1)).as("slot"))
+    clicks
+      .join(purchases, Seq("user_id", "slot"))
+      .where(col("p_us") >= col("c_us") && col("p_us") - col("c_us") <= W)
+      .select(
+        col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_us") - col("c_us")).as("dt_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  def streamJoinOracle: String =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id,
+      |  p.event_id AS purchase_id,
+      |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS dt_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND epoch_us(CAST(p.ts AS TIMESTAMP)) >= epoch_us(CAST(c.ts AS TIMESTAMP))
+      |  AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 1800000000
+      |ORDER BY user_id, click_id, purchase_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("stream_tumbling", streamTumbling, Some(streamTumblingOracle)),
     QueryDef("stream_sliding", streamSliding, Some(streamSlidingOracle)),
-    QueryDef("stream_sessions", streamSessions, Some(streamSessionsOracle)))
+    QueryDef("stream_sessions", streamSessions, Some(streamSessionsOracle)),
+    QueryDef("stream_join", streamJoin, Some(streamJoinOracle)))
 }
