@@ -182,7 +182,7 @@ object TrainingPipeline {
       .distinct()
       .withColumn("is_loser", lit(true))
     scored
-      .join(losers, Seq("doc_id"), "left")
+      .join(broadcast(losers), Seq("doc_id"), "left")
       .withColumn("len_ok", col("n_tokens") >= 20)
       .withColumn("q_ok", col("len_ok") && col("score") >= 0.35)
       .withColumn("kept", col("q_ok") && col("is_loser").isNull)
