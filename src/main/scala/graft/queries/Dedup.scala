@@ -257,9 +257,13 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  def minhashLshOracle: String =
-    s"""WITH $ShinglesSql,
-       |hashed AS (
+  /** The LSH candidate->verify chain as reusable CTE text ending in
+    * `lshpairs(a, b, jacc)` (jacc >= 0.5) — shared by the
+    * minhash_lsh oracle and consumers of the dedup keep-list
+    * (corpus_clean).
+    */
+  private[queries] val MinhashPairsCtes: String =
+    s"""hashed AS (
        |  SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '|' || shingle)) mh
        |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) h)
        |  GROUP BY doc_id, h),
@@ -275,11 +279,16 @@ object Dedup {
        |inter AS (
        |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) inter
        |  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
-       |  GROUP BY c.a, c.b)
-       |SELECT i.a, i.b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) jacc
-       |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
-       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
-       |ORDER BY a, b""".stripMargin
+       |  GROUP BY c.a, c.b),
+       |lshpairs AS (
+       |  SELECT i.a, i.b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) jacc
+       |  FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)""".stripMargin
+
+  def minhashLshOracle: String =
+    s"""WITH $ShinglesSql,
+       |$MinhashPairsCtes
+       |SELECT a, b, jacc FROM lshpairs ORDER BY a, b""".stripMargin
 
   // --- SimHash fingerprints (32-bit, md5-hexchar-parity bits) ---
 

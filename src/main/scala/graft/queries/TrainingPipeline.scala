@@ -149,15 +149,16 @@ object TrainingPipeline {
 
   /** The C4-style cleaning funnel, composed from the suite's own
     * pieces: length gate -> quality-score gate (the text_quality
-    * formula) -> near-dup removal (exact-Jaccard >= 0.5 losers, the
-    * ngram_jaccard pipeline over the shared shingle relation; the
-    * larger doc_id of each pair loses). One funnel row: survivors at
-    * each stage plus the kept token mass — the report a corpus-prep
-    * run publishes before training.
+    * formula) -> near-dup removal via the PRODUCTION dedup path (the
+    * MinHash+LSH pipeline's verified jacc >= 0.5 pairs; the larger
+    * doc_id of each pair loses). One funnel row: survivors at each
+    * stage plus the kept token mass — the report a corpus-prep run
+    * publishes before training.
     *
     * Scale shape: the gates are narrow per-row work; the loser list
-    * is the dedup pipeline's output (bounded as analyzed there),
-    * joined back as a broadcast-able keep-list.
+    * is the LSH dedup output (bounded band buckets, never all-pairs —
+    * the ngram_jaccard exhaustive baseline exists separately for
+    * exactness), joined back as an explicitly broadcast keep-list.
     */
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
     val toksCol = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
@@ -174,10 +175,7 @@ object TrainingPipeline {
         nPunct.cast("double") / nChars +
         least(nTok.cast("double") / 100.0, lit(1.0)))
     val scored = docs.select(col("doc_id"), nTok.as("n_tokens"), score.as("score"))
-    val sizes = Dedup.docShingleArraysShared(spark, dir)
-      .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
-    val losers = Dedup.jaccardPairs(Dedup.shingles(spark, dir), sizes)
-      .where(col("jacc") >= 0.5)
+    val losers = Dedup.minhashLsh(spark, dir)
       .select(col("b").as("doc_id"))
       .distinct()
       .withColumn("is_loser", lit(true))
@@ -197,8 +195,8 @@ object TrainingPipeline {
 
   def corpusCleanOracle: String =
     s"""WITH ${Dedup.ShinglesSql},
-       |${Dedup.jaccSql()},
-       |losers AS (SELECT DISTINCT b AS doc_id FROM jacc WHERE jacc >= 0.5),
+       |${Dedup.MinhashPairsCtes},
+       |losers AS (SELECT DISTINCT b AS doc_id FROM lshpairs),
        |q AS (SELECT doc_id,
        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) n_tokens,
        |  CAST(length(text) AS BIGINT) n_chars,
