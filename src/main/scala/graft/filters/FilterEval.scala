@@ -29,8 +29,11 @@ object FilterEval extends Serializable {
     }
   }
 
-  /** Python code-point string comparison (== UTF-8 byte order). */
-  private def cmpCodePoints(a: String, b: String): Int = {
+  /** Python code-point string comparison (== UTF-8 byte order).
+    * Shared with [[VariantFilterEval]] — the comparison convention
+    * must never diverge between the evaluators.
+    */
+  private[filters] def cmpCodePoints(a: String, b: String): Int = {
     val ai = a.codePoints().iterator()
     val bi = b.codePoints().iterator()
     while (ai.hasNext && bi.hasNext) {
@@ -40,7 +43,7 @@ object FilterEval extends Serializable {
     java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
   }
 
-  private def applyOp(op: CmpOp, c: Int): Boolean = op match {
+  private[filters] def applyOp(op: CmpOp, c: Int): Boolean = op match {
     case CmpOp.Eq => c == 0
     case CmpOp.Gt => c > 0
     case CmpOp.Ge => c >= 0

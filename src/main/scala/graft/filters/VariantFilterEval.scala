@@ -40,24 +40,11 @@ object VariantFilterEval extends Serializable {
     }
   }
 
-  /** Python code-point string comparison (== UTF-8 byte order). */
-  private def cmpCodePoints(a: String, b: String): Int = {
-    val ai = a.codePoints().iterator()
-    val bi = b.codePoints().iterator()
-    while (ai.hasNext && bi.hasNext) {
-      val c = Integer.compare(ai.nextInt(), bi.nextInt())
-      if (c != 0) return c
-    }
-    java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
-  }
-
-  private def applyOp(op: CmpOp, c: Int): Boolean = op match {
-    case CmpOp.Eq => c == 0
-    case CmpOp.Gt => c > 0
-    case CmpOp.Ge => c >= 0
-    case CmpOp.Lt => c < 0
-    case CmpOp.Le => c <= 0
-  }
+  // comparison convention + op dispatch are FilterEval's — one source
+  // of truth for both evaluators
+  private def cmpCodePoints(a: String, b: String): Int =
+    FilterEval.cmpCodePoints(a, b)
+  private def applyOp(op: CmpOp, c: Int): Boolean = FilterEval.applyOp(op, c)
 
   /** Each segment must land on an object field; missing => null
     * (evtstrd/filters.py:22-27).

@@ -68,7 +68,12 @@ case class OrderedPairs(
     child: Expression,
     maxPairs: Long = PairKernel.DefaultMaxPairs)
     extends UnaryExpression with ExpectsInputTypes {
-  require(maxPairs > 0, "maxPairs must be positive")
+  // the upper bound keeps nPairs.toInt from wrapping negative — a cap
+  // past Int.MaxValue would reintroduce the NegativeArraySizeException
+  // this guard exists to replace
+  require(
+    maxPairs > 0 && maxPairs <= Int.MaxValue.toLong,
+    s"maxPairs must be in (0, ${Int.MaxValue}]")
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("a", LongType, nullable = false),

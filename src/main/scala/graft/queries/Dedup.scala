@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -69,11 +71,30 @@ object Dedup {
   private val docarrCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Like any persisted Spark relation this is SNAPSHOT-semantics: a
+    * rewrite of the parquet under `dir` during the session keeps
+    * serving the first materialization (call [[invalidateShared]] to
+    * drop it). Entries of stopped sessions are purged on access so a
+    * long-lived JVM cycling sessions doesn't pin dead contexts or
+    * their disk blocks.
+    */
   private[queries] def docShingleArraysShared(
-      spark: SparkSession, dir: String): DataFrame =
+      spark: SparkSession, dir: String): DataFrame = {
+    val stale =
+      docarrCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(docarrCache.remove)
     docarrCache.computeIfAbsent(
       (spark, dir),
       { case (s, d) => docShingleArrays(s, d).persist(StorageLevel.DISK_ONLY) })
+  }
+
+  /** Drop (and unpersist) the shared relation for `dir`, e.g. after
+    * rewriting the underlying table.
+    */
+  def invalidateShared(spark: SparkSession, dir: String): Unit = {
+    val df = docarrCache.remove((spark, dir))
+    if (df != null) df.unpersist()
+  }
 
   /** One row per (doc, shingle) — the exploded form, for posting-list
     * construction only.

@@ -447,9 +447,7 @@ object Extended {
     * work + one tiny aggregation.
     */
   def trainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 10
+    val bucket = ContentHash.bucket(col("doc_id"), 10)
     val split = when(bucket < 8, lit("train"))
       .when(bucket === 8, lit("val"))
       .otherwise(lit("test"))
@@ -460,16 +458,18 @@ object Extended {
       .orderBy("split")
   }
 
-  def trainSplitOracle: String =
-    """SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
-      |FROM (
-      |  SELECT CASE
-      |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 8 THEN 'train'
-      |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 = 8 THEN 'val'
-      |    ELSE 'test' END AS split, n_chars
-      |  FROM documents)
-      |GROUP BY split ORDER BY split""".stripMargin
+  def trainSplitOracle: String = {
+    val b = ContentHash.bucketSql("doc_id", 10)
+    s"""SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM (
+       |  SELECT CASE
+       |    WHEN $b < 8 THEN 'train'
+       |    WHEN $b = 8 THEN 'val'
+       |    ELSE 'test' END AS split, n_chars
+       |  FROM documents)
+       |GROUP BY split ORDER BY split""".stripMargin
+  }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("grouping_sets", groupingSets, Some(groupingSetsOracle)),

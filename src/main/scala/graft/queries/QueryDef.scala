@@ -29,3 +29,22 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
+
+/** THE content-hash bucket rule for every reproducible split/sample in
+  * the suite (train_split, decontaminate's labels, stratified_sample):
+  * first 16 bits of md5 of the stable id, mod `mod`. Single-sourced so
+  * a split-rule change can never diverge one consumer's labels from
+  * another's; reproducible across engines, runs, partitionings and
+  * cluster sizes (never `rand()`).
+  */
+object ContentHash {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  def bucket(idCol: Column, mod: Int): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
+      .cast("long") % mod
+
+  def bucketSql(idExpr: String, mod: Int): String =
+    s"('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 4))::BIGINT % $mod"
+}

@@ -121,39 +121,62 @@ object Similarity {
        |ORDER BY a, b""".stripMargin
 
   // --- IVF-bucketed approximate top-k ---
+  // Shared building blocks for the three IVF variants (seed / k-means
+  // refined / multi-probe), so the assignment shape and tie-breaks are
+  // single-sourced.
 
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = vectors(spark, dir)
-    // The K centroids collapse to ONE row carrying the whole centroid
-    // array; broadcast-nested-loop against that single row appends the
-    // array to each vector row without expanding it (the r2 shape
-    // crossJoined N x K rows and hash-shuffled them through a
-    // row_number window just to take this argmin). Assignment is then
-    // a narrow per-row codegen kernel (ties -> smaller c_id, matching
-    // the oracle's ORDER BY d2, c_id): zero shuffles, no row
-    // expansion — the scan side never exchanges.
-    val cents = vecs.where(col("vec_id") % 53 === 0)
-      .agg(collect_list(struct(col("vec_id").as("c_id"), col("v").as("cv")))
-        .as("cents"))
-    val assigned = vecs
-      .crossJoin(broadcast(cents))
+  /** K centroids collapsed to ONE row carrying the whole centroid
+    * array; broadcast-nested-loop against that single row appends the
+    * array to each vector row without expanding it (the r2 shape
+    * crossJoined N x K rows and hash-shuffled them through a
+    * row_number window just to take the argmin).
+    */
+  private def centArr(centroids: DataFrame): DataFrame =
+    centroids.agg(
+      collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+
+  /** Deterministic seeding: every 53rd vector. */
+  private def seedCentroids(vecs: DataFrame): DataFrame =
+    centArr(
+      vecs.where(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv")))
+
+  /** E-step: narrow per-row codegen argmin (ties -> smaller c_id,
+    * matching the oracle's ORDER BY d2, c_id) — zero shuffles, no row
+    * expansion; the scan side never exchanges.
+    */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
       .withColumn(
         "cell",
         graft.functions.VectorFunctions.nearestCentroid(col("v"), col("cents")))
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
-    val queries = assigned.where(col("vec_id") < 10)
-      .select(
-        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        col("cell").as("q_cell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+
+  /** Cell-restricted cosine top-k: queries broadcast, per-query window
+    * over the matched cells only.
+    */
+  private def cellTopK(assigned: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = assigned
-      .join(broadcast(queries), col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .join(
+        broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= 3)
+      .where(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor"), col("cos"))
       .orderBy("q_id", "rnk")
+  }
+
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val assigned = assignCells(vecs, seedCentroids(vecs))
+    val queries = assigned.where(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell").as("q_cell"))
+    cellTopK(assigned, queries, 3)
   }
 
   def knnIvfOracle: String =
@@ -190,15 +213,8 @@ object Similarity {
     */
   def knnIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir)
-    val cents = vecs.where(col("vec_id") % 53 === 0)
-      .agg(collect_list(struct(col("vec_id").as("c_id"), col("v").as("cv")))
-        .as("cents"))
-    val assigned = vecs
-      .crossJoin(broadcast(cents))
-      .withColumn(
-        "cell",
-        graft.functions.VectorFunctions.nearestCentroid(col("v"), col("cents")))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val cents = seedCentroids(vecs)
+    val assigned = assignCells(vecs, cents)
     val queries = vecs.where(col("vec_id") < 10)
       .crossJoin(broadcast(cents))
       .withColumn(
@@ -211,17 +227,7 @@ object Similarity {
       .select(
         col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(array(col("c1"), col("c2"))).as("q_cell"))
-    val scored = assigned
-      .join(
-        broadcast(queries),
-        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= 3)
-      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor"), col("cos"))
-      .orderBy("q_id", "rnk")
+    cellTopK(assigned, queries, 3)
   }
 
   def knnIvfProbe2Oracle: String =
@@ -266,20 +272,9 @@ object Similarity {
     */
   def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir)
-    def centArr(df: DataFrame): DataFrame =
-      df.agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
-    def assign(cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents))
-        .withColumn(
-          "cell",
-          graft.functions.VectorFunctions.nearestCentroid(col("v"), col("cents")))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    val seeds = centArr(
-      vecs.where(col("vec_id") % 53 === 0)
-        .select(col("vec_id").as("c_id"), col("v").as("cv")))
     // M-step: element-wise integer mean per cell (cell id carries over)
     val refined = centArr(
-      assign(seeds)
+      assignCells(vecs, seedCentroids(vecs))
         .groupBy(col("cell"))
         .agg(
           graft.functions.VectorFunctions.vecSum(col("v")).as("s"),
@@ -290,22 +285,12 @@ object Similarity {
             col("s"),
             x => floor(x.cast("double") / col("cnt") + 0.5).cast("long"))
             .as("cv")))
-    val assigned = assign(refined)
+    val assigned = assignCells(vecs, refined)
     val queries = assigned.where(col("vec_id") < 10)
       .select(
         col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("cell").as("q_cell"))
-    val scored = assigned
-      .join(
-        broadcast(queries),
-        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= 3)
-      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor"), col("cos"))
-      .orderBy("q_id", "rnk")
+    cellTopK(assigned, queries, 3)
   }
 
   def knnIvfKmeansOracle: String = {

@@ -14,15 +14,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TrainingPipeline {
 
-  /** Content-hash split (same rule as `train_split`): md5 of the
-    * stable id, first 16 bits, mod 10; buckets 0-7 train, 8-9 eval.
+  /** Content-hash split (the [[ContentHash]] rule `train_split` also
+    * uses): buckets 0-7 train, 8-9 eval.
     */
   private def isTrain(idCol: org.apache.spark.sql.Column) =
-    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
-      .cast("long") % 10 < 8
+    ContentHash.bucket(idCol, 10) < 8
 
-  private val IsTrainSql =
-    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 8"
+  private val IsTrainSql = s"${ContentHash.bucketSql("doc_id", 10)} < 8"
 
   /** Decontamination: for each EVAL document, the train document
     * sharing the most 3-gram shingles with it (reported when >= 3
@@ -79,9 +77,7 @@ object TrainingPipeline {
     * the scan.
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val gate =
-      conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100
+    val gate = ContentHash.bucket(col("event_id"), 100)
     val rate = when(col("event_type") === "view", 2)
       .when(col("event_type") === "click", 10)
       .otherwise(50)
@@ -95,12 +91,12 @@ object TrainingPipeline {
   }
 
   def stratifiedSampleOracle: String =
-    """SELECT event_type, CAST(COUNT(*) AS BIGINT) n_sampled,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) total_value
-      |FROM events
-      |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
-      |  CASE event_type WHEN 'view' THEN 2 WHEN 'click' THEN 10 ELSE 50 END
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
+    s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) n_sampled,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) total_value
+       |FROM events
+       |WHERE ${ContentHash.bucketSql("event_id", 100)} <
+       |  CASE event_type WHEN 'view' THEN 2 WHEN 'click' THEN 10 ELSE 50 END
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Sequence-length bucketing for batch packing: documents binned to
     * power-of-2 token-count buckets; per bucket the doc count, token

@@ -52,8 +52,12 @@ object ExpiryTimers {
       // could otherwise process disconnect-first (no terminal chunk,
       // then a stale timer). Same-ms ties break by the producer's
       // monotonic sequence number — true arrival order, covering both
-      // connect-then-disconnect AND disconnect-then-reconnect.
-      val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.seq))
+      // connect-then-disconnect AND disconnect-then-reconnect. The
+      // kind rank stays as the FINAL tie-break so a producer that
+      // leaves seq at its default 0 keeps the old connect-first
+      // guarantee instead of arbitrary partition order.
+      val ordered = rows.toSeq.sortBy(e =>
+        (e.ts.getTime, e.seq, if (e.kind == "connect") 0 else 1))
       ordered.foreach { e =>
         e.kind match {
           case "connect" =>

@@ -72,6 +72,7 @@ object SseServer {
       */
     private[streaming] val writeLock = new Object
     private[streaming] val writeStart = new AtomicLong(0L)
+    private[streaming] val reaped = new AtomicBoolean(false)
     private[streaming] def writeBytes(b: Array[Byte]): Unit =
       writeLock.synchronized {
         writeStart.set(System.currentTimeMillis())
@@ -137,9 +138,23 @@ final class SseServer(
   private def reapStuckWriters(): Unit =
     for (l <- allListeners) {
       val started = l.writeStart.get()
-      if (started > 0 && System.currentTimeMillis() - started > writeTimeoutMs) {
-        try l.socket.close()
-        catch { case _: Exception => () }
+      if (started > 0 && System.currentTimeMillis() - started > writeTimeoutMs
+        && l.reaped.compareAndSet(false, true)) {
+        // close on a throwaway daemon thread, NOT the watchdog thread:
+        // an SSLSocket.close() wants to send close_notify and can
+        // itself block on the very connection being reaped (same
+        // output lock / full send buffer), which would wedge the
+        // single watchdog and disable reaping server-wide. Linger-0
+        // makes the close abortive (RST) so the kernel drops the
+        // buffer instead of draining it.
+        val closer = new Thread(() => {
+          try l.socket.setSoLinger(true, 0)
+          catch { case _: Exception => () }
+          try l.socket.close()
+          catch { case _: Exception => () }
+        }, "sse-reap-close")
+        closer.setDaemon(true)
+        closer.start()
       }
     }
 
