@@ -59,6 +59,25 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("ORC round trip preserves rows and pushes filters to the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val dir = "/root/testdata/sf0.001"
+    val src = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    // row-for-row identical content
+    assert(back.count() == src.count())
+    assert(
+      back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "ORC round trip changed rows")
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.where(col("o_orderkey") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"),
+      s"no pushed filter in ORC scan:\n$plan")
+  }
+
   test("partitioned write is pruned to one partition at read time") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     val dir = "/root/testdata/sf0.001"
