@@ -1,7 +1,7 @@
 package graft
 
 import graft.filters.{FilterCompiler, FilterParser}
-import graft.functions.{JsonStrictLong, JsonStrictString, LongArrayDot, LongArrayL2Sq, MinHashSig, OrderedPairs, RollingHash, SimHash32}
+import graft.functions.{JsonStrictLong, JsonStrictString, LongArrayDot, LongArrayL2Sq, LongVectorSum, MinHashSig, NearestCentroid, NearestCentroidExcluding, OrderedPairs, RollingHash, SimHash32}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -16,6 +16,8 @@ import org.apache.spark.sql.types.StringType
   *   json_int_strict(json, 'a.b')    -- strict-typed probes
   *   json_string_strict(json, 'a.b')
   *   vec_dot(a, b) / vec_l2sq(a, b)  -- integer-vector kernels
+  *   vec_sum(v)                      -- element-wise array-sum AGGREGATE
+  *   nearest_centroid(v, cents[, x]) -- broadcast-argmin (opt. exclude)
   *   rolling_hash(s)                 -- Rabin-Karp polynomial hash
   *   simhash32(tokens)               -- one-pass 32-bit simhash
   *   minhash_sig(shingles, k)        -- k minwise md5 signatures
@@ -89,6 +91,17 @@ object GraftFunctions {
           s"numHashes must be a literal int, got: $e")
       }
       MinHashSig(args(0), k)
+    },
+    "nearest_centroid" -> { args =>
+      require(
+        args.length == 2 || args.length == 3,
+        "nearest_centroid(v, cents[, excludeId])")
+      if (args.length == 2) NearestCentroid(args(0), args(1))
+      else NearestCentroidExcluding(args(0), args(1), args(2))
+    },
+    "vec_sum" -> { args =>
+      require(args.length == 1, "vec_sum(v)")
+      LongVectorSum(args(0)).toAggregateExpression()
     },
     "ordered_pairs" -> { args =>
       require(

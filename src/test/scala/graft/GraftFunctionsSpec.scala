@@ -65,6 +65,27 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("vec_sum aggregate and nearest_centroid from SQL") {
+    import spark.implicits._
+    Seq(
+      ("a", Seq(1L, 2L)), ("a", Seq(10L, 20L)), ("b", Seq(5L, 5L)))
+      .toDF("k", "v").createOrReplaceTempView("vs")
+    val sums = spark.sql("SELECT k, vec_sum(v) s FROM vs GROUP BY k ORDER BY k")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sums("a") == Seq(11L, 22L) && sums("b") == Seq(5L, 5L))
+    val nc = spark.sql(
+      """SELECT
+        |  nearest_centroid(array(1L, 1L), array(
+        |    named_struct('c_id', 7L, 'cv', array(0L, 0L)),
+        |    named_struct('c_id', 3L, 'cv', array(5L, 5L)))),
+        |  nearest_centroid(array(1L, 1L), array(
+        |    named_struct('c_id', 7L, 'cv', array(0L, 0L)),
+        |    named_struct('c_id', 3L, 'cv', array(5L, 5L))), 7L)""".stripMargin)
+      .head()
+    assert(nc.getLong(0) == 7L) // nearest
+    assert(nc.getLong(1) == 3L) // nearest excluding 7
+  }
+
   test("ordered_pairs maxPairs cap and type checking") {
     // explicit cap form: a 3-element list expands to 3 pairs > cap 2
     val e = intercept[Exception](

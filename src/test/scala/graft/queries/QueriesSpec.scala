@@ -89,6 +89,29 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic fan-out: null filters column matches unconditionally") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a subscription row whose filters column is NULL (not just empty)
+    // must behave like the reference's zero-filter subscription —
+    // matching every event of its subsystem even when the payload is
+    // unparseable
+    val events = Seq(
+      ("jobs", """{"k": 1}""", 1L),
+      ("jobs", "not json", 2L),
+      ("other", """{"k": 1}""", 3L)).toDF("subsystem", "data", "event_id")
+    val subs = Seq(
+      (10L, "jobs", null: Seq[String]),
+      (11L, "jobs", Seq("k<=50"))).toDF("sub_id", "subsystem", "filters")
+    val got = graft.operators.Fanout
+      .dynamic(events, subs, col("subsystem"), col("data"))
+      .select("sub_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // null-filters sub sees both jobs events (even the bad payload);
+    // the filtered sub sees only the parseable matching one
+    assert(got.toSeq == Seq((10L, 1L), (10L, 2L), (11L, 1L)))
+  }
+
   test("capped ngram_jaccard engages on hot shingles and lower-bounds the exact run") {
     import org.apache.spark.sql.functions._
     // the cap must actually drop something at this SF, or the variant
