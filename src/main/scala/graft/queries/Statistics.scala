@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates done the oracle-portable way: every moment
+  * (Σx, Σx², Σxy) accumulates as an EXACT integer — order-independent
+  * across partitionings, so the distributed partial+final aggregation
+  * is deterministic — and floating point enters only in the final
+  * closed-form scalar, where both engines evaluate the textually-
+  * identical IEEE expression over the same exact operands. (Naive
+  * stddev/corr over doubles is not reproducible: summation order
+  * differs per partitioning and engines disagree in the last ulps.)
+  *
+  * Quantization picks units so the SUMS stay in int64 headroom
+  * (cents for |x| <= ~1e3-range columns, whole units for ~1e5-range
+  * prices: Σx² <= rows × 1e10 keeps 1e8 rows exact); products OF the
+  * sums (n·S2, S1²) can exceed int64 and are therefore computed in
+  * double — deterministically, since IEEE rounding of identical
+  * expressions over identical operands agrees everywhere.
+  */
+object Statistics {
+
+  /** Per-event-type z-score outlier report: moment sums in integer
+    * cents, then mean/outlier-count from the closed form — a row is an
+    * outlier when |x - mean| > 2·stddev (sample stddev), tested as
+    * |n·x - S1| > 2·sqrt(n·(n·S2 - S1²)/(n-1)). The tiny moment table
+    * broadcasts back onto the rows: at 100 TB the second pass is a
+    * narrow filter against a handful of broadcast rows.
+    */
+  def statsOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("vc"))
+    val moments = ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("vc")).as("s1"),
+        sum(col("vc") * col("vc")).as("s2"))
+    val nD = col("n").cast("double")
+    val s1D = col("s1").cast("double")
+    val s2D = col("s2").cast("double")
+    val isOut =
+      abs(nD * col("vc").cast("double") - s1D) >
+        lit(2.0) * sqrt(nD * (nD * s2D - s1D * s1D) / (nD - 1.0))
+    ev.join(broadcast(moments), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (max(col("s1")).cast("double") / max(col("n")) / 100.0).as("mean_value"),
+        sum(isOut.cast("long")).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  def statsOutliersOracle: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) vc FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) n, SUM(vc) s1, SUM(vc * vc) s2
+      |  FROM v GROUP BY event_type)
+      |SELECT v.event_type, CAST(COUNT(*) AS BIGINT) n,
+      |  CAST(MAX(s1) AS DOUBLE) / MAX(n) / 100.0 AS mean_value,
+      |  CAST(SUM(CASE WHEN
+      |    abs(CAST(n AS DOUBLE) * CAST(vc AS DOUBLE) - CAST(s1 AS DOUBLE)) >
+      |    2.0 * sqrt(CAST(n AS DOUBLE) *
+      |      (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - 1.0))
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM v JOIN m USING (event_type)
+      |GROUP BY v.event_type ORDER BY event_type""".stripMargin
+
+  /** Pearson correlation of quantity (cents) vs extended price (whole
+    * units — cents would push Σy² past int64) per return flag, from
+    * exact integer moment sums: one map-side-combinable shuffle, the
+    * closed form evaluated in double at the end.
+    */
+  def corrStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.read(spark, dir, "lineitem")
+      .select(
+        col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((nD * d("sxy") - d("sx") * d("sy")) /
+          sqrt(
+            (nD * d("sxx") - d("sx") * d("sx")) *
+              (nD * d("syy") - d("sy") * d("sy"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  def corrStatsOracle: String =
+    """WITH v AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) x,
+      |    CAST(round(l_extendedprice) AS BIGINT) y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) n,
+      |    SUM(x) sx, SUM(y) sy, SUM(x * x) sxx, SUM(y * y) syy, SUM(x * y) sxy
+      |  FROM v GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_outliers", statsOutliers, Some(statsOutliersOracle)),
+    QueryDef("corr_stats", corrStats, Some(corrStatsOracle)))
+}
