@@ -311,6 +311,69 @@ object Dedup {
        |$MinhashPairsCtes
        |SELECT a, b, jacc FROM lshpairs ORDER BY a, b""".stripMargin
 
+  // --- near-dup clusters: connected components over the LSH pairs ---
+
+  /** Pairwise near-dups are not enough to pick keepers — A~B and B~C
+    * must collapse to ONE cluster even when A~C never paired. This is
+    * min-label propagation (the Pregel/connected-components shape)
+    * over the LSH pair graph, iterated to fixpoint with a driver-side
+    * loop: each round is one join + min-aggregate over the LABEL
+    * table, whose size is the number of near-dup DOCS (tiny relative
+    * to the corpus — the pair graph at 100 TB is dedup output, not
+    * input data), and near-dup components have small diameter so the
+    * loop converges in a few rounds. Output: one row per cluster,
+    * keyed by its keeper (min doc_id).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("a"), col("b"))
+    val edges = pairs
+      .union(pairs.select(col("b"), col("a")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("doc")).distinct()
+        .withColumn("root", col("doc"))
+        .localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val prop = edges
+          .join(labels, edges("src") === labels("doc"))
+          .select(col("dst").as("doc"), col("root"))
+        val next = labels.unionByName(prop)
+          .groupBy(col("doc"))
+          .agg(min(col("root")).as("root"))
+          .localCheckpoint() // truncate the per-iteration lineage
+        changed = next
+          .join(labels.withColumnRenamed("root", "old"), "doc")
+          .where(col("root") =!= col("old"))
+          .count()
+        labels = next
+        iter += 1
+      }
+      labels
+        .groupBy(col("root").as("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          max(col("doc")).as("max_member"))
+        .orderBy("cluster_id")
+    } finally edges.unpersist()
+  }
+
+  def dedupClustersOracle: String =
+    s"""WITH RECURSIVE $ShinglesSql,
+       |$MinhashPairsCtes,
+       |e AS (SELECT a src, b dst FROM lshpairs UNION SELECT b, a FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS doc, dst AS r FROM e
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN e ON reach.r = e.src),
+       |comp AS (
+       |  SELECT doc, least(doc, MIN(r)) AS root FROM reach GROUP BY doc)
+       |SELECT root AS cluster_id, CAST(COUNT(*) AS BIGINT) n_members,
+       |  MAX(doc) AS max_member
+       |FROM comp GROUP BY root ORDER BY cluster_id""".stripMargin
+
   // --- SimHash fingerprints (32-bit, md5-hexchar-parity bits) ---
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
@@ -363,5 +426,6 @@ object Dedup {
     QueryDef(
       "ngram_jaccard_capped", ngramJaccardCapped, Some(ngramJaccardCappedOracle)),
     QueryDef("minhash_lsh", minhashLsh, Some(minhashLshOracle)),
+    QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("simhash", simhash, Some(simhashOracle)))
 }
