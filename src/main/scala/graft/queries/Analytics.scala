@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics suite over `events` / `orders`: ordered funnel
+  * conversion, cohort retention, SCD2 change-history compaction
+  * (gaps-and-islands), and range-frame rolling aggregates. Each is a
+  * classic warehouse shape the reference's consumers would run
+  * downstream of the event stream, expressed with the scale-correct
+  * plan: high-cardinality window partition keys (user_id), pre-
+  * aggregation before any low-cardinality window, and time arithmetic
+  * kept in exact integer micros until the final scalar.
+  */
+object Analytics {
+
+  /** Ordered view→click→purchase funnel: a user converts a stage only
+    * with an event STRICTLY AFTER their previous-stage time (the
+    * ordering is the point — an unordered count(distinct) funnel
+    * overstates conversion). One row: stage survivor counts + mean
+    * seconds view→purchase.
+    *
+    * Scale shape: three user-keyed min-aggregations chained by joins
+    * that all hash on user_id — after the first shuffle the rest
+    * co-partition (ReuseExchange/AQE), and each aggregate is map-side
+    * combinable. The delay sum stays in exact integer micros so the
+    * distributed aggregation is order-independent; doubles only in the
+    * final one-row division.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicks = ev.where(col("event_type") === "click")
+      .join(views, "user_id")
+      .where(col("ts") > col("t_view"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_click"), max(col("t_view")).as("t_view"))
+    val buys = ev.where(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .where(col("ts") > col("t_click"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_buy"), max(col("t_view")).as("t_view"))
+    views
+      .join(clicks.select(col("user_id").as("cu")),
+        col("user_id") === col("cu"), "left")
+      .join(buys.select(col("user_id").as("bu"),
+          (unix_micros(col("t_buy")) - unix_micros(col("t_view"))).as("us")),
+        col("user_id") === col("bu"), "left")
+      .agg(
+        count(lit(1)).as("users_view"),
+        count(col("cu")).as("users_click"),
+        count(col("bu")).as("users_purchase"),
+        (sum(col("us")).cast("double") / count(col("bu")) / 1e6)
+          .as("avg_convert_s"))
+  }
+
+  def funnelStepsOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) ts FROM events),
+      |v AS (
+      |  SELECT user_id, MIN(ts) t_view FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT ev.user_id, MIN(ev.ts) t_click, MAX(v.t_view) t_view
+      |  FROM ev JOIN v ON ev.user_id = v.user_id
+      |  WHERE ev.event_type = 'click' AND ev.ts > v.t_view
+      |  GROUP BY ev.user_id),
+      |b AS (
+      |  SELECT ev.user_id, MIN(ev.ts) t_buy, MAX(c.t_view) t_view
+      |  FROM ev JOIN c ON ev.user_id = c.user_id
+      |  WHERE ev.event_type = 'purchase' AND ev.ts > c.t_click
+      |  GROUP BY ev.user_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) users_view,
+      |  CAST(COUNT(c.user_id) AS BIGINT) users_click,
+      |  CAST(COUNT(b.user_id) AS BIGINT) users_purchase,
+      |  CAST(SUM(epoch_us(b.t_buy) - epoch_us(b.t_view)) AS DOUBLE)
+      |    / COUNT(b.user_id) / 1e6 AS avg_convert_s
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN b ON v.user_id = b.user_id""".stripMargin
+
+  /** Cohort retention: users grouped by first-active day, then the
+    * distinct-user count per (cohort, day-offset) for the first week —
+    * the standard retention triangle.
+    *
+    * Scale shape: first-seen is one user-keyed min; the join back is
+    * on the same key (co-partitioned); the (cohort, offset, user)
+    * dedup + count shuffles rows already reduced to one per
+    * user-activity-day. No low-cardinality window anywhere.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(
+        col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"),
+        col("user_id"))
+      .where(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  def cohortRetentionOracle: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) d
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(d) cohort_day FROM ev GROUP BY user_id)
+      |SELECT f.cohort_day,
+      |  CAST(date_diff('day', f.cohort_day, ev.d) AS BIGINT) day_offset,
+      |  CAST(COUNT(*) AS BIGINT) n_users
+      |FROM ev JOIN f ON ev.user_id = f.user_id
+      |WHERE date_diff('day', f.cohort_day, ev.d) <= 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** SCD2 change-history compaction (gaps-and-islands): each user's
+    * event stream collapses to runs of consecutive equal event_type,
+    * emitted as validity intervals [valid_from, valid_to) with the run
+    * length — the type-2 dimension-history build. Island ids come from
+    * a running sum of change flags; the final interval close is a lead
+    * over the compacted runs (far fewer rows than events).
+    *
+    * Scale shape: both windows partition on user_id (high cardinality
+    * ⇒ even spread), and the second window runs over the ALREADY
+    * COMPACTED islands. Deterministic ordering via the (ts, event_id)
+    * tie-break.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val chg = when(
+      lag(col("event_type"), 1).over(w).isNull ||
+        lag(col("event_type"), 1).over(w) =!= col("event_type"),
+      1L).otherwise(0L)
+    val islands = ev
+      .withColumn("island", sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(
+        max(col("event_type")).as("seg_type"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("island"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .select(
+        col("user_id"), col("island"), col("seg_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy(col("user_id"), col("island"))
+  }
+
+  def scd2HistoryOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) ts, event_id
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END chg
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |isl AS (
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) island
+      |  FROM flagged),
+      |segs AS (
+      |  SELECT user_id, island, MAX(event_type) seg_type, MIN(ts) valid_from,
+      |    CAST(COUNT(*) AS BIGINT) n_events
+      |  FROM isl GROUP BY user_id, island)
+      |SELECT user_id, island, seg_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) valid_to,
+      |  n_events
+      |FROM segs ORDER BY user_id, island""".stripMargin
+
+  /** Trailing-7-day rolling order stats per priority via a RANGE frame
+    * over integer day numbers — a range frame (calendar window), not a
+    * rows frame, so sparse days contribute correctly.
+    *
+    * Scale shape: the raw table pre-aggregates to (priority, day)
+    * BEFORE any window — the range window runs over ~day-granularity
+    * rows (thousands), not the fact table, so the low-cardinality
+    * partition key is harmless. Cents stay integer until the final
+    * division.
+    */
+  def rollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.read(spark, dir, "orders")
+      .select(
+        col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("sale_day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("priority"), col("sale_day"))
+      .agg(sum(col("cents")).as("day_cents"), count(lit(1)).as("day_orders"))
+      .withColumn("dayn", unix_date(col("sale_day")).cast("long"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("dayn"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("roll_cents", sum(col("day_cents")).over(w))
+      .withColumn("roll_orders", sum(col("day_orders")).over(w))
+      .select(
+        col("priority"), col("sale_day"), col("roll_orders"),
+        (col("roll_cents").cast("double") / col("roll_orders") / 100.0)
+          .as("avg_order_value"))
+      .orderBy(col("priority"), col("sale_day"))
+  }
+
+  def rollingRevenueOracle: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority priority, CAST(o_orderdate AS DATE) sale_day,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) day_cents,
+      |    CAST(COUNT(*) AS BIGINT) day_orders,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) dayn
+      |  FROM orders GROUP BY 1, 2, 5)
+      |SELECT priority, sale_day,
+      |  CAST(SUM(day_orders) OVER w AS BIGINT) roll_orders,
+      |  CAST(SUM(day_cents) OVER w AS DOUBLE)
+      |    / SUM(day_orders) OVER w / 100.0 AS avg_order_value
+      |FROM daily
+      |WINDOW w AS (PARTITION BY priority ORDER BY dayn
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY priority, sale_day""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("funnel_steps", funnelSteps, Some(funnelStepsOracle)),
+    QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
+    QueryDef("scd2_history", scd2History, Some(scd2HistoryOracle)),
+    QueryDef("rolling_revenue", rollingRevenue, Some(rollingRevenueOracle)))
+}

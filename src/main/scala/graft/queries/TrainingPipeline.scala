@@ -143,6 +143,66 @@ object TrainingPipeline {
       |  CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * bucket_cap) packing_efficiency
       |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
 
+  /** Concat-and-chunk sequence packing (the LLM-pretraining layout:
+    * token streams concatenated per shard, then split every
+    * `PackBudget` tokens): per shard, the pack count and how many
+    * documents straddle a pack boundary (the cross-attention-
+    * contamination metric a packing run reports). Documents land in
+    * shards by content hash, packs fill in doc_id order.
+    *
+    * Scale shape: THE distributed prefix-sum. A single global running
+    * sum would be an unpartitioned window (the scale-killer removed
+    * from ntile); sharding makes it a per-shard window after ONE hash
+    * shuffle, each shard sorting only its own slice — shard count is
+    * the parallelism knob (32 here, thousands at 100 TB; real packing
+    * runs are per output shard/file anyway). All arithmetic is exact
+    * integer division on token offsets.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("shard", ContentHash.bucket(col("doc_id"), 32))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("first_pack", expr(s"start_tok div $PackBudget"))
+      .withColumn(
+        "last_pack", expr(s"(start_tok + n_tokens - 1) div $PackBudget"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("last_pack")) + 1L).as("n_packs"),
+        sum((col("first_pack") =!= col("last_pack")).cast("long"))
+          .as("n_straddling"))
+      .orderBy("shard")
+  }
+
+  private val PackBudget = 2048L
+
+  def packSequencesOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) n_tokens
+       |  FROM documents),
+       |sharded AS (
+       |  SELECT doc_id, n_tokens, ${ContentHash.bucketSql("doc_id", 32)} shard
+       |  FROM t WHERE n_tokens > 0),
+       |placed AS (
+       |  SELECT shard, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) start_tok
+       |  FROM sharded)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) total_tokens,
+       |  CAST(MAX((start_tok + n_tokens - 1) // $PackBudget) + 1 AS BIGINT) n_packs,
+       |  CAST(SUM(CASE WHEN start_tok // $PackBudget
+       |    <> (start_tok + n_tokens - 1) // $PackBudget THEN 1 ELSE 0 END) AS BIGINT) n_straddling
+       |FROM placed GROUP BY shard ORDER BY shard""".stripMargin
+
   /** The C4-style cleaning funnel, composed from the suite's own
     * pieces: length gate -> quality-score gate (the text_quality
     * formula) -> near-dup removal via the PRODUCTION dedup path (the
@@ -220,5 +280,6 @@ object TrainingPipeline {
     QueryDef("decontaminate", decontaminate, Some(decontaminateOracle)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("length_buckets", lengthBuckets, Some(lengthBucketsOracle)),
+    QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("corpus_clean", corpusClean, Some(corpusCleanOracle)))
 }
