@@ -13,7 +13,8 @@ object SparkEntry {
     RefSurface.defs ++ Relational.defs ++ TextAnalysis.defs ++
       Dedup.defs ++ Similarity.defs ++ StreamingWindows.defs ++
       MultimodalQueries.defs ++ Advanced.defs ++ Extended.defs ++
-      TrainingPipeline.defs ++ Statistics.defs ++ Analytics.defs
+      TrainingPipeline.defs ++ Statistics.defs ++ Analytics.defs ++
+      RuntimeFilters.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
