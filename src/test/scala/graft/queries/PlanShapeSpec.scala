@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{SparkEntry, TestSpark}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LeafNode, LogicalPlan, Window}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guardrails: the scale properties the suite claims are
+  * asserted against the actual optimized plans, so a refactor that
+  * quietly re-introduces a scale-killer (the round-2 `ntile_buckets`
+  * global window) fails CI instead of surviving until a cluster run.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** An unpartitioned window funnels its whole input through ONE
+    * partition — acceptable only when that input is already an
+    * aggregate/limit (KB-scale by construction), never over raw rows.
+    */
+  test("no query plans an unpartitioned window over non-aggregated input") {
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit => true
+      case l: LeafNode => false
+      case other => other.children.forall(reduced)
+    }
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq
+      w <- fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty && !reduced(w.child) => w
+      }
+    } yield s"$name: ${w.windowExpressions.map(_.name).mkString(",")}"
+    assert(offenders.isEmpty, s"global windows over raw rows: $offenders")
+  }
+
+  test("bloom_prune_join filters the fact scan BELOW the join") {
+    val plan = RuntimeFilters.bloomPruneJoin(spark, dir)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // the might_contain filter must live inside a join's subtree (scan
+    // side), not above the join
+    val inJoinSubtree = joins.exists(_.children.exists(_.collectFirst {
+      case f: Filter if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }.isDefined))
+    val aboveJoin = plan.collectFirst {
+      case f: Filter
+        if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) &&
+          f.collectFirst { case j: Join => j }.isDefined => f
+    }.isDefined
+    assert(inJoinSubtree, "might_contain filter not on the scan side")
+    assert(!aboveJoin, "might_contain filter planned above the join")
+  }
+
+  test("pack_sequences: one shard shuffle feeds window and aggregate") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = TrainingPipeline.packSequences(spark, dir)
+        .queryExecution.executedPlan
+      val windows = phys.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+      val shuffles = phys.collect { case s: ShuffleExchangeExec => s }
+      // shard hash shuffle + final orderBy range shuffle — the groupBy
+      // must NOT add a third exchange (already co-partitioned on shard)
+      assert(shuffles.size == 2, phys.toString.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("scd2_history second window runs over compacted islands") {
+    val plan = Analytics.scd2History(spark, dir).queryExecution.optimizedPlan
+    // all windows partition on user_id (Spark plans lag flags, the
+    // running island sum, and the lead close as separate Window nodes
+    // — one per frame spec), and an Aggregate (the island compaction)
+    // sits below the outer lead window
+    val windows = plan.collect { case w: Window => w }
+    assert(windows.size == 3, windows.map(_.windowExpressions.map(_.name)))
+    assert(windows.forall(_.partitionSpec.nonEmpty))
+    val outer = windows.head
+    assert(outer.collectFirst { case a: Aggregate => a }.isDefined,
+      "lead window must consume the compacted island aggregate")
+  }
+}
