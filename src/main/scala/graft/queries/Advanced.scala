@@ -163,6 +163,58 @@ object Advanced {
       |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact p50/p90/p99 (discrete order statistics at rank ⌈p·n⌉) per
+    * event type, via the same value-histogram rank arithmetic as
+    * exact_median — generalized to arbitrary percentiles: each
+    * distinct value covers a rank interval [lo, hi]; the order
+    * statistic at rank r is the single value whose interval contains
+    * r. All ranks are exact integer arithmetic ((p·n ceil)-divisions),
+    * so both engines pick the identical element — no float quantile
+    * interpolation to disagree over.
+    *
+    * Scale shape: one map-side-combinable histogram shuffle; windows
+    * run over the HISTOGRAM (group × distinct-value rows), never the
+    * fact table; the final pick is a tiny filtered aggregate.
+    */
+  def percentileReport(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .select(
+        col("event_type"), round(col("value") * 100).cast("long").as("vc"))
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("hi", sum(col("cnt")).over(w))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    def atRank(r: org.apache.spark.sql.Column) =
+      max(when(r >= col("lo") && r <= col("hi"), col("vc"))).cast("double") / 100.0
+    ranked
+      .groupBy(col("event_type"))
+      .agg(
+        atRank(expr("(n + 1) div 2")).as("p50"),
+        atRank(expr("(9 * n + 9) div 10")).as("p90"),
+        atRank(expr("(99 * n + 99) div 100")).as("p99"))
+      .orderBy("event_type")
+  }
+
+  def percentileReportOracle: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) vc FROM events),
+      |h AS (SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) cnt FROM v GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) hi,
+      |    SUM(cnt) OVER (PARTITION BY event_type) n
+      |  FROM h),
+      |i AS (SELECT *, hi - cnt + 1 lo FROM r)
+      |SELECT event_type,
+      |  CAST(MAX(CASE WHEN (n + 1) // 2 BETWEEN lo AND hi THEN vc END) AS DOUBLE) / 100.0 p50,
+      |  CAST(MAX(CASE WHEN (9 * n + 9) // 10 BETWEEN lo AND hi THEN vc END) AS DOUBLE) / 100.0 p90,
+      |  CAST(MAX(CASE WHEN (99 * n + 99) // 100 BETWEEN lo AND hi THEN vc END) AS DOUBLE) / 100.0 p99
+      |FROM i GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** BPE-style subword tokenization: letter runs, digit runs, and
     * punctuation runs as separate tokens; global top-20 subwords.
     */
@@ -224,6 +276,7 @@ object Advanced {
     QueryDef("range_join", rangeJoin, Some(rangeJoinOracle)),
     QueryDef("pivot_counts", pivotCounts, Some(pivotCountsOracle)),
     QueryDef("exact_median", exactMedian, Some(exactMedianOracle)),
+    QueryDef("percentile_report", percentileReport, Some(percentileReportOracle)),
     QueryDef("bpe_tokens", bpeTokens, Some(bpeTokensOracle)),
     QueryDef("udaf_weighted", udafWeighted, Some(udafWeightedOracle)))
 }
