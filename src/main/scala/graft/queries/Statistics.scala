@@ -116,7 +116,63 @@ object Statistics {
       |  AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Chi-square independence test of order priority × status from the
+    * integer contingency table: one tiny groupBy count, marginals via
+    * windows OVER THE 15-row contingency (post-aggregation, so even
+    * the global total "window" touches aggregate-sized data). Each
+    * cell's χ² term is the exact rational
+    * (n·tot − row·col)² / (tot·row·col) — integer numerator and
+    * denominator, divided once in double — and the cross-cell SUM
+    * folds over the SORTED term list, so the float summation order is
+    * identical in both engines (a plain double SUM is partition-order-
+    * dependent; with ~15 cells the sorted fold costs nothing).
+    */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cont = Tables.read(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val withMarginals = cont
+      .withColumn("row_n", sum(col("n")).over(
+        Window.partitionBy(col("o_orderpriority"))))
+      .withColumn("col_n", sum(col("n")).over(
+        Window.partitionBy(col("o_orderstatus"))))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+    val num = col("n") * col("tot") - col("row_n") * col("col_n")
+    val term = (num * num).cast("double") /
+      (col("tot") * col("row_n") * col("col_n")).cast("double")
+    withMarginals
+      .agg(
+        max(col("tot")).as("n_orders"),
+        sort_array(collect_list(term)).as("terms"),
+        ((countDistinct(col("o_orderpriority")) - 1) *
+          (countDistinct(col("o_orderstatus")) - 1)).as("dof"))
+      .select(
+        col("n_orders"),
+        aggregate(col("terms"), lit(0.0), (a, x) => a + x).as("chi2"),
+        col("dof").cast("long").as("dof"))
+  }
+
+  def chiSquareOracle: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority p, o_orderstatus s, CAST(COUNT(*) AS BIGINT) n
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT *, SUM(n) OVER (PARTITION BY p) row_n,
+      |    SUM(n) OVER (PARTITION BY s) col_n, SUM(n) OVER () tot
+      |  FROM c),
+      |t AS (
+      |  SELECT tot, CAST((n * tot - row_n * col_n) * (n * tot - row_n * col_n) AS DOUBLE)
+      |    / CAST(tot * row_n * col_n AS DOUBLE) term,
+      |    p, s
+      |  FROM m)
+      |SELECT CAST(MAX(tot) AS BIGINT) n_orders,
+      |  list_reduce(list_prepend(0.0, list_sort(list(term))), (a, x) -> a + x) chi2,
+      |  CAST((COUNT(DISTINCT p) - 1) * (COUNT(DISTINCT s) - 1) AS BIGINT) dof
+      |FROM t""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("stats_outliers", statsOutliers, Some(statsOutliersOracle)),
-    QueryDef("corr_stats", corrStats, Some(corrStatsOracle)))
+    QueryDef("corr_stats", corrStats, Some(corrStatsOracle)),
+    QueryDef("chi_square", chiSquare, Some(chiSquareOracle)))
 }
