@@ -331,8 +331,13 @@ object Dedup {
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = edges.select(col("src").as("doc")).distinct()
-        .withColumn("root", col("doc"))
+      // round 0 for free: each node starts at min(self, neighbors) —
+      // identical to one propagation from the identity labelling, so
+      // the loop below only runs for components of diameter >= 2
+      var labels = edges
+        .groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("root"))
+        .withColumnRenamed("src", "doc")
         .localCheckpoint()
       var changed = 1L
       var iter = 0

@@ -471,6 +471,69 @@ object Extended {
        |GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** Deterministic k-per-group sample over a LOW-cardinality group key
+    * (5 event types): rank by content hash (reproducible — never
+    * rand()) and keep the top 3 per type. The rank<=k filter is what
+    * lets Spark plan WindowGroupLimit: each map task keeps only its
+    * own top-k BEFORE the shuffle, so the 5-partition window sees
+    * k×tasks rows, not the fact table — the only safe way to window
+    * on a low-cardinality key (PlanShapeSpec pins the node).
+    */
+  def groupTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("h"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"), col("event_id"),
+        md5(col("event_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("event_type"), col("rn").cast("long").as("rn"), col("event_id"))
+      .orderBy("event_type", "rn")
+  }
+
+  def groupTopkOracle: String =
+    """SELECT event_type, CAST(rn AS BIGINT) rn, event_id FROM (
+      |  SELECT event_type, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) rn
+      |  FROM events)
+      |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin
+
+  /** Null-safe join semantics: standard equality drops null keys, the
+    * null-safe operator (`<=>` / IS NOT DISTINCT FROM) matches them —
+    * the divergence that silently loses rows in real pipelines. Both
+    * behaviors side by side over the same derived nullable key.
+    */
+  def nullsafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      when(col("value") >= 1.0, col("event_type")).as("k"))
+    val dim = Tables.events(spark, dir)
+      .select(when(col("value") >= 1.0, col("event_type")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("dim_n"))
+    val strict = ev.join(dim, ev("k") === dim("k"))
+      .agg(count(lit(1)).as("cnt")).select(lit("strict_eq").as("join_mode"), col("cnt"))
+    val nullsafe = ev.join(dim, ev("k") <=> dim("k"))
+      .agg(count(lit(1)).as("cnt")).select(lit("null_safe").as("join_mode"), col("cnt"))
+    strict.unionByName(nullsafe).orderBy("join_mode")
+  }
+
+  def nullsafeJoinOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    CASE WHEN value >= 1.0 THEN event_type END k FROM events),
+      |dim AS (
+      |  SELECT CASE WHEN value >= 1.0 THEN event_type END k,
+      |    CAST(COUNT(*) AS BIGINT) dim_n
+      |  FROM events GROUP BY 1)
+      |SELECT 'strict_eq' join_mode, CAST(COUNT(*) AS BIGINT) cnt
+      |FROM ev JOIN dim ON ev.k = dim.k
+      |UNION ALL
+      |SELECT 'null_safe' join_mode, CAST(COUNT(*) AS BIGINT) cnt
+      |FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k
+      |ORDER BY join_mode""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("grouping_sets", groupingSets, Some(groupingSetsOracle)),
     QueryDef("window_lag", windowLag, Some(windowLagOracle)),
@@ -483,5 +546,7 @@ object Extended {
     QueryDef("variant_extract", variantExtract, Some(variantExtractOracle)),
     QueryDef("time_spine", timeSpine, Some(timeSpineOracle)),
     QueryDef("sessionize_lag", sessionizeLag, Some(sessionizeLagOracle)),
-    QueryDef("train_split", trainSplit, Some(trainSplitOracle)))
+    QueryDef("train_split", trainSplit, Some(trainSplitOracle)),
+    QueryDef("group_topk", groupTopk, Some(groupTopkOracle)),
+    QueryDef("nullsafe_join", nullsafeJoin, Some(nullsafeJoinOracle)))
 }

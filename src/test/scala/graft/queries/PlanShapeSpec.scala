@@ -68,6 +68,18 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("group_topk plans WindowGroupLimit (map-side partial top-k)") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = Extended.groupTopk(spark, dir).queryExecution.executedPlan
+      val limits = phys.collect { case w: WindowGroupLimitExec => w }
+      // partial (pre-shuffle) + final — without these the 5-partition
+      // window would sort the whole fact table on 5 reducers
+      assert(limits.size == 2, phys.toString.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("scd2_history second window runs over compacted islands") {
     val plan = Analytics.scd2History(spark, dir).queryExecution.optimizedPlan
     // all windows partition on user_id (Spark plans lag flags, the
