@@ -179,7 +179,7 @@ object Advanced {
   def percentileReport(spark: SparkSession, dir: String): DataFrame = {
     val hist = Tables.events(spark, dir)
       .select(
-        col("event_type"), round(col("value") * 100).cast("long").as("vc"))
+        col("event_type"), Quantize.cents(col("value")).as("vc"))
       .groupBy(col("event_type"), col("vc"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("vc"))
@@ -200,8 +200,8 @@ object Advanced {
   }
 
   def percentileReportOracle: String =
-    """WITH v AS (
-      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) vc FROM events),
+    s"""WITH v AS (
+      |  SELECT event_type, ${Quantize.centsSql("value")} vc FROM events),
       |h AS (SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) cnt FROM v GROUP BY 1, 2),
       |r AS (
       |  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc

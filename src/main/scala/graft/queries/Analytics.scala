@@ -191,7 +191,7 @@ object Analytics {
       .select(
         col("o_orderpriority").as("priority"),
         to_date(col("o_orderdate")).as("sale_day"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        Quantize.cents(col("o_totalprice")).as("cents"))
       .groupBy(col("priority"), col("sale_day"))
       .agg(sum(col("cents")).as("day_cents"), count(lit(1)).as("day_orders"))
       .withColumn("dayn", unix_date(col("sale_day")).cast("long"))
@@ -208,9 +208,9 @@ object Analytics {
   }
 
   def rollingRevenueOracle: String =
-    """WITH daily AS (
+    s"""WITH daily AS (
       |  SELECT o_orderpriority priority, CAST(o_orderdate AS DATE) sale_day,
-      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) day_cents,
+      |    SUM(${Quantize.centsSql("o_totalprice")}) day_cents,
       |    CAST(COUNT(*) AS BIGINT) day_orders,
       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) dayn
       |  FROM orders GROUP BY 1, 2, 5)

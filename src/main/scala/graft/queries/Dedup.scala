@@ -356,6 +356,10 @@ object Dedup {
         labels = next
         iter += 1
       }
+      // a silent cap-exit would split one component into bogus
+      // clusters (wrong keeper selection) — fail loudly instead
+      require(changed == 0,
+        s"dedupClusters did not converge in $iter rounds ($changed labels still moving)")
       labels
         .groupBy(col("root").as("cluster_id"))
         .agg(

@@ -509,9 +509,9 @@ object Extended {
     val ev = Tables.events(spark, dir).select(
       col("event_id"),
       when(col("value") >= 1.0, col("event_type")).as("k"))
-    val dim = Tables.events(spark, dir)
-      .select(when(col("value") >= 1.0, col("event_type")).as("k"))
-      .groupBy(col("k")).agg(count(lit(1)).as("dim_n"))
+    // dim derives from ev so the nullable key has ONE definition —
+    // the strict/null-safe contrast must compare identical keys
+    val dim = ev.groupBy(col("k")).agg(count(lit(1)).as("dim_n"))
     val strict = ev.join(dim, ev("k") === dim("k"))
       .agg(count(lit(1)).as("cnt")).select(lit("strict_eq").as("join_mode"), col("cnt"))
     val nullsafe = ev.join(dim, ev("k") <=> dim("k"))

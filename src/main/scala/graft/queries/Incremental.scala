@@ -24,7 +24,7 @@ object Incremental {
       .select(
         col("event_type"),
         to_date(col("ts")).as("d"),
-        round(col("value") * 100).cast("long").as("vc"),
+        Quantize.cents(col("value")).as("vc"),
         col("event_id"))
     def partials(slice: DataFrame): DataFrame = slice
       .groupBy(col("event_type"), col("d"))
@@ -41,10 +41,10 @@ object Incremental {
   }
 
   def incrementalAggOracle: String =
-    """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) d,
+    s"""SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) d,
       |  CAST(COUNT(*) AS BIGINT) n,
-      |  SUM(CAST(round(value * 100) AS BIGINT)) sum_vc,
-      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+      |  SUM(${Quantize.centsSql("value")}) sum_vc,
+      |  CAST(SUM(${Quantize.centsSql("value")}) AS DOUBLE)
       |    / COUNT(*) / 100.0 AS avg_value
       |FROM events
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -37,6 +37,22 @@ object Tables {
   * another's; reproducible across engines, runs, partitionings and
   * cluster sizes (never `rand()`).
   */
+/** THE cents quantization for oracle-exact money/value columns:
+  * round(x·100) into int64, so distributed sums are order-independent
+  * integers and the double division happens once at the end.
+  * Single-sourced (Spark + DuckDB sides) so a rounding-mode or
+  * quantum change can never diverge one query from another.
+  */
+object Quantize {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def centsSql(expr: String): String =
+    s"CAST(round($expr * 100) AS BIGINT)"
+}
+
 object ContentHash {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._

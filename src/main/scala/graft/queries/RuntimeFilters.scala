@@ -43,13 +43,13 @@ object RuntimeFilters {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+        sum(Quantize.cents(col("o_totalprice"))).as("revenue_cents"))
       .orderBy("o_orderpriority")
   }
 
   def bloomPruneJoinOracle: String =
-    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) n_orders,
-      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) revenue_cents
+    s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) n_orders,
+      |  SUM(${Quantize.centsSql("o_totalprice")}) revenue_cents
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin

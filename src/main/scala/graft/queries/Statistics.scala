@@ -30,7 +30,7 @@ object Statistics {
     */
   def statsOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("event_type"), round(col("value") * 100).cast("long").as("vc"))
+      .select(col("event_type"), Quantize.cents(col("value")).as("vc"))
     val moments = ev.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -52,8 +52,8 @@ object Statistics {
   }
 
   def statsOutliersOracle: String =
-    """WITH v AS (
-      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) vc FROM events),
+    s"""WITH v AS (
+      |  SELECT event_type, ${Quantize.centsSql("value")} vc FROM events),
       |m AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) n, SUM(vc) s1, SUM(vc * vc) s2
       |  FROM v GROUP BY event_type)
@@ -77,7 +77,7 @@ object Statistics {
     val li = Tables.read(spark, dir, "lineitem")
       .select(
         col("l_returnflag"),
-        round(col("l_quantity") * 100).cast("long").as("x"),
+        Quantize.cents(col("l_quantity")).as("x"),
         round(col("l_extendedprice")).cast("long").as("y"))
     val nD = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
@@ -100,9 +100,9 @@ object Statistics {
   }
 
   def corrStatsOracle: String =
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT l_returnflag,
-      |    CAST(round(l_quantity * 100) AS BIGINT) x,
+      |    ${Quantize.centsSql("l_quantity")} x,
       |    CAST(round(l_extendedprice) AS BIGINT) y
       |  FROM lineitem),
       |m AS (
@@ -138,9 +138,14 @@ object Statistics {
       .withColumn("col_n", sum(col("n")).over(
         Window.partitionBy(col("o_orderstatus"))))
       .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
-    val num = col("n") * col("tot") - col("row_n") * col("col_n")
-    val term = (num * num).cast("double") /
-      (col("tot") * col("row_n") * col("col_n")).cast("double")
+    // products of counts go to double BEFORE multiplying (the suite's
+    // integer-sums rule): n·tot, row·col and tot·row·col blow past
+    // int64 at the row counts this operator targets, and ANSI Spark
+    // would throw where DuckDB's HUGEINT windows would not
+    val num = col("n").cast("double") * col("tot") -
+      col("row_n").cast("double") * col("col_n")
+    val term = (num * num) /
+      (col("tot").cast("double") * col("row_n") * col("col_n"))
     withMarginals
       .agg(
         max(col("tot")).as("n_orders"),
@@ -162,8 +167,10 @@ object Statistics {
       |    SUM(n) OVER (PARTITION BY s) col_n, SUM(n) OVER () tot
       |  FROM c),
       |t AS (
-      |  SELECT tot, CAST((n * tot - row_n * col_n) * (n * tot - row_n * col_n) AS DOUBLE)
-      |    / CAST(tot * row_n * col_n AS DOUBLE) term,
+      |  SELECT tot,
+      |    (CAST(n AS DOUBLE) * tot - CAST(row_n AS DOUBLE) * col_n)
+      |    * (CAST(n AS DOUBLE) * tot - CAST(row_n AS DOUBLE) * col_n)
+      |    / (CAST(tot AS DOUBLE) * row_n * col_n) term,
       |    p, s
       |  FROM m)
       |SELECT CAST(MAX(tot) AS BIGINT) n_orders,

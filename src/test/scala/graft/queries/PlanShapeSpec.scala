@@ -55,29 +55,32 @@ class PlanShapeSpec extends AnyFunSuite {
   test("pack_sequences: one shard shuffle feeds window and aggregate") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
+    val phys = physicalPlanNoAqe(TrainingPipeline.packSequences(spark, dir))
+    val windows = phys.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+    val shuffles = phys.collect { case s: ShuffleExchangeExec => s }
+    // shard hash shuffle + final orderBy range shuffle — the groupBy
+    // must NOT add a third exchange (already co-partitioned on shard)
+    assert(shuffles.size == 2, phys.toString.take(2000))
+  }
+
+  /** Build a physical plan with AQE off (so exchanges/windows appear
+    * directly), restoring the shared session's prior setting after.
+    */
+  private def physicalPlanNoAqe(df: => org.apache.spark.sql.DataFrame) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val phys = TrainingPipeline.packSequences(spark, dir)
-        .queryExecution.executedPlan
-      val windows = phys.collect { case w: WindowExec => w }
-      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
-      val shuffles = phys.collect { case s: ShuffleExchangeExec => s }
-      // shard hash shuffle + final orderBy range shuffle — the groupBy
-      // must NOT add a third exchange (already co-partitioned on shard)
-      assert(shuffles.size == 2, phys.toString.take(2000))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("group_topk plans WindowGroupLimit (map-side partial top-k)") {
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val phys = Extended.groupTopk(spark, dir).queryExecution.executedPlan
-      val limits = phys.collect { case w: WindowGroupLimitExec => w }
-      // partial (pre-shuffle) + final — without these the 5-partition
-      // window would sort the whole fact table on 5 reducers
-      assert(limits.size == 2, phys.toString.take(2000))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val phys = physicalPlanNoAqe(Extended.groupTopk(spark, dir))
+    val limits = phys.collect { case w: WindowGroupLimitExec => w }
+    // partial (pre-shuffle) + final — without these the 5-partition
+    // window would sort the whole fact table on 5 reducers
+    assert(limits.size == 2, phys.toString.take(2000))
   }
 
   test("scd2_history second window runs over compacted islands") {
