@@ -388,11 +388,101 @@ object Similarity {
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
 
+  // --- product quantization: per-subspace codes + reconstruction ---
+
+  /** PQ-compressed ANN: each 64-dim vector encodes as M=4 per-subspace
+    * codes (nearest codebook entry per 16-dim slice — the same
+    * zero-shuffle broadcast-argmin kernel as IVF, run per subspace),
+    * and search ranks candidates by distance to the RECONSTRUCTED
+    * (decoded) vector. This is the memory-side scale technique IVF
+    * doesn't give: 64 longs compress to 4 codes (codebooks broadcast),
+    * so a 100 TB vector corpus's index fits a fraction of the
+    * footprint, at the cost of quantization error the integer-exact
+    * ADC distance makes deterministic. Encode is narrow per-row work;
+    * decode is M tiny broadcast joins; nothing ever shuffles the
+    * vector table.
+    */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val M = 4
+    val SubDim = 16
+    val vecs = vectors(spark, dir)
+    val seeds = vecs.where(col("vec_id") % 97 === 0)
+    def subv(c: Column, j: Int): Column = slice(c, j * SubDim + 1, SubDim)
+    var coded = vecs
+    for (j <- 0 until M) {
+      val cb = seeds
+        .select(col("vec_id").as("c_id"), subv(col("v"), j).as("cv"))
+        .agg(collect_list(struct(col("c_id"), col("cv"))).as(s"cents$j"))
+      coded = coded.crossJoin(broadcast(cb))
+        .withColumn(
+          s"code$j",
+          graft.functions.VectorFunctions
+            .nearestCentroid(subv(col("v"), j), col(s"cents$j")))
+        .drop(s"cents$j")
+    }
+    var decoded = coded
+    for (j <- 0 until M) {
+      val sub = seeds.select(
+        col("vec_id").as(s"code$j"), subv(col("v"), j).as(s"cv$j"))
+      decoded = decoded.join(broadcast(sub), s"code$j")
+    }
+    val recon = decoded.select(
+      col("vec_id"),
+      concat((0 until M).map(j => col(s"cv$j")): _*).as("rv"))
+    val queries = vecs.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = recon
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn(
+        "ad2",
+        graft.functions.VectorFunctions.l2sqLong(col("qv"), col("rv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor"), col("ad2"))
+      .orderBy("q_id", "rnk")
+  }
+
+  def knnPqOracle: String =
+    s"""WITH $VectorsSql,
+       |seeds AS (SELECT vec_id c_id, v FROM vn WHERE vec_id % 97 = 0),
+       |cb AS (
+       |  SELECT c_id, j, list_slice(v, j*16+1, (j+1)*16) cv
+       |  FROM seeds, unnest([0, 1, 2, 3]) t(j)),
+       |sv AS (
+       |  SELECT vec_id, j, list_slice(v, j*16+1, (j+1)*16) sub
+       |  FROM vn, unnest([0, 1, 2, 3]) t(j)),
+       |d AS (
+       |  SELECT sv.vec_id, sv.j, cb.c_id,
+       |    list_sum(list_transform(range(1, 17), i -> (sub[i] - cv[i]) * (sub[i] - cv[i]))) d2
+       |  FROM sv JOIN cb ON sv.j = cb.j),
+       |codes AS (
+       |  SELECT vec_id, j, c_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c_id) rn
+       |    FROM d) WHERE rn = 1),
+       |recon AS (
+       |  SELECT codes.vec_id, flatten(list(cv ORDER BY codes.j)) rv
+       |  FROM codes JOIN cb ON codes.j = cb.j AND codes.c_id = cb.c_id
+       |  GROUP BY codes.vec_id),
+       |q AS (SELECT vec_id q_id, v qv FROM vn WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, recon.vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65), i -> (qv[i] - rv[i]) * (qv[i] - rv[i]))) AS BIGINT) ad2
+       |  FROM recon CROSS JOIN q WHERE recon.vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, ad2,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad2, vec_id) rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, vec_id AS neighbor, ad2 FROM ranked
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("knn_ivf_kmeans", knnIvfKmeans, Some(knnIvfKmeansOracle)),
     QueryDef("knn_ivf_probe2", knnIvfProbe2, Some(knnIvfProbe2Oracle)),
-    QueryDef("knn_lsh", knnLsh, Some(knnLshOracle)))
+    QueryDef("knn_lsh", knnLsh, Some(knnLshOracle)),
+    QueryDef("knn_pq", knnPq, Some(knnPqOracle)))
 }
