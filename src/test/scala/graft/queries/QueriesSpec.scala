@@ -50,6 +50,50 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile rank arithmetic == direct order statistics (sf0.001)") {
+    // percentile_report picks the order statistic at rank ceil(p*n)
+    // via histogram rank intervals; model it directly by sorting each
+    // group's values in plain Scala
+    import org.apache.spark.sql.functions._
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), Quantize.cents(col("value")).as("vc"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toIndexedSeq).toMap
+    def pick(s: IndexedSeq[Long], num: Long, den: Long): Double = {
+      val n = s.size.toLong
+      val r = ((num * n + den - 1) / den).max(1) // ceil(p*n), 1-based
+      s((r - 1).toInt) / 100.0
+    }
+    val got = Advanced.percentileReport(spark, dir).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val s = vals(r.getString(0))
+      assert(r.getDouble(1) == pick(s, 1, 2), s"p50 ${r.getString(0)}")
+      assert(r.getDouble(2) == pick(s, 9, 10), s"p90 ${r.getString(0)}")
+      assert(r.getDouble(3) == pick(s, 99, 100), s"p99 ${r.getString(0)}")
+    }
+  }
+
+  test("funnel stages are monotone and incremental_agg merges exactly") {
+    import org.apache.spark.sql.functions._
+    val f = Analytics.funnelSteps(spark, dir).collect().head
+    assert(f.getLong(0) >= f.getLong(1) && f.getLong(1) >= f.getLong(2))
+    // partial-merge == single-pass direct aggregation, in Spark itself
+    // (the oracle proves it against DuckDB; this pins it within-engine
+    // under whatever partitioning the test session picks)
+    val merged = Incremental.incrementalAgg(spark, dir)
+    val direct = Tables.events(spark, dir)
+      .select(
+        col("event_type"), to_date(col("ts")).as("d"),
+        Quantize.cents(col("value")).as("vc"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_vc"))
+      .withColumn("avg_value", col("sum_vc").cast("double") / col("n") / 100.0)
+      .orderBy("event_type", "d")
+    assert(merged.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
