@@ -178,8 +178,82 @@ object Statistics {
       |  CAST((COUNT(DISTINCT p) - 1) * (COUNT(DISTINCT s) - 1) AS BIGINT) dof
       |FROM t""".stripMargin
 
+  /** Robust outlier report via median absolute deviation: per event
+    * type, the lower median m of value-cents, the lower median MAD of
+    * |vc − m|, and the count of rows with |vc − m| > 5·MAD. ENTIRELY
+    * integer arithmetic — medians are rank-based order statistics
+    * (lower median, rank ⌈n/2⌉), deviations and the 5× threshold stay
+    * in int64 — so unlike mean/stddev outliers there is no float
+    * anywhere to disagree across engines or partitionings, and unlike
+    * them the report is robust to the very outliers it hunts.
+    *
+    * Scale shape: two value-HISTOGRAM passes (map-side-combinable
+    * shuffles whose size is distinct-value cardinality, not rows) and
+    * one broadcast-join filter pass — the exact_median trick composed
+    * twice; never a sort, never a low-cardinality row_number window.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), Quantize.cents(col("value")).as("vc"))
+
+    // lower median of `valCol` per event_type from a value histogram
+    def histMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy(col("event_type"), col(valCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("hi", sum(col("cnt")).over(w))
+        .withColumn("lo", col("hi") - col("cnt") + 1)
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type"))))
+        .withColumn("r", expr("(n + 1) div 2"))
+        .where(col("r") >= col("lo") && col("r") <= col("hi"))
+        .select(col("event_type"), col(valCol).as(out))
+    }
+
+    val med = histMedian(ev, "vc", "m")
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("vc") - col("m")).as("ad"))
+    val mad = histMedian(dev, "ad", "mad")
+    ev.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("m")).as("median_cents"),
+        max(col("mad")).as("mad_cents"),
+        sum((abs(col("vc") - col("m")) > lit(5) * col("mad")).cast("long"))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  def madOutliersOracle: String =
+    s"""WITH v AS (
+       |  SELECT event_type, ${Quantize.centsSql("value")} vc FROM events),
+       |med AS (
+       |  SELECT event_type, vc m FROM (
+       |    SELECT event_type, vc,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc) rn,
+       |      COUNT(*) OVER (PARTITION BY event_type) n
+       |    FROM v) WHERE rn = (n + 1) // 2),
+       |dev AS (
+       |  SELECT v.event_type, abs(vc - m) ad
+       |  FROM v JOIN med ON v.event_type = med.event_type),
+       |mad AS (
+       |  SELECT event_type, ad mad FROM (
+       |    SELECT event_type, ad,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) rn,
+       |      COUNT(*) OVER (PARTITION BY event_type) n
+       |    FROM dev) WHERE rn = (n + 1) // 2)
+       |SELECT v.event_type, MAX(m) median_cents, MAX(mad) mad_cents,
+       |  CAST(SUM(CASE WHEN abs(vc - m) > 5 * mad THEN 1 ELSE 0 END) AS BIGINT) n_outliers
+       |FROM v JOIN med ON v.event_type = med.event_type
+       |JOIN mad ON v.event_type = mad.event_type
+       |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("stats_outliers", statsOutliers, Some(statsOutliersOracle)),
     QueryDef("corr_stats", corrStats, Some(corrStatsOracle)),
-    QueryDef("chi_square", chiSquare, Some(chiSquareOracle)))
+    QueryDef("chi_square", chiSquare, Some(chiSquareOracle)),
+    QueryDef("mad_outliers", madOutliers, Some(madOutliersOracle)))
 }

@@ -75,6 +75,33 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("MAD outlier report == direct order-statistics model (sf0.001)") {
+    // mad_outliers derives both medians via value histograms + rank
+    // arithmetic; model it by sorting each group in plain Scala
+    import org.apache.spark.sql.functions._
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), Quantize.cents(col("value")).as("vc"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toIndexedSeq).toMap
+    def lowerMedian(s: Seq[Long]): Long = {
+      val sorted = s.sorted
+      sorted(((sorted.size + 1) / 2 - 1).toInt)
+    }
+    val got = Statistics.madOutliers(spark, dir).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val s = vals(r.getString(0))
+      val m = lowerMedian(s)
+      val mad = lowerMedian(s.map(v => math.abs(v - m)))
+      val outliers = s.count(v => math.abs(v - m) > 5L * mad)
+      assert(r.getAs[Long]("median_cents") == m, s"median ${r.getString(0)}")
+      assert(r.getAs[Long]("mad_cents") == mad, s"mad ${r.getString(0)}")
+      assert(r.getAs[Long]("n_outliers") == outliers.toLong,
+        s"outliers ${r.getString(0)}")
+    }
+  }
+
   test("funnel stages are monotone and incremental_agg merges exactly") {
     import org.apache.spark.sql.functions._
     val f = Analytics.funnelSteps(spark, dir).collect().head
