@@ -213,6 +213,68 @@ object TextAnalysis {
        |FROM w ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher-style repetition metrics, adapted to token granularity
+    * (the synthetic corpus has no newlines, so line-level duplicate
+    * fractions would be degenerate): per document, the token count,
+    * distinct-token count, repeated-adjacent-bigram occurrences
+    * (n_bigrams − n_distinct_bigrams) and the occurrence count of the
+    * most frequent bigram. All four are exact integers — consumers
+    * derive the fractional quality signals (dup-bigram fraction,
+    * top-bigram fraction) from them without any float crossing the
+    * engine boundary.
+    *
+    * Scale shape: entirely narrow — one scan, per-row array math
+    * behind Generate barriers, no shuffle at all (the per-doc top
+    * bigram is computed inside the row against the doc's own bigram
+    * array, never via an explode + groupBy over all bigrams).
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val bgExpr = transform(
+      sequence(lit(1), size(col("tk")) - 1),
+      i =>
+        concat_ws(
+          " ",
+          element_at(col("tk"), i),
+          element_at(col("tk"), i + 1)))
+    val bg = when(size(col("tk")) < 2, array().cast("array<string>"))
+      .otherwise(bgExpr)
+    val topBigram = coalesce(
+      array_max(
+        transform(
+          array_distinct(col("bg")),
+          x => size(filter(col("bg"), y => y === x)))),
+      lit(0))
+    Tables.read(spark, dir, "documents")
+      // Generate barriers: tokenize once per row, build bigrams once
+      .select(col("doc_id"), explode(array(t)).as("tk"))
+      .select(col("doc_id"), col("tk"), explode(array(bg)).as("bg"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long")
+          .as("n_distinct_tokens"),
+        (size(col("bg")) - size(array_distinct(col("bg")))).cast("long")
+          .as("n_dup_bigrams"),
+        topBigram.cast("long").as("top_bigram_n"))
+      .orderBy("doc_id")
+  }
+
+  def repetitionStatsOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${ToksSql.format("text")} tk FROM documents),
+       |b AS (
+       |  SELECT doc_id, tk,
+       |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) bg
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) n_tokens,
+       |  CAST(len(list_distinct(tk)) AS BIGINT) n_distinct_tokens,
+       |  CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) n_dup_bigrams,
+       |  CAST(COALESCE(list_max(list_transform(list_distinct(bg),
+       |    x -> len(list_filter(bg, y -> y = x)))), 0) AS BIGINT) top_bigram_n
+       |FROM b ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_tokens", textTokens, Some(textTokensOracle)),
     QueryDef("text_quality", textQuality, Some(textQualityOracle)),
@@ -221,5 +283,9 @@ object TextAnalysis {
     QueryDef(
       "rolling_fingerprint",
       rollingFingerprint,
-      Some(rollingFingerprintOracle)))
+      Some(rollingFingerprintOracle)),
+    QueryDef(
+      "repetition_stats",
+      repetitionStats,
+      Some(repetitionStatsOracle)))
 }

@@ -276,10 +276,128 @@ object TrainingPipeline {
        |  CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) kept_tokens
        |FROM f""".stripMargin
 
+  /** Domain-mixing weights: per source, doc and token totals plus the
+    * up/down-sampling weight (in parts-per-million) that would flatten
+    * the corpus to a uniform token budget per source —
+    * `weight_ppm = total_tokens · 10⁶ ÷ (n_sources · source_tokens)`,
+    * all in int64 so both engines agree exactly. The real mixing
+    * recipe multiplies these by target proportions; the uniform
+    * target keeps the oracle closed-form.
+    *
+    * Scale shape: one narrow scan + a 20-row hash aggregate; the
+    * corpus totals come back via a single-row broadcast cross join
+    * (BroadcastNestedLoopJoin over one row — no expansion, no
+    * shuffle).
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+      .cast("long")
+    val perSrc = Tables.read(spark, dir, "documents")
+      .select(col("source"), nTok.as("n_tok"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("src_tokens"))
+    val totals = perSrc.agg(
+      sum(col("src_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("src_tokens"),
+        call_function(
+          "div",
+          col("tot_tokens") * lit(1000000L),
+          col("n_sources") * col("src_tokens")).as("weight_ppm"))
+      .orderBy("source")
+  }
+
+  def domainMixOracle: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) n_tok
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) src_tokens
+       |  FROM t GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(src_tokens) AS BIGINT) tot_tokens,
+       |    CAST(COUNT(*) AS BIGINT) n_sources FROM s)
+       |SELECT source, n_docs, src_tokens,
+       |  CAST(tot_tokens * 1000000 // (n_sources * src_tokens) AS BIGINT) weight_ppm
+       |FROM s, tot ORDER BY source""".stripMargin
+
+  /** PII scrubbing: redact phone-shaped `NN-NNN-NNN-NNNN` numbers and
+    * then any remaining ≥5-digit ID runs from a free-text column,
+    * reporting the redacted text plus exact per-kind match counts.
+    * Counting n_id AFTER the phone redaction keeps the two counters
+    * disjoint (phone digits never double-count as IDs) — the order is
+    * part of the contract. The synthetic tables carry no phone
+    * column, so the input line is derived deterministically from the
+    * customer key (same integer construction on both engines); the
+    * operator under test is the scrub projection, not the synthesis.
+    *
+    * Scale shape: pure per-row regex projection — one scan, zero
+    * shuffles, fully codegen'd (`regexp_replace`/`regexp_count` are
+    * built-ins on both engines; patterns stay in the RE2 ∩ Java
+    * dialect: character classes and bounded quantifiers only).
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val phonePat = "\\d{2}-\\d{3}-\\d{3}-\\d{4}"
+    val idPat = "\\d{5,}"
+    val k = col("c_custkey")
+    val phone = format_string(
+      "%02d-%03d-%03d-%04d",
+      k % 90 + 10,
+      k % 900 + 100,
+      (k * 7) % 900 + 100,
+      (k * 13) % 9000 + 1000)
+    val text = concat_ws(
+      " ", col("c_name"), lit("call"), phone, lit("acct"), k * 3 + 1)
+    Tables.read(spark, dir, "customer")
+      .select(col("c_custkey"), explode(array(text)).as("t"))
+      .select(
+        col("c_custkey"),
+        regexp_count(col("t"), lit(phonePat)).cast("long")
+          .as("n_phone"),
+        explode(
+          array(regexp_replace(col("t"), phonePat, "[PHONE]")))
+          .as("t1"))
+      .select(
+        col("c_custkey"),
+        col("n_phone"),
+        regexp_count(col("t1"), lit(idPat)).cast("long").as("n_id"),
+        regexp_replace(col("t1"), idPat, "[ID]").as("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  def piiScrubOracle: String =
+    s"""WITH t AS (
+       |  SELECT c_custkey,
+       |    c_name || ' call ' ||
+       |    printf('%02d-%03d-%03d-%04d', c_custkey % 90 + 10,
+       |      c_custkey % 900 + 100, (c_custkey * 7) % 900 + 100,
+       |      (c_custkey * 13) % 9000 + 1000) ||
+       |    ' acct ' || (c_custkey * 3 + 1) AS t
+       |  FROM customer),
+       |p AS (
+       |  SELECT c_custkey,
+       |    CAST(len(regexp_extract_all(t, '\\d{2}-\\d{3}-\\d{3}-\\d{4}')) AS BIGINT) n_phone,
+       |    regexp_replace(t, '\\d{2}-\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g') t1
+       |  FROM t)
+       |SELECT c_custkey, n_phone,
+       |  CAST(len(regexp_extract_all(t1, '\\d{5,}')) AS BIGINT) n_id,
+       |  regexp_replace(t1, '\\d{5,}', '[ID]', 'g') redacted
+       |FROM p ORDER BY c_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("decontaminate", decontaminate, Some(decontaminateOracle)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("length_buckets", lengthBuckets, Some(lengthBucketsOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
-    QueryDef("corpus_clean", corpusClean, Some(corpusCleanOracle)))
+    QueryDef("corpus_clean", corpusClean, Some(corpusCleanOracle)),
+    QueryDef("domain_mix", domainMix, Some(domainMixOracle)),
+    QueryDef("pii_scrub", piiScrub, Some(piiScrubOracle)))
 }
