@@ -239,12 +239,26 @@ object TextAnalysis {
           element_at(col("tk"), i + 1)))
     val bg = when(size(col("tk")) < 2, array().cast("array<string>"))
       .otherwise(bgExpr)
-    val topBigram = coalesce(
-      array_max(
-        transform(
-          array_distinct(col("bg")),
-          x => size(filter(col("bg"), y => y === x)))),
-      lit(0))
+    // Top-bigram occurrence count = longest equal run in the SORTED
+    // bigram array: O(n log n) per row instead of the quadratic
+    // distinct×scan shape (which priced at 3.5s vs 0.9s at sf0.1).
+    // Bigrams are never "" (tokens are non-empty), so "" is a safe
+    // run-breaking initial prev.
+    val topBigram = aggregate(
+      array_sort(col("bg")),
+      struct(
+        lit("").as("prev"),
+        lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     Tables.read(spark, dir, "documents")
       // Generate barriers: tokenize once per row, build bigrams once
       .select(col("doc_id"), explode(array(t)).as("tk"))
