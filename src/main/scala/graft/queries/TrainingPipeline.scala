@@ -392,6 +392,31 @@ object TrainingPipeline {
        |  regexp_replace(t1, '\\d{5,}', '[ID]', 'g') redacted
        |FROM p ORDER BY c_custkey""".stripMargin
 
+  /** Reproducible epoch shuffle: global training order for epoch 1 as
+    * a keyed-hash sort — `md5("epoch1:" || doc_id)` is the shuffle
+    * key, so the permutation is a pure function of (epoch, doc_id):
+    * re-runs and resumed jobs see the identical order, and a
+    * different epoch label yields a statistically independent
+    * permutation with no RNG state to checkpoint.
+    *
+    * Scale shape: one narrow projection + ONE global sort. Spark
+    * plans a global sort as a range-partitioned distributed sort
+    * (sampled range boundaries, then per-partition sorts) — the
+    * md5 keys are uniform so the range partitions are balanced by
+    * construction; there is no window and no single-partition stage.
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .select(
+        md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
+          .as("shuffle_key"),
+        col("doc_id"))
+      .orderBy("shuffle_key")
+
+  def epochShuffleOracle: String =
+    """SELECT md5('epoch1:' || doc_id) AS shuffle_key, doc_id
+      |FROM documents ORDER BY shuffle_key""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("decontaminate", decontaminate, Some(decontaminateOracle)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
@@ -399,5 +424,6 @@ object TrainingPipeline {
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("corpus_clean", corpusClean, Some(corpusCleanOracle)),
     QueryDef("domain_mix", domainMix, Some(domainMixOracle)),
-    QueryDef("pii_scrub", piiScrub, Some(piiScrubOracle)))
+    QueryDef("pii_scrub", piiScrub, Some(piiScrubOracle)),
+    QueryDef("epoch_shuffle", epochShuffle, Some(epochShuffleOracle)))
 }
