@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit (SURVEY §2.6 gap-fill): the validation gate a
+  * production ingest runs before data is allowed into the corpus —
+  * named invariant checks with exact violation counts.
+  *
+  * Scale shape: ONE narrow conditional-aggregate pass per audited
+  * table (all of a table's counters come from the same scan via
+  * sum(case when), then unpivot through explode(map) on the single
+  * 1-row result), plus one anti join for the referential check —
+  * orders⋉customer on the key, which AQE plans as a broadcast anti
+  * join when the dimension fits and a shuffled one when it doesn't.
+  * Nothing here is ever per-row wide; the audit's cost is exactly one
+  * pass over each fact table regardless of how many checks share it.
+  */
+object DataQuality {
+
+  private def unpivot(df: DataFrame, pairs: (String, String)*): DataFrame =
+    df.select(
+      explode(
+        map(pairs.flatMap { case (k, c) => Seq(lit(k), col(c)) }: _*))
+        .as(Seq("check_name", "n_violations")))
+
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.read(spark, dir, "orders")
+    val cust = Tables.read(spark, dir, "customer")
+    val li = Tables.read(spark, dir, "lineitem")
+    val ev = Tables.events(spark, dir)
+
+    val orphan = orders
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        lit("orders_orphan_custkey").as("check_name"),
+        col("n").as("n_violations"))
+
+    val ordChecks = unpivot(
+      orders.agg(
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+          .as("null_date"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+          .as("nonpos_price")),
+      "orders_null_orderdate" -> "null_date",
+      "orders_nonpositive_totalprice" -> "nonpos_price")
+
+    val liChecks = unpivot(
+      li.agg(
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
+          .as("nonpos_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("bad_discount"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+          .as("null_shipdate")),
+      "lineitem_nonpositive_quantity" -> "nonpos_qty",
+      "lineitem_discount_out_of_range" -> "bad_discount",
+      "lineitem_null_shipdate" -> "null_shipdate")
+
+    val evChecks = unpivot(
+      ev.agg(
+        (count(lit(1)) - countDistinct(col("event_id"))).as("dup_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L))
+          .as("null_user"),
+        sum(when(
+          col("ts") < to_timestamp(lit("2000-01-01 00:00:00")) ||
+            col("ts") >= to_timestamp(lit("2030-01-01 00:00:00")),
+          1L).otherwise(0L)).as("ts_out_of_range")),
+      "events_duplicate_event_id_rows" -> "dup_rows",
+      "events_null_user_id" -> "null_user",
+      "events_ts_out_of_range" -> "ts_out_of_range")
+
+    orphan.unionAll(ordChecks).unionAll(liChecks).unionAll(evChecks)
+      .orderBy("check_name")
+  }
+
+  def dqAuditOracle: String =
+    """WITH orphan AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n FROM orders o
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |ord AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) null_date,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) nonpos_price
+      |  FROM orders),
+      |li AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) nonpos_qty,
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) bad_discount,
+      |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) null_shipdate
+      |  FROM lineitem),
+      |ev AS (
+      |  SELECT
+      |    CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) dup_rows,
+      |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) null_user,
+      |    CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2000-01-01'
+      |      OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS BIGINT) ts_oor
+      |  FROM events)
+      |SELECT check_name, n_violations FROM (
+      |  SELECT 'orders_orphan_custkey' check_name, n n_violations FROM orphan
+      |  UNION ALL SELECT 'orders_null_orderdate', null_date FROM ord
+      |  UNION ALL SELECT 'orders_nonpositive_totalprice', nonpos_price FROM ord
+      |  UNION ALL SELECT 'lineitem_nonpositive_quantity', nonpos_qty FROM li
+      |  UNION ALL SELECT 'lineitem_discount_out_of_range', bad_discount FROM li
+      |  UNION ALL SELECT 'lineitem_null_shipdate', null_shipdate FROM li
+      |  UNION ALL SELECT 'events_duplicate_event_id_rows', dup_rows FROM ev
+      |  UNION ALL SELECT 'events_null_user_id', null_user FROM ev
+      |  UNION ALL SELECT 'events_ts_out_of_range', ts_oor FROM ev)
+      |ORDER BY check_name""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("dq_audit", dqAudit, Some(dqAuditOracle)))
+}
