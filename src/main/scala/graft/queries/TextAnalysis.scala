@@ -289,6 +289,51 @@ object TextAnalysis {
        |    x -> len(list_filter(bg, y -> y = x)))), 0) AS BIGINT) top_bigram_n
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary induction: the corpus's top-25 tokens by frequency
+    * with each token's share of all token occurrences in integer ppm
+    * — the first step of building a tokenizer vocab (and the
+    * coverage report that says how much of the corpus a K-entry
+    * vocab explains). Ties at the cut break by token text, so the
+    * result is deterministic.
+    *
+    * Scale shape: the canonical distributed wordcount — explode →
+    * hash aggregate with map-side partial combine (the shuffle
+    * carries one row per DISTINCT token per partition, not one per
+    * occurrence); the top-25 plans as TakeOrderedAndProject (map-side
+    * partial top-K, no global sort materialization); the corpus
+    * total returns via a single-row broadcast cross join.
+    */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+    val tf = docs
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    // corpus total from a narrow per-doc size() sum — no second
+    // wordcount shuffle just to add up what the scan already knows
+    val total = docs
+      .agg(sum(size(toks(col("text"))).cast("long")).as("tot"))
+    tf.orderBy(col("n").desc, col("token")).limit(25)
+      .crossJoin(broadcast(total))
+      .select(
+        col("token"),
+        col("n"),
+        call_function("div", col("n") * lit(1000000L), col("tot"))
+          .as("share_ppm"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  def vocabTopkOracle: String =
+    s"""WITH tf AS (
+       |  SELECT t.tok token, CAST(COUNT(*) AS BIGINT) n
+       |  FROM documents, unnest(${ToksSql.format("text")}) AS t(tok)
+       |  GROUP BY t.tok),
+       |tot AS (
+       |  SELECT CAST(SUM(len(${ToksSql.format("text")})) AS BIGINT) tot
+       |  FROM documents)
+       |SELECT token, n, CAST(n * 1000000 // tot AS BIGINT) share_ppm
+       |FROM tf, tot ORDER BY n DESC, token LIMIT 25""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_tokens", textTokens, Some(textTokensOracle)),
     QueryDef("text_quality", textQuality, Some(textQualityOracle)),
@@ -301,5 +346,6 @@ object TextAnalysis {
     QueryDef(
       "repetition_stats",
       repetitionStats,
-      Some(repetitionStatsOracle)))
+      Some(repetitionStatsOracle)),
+    QueryDef("vocab_topk", vocabTopk, Some(vocabTopkOracle)))
 }
