@@ -26,6 +26,13 @@ class EndToEndSpec extends AnyFunSuite {
     s
   }
 
+  /** Clue for contains-assertions: the tail of what was actually
+    * received, so a timing flake in a full-suite run is diagnosable
+    * from the CI log alone.
+    */
+  private def got(s: String): String =
+    if (s.length <= 400) s"got: $s" else s"got(tail): …${s.takeRight(400)}"
+
   private def readAvailable(s: Socket, until: String, timeoutMs: Long = 15000): String = {
     s.setSoTimeout(500)
     val in = s.getInputStream
@@ -53,13 +60,14 @@ class EndToEndSpec extends AnyFunSuite {
       val subAll = httpGet(httpPort, "/events?subsystem=jobs",
         Seq("Referer: https://app.example"))
       val headLow = readAvailable(subLow, "\r\n\r\n")
-      assert(headLow.startsWith("HTTP/1.1 200 OK"))
+      assert(headLow.startsWith("HTTP/1.1 200 OK"), got(headLow))
       assert(headLow.contains("Content-Type: text/event-stream"))
       assert(headLow.contains("Transfer-Encoding: chunked"))
       readAvailable(subAll, "\r\n\r\n")
       // first ping is written immediately on registration, before the
       // first interval sleep (listener.py:72-78) — interval here is 1h
-      assert(readAvailable(subLow, "event: ping", 15000).contains("event: ping"))
+      val pingBody = readAvailable(subLow, "event: ping", 15000)
+      assert(pingBody.contains("event: ping"), got(pingBody))
 
       // bad filter => 400; unknown path => 404; POST /events => 405
       assert(readAvailable(
@@ -90,17 +98,17 @@ class EndToEndSpec extends AnyFunSuite {
 
       // filtered listener gets only k<=50; unfiltered gets both
       val lowBody = readAvailable(subLow, "id: e1")
-      assert(lowBody.contains("event: add\r\ndata: {\"k\":10}\r\nid: e1"))
-      assert(!lowBody.contains("id: e2"))
+      assert(lowBody.contains("event: add\r\ndata: {\"k\":10}\r\nid: e1"), got(lowBody))
+      assert(!lowBody.contains("id: e2"), got(lowBody))
       val allBody = readAvailable(subAll, "id: e2")
-      assert(allBody.contains("id: e1"))
-      assert(allBody.contains("id: e2"))
+      assert(allBody.contains("id: e1"), got(allBody))
+      assert(allBody.contains("id: e2"), got(allBody))
       assert(!allBody.contains("id: e3")) // other subsystem
 
       // EP3: stats reflect both live connections
       val statsBody = readAvailable(
         httpGet(httpPort, "/stats"), "connections")
-      assert(statsBody.contains("\"total-connections\": 2"))
+      assert(statsBody.contains("\"total-connections\": 2"), got(statsBody))
       assert(statsBody.contains("\"subsystem\": \"jobs\""))
       assert(statsBody.contains("\"filters\": [\"k<=50\"]"))
       assert(statsBody.contains("\"referer\": \"https://app.example\""))
@@ -117,7 +125,7 @@ class EndToEndSpec extends AnyFunSuite {
         && System.currentTimeMillis() < dl2) Thread.sleep(50)
       server.processAllAvailable()
       val lateBody = readAvailable(subLate, "id: e4")
-      assert(lateBody.contains("id: e4"))
+      assert(lateBody.contains("id: e4"), got(lateBody))
       assert(!lateBody.contains("id: e1")) // no replay of earlier events
 
       // total-connections is cumulative: disconnecting doesn't decrement
@@ -125,7 +133,7 @@ class EndToEndSpec extends AnyFunSuite {
       subLate.close()
       Thread.sleep(200)
       val stats2 = readAvailable(httpGet(httpPort, "/stats"), "connections")
-      assert(stats2.contains("\"total-connections\": 3"))
+      assert(stats2.contains("\"total-connections\": 3"), got(stats2))
 
       subLow.close(); subAll.close()
     } finally server.close()
@@ -162,7 +170,7 @@ class EndToEndSpec extends AnyFunSuite {
       server.processAllAvailable()
 
       val body = readAvailable(sock, "id: t1")
-      assert(body.contains("event: add\r\ndata: {\"k\":7}\r\nid: t1"))
+      assert(body.contains("event: add\r\ndata: {\"k\":7}\r\nid: t1"), got(body))
       ch.close(); sock.close()
     } finally server.close()
   }
@@ -191,7 +199,7 @@ class EndToEndSpec extends AnyFunSuite {
       server.processAllAvailable()
       // the live subscriber still gets everything; the query survived
       val body = readAvailable(alive, "id: d3")
-      assert(body.contains("id: d1") && body.contains("id: d3"))
+      assert(body.contains("id: d1") && body.contains("id: d3"), got(body))
       assert(server.query.isActive)
       alive.close()
     } finally server.close()
@@ -208,10 +216,10 @@ class EndToEndSpec extends AnyFunSuite {
       val sub = httpGet(server.sse.actualPort, "/events?subsystem=x")
       readAvailable(sub, "\r\n\r\n")
       val body = readAvailable(sub, "event: ping", 10000)
-      assert(body.contains("event: ping\r\ndata: \r\n\r\n"))
+      assert(body.contains("event: ping\r\ndata: \r\n\r\n"), got(body))
       server.close()
       val tail = readAvailable(sub, "0\r\n\r\n", 15000)
-      assert(tail.contains("0\r\n\r\n")) // terminal chunk on drain
+      assert(tail.contains("0\r\n\r\n"), got(tail)) // terminal chunk on drain
       sub.close()
     } finally server.close()
   }
