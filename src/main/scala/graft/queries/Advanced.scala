@@ -271,6 +271,51 @@ object Advanced {
       |    / SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS price_per_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Quantile-sketch counterpart of `sketch_distinct`: per event
+    * type, `approx_percentile`'s p50 (a KLL/GK-family sketch whose
+    * rank error is ≤ n/accuracy) is audited against the exact rank
+    * interval of the element it returned, and the bound surfaces as
+    * a boolean the oracle pins TRUE — sketch internals are
+    * engine-specific, so the raw estimate can't hash-match DuckDB,
+    * but the error CONTRACT can. Exact quantiles live in
+    * `percentile_report`; this row proves the sketch path honors its
+    * bound (the 100 TB answer when an exact histogram pass is too
+    * expensive).
+    *
+    * Scale shape: one sketch aggregation pass (map-side partial
+    * sketches merged per group), then one conditional-aggregate pass
+    * joined to the 5-row sketch result by broadcast — no shuffle of
+    * the fact table beyond the two group-by-type aggregates.
+    */
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), Quantize.cents(col("value")).as("vc"))
+    val acc = 1000L
+    val sk = base.groupBy(col("event_type"))
+      .agg(percentile_approx(col("vc"), lit(0.5), lit(acc)).as("ap50"))
+    val target = call_function("div", col("n_events") + 1, lit(2L))
+    val err = call_function("div", col("n_events"), lit(acc)) + lit(1L)
+    base.join(broadcast(sk), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("vc") < col("ap50"), 1L).otherwise(0L))
+          .as("rank_lo"),
+        sum(when(col("vc") <= col("ap50"), 1L).otherwise(0L))
+          .as("rank_hi"))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        (target >= col("rank_lo") + 1 - err &&
+          target <= col("rank_hi") + err).as("p50_in_bounds"))
+      .orderBy("event_type")
+  }
+
+  def sketchQuantilesOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) n_events,
+      |  TRUE p50_in_bounds
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("asof_join", asofJoin, Some(asofJoinOracle)),
     QueryDef("range_join", rangeJoin, Some(rangeJoinOracle)),
@@ -278,5 +323,9 @@ object Advanced {
     QueryDef("exact_median", exactMedian, Some(exactMedianOracle)),
     QueryDef("percentile_report", percentileReport, Some(percentileReportOracle)),
     QueryDef("bpe_tokens", bpeTokens, Some(bpeTokensOracle)),
-    QueryDef("udaf_weighted", udafWeighted, Some(udafWeightedOracle)))
+    QueryDef("udaf_weighted", udafWeighted, Some(udafWeightedOracle)),
+    QueryDef(
+      "sketch_quantiles",
+      sketchQuantiles,
+      Some(sketchQuantilesOracle)))
 }
