@@ -255,4 +255,42 @@ class QueriesSpec extends AnyFunSuite {
     for (Seq(lo, hi) <- byBucket.sliding(2).map(_.toSeq).toSeq if hi != null)
       assert(lo.getDouble(3) <= hi.getDouble(2) + 1e-9)
   }
+
+  test("repetition_stats matches a brute-force model on generated docs") {
+    // the sorted-run-length top-bigram scan replaced a quadratic
+    // distinct×scan form; pin it to the transparent model, including
+    // the empty / single-token / all-equal edge cases
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "d4", "ee", "f")
+    val gen = (0 until 40).map(i =>
+      (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size))))
+    val docs = (gen ++ Seq(Seq.empty, Seq("solo"), Seq.fill(9)("x")))
+      .zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-repstats").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+
+    def model(text: String): (Long, Long, Long, Long) = {
+      val tk = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val bg = tk.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+      val top =
+        if (bg.isEmpty) 0L
+        else bg.groupBy(identity).values.map(_.size).max.toLong
+      (tk.size.toLong, tk.distinct.size.toLong,
+        (bg.size - bg.distinct.size).toLong, top)
+    }
+
+    val got = TextAnalysis.repetitionStats(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    for ((id, text) <- docs)
+      assert(got(id) == model(text), s"doc $id: '$text'")
+  }
 }
