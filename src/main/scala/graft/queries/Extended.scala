@@ -534,6 +534,61 @@ object Extended {
       |FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k
       |ORDER BY join_mode""".stripMargin
 
+  /** Aggregate null-semantics battery: the corner rules engines
+    * disagree on most often, pinned per order-status group over a
+    * deterministically null-injected value (`v` = totalprice cents,
+    * NULL on every 3rd orderkey and for the ENTIRE 'F' group):
+    * count(*) counts rows, count(v)/count(distinct v) skip nulls,
+    * sum/min/max over an all-NULL group are NULL (not 0), and the
+    * null-safe integer average is NULL exactly when count(v)=0.
+    * The synthetic tables carry no nulls, so the injection is part
+    * of the query on both engines.
+    *
+    * Scale shape: one narrow scan + one map-side-combinable hash
+    * aggregate; the single count(distinct) plans one Expand, the
+    * accepted cost of exact distinct-per-group.
+    */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val v = when(
+      col("o_orderkey") % 3 === 0 || col("o_orderstatus") === "F",
+      lit(null).cast("long"))
+      .otherwise(Quantize.cents(col("o_totalprice")))
+    Tables.read(spark, dir, "orders")
+      .select(col("o_orderstatus"), v.as("v"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"),
+        sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .withColumn(
+        "avg_milli",
+        when(col("n_nonnull") === 0, lit(null).cast("long"))
+          .otherwise(
+            call_function(
+              "div", col("sum_v") * lit(1000L), col("n_nonnull"))))
+      .orderBy("o_orderstatus")
+  }
+
+  def nullSemanticsOracle: String =
+    s"""WITH t AS (
+       |  SELECT o_orderstatus,
+       |    CASE WHEN o_orderkey % 3 = 0 OR o_orderstatus = 'F'
+       |      THEN NULL ELSE ${Quantize.centsSql("o_totalprice")} END v
+       |  FROM orders)
+       |SELECT o_orderstatus,
+       |  CAST(COUNT(*) AS BIGINT) n_rows,
+       |  CAST(COUNT(v) AS BIGINT) n_nonnull,
+       |  CAST(COUNT(DISTINCT v) AS BIGINT) n_distinct,
+       |  CAST(SUM(v) AS BIGINT) sum_v,
+       |  CAST(MIN(v) AS BIGINT) min_v,
+       |  CAST(MAX(v) AS BIGINT) max_v,
+       |  CASE WHEN COUNT(v) = 0 THEN NULL
+       |    ELSE CAST(SUM(v) * 1000 // COUNT(v) AS BIGINT) END avg_milli
+       |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("grouping_sets", groupingSets, Some(groupingSetsOracle)),
     QueryDef("window_lag", windowLag, Some(windowLagOracle)),
@@ -548,5 +603,6 @@ object Extended {
     QueryDef("sessionize_lag", sessionizeLag, Some(sessionizeLagOracle)),
     QueryDef("train_split", trainSplit, Some(trainSplitOracle)),
     QueryDef("group_topk", groupTopk, Some(groupTopkOracle)),
-    QueryDef("nullsafe_join", nullsafeJoin, Some(nullsafeJoinOracle)))
+    QueryDef("nullsafe_join", nullsafeJoin, Some(nullsafeJoinOracle)),
+    QueryDef("null_semantics", nullSemantics, Some(nullSemanticsOracle)))
 }
