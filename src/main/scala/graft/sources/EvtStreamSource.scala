@@ -71,7 +71,8 @@ final class EvtStreamTable(properties: util.Map[String, String])
             Option(options.get("port")).map(_.toInt),
             Option(options.get("mode")).map(Integer.parseInt(_, 8)),
             Option(options.get("owner")),
-            Option(options.get("group")))
+            Option(options.get("group")),
+            Option(options.get("maxLinesPerBatch")).map(_.toLong))
       }
 }
 
@@ -84,7 +85,8 @@ final class EvtStreamMicroBatch(
     port: Option[Int],
     socketMode: Option[Int] = None,
     socketOwner: Option[String] = None,
-    socketGroup: Option[String] = None)
+    socketGroup: Option[String] = None,
+    maxLinesPerBatch: Option[Long] = None)
     extends MicroBatchStream {
   private val lines = ArrayBuffer.empty[String]
   private val running = new AtomicBoolean(true)
@@ -171,8 +173,20 @@ final class EvtStreamMicroBatch(
   }
 
   override def initialOffset(): Offset = LineOffset(0L)
-  override def latestOffset(): Offset =
-    lines.synchronized(LineOffset(committed + lines.size))
+
+  /** Admission control: a producer burst must not become one giant
+    * micro-batch (unbounded batch memory + a latency cliff for every
+    * event behind it). With `maxLinesPerBatch` set, each trigger
+    * admits at most that many lines and the backlog drains over
+    * successive micro-batches; `processAllAvailable`/AvailableNow
+    * still run to the true end because latestOffset keeps advancing
+    * until the buffer is empty.
+    */
+  override def latestOffset(): Offset = lines.synchronized {
+    val avail = lines.size.toLong
+    val cap = maxLinesPerBatch.fold(avail)(m => math.min(m, avail))
+    LineOffset(committed + cap)
+  }
   override def deserializeOffset(json: String): Offset =
     LineOffset(json.toLong)
 

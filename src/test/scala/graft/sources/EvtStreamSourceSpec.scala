@@ -44,4 +44,37 @@ class EvtStreamSourceSpec extends AnyFunSuite {
       ch.close()
     } finally mb.stop()
   }
+
+  test("maxLinesPerBatch admits a burst over successive micro-batches") {
+    val mb = new EvtStreamMicroBatch(
+      path = None, port = Some(0), maxLinesPerBatch = Some(3L))
+    try {
+      val port = mb.instanceKey.stripPrefix("tcp:").toInt
+      val ch = SocketChannel.open(new InetSocketAddress("127.0.0.1", port))
+      val w = new OutputStreamWriter(
+        java.nio.channels.Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+      (1 to 8).foreach(i => w.write(s"line-$i\n"))
+      w.flush()
+      val deadline = System.currentTimeMillis() + 10000
+      while (EvtStreamSource.buffered.getOrDefault(mb.instanceKey, 0) < 8
+        && System.currentTimeMillis() < deadline) Thread.sleep(20)
+
+      // drain the way MicroBatchExecution does: latestOffset, run the
+      // batch, commit, repeat — the 8-line burst takes 3 batches of
+      // at most 3 lines, in order, losing nothing
+      var start = 0L
+      val batches = Iterator.continually {
+        val end = mb.latestOffset().asInstanceOf[LineOffset].count
+        val got =
+          if (end == start) Nil
+          else lines(mb.planInputPartitions(
+            LineOffset(start), LineOffset(end)))
+        if (end != start) { mb.commit(LineOffset(end)); start = end }
+        got
+      }.takeWhile(_.nonEmpty).toList
+      assert(batches.map(_.size) == List(3, 3, 2))
+      assert(batches.flatten == (1 to 8).map(i => s"line-$i"))
+      ch.close()
+    } finally mb.stop()
+  }
 }
