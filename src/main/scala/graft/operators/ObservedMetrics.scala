@@ -28,8 +28,11 @@ object ObservedMetrics {
     df.observe(
       name,
       count(lit(1)).as("n_total"),
-      sum(kept.cast("long")).as("n_kept"),
-      sum(when(kept, tokens).otherwise(lit(0L))).as("kept_tokens"))
+      // sum over zero rows is NULL — coalesce so an empty input (or
+      // empty micro-batch) still reports exact integer zeros
+      coalesce(sum(kept.cast("long")), lit(0L)).as("n_kept"),
+      coalesce(sum(when(kept, tokens).otherwise(lit(0L))), lit(0L))
+        .as("kept_tokens"))
 
   /** The metrics row recorded for `name` by the last action on `df`,
     * if that action has completed. Metrics attach to the

@@ -13,7 +13,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -87,10 +87,16 @@ final class EvtStreamMicroBatch(
     socketOwner: Option[String] = None,
     socketGroup: Option[String] = None,
     maxLinesPerBatch: Option[Long] = None)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  maxLinesPerBatch.foreach(m => require(m > 0,
+    s"maxLinesPerBatch must be positive, got $m (0 would stall the " +
+      "stream forever while the driver buffer grows unboundedly)"))
   private val lines = ArrayBuffer.empty[String]
   private val running = new AtomicBoolean(true)
   @volatile private var committed = 0L
+  // Trigger.AvailableNow endpoint: fixed at prepare time so the run
+  // has run-to-completion semantics even while producers keep writing
+  @volatile private var availableNowTarget: Option[Long] = None
 
   private val channel: ServerSocketChannel = path match {
     case Some(p) =>
@@ -177,15 +183,44 @@ final class EvtStreamMicroBatch(
   /** Admission control: a producer burst must not become one giant
     * micro-batch (unbounded batch memory + a latency cliff for every
     * event behind it). With `maxLinesPerBatch` set, each trigger
-    * admits at most that many lines and the backlog drains over
-    * successive micro-batches; `processAllAvailable`/AvailableNow
-    * still run to the true end because latestOffset keeps advancing
-    * until the buffer is empty.
+    * admits at most that many lines (surfaced to the engine as the
+    * default ReadLimit.maxRows) and the backlog drains over
+    * successive micro-batches: `processAllAvailable` keeps going
+    * because latestOffset advances every trigger until the buffer is
+    * empty, and Trigger.AvailableNow keeps going because this source
+    * implements SupportsTriggerAvailableNow — the endpoint is
+    * snapshotted in prepareForTriggerAvailableNow and batches are
+    * capped toward it (without the interface, Spark would snapshot
+    * ONE capped latestOffset and stop there, silently dropping the
+    * rest of the backlog).
     */
-  override def latestOffset(): Offset = lines.synchronized {
-    val avail = lines.size.toLong
-    val cap = maxLinesPerBatch.fold(avail)(m => math.min(m, avail))
-    LineOffset(committed + cap)
+  override def latestOffset(): Offset =
+    latestOffset(null, getDefaultReadLimit)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxLinesPerBatch.fold(ReadLimit.allAvailable())(ReadLimit.maxRows)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    lines.synchronized {
+      val avail = availableNowTarget match {
+        case Some(t) => math.min(t - committed, lines.size.toLong)
+        case None => lines.size.toLong
+      }
+      val cap = limit match {
+        case r: ReadMaxRows => math.min(r.maxRows(), avail)
+        case _ => avail
+      }
+      LineOffset(committed + math.max(cap, 0L))
+    }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    lines.synchronized {
+      availableNowTarget = Some(committed + lines.size)
+    }
+
+  /** The endpoint an AvailableNow run must reach before terminating. */
+  override def reportLatestOffset(): Offset = lines.synchronized {
+    LineOffset(availableNowTarget.getOrElse(committed + lines.size))
   }
   override def deserializeOffset(json: String): Offset =
     LineOffset(json.toLong)

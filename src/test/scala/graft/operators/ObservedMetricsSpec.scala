@@ -42,6 +42,21 @@ class ObservedMetricsSpec extends AnyFunSuite {
       m.getAs[Long]("kept_tokens") == expect.getAs[Long]("kept_tokens"))
   }
 
+  test("observed gate counters are exact zeros on empty input") {
+    val docs = Tables.read(spark, dir, "documents")
+    val gated = ObservedMetrics.observeGate(
+      docs.where(lit(false)), "empty_gate",
+      col("n_chars") >= 200, col("n_chars"))
+    assert(gated.collect().isEmpty)
+    val m = ObservedMetrics.lastMetrics(gated, "empty_gate")
+      .getOrElse(fail("no observed metrics recorded"))
+    // sum() over zero rows is NULL — the gate must coalesce to 0 so
+    // the documented all-integers contract survives empty batches
+    assert(m.getAs[Long]("n_total") == 0L)
+    assert(m.getAs[Long]("n_kept") == 0L)
+    assert(m.getAs[Long]("kept_tokens") == 0L)
+  }
+
   test("observed metrics surface per micro-batch on a stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -5,6 +5,8 @@ import java.net.InetSocketAddress
 import java.nio.channels.SocketChannel
 import java.nio.charset.StandardCharsets
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.connector.read.streaming.Offset
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -76,5 +78,54 @@ class EvtStreamSourceSpec extends AnyFunSuite {
       assert(batches.flatten == (1 to 8).map(i => s"line-$i"))
       ch.close()
     } finally mb.stop()
+  }
+
+  test("AvailableNow drains the full prepared backlog despite the cap") {
+    val mb = new EvtStreamMicroBatch(
+      path = None, port = Some(0), maxLinesPerBatch = Some(3L))
+    try {
+      val port = mb.instanceKey.stripPrefix("tcp:").toInt
+      val ch = SocketChannel.open(new InetSocketAddress("127.0.0.1", port))
+      val w = new OutputStreamWriter(
+        java.nio.channels.Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+      (1 to 8).foreach(i => w.write(s"line-$i\n"))
+      w.flush()
+      val deadline = System.currentTimeMillis() + 10000
+      while (EvtStreamSource.buffered.getOrDefault(mb.instanceKey, 0) < 8
+        && System.currentTimeMillis() < deadline) Thread.sleep(20)
+
+      // the SupportsTriggerAvailableNow protocol: snapshot the
+      // endpoint, then run capped batches until it is reached
+      mb.prepareForTriggerAvailableNow()
+      val target = mb.reportLatestOffset().asInstanceOf[LineOffset].count
+      assert(target == 8L)
+      // a line arriving AFTER prepare is outside this run
+      w.write("late-line\n"); w.flush()
+      val dl2 = System.currentTimeMillis() + 10000
+      while (EvtStreamSource.buffered.getOrDefault(mb.instanceKey, 0) < 9
+        && System.currentTimeMillis() < dl2) Thread.sleep(20)
+
+      var start = 0L
+      val drained = ArrayBuffer.empty[String]
+      var batches = 0
+      while (start < target) {
+        val end = mb.latestOffset().asInstanceOf[LineOffset].count
+        assert(end - start <= 3L)
+        assert(end <= target) // never admits past the prepared end
+        drained ++= lines(mb.planInputPartitions(
+          LineOffset(start), LineOffset(end)))
+        mb.commit(LineOffset(end)); start = end; batches += 1
+      }
+      assert(batches == 3)
+      assert(drained.toSeq == (1 to 8).map(i => s"line-$i"))
+      ch.close()
+    } finally mb.stop()
+  }
+
+  test("non-positive maxLinesPerBatch is rejected at construction") {
+    intercept[IllegalArgumentException] {
+      new EvtStreamMicroBatch(
+        path = None, port = Some(0), maxLinesPerBatch = Some(0L))
+    }
   }
 }
