@@ -202,15 +202,19 @@ final class EvtStreamMicroBatch(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     lines.synchronized {
-      val avail = availableNowTarget match {
-        case Some(t) => math.min(t - committed, lines.size.toLong)
-        case None => lines.size.toLong
+      // The cap is relative to START, not the commit watermark: the
+      // engine asks for the next end offset BEFORE committing the
+      // previous batch, so capping from `committed` would return the
+      // previous end and stall the drain after one batch.
+      val trueEnd0 = committed + lines.size
+      val trueEnd = availableNowTarget.fold(trueEnd0)(math.min(_, trueEnd0))
+      val s = Option(start)
+        .map(_.asInstanceOf[LineOffset].count).getOrElse(committed)
+      val end = limit match {
+        case r: ReadMaxRows => math.min(s + r.maxRows(), trueEnd)
+        case _ => trueEnd
       }
-      val cap = limit match {
-        case r: ReadMaxRows => math.min(r.maxRows(), avail)
-        case _ => avail
-      }
-      LineOffset(committed + math.max(cap, 0L))
+      LineOffset(math.max(end, s))
     }
 
   override def prepareForTriggerAvailableNow(): Unit =

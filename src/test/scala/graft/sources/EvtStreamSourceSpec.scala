@@ -128,4 +128,48 @@ class EvtStreamSourceSpec extends AnyFunSuite {
         path = None, port = Some(0), maxLinesPerBatch = Some(0L))
     }
   }
+
+  test("engine honors the cap: a live query drains a burst in bounded batches") {
+    val spark = graft.TestSpark.spark
+    val sockPath = s"/tmp/graft-cap-${System.nanoTime()}.sock"
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format("graft.sources.EvtStreamSource")
+      .option("path", sockPath)
+      .option("maxLinesPerBatch", "4")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        if (n > 0) sizes.add(n)
+        ()
+      }
+      .start()
+    try {
+      // the source (and its listening socket) comes up asynchronously
+      // with the query's first trigger — wait for the file
+      val sockDl = System.currentTimeMillis() + 10000
+      while (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(sockPath))
+        && System.currentTimeMillis() < sockDl) Thread.sleep(20)
+      val ch = SocketChannel.open(
+        java.net.StandardProtocolFamily.UNIX)
+      ch.connect(
+        java.net.UnixDomainSocketAddress.of(sockPath))
+      val w = new OutputStreamWriter(
+        java.nio.channels.Channels.newOutputStream(ch),
+        StandardCharsets.UTF_8)
+      (1 to 10).foreach(i => w.write(s"line-$i\n"))
+      w.flush()
+      val deadline = System.currentTimeMillis() + 10000
+      while (EvtStreamSource.buffered.getOrDefault(sockPath, 0) < 10
+        && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      q.processAllAvailable()
+      val got = sizes.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(got.sum == 10L, got.toSeq)
+      assert(got.forall(_ <= 4L), got.toSeq) // engine asked per ReadLimit
+      assert(got.length >= 3, got.toSeq)     // burst split across batches
+      ch.close()
+    } finally q.stop()
+  }
 }
