@@ -17,12 +17,19 @@ object ConnectionTimers {
 
   /** Connection lifecycle event. kind: connect | tick | disconnect.
     * Times are epoch micros; expireAtUs < 0 means "no expiry".
+    * `seq` is a producer-side monotonic sequence for same-microsecond
+    * ordering — without it a disconnect-then-reconnect at the same
+    * timestamp replays as connect-then-disconnect (kind sorts
+    * lexicographically), deleting the new session's state and
+    * emitting a spurious terminal chunk (the ExpiryTimers tie-break
+    * bug, ported here).
     */
   final case class ConnEvent(
       connId: Long,
       kind: String,
       tsUs: Long,
-      expireAtUs: Long)
+      expireAtUs: Long,
+      seq: Long = 0L)
 
   final case class ConnState(
       connectedAtUs: Long,
@@ -54,8 +61,11 @@ object ConnectionTimers {
         state: GroupState[ConnState]): Iterator[ControlFrame] = {
       val out = Seq.newBuilder[ControlFrame]
       // Deterministic order within the micro-batch regardless of
-      // upstream partitioning.
-      for (e <- evs.toSeq.sortBy(ev => (ev.tsUs, ev.kind))) {
+      // upstream partitioning. Kind rank stays as the FINAL tie-break
+      // so producers leaving seq at its default 0 keep the old
+      // connect-first guarantee instead of arbitrary partition order.
+      for (e <- evs.toSeq.sortBy(ev =>
+        (ev.tsUs, ev.seq, if (ev.kind == "connect") 0 else 1))) {
         (e.kind, state.getOption) match {
           case ("connect", None) =>
             state.update(ConnState(e.tsUs, e.tsUs, e.expireAtUs))

@@ -60,27 +60,31 @@ final class EventStreamServer(
     import batch.sparkSession.implicits._
     val listeners = sse.allListeners
     if (listeners.isEmpty) return
-    val matched =
-      if (listeners.size <= CompiledSubsLimit)
-        Fanout.compiled(
-          batch,
-          listeners.map(l => Fanout.Subscription(l.id, l.subsystem, l.rawFilters)),
-          col("subsystem"),
-          col("data"))
-      else {
-        val subsDf = batch.sparkSession
-          .createDataFrame(listeners.map(l => (l.id, l.subsystem, l.rawFilters)))
-          .toDF("sub_id", "subsystem", "filters")
-        Fanout.dynamic(batch, subsDf, col("subsystem"), col("data"))
-      }
-    val delivered = matched
-      .select(
-        col("sub_id"),
-        graft.functions.Sse
-          .chunk(graft.functions.Sse.frame(col("event"), col("data"), col("id")))
-          .as("chunk"))
-      .as[(Long, String)]
-      .collect()
+    val delivered =
+      (if (listeners.size <= CompiledSubsLimit)
+         // the documented pipeline IS the serving plan — reusing it
+         // keeps the live server and the oracle-checked projection
+         // from drifting apart
+         EventStreamPipeline
+           .deliveries(
+             batch,
+             listeners.map(l =>
+               Fanout.Subscription(l.id, l.subsystem, l.rawFilters)))
+           .select(col("sub_id"), col("chunk"))
+       else {
+         val subsDf = batch.sparkSession
+           .createDataFrame(listeners.map(l => (l.id, l.subsystem, l.rawFilters)))
+           .toDF("sub_id", "subsystem", "filters")
+         Fanout.dynamic(batch, subsDf, col("subsystem"), col("data"))
+           .select(
+             col("sub_id"),
+             graft.functions.Sse
+               .chunk(graft.functions.Sse
+                 .frame(col("event"), col("data"), col("id")))
+               .as("chunk"))
+       })
+        .as[(Long, String)]
+        .collect()
     delivered.foreach { case (lid, chunk) =>
       sse.writeTo(lid, chunk.getBytes(StandardCharsets.UTF_8))
     }

@@ -85,12 +85,19 @@ object ServerConfig {
     var ping: Option[Long] = None
     var debug = false
     var i = 0
+    // a value-taking flag as the LAST argument must be a usage error,
+    // not an ArrayIndexOutOfBoundsException with a raw stack trace
+    def value(flag: String): String =
+      if (i + 1 < args.length) args(i + 1)
+      else throw new IllegalArgumentException(
+        s"argument '$flag' requires a value")
     while (i < args.length) {
       args(i) match {
-        case "-c" | "--config-file" => cfg = Some(readConfig(args(i + 1))); i += 2
-        case "-s" | "--socket" => socket = Some(args(i + 1)); i += 2
-        case "-p" | "--port" => port = Some(args(i + 1).toInt); i += 2
-        case "--ping-interval" => ping = Some(args(i + 1).toLong); i += 2
+        case f @ ("-c" | "--config-file") =>
+          cfg = Some(readConfig(value(f))); i += 2
+        case f @ ("-s" | "--socket") => socket = Some(value(f)); i += 2
+        case f @ ("-p" | "--port") => port = Some(value(f).toInt); i += 2
+        case f @ "--ping-interval" => ping = Some(value(f).toLong); i += 2
         case "-d" | "--debug" => debug = true; i += 1
         case other =>
           throw new IllegalArgumentException(s"unknown argument '$other'")

@@ -87,7 +87,8 @@ final class SseServer(
     pingIntervalSec: Long = 20L,
     auth: SseServer.AuthPlugin = SseServer.AllowAll,
     tls: Option[(String, String)] = None,
-    writeTimeoutMs: Long = 10_000L) {
+    writeTimeoutMs: Long = 10_000L,
+    bindHost: Option[String] = None) {
   import SseServer._
 
   /** With (certFile, keyFile) configured the accept socket is an
@@ -102,7 +103,11 @@ final class SseServer(
         .getServerSocketFactory.createServerSocket()
     case None => new ServerSocket()
   }
-  server.bind(new InetSocketAddress("127.0.0.1", port))
+  // reference parity: asyncio.start_server(port=...) with no host
+  // binds ALL interfaces (evtstrd/http_server.py:45-47) — a loopback
+  // default would make the production endpoint unreachable remotely
+  server.bind(bindHost.fold(new InetSocketAddress(port))(
+    h => new InetSocketAddress(h, port)))
   def actualPort: Int = server.getLocalPort
 
   private val startTime = LocalDateTime.now()
@@ -235,13 +240,16 @@ final class SseServer(
         writeError(out, 501, "Not Implemented", "")
         sock.close(); return
       }
-      // headers, lower-cased names (http.py:83)
+      // headers, lower-cased names (http.py:83); OWS after the colon
+      // is OPTIONAL (RFC 7230 §3.2) — splitting on ": " would drop a
+      // legal "Authorization:Bearer x" and fail its auth
       val headers = Iterator
         .continually(in.readLine())
         .takeWhile(l => l != null && l.nonEmpty)
         .flatMap { l =>
-          l.split(": ", 2) match {
-            case Array(h, v) => Some(h.toLowerCase -> v)
+          l.split(":", 2) match {
+            case Array(h, v) =>
+              Some(h.toLowerCase -> v.replaceAll("^[ \\t]+|[ \\t]+$", ""))
             case _ => None
           }
         }
@@ -278,15 +286,23 @@ final class SseServer(
     * dropped entirely, so `filter=` means "no filter" and
     * `subsystem=` means "missing argument", not empty-string.
     */
-  private def parseQuery(q: String): Map[String, Seq[String]] =
+  private def parseQuery(q: String): Map[String, Seq[String]] = {
+    // Python's unquote leaves malformed %-escapes as-is; URLDecoder
+    // throws. A bad escape is a client quirk, not a server error —
+    // fall back to the raw text ('+' still means space) instead of
+    // letting the exception surface as a 500.
+    def dec(s: String): String =
+      try URLDecoder.decode(s, "UTF-8")
+      catch { case _: IllegalArgumentException => s.replace('+', ' ') }
     q.split("&").filter(_.nonEmpty).toSeq
       .map { kv =>
         val Array(k, v) = (kv.split("=", 2) ++ Array("")).take(2)
-        URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+        dec(k) -> dec(v)
       }
       .filter(_._2.nonEmpty)
       .groupBy(_._1)
       .view.mapValues(_.map(_._2)).toMap
+  }
 
   /** Returns true when the connection was registered as a listener
     * (and must stay open); false on any error response.
@@ -430,8 +446,9 @@ final class SseServer(
       if (l.rawFilters.isEmpty || FilterEval.matches(data, l.rawFilters)) {
         val idLine = if (id != null && id.nonEmpty) s"id: $id\r\n" else ""
         val frame = s"event: $eventType\r\ndata: $data\r\n$idLine\r\n"
-        write(l, frame.getBytes(StandardCharsets.UTF_8))
-        delivered += 1
+        // a failed write means the listener was dropped, not delivered
+        if (write(l, frame.getBytes(StandardCharsets.UTF_8)))
+          delivered += 1
       }
     }
     delivered
@@ -450,9 +467,9 @@ final class SseServer(
     }
   }
 
-  private def write(l: ListenerConn, frame: Array[Byte]): Unit =
-    try l.writeBytes(renderChunk(frame))
-    catch { case _: Exception => dropDead(l) } // lazy disconnect detection
+  private def write(l: ListenerConn, frame: Array[Byte]): Boolean =
+    try { l.writeBytes(renderChunk(frame)); true }
+    catch { case _: Exception => dropDead(l); false } // lazy disconnect detection
 
   /** A write failed: the peer is gone. Deregister AND close our end —
     * remove() alone would leak the file descriptor of every dead
@@ -466,9 +483,16 @@ final class SseServer(
     remove(l)
   }
 
+  // the ping payload is constant — render its chunk bytes once, not
+  // once per listener per tick
+  private lazy val pingChunk: Array[Byte] =
+    renderChunk(ConnectionTimers.PingFrame.getBytes(StandardCharsets.UTF_8))
+
   private def pingAll(): Unit =
-    for (l <- allListeners)
-      write(l, ConnectionTimers.PingFrame.getBytes(StandardCharsets.UTF_8))
+    for (l <- allListeners) {
+      try l.writeBytes(pingChunk)
+      catch { case _: Exception => dropDead(l) }
+    }
 
   private def logout(l: ListenerConn): Unit = {
     write(l, ConnectionTimers.LogoutFrame.getBytes(StandardCharsets.UTF_8))
