@@ -101,7 +101,24 @@ class AuthSpec extends AnyFunSuite {
       val ok = rawGet(server.actualPort, "/events?subsystem=s",
         Seq("Authorization: Basic gooduser"))
       assert(read(ok, "\r\n\r\n").startsWith("HTTP/1.1 200"))
-      unauth.close(); forb.close(); exp.close(); ok.close()
+
+      // RFC 7230 §3.2: the space after ':' is optional whitespace —
+      // a client omitting it must still authenticate
+      val tight = rawGet(server.actualPort, "/events?subsystem=s",
+        Seq("Authorization:Basic gooduser"))
+      assert(read(tight, "\r\n\r\n").startsWith("HTTP/1.1 200"))
+      unauth.close(); forb.close(); exp.close(); ok.close(); tight.close()
+    } finally server.close()
+  }
+
+  test("malformed percent-escape in the query is served, not a 500") {
+    val server = new SseServer(0, pingIntervalSec = 3600)
+    try {
+      // Python parse_qs leaves invalid escapes as literal text; the
+      // request must register (200), never crash to a 500
+      val s = rawGet(server.actualPort, "/events?subsystem=a%zz", Nil)
+      assert(read(s, "\r\n\r\n").startsWith("HTTP/1.1 200"))
+      s.close()
     } finally server.close()
   }
 

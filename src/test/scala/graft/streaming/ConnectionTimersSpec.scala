@@ -74,4 +74,21 @@ class ConnectionTimersSpec extends AnyFunSuite {
       (3L, "0\r\n\r\n"),
       (4L, ConnectionTimers.PingFrame)))
   }
+
+  test("same-microsecond disconnect-then-reconnect keeps the new session") {
+    // without the seq tie-break these replay as connect-then-
+    // disconnect (kind order), killing the NEW session's state
+    val frames = run(Seq(
+      Seq(ConnEvent(5L, "connect", us(0), -1L)),
+      Seq(
+        ConnEvent(5L, "disconnect", us(10), -1L, seq = 1L),
+        ConnEvent(5L, "connect", us(10), -1L, seq = 2L)),
+      Seq(ConnEvent(5L, "tick", us(35), -1L))
+    ))
+    // exactly one terminal chunk (the old session), then the NEW
+    // session is alive and gets its ping at t=35 (25s after connect)
+    assert(frames.map(f => (f.connId, f.frame, f.terminal)) == Seq(
+      (5L, "0\r\n\r\n", true),
+      (5L, ConnectionTimers.PingFrame, false)))
+  }
 }

@@ -39,5 +39,9 @@ class ServerConfigSpec extends AnyFunSuite {
     assert(c.debug)
     assertThrows[IllegalArgumentException](
       ServerConfig.parseArgs(Array("--bogus")))
+    // a value-taking flag with no value is a usage error, not an
+    // ArrayIndexOutOfBoundsException
+    assertThrows[IllegalArgumentException](
+      ServerConfig.parseArgs(Array("--port")))
   }
 }
