@@ -67,8 +67,14 @@ object IsoDate {
 
   def parse(s: String): Option[LocalDate] = s match {
     case Re(y, m, d) =>
-      try Some(LocalDate.of(y.toInt, m.toInt, d.toInt))
-      catch { case _: java.time.DateTimeException => None }
+      // Python's datetime.date has MINYEAR = 1; java.time accepts
+      // year 0. Without this gate "0000-01-01" parses here but not in
+      // the reference or the compiled Spark/DuckDB date paths —
+      // the four evaluation paths must agree on every input.
+      if (y.toInt < 1) None
+      else
+        try Some(LocalDate.of(y.toInt, m.toInt, d.toInt))
+        catch { case _: java.time.DateTimeException => None }
     case _ => None
   }
 }

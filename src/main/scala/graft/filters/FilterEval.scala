@@ -16,14 +16,27 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 object FilterEval extends Serializable {
   @transient private lazy val mapper = new ObjectMapper()
+  // Bounded: filter strings arrive as DATA on the dynamic path, so an
+  // unbounded memo over churning per-user filters is a slow executor
+  // leak. Clearing on overflow keeps correctness (pure function) and
+  // re-parses only after 8k distinct live strings.
+  private[filters] val MaxCachedFilters = 8192
   @transient private lazy val filterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, EventFilter]()
+    new java.util.concurrent.ConcurrentHashMap[String, Option[EventFilter]]()
 
-  private def parsed(s: String): EventFilter = {
+  /** None for a malformed filter string: on the subscribe path the
+    * server already 400s it, but on the subscriptions-as-data path a
+    * bad row must become "matches nothing" — a throw here would kill
+    * the streaming query for every subscriber.
+    */
+  private[filters] def parsed(s: String): Option[EventFilter] = {
     val cached = filterCache.get(s)
     if (cached != null) cached
     else {
-      val f = FilterParser.parse(s)
+      val f =
+        try Some(FilterParser.parse(s))
+        catch { case _: FilterSyntaxException => None }
+      if (filterCache.size >= MaxCachedFilters) filterCache.clear()
       filterCache.putIfAbsent(s, f)
       f
     }
@@ -88,14 +101,17 @@ object FilterEval extends Serializable {
         }
     }
 
-  /** All filters must pass; bad JSON payload => no match; empty filter
-    * list => match (evtstrd/listener.py:62).
+  /** All filters must pass; empty filter list => match even for an
+    * unparseable payload (all([]) is True before the payload is ever
+    * inspected, evtstrd/listener.py:62); non-empty filters over bad
+    * JSON => no match; a malformed filter string matches nothing.
     */
   def matches(json: String, filters: Seq[String]): Boolean = {
+    if (filters.isEmpty) return true
     val root =
       try mapper.readTree(json)
       catch { case _: Exception => null }
     if (root == null) false
-    else filters.forall(s => evalFilter(parsed(s), root))
+    else filters.forall(s => parsed(s).exists(f => evalFilter(f, root)))
   }
 }

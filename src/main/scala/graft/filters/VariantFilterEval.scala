@@ -27,14 +27,22 @@ import org.apache.spark.unsafe.types.VariantVal
   * (evtstrd/filters.py:85 parses once per subscription).
   */
 object VariantFilterEval extends Serializable {
+  // bounded + total like FilterEval's: filter strings are DATA here
+  // (kernel runs inside the streaming plan), so a malformed one must
+  // become "matches nothing", never a query-killing throw, and the
+  // memo must not grow without bound under subscription churn
   @transient private lazy val filterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, EventFilter]()
+    new java.util.concurrent.ConcurrentHashMap[String, Option[EventFilter]]()
 
-  private def parsed(s: String): EventFilter = {
+  private def parsed(s: String): Option[EventFilter] = {
     val cached = filterCache.get(s)
     if (cached != null) cached
     else {
-      val f = FilterParser.parse(s)
+      val f =
+        try Some(FilterParser.parse(s))
+        catch { case _: FilterSyntaxException => None }
+      if (filterCache.size >= FilterEval.MaxCachedFilters)
+        filterCache.clear()
       filterCache.putIfAbsent(s, f)
       f
     }
@@ -98,8 +106,11 @@ object VariantFilterEval extends Serializable {
     var i = 0
     while (i < n) {
       if (!filters.isNullAt(i)) {
-        if (!evalFilter(parsed(filters.getUTF8String(i).toString), root))
-          return false
+        val ok = parsed(filters.getUTF8String(i).toString) match {
+          case Some(f) => evalFilter(f, root)
+          case None => false // malformed filter-as-data matches nothing
+        }
+        if (!ok) return false
       }
       i += 1
     }

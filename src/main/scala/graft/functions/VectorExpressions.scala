@@ -36,7 +36,7 @@ abstract class LongVectorKernel extends BinaryExpression with ExpectsInputTypes 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = LongVectorKernel.checkedLength(a, b)
     var s = 0L
     var i = 0
     while (i < n) { s += accumulate(a, b, i); i += 1 }
@@ -49,7 +49,7 @@ abstract class LongVectorKernel extends BinaryExpression with ExpectsInputTypes 
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = graft.functions.LongVectorKernel.checkedLength($a, $b);
         long $s = 0L;
         for (int $i = 0; $i < $n; $i++) {
           ${loopBody(a, b, i, s)}
@@ -57,6 +57,20 @@ abstract class LongVectorKernel extends BinaryExpression with ExpectsInputTypes 
         ${ev.value} = $s;
       """
     })
+}
+
+object LongVectorKernel {
+  /** Dimension mismatch is an upstream bug (ragged table, bad slice);
+    * silently truncating to min(length) would turn it into quietly
+    * wrong similarity scores — fail with the shapes instead.
+    */
+  def checkedLength(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector kernel dimension mismatch: $n vs ${b.numElements()}")
+    n
+  }
 }
 
 /** Exact dot product of two long arrays. */
@@ -113,19 +127,25 @@ object CentroidKernel {
     while (i < k) {
       if (!cents.isNullAt(i)) {
         val c = cents.getStruct(i, 2)
-        val cid = c.getLong(0)
-        if (cid != exclude) {
-          val cv = c.getArray(1)
-          val n = math.min(v.numElements(), cv.numElements())
-          var d = 0L
-          var j = 0
-          while (j < n) {
-            val t = v.getLong(j) - cv.getLong(j)
-            d += t * t
-            j += 1
-          }
-          if (!found || d < bestD || (d == bestD && cid < bestId)) {
-            bestD = d; bestId = cid; found = true
+        // a null c_id or null vector field passes the analysis-time
+        // struct check (nullable fields) — skip such a centroid
+        // rather than NPE (null cv) or silently reading id 0 and
+        // corrupting the (d2, c_id) tie-break (null c_id)
+        if (!c.isNullAt(0) && !c.isNullAt(1)) {
+          val cid = c.getLong(0)
+          if (cid != exclude) {
+            val cv = c.getArray(1)
+            val n = LongVectorKernel.checkedLength(v, cv)
+            var d = 0L
+            var j = 0
+            while (j < n) {
+              val t = v.getLong(j) - cv.getLong(j)
+              d += t * t
+              j += 1
+            }
+            if (!found || d < bestD || (d == bestD && cid < bestId)) {
+              bestD = d; bestId = cid; found = true
+            }
           }
         }
       }
@@ -227,6 +247,15 @@ case class LongVectorSum(
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
+
+  // SQL-exposed as vec_sum: without this gate an array<int> argument
+  // resolves and then getLong misreads the packed element region into
+  // silently wrong sums (its siblings vec_dot/vec_l2sq already gate)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_sum expects array<bigint>, got $other")
+  }
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
