@@ -86,6 +86,28 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(nc.getLong(1) == 3L) // nearest excluding 7
   }
 
+  test("kernel guards: dim mismatch loud, null centroid fields skipped") {
+    // silent min-length truncation would mean quietly wrong distances
+    val e = intercept[Exception](
+      spark.sql("SELECT vec_dot(array(1L, 2L), array(1L))").collect())
+    assert(e.getMessage.contains("dimension mismatch")
+      || Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")))
+    // null c_id / null cv centroids are skipped, not NPE / id-0 reads
+    val r = spark.sql(
+      """SELECT nearest_centroid(array(1L, 2L), array(
+        |  named_struct('c_id', CAST(NULL AS BIGINT), 'cv', array(1L, 2L)),
+        |  named_struct('c_id', 7L, 'cv', CAST(NULL AS ARRAY<BIGINT>)),
+        |  named_struct('c_id', 3L, 'cv', array(1L, 3L))))""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 3L)
+    // vec_sum over array<int> fails analysis (packed-int getLong would
+    // otherwise misread silently)
+    val t = intercept[Exception](
+      spark.sql("SELECT vec_sum(a) FROM VALUES (array(1, 2)) t(a)").collect())
+    assert(t.getMessage.toLowerCase.contains("vec_sum expects")
+      || t.getMessage.toLowerCase.contains("type"))
+  }
+
   test("ordered_pairs maxPairs cap and type checking") {
     // explicit cap form: a 3-element list expands to 3 pairs > cap 2
     val e = intercept[Exception](

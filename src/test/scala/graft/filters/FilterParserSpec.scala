@@ -77,4 +77,24 @@ class FilterParserSpec extends AnyFunSuite {
     assert(IsoDate.parse("2000-12-32").isEmpty) // day 32
     assert(IsoDate.parse("2015-04-13x").isEmpty)
   }
+
+  test("year zero rejected like Python MINYEAR=1; matches no path") {
+    // java.time would accept year 0; datetime.date and the compiled
+    // Spark/DuckDB date paths do not — the gate keeps all four
+    // evaluation paths in agreement
+    assert(IsoDate.parse("0000-01-01").isEmpty)
+    // as a filter literal it is neither date nor int => 400
+    assertThrows[FilterSyntaxException](FilterParser.parse("d=0000-01-01"))
+    // as a payload value under a date filter it matches nowhere
+    assert(!FilterEval.matches("""{"d":"0000-01-01"}""", Seq("d<2020-01-01")))
+  }
+
+  test("eval is total: malformed filter-as-data matches nothing") {
+    // on the subscriptions-as-data path a bad filter row must not
+    // throw inside the streaming plan — it just never matches
+    assert(!FilterEval.matches("""{"k": 1}""", Seq("k<<1")))
+    // and the empty filter list matches before payload inspection
+    // (all([]) is True even for an unparseable payload)
+    assert(FilterEval.matches("not json at all", Nil))
+  }
 }
