@@ -65,8 +65,14 @@ class EndToEndSpec extends AnyFunSuite {
       assert(headLow.contains("Transfer-Encoding: chunked"))
       readAvailable(subAll, "\r\n\r\n")
       // first ping is written immediately on registration, before the
-      // first interval sleep (listener.py:72-78) — interval here is 1h
-      val pingBody = readAvailable(subLow, "event: ping", 15000)
+      // first interval sleep (listener.py:72-78) — interval here is 1h.
+      // Under load the ping can land in the SAME tcp read as the
+      // response head (readAvailable consumes whole chunks), so the
+      // check must span both reads — waiting for a second ping would
+      // hang 1h. This was the recurring full-suite-only flake.
+      val pingBody =
+        if (headLow.contains("event: ping")) headLow
+        else headLow + readAvailable(subLow, "event: ping", 15000)
       assert(pingBody.contains("event: ping"), got(pingBody))
 
       // bad filter => 400; unknown path => 404; POST /events => 405
