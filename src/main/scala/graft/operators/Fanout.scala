@@ -39,6 +39,9 @@ object Fanout {
       subsystemCol: Column,
       payloadCol: Column): DataFrame = {
     require(subs.nonEmpty, "at least one subscription")
+    require(!events.columns.contains("sub_id"),
+      "events already carry a sub_id column — fan-out would silently " +
+        "overwrite it")
     val matched = subs.map { s =>
       when(
         subsystemCol === s.subsystem &&
@@ -68,6 +71,11 @@ object Fanout {
       payloadCol: Column): DataFrame = {
     // rename the join key to keep the plan unambiguous when the event
     // side also carries a `subsystem` column (the streaming envelope)
+    require(
+      !events.columns.contains("sub_id") &&
+        !events.columns.contains("filters"),
+      "events already carry sub_id/filters columns — the subscription " +
+        "join would make them ambiguous")
     val subs = subscriptions.withColumnRenamed("subsystem", "__sub_subsystem")
     val fs = subs("filters")
     val noFilters = fs.isNull || size(fs) === 0
@@ -83,6 +91,11 @@ object Fanout {
             graft.functions.VariantFilterFunctions
               .variantFilters(col("__payload_variant"), fs),
             lit(false)))
+      // drop the subscription-side filters too: compiled and dynamic
+      // are interchangeable strategies (EventStreamServer swaps on
+      // listener count), so their output schemas must match — events
+      // columns + sub_id, nothing else
       .drop("__sub_subsystem", "__payload_variant")
+      .drop(fs)
   }
 }

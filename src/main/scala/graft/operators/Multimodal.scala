@@ -91,7 +91,12 @@ object Multimodal {
     * content digest; a real codec swaps in without touching schema,
     * batching or partitioning.
     */
-  def resize(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] =
+  def resize(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
+    // driver-side fail-fast: w*h overflowing Int would silently emit
+    // a zero-byte "image" (2^32 wraps to 0) or crash each executor
+    // task with NegativeArraySizeException
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+      s"resize dimensions ${w}x$h invalid or above the 64 MiB guard")
     records.mapPartitions { it =>
       val codec = new StubCodec
       it.map { r =>
@@ -100,6 +105,7 @@ object Multimodal {
         ResizedMedia(r.doc_id, w, h, out.length, out)
       }
     }
+  }
 
   /** Frame sampling (video shape): one media row fans out to one row
     * per sampled frame — index, byte offset into the stream, and a
@@ -108,7 +114,10 @@ object Multimodal {
     * demuxer uses; frame explosion stays partition-local (no
     * shuffle).
     */
-  def sampleFrames(records: Dataset[MediaRecord], every: Int): Dataset[FrameSample] =
+  def sampleFrames(records: Dataset[MediaRecord], every: Int): Dataset[FrameSample] = {
+    // `every = 0` would throw "step cannot be 0" inside each executor
+    // task; negative would silently sample nothing — fail at the call
+    require(every > 0, s"frame sampling step must be positive, got $every")
     records.mapPartitions { it =>
       val codec = new StubCodec
       it.flatMap { r =>
@@ -120,4 +129,5 @@ object Multimodal {
         }
       }
     }
+  }
 }
