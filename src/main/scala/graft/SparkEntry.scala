@@ -14,7 +14,8 @@ object SparkEntry {
       Dedup.defs ++ Similarity.defs ++ StreamingWindows.defs ++
       MultimodalQueries.defs ++ Advanced.defs ++ Extended.defs ++
       TrainingPipeline.defs ++ Statistics.defs ++ Analytics.defs ++
-      RuntimeFilters.defs ++ Incremental.defs ++ DataQuality.defs
+      RuntimeFilters.defs ++ Incremental.defs ++ DataQuality.defs ++
+      NativePlans.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries exercising the engine's custom whole-operator Catalyst
+  * nodes (graft.plans) — the tier below expressions on the
+  * custom-operator ladder. Each has a declarative sibling elsewhere in
+  * the suite (e.g. `asof_join`'s union+window idiom) so the plans can
+  * be compared: same answer, different physical shape.
+  */
+object NativePlans {
+
+  /** `asof_native`: for every purchase, the most recent click by the
+    * same user at or before it — the same relation family as
+    * `asof_join`, but joining two separate relations through the
+    * native [[graft.plans.AsOfJoinExec]] operator: one hash shuffle
+    * per side + in-partition sort + linear merge, zero row expansion.
+    * The right side is pre-aggregated to one click per (user, time)
+    * (max event_id) so the inclusive-tie match is deterministic.
+    */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(
+        col("user_id").as("c_user_id"),
+        unix_micros(col("ts")).as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    AsOfJoin.backward(
+        purchases, clicks,
+        leftKey = "user_id", leftTime = "us",
+        rightKey = "c_user_id", rightTime = "click_us")
+      .select(
+        col("event_id"), col("user_id"), col("click_id"), col("click_us"))
+      .orderBy("event_id")
+  }
+
+  def asofNativeOracle: String =
+    """SELECT p.event_id, p.user_id, c.click_id, c.click_us
+      |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |     (SELECT user_id AS c_user_id,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |             max(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
+      |ON p.user_id = c.c_user_id AND p.us >= c.click_us
+      |ORDER BY p.event_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("asof_native", asofNative, Some(asofNativeOracle)))
+}

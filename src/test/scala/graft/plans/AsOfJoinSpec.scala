@@ -1,0 +1,159 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.queries.NativePlans
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native as-of operator: semantics model-checked against a plain
+  * declarative formulation, edge cases pinned, and the physical plan
+  * asserted to be the narrow shape the operator exists for (one
+  * exchange per side, a merge node, no row expansion).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  import spark.implicits._
+
+  /** Declarative reference: left join on key + time<=, then keep the
+    * max (time, id) candidate per left row. Quadratic in hot keys —
+    * that's WHY the operator exists — but a trustworthy oracle.
+    */
+  private def reference(left: DataFrame, right: DataFrame): DataFrame =
+    left.join(
+        right,
+        col("k") === col("rk") && col("rt") <= col("t"),
+        "left")
+      .groupBy(col("id"), col("k"), col("t"))
+      .agg(max(struct(col("rt"), col("rv"))).as("m"))
+      .select(
+        col("id"), col("k"), col("t"),
+        col("m.rt").as("rt"), col("m.rv").as("rv"))
+
+  private def asRows(df: DataFrame) =
+    df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+
+  private val left = Seq(
+    // (id, k, t)
+    (1L, 10L, 100L), // before any right row for the key
+    (2L, 10L, 200L), // exactly AT a right time: inclusive match
+    (3L, 10L, 250L), // between right rows
+    (4L, 10L, 900L), // after all right rows
+    (5L, 20L, 500L), // key with no right rows at all
+    (6L, 30L, 500L)  // key whose right rows are all later
+  ).toDF("id", "k", "t")
+
+  private val right = Seq(
+    (10L, 200L, "a"),
+    (10L, 240L, "b"),
+    (10L, 300L, "c"),
+    (30L, 600L, "z")
+  ).toDF("rk", "rt", "rv")
+
+  test("backward as-of matches the declarative reference on edges") {
+    val got = AsOfJoin.backward(left, right, "k", "t", "rk", "rt")
+      .select(col("id"), col("k"), col("t"), col("rt"), col("rv"))
+    assert(asRows(got) === asRows(reference(left, right)))
+    // and the specific edge expectations, spelled out
+    val byId = got.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(byId(1L)(3) == null && byId(1L)(4) == null)
+    assert(byId(2L)(3) == 200L && byId(2L)(4) == "a") // inclusive
+    assert(byId(3L)(3) == 240L && byId(3L)(4) == "b")
+    assert(byId(4L)(3) == 300L && byId(4L)(4) == "c")
+    assert(byId(5L)(3) == null)
+    assert(byId(6L)(3) == null)
+  }
+
+  test("null keys and null times never match, on either side") {
+    val l = Seq(
+      (1L, Some(10L), Some(100L)),
+      (2L, None, Some(100L)),     // null key
+      (3L, Some(10L), None)       // null time
+    ).toDF("id", "k", "t")
+    val r = Seq(
+      (Some(10L), Some(50L), "m"),
+      (Some(10L), None, "nullt"), // null right time: skipped
+      (None, Some(1L), "nullk")   // null right key: skipped
+    ).toDF("rk", "rt", "rv")
+    val got = AsOfJoin.backward(l, r, "k", "t", "rk", "rt")
+      .select(col("id"), col("rv")).collect()
+      .map(row => row.getLong(0) -> row.get(1)).toMap
+    assert(got(1L) == "m")
+    assert(got(2L) == null)
+    assert(got(3L) == null)
+  }
+
+  test("per-key state resets: a key break discards the buffered match") {
+    val l = Seq((1L, 10L, 500L), (2L, 11L, 500L)).toDF("id", "k", "t")
+    val r = Seq((10L, 100L, "for10")).toDF("rk", "rt", "rv")
+    val got = AsOfJoin.backward(l, r, "k", "t", "rk", "rt")
+      .select(col("id"), col("rv")).collect()
+      .map(row => row.getLong(0) -> row.get(1)).toMap
+    assert(got(1L) == "for10")
+    assert(got(2L) == null) // key 11 must NOT inherit key 10's match
+  }
+
+  test("plan: merge node present, one exchange per side, no expansion") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = AsOfJoin.backward(left, right, "k", "t", "rk", "rt")
+        .queryExecution.executedPlan
+      assert(phys.collect { case e: AsOfJoinExec => e }.size == 1)
+      assert(phys.collect { case s: ShuffleExchangeExec => s }.size == 2)
+      // no Generate/explode, no extra join: the whole plan is scans,
+      // exchanges, sorts and the merge
+      import org.apache.spark.sql.execution.GenerateExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      assert(phys.collect { case g: GenerateExec => g }.isEmpty)
+      assert(phys.collect { case j: BaseJoinExec => j }.isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("asof_native query: AQE on/off agree on real data (self-join sides)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    def rows() = NativePlans.asofNative(spark, dir).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val aqeOn = rows()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val aqeOff = try rows()
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(aqeOn.nonEmpty)
+    assert(aqeOn == aqeOff)
+  }
+
+  test("asof_native agrees with the union+window idiom on real data") {
+    // the declarative sibling (Advanced.asofJoin shape) computed over
+    // the same deduped click relation
+    val ev = graft.queries.Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("click_us"), col("click_id"),
+        lit("click").as("kind"), lit(null).cast("long").as("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+        lit(null).cast("long").as("click_id"),
+        lit("purchase").as("kind"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      // clicks sort before purchases at equal time => inclusive match
+      .orderBy(col("click_us"), col("kind"))
+      .rowsBetween(Long.MinValue, 0)
+    val expected = clicks.unionByName(purchases)
+      .withColumn("m_id", last(when(col("kind") === "click", col("click_id")),
+        ignoreNulls = true).over(w))
+      .withColumn("m_us", last(when(col("kind") === "click", col("click_us")),
+        ignoreNulls = true).over(w))
+      .where(col("kind") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("m_id").as("click_id"), col("m_us").as("click_us"))
+      .orderBy("event_id")
+      .collect().map(_.toSeq).toSeq
+    val got = NativePlans.asofNative(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got == expected)
+  }
+}
