@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.StringType
   *   rolling_hash(s)                 -- Rabin-Karp polynomial hash
   *   simhash32(tokens)               -- one-pass 32-bit simhash
   *   minhash_sig(shingles, k)        -- k minwise md5 signatures
+  *   misra_gries(item, k)            -- heavy-hitters summary AGGREGATE
   *   ordered_pairs(ids)              -- a<b pair expansion of a list
   *
   * Filter strings must be literals: they compile at plan time into the
@@ -102,6 +103,15 @@ object GraftFunctions {
     "vec_sum" -> { args =>
       require(args.length == 1, "vec_sum(v)")
       LongVectorSum(args(0)).toAggregateExpression()
+    },
+    "misra_gries" -> { args =>
+      require(args.length == 2, "misra_gries(item, k)")
+      val k = args(1) match {
+        case Literal(v: Int, _) => v
+        case e => throw new IllegalArgumentException(
+          s"k must be a literal int, got: $e")
+      }
+      graft.functions.MisraGries(args(0), k).toAggregateExpression()
     },
     "ordered_pairs" -> { args =>
       require(

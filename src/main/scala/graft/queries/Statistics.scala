@@ -251,9 +251,68 @@ object Statistics {
        |JOIN mad ON v.event_type = mad.event_type
        |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin
 
+  /** Heavy hitters via the engine's Misra–Gries sketch
+    * ([[graft.functions.MisraGries]]): which values occur more than
+    * N/(k+1) times, answered by a k-counter mergeable summary — ONE
+    * map-side-combinable pass, k-sized partials, no full groupBy over
+    * the distinct values. At 100 TB this replaces a shuffle keyed by
+    * every distinct value with a fixed k-row reduce.
+    *
+    * The skewed key is derived deterministically (floor(sqrt(props.k))
+    * over the uniform k∈[0,100) gives value b share (2b+1)%, so three
+    * values clear the 1/7 threshold at k=6 — and 10 distinct values
+    * keep the 6-counter table genuinely evicting). Because MG
+    * estimates depend on merge order, the query surfaces the sketch's
+    * GUARANTEED facts as booleans the oracle pins TRUE — membership of
+    * every true heavy hitter, no overestimate, error <= N/(k+1) — plus
+    * the exact counts from a verification aggregate; raw estimates
+    * stay internal, keeping the result partitioning-independent.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val k = 6
+    val items = Tables.events(spark, dir)
+      .select(
+        floor(sqrt(get_json_object(col("props"), "$.k").cast("long")))
+          .cast("long").cast("string").as("item"))
+      .where(col("item").isNotNull)
+    val sketch = items.agg(
+      graft.functions.SketchFunctions.misraGries(col("item"), k).as("summary"),
+      count(lit(1)).as("n"))
+    val exact = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    exact.crossJoin(broadcast(sketch))
+      .where(col("exact_cnt") * (k + 1) > col("n"))
+      .select(
+        col("item"), col("exact_cnt"), col("n"),
+        filter(col("summary"),
+          e => e.getField("item") === col("item")).as("hits"))
+      .select(
+        col("item"), col("exact_cnt"), col("n"),
+        (size(col("hits")) === 1).as("in_summary"),
+        (size(col("hits")) === 1 &&
+          element_at(col("hits"), 1).getField("est") <= col("exact_cnt") &&
+          (col("exact_cnt") - element_at(col("hits"), 1).getField("est")) *
+            (k + 1) <= col("n")).as("bound_ok"))
+      .orderBy("item")
+  }
+
+  def heavyHittersOracle: String =
+    """WITH items AS (
+      |  SELECT CAST(CAST(floor(sqrt(CAST(json_extract_string(props, '$.k') AS BIGINT))) AS BIGINT) AS VARCHAR) AS item
+      |  FROM events WHERE props IS NOT NULL
+      |    AND json_extract_string(props, '$.k') IS NOT NULL),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) n FROM items),
+      |exact AS (
+      |  SELECT item, CAST(count(*) AS BIGINT) exact_cnt FROM items GROUP BY 1)
+      |SELECT item, exact_cnt, (SELECT n FROM tot) AS n,
+      |  TRUE AS in_summary, TRUE AS bound_ok
+      |FROM exact WHERE exact_cnt * 7 > (SELECT n FROM tot)
+      |ORDER BY item""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("stats_outliers", statsOutliers, Some(statsOutliersOracle)),
     QueryDef("corr_stats", corrStats, Some(corrStatsOracle)),
     QueryDef("chi_square", chiSquare, Some(chiSquareOracle)),
-    QueryDef("mad_outliers", madOutliers, Some(madOutliersOracle)))
+    QueryDef("mad_outliers", madOutliers, Some(madOutliersOracle)),
+    QueryDef("heavy_hitters", heavyHitters, Some(heavyHittersOracle)))
 }
