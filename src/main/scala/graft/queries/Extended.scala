@@ -589,8 +589,78 @@ object Extended {
        |    ELSE CAST(SUM(v) * 1000 // COUNT(v) AS BIGINT) END avg_milli
        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Distribution window functions — percent_rank / cume_dist (peer-
+    * aware rank arithmetic: ties share values, so ordering by the raw
+    * double is deterministic) and nth_value over an explicit
+    * full-partition ROWS frame with a unique (value, id) ordering.
+    * Partitioned by user_id — high cardinality, even spread; never a
+    * global window (PlanShapeSpec's rule).
+    */
+  def windowDist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val peers = Window.partitionBy(col("user_id")).orderBy(col("value"))
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("value"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev.select(
+        col("user_id"), col("event_id"),
+        percent_rank().over(peers).as("pr"),
+        cume_dist().over(peers).as("cd"),
+        nth_value(col("event_id"), 2).over(frame).as("second_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def windowDistOracle: String =
+    """SELECT user_id, event_id,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  nth_value(event_id, 2) OVER (PARTITION BY user_id
+      |    ORDER BY value, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS second_id
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY value)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    * duplicate cardinalities (a customer with 3 orders in 1998 and 2
+    * in 1999 contributes 2 'both' rows and 1 'only_1998' row). Spark
+    * plans both as an aggregate of per-side counts + generate — one
+    * shuffle keyed by the value, no join.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.read(spark, dir, "orders")
+    def buyers(y: Int): DataFrame =
+      ord.where(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val both = buyers(1998).intersectAll(buyers(1999))
+      .select(lit("both").as("tag"), col("o_custkey"))
+    val only98 = buyers(1998).exceptAll(buyers(1999))
+      .select(lit("only_1998").as("tag"), col("o_custkey"))
+    both.union(only98)
+      .groupBy(col("tag"), col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tag", "o_custkey")
+  }
+
+  def setOpsAllOracle: String =
+    """SELECT tag, o_custkey, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT 'both' AS tag, o_custkey FROM (
+      |    SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+      |    INTERSECT ALL
+      |    SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1999)
+      |  UNION ALL
+      |  SELECT 'only_1998' AS tag, o_custkey FROM (
+      |    SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+      |    EXCEPT ALL
+      |    SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1999))
+      |GROUP BY tag, o_custkey
+      |ORDER BY tag, o_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("grouping_sets", groupingSets, Some(groupingSetsOracle)),
+    QueryDef("window_dist", windowDist, Some(windowDistOracle)),
+    QueryDef("set_ops_all", setOpsAll, Some(setOpsAllOracle)),
     QueryDef("window_lag", windowLag, Some(windowLagOracle)),
     QueryDef("ntile_buckets", ntileBuckets, Some(ntileBucketsOracle)),
     QueryDef("string_agg_nations", stringAggNations, Some(stringAggNationsOracle)),
