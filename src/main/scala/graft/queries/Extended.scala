@@ -657,10 +657,39 @@ object Extended {
       |GROUP BY tag, o_custkey
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** Wide-to-long reshape via the first-class unpivot/melt operator
+    * (Spark `Dataset.unpivot` == DuckDB `UNPIVOT`): the per-type
+    * aggregate is computed once, then melted to (key, metric, value)
+    * rows — a narrow projection+generate, no shuffle beyond the
+    * aggregate's own.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(Quantize.cents(col("value"))).as("sum_cents"))
+      .unpivot(
+        Array(col("event_type")),
+        Array(col("n_events"), col("n_users"), col("sum_cents")),
+        "metric", "value")
+      .orderBy("event_type", "metric")
+
+  def unpivotMetricsOracle: String =
+    s"""SELECT event_type, metric, value FROM (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |    CAST(SUM(${Quantize.centsSql("value")}) AS BIGINT) AS sum_cents
+      |  FROM events GROUP BY 1)
+      |UNPIVOT (value FOR metric IN (n_events, n_users, sum_cents))
+      |ORDER BY event_type, metric""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("grouping_sets", groupingSets, Some(groupingSetsOracle)),
     QueryDef("window_dist", windowDist, Some(windowDistOracle)),
     QueryDef("set_ops_all", setOpsAll, Some(setOpsAllOracle)),
+    QueryDef("unpivot_metrics", unpivotMetrics, Some(unpivotMetricsOracle)),
     QueryDef("window_lag", windowLag, Some(windowLagOracle)),
     QueryDef("ntile_buckets", ntileBuckets, Some(ntileBucketsOracle)),
     QueryDef("string_agg_nations", stringAggNations, Some(stringAggNationsOracle)),

@@ -132,12 +132,16 @@ object Statistics {
     val cont = Tables.read(spark, dir, "orders")
       .groupBy(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"))
+    // grand total via a broadcast 1-row aggregate, not an
+    // empty-partition window: same KB-scale input, but no
+    // single-partition WindowExec node anywhere in the suite's plans
+    val tot = cont.agg(sum(col("n")).as("tot"))
     val withMarginals = cont
       .withColumn("row_n", sum(col("n")).over(
         Window.partitionBy(col("o_orderpriority"))))
       .withColumn("col_n", sum(col("n")).over(
         Window.partitionBy(col("o_orderstatus"))))
-      .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+      .crossJoin(broadcast(tot))
     // products of counts go to double BEFORE multiplying (the suite's
     // integer-sums rule): n·tot, row·col and tot·row·col blow past
     // int64 at the row counts this operator targets, and ANSI Spark

@@ -334,8 +334,30 @@ object TextAnalysis {
        |SELECT token, n, CAST(n * 1000000 // tot AS BIGINT) share_ppm
        |FROM tf, tot ORDER BY n DESC, token LIMIT 25""".stripMargin
 
+  /** Positional token explosion (Generate with ordinal — the UDTF
+    * shape): one bounded per-row expansion, position carried by
+    * posexplode, never a join back to recover order. Restricted to a
+    * doc_id prefix to keep the oracle row count stable.
+    */
+  def posTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .select(
+        col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+      .orderBy("doc_id", "pos")
+
+  def posTokensOracle: String =
+    s"""WITH t AS (SELECT doc_id, ${ToksSql.format("text")} toks
+       |  FROM documents WHERE doc_id < 20),
+       |z AS (SELECT doc_id,
+       |  unnest(list_zip(toks, range(CAST(len(toks) AS BIGINT)))) z FROM t)
+       |SELECT doc_id, CAST(z[2] AS BIGINT) pos, CAST(z[1] AS VARCHAR) token
+       |FROM z ORDER BY doc_id, pos""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_tokens", textTokens, Some(textTokensOracle)),
+    QueryDef("pos_tokens", posTokens, Some(posTokensOracle)),
     QueryDef("text_quality", textQuality, Some(textQualityOracle)),
     QueryDef("text_langid", textLangid, Some(textLangidOracle)),
     QueryDef("text_fingerprint", textFingerprint, Some(textFingerprintOracle)),
