@@ -113,6 +113,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("property: random data × partitionings matches the reference") {
+    import org.scalacheck.{Gen, rng}
+    def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+      (0 until n).flatMap(i =>
+        g.apply(Gen.Parameters.default, rng.Seed(seed + i)))
+    val keyGen = Gen.chooseNum(1L, 8L)   // few keys => long per-key runs
+    val timeGen = Gen.chooseNum(-50L, 50L) // negatives + heavy ties
+    for (seed <- 0 to 2) {
+      val leftRows = sample(Gen.zip(keyGen, timeGen), 120, 1000L * seed)
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      // dedupe right on (key, time): the operator contract (ties at
+      // identical (key, time) are resolved by sort arrival, so callers
+      // pre-aggregate — as asof_native does)
+      val rightRows = sample(Gen.zip(keyGen, timeGen), 80, 77L * seed)
+        .distinct.zipWithIndex
+        .map { case ((k, t), i) => (k, t, s"r$i") }
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val l = leftRows.toDF("id", "k", "t")
+      val r = rightRows.toDF("rk", "rt", "rv")
+      val expected = asRows(reference(l, r))
+      for (parts <- Seq(1, 3, 7)) {
+        val got = AsOfJoin.backward(
+            l.repartition(parts), r.repartition(parts), "k", "t", "rk", "rt")
+          .select(col("id"), col("k"), col("t"), col("rt"), col("rv"))
+        assert(asRows(got) === expected, s"seed=$seed parts=$parts")
+      }
+    }
+  }
+
   test("asof_native query: AQE on/off agree on real data (self-join sides)") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     def rows() = NativePlans.asofNative(spark, dir).collect().map(_.toSeq).toSeq
