@@ -49,6 +49,51 @@ object Incremental {
       |FROM events
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** MERGE/upsert as relational algebra: apply a keyed change set onto
+    * a base table — matched rows update (balance + delta), unmatched
+    * base rows keep, change-only keys insert. A single full-outer join
+    * on the key + coalesce projection IS the merge; at cluster scale
+    * both sides co-partition (bucket) by the key so the daily merge is
+    * one co-located SMJ with no residual shuffle. The base is
+    * restricted (custkey % 3 != 0) so all three outcomes occur.
+    */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.read(spark, dir, "customer")
+      .where(col("c_custkey") % 3 =!= 0)
+      .select(
+        col("c_custkey").as("bkey"),
+        Quantize.cents(col("c_acctbal")).as("bal_cents"))
+    val changes = Tables.read(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("ckey"))
+      .agg(sum(Quantize.cents(col("o_totalprice"))).as("delta_cents"))
+    base.join(changes, col("bkey") === col("ckey"), "full")
+      .select(
+        coalesce(col("bkey"), col("ckey")).as("c_custkey"),
+        (coalesce(col("bal_cents"), lit(0L)) +
+          coalesce(col("delta_cents"), lit(0L))).as("new_bal_cents"),
+        when(col("bkey").isNull, "inserted")
+          .when(col("ckey").isNull, "kept")
+          .otherwise("updated").as("status"))
+      .orderBy("c_custkey")
+  }
+
+  def upsertMergeOracle: String =
+    s"""WITH base AS (
+      |  SELECT c_custkey bkey, ${Quantize.centsSql("c_acctbal")} bal_cents
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |changes AS (
+      |  SELECT o_custkey ckey,
+      |    SUM(${Quantize.centsSql("o_totalprice")}) delta_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT COALESCE(bkey, ckey) AS c_custkey,
+      |  (COALESCE(bal_cents, 0) + COALESCE(delta_cents, 0)) AS new_bal_cents,
+      |  CASE WHEN bkey IS NULL THEN 'inserted'
+      |       WHEN ckey IS NULL THEN 'kept'
+      |       ELSE 'updated' END AS status
+      |FROM base FULL OUTER JOIN changes ON bkey = ckey
+      |ORDER BY c_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("incremental_agg", incrementalAgg, Some(incrementalAggOracle)))
+    QueryDef("incremental_agg", incrementalAgg, Some(incrementalAggOracle)),
+    QueryDef("upsert_merge", upsertMerge, Some(upsertMergeOracle)))
 }
