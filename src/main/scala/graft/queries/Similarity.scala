@@ -96,6 +96,52 @@ object Similarity {
        |SELECT q_id, rnk, vec_id AS neighbor, cos FROM ranked
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** Metadata-filtered ANN — the retrieval shape: top-k restricted to
+    * candidates satisfying a metadata predicate (here: same label as
+    * the query). The filter folds into the broadcast-join CONDITION,
+    * so it PRE-filters — candidates of other labels never score — and
+    * k always fills from eligible rows; the naive post-filter (top-k
+    * first, filter after) silently returns < k. At 100 TB with the
+    * candidate set partitioned/clustered by the filter column this
+    * also becomes partition pruning on the scan.
+    */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val queries = vecs.where(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = vecs
+      .join(
+        broadcast(queries),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn(
+        "cos",
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(
+        col("q_id"), col("q_label").as("label"), col("rnk"),
+        col("vec_id").as("neighbor"), col("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
+  def knnFilteredOracle: String =
+    s"""WITH $VectorsSql,
+       |q AS (SELECT vec_id q_id, label q_label, v qv, nrm qn FROM vn WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, q_label, vec_id,
+       |    CAST(${dotSql("qv", "v")} AS DOUBLE) / sqrt(CAST(qn * nrm AS DOUBLE)) cos
+       |  FROM vn JOIN q ON vn.label = q.q_label AND vn.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, q_label, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk
+       |  FROM scored)
+       |SELECT q_id, q_label AS label, rnk, vec_id AS neighbor, cos FROM ranked
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   // --- embedding cosine near-dup pairs (blocked by label) ---
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
@@ -479,6 +525,7 @@ object Similarity {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
+    QueryDef("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("knn_ivf_kmeans", knnIvfKmeans, Some(knnIvfKmeansOracle)),
