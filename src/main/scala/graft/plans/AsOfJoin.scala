@@ -46,8 +46,12 @@ case class AsOfJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    strict: Boolean = false,
+    toleranceUs: Option[Long] = None)
   extends BinaryNode {
+
+  require(toleranceUs.forall(_ >= 0), "as-of tolerance must be >= 0")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -59,17 +63,26 @@ case class AsOfJoin(
 
 object AsOfJoin {
 
-  /** Backward-inclusive as-of join of two DataFrames on Long key and
-    * Long time columns (timestamps pre-lowered to unix micros keeps the
+  /** Backward as-of join of two DataFrames on Long key and Long time
+    * columns (timestamps pre-lowered to unix micros keeps the
     * operator's comparisons integer-exact). Column names of the two
     * sides must be disjoint; the right side is re-aliased internally so
     * self-joins (both sides derived from one relation) get fresh
     * attribute ids.
+    *
+    * `strict = true` matches right times strictly BEFORE the left time
+    * (`<` instead of `<=`); `toleranceUs = Some(d)` voids a match whose
+    * gap exceeds d micros (the matched row is still the latest-eligible
+    * one, so voiding it equals filtering candidates by the gap first) —
+    * the pandas `merge_asof(allow_exact_matches, tolerance)` pair,
+    * DuckDB's `>` comparator + a gap CASE.
     */
   def backward(
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String): DataFrame = {
+      rightKey: String, rightTime: String,
+      strict: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"as-of sides must have disjoint column names, both have: $overlap")
@@ -91,7 +104,8 @@ object AsOfJoin {
       require(a.dataType == LongType,
         s"as-of key/time columns must be BIGINT, ${a.name} is ${a.dataType}")
     }
-    PlanBridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
+    PlanBridge.ofRows(
+      spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, strict, toleranceUs))
   }
 
   /** Idempotently add the planner strategy to a session. */
@@ -105,8 +119,9 @@ object AsOfJoin {
 /** Plans the logical [[AsOfJoin]] into [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, strict, tol) =>
+      AsOfJoinExec(
+        lk, rk, lt, rt, strict, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -127,6 +142,8 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
+    strict: Boolean,
+    toleranceUs: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -172,9 +189,12 @@ case class AsOfJoinExec(
         rHead = if (rIter.hasNext) rIter.next() else null
       advance()
       // latest right row seen with key == bestKey (copied: sort
-      // iterators reuse their row objects)
+      // iterators reuse their row objects), and its time
       var best: InternalRow = null
       var bestKey = 0L
+      var bestTime = 0L
+      val isStrict = strict
+      val tol = toleranceUs.getOrElse(Long.MaxValue)
       lIter.map { l =>
         numOutputRows += 1
         val lKeyV = lk.eval(l)
@@ -191,20 +211,32 @@ case class AsOfJoinExec(
             if (rkV == null || rkV.asInstanceOf[Long] < k) advance()
             else scanning = false
           }
-          // consume this key's rows up to time t; later rows stay for
-          // the next left row (left times ascend within the key)
+          // consume this key's rows up to time t (strictly before t in
+          // strict mode); later rows stay for the next left row (left
+          // times ascend within the key)
           scanning = true
           while (scanning && rHead != null) {
             val rkV = rk.eval(rHead)
             if (rkV != null && rkV.asInstanceOf[Long] == k) {
               val rtV = rt.eval(rHead)
               if (rtV == null) advance() // null time never matches
-              else if (rtV.asInstanceOf[Long] <= t) {
-                best = rHead.copy(); bestKey = k; advance()
-              } else scanning = false
+              else {
+                val rTime = rtV.asInstanceOf[Long]
+                if (if (isStrict) rTime < t else rTime <= t) {
+                  best = rHead.copy(); bestKey = k; bestTime = rTime
+                  advance()
+                } else scanning = false
+              }
             } else scanning = false
           }
-          proj(joined(l, if (best != null && bestKey == k) best else nullRight))
+          // tolerance check at emit equals pre-filtering candidates by
+          // gap: `best` holds the MAXIMAL eligible right time, so if
+          // even it is too old every other eligible row is older. It
+          // stays buffered — a later left row only voids it again,
+          // never wrongly matches it.
+          val matched =
+            best != null && bestKey == k && t - bestTime <= tol
+          proj(joined(l, if (matched) best else nullRight))
         }
       }
     }

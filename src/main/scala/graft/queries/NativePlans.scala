@@ -51,6 +51,48 @@ object NativePlans {
       |ON p.user_id = c.c_user_id AND p.us >= c.click_us
       |ORDER BY p.event_id""".stripMargin
 
+  /** `asof_strict`: the operator's other mode pair — strictly-before
+    * matching (`<`) with a 1-hour tolerance that voids stale matches
+    * (~98% of them at this data's click density, so both outcomes are
+    * exercised). DuckDB states the same relation as a `>` ASOF plus a
+    * gap CASE — valid because the as-of match is the gap-minimal
+    * eligible row, so voiding it equals filtering candidates by gap.
+    */
+  def asofStrict(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(
+        col("user_id").as("c_user_id"),
+        unix_micros(col("ts")).as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    AsOfJoin.backward(
+        purchases, clicks,
+        leftKey = "user_id", leftTime = "us",
+        rightKey = "c_user_id", rightTime = "click_us",
+        strict = true, toleranceUs = Some(3600000000L))
+      .select(
+        col("event_id"), col("user_id"), col("click_id"), col("click_us"))
+      .orderBy("event_id")
+  }
+
+  def asofStrictOracle: String =
+    """SELECT p.event_id, p.user_id,
+      |  CASE WHEN p.us - c.click_us <= 3600000000 THEN c.click_id END AS click_id,
+      |  CASE WHEN p.us - c.click_us <= 3600000000 THEN c.click_us END AS click_us
+      |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |     (SELECT user_id AS c_user_id,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |             max(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
+      |ON p.user_id = c.c_user_id AND p.us > c.click_us
+      |ORDER BY p.event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("asof_native", asofNative, Some(asofNativeOracle)))
+    QueryDef("asof_native", asofNative, Some(asofNativeOracle)),
+    QueryDef("asof_strict", asofStrict, Some(asofStrictOracle)))
 }

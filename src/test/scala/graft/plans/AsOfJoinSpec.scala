@@ -113,6 +113,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("strict mode: equal times do not match; earlier ones still do") {
+    val got = AsOfJoin.backward(left, right, "k", "t", "rk", "rt",
+        strict = true)
+      .select(col("id"), col("rt"), col("rv")).collect()
+      .map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    assert(got(2L) == ((null, null))) // t=200 == rt=200: excluded now
+    assert(got(3L) == ((240L, "b")))  // strictly-before still matches
+    assert(got(4L) == ((300L, "c")))
+  }
+
+  test("tolerance voids stale matches but keeps fresh ones") {
+    val got = AsOfJoin.backward(left, right, "k", "t", "rk", "rt",
+        toleranceUs = Some(50L))
+      .select(col("id"), col("rt")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(got(2L) == 200L) // gap 0 <= 50
+    assert(got(3L) == 240L) // gap 10 <= 50
+    assert(got(4L) == null) // gap 600 > 50: voided
+    // and a later left row of the same key is voided independently,
+    // not corrupted by the earlier void
+    val l2 = Seq((1L, 10L, 320L), (2L, 10L, 1000L)).toDF("id", "k", "t")
+    val got2 = AsOfJoin.backward(l2, right, "k", "t", "rk", "rt",
+        toleranceUs = Some(50L))
+      .select(col("id"), col("rt")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(got2(1L) == 300L) // gap 20
+    assert(got2(2L) == null) // same buffered match, now 700 stale
+  }
+
   test("property: random data × partitionings matches the reference") {
     import org.scalacheck.{Gen, rng}
     def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
