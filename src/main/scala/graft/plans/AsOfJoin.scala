@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -56,6 +56,17 @@ case class AsOfJoin(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  override def maxRows: Option[Long] = left.maxRows
+
+  /** One output row per left row — without this override the default
+    * binary-node visitor estimates |left|·|right| bytes, which makes
+    * any downstream join against the as-of output look
+    * broadcast-ineligible.
+    */
+  override def stats: Statistics = Statistics(
+    sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes,
+    rowCount = left.stats.rowCount)
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -95,9 +106,13 @@ object AsOfJoin {
     val lPlan = left.queryExecution.analyzed
     val rPlan = rAliased.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"no column '$name' in [${plan.output.map(_.name).mkString(", ")}]"))
+      plan.output.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"no column '$name' in [${plan.output.map(_.name).mkString(", ")}]")
+        case _ => throw new IllegalArgumentException(
+          s"ambiguous column '$name': a side carries it more than once")
+      }
     val (lk, lt) = (attr(lPlan, leftKey), attr(lPlan, leftTime))
     val (rk, rt) = (attr(rPlan, rightKey), attr(rPlan, rightTime))
     Seq(lk, lt, rk, rt).foreach { a =>
@@ -180,6 +195,12 @@ case class AsOfJoinExec(
     val rt = BindReferences.bindReference(rightTime, right.output)
     val rightWidth = right.output.length
     val outAttrs = output
+    // primitives copied OUTSIDE the closure: referencing the case-class
+    // fields inside it would capture `this` and serialize the whole
+    // plan subtree with every task
+    val isStrict = strict
+    val hasTol = toleranceUs.isDefined
+    val tol = toleranceUs.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
@@ -193,8 +214,6 @@ case class AsOfJoinExec(
       var best: InternalRow = null
       var bestKey = 0L
       var bestTime = 0L
-      val isStrict = strict
-      val tol = toleranceUs.getOrElse(Long.MaxValue)
       lIter.map { l =>
         numOutputRows += 1
         val lKeyV = lk.eval(l)
@@ -233,9 +252,13 @@ case class AsOfJoinExec(
           // gap: `best` holds the MAXIMAL eligible right time, so if
           // even it is too old every other eligible row is older. It
           // stays buffered — a later left row only voids it again,
-          // never wrongly matches it.
-          val matched =
-            best != null && bestKey == k && t - bestTime <= tol
+          // never wrongly matches it. Eligibility means bestTime <= t,
+          // so the true gap is non-negative; a negative difference is
+          // Long overflow (gap > Long.MaxValue) and must void — but
+          // only when a tolerance is set (without one, any gap keeps).
+          val gap = t - bestTime
+          val matched = best != null && bestKey == k &&
+            (!hasTol || (gap >= 0 && gap <= tol))
           proj(joined(l, if (matched) best else nullRight))
         }
       }

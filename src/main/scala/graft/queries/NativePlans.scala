@@ -20,7 +20,12 @@ object NativePlans {
     * The right side is pre-aggregated to one click per (user, time)
     * (max event_id) so the inclusive-tie match is deterministic.
     */
-  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared relation prep for both as-of queries, so the click-dedup
+    * rule (one click per (user, time), max event_id) can never diverge
+    * between them and their oracles.
+    */
+  private def purchasesAndClicks(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(spark, dir)
     val purchases = ev.where(col("event_type") === "purchase")
       .select(
@@ -30,6 +35,11 @@ object NativePlans {
         col("user_id").as("c_user_id"),
         unix_micros(col("ts")).as("click_us"))
       .agg(max(col("event_id")).as("click_id"))
+    (purchases, clicks)
+  }
+
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(spark, dir)
     AsOfJoin.backward(
         purchases, clicks,
         leftKey = "user_id", leftTime = "us",
@@ -59,15 +69,7 @@ object NativePlans {
     * eligible row, so voiding it equals filtering candidates by gap.
     */
   def asofStrict(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(
-        col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
-    val clicks = ev.where(col("event_type") === "click")
-      .groupBy(
-        col("user_id").as("c_user_id"),
-        unix_micros(col("ts")).as("click_us"))
-      .agg(max(col("event_id")).as("click_id"))
+    val (purchases, clicks) = purchasesAndClicks(spark, dir)
     AsOfJoin.backward(
         purchases, clicks,
         leftKey = "user_id", leftTime = "us",

@@ -142,6 +142,43 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got2(2L) == null) // same buffered match, now 700 stale
   }
 
+  test("tolerance gap overflow voids; no-tolerance keeps any gap") {
+    // sentinel-scale times: true gap exceeds Long.MaxValue, so the
+    // subtraction wraps negative — with a tolerance that must VOID
+    // (review fix), without one it must still match
+    val l = Seq((1L, 10L, Long.MaxValue - 10L)).toDF("id", "k", "t")
+    val r = Seq((10L, Long.MinValue + 10L, "old")).toDF("rk", "rt", "rv")
+    def run(tol: Option[Long]) =
+      AsOfJoin.backward(l, r, "k", "t", "rk", "rt", toleranceUs = tol)
+        .select(col("rv")).head().get(0)
+    assert(run(Some(Long.MaxValue)) == null)
+    assert(run(None) == "old")
+  }
+
+  test("ambiguous column names on one side fail loudly") {
+    val dup = left.join(right, col("k") === col("rk"))
+      .select(col("id"), col("k"), col("t"), col("rt").as("t2"))
+      .withColumnRenamed("t2", "t") // two columns literally named t
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin.backward(dup, right.select(col("rk").as("k2"),
+        col("rt").as("rt2"), col("rv").as("rv2")), "k", "t", "k2", "rt2"))
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
+  test("logical stats: linear in the inputs, never the product") {
+    val node = {
+      val r = right.select(right.columns.map(c => col(c).as(c)): _*)
+      def attr(df: org.apache.spark.sql.DataFrame, n: String) =
+        df.queryExecution.analyzed.output.find(_.name == n).get
+      AsOfJoin(
+        left.queryExecution.analyzed, r.queryExecution.analyzed,
+        attr(left, "k"), attr(r, "rk"), attr(left, "t"), attr(r, "rt"))
+    }
+    val s = node.stats.sizeInBytes
+    assert(s == node.left.stats.sizeInBytes + node.right.stats.sizeInBytes)
+    assert(s < node.left.stats.sizeInBytes * node.right.stats.sizeInBytes)
+  }
+
   test("property: random data × partitionings matches the reference") {
     import org.scalacheck.{Gen, rng}
     def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] =

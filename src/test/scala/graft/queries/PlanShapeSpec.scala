@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{SparkEntry, TestSpark}
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LeafNode, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Window}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape guardrails: the scale properties the suite claims are
