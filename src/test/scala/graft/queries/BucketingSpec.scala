@@ -78,6 +78,26 @@ class BucketingSpec extends AnyFunSuite {
       s"no pushed filter in ORC scan:\n$plan")
   }
 
+  test("XML round trip preserves rows (Spark 4 built-in xml source)") {
+    // like ORC: DuckDB reads no XML, so the connector is spec-asserted
+    // (round-trip equality + schema), not oracle-compared
+    val out = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    val dir = "/root/testdata/sf0.001"
+    val src = spark.read.parquet(s"$dir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    src.write.mode("overwrite")
+      .option("rootTag", "nations").option("rowTag", "nation")
+      .format("xml").save(out)
+    val back = spark.read
+      .option("rowTag", "nation")
+      .schema(src.schema) // pin types: XML infers strings otherwise
+      .format("xml").load(out)
+    assert(back.count() == src.count())
+    assert(
+      back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "XML round trip changed rows")
+  }
+
   test("partitioned write is pruned to one partition at read time") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     val dir = "/root/testdata/sf0.001"
