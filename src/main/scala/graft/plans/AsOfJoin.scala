@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -17,17 +17,19 @@ import org.apache.spark.sql.types.LongType
   * + SparkPlan, registered per session via `experimental.extraStrategies`
   * or globally via [[graft.GraftExtensions]].
   *
-  * Semantics: BACKWARD, INCLUSIVE — for every left row, the single
-  * right row with the same key and the greatest time <= the left time
-  * (ties on equal right time resolved by right sort order), left-outer
-  * (no match => right columns null). Exactly DuckDB's
-  * `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`.
+  * Semantics: BACKWARD, INCLUSIVE by default — for every left row, the
+  * single right row with the same key tuple and the greatest time <=
+  * the left time (ties on equal right time resolved by right sort
+  * order), left-outer (no match => right columns null). Exactly
+  * DuckDB's `ASOF LEFT JOIN ... ON l.k1 = r.k1 [AND ...] AND l.t >= r.t`.
+  * `strict` switches the comparison to `<`; `toleranceUs` voids
+  * matches older than the gap (pandas merge_asof's mode pair).
   *
   * Physical shape — the one you'd want at 100 TB:
-  *   - `requiredChildDistribution` clusters both sides on the key:
+  *   - `requiredChildDistribution` clusters both sides on the keys:
   *     ONE hash shuffle per side (AQE-coalescible), identical to a
   *     sort-merge join's exchange placement.
-  *   - `requiredChildOrdering` sorts each partition by (key, time):
+  *   - `requiredChildOrdering` sorts each partition by (keys..., time):
   *     in-partition sort, never a global one.
   *   - `doExecute` merges the two sorted streams with a forward-only
   *     cursor: O(|L|+|R|) per partition, ZERO row expansion — unlike
@@ -43,14 +45,16 @@ import org.apache.spark.sql.types.LongType
 case class AsOfJoin(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
     strict: Boolean = false,
     toleranceUs: Option[Long] = None)
   extends BinaryNode {
 
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    "as-of requires one or more key columns, the same number per side")
   require(toleranceUs.forall(_ >= 0), "as-of tolerance must be >= 0")
 
   override def output: Seq[Attribute] =
@@ -74,8 +78,20 @@ case class AsOfJoin(
 
 object AsOfJoin {
 
-  /** Backward as-of join of two DataFrames on Long key and Long time
-    * columns (timestamps pre-lowered to unix micros keeps the
+  /** Single-key convenience form of [[backwardMulti]]. */
+  def backward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      strict: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame =
+    backwardMulti(
+      left, right, Seq(leftKey), leftTime, Seq(rightKey), rightTime,
+      strict, toleranceUs)
+
+  /** Backward as-of join of two DataFrames on one or more key columns
+    * (any orderable atomic types, matching per position) and a Long
+    * time column (timestamps pre-lowered to unix micros keeps the
     * operator's comparisons integer-exact). Column names of the two
     * sides must be disjoint; the right side is re-aliased internally so
     * self-joins (both sides derived from one relation) get fresh
@@ -88,10 +104,10 @@ object AsOfJoin {
     * the pandas `merge_asof(allow_exact_matches, tolerance)` pair,
     * DuckDB's `>` comparator + a gap CASE.
     */
-  def backward(
+  def backwardMulti(
       left: DataFrame, right: DataFrame,
-      leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String,
+      leftKeys: Seq[String], leftTime: String,
+      rightKeys: Seq[String], rightTime: String,
       strict: Boolean = false,
       toleranceUs: Option[Long] = None): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
@@ -113,14 +129,21 @@ object AsOfJoin {
         case _ => throw new IllegalArgumentException(
           s"ambiguous column '$name': a side carries it more than once")
       }
-    val (lk, lt) = (attr(lPlan, leftKey), attr(lPlan, leftTime))
-    val (rk, rt) = (attr(rPlan, rightKey), attr(rPlan, rightTime))
-    Seq(lk, lt, rk, rt).foreach { a =>
+    val lks = leftKeys.map(attr(lPlan, _))
+    val rks = rightKeys.map(attr(rPlan, _))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    lks.zip(rks).foreach { case (a, b) =>
+      require(RowOrdering.isOrderable(a.dataType),
+        s"as-of key ${a.name} must be an orderable type, is ${a.dataType}")
+      require(a.dataType == b.dataType,
+        s"as-of key types differ: ${a.name} ${a.dataType} vs ${b.name} ${b.dataType}")
+    }
+    Seq(lt, rt).foreach { a =>
       require(a.dataType == LongType,
-        s"as-of key/time columns must be BIGINT, ${a.name} is ${a.dataType}")
+        s"as-of time columns must be BIGINT (unix micros), ${a.name} is ${a.dataType}")
     }
     PlanBridge.ofRows(
-      spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, strict, toleranceUs))
+      spark, AsOfJoin(lPlan, rPlan, lks, rks, lt, rt, strict, toleranceUs))
   }
 
   /** Idempotently add the planner strategy to a session. */
@@ -134,27 +157,30 @@ object AsOfJoin {
 /** Plans the logical [[AsOfJoin]] into [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, strict, tol) =>
+    case AsOfJoin(l, r, lks, rks, lt, rt, strict, tol) =>
       AsOfJoinExec(
-        lk, rk, lt, rt, strict, tol, planLater(l), planLater(r)) :: Nil
+        lks, rks, lt, rt, strict, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 /** Sorted-merge backward as-of join. Children are hash-clustered on
-  * the key and sorted by (key, time) — EnsureRequirements inserts the
-  * exchanges/sorts, AQE coalesces them like any shuffled join — and
+  * the keys and sorted by (keys..., time) — EnsureRequirements inserts
+  * the exchanges/sorts, AQE coalesces them like any shuffled join — and
   * each partition pair merges with a forward-only right cursor holding
   * at most ONE buffered row (`best`): constant memory, no spill path
   * needed beyond the children's own sorts.
   *
-  * Null semantics match SQL comparisons (null key or null time on
-  * either side never matches); nulls sort first, so null-keyed/timed
-  * right rows are skipped by the cursor before any live key.
+  * Key tuples compare through the natural ascending interpreted
+  * ordering over the key types (nulls first — identical to the
+  * children's required sort), so the cursor advance agrees exactly
+  * with the sort that feeds it. Null semantics match SQL comparisons:
+  * a null in ANY key column or in the time, on either side, never
+  * matches.
   */
 case class AsOfJoinExec(
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
     strict: Boolean,
@@ -167,12 +193,12 @@ case class AsOfJoinExec(
     left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKey :: Nil) ::
-      ClusteredDistribution(rightKey :: Nil) :: Nil
+    ClusteredDistribution(leftKeys) ::
+      ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -189,10 +215,11 @@ case class AsOfJoinExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
-    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lKeyExprs = leftKeys.map(BindReferences.bindReference(_, left.output))
+    val rKeyExprs = rightKeys.map(BindReferences.bindReference(_, right.output))
     val lt = BindReferences.bindReference(leftTime, left.output)
-    val rk = BindReferences.bindReference(rightKey, right.output)
     val rt = BindReferences.bindReference(rightTime, right.output)
+    val keyTypes = leftKeys.map(_.dataType)
     val rightWidth = right.output.length
     val outAttrs = output
     // primitives copied OUTSIDE the closure: referencing the case-class
@@ -205,29 +232,35 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val lKeyProj = UnsafeProjection.create(lKeyExprs)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs)
+      // the same nulls-first ascending ordering the children are
+      // sorted with, so cursor advancement tracks the physical order
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       var rHead: InternalRow = null
       def advance(): Unit =
         rHead = if (rIter.hasNext) rIter.next() else null
       advance()
-      // latest right row seen with key == bestKey (copied: sort
-      // iterators reuse their row objects), and its time
+      // latest right row seen for key tuple `bestKey` (both copied:
+      // sort iterators and projections reuse their row objects)
       var best: InternalRow = null
-      var bestKey = 0L
+      var bestKey: InternalRow = null
       var bestTime = 0L
       lIter.map { l =>
         numOutputRows += 1
-        val lKeyV = lk.eval(l)
-        val lTimeV = if (lKeyV == null) null else lt.eval(l)
-        if (lKeyV == null || lTimeV == null) proj(joined(l, nullRight))
+        val lKey = lKeyProj(l)
+        val lTimeV = if (lKey.anyNull) null else lt.eval(l)
+        if (lKey.anyNull || lTimeV == null) proj(joined(l, nullRight))
         else {
-          val k = lKeyV.asInstanceOf[Long]
           val t = lTimeV.asInstanceOf[Long]
-          if (best != null && bestKey != k) best = null
-          // cursor past null-keyed rows and keys before k
+          if (best != null && keyOrd.compare(bestKey, lKey) != 0) best = null
+          // cursor past key tuples before this one (null-containing
+          // right keys compare nulls-first and are skipped here or in
+          // the consume loop — they can never match)
           var scanning = true
           while (scanning && rHead != null) {
-            val rkV = rk.eval(rHead)
-            if (rkV == null || rkV.asInstanceOf[Long] < k) advance()
+            val rKey = rKeyProj(rHead)
+            if (rKey.anyNull || keyOrd.compare(rKey, lKey) < 0) advance()
             else scanning = false
           }
           // consume this key's rows up to time t (strictly before t in
@@ -235,14 +268,14 @@ case class AsOfJoinExec(
           // times ascend within the key)
           scanning = true
           while (scanning && rHead != null) {
-            val rkV = rk.eval(rHead)
-            if (rkV != null && rkV.asInstanceOf[Long] == k) {
+            val rKey = rKeyProj(rHead)
+            if (!rKey.anyNull && keyOrd.compare(rKey, lKey) == 0) {
               val rtV = rt.eval(rHead)
               if (rtV == null) advance() // null time never matches
               else {
                 val rTime = rtV.asInstanceOf[Long]
                 if (if (isStrict) rTime < t else rTime <= t) {
-                  best = rHead.copy(); bestKey = k; bestTime = rTime
+                  best = rHead.copy(); bestKey = lKey.copy(); bestTime = rTime
                   advance()
                 } else scanning = false
               }
@@ -257,7 +290,7 @@ case class AsOfJoinExec(
           // Long overflow (gap > Long.MaxValue) and must void — but
           // only when a tolerance is set (without one, any gap keeps).
           val gap = t - bestTime
-          val matched = best != null && bestKey == k &&
+          val matched = best != null &&
             (!hasTol || (gap >= 0 && gap <= tol))
           proj(joined(l, if (matched) best else nullRight))
         }

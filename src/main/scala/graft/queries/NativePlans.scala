@@ -94,7 +94,52 @@ object NativePlans {
       |ON p.user_id = c.c_user_id AND p.us > c.click_us
       |ORDER BY p.event_id""".stripMargin
 
+  /** `asof_multi`: COMPOSITE-key as-of through the same native node —
+    * most recent click by the same user in the same props.k half
+    * (the (entity, attribute) key shape: per (user, segment) state).
+    * Key tuples ride the generic natural-ordering merge; the plan is
+    * identical to the single-key form — one exchange per side,
+    * clustered on both key columns.
+    */
+  def asofMulti(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val kh = expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 50")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), kh.as("kh"),
+        unix_micros(col("ts")).as("us"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(
+        col("user_id").as("c_user_id"), kh.as("c_kh"),
+        unix_micros(col("ts")).as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    AsOfJoin.backwardMulti(
+        purchases, clicks,
+        leftKeys = Seq("user_id", "kh"), leftTime = "us",
+        rightKeys = Seq("c_user_id", "c_kh"), rightTime = "click_us")
+      .select(
+        col("event_id"), col("user_id"), col("kh"),
+        col("click_id"), col("click_us"))
+      .orderBy("event_id")
+  }
+
+  def asofMultiOracle: String =
+    """SELECT p.event_id, p.user_id, p.kh, c.click_id, c.click_us
+      |FROM (SELECT event_id, user_id,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) // 50 AS kh,
+      |        epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |     (SELECT user_id AS c_user_id,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) // 50 AS c_kh,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |             max(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3) c
+      |ON p.user_id = c.c_user_id AND p.kh = c.c_kh AND p.us >= c.click_us
+      |ORDER BY p.event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("asof_native", asofNative, Some(asofNativeOracle)),
-    QueryDef("asof_strict", asofStrict, Some(asofStrictOracle)))
+    QueryDef("asof_strict", asofStrict, Some(asofStrictOracle)),
+    QueryDef("asof_multi", asofMulti, Some(asofMultiOracle)))
 }

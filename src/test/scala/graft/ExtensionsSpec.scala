@@ -69,7 +69,7 @@ class ExtensionsSpec extends AnyFunSuite {
         df.queryExecution.analyzed.output.find(_.name == n).get
       val node = graft.plans.AsOfJoin(
         l.queryExecution.analyzed, r.queryExecution.analyzed,
-        attr(l, "k"), attr(r, "rk"), attr(l, "t"), attr(r, "rt"))
+        Seq(attr(l, "k")), Seq(attr(r, "rk")), attr(l, "t"), attr(r, "rt"))
       assert(ss.experimental.extraStrategies.isEmpty)
       val df = PlanBridge.ofRows(ss, node)
       assert(df.queryExecution.executedPlan.collect {

@@ -172,11 +172,39 @@ class AsOfJoinSpec extends AnyFunSuite {
         df.queryExecution.analyzed.output.find(_.name == n).get
       AsOfJoin(
         left.queryExecution.analyzed, r.queryExecution.analyzed,
-        attr(left, "k"), attr(r, "rk"), attr(left, "t"), attr(r, "rt"))
+        Seq(attr(left, "k")), Seq(attr(r, "rk")),
+        attr(left, "t"), attr(r, "rt"))
     }
     val s = node.stats.sizeInBytes
     assert(s == node.left.stats.sizeInBytes + node.right.stats.sizeInBytes)
     assert(s < node.left.stats.sizeInBytes * node.right.stats.sizeInBytes)
+  }
+
+  test("composite keys: (long, string) tuples merge correctly") {
+    val l = Seq(
+      (1L, 10L, "a", 100L), // matches (10,a,50)
+      (2L, 10L, "b", 100L), // same long key, other segment
+      (3L, 10L, "a", 20L),  // before the (10,a) row
+      (4L, 11L, "a", 100L)  // key break on the FIRST column
+    ).toDF("id", "k1", "k2", "t")
+    val r = Seq(
+      (10L, "a", 50L, "ra"),
+      (10L, "b", 60L, "rb"),
+      (11L, "b", 10L, "rb11")
+    ).toDF("rk1", "rk2", "rt", "rv")
+    val got = AsOfJoin.backwardMulti(
+        l, r, Seq("k1", "k2"), "t", Seq("rk1", "rk2"), "rt")
+      .select(col("id"), col("rv")).collect()
+      .map(row => row.getLong(0) -> row.get(1)).toMap
+    assert(got == Map(1L -> "ra", 2L -> "rb", 3L -> null, 4L -> null))
+    // null in EITHER key column never matches
+    val ln = Seq((1L, Some(10L), Some("a"), 100L), (2L, Some(10L), None, 100L))
+      .toDF("id", "k1", "k2", "t")
+    val gotN = AsOfJoin.backwardMulti(
+        ln, r, Seq("k1", "k2"), "t", Seq("rk1", "rk2"), "rt")
+      .select(col("id"), col("rv")).collect()
+      .map(row => row.getLong(0) -> row.get(1)).toMap
+    assert(gotN == Map(1L -> "ra", 2L -> null))
   }
 
   test("property: random data × partitionings matches the reference") {
