@@ -313,10 +313,66 @@ object Statistics {
       |FROM exact WHERE exact_cnt * 7 > (SELECT n FROM tot)
       |ORDER BY item""".stripMargin
 
+  /** Per-group heavy hitters — the sketch composes with grouping
+    * exactly like any aggregate (one pass, k counters PER GROUP, the
+    * per-tenant frequency shape): each event type's summary carries
+    * its own N_g/(k+1) guarantee. Same guarantee-pinned surface as
+    * [[heavyHitters]], one group column wider.
+    */
+  def heavyHittersGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val k = 6
+    val items = Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        floor(sqrt(get_json_object(col("props"), "$.k").cast("long")))
+          .cast("long").cast("string").as("item"))
+      .where(col("item").isNotNull)
+    val sketch = items.groupBy(col("event_type")).agg(
+      graft.functions.SketchFunctions.misraGries(col("item"), k).as("summary"),
+      count(lit(1)).as("n"))
+    val exact = items.groupBy(col("event_type"), col("item"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    exact.join(broadcast(sketch), "event_type")
+      .where(col("exact_cnt") * (k + 1) > col("n"))
+      .select(
+        col("event_type"), col("item"), col("exact_cnt"), col("n"),
+        filter(col("summary"),
+          e => e.getField("item") === col("item")).as("hits"))
+      .select(
+        col("event_type"), col("item"), col("exact_cnt"), col("n"),
+        (size(col("hits")) === 1).as("in_summary"),
+        (size(col("hits")) === 1 &&
+          element_at(col("hits"), 1).getField("est") <= col("exact_cnt") &&
+          (col("exact_cnt") - element_at(col("hits"), 1).getField("est")) *
+            (k + 1) <= col("n")).as("bound_ok"))
+      .orderBy("event_type", "item")
+  }
+
+  def heavyHittersGroupedOracle: String =
+    """WITH items AS (
+      |  SELECT event_type,
+      |    CAST(CAST(floor(sqrt(CAST(json_extract_string(props, '$.k') AS BIGINT))) AS BIGINT) AS VARCHAR) AS item
+      |  FROM events WHERE props IS NOT NULL
+      |    AND json_extract_string(props, '$.k') IS NOT NULL),
+      |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) n
+      |        FROM items GROUP BY 1),
+      |exact AS (
+      |  SELECT event_type, item, CAST(count(*) AS BIGINT) exact_cnt
+      |  FROM items GROUP BY 1, 2)
+      |SELECT exact.event_type, item, exact_cnt, n,
+      |  TRUE AS in_summary, TRUE AS bound_ok
+      |FROM exact JOIN tot ON exact.event_type = tot.event_type
+      |WHERE exact_cnt * 7 > n
+      |ORDER BY exact.event_type, item""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("stats_outliers", statsOutliers, Some(statsOutliersOracle)),
     QueryDef("corr_stats", corrStats, Some(corrStatsOracle)),
     QueryDef("chi_square", chiSquare, Some(chiSquareOracle)),
     QueryDef("mad_outliers", madOutliers, Some(madOutliersOracle)),
-    QueryDef("heavy_hitters", heavyHitters, Some(heavyHittersOracle)))
+    QueryDef("heavy_hitters", heavyHitters, Some(heavyHittersOracle)),
+    QueryDef(
+      "heavy_hitters_grouped",
+      heavyHittersGrouped,
+      Some(heavyHittersGroupedOracle)))
 }
