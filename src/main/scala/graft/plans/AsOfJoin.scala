@@ -55,6 +55,18 @@ case class AsOfJoin(
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of requires one or more key columns, the same number per side")
+  // enforced HERE, not only in the DataFrame helper: the node is
+  // public (ExtensionsSpec constructs it directly) and the exec's key
+  // ordering is built from the LEFT types — a mismatched right key
+  // would silently misread its UnsafeRow instead of failing fast
+  leftKeys.zip(rightKeys).foreach { case (a, b) =>
+    require(RowOrdering.isOrderable(a.dataType),
+      s"as-of key must be an orderable type, got ${a.dataType}")
+    require(a.dataType == b.dataType,
+      s"as-of key types must match per position: ${a.dataType} vs ${b.dataType}")
+  }
+  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+    "as-of time columns must be BIGINT (unix micros)")
   require(toleranceUs.forall(_ >= 0), "as-of tolerance must be >= 0")
 
   override def output: Seq[Attribute] =
@@ -254,22 +266,19 @@ case class AsOfJoinExec(
         else {
           val t = lTimeV.asInstanceOf[Long]
           if (best != null && keyOrd.compare(bestKey, lKey) != 0) best = null
-          // cursor past key tuples before this one (null-containing
-          // right keys compare nulls-first and are skipped here or in
-          // the consume loop — they can never match)
+          // ONE loop, ONE key projection per right-head visit: skip
+          // tuples before this key (null-containing right keys can
+          // never match and are skipped the same way), then consume
+          // this key's rows up to time t (strictly before t in strict
+          // mode); later rows stay for the next left row (left times
+          // ascend within the key)
           var scanning = true
           while (scanning && rHead != null) {
             val rKey = rKeyProj(rHead)
-            if (rKey.anyNull || keyOrd.compare(rKey, lKey) < 0) advance()
-            else scanning = false
-          }
-          // consume this key's rows up to time t (strictly before t in
-          // strict mode); later rows stay for the next left row (left
-          // times ascend within the key)
-          scanning = true
-          while (scanning && rHead != null) {
-            val rKey = rKeyProj(rHead)
-            if (!rKey.anyNull && keyOrd.compare(rKey, lKey) == 0) {
+            val cmp =
+              if (rKey.anyNull) -1 else keyOrd.compare(rKey, lKey)
+            if (cmp < 0) advance()
+            else if (cmp == 0) {
               val rtV = rt.eval(rHead)
               if (rtV == null) advance() // null time never matches
               else {

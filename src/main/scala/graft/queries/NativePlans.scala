@@ -12,6 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object NativePlans {
 
+  /** Shared relation prep for ALL as-of queries, so the click-dedup
+    * rule (one click per key tuple + time, max event_id) can never
+    * diverge between them and their oracles. `segmented = true` adds
+    * the props.k-half segment column to both key tuples (asof_multi's
+    * composite key).
+    */
+  private def purchasesAndClicks(
+      spark: SparkSession, dir: String,
+      segmented: Boolean = false): (DataFrame, DataFrame) = {
+    val ev = Tables.events(spark, dir)
+    val kh = expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 50")
+    val pCols =
+      Seq(col("event_id"), col("user_id")) ++
+        (if (segmented) Seq(kh.as("kh")) else Nil) :+
+        unix_micros(col("ts")).as("us")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(pCols: _*)
+    val cKeys =
+      Seq(col("user_id").as("c_user_id")) ++
+        (if (segmented) Seq(kh.as("c_kh")) else Nil) :+
+        unix_micros(col("ts")).as("click_us")
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(cKeys: _*)
+      .agg(max(col("event_id")).as("click_id"))
+    (purchases, clicks)
+  }
+
   /** `asof_native`: for every purchase, the most recent click by the
     * same user at or before it — the same relation family as
     * `asof_join`, but joining two separate relations through the
@@ -20,24 +47,6 @@ object NativePlans {
     * The right side is pre-aggregated to one click per (user, time)
     * (max event_id) so the inclusive-tie match is deterministic.
     */
-  /** Shared relation prep for both as-of queries, so the click-dedup
-    * rule (one click per (user, time), max event_id) can never diverge
-    * between them and their oracles.
-    */
-  private def purchasesAndClicks(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val ev = Tables.events(spark, dir)
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(
-        col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
-    val clicks = ev.where(col("event_type") === "click")
-      .groupBy(
-        col("user_id").as("c_user_id"),
-        unix_micros(col("ts")).as("click_us"))
-      .agg(max(col("event_id")).as("click_id"))
-    (purchases, clicks)
-  }
-
   def asofNative(spark: SparkSession, dir: String): DataFrame = {
     val (purchases, clicks) = purchasesAndClicks(spark, dir)
     AsOfJoin.backward(
@@ -102,17 +111,7 @@ object NativePlans {
     * clustered on both key columns.
     */
   def asofMulti(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val kh = expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 50")
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(
-        col("event_id"), col("user_id"), kh.as("kh"),
-        unix_micros(col("ts")).as("us"))
-    val clicks = ev.where(col("event_type") === "click")
-      .groupBy(
-        col("user_id").as("c_user_id"), kh.as("c_kh"),
-        unix_micros(col("ts")).as("click_us"))
-      .agg(max(col("event_id")).as("click_id"))
+    val (purchases, clicks) = purchasesAndClicks(spark, dir, segmented = true)
     AsOfJoin.backwardMulti(
         purchases, clicks,
         leftKeys = Seq("user_id", "kh"), leftTime = "us",

@@ -272,32 +272,54 @@ object Statistics {
     * the exact counts from a verification aggregate; raw estimates
     * stay internal, keeping the result partitioning-independent.
     */
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val k = 6
-    val items = Tables.events(spark, dir)
+  /** The deterministically skewed item key both heavy-hitter queries
+    * sketch (floor(sqrt(props.k)): value b has share (2b+1)%).
+    */
+  private def skewedItems(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(
+        col("event_type"),
         floor(sqrt(get_json_object(col("props"), "$.k").cast("long")))
           .cast("long").cast("string").as("item"))
       .where(col("item").isNotNull)
+
+  /** THE MG guarantee surface, single-sourced for the global and
+    * grouped heavy-hitter queries: given the exact (groupCols, item,
+    * exact_cnt) counts joined against the (groupCols, summary, n)
+    * sketch rows, emit one row per TRUE heavy hitter with the
+    * membership and error-bound booleans the oracle pins TRUE. A bound
+    * change can never diverge the two queries.
+    */
+  private def heavyReport(
+      joined: DataFrame, k: Int, groupCols: Seq[String]): DataFrame = {
+    val keyCols = (groupCols :+ "item").map(col)
+    joined
+      .where(col("exact_cnt") * (k + 1) > col("n"))
+      .select(
+        keyCols ++ Seq(
+          col("exact_cnt"), col("n"),
+          filter(col("summary"),
+            e => e.getField("item") === col("item")).as("hits")): _*)
+      .select(
+        keyCols ++ Seq(
+          col("exact_cnt"), col("n"),
+          (size(col("hits")) === 1).as("in_summary"),
+          (size(col("hits")) === 1 &&
+            element_at(col("hits"), 1).getField("est") <= col("exact_cnt") &&
+            (col("exact_cnt") - element_at(col("hits"), 1).getField("est")) *
+              (k + 1) <= col("n")).as("bound_ok")): _*)
+      .orderBy(groupCols :+ "item" map col: _*)
+  }
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val k = 6
+    val items = skewedItems(spark, dir)
     val sketch = items.agg(
       graft.functions.SketchFunctions.misraGries(col("item"), k).as("summary"),
       count(lit(1)).as("n"))
     val exact = items.groupBy(col("item"))
       .agg(count(lit(1)).as("exact_cnt"))
-    exact.crossJoin(broadcast(sketch))
-      .where(col("exact_cnt") * (k + 1) > col("n"))
-      .select(
-        col("item"), col("exact_cnt"), col("n"),
-        filter(col("summary"),
-          e => e.getField("item") === col("item")).as("hits"))
-      .select(
-        col("item"), col("exact_cnt"), col("n"),
-        (size(col("hits")) === 1).as("in_summary"),
-        (size(col("hits")) === 1 &&
-          element_at(col("hits"), 1).getField("est") <= col("exact_cnt") &&
-          (col("exact_cnt") - element_at(col("hits"), 1).getField("est")) *
-            (k + 1) <= col("n")).as("bound_ok"))
-      .orderBy("item")
+    heavyReport(exact.crossJoin(broadcast(sketch)), k, groupCols = Nil)
   }
 
   def heavyHittersOracle: String =
@@ -321,31 +343,15 @@ object Statistics {
     */
   def heavyHittersGrouped(spark: SparkSession, dir: String): DataFrame = {
     val k = 6
-    val items = Tables.events(spark, dir)
-      .select(
-        col("event_type"),
-        floor(sqrt(get_json_object(col("props"), "$.k").cast("long")))
-          .cast("long").cast("string").as("item"))
-      .where(col("item").isNotNull)
+    val items = skewedItems(spark, dir)
     val sketch = items.groupBy(col("event_type")).agg(
       graft.functions.SketchFunctions.misraGries(col("item"), k).as("summary"),
       count(lit(1)).as("n"))
     val exact = items.groupBy(col("event_type"), col("item"))
       .agg(count(lit(1)).as("exact_cnt"))
-    exact.join(broadcast(sketch), "event_type")
-      .where(col("exact_cnt") * (k + 1) > col("n"))
-      .select(
-        col("event_type"), col("item"), col("exact_cnt"), col("n"),
-        filter(col("summary"),
-          e => e.getField("item") === col("item")).as("hits"))
-      .select(
-        col("event_type"), col("item"), col("exact_cnt"), col("n"),
-        (size(col("hits")) === 1).as("in_summary"),
-        (size(col("hits")) === 1 &&
-          element_at(col("hits"), 1).getField("est") <= col("exact_cnt") &&
-          (col("exact_cnt") - element_at(col("hits"), 1).getField("est")) *
-            (k + 1) <= col("n")).as("bound_ok"))
-      .orderBy("event_type", "item")
+    heavyReport(
+      exact.join(broadcast(sketch), "event_type"), k,
+      groupCols = Seq("event_type"))
   }
 
   def heavyHittersGroupedOracle: String =

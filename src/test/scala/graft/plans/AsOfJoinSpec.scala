@@ -236,6 +236,59 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("property: composite (long,string) keys with mid-stream nulls") {
+    import org.scalacheck.{Gen, rng}
+    def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+      (0 until n).flatMap(i =>
+        g.apply(Gen.Parameters.default, rng.Seed(seed + i)))
+    val k1Gen = Gen.chooseNum(1L, 4L)
+    // few segments incl. None: null key components interleave among
+    // live keys in the sorted stream
+    val k2Gen = Gen.oneOf(Some("x"), Some("y"), Some("z"), None)
+    val timeGen = Gen.chooseNum(-40L, 40L)
+    def ref(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(
+          r,
+          col("k1") === col("rk1") && col("k2") === col("rk2") &&
+            col("rt") <= col("t"),
+          "left")
+        .groupBy(col("id"))
+        .agg(max(struct(col("rt"), col("rv"))).as("m"))
+        .select(col("id"), col("m.rt").as("rt"), col("m.rv").as("rv"))
+    for (seed <- 0 to 1) {
+      val lRows = sample(Gen.zip(k1Gen, k2Gen, timeGen), 100, 500L * seed)
+        .zipWithIndex.map { case ((a, b, t), i) => (i.toLong, a, b, t) }
+      val rRows = sample(Gen.zip(k1Gen, k2Gen, timeGen), 70, 37L * seed)
+        .distinct.zipWithIndex
+        .map { case ((a, b, t), i) => (a, b, t, s"r$i") }
+        .groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toSeq
+      val l = lRows.toDF("id", "k1", "k2", "t")
+      val r = rRows.toDF("rk1", "rk2", "rt", "rv")
+      val expected = asRows(ref(l, r))
+      for (parts <- Seq(1, 5)) {
+        val got = AsOfJoin.backwardMulti(
+            l.repartition(parts), r.repartition(parts),
+            Seq("k1", "k2"), "t", Seq("rk1", "rk2"), "rt")
+          .select(col("id"), col("rt"), col("rv"))
+        assert(asRows(got) === expected, s"seed=$seed parts=$parts")
+      }
+    }
+  }
+
+  test("mismatched key types fail fast at node construction") {
+    import spark.implicits._
+    val l = Seq((1L, "s", 5L)).toDF("id", "k", "t")
+    val r0 = Seq((10L, 3L, "x")).toDF("rk", "rt", "rv")
+    val r = r0.select(r0.columns.map(c => col(c).as(c)): _*)
+    def attr(df: org.apache.spark.sql.DataFrame, n: String) =
+      df.queryExecution.analyzed.output.find(_.name == n).get
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin(
+        l.queryExecution.analyzed, r.queryExecution.analyzed,
+        Seq(attr(l, "k")), Seq(attr(r, "rk")), attr(l, "t"), attr(r, "rt")))
+    assert(e.getMessage.contains("must match"))
+  }
+
   test("asof_native query: AQE on/off agree on real data (self-join sides)") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     def rows() = NativePlans.asofNative(spark, dir).collect().map(_.toSeq).toSeq
