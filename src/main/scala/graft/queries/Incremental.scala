@@ -43,7 +43,7 @@ object Incremental {
   def incrementalAggOracle: String =
     s"""SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) d,
       |  CAST(COUNT(*) AS BIGINT) n,
-      |  SUM(${Quantize.centsSql("value")}) sum_vc,
+      |  CAST(SUM(${Quantize.centsSql("value")}) AS BIGINT) sum_vc,
       |  CAST(SUM(${Quantize.centsSql("value")}) AS DOUBLE)
       |    / COUNT(*) / 100.0 AS avg_value
       |FROM events
@@ -86,7 +86,8 @@ object Incremental {
       |    SUM(${Quantize.centsSql("o_totalprice")}) delta_cents
       |  FROM orders GROUP BY 1)
       |SELECT COALESCE(bkey, ckey) AS c_custkey,
-      |  (COALESCE(bal_cents, 0) + COALESCE(delta_cents, 0)) AS new_bal_cents,
+      |  CAST(COALESCE(bal_cents, 0) + COALESCE(delta_cents, 0)
+      |    AS BIGINT) AS new_bal_cents,
       |  CASE WHEN bkey IS NULL THEN 'inserted'
       |       WHEN ckey IS NULL THEN 'kept'
       |       ELSE 'updated' END AS status

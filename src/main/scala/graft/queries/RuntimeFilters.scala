@@ -49,7 +49,7 @@ object RuntimeFilters {
 
   def bloomPruneJoinOracle: String =
     s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) n_orders,
-      |  SUM(${Quantize.centsSql("o_totalprice")}) revenue_cents
+      |  CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) revenue_cents
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin

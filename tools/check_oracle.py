@@ -58,6 +58,24 @@ for name, sql in sorted(oracles.items()):
         print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
         fails += 1
         continue
+    # The driver's hash is TYPE-sensitive: DuckDB SUM(BIGINT) yields
+    # HUGEINT (int128) where Spark emits BIGINT, and the values hash
+    # differently even when equal. Compare the DuckDB-visible column
+    # types of both sides (in sorted-column order) and fail on any
+    # mismatch so this replica predicts the driver.
+    spark_types = dict(zip(spark_rel.columns,
+                           (str(t) for t in spark_rel.types))
+                       )
+    duck_types = dict(zip(duck_rel.columns,
+                          (str(t) for t in duck_rel.types)))
+    type_diffs = [
+        (c, spark_types[c], duck_types[c])
+        for c in spark_cols if spark_types[c] != duck_types[c]]
+    if type_diffs:
+        fails += 1
+        for c, st, dt in type_diffs:
+            print(f"FAIL {name}: column '{c}' type spark={st} duck={dt}")
+        continue
     sr = [tuple(canon(v) for v in r) for r in spark_rows]
     dr = [tuple(canon(v) for v in r) for r in duck_rows]
     if sr == dr:
