@@ -57,16 +57,21 @@ object EventStreamPipeline {
 
   /** Envelopes -> one delivery row per matching subscription with the
     * serialized SSE frame. Plan-compiled subscriptions (the reference
-    * compiles filters at subscribe time); shuffle-free.
+    * compiles filters at subscribe time); shuffle-free. An `_seq`
+    * ordering column, when the caller added one, passes through — the
+    * live server sorts each listener shard by it so partition-wise
+    * delivery preserves wire arrival order per connection.
     */
   def deliveries(envelopes: DataFrame, subs: Seq[Subscription]): DataFrame =
     Fanout
       .compiled(envelopes, subs, col("subsystem"), col("data"))
       .select(
-        col("sub_id"),
-        col("subsystem"),
-        col("id"),
-        Sse.chunk(Sse.frame(col("event"), col("data"), col("id"))).as("chunk"))
+        Seq(
+          col("sub_id"),
+          col("subsystem"),
+          col("id"),
+          Sse.chunk(Sse.frame(col("event"), col("data"), col("id"))).as("chunk")
+        ) ++ envelopes.columns.filter(_ == "_seq").map(col): _*)
 
   /** Full wire-in to SSE-chunk-out pipeline. */
   def full(lines: DataFrame, subs: Seq[Subscription]): DataFrame =

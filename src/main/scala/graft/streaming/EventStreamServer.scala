@@ -50,44 +50,75 @@ final class EventStreamServer(
     */
   private val CompiledSubsLimit = 64
 
+  /** One connection shard per delivery partition; bounded so tiny
+    * registries don't schedule empty tasks. At cluster scale this is
+    * the number of executor-side shard servers the shuffle routes to.
+    */
+  private val MaxDeliveryShards = 32
+
+  /** Bus id under which this server's socket registry is reachable
+    * from delivery tasks (see [[DeliveryBus]]).
+    */
+  private val busId = java.util.UUID.randomUUID().toString
+  DeliveryBus.register(busId, (lid, bytes) => sse.writeTo(lid, bytes))
+
   /** Deliver one micro-batch. Small registries compile into the plan
     * (codegen'd predicates, the reference's compile-at-subscribe —
     * evtstrd/http_server.py:150); large ones broadcast-join the
-    * subscription snapshot with runtime residual evaluation. Rendered
-    * (listenerId, chunk) pairs hand off to the socket layer.
+    * subscription snapshot with runtime residual evaluation.
+    *
+    * Delivery is PARTITION-WISE, never a whole-batch collect: rendered
+    * (listenerId, chunk) rows shuffle by listener id — each listener's
+    * rows land in exactly one shard — sort within the shard by the
+    * batch-order `_seq` tag (per-connection wire order survives the
+    * shuffle), and each task hands its shard to the JVM-local socket
+    * sink via [[DeliveryBus]]. O(events × matched-subscriptions) bytes
+    * flow shard-parallel instead of funnelling through one node.
     */
   private def deliverBatch(batch: DataFrame, batchId: Long): Unit = {
-    import batch.sparkSession.implicits._
     val listeners = sse.allListeners
     if (listeners.isEmpty) return
+    // batch order as a sortable tag: monotonically_increasing_id is
+    // (partition << 33 | row-in-partition), so sorting by it restores
+    // source arrival order within each listener's shard
+    val tagged = batch.withColumn("_seq", monotonically_increasing_id())
     val delivered =
-      (if (listeners.size <= CompiledSubsLimit)
-         // the documented pipeline IS the serving plan — reusing it
-         // keeps the live server and the oracle-checked projection
-         // from drifting apart
-         EventStreamPipeline
-           .deliveries(
-             batch,
-             listeners.map(l =>
-               Fanout.Subscription(l.id, l.subsystem, l.rawFilters)))
-           .select(col("sub_id"), col("chunk"))
-       else {
-         val subsDf = batch.sparkSession
-           .createDataFrame(listeners.map(l => (l.id, l.subsystem, l.rawFilters)))
-           .toDF("sub_id", "subsystem", "filters")
-         Fanout.dynamic(batch, subsDf, col("subsystem"), col("data"))
-           .select(
-             col("sub_id"),
-             graft.functions.Sse
-               .chunk(graft.functions.Sse
-                 .frame(col("event"), col("data"), col("id")))
-               .as("chunk"))
-       })
-        .as[(Long, String)]
-        .collect()
-    delivered.foreach { case (lid, chunk) =>
-      sse.writeTo(lid, chunk.getBytes(StandardCharsets.UTF_8))
-    }
+      if (listeners.size <= CompiledSubsLimit)
+        // the documented pipeline IS the serving plan — reusing it
+        // keeps the live server and the oracle-checked projection
+        // from drifting apart
+        EventStreamPipeline
+          .deliveries(
+            tagged,
+            listeners.map(l =>
+              Fanout.Subscription(l.id, l.subsystem, l.rawFilters)))
+          .select(col("sub_id"), col("chunk"), col("_seq"))
+      else {
+        val subsDf = batch.sparkSession
+          .createDataFrame(listeners.map(l => (l.id, l.subsystem, l.rawFilters)))
+          .toDF("sub_id", "subsystem", "filters")
+        Fanout.dynamic(tagged, subsDf, col("subsystem"), col("data"))
+          .select(
+            col("sub_id"),
+            graft.functions.Sse
+              .chunk(graft.functions.Sse
+                .frame(col("event"), col("data"), col("id")))
+              .as("chunk"),
+            col("_seq"))
+      }
+    val shards = math.min(listeners.size, MaxDeliveryShards)
+    val localBusId = busId // capture only the id, not `this`
+    delivered
+      .repartition(shards, col("sub_id"))
+      .sortWithinPartitions(col("sub_id"), col("_seq"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val sink = DeliveryBus.sink(localBusId)
+          rows.foreach { r =>
+            sink(r.getLong(0), r.getString(1).getBytes(StandardCharsets.UTF_8))
+          }
+        }
+      }
   }
 
   val query: StreamingQuery = EventStreamPipeline
@@ -102,6 +133,7 @@ final class EventStreamServer(
   def close(): Unit = {
     try query.stop()
     catch { case _: Exception => () }
+    DeliveryBus.unregister(busId)
     sse.close()
   }
 }

@@ -211,6 +211,44 @@ class EndToEndSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("partition-wise delivery preserves per-listener wire order") {
+    // Delivery shuffles (listener, chunk) rows by listener id and
+    // delivers shard-parallel via DeliveryBus — never a whole-batch
+    // driver collect. The _seq sort inside each shard must restore
+    // source arrival order per connection even when one micro-batch
+    // carries many events and several listeners.
+    val sockPath = s"/tmp/graft-order-${System.nanoTime()}.sock"
+    val server = new EventStreamServer(
+      spark, socketPath = Some(sockPath), pingIntervalSec = 3600)
+    try {
+      val a = httpGet(server.sse.actualPort, "/events?subsystem=jobs")
+      val b = httpGet(server.sse.actualPort, "/events?subsystem=jobs")
+      readAvailable(a, "\r\n\r\n"); readAvailable(b, "\r\n\r\n")
+
+      val n = 60
+      val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+      ch.connect(UnixDomainSocketAddress.of(sockPath))
+      val pw = new OutputStreamWriter(
+        Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+      for (i <- 1 to n)
+        pw.write(s"""{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": $i}, "id": "o$i"}""" + "\n")
+      pw.flush()
+      val deadline = System.currentTimeMillis() + 15000
+      while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < n
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      server.processAllAvailable()
+
+      for (sub <- Seq(a, b)) {
+        val body = readAvailable(sub, s"id: o$n\r\n")
+        val positions = (1 to n).map(i => body.indexOf(s"id: o$i\r\n"))
+        assert(positions.forall(_ >= 0), got(body))
+        assert(positions == positions.sorted,
+          s"delivery order broken: ${positions.zipWithIndex.filter { case (p, i) => i > 0 && p < positions(i - 1) }.take(3)}")
+      }
+      a.close(); b.close(); ch.close()
+    } finally server.close()
+  }
+
   test("ping keepalive and graceful drain emit control frames") {
     val port = {
       val ss = new java.net.ServerSocket(0)
