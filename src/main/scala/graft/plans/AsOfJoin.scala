@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Statistics}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.functions.col
@@ -68,6 +68,13 @@ case class AsOfJoin(
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "as-of time columns must be BIGINT (unix micros)")
   require(toleranceUs.forall(_ >= 0), "as-of tolerance must be >= 0")
+  // a true self-join constructed directly from one relation (skipping
+  // backwardMulti's re-alias) would carry duplicate attribute ids in
+  // `output`, and BindReferences would then silently bind right-side
+  // references to LEFT ordinals — fail fast instead
+  require(left.outputSet.intersect(right.outputSet).isEmpty,
+    "as-of sides share attribute ids (exprId) — re-alias one side " +
+      "(select(col(c).as(c)) mints fresh ids) before constructing the node")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -133,8 +140,11 @@ object AsOfJoin {
     val rAliased = right.select(right.columns.map(c => col(c).as(c)): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rAliased.queryExecution.analyzed
+    // the session's resolver, not ==: under default case-insensitive
+    // analysis a name that resolves via df.col must resolve here too
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.filter(_.name == name) match {
+      plan.output.filter(a => resolver(a.name, name)) match {
         case Seq(a) => a
         case Seq() => throw new IllegalArgumentException(
           s"no column '$name' in [${plan.output.map(_.name).mkString(", ")}]")
@@ -158,20 +168,44 @@ object AsOfJoin {
       spark, AsOfJoin(lPlan, rPlan, lks, rks, lt, rt, strict, toleranceUs))
   }
 
-  /** Idempotently add the planner strategy to a session. */
-  def register(spark: SparkSession): Unit = {
-    val exp = spark.experimental
-    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+  /** Idempotently add the planner strategy to a session. Synchronized:
+    * extraStrategies is a plain var, and two concurrent `backward`
+    * calls would otherwise race the read-modify-write. The check goes
+    * through `planner.strategies`, which already includes
+    * extension-injected strategies — a session built with
+    * [[graft.GraftExtensions]] is left untouched instead of gaining a
+    * redundant second copy.
+    */
+  def register(spark: SparkSession): Unit = registerLock.synchronized {
+    if (!spark.sessionState.planner.strategies.contains(AsOfJoinStrategy)) {
+      val exp = spark.experimental
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    }
   }
+
+  private val registerLock = new Object
 }
 
-/** Plans the logical [[AsOfJoin]] into [[AsOfJoinExec]]. */
+/** Plans the logical [[AsOfJoin]]: a small right side (within
+  * `spark.sql.autoBroadcastJoinThreshold`, the same knob that governs
+  * broadcast joins) becomes [[BroadcastAsOfJoinExec]] — the common
+  * "huge trades vs small prices" shape where shuffling and sorting
+  * 100 TB of left rows just to meet a KB-scale right side is the
+  * whole cost of the query. Everything else takes the shuffled
+  * sorted-merge [[AsOfJoinExec]].
+  */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lks, rks, lt, rt, strict, tol) =>
-      AsOfJoinExec(
-        lks, rks, lt, rt, strict, tol, planLater(l), planLater(r)) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val size = r.stats.sizeInBytes
+      if (threshold > 0 && size >= 0 && size <= threshold)
+        BroadcastAsOfJoinExec(
+          lks, rks, lt, rt, strict, tol, planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(
+          lks, rks, lt, rt, strict, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -190,6 +224,138 @@ object AsOfJoinStrategy extends SparkStrategy {
   * a null in ANY key column or in the time, on either side, never
   * matches.
   */
+/** Broadcast backward as-of join: the LEFT side is read in place —
+  * no exchange, no sort, whatever partitioning and order it arrives
+  * with — and the broadcast right side is indexed once per task into
+  * a (key, time)-sorted array. Each left row then binary-searches for
+  * the greatest right time <= (or < in strict mode) its own time
+  * within its key group: O(|L| log |R|) with |R| bounded by the
+  * broadcast threshold. Matching semantics are identical to
+  * [[AsOfJoinExec]] — same null rules, same tolerance-at-emit, same
+  * last-of-equal-times tie resolution (the sort is stable, so equal
+  * (key, time) rows keep broadcast order and the upper-bound search
+  * lands past the last of them).
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    strict: Boolean,
+    toleranceUs: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // left rows pass through untouched, in place and in order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics = Map(
+    "numOutputRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val broadcastRel = right.executeBroadcast[Array[InternalRow]]()
+    val lKeyExprs = leftKeys.map(BindReferences.bindReference(_, left.output))
+    val rKeyExprs = rightKeys.map(BindReferences.bindReference(_, right.output))
+    val lt = BindReferences.bindReference(leftTime, left.output)
+    val rt = BindReferences.bindReference(rightTime, right.output)
+    val keyTypes = leftKeys.map(_.dataType)
+    val rightWidth = right.output.length
+    val outAttrs = output
+    val isStrict = strict
+    val hasTol = toleranceUs.isDefined
+    val tol = toleranceUs.getOrElse(Long.MaxValue)
+    left.execute().mapPartitions { lIter =>
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val lKeyProj = UnsafeProjection.create(lKeyExprs)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      // Per-task index build over the shared broadcast rows (never
+      // mutated in place — tasks share the array): drop rows that can
+      // never match (null in any key column or null time), then a
+      // STABLE sort by (key tuple, time). O(|R| log |R|) per task is
+      // the price of zero work on the 100 TB side.
+      val all = broadcastRel.value
+      val kBuf = Array.newBuilder[InternalRow]
+      val tBuf = Array.newBuilder[Long]
+      val rBuf = Array.newBuilder[InternalRow]
+      var i = 0
+      while (i < all.length) {
+        val r = all(i)
+        val k = rKeyProj(r)
+        if (!k.anyNull) {
+          val tv = rt.eval(r)
+          if (tv != null) {
+            kBuf += k.copy(); tBuf += tv.asInstanceOf[Long]; rBuf += r
+          }
+        }
+        i += 1
+      }
+      val keys0 = kBuf.result(); val times0 = tBuf.result()
+      val rows0 = rBuf.result()
+      val n = keys0.length
+      val order = Array.tabulate[Integer](n)(Integer.valueOf)
+      java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
+        val c = keyOrd.compare(keys0(a), keys0(b))
+        if (c != 0) c else java.lang.Long.compare(times0(a), times0(b))
+      })
+      val keys = Array.tabulate(n)(j => keys0(order(j)))
+      val times = Array.tabulate(n)(j => times0(order(j)))
+      val rows = Array.tabulate(n)(j => rows0(order(j)))
+      lIter.map { l =>
+        numOutputRows += 1
+        val lKey = lKeyProj(l)
+        val lTimeV = if (lKey.anyNull) null else lt.eval(l)
+        if (lKey.anyNull || lTimeV == null) proj(joined(l, nullRight))
+        else {
+          val t = lTimeV.asInstanceOf[Long]
+          // upper bound: first index whose (key, time) exceeds the
+          // target — entries with this key and an eligible time rank
+          // below it, so idx = lo - 1 is the LAST eligible row
+          var lo = 0; var hi = n
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            val c = {
+              val ck = keyOrd.compare(keys(mid), lKey)
+              if (ck != 0) ck
+              else if (if (isStrict) times(mid) < t else times(mid) <= t) -1
+              else 1
+            }
+            if (c < 0) lo = mid + 1 else hi = mid
+          }
+          val idx = lo - 1
+          val eligible = idx >= 0 && keyOrd.compare(keys(idx), lKey) == 0
+          // tolerance at emit, identical to the merge exec: the found
+          // row has the MAXIMAL eligible time, so if even it is too
+          // old every other candidate is older; a negative gap is
+          // Long overflow (gap > Long.MaxValue) and must void
+          val matched = eligible && {
+            val gap = t - times(idx)
+            !hasTol || (gap >= 0 && gap <= tol)
+          }
+          proj(joined(l, if (matched) rows(idx) else nullRight))
+        }
+      }
+    }
+  }
+}
+
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],

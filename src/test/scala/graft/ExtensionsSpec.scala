@@ -72,8 +72,11 @@ class ExtensionsSpec extends AnyFunSuite {
         Seq(attr(l, "k")), Seq(attr(r, "rk")), attr(l, "t"), attr(r, "rt"))
       assert(ss.experimental.extraStrategies.isEmpty)
       val df = PlanBridge.ofRows(ss, node)
+      // tiny right side: the injected strategy picks the broadcast
+      // exec; either exec proves the extension planned the node
       assert(df.queryExecution.executedPlan.collect {
-        case e: graft.plans.AsOfJoinExec => e
+        case e: graft.plans.AsOfJoinExec => e: Any
+        case e: graft.plans.BroadcastAsOfJoinExec => e: Any
       }.nonEmpty)
       val rows = df.orderBy("id").collect().map(_.toSeq).toSeq
       assert(rows == Seq(

@@ -44,7 +44,10 @@ class MisraGriesSpec extends AnyFunSuite {
         est.foreach { case (item, e) =>
           val ex = exact.getOrElse(item, 0L)
           assert(e <= ex, s"overestimate for $item: est=$e exact=$ex")
-          assert(ex - e <= n / (k + 1) + 1,
+          // the exact integer guarantee the shipped heavy_hitters
+          // bound_ok column pins against the oracle — not the weaker
+          // floor-division slack n/(k+1) + 1 (ADVICE r3)
+          assert((ex - e) * (k + 1) <= n,
             s"error bound broken for $item: est=$e exact=$ex n=$n")
         }
         exact.foreach { case (item, ex) =>

@@ -36,6 +36,20 @@ class AsOfJoinSpec extends AnyFunSuite {
   private def asRows(df: DataFrame) =
     df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
 
+  /** Run the assertions once per physical strategy: threshold -1
+    * forces the shuffled sorted-merge exec, the default threshold lets
+    * the (tiny) right sides here take the broadcast binary-search exec.
+    * Both must agree on every semantic edge.
+    */
+  private def bothPaths(f: => Unit): Unit = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1"); f
+      spark.conf.set(key, (10L * 1024 * 1024).toString); f
+    } finally spark.conf.set(key, prev)
+  }
+
   private val left = Seq(
     // (id, k, t)
     (1L, 10L, 100L), // before any right row for the key
@@ -54,51 +68,60 @@ class AsOfJoinSpec extends AnyFunSuite {
   ).toDF("rk", "rt", "rv")
 
   test("backward as-of matches the declarative reference on edges") {
-    val got = AsOfJoin.backward(left, right, "k", "t", "rk", "rt")
-      .select(col("id"), col("k"), col("t"), col("rt"), col("rv"))
-    assert(asRows(got) === asRows(reference(left, right)))
-    // and the specific edge expectations, spelled out
-    val byId = got.collect().map(r => r.getLong(0) -> r.toSeq).toMap
-    assert(byId(1L)(3) == null && byId(1L)(4) == null)
-    assert(byId(2L)(3) == 200L && byId(2L)(4) == "a") // inclusive
-    assert(byId(3L)(3) == 240L && byId(3L)(4) == "b")
-    assert(byId(4L)(3) == 300L && byId(4L)(4) == "c")
-    assert(byId(5L)(3) == null)
-    assert(byId(6L)(3) == null)
+    bothPaths {
+      val got = AsOfJoin.backward(left, right, "k", "t", "rk", "rt")
+        .select(col("id"), col("k"), col("t"), col("rt"), col("rv"))
+      assert(asRows(got) === asRows(reference(left, right)))
+      // and the specific edge expectations, spelled out
+      val byId = got.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(byId(1L)(3) == null && byId(1L)(4) == null)
+      assert(byId(2L)(3) == 200L && byId(2L)(4) == "a") // inclusive
+      assert(byId(3L)(3) == 240L && byId(3L)(4) == "b")
+      assert(byId(4L)(3) == 300L && byId(4L)(4) == "c")
+      assert(byId(5L)(3) == null)
+      assert(byId(6L)(3) == null)
+    }
   }
 
   test("null keys and null times never match, on either side") {
-    val l = Seq(
-      (1L, Some(10L), Some(100L)),
-      (2L, None, Some(100L)),     // null key
-      (3L, Some(10L), None)       // null time
-    ).toDF("id", "k", "t")
-    val r = Seq(
-      (Some(10L), Some(50L), "m"),
-      (Some(10L), None, "nullt"), // null right time: skipped
-      (None, Some(1L), "nullk")   // null right key: skipped
-    ).toDF("rk", "rt", "rv")
-    val got = AsOfJoin.backward(l, r, "k", "t", "rk", "rt")
-      .select(col("id"), col("rv")).collect()
-      .map(row => row.getLong(0) -> row.get(1)).toMap
-    assert(got(1L) == "m")
-    assert(got(2L) == null)
-    assert(got(3L) == null)
+    bothPaths {
+      val l = Seq(
+        (1L, Some(10L), Some(100L)),
+        (2L, None, Some(100L)),     // null key
+        (3L, Some(10L), None)       // null time
+      ).toDF("id", "k", "t")
+      val r = Seq(
+        (Some(10L), Some(50L), "m"),
+        (Some(10L), None, "nullt"), // null right time: skipped
+        (None, Some(1L), "nullk")   // null right key: skipped
+      ).toDF("rk", "rt", "rv")
+      val got = AsOfJoin.backward(l, r, "k", "t", "rk", "rt")
+        .select(col("id"), col("rv")).collect()
+        .map(row => row.getLong(0) -> row.get(1)).toMap
+      assert(got(1L) == "m")
+      assert(got(2L) == null)
+      assert(got(3L) == null)
+    }
   }
 
   test("per-key state resets: a key break discards the buffered match") {
-    val l = Seq((1L, 10L, 500L), (2L, 11L, 500L)).toDF("id", "k", "t")
-    val r = Seq((10L, 100L, "for10")).toDF("rk", "rt", "rv")
-    val got = AsOfJoin.backward(l, r, "k", "t", "rk", "rt")
-      .select(col("id"), col("rv")).collect()
-      .map(row => row.getLong(0) -> row.get(1)).toMap
-    assert(got(1L) == "for10")
-    assert(got(2L) == null) // key 11 must NOT inherit key 10's match
+    bothPaths {
+      val l = Seq((1L, 10L, 500L), (2L, 11L, 500L)).toDF("id", "k", "t")
+      val r = Seq((10L, 100L, "for10")).toDF("rk", "rt", "rv")
+      val got = AsOfJoin.backward(l, r, "k", "t", "rk", "rt")
+        .select(col("id"), col("rv")).collect()
+        .map(row => row.getLong(0) -> row.get(1)).toMap
+      assert(got(1L) == "for10")
+      assert(got(2L) == null) // key 11 must NOT inherit key 10's match
+    }
   }
 
   test("plan: merge node present, one exchange per side, no expansion") {
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the shuffled path: this test pins the MERGE exec's shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val phys = AsOfJoin.backward(left, right, "k", "t", "rk", "rt")
         .queryExecution.executedPlan
@@ -110,49 +133,74 @@ class AsOfJoinSpec extends AnyFunSuite {
       import org.apache.spark.sql.execution.joins.BaseJoinExec
       assert(phys.collect { case g: GenerateExec => g }.isEmpty)
       assert(phys.collect { case j: BaseJoinExec => j }.isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("plan: small right side broadcasts — ZERO exchange on the left") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.SortExec
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      val phys = AsOfJoin.backward(left, right, "k", "t", "rk", "rt")
+        .queryExecution.executedPlan
+      assert(phys.collect { case e: BroadcastAsOfJoinExec => e }.size == 1)
+      // the 100 TB side is read IN PLACE: no shuffle, no sort anywhere
+      assert(phys.collect { case s: ShuffleExchangeExec => s }.isEmpty)
+      assert(phys.collect { case s: SortExec => s }.isEmpty)
+      assert(phys.collect { case b: BroadcastExchangeExec => b }.size == 1)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("strict mode: equal times do not match; earlier ones still do") {
-    val got = AsOfJoin.backward(left, right, "k", "t", "rk", "rt",
-        strict = true)
-      .select(col("id"), col("rt"), col("rv")).collect()
-      .map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
-    assert(got(2L) == ((null, null))) // t=200 == rt=200: excluded now
-    assert(got(3L) == ((240L, "b")))  // strictly-before still matches
-    assert(got(4L) == ((300L, "c")))
+    bothPaths {
+      val got = AsOfJoin.backward(left, right, "k", "t", "rk", "rt",
+          strict = true)
+        .select(col("id"), col("rt"), col("rv")).collect()
+        .map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+      assert(got(2L) == ((null, null))) // t=200 == rt=200: excluded now
+      assert(got(3L) == ((240L, "b")))  // strictly-before still matches
+      assert(got(4L) == ((300L, "c")))
+    }
   }
 
   test("tolerance voids stale matches but keeps fresh ones") {
-    val got = AsOfJoin.backward(left, right, "k", "t", "rk", "rt",
-        toleranceUs = Some(50L))
-      .select(col("id"), col("rt")).collect()
-      .map(r => r.getLong(0) -> r.get(1)).toMap
-    assert(got(2L) == 200L) // gap 0 <= 50
-    assert(got(3L) == 240L) // gap 10 <= 50
-    assert(got(4L) == null) // gap 600 > 50: voided
-    // and a later left row of the same key is voided independently,
-    // not corrupted by the earlier void
-    val l2 = Seq((1L, 10L, 320L), (2L, 10L, 1000L)).toDF("id", "k", "t")
-    val got2 = AsOfJoin.backward(l2, right, "k", "t", "rk", "rt",
-        toleranceUs = Some(50L))
-      .select(col("id"), col("rt")).collect()
-      .map(r => r.getLong(0) -> r.get(1)).toMap
-    assert(got2(1L) == 300L) // gap 20
-    assert(got2(2L) == null) // same buffered match, now 700 stale
+    bothPaths {
+      val got = AsOfJoin.backward(left, right, "k", "t", "rk", "rt",
+          toleranceUs = Some(50L))
+        .select(col("id"), col("rt")).collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(got(2L) == 200L) // gap 0 <= 50
+      assert(got(3L) == 240L) // gap 10 <= 50
+      assert(got(4L) == null) // gap 600 > 50: voided
+      // and a later left row of the same key is voided independently,
+      // not corrupted by the earlier void
+      val l2 = Seq((1L, 10L, 320L), (2L, 10L, 1000L)).toDF("id", "k", "t")
+      val got2 = AsOfJoin.backward(l2, right, "k", "t", "rk", "rt",
+          toleranceUs = Some(50L))
+        .select(col("id"), col("rt")).collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(got2(1L) == 300L) // gap 20
+      assert(got2(2L) == null) // same buffered match, now 700 stale
+    }
   }
 
   test("tolerance gap overflow voids; no-tolerance keeps any gap") {
     // sentinel-scale times: true gap exceeds Long.MaxValue, so the
     // subtraction wraps negative — with a tolerance that must VOID
     // (review fix), without one it must still match
-    val l = Seq((1L, 10L, Long.MaxValue - 10L)).toDF("id", "k", "t")
-    val r = Seq((10L, Long.MinValue + 10L, "old")).toDF("rk", "rt", "rv")
-    def run(tol: Option[Long]) =
-      AsOfJoin.backward(l, r, "k", "t", "rk", "rt", toleranceUs = tol)
-        .select(col("rv")).head().get(0)
-    assert(run(Some(Long.MaxValue)) == null)
-    assert(run(None) == "old")
+    bothPaths {
+      val l = Seq((1L, 10L, Long.MaxValue - 10L)).toDF("id", "k", "t")
+      val r = Seq((10L, Long.MinValue + 10L, "old")).toDF("rk", "rt", "rv")
+      def run(tol: Option[Long]) =
+        AsOfJoin.backward(l, r, "k", "t", "rk", "rt", toleranceUs = tol)
+          .select(col("rv")).head().get(0)
+      assert(run(Some(Long.MaxValue)) == null)
+      assert(run(None) == "old")
+    }
   }
 
   test("ambiguous column names on one side fail loudly") {
@@ -192,19 +240,40 @@ class AsOfJoinSpec extends AnyFunSuite {
       (10L, "b", 60L, "rb"),
       (11L, "b", 10L, "rb11")
     ).toDF("rk1", "rk2", "rt", "rv")
-    val got = AsOfJoin.backwardMulti(
-        l, r, Seq("k1", "k2"), "t", Seq("rk1", "rk2"), "rt")
+    bothPaths {
+      val got = AsOfJoin.backwardMulti(
+          l, r, Seq("k1", "k2"), "t", Seq("rk1", "rk2"), "rt")
+        .select(col("id"), col("rv")).collect()
+        .map(row => row.getLong(0) -> row.get(1)).toMap
+      assert(got == Map(1L -> "ra", 2L -> "rb", 3L -> null, 4L -> null))
+      // null in EITHER key column never matches
+      val ln = Seq((1L, Some(10L), Some("a"), 100L), (2L, Some(10L), None, 100L))
+        .toDF("id", "k1", "k2", "t")
+      val gotN = AsOfJoin.backwardMulti(
+          ln, r, Seq("k1", "k2"), "t", Seq("rk1", "rk2"), "rt")
+        .select(col("id"), col("rv")).collect()
+        .map(row => row.getLong(0) -> row.get(1)).toMap
+      assert(gotN == Map(1L -> "ra", 2L -> null))
+    }
+  }
+
+  test("column names resolve case-insensitively like the session analyzer") {
+    // df.col("K") resolves under default case-insensitive analysis;
+    // backwardMulti's attr lookup must agree (ADVICE r3)
+    val got = AsOfJoin.backward(left, right, "K", "T", "RK", "RT")
       .select(col("id"), col("rv")).collect()
       .map(row => row.getLong(0) -> row.get(1)).toMap
-    assert(got == Map(1L -> "ra", 2L -> "rb", 3L -> null, 4L -> null))
-    // null in EITHER key column never matches
-    val ln = Seq((1L, Some(10L), Some("a"), 100L), (2L, Some(10L), None, 100L))
-      .toDF("id", "k1", "k2", "t")
-    val gotN = AsOfJoin.backwardMulti(
-        ln, r, Seq("k1", "k2"), "t", Seq("rk1", "rk2"), "rt")
-      .select(col("id"), col("rv")).collect()
-      .map(row => row.getLong(0) -> row.get(1)).toMap
-    assert(gotN == Map(1L -> "ra", 2L -> null))
+    assert(got(3L) == "b")
+  }
+
+  test("direct node construction with shared exprIds fails fast") {
+    // skipping backwardMulti's re-alias on a true self-join would bind
+    // right-side references to left ordinals — the node rejects it
+    val p = left.queryExecution.analyzed
+    def a(n: String) = p.output.find(_.name == n).get
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin(p, p, Seq(a("k")), Seq(a("k")), a("t"), a("t")))
+    assert(e.getMessage.contains("exprId"))
   }
 
   test("property: random data × partitionings matches the reference") {
@@ -228,10 +297,12 @@ class AsOfJoinSpec extends AnyFunSuite {
       val r = rightRows.toDF("rk", "rt", "rv")
       val expected = asRows(reference(l, r))
       for (parts <- Seq(1, 3, 7)) {
-        val got = AsOfJoin.backward(
-            l.repartition(parts), r.repartition(parts), "k", "t", "rk", "rt")
-          .select(col("id"), col("k"), col("t"), col("rt"), col("rv"))
-        assert(asRows(got) === expected, s"seed=$seed parts=$parts")
+        bothPaths {
+          val got = AsOfJoin.backward(
+              l.repartition(parts), r.repartition(parts), "k", "t", "rk", "rt")
+            .select(col("id"), col("k"), col("t"), col("rt"), col("rv"))
+          assert(asRows(got) === expected, s"seed=$seed parts=$parts")
+        }
       }
     }
   }
@@ -266,11 +337,13 @@ class AsOfJoinSpec extends AnyFunSuite {
       val r = rRows.toDF("rk1", "rk2", "rt", "rv")
       val expected = asRows(ref(l, r))
       for (parts <- Seq(1, 5)) {
-        val got = AsOfJoin.backwardMulti(
-            l.repartition(parts), r.repartition(parts),
-            Seq("k1", "k2"), "t", Seq("rk1", "rk2"), "rt")
-          .select(col("id"), col("rt"), col("rv"))
-        assert(asRows(got) === expected, s"seed=$seed parts=$parts")
+        bothPaths {
+          val got = AsOfJoin.backwardMulti(
+              l.repartition(parts), r.repartition(parts),
+              Seq("k1", "k2"), "t", Seq("rk1", "rk2"), "rt")
+            .select(col("id"), col("rt"), col("rv"))
+          assert(asRows(got) === expected, s"seed=$seed parts=$parts")
+        }
       }
     }
   }
