@@ -344,16 +344,23 @@ object Dedup {
       while (changed > 0 && iter < 20) {
         val prop = edges
           .join(labels, edges("src") === labels("doc"))
-          .select(col("dst").as("doc"), col("root"))
-        val next = labels.unionByName(prop)
+          .select(
+            col("dst").as("doc"), col("root"),
+            lit(null).cast("long").as("old"))
+        // each doc contributes its previous root exactly once (the
+        // self row), so min(old) rides the SAME aggregate as the label
+        // update — the convergence check needs no separate join
+        val self = labels
+          .select(col("doc"), col("root"), col("root").as("old"))
+        val next = self.unionByName(prop)
           .groupBy(col("doc"))
-          .agg(min(col("root")).as("root"))
-          .localCheckpoint() // truncate the per-iteration lineage
-        changed = next
-          .join(labels.withColumnRenamed("root", "old"), "doc")
-          .where(col("root") =!= col("old"))
-          .count()
-        labels = next
+          .agg(min(col("root")).as("root"), min(col("old")).as("old"))
+          // lazy: materialized by the count below — ONE action per
+          // round, still truncating the per-iteration lineage
+          .localCheckpoint(eager = false)
+        // min-propagation only ever lowers a label
+        changed = next.where(col("root") < col("old")).count()
+        labels = next.select(col("doc"), col("root"))
         iter += 1
       }
       // a silent cap-exit would split one component into bogus
