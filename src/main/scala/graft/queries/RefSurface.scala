@@ -196,7 +196,18 @@ object RefSurface {
     "c_huge_conj" -> Seq("k<9223372036854775808", "k>=50"),
     "f_huge_lt" -> Seq("k<9223372036854775808"), // 2^63: any int matches
     "f_huge_gt_neg" -> Seq("k>-9223372036854775809"),
-    "f_huge_eq" -> Seq("k=99999999999999999999")) // equality: always 0
+    "f_huge_eq" -> Seq("k=99999999999999999999"), // equality: always 0
+    // huge literal reached through a NESTED path: domain reasoning
+    // must compose with path extraction, on both eval strategies
+    "c_huge_nested" -> Seq("nested.k<9223372036854775808"),
+    // date-range conjunction: two strict-ISO date leaves over the same
+    // key — the variant path must parse the date ONCE per leaf and
+    // agree with the native probes
+    "c_date_conj" -> Seq("d>=2024-01-10", "d<2024-01-20"),
+    // keys live on DISJOINT payload arms (d-arm rows carry no k and
+    // vice versa), so the conjunction is everywhere-false by strict
+    // missing-key semantics, never by accident
+    "c_cross_key" -> Seq("d>=2024-01-01", "k>=0"))
 
   def filterLang(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -218,11 +229,21 @@ object RefSurface {
       .otherwise(concat(
         lit("{\"nested\": {\"k\": "), kv,
         lit("}, \"k\": {\"\": "), kv, lit("}}")))
-    val aggCols = filterBattery.map { case (name, f) =>
-      sum(
-        graft.filters.FilterCompiler
-          .compile(graft.filters.FilterParser.parse(f), col("payload"))
-          .cast("long")).as(name)
+    // every single-filter case ALSO counts on the variant path
+    // (suffix `_v`): string/date/nested/empty-segment/missing-key
+    // semantics are pinned for both production evaluation strategies,
+    // not just the conjunction battery
+    val aggCols = filterBattery.flatMap { case (name, f) =>
+      Seq(
+        sum(
+          graft.filters.FilterCompiler
+            .compile(graft.filters.FilterParser.parse(f), col("payload"))
+            .cast("long")).as(name),
+        sum(
+          coalesce(
+            graft.filters.FilterCompiler.compileAllOnVariant(Seq(f), col("pv")),
+            lit(false))
+            .cast("long")).as(s"${name}_v"))
     } ++ conjBattery.flatMap { case (name, fs) =>
       Seq(
         sum(
@@ -251,8 +272,11 @@ object RefSurface {
         | WHEN event_id % 4 = 2 THEN (CASE WHEN event_id % 11 = 0 THEN '{"d": "2024-02-30"}'
         |   ELSE '{"d": "2024-01-' || lpad(CAST(1 + event_id % 31 AS VARCHAR), 2, '0') || '"}' END)
         | ELSE '{"nested": {"k": ' || (props->>'$.k') || '}, "k": {"": ' || (props->>'$.k') || '}}' END""".stripMargin
-    val aggs = filterBattery.map { case (name, f) =>
-      s"CAST(SUM(CASE WHEN ${FilterOracle.predicate(f, "payload")} THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+    val aggs = filterBattery.flatMap { case (name, f) =>
+      val p = FilterOracle.predicate(f, "payload")
+      Seq(
+        s"CAST(SUM(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS $name",
+        s"CAST(SUM(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS ${name}_v")
     } ++ conjBattery.flatMap { case (name, fs) =>
       val pred = FilterOracle.predicateAll(fs, "payload")
       Seq(
