@@ -222,15 +222,12 @@ object Dedup {
 
   private val NumHashes = 8
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // Everything per-doc is narrow: the 8 minwise hashes are
-    // array_min over the shingle array (min of md5(h|s) across the
-    // set — same minwise family as an agg-side min, zero shuffles),
-    // and the exact verify intersects the two docs' shingle ARRAYS
-    // instead of re-joining exploded shingle rows. The only wide ops
-    // left are the tiny (doc, band, bkey) bucket self-join and the
-    // candidate joins back to the per-doc arrays.
-    val docarr = docShingleArraysShared(spark, dir)
+  /** (doc_id, band, bkey) LSH band rows from the per-doc shingle
+    * arrays — narrow: the 8 minwise hashes are array-min kernels over
+    * the array, the 4 band keys fold signature pairs, and the explode
+    * is the only row expansion (4 rows per doc).
+    */
+  private[queries] def minhashBands(docarr: DataFrame): DataFrame = {
     val sigCols = (0 until NumHashes).map(h =>
       element_at(col("sig"), h + 1).as(s"mh$h"))
     val sig = docarr
@@ -247,9 +244,21 @@ object Dedup {
         lit(b).as("band"),
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey"))
     }
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // Everything per-doc is narrow: the 8 minwise hashes are
+    // array_min over the shingle array (min of md5(h|s) across the
+    // set — same minwise family as an agg-side min, zero shuffles),
+    // and the exact verify intersects the two docs' shingle ARRAYS
+    // instead of re-joining exploded shingle rows. The only wide ops
+    // left are the tiny (doc, band, bkey) bucket self-join and the
+    // candidate joins back to the per-doc arrays.
+    val docarr = docShingleArraysShared(spark, dir)
+    val bands = minhashBands(docarr)
     val candidates = bands.select(col("band"), col("bkey"), col("doc_id").as("a"))
       .join(
         bands.select(col("band"), col("bkey"), col("doc_id").as("b")),
@@ -283,7 +292,11 @@ object Dedup {
     * minhash_lsh oracle and consumers of the dedup keep-list
     * (corpus_clean).
     */
-  private[queries] val MinhashPairsCtes: String =
+  /** The signature->band chain alone, ending in `bands(doc_id, band,
+    * bkey)` — shared by the all-pairs chain below and the incremental
+    * (new-batch vs index) variant.
+    */
+  private[queries] val BandsCtes: String =
     s"""hashed AS (
        |  SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '|' || shingle)) mh
        |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) h)
@@ -291,7 +304,10 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, h // 2 AS band,
        |    md5(min_by(mh, h) || max_by(mh, h)) AS bkey
-       |  FROM hashed GROUP BY doc_id, h // 2),
+       |  FROM hashed GROUP BY doc_id, h // 2)""".stripMargin
+
+  private[queries] val MinhashPairsCtes: String =
+    s"""$BandsCtes,
        |cand AS (
        |  SELECT DISTINCT x.doc_id a, y.doc_id b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
@@ -310,6 +326,69 @@ object Dedup {
     s"""WITH $ShinglesSql,
        |$MinhashPairsCtes
        |SELECT a, b, jacc FROM lshpairs ORDER BY a, b""".stripMargin
+
+  // --- incremental dedup: new batch vs existing corpus index ---
+
+  /** The production crawl shape: an incoming batch (here doc_id%10=7,
+    * ~10% of the corpus) checked for near-dups against the EXISTING
+    * index, never against itself — at 100 TB the index's band table is
+    * the big side and the batch's is KBs–MBs, so the batch side
+    * BROADCASTS and the index scan never shuffles: candidate
+    * generation is a map-side hash probe per index band row, then the
+    * usual exact array-intersect verify on the (few) candidates. The
+    * daily-ingest loop this models appends the batch's bands to the
+    * index afterwards — a blind append, no recompute.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docarr = docShingleArraysShared(spark, dir)
+    val bands = minhashBands(docarr)
+    val newSide = bands.where(col("doc_id") % 10 === 7)
+      .select(col("band"), col("bkey"), col("doc_id").as("new_doc"))
+    val idxSide = bands.where(col("doc_id") % 10 =!= 7)
+      .select(col("band"), col("bkey"), col("doc_id").as("index_doc"))
+    val cand = broadcast(newSide)
+      .join(idxSide, Seq("band", "bkey"))
+      .select(col("new_doc"), col("index_doc"))
+      .distinct()
+    cand
+      .join(docarr.select(col("doc_id").as("new_doc"), col("arr").as("arr_a")),
+        "new_doc")
+      .join(docarr.select(col("doc_id").as("index_doc"), col("arr").as("arr_b")),
+        "index_doc")
+      .select(
+        col("new_doc"), col("index_doc"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("inter"),
+        size(col("arr_a")).cast("long").as("na"),
+        size(col("arr_b")).cast("long").as("nb"))
+      .withColumn(
+        "jacc",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jacc") >= 0.5)
+      .select(col("new_doc"), col("index_doc"), col("jacc"))
+      .orderBy("new_doc", "index_doc")
+  }
+
+  def dedupIncrementalOracle: String =
+    s"""WITH $ShinglesSql,
+       |$BandsCtes,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id new_doc, y.doc_id index_doc
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.new_doc, c.index_doc, CAST(count(*) AS BIGINT) inter
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.new_doc
+       |  JOIN sh y ON y.doc_id = c.index_doc AND y.shingle = x.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i.new_doc, i.index_doc,
+       |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) jacc
+       |FROM inter i
+       |JOIN sizes sa ON i.new_doc = sa.doc_id
+       |JOIN sizes sb ON i.index_doc = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+       |ORDER BY 1, 2""".stripMargin
 
   // --- near-dup clusters: connected components over the LSH pairs ---
 
@@ -442,6 +521,7 @@ object Dedup {
     QueryDef(
       "ngram_jaccard_capped", ngramJaccardCapped, Some(ngramJaccardCappedOracle)),
     QueryDef("minhash_lsh", minhashLsh, Some(minhashLshOracle)),
+    QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("simhash", simhash, Some(simhashOracle)))
 }

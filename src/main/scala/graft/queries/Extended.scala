@@ -393,6 +393,58 @@ object Extended {
       |LEFT JOIN counts c ON c.hour_start = h.hour_start AND c.event_type = t.event_type
       |ORDER BY h.hour_start, t.event_type""".stripMargin
 
+  // --- per-key gap fill: each key densifies its OWN observed span ---
+
+  /** Per-key densification: every key's series zero-fills its OWN
+    * [min, max] hour range — unlike [[timeSpine]]'s single global
+    * grid, which is wrong when entities live over disjoint spans (a
+    * device first seen in June must not emit zero-rows for January).
+    * The spine explodes from the per-key span aggregate — rows scale
+    * with keys × their span, never with the fact table — and the
+    * value join co-partitions on (key, hour): one aggregate shuffle,
+    * one join shuffle, no cross join, no global sequence.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+      Quantize.cents(col("value")).as("vc"))
+    // ONE fact scan: spans derive from the counts aggregate
+    val counts = ev.groupBy(col("event_type"), col("hour_start"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_vc"))
+    val spine = counts.groupBy(col("event_type"))
+      .agg(min(col("hour_start")).as("lo"), max(col("hour_start")).as("hi"))
+      .select(
+        col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_start"))
+    spine.join(counts, Seq("event_type", "hour_start"), "left")
+      .select(
+        col("event_type"), col("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_vc"), lit(0L)).as("sum_vc"))
+      .orderBy("event_type", "hour_start")
+  }
+
+  def gapFillOracle: String =
+    s"""WITH ev AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000 AS hour_start,
+      |    ${Quantize.centsSql("value")} AS vc
+      |  FROM events),
+      |counts AS (
+      |  SELECT event_type, hour_start, CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(SUM(vc) AS BIGINT) sum_vc
+      |  FROM ev GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS hour_start
+      |  FROM (SELECT event_type, min(hour_start) lo, max(hour_start) hi
+      |        FROM counts GROUP BY 1))
+      |SELECT s.event_type, s.hour_start, COALESCE(c.n, 0) n,
+      |  COALESCE(c.sum_vc, 0) sum_vc
+      |FROM spine s LEFT JOIN counts c
+      |  ON c.event_type = s.event_type AND c.hour_start = s.hour_start
+      |ORDER BY 1, 2""".stripMargin
+
   // --- lag-based sessionization (gap > 30 min starts a new session) ---
 
   /** The classic sessionize-by-inactivity composition: lag to detect
@@ -699,6 +751,7 @@ object Extended {
     QueryDef("skew_join", skewJoin, Some(skewJoinOracle)),
     QueryDef("variant_extract", variantExtract, Some(variantExtractOracle)),
     QueryDef("time_spine", timeSpine, Some(timeSpineOracle)),
+    QueryDef("gap_fill", gapFill, Some(gapFillOracle)),
     QueryDef("sessionize_lag", sessionizeLag, Some(sessionizeLagOracle)),
     QueryDef("train_split", trainSplit, Some(trainSplitOracle)),
     QueryDef("group_topk", groupTopk, Some(groupTopkOracle)),

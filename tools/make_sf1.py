@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Build a 10x replica of the sf0.1 tables (a synthetic "sf1") for the
+scale-cliff measurement in SCALE.md. NOT an oracle input — correctness
+runs only ever use the driver-generated /root/testdata sets.
+
+Scaling rules keep per-replica data properties identical so a query's
+cost should scale ~linearly in replicas unless its algorithm doesn't:
+  - dims region/nation stay fixed (TPC-H semantics);
+  - every key column offsets by replica * STRIDE, consistently across
+    fact/dim pairs, so join selectivities per key are preserved and
+    cross-replica joins never match;
+  - document text is salted per replica (every token prefixed) so
+    cross-replica shingle/minhash similarity is ~0 and the near-dup
+    pair graph scales linearly, like a real 10x corpus would;
+  - timestamps are left as-is: event density per time window scales
+    10x, which is what a bigger scale factor means.
+
+Usage: make_sf1.py <srcDir> <dstDir> [replicas]
+"""
+import sys
+
+import duckdb
+
+src, dst = sys.argv[1], sys.argv[2]
+n_rep = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+STRIDE = 10_000_000
+
+con = duckdb.connect()
+
+copy_as_is = ["region", "nation"]
+keyed = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
+}
+
+for t in copy_as_is:
+    con.execute(
+        f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet'")
+    print(t, "copied")
+
+for t, keys in keyed.items():
+    cols = [c[0] for c in
+            con.sql(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
+    sel = ", ".join(
+        f"{c} + r.i * {STRIDE} AS {c}" if c in keys else c for c in cols)
+    con.execute(
+        f"COPY (SELECT {sel} FROM '{src}/{t}.parquet', "
+        f"(SELECT unnest(range({n_rep})) AS i) r) TO '{dst}/{t}.parquet'")
+    print(t, "x", n_rep)
+
+# documents: offset doc_id AND salt the text per replica (replica 0
+# keeps the original bytes) so similarity structure is intra-replica
+con.execute(
+    f"""COPY (SELECT doc_id + r.i * {STRIDE} AS doc_id,
+      CASE WHEN r.i = 0 THEN text
+           ELSE replace(text, ' ', ' x' || CAST(r.i AS VARCHAR)) END AS text,
+      lang, source, n_chars
+      FROM '{src}/documents.parquet',
+      (SELECT unnest(range({n_rep})) AS i) r) TO '{dst}/documents.parquet'""")
+print("documents x", n_rep, "(salted)")
+print("done ->", dst)
