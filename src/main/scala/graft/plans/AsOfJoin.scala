@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -68,13 +68,12 @@ case class AsOfJoin(
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "as-of time columns must be BIGINT (unix micros)")
   require(toleranceUs.forall(_ >= 0), "as-of tolerance must be >= 0")
-  // a true self-join constructed directly from one relation (skipping
-  // backwardMulti's re-alias) would carry duplicate attribute ids in
-  // `output`, and BindReferences would then silently bind right-side
-  // references to LEFT ordinals — fail fast instead
-  require(left.outputSet.intersect(right.outputSet).isEmpty,
-    "as-of sides share attribute ids (exprId) — re-alias one side " +
-      "(select(col(c).as(c)) mints fresh ids) before constructing the node")
+  // NOTE: side-disjointness of exprIds is checked in
+  // [[AsOfJoinStrategy]] at planning time, NOT here — plan
+  // CANONICALIZATION (e.g. CacheManager lookups) legitimately rebuilds
+  // this node with both children's ids independently normalized to
+  // 0..n-1, so a constructor require would reject every canonicalized
+  // copy. Planning always sees real analyzer-minted ids.
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -136,8 +135,14 @@ object AsOfJoin {
     register(spark)
     // fresh exprIds for the right side: Alias always mints a new id, so
     // a self-join (left and right both reading the same relation) never
-    // produces an output with duplicate attribute ids
-    val rAliased = right.select(right.columns.map(c => col(c).as(c)): _*)
+    // produces an output with duplicate attribute ids. The marker
+    // metadata makes each alias non-redundant: RemoveRedundantAliases
+    // strips same-name aliases under custom nodes (only Join gets the
+    // rule's exclude-list protection), which would re-collide the ids
+    // mid-optimization and fail the strategy's disjointness check.
+    val marker = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.asof.realias", value = true).build()
+    val rAliased = right.select(right.columns.map(c => col(c).as(c, marker)): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rAliased.queryExecution.analyzed
     // the session's resolver, not ==: under default case-insensitive
@@ -197,6 +202,16 @@ object AsOfJoin {
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lks, rks, lt, rt, strict, tol) =>
+      // a true self-join constructed directly from one relation
+      // (skipping backwardMulti's re-alias) carries duplicate
+      // attribute ids across sides; downstream resolution against the
+      // node's output would be ambiguous — fail fast at planning
+      // (the constructor can't check: canonicalized copies share ids
+      // legitimately)
+      require(l.outputSet.intersect(r.outputSet).isEmpty,
+        "as-of sides share attribute ids (exprId) — re-alias one side " +
+          "(select(col(c).as(c)) mints fresh ids) before constructing " +
+          "the node")
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val size = r.stats.sizeInBytes
@@ -282,7 +297,14 @@ case class BroadcastAsOfJoinExec(
     left.execute().mapPartitions { lIter =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
-      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      // POSITIONAL output binding: JoinedRow lays values out in output
+      // order, and binding by position (not exprId lookup) stays
+      // correct even if an optimizer rewrite ever left equal ids on
+      // both sides
+      val proj = UnsafeProjection.create(
+        outAttrs.zipWithIndex.map { case (a, i) =>
+          BoundReference(i, a.dataType, a.nullable)
+        })
       val lKeyProj = UnsafeProjection.create(lKeyExprs)
       val rKeyProj = UnsafeProjection.create(rKeyExprs)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
@@ -409,7 +431,14 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
-      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      // POSITIONAL output binding: JoinedRow lays values out in output
+      // order, and binding by position (not exprId lookup) stays
+      // correct even if an optimizer rewrite ever left equal ids on
+      // both sides
+      val proj = UnsafeProjection.create(
+        outAttrs.zipWithIndex.map { case (a, i) =>
+          BoundReference(i, a.dataType, a.nullable)
+        })
       val lKeyProj = UnsafeProjection.create(lKeyExprs)
       val rKeyProj = UnsafeProjection.create(rKeyExprs)
       // the same nulls-first ascending ordering the children are

@@ -266,14 +266,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(3L) == "b")
   }
 
-  test("direct node construction with shared exprIds fails fast") {
-    // skipping backwardMulti's re-alias on a true self-join would bind
-    // right-side references to left ordinals — the node rejects it
+  test("direct self-join construction with shared exprIds fails LOUDLY") {
+    // constructing the node from ONE relation on both sides (skipping
+    // backwardMulti's re-alias) must never silently mis-bind right
+    // references to left ordinals (ADVICE r3). Today it fails loudly
+    // on every path: through ofRows the analyzer re-ids the duplicated
+    // side and the node's stale key references error at binding; a
+    // path skipping analysis hits the strategy's disjointness require.
     val p = left.queryExecution.analyzed
     def a(n: String) = p.output.find(_.name == n).get
-    val e = intercept[IllegalArgumentException](
-      AsOfJoin(p, p, Seq(a("k")), Seq(a("k")), a("t"), a("t")))
-    assert(e.getMessage.contains("exprId"))
+    val node = AsOfJoin(p, p, Seq(a("k")), Seq(a("k")), a("t"), a("t"))
+    AsOfJoin.register(spark)
+    val e = intercept[Exception](
+      org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, node).collect())
+    assert(
+      e.getMessage.contains("exprId") ||
+        e.getMessage.contains("ATTRIBUTE_NOT_FOUND"),
+      s"expected a loud binding/planning failure, got: ${e.getMessage}")
   }
 
   test("property: random data × partitionings matches the reference") {
