@@ -46,8 +46,17 @@ for t in copy_as_is:
 for t, keys in keyed.items():
     cols = [c[0] for c in
             con.sql(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
-    sel = ", ".join(
-        f"{c} + r.i * {STRIDE} AS {c}" if c in keys else c for c in cols)
+    def render(c, t=t):
+        # events.ts is physically INT64 TIMESTAMP(NANOS) in the source
+        # (the engine reads it via the nanosAsLong legacy conf and
+        # divides to micros itself) — keep that representation, a
+        # DuckDB TIMESTAMP rewrite would change the surfaced type
+        if t == "events" and c == "ts":
+            return "epoch_ns(ts) AS ts"
+        if c in keys:
+            return f"{c} + r.i * {STRIDE} AS {c}"
+        return c
+    sel = ", ".join(render(c) for c in cols)
     con.execute(
         f"COPY (SELECT {sel} FROM '{src}/{t}.parquet', "
         f"(SELECT unnest(range({n_rep})) AS i) r) TO '{dst}/{t}.parquet'")
