@@ -166,6 +166,96 @@ object Similarity {
        |WHERE CAST(${dotSql("x.v", "y.v")} AS DOUBLE) / sqrt(CAST(x.nrm * y.nrm AS DOUBLE)) >= 0.35
        |ORDER BY a, b""".stripMargin
 
+  // --- embedding near-dup via random-hyperplane LSH buckets ---
+
+  private val LshPlanes = 16
+  private val LshBandBits = 8
+  private val LshMaxDim = 256
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** ±1 hyperplane weight for (plane h, dimension d), derived from md5
+    * parity so the DuckDB oracle computes the identical plane:
+    * ascii(first hex char) even => +1.
+    */
+  private def planeWeight(h: Int, d: Int): Long =
+    if (md5Hex(s"$h|$d").charAt(0).toInt % 2 == 0) 1L else -1L
+
+  /** The scale path for embedding near-dup mining — label blocking
+    * ([[dedupEmbedding]]) is quadratic IN THE BLOCK, and blocks grow
+    * with the corpus when the label vocabulary is fixed (measured
+    * 17.8x at 10x data, the one super-linear row in SCALE.md).
+    * Random-hyperplane LSH replaces it: 16 sign bits per vector
+    * (16 codegen'd integer dot products against ±1 literal planes —
+    * narrow, zero shuffles), banded 2×8 so a pair collides when ANY
+    * band of 8 sign bits agrees, bucket self-join on (band, bits),
+    * exact integer-cosine verify on the (few) candidates. Bucket
+    * count scales 2^bits per band, so bucket size — and the pair
+    * blowup — is tunable independently of any label vocabulary.
+    * Like minhash_lsh this is approximate-by-construction (recall <
+    * 1); the oracle replicates the same planes, so the result is
+    * still hash-exact.
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val signCols = (0 until LshPlanes).map { h =>
+      val w = typedlit((0 until LshMaxDim).map(d => planeWeight(h, d)))
+      when(dot(col("v"), slice(w, lit(1), size(col("v")))) > 0, "1")
+        .otherwise("0")
+    }
+    val bandCols = (0 until LshPlanes / LshBandBits).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat(signCols.slice(
+          b * LshBandBits, (b + 1) * LshBandBits): _*).as("bkey"))
+    }
+    val bands = vecs
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.select(col("band"), col("bkey"), col("vec_id").as("a"))
+      .join(
+        bands.select(col("band"), col("bkey"), col("vec_id").as("b")),
+        Seq("band", "bkey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+      .withColumn("cos", cosine(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .where(col("cos") >= 0.35)
+      .select(col("a"), col("b"), col("cos"))
+      .orderBy("a", "b")
+  }
+
+  def dedupEmbeddingLshOracle: String = {
+    val weightSql =
+      "(CASE WHEN ascii(substr(md5(CAST(h AS VARCHAR) || '|' || " +
+        "CAST(d - 1 AS VARCHAR)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END)"
+    s"""WITH $VectorsSql,
+       |planes AS (SELECT unnest(range(0, $LshPlanes)) h),
+       |sgn AS (
+       |  SELECT vec_id, h,
+       |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+       |      d -> v[d] * $weightSql)) > 0 THEN '1' ELSE '0' END sbit
+       |  FROM vn CROSS JOIN planes),
+       |bands AS (
+       |  SELECT vec_id, h // $LshBandBits AS band,
+       |    string_agg(sbit, '' ORDER BY h) bkey
+       |  FROM sgn GROUP BY vec_id, h // $LshBandBits),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id a, y.vec_id b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.vec_id < y.vec_id)
+       |SELECT c.a, c.b,
+       |  CAST(${dotSql("x.v", "y.v")} AS DOUBLE) / sqrt(CAST(x.nrm * y.nrm AS DOUBLE)) cos
+       |FROM cand c JOIN vn x ON c.a = x.vec_id JOIN vn y ON c.b = y.vec_id
+       |WHERE CAST(${dotSql("x.v", "y.v")} AS DOUBLE) / sqrt(CAST(x.nrm * y.nrm AS DOUBLE)) >= 0.35
+       |ORDER BY a, b""".stripMargin
+  }
+
   // --- IVF-bucketed approximate top-k ---
   // Shared building blocks for the three IVF variants (seed / k-means
   // refined / multi-probe), so the assignment shape and tie-breaks are
@@ -527,6 +617,8 @@ object Similarity {
     QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
     QueryDef("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
+    QueryDef(
+      "dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshOracle)),
     QueryDef("knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("knn_ivf_kmeans", knnIvfKmeans, Some(knnIvfKmeansOracle)),
     QueryDef("knn_ivf_probe2", knnIvfProbe2, Some(knnIvfProbe2Oracle)),
