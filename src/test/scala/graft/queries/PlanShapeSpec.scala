@@ -82,6 +82,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(limits.size == 2, phys.toString.take(2000))
   }
 
+  test("dedup_incremental broadcasts the batch side; index never shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val phys = physicalPlanNoAqe(Dedup.dedupIncremental(spark, dir))
+    // candidate generation must be a broadcast hash probe on the
+    // index band scan — the 100 TB side reads straight through
+    val bjs = phys.collect { case j: BroadcastHashJoinExec => j }
+    assert(bjs.nonEmpty, phys.toString.take(2000))
+    assert(bjs.exists(_.leftKeys.exists(_.references.exists(
+      _.name == "bkey"))), "band-bucket join is not the broadcast one")
+    // the only exchanges allowed: the verify joins + final sort —
+    // none keyed by the band bucket (that would shuffle the index)
+    val shuffles = phys.collect { case s: ShuffleExchangeExec => s }
+    assert(!shuffles.exists(_.outputPartitioning.toString.contains("bkey")),
+      "index bands shuffled by bucket key")
+  }
+
+  test("gap_fill plans no cartesian/nested-loop; all windows partitioned") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val phys = physicalPlanNoAqe(Extended.gapFill(spark, dir))
+    assert(phys.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(phys.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty,
+      "per-key spine must join co-partitioned, not nested-loop")
+  }
+
+  test("dedup_embedding_lsh joins on band buckets, never on label blocks") {
+    val plan = Similarity.dedupEmbeddingLsh(spark, dir)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    val joinKeys = joins.flatMap(_.condition.toSeq.flatMap(_.references))
+      .map(_.name).toSet
+    assert(joinKeys.contains("bkey"), s"bucket key missing from joins: $joinKeys")
+    assert(!joinKeys.contains("label"),
+      "LSH variant must not fall back to label blocking")
+  }
+
   test("scd2_history second window runs over compacted islands") {
     val plan = Analytics.scd2History(spark, dir).queryExecution.optimizedPlan
     // all windows partition on user_id (Spark plans lag flags, the
