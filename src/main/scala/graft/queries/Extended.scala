@@ -489,6 +489,61 @@ object Extended {
       |    FROM events))
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- interval-overlap join (banded by day, residual overlap) ---
+
+  /** Interval × interval OVERLAP join — the other range-join family
+    * ([[Advanced.rangeJoin]] is point-in-band): each user's daily
+    * activity interval [first,last event] against each event type's
+    * daily "incident window" (first 30 min of that type's day).
+    * Banding by day turns the O(n·m) interval comparison into an
+    * equi-join on the band key with the overlap residual
+    * (`a_start <= b_end AND b_start <= a_end`) evaluated only inside
+    * the band; intervals here are day-clipped by construction, and a
+    * cross-band interval would explode to its covered bands exactly
+    * like range_join's slot explode. The incident side is
+    * dimension-sized (types × days) so it broadcasts — the user-day
+    * side never shuffles past its own aggregate.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("d", to_date(col("ts")))
+    val userDay = ev.groupBy(col("user_id"), col("d"))
+      .agg(min(col("us")).as("a_start"), max(col("us")).as("a_end"))
+    val incidents = ev.groupBy(col("event_type"), col("d"))
+      .agg(min(col("us")).as("b_start"))
+      .withColumn("b_end", col("b_start") + lit(1800L * 1000000L))
+    userDay.join(broadcast(incidents), Seq("d"))
+      .where(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select(
+        col("user_id"), col("d"), col("event_type"),
+        greatest(col("a_start"), col("b_start")).as("ov_start"),
+        least(col("a_end"), col("b_end")).as("ov_end"))
+      .withColumn("ov_us", col("ov_end") - col("ov_start"))
+      .orderBy("user_id", "d", "event_type")
+  }
+
+  def intervalJoinOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) d,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) us
+      |  FROM events),
+      |user_day AS (
+      |  SELECT user_id, d, MIN(us) a_start, MAX(us) a_end
+      |  FROM ev GROUP BY 1, 2),
+      |incidents AS (
+      |  SELECT event_type, d, MIN(us) b_start,
+      |    MIN(us) + 1800000000 AS b_end
+      |  FROM ev GROUP BY 1, 2)
+      |SELECT u.user_id, u.d, i.event_type,
+      |  GREATEST(a_start, b_start) ov_start,
+      |  LEAST(a_end, b_end) ov_end,
+      |  LEAST(a_end, b_end) - GREATEST(a_start, b_start) AS ov_us
+      |FROM user_day u JOIN incidents i ON u.d = i.d
+      |WHERE a_start <= b_end AND b_start <= a_end
+      |ORDER BY u.user_id, u.d, i.event_type""".stripMargin
+
   // --- deterministic train/val/test split (reproducible sampling) ---
 
   /** Content-hash split assignment: the first 16 bits of md5 of the
@@ -752,6 +807,7 @@ object Extended {
     QueryDef("variant_extract", variantExtract, Some(variantExtractOracle)),
     QueryDef("time_spine", timeSpine, Some(timeSpineOracle)),
     QueryDef("gap_fill", gapFill, Some(gapFillOracle)),
+    QueryDef("interval_join", intervalJoin, Some(intervalJoinOracle)),
     QueryDef("sessionize_lag", sessionizeLag, Some(sessionizeLagOracle)),
     QueryDef("train_split", trainSplit, Some(trainSplitOracle)),
     QueryDef("group_topk", groupTopk, Some(groupTopkOracle)),
