@@ -417,7 +417,77 @@ object TrainingPipeline {
     """SELECT md5('epoch1:' || doc_id) AS shuffle_key, doc_id
       |FROM documents ORDER BY shuffle_key""".stripMargin
 
+  /** Winsorization: clip each group's values to its exact [p05, p95]
+    * order statistics — the standard heavy-tail tamer before loss
+    * weighting / normalization (a handful of outliers otherwise
+    * dominate a mean). Percentile bounds come from the same
+    * value-histogram rank arithmetic as percentile_report (windows
+    * over the HISTOGRAM, partitioned by group — never the fact
+    * table), the bounds table is group-cardinality-sized so it
+    * BROADCASTS back onto the fact scan, and the clip itself is a
+    * narrow greatest/least projection into one partial+final
+    * aggregate. Integer cents throughout => order-independent,
+    * engine-exact sums.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), Quantize.cents(col("value")).as("vc"))
+    val hist = vals.groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("hi", sum(col("cnt")).over(wRun))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .withColumn(
+        "n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    def atRank(r: org.apache.spark.sql.Column) =
+      max(when(r.between(col("lo"), col("hi")), col("vc")))
+    val bounds = ranked.groupBy(col("event_type")).agg(
+      atRank(expr("(5 * n + 99) div 100")).as("p05"),
+      atRank(expr("(95 * n + 99) div 100")).as("p95"))
+    vals.join(broadcast(bounds), "event_type")
+      .select(
+        col("event_type"), col("vc"), col("p05"), col("p95"),
+        greatest(col("p05"), least(col("p95"), col("vc"))).as("clipped"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("p05")).as("p05_cents"),
+        min(col("p95")).as("p95_cents"),
+        sum(col("vc")).as("sum_raw_cents"),
+        sum(col("clipped")).as("sum_clip_cents"),
+        sum((col("vc") < col("p05")).cast("long")).as("n_clip_lo"),
+        sum((col("vc") > col("p95")).cast("long")).as("n_clip_hi"))
+      .orderBy("event_type")
+  }
+
+  def winsorizeOracle: String =
+    s"""WITH v AS (
+      |  SELECT event_type, ${Quantize.centsSql("value")} vc FROM events),
+      |h AS (SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) cnt FROM v GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) hi,
+      |    SUM(cnt) OVER (PARTITION BY event_type) n
+      |  FROM h),
+      |i AS (SELECT *, hi - cnt + 1 lo FROM r),
+      |b AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN (5 * n + 99) // 100 BETWEEN lo AND hi THEN vc END) p05,
+      |    MAX(CASE WHEN (95 * n + 99) // 100 BETWEEN lo AND hi THEN vc END) p95
+      |  FROM i GROUP BY event_type)
+      |SELECT v.event_type, CAST(COUNT(*) AS BIGINT) n,
+      |  MIN(p05) p05_cents, MIN(p95) p95_cents,
+      |  CAST(SUM(vc) AS BIGINT) sum_raw_cents,
+      |  CAST(SUM(GREATEST(p05, LEAST(p95, vc))) AS BIGINT) sum_clip_cents,
+      |  CAST(SUM(CASE WHEN vc < p05 THEN 1 ELSE 0 END) AS BIGINT) n_clip_lo,
+      |  CAST(SUM(CASE WHEN vc > p95 THEN 1 ELSE 0 END) AS BIGINT) n_clip_hi
+      |FROM v JOIN b USING (event_type)
+      |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("winsorize", winsorize, Some(winsorizeOracle)),
     QueryDef("decontaminate", decontaminate, Some(decontaminateOracle)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("length_buckets", lengthBuckets, Some(lengthBucketsOracle)),
