@@ -63,10 +63,49 @@ object MultimodalQueries {
       |  unnest(range(0, 1 + octet_length(CAST(text AS BLOB)) // 4096, 2)) t(i)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Sliding chunk windows over the blob stand-in (stride 512, width
+    * 1024) with per-chunk content checksums — the chunk-store ingest
+    * shape: media split into fixed-stride windows whose hashes feed
+    * chunk-level dedup/caching. Unlike [[frameSample]]'s stub frame
+    * hashes, each checksum here covers the ACTUAL window content.
+    * Char-addressed (not byte): DuckDB has no BLOB substring, and
+    * character windows agree across engines for any encoding. Narrow:
+    * sequence+explode per doc, one projection, no shuffle before the
+    * final order.
+    */
+  def blobChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("text"),
+        (lit(1L) + (length(col("text")) - 1).cast("long") / 512)
+          .cast("long").as("nw"))
+      .select(
+        col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("nw") - 1)).as("w"))
+      .select(
+        col("doc_id"),
+        col("w").as("chunk_idx"),
+        (col("w") * 512 + 1).as("offset"),
+        length(expr("substring(text, CAST(w * 512 + 1 AS INT), 1024)"))
+          .cast("long").as("chunk_len"),
+        md5(expr("substring(text, CAST(w * 512 + 1 AS INT), 1024)"))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  def blobChunksOracle: String =
+    """SELECT doc_id, CAST(w AS BIGINT) chunk_idx,
+      |  CAST(w * 512 + 1 AS BIGINT) AS "offset",
+      |  CAST(length(substring(text, w * 512 + 1, 1024)) AS BIGINT) chunk_len,
+      |  md5(substring(text, w * 512 + 1, 1024)) chunk_hash
+      |FROM documents,
+      |  unnest(range(0, 1 + (length(text) - 1) // 512)) t(w)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "multimodal_features",
       multimodalFeatures,
       Some(multimodalFeaturesOracle)),
-    QueryDef("frame_sample", frameSample, Some(frameSampleOracle)))
+    QueryDef("frame_sample", frameSample, Some(frameSampleOracle)),
+    QueryDef("blob_chunks", blobChunks, Some(blobChunksOracle)))
 }
