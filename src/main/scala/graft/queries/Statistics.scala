@@ -371,7 +371,68 @@ object Statistics {
       |WHERE exact_cnt * 7 > n
       |ORDER BY exact.event_type, item""".stripMargin
 
+  /** Join-key skew diagnostics — the report that decides between a
+    * plain shuffle join, AQE skew splitting, and explicit salting
+    * BEFORE the expensive join runs: per-key group sizes of
+    * orders.o_custkey summarized as exact order statistics. The size
+    * HISTOGRAM (distinct sizes, not keys) is what gets ranked, via the
+    * triangular broadcast self-join cumulative (the ntile/no-global-
+    * window idiom) — a KB-scale computation however many rows the fact
+    * table has. top_key_ppm (largest key's share of all rows) is the
+    * direct salt-or-not signal.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables.read(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.as("a")
+      .join(broadcast(hist.as("b")), col("b.sz") <= col("a.sz"))
+      .groupBy(col("a.sz").as("sz"), col("a.cnt").as("cnt"))
+      .agg(sum(col("b.cnt")).as("hi"))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+    val totals = hist.agg(
+      sum(col("cnt")).as("n_keys"),
+      sum(col("sz") * col("cnt")).as("n_rows"),
+      max(col("sz")).as("max_sz"))
+    def atRank(r: org.apache.spark.sql.Column) =
+      max(when(r.between(col("lo"), col("hi")), col("sz")))
+    cum.crossJoin(broadcast(totals))
+      .groupBy(col("n_keys"), col("n_rows"), col("max_sz"))
+      .agg(
+        atRank(expr("(n_keys + 1) div 2")).as("p50_sz"),
+        atRank(expr("(99 * n_keys + 99) div 100")).as("p99_sz"))
+      .select(
+        col("n_keys"), col("n_rows"), col("p50_sz"), col("p99_sz"),
+        col("max_sz"),
+        call_function("div", col("max_sz") * lit(1000000L), col("n_rows"))
+          .as("top_key_ppm"))
+  }
+
+  def skewReportOracle: String =
+    """WITH sizes AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) sz
+      |  FROM orders GROUP BY 1),
+      |h AS (SELECT sz, CAST(COUNT(*) AS BIGINT) cnt FROM sizes GROUP BY sz),
+      |r AS (
+      |  SELECT *, SUM(cnt) OVER (ORDER BY sz
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) hi
+      |  FROM h),
+      |i AS (SELECT *, hi - cnt + 1 lo FROM r),
+      |t AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) n_keys,
+      |    CAST(SUM(sz * cnt) AS BIGINT) n_rows,
+      |    MAX(sz) max_sz
+      |  FROM h)
+      |SELECT n_keys, n_rows,
+      |  MAX(CASE WHEN (n_keys + 1) // 2 BETWEEN lo AND hi THEN sz END) p50_sz,
+      |  MAX(CASE WHEN (99 * n_keys + 99) // 100 BETWEEN lo AND hi THEN sz END) p99_sz,
+      |  max_sz,
+      |  CAST(max_sz * 1000000 // n_rows AS BIGINT) top_key_ppm
+      |FROM i, t GROUP BY n_keys, n_rows, max_sz""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("skew_report", skewReport, Some(skewReportOracle)),
     QueryDef("stats_outliers", statsOutliers, Some(statsOutliersOracle)),
     QueryDef("corr_stats", corrStats, Some(corrStatsOracle)),
     QueryDef("chi_square", chiSquare, Some(chiSquareOracle)),

@@ -141,7 +141,43 @@ object StreamingWindows {
       |  AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 1800000000
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
+  /** Windowed top-k: the per-window leaderboard every streaming
+    * dashboard runs — rank inside each tumbling window. The rank
+    * window partitions on window_start (high cardinality over time),
+    * and upstream is the same pre-aggregated (window, type) count
+    * table as stream_tumbling, so the ranked input is
+    * dimension-sized, never raw events.
+    */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"))
+    val wr = Window.partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .where(col("rnk") <= 2)
+      .orderBy("window_start", "rnk")
+  }
+
+  def streamTopkOracle: String =
+    """WITH c AS (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600 AS window_start,
+      |    event_type, CAST(COUNT(*) AS BIGINT) n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY window_start ORDER BY n DESC, event_type) rnk
+      |  FROM c)
+      |SELECT window_start, event_type, n, CAST(rnk AS BIGINT) rnk
+      |FROM r WHERE rnk <= 2 ORDER BY window_start, rnk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_topk", streamTopk, Some(streamTopkOracle)),
     QueryDef("stream_tumbling", streamTumbling, Some(streamTumblingOracle)),
     QueryDef("stream_sliding", streamSliding, Some(streamSlidingOracle)),
     QueryDef("stream_sessions", streamSessions, Some(streamSessionsOracle)),

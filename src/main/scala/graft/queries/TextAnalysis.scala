@@ -355,7 +355,50 @@ object TextAnalysis {
        |SELECT doc_id, CAST(z[2] AS BIGINT) pos, CAST(z[1] AS VARCHAR) token
        |FROM z ORDER BY doc_id, pos""".stripMargin
 
+  /** OOV rate per language against the corpus top-25 vocab — the
+    * tokenizer-coverage metric a training pipeline tracks per data
+    * source (a slice whose OOV share spikes is mis-tokenized or
+    * mis-labeled). One wordcount shuffle builds the (tiny) vocab,
+    * which BROADCASTS back onto the occurrence stream for a left
+    * anti-ish membership flag; counts are exact integers and the rate
+    * surfaces as ppm via integer division.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.read(spark, dir, "documents")
+      .select(col("lang"), explode(toks(col("text"))).as("token"))
+    val vocab = occ.groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(25)
+      .select(col("token"), lit(true).as("in_vocab"))
+    occ.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("in_vocab").isNull.cast("long")).as("n_oov"))
+      .select(
+        col("lang"), col("n_tokens"), col("n_oov"),
+        call_function("div", col("n_oov") * lit(1000000L), col("n_tokens"))
+          .as("oov_ppm"))
+      .orderBy("lang")
+  }
+
+  def oovRateOracle: String =
+    s"""WITH occ AS (
+       |  SELECT lang, t.tok token
+       |  FROM documents, unnest(${ToksSql.format("text")}) AS t(tok)),
+       |v AS (
+       |  SELECT token FROM (
+       |    SELECT token, CAST(COUNT(*) AS BIGINT) n FROM occ GROUP BY token
+       |    ORDER BY n DESC, token LIMIT 25))
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) n_tokens,
+       |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_oov,
+       |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) oov_ppm
+       |FROM occ LEFT JOIN v ON occ.token = v.token
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("oov_rate", oovRate, Some(oovRateOracle)),
     QueryDef("text_tokens", textTokens, Some(textTokensOracle)),
     QueryDef("pos_tokens", posTokens, Some(posTokensOracle)),
     QueryDef("text_quality", textQuality, Some(textQualityOracle)),
