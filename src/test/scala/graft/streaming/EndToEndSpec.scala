@@ -249,6 +249,56 @@ class EndToEndSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("large registry takes the dynamic broadcast-join delivery path") {
+    // above CompiledSubsLimit (64) the server switches from
+    // plan-compiled predicates to the broadcast-join + runtime
+    // residual path; this is the only end-to-end exercise of that
+    // branch (the operator itself is oracle-checked as
+    // fanout_dynamic), including its _seq ordered shard delivery
+    val sockPath = s"/tmp/graft-dyn-${System.nanoTime()}.sock"
+    val server = new EventStreamServer(
+      spark, socketPath = Some(sockPath), pingIntervalSec = 3600)
+    try {
+      val port = server.sse.actualPort
+      // 65 plain subscribers + one filtered + one other-subsystem = 67
+      val plain = (1 to 65).map(_ => httpGet(port, "/events?subsystem=jobs"))
+      val filtered = httpGet(port, "/events?subsystem=jobs&filter=k%3E%3D100")
+      val other = httpGet(port, "/events?subsystem=other")
+      (plain :+ filtered :+ other).foreach(readAvailable(_, "\r\n\r\n"))
+
+      val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+      ch.connect(UnixDomainSocketAddress.of(sockPath))
+      val pw = new OutputStreamWriter(
+        Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+      for (i <- 1 to 3)
+        pw.write(s"""{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": $i}, "id": "y$i"}""" + "\n")
+      pw.flush()
+      val deadline = System.currentTimeMillis() + 15000
+      while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < 3
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      server.processAllAvailable()
+
+      // spot-check three plain subscribers across the id range: all
+      // events, in order
+      for (sub <- Seq(plain.head, plain(32), plain.last)) {
+        val body = readAvailable(sub, "id: y3\r\n")
+        val pos = (1 to 3).map(i => body.indexOf(s"id: y$i\r\n"))
+        assert(pos.forall(_ >= 0), got(body))
+        assert(pos == pos.sorted, got(body))
+      }
+      // the filter predicate ran as the runtime residual: k>=100 never
+      // matches, so the filtered subscriber saw no event frames
+      val fBody = readAvailable(filtered, "nothing-expected", 1500)
+      assert(!fBody.contains("id: y"), got(fBody))
+      // other subsystem saw nothing either (the broadcast join keyed
+      // on subsystem)
+      val oBody = readAvailable(other, "nothing-expected", 500)
+      assert(!oBody.contains("id: y"), got(oBody))
+
+      (plain :+ filtered :+ other).foreach(_.close()); ch.close()
+    } finally server.close()
+  }
+
   test("ping keepalive and graceful drain emit control frames") {
     val port = {
       val ss = new java.net.ServerSocket(0)
