@@ -75,6 +75,11 @@ object MultimodalQueries {
     */
   def blobChunks(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "documents")
+      // empty blobs yield zero chunks, stated EXPLICITLY on both
+      // sides: the implicit formulas diverge on len=0 (Spark's cast
+      // truncates toward zero where DuckDB's // floors, and a
+      // backwards sequence() range throws)
+      .where(length(col("text")) > 0)
       .select(
         col("doc_id"), col("text"),
         (lit(1L) + (length(col("text")) - 1).cast("long") / 512)
@@ -99,6 +104,7 @@ object MultimodalQueries {
       |  md5(substring(text, w * 512 + 1, 1024)) chunk_hash
       |FROM documents,
       |  unnest(range(0, 1 + (length(text) - 1) // 512)) t(w)
+      |WHERE length(text) > 0
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
