@@ -323,6 +323,30 @@ object Extended {
       |  MIN(event_id) AS first_event_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Schema census of a semi-structured column: which keys appear,
+    * how often, across how many event types — the first question
+    * asked of any schemaless payload field before choosing what to
+    * shred into real columns. `json_object_keys` explodes top-level
+    * keys narrowly; one wordcount-shaped aggregate follows. Null or
+    * invalid JSON contributes no rows on either engine.
+    */
+  def jsonKeysStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        explode(json_object_keys(col("props"))).as("key"))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("key")
+
+  def jsonKeysStatsOracle: String =
+    """SELECT t.key, CAST(COUNT(*) AS BIGINT) n,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) n_types
+      |FROM events, unnest(json_keys(props)) AS t(key)
+      |GROUP BY t.key ORDER BY t.key""".stripMargin
+
   // --- Spark 4 VARIANT path for semi-structured payloads ---
 
   /** Typed extraction through the binary VARIANT encoding (parse
@@ -805,6 +829,7 @@ object Extended {
     QueryDef("near_dup_pairs", nearDupPairs, Some(nearDupPairsOracle)),
     QueryDef("skew_join", skewJoin, Some(skewJoinOracle)),
     QueryDef("variant_extract", variantExtract, Some(variantExtractOracle)),
+    QueryDef("json_keys_stats", jsonKeysStats, Some(jsonKeysStatsOracle)),
     QueryDef("time_spine", timeSpine, Some(timeSpineOracle)),
     QueryDef("gap_fill", gapFill, Some(gapFillOracle)),
     QueryDef("interval_join", intervalJoin, Some(intervalJoinOracle)),

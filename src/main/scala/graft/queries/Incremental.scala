@@ -94,7 +94,53 @@ object Incremental {
       |FROM base FULL OUTER JOIN changes ON bkey = ckey
       |ORDER BY c_custkey""".stripMargin
 
+  /** CDC apply: a keyed change log (upserts AND deletes) collapsed to
+    * latest state — the missing half of [[upsertMerge]] (which has no
+    * delete semantics). Orders act as the log: each order upserts its
+    * customer's record; status-'F' entries are tombstones. Last write
+    * per key wins, ordered by (event time, order key); a key whose
+    * final entry is a tombstone is ABSENT from the state. One
+    * map-side-combinable max-struct aggregate — no per-key sort, no
+    * window over the log — so applying a day's CDC stream at 100 TB is
+    * a single partial+final shuffle keyed by the primary key.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.read(spark, dir, "orders").select(
+      col("o_custkey").as("c_custkey"),
+      struct(
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast
+        // is wall-clock-identity, matching the oracle's epoch_us(CAST)
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_orderkey").as("okey"),
+        (col("o_orderstatus") === "F").as("is_del"),
+        Quantize.cents(col("o_totalprice")).as("vc")).as("chg"))
+    log.groupBy(col("c_custkey"))
+      .agg(max(col("chg")).as("m"))
+      .where(!col("m.is_del"))
+      .select(
+        col("c_custkey"),
+        col("m.okey").as("last_order_key"),
+        col("m.vc").as("last_total_cents"))
+      .orderBy("c_custkey")
+  }
+
+  def cdcApplyOracle: String =
+    s"""WITH log AS (
+      |  SELECT o_custkey c_custkey, o_orderkey okey,
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) us,
+      |    (o_orderstatus = 'F') is_del,
+      |    ${Quantize.centsSql("o_totalprice")} vc
+      |  FROM orders),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY c_custkey ORDER BY us DESC, okey DESC) rn
+      |  FROM log)
+      |SELECT c_custkey, okey AS last_order_key, vc AS last_total_cents
+      |FROM ranked WHERE rn = 1 AND NOT is_del
+      |ORDER BY c_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("incremental_agg", incrementalAgg, Some(incrementalAggOracle)),
-    QueryDef("upsert_merge", upsertMerge, Some(upsertMergeOracle)))
+    QueryDef("upsert_merge", upsertMerge, Some(upsertMergeOracle)),
+    QueryDef("cdc_apply", cdcApply, Some(cdcApplyOracle)))
 }
