@@ -119,6 +119,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "LSH variant must not fall back to label blocking")
   }
 
+  test("cdc_apply is a pure max-struct aggregate — no window over the log") {
+    val plan = Incremental.cdcApply(spark, dir).queryExecution.optimizedPlan
+    assert(plan.collect { case w: Window => w }.isEmpty,
+      "last-write-wins must not sort/window the change log")
+    assert(plan.collect { case a: Aggregate => a }.nonEmpty)
+  }
+
+  test("skew_report's cumulative join broadcasts the tiny histogram") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val phys = physicalPlanNoAqe(Statistics.skewReport(spark, dir))
+    // the inequality cumulative is a broadcast nested-loop over the
+    // KB-scale size histogram — never a cartesian of unbroadcast sides
+    assert(phys.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(phys.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+  }
+
   test("scd2_history second window runs over compacted islands") {
     val plan = Analytics.scd2History(spark, dir).queryExecution.optimizedPlan
     // all windows partition on user_id (Spark plans lag flags, the
