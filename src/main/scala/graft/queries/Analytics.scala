@@ -155,8 +155,12 @@ object Analytics {
       .orderBy(col("user_id"), col("island"))
   }
 
-  def scd2HistoryOracle: String =
-    """WITH ev AS (
+  /** The SCD2 segment-build CTE chain ending in
+    * `segs(user_id, island, seg_type, valid_from, n_events)` — shared
+    * by the history query and the point-in-time join oracle.
+    */
+  private val Scd2Ctes: String =
+    """ev AS (
       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) ts, event_id
       |  FROM events),
       |flagged AS (
@@ -170,11 +174,58 @@ object Analytics {
       |segs AS (
       |  SELECT user_id, island, MAX(event_type) seg_type, MIN(ts) valid_from,
       |    CAST(COUNT(*) AS BIGINT) n_events
-      |  FROM isl GROUP BY user_id, island)
+      |  FROM isl GROUP BY user_id, island)""".stripMargin
+
+  def scd2HistoryOracle: String =
+    s"""WITH $Scd2Ctes
       |SELECT user_id, island, seg_type, valid_from,
       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) valid_to,
       |  n_events
       |FROM segs ORDER BY user_id, island""".stripMargin
+
+  /** Point-in-time join: each purchase looks up the SCD2 dimension
+    * VERSION valid at its moment — the versioned-dimension lookup
+    * every fact-load pipeline runs. Because validity intervals
+    * partition each key's timeline ([valid_from, next valid_from)),
+    * the interval-membership join is EXACTLY a backward as-of on
+    * valid_from — so the probe runs through the native
+    * [[graft.plans.AsOfJoin]] operator (one exchange per side, linear
+    * merge; broadcast variant when the dimension is small), while the
+    * oracle states the same relation as an explicit BETWEEN-interval
+    * join. No banding, no explode, no per-probe interval scan.
+    */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2History(spark, dir).select(
+      col("user_id").as("d_user"),
+      col("island").as("version"),
+      col("seg_type"),
+      unix_micros(col("valid_from")).as("vf_us"))
+    val probes = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    graft.plans.AsOfJoin.backward(
+        probes, dim,
+        leftKey = "user_id", leftTime = "us",
+        rightKey = "d_user", rightTime = "vf_us")
+      .select(col("event_id"), col("user_id"), col("seg_type"), col("version"))
+      .orderBy("event_id")
+  }
+
+  def pitJoinOracle: String =
+    s"""WITH $Scd2Ctes,
+      |dim AS (
+      |  SELECT user_id, island AS version, seg_type,
+      |    epoch_us(valid_from) vf_us,
+      |    lead(epoch_us(valid_from)) OVER (
+      |      PARTITION BY user_id ORDER BY island) vt_us
+      |  FROM segs),
+      |p AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, d.seg_type, d.version
+      |FROM p LEFT JOIN dim d ON p.user_id = d.user_id
+      |  AND p.us >= d.vf_us AND (d.vt_us IS NULL OR p.us < d.vt_us)
+      |ORDER BY p.event_id""".stripMargin
 
   /** Trailing-7-day rolling order stats per priority via a RANGE frame
     * over integer day numbers — a range frame (calendar window), not a
@@ -227,5 +278,6 @@ object Analytics {
     QueryDef("funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
     QueryDef("scd2_history", scd2History, Some(scd2HistoryOracle)),
+    QueryDef("pit_join", pitJoin, Some(pitJoinOracle)),
     QueryDef("rolling_revenue", rollingRevenue, Some(rollingRevenueOracle)))
 }
