@@ -110,6 +110,71 @@ object DataQuality {
       |  UNION ALL SELECT 'events_ts_out_of_range', ts_oor FROM ev)
       |ORDER BY check_name""".stripMargin
 
+  /** Snapshot reconciliation (data diff): classify every key across
+    * two versions of a table as added / removed / changed / same —
+    * the audit a pipeline runs after a backfill or migration to prove
+    * what actually moved. Snapshot B derives deterministically from
+    * the customer table (key%11 rows deleted, key%7 balances shifted,
+    * synthetic keys appended) so the diff has every outcome. Shape:
+    * rows collapse to (key, row-hash) BEFORE the full-outer join —
+    * comparing hashes, never wide rows — and the classification is
+    * one co-partitioned join + a counts aggregate; at 100 TB both
+    * snapshots bucket by key and the join is co-located.
+    */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "customer")
+    def hashed(df: DataFrame): DataFrame = df.select(
+      col("c_custkey").as("k"),
+      md5(concat_ws("|",
+        col("c_name"), col("c_nationkey"),
+        Quantize.cents(col("c_acctbal")), col("c_mktsegment"))).as("h"))
+    val a = hashed(cust)
+    val b = hashed(
+      cust.where(col("c_custkey") % 11 =!= 0)
+        .withColumn(
+          "c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal"))))
+      .unionByName(
+        cust.where(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"), md5(lit("new")).as("h")))
+    a.select(col("k"), col("h").as("h_a"))
+      .join(b.select(col("k"), col("h").as("h_b")), Seq("k"), "full")
+      .select(
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("same").as("outcome"))
+      .groupBy(col("outcome"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy("outcome")
+  }
+
+  def tableDiffOracle: String = {
+    val rowHash =
+      s"md5(concat_ws('|', c_name, c_nationkey, " +
+        s"${Quantize.centsSql("c_acctbal")}, c_mktsegment))"
+    s"""WITH a AS (SELECT c_custkey k, $rowHash h FROM customer),
+      |b0 AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 11 <> 0),
+      |b AS (
+      |  SELECT c_custkey k, $rowHash h FROM b0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 k, md5('new') h
+      |  FROM customer WHERE c_custkey % 13 = 0)
+      |SELECT CASE WHEN a.k IS NULL THEN 'added'
+      |            WHEN b.k IS NULL THEN 'removed'
+      |            WHEN a.h <> b.h THEN 'changed'
+      |            ELSE 'same' END AS outcome,
+      |  CAST(COUNT(*) AS BIGINT) n_keys
+      |FROM a FULL OUTER JOIN b ON a.k = b.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("dq_audit", dqAudit, Some(dqAuditOracle)))
+    QueryDef("dq_audit", dqAudit, Some(dqAuditOracle)),
+    QueryDef("table_diff", tableDiff, Some(tableDiffOracle)))
 }
