@@ -568,6 +568,59 @@ object Extended {
       |WHERE a_start <= b_end AND b_start <= a_end
       |ORDER BY u.user_id, u.d, i.event_type""".stripMargin
 
+  /** Session-GRAIN output — the table the per-user rollup
+    * ([[sessionizeLag]]) summarizes away: one row per (user, session)
+    * with its interval, duration, event count and value sum. Same
+    * single user-partitioned window pass to number sessions, then one
+    * aggregate keyed by (user, session) — co-partitioned with the
+    * window's own shuffle, so the session table costs nothing extra at
+    * scale. Restricted to user_id < 40 to keep the oracle row count
+    * stable.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .where(col("user_id") < 40)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn(
+        "new_session",
+        when(
+          lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(Quantize.cents(col("value"))).as("sum_cents"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  def sessionStatsOracle: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) us,
+      |    ${Quantize.centsSql("value")} vc
+      |  FROM events WHERE user_id < 40),
+      |flagged AS (
+      |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+      |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(SUM(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, MIN(us) start_us, MAX(us) end_us,
+      |  CAST(COUNT(*) AS BIGINT) n_events,
+      |  CAST(SUM(vc) AS BIGINT) sum_cents,
+      |  MAX(us) - MIN(us) AS duration_us
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   // --- deterministic train/val/test split (reproducible sampling) ---
 
   /** Content-hash split assignment: the first 16 bits of md5 of the
@@ -834,6 +887,7 @@ object Extended {
     QueryDef("gap_fill", gapFill, Some(gapFillOracle)),
     QueryDef("interval_join", intervalJoin, Some(intervalJoinOracle)),
     QueryDef("sessionize_lag", sessionizeLag, Some(sessionizeLagOracle)),
+    QueryDef("session_stats", sessionStats, Some(sessionStatsOracle)),
     QueryDef("train_split", trainSplit, Some(trainSplitOracle)),
     QueryDef("group_topk", groupTopk, Some(groupTopkOracle)),
     QueryDef("nullsafe_join", nullsafeJoin, Some(nullsafeJoinOracle)),
