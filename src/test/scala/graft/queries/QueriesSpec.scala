@@ -293,4 +293,18 @@ class QueriesSpec extends AnyFunSuite {
     for ((id, text) <- docs)
       assert(got(id) == model(text), s"doc $id: '$text'")
   }
+
+  test("invalidateShared drops BOTH shared dedup relations") {
+    // warm both caches (shingle arrays + verified LSH pairs), snapshot
+    // the session's persisted-plan count, invalidate, and require the
+    // count to DROP by two — a stale shared relation after a table
+    // rewrite would silently serve the old snapshot
+    Dedup.dedupClusters(spark, dir).collect() // warms arr + pairs
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before >= 2, s"expected both shared persists, saw $before")
+    Dedup.invalidateShared(spark, dir)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before - 2,
+      s"invalidateShared must unpersist both relations ($before -> $after)")
+  }
 }
