@@ -492,6 +492,71 @@ object Dedup {
        |  MAX(doc) AS max_member
        |FROM comp GROUP BY root ORDER BY cluster_id""".stripMargin
 
+  /** The artifact downstream jobs actually consume: doc_id -> keeper
+    * for EVERY document (docs in no near-dup cluster keep themselves).
+    * Same min-label propagation as [[dedupClusters]] over the shared
+    * pair relation, then a left join from the full doc-id set — the
+    * corpus-sized side never shuffles more than once, and `kept`
+    * (doc == keeper) is the projection a training run filters on.
+    */
+  def dedupKeeperMap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshShared(spark, dir).select(col("a"), col("b"))
+    val edges = pairs
+      .union(pairs.select(col("b"), col("a")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges
+        .groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("root"))
+        .withColumnRenamed("src", "doc")
+        .localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val prop = edges
+          .join(labels, edges("src") === labels("doc"))
+          .select(
+            col("dst").as("doc"), col("root"),
+            lit(null).cast("long").as("old"))
+        val self = labels
+          .select(col("doc"), col("root"), col("root").as("old"))
+        val next = self.unionByName(prop)
+          .groupBy(col("doc"))
+          .agg(min(col("root")).as("root"), min(col("old")).as("old"))
+          .localCheckpoint(eager = false)
+        changed = next.where(col("root") < col("old")).count()
+        labels = next.select(col("doc"), col("root"))
+        iter += 1
+      }
+      require(changed == 0,
+        s"dedupKeeperMap did not converge in $iter rounds")
+      Tables.read(spark, dir, "documents")
+        .select(col("doc_id"))
+        .join(labels.withColumnRenamed("doc", "doc_id"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("keeper"))
+        .withColumn("kept", col("doc_id") === col("keeper"))
+        .orderBy("doc_id")
+    } finally edges.unpersist()
+  }
+
+  def dedupKeeperMapOracle: String =
+    s"""WITH RECURSIVE $ShinglesSql,
+       |$MinhashPairsCtes,
+       |e AS (SELECT a src, b dst FROM lshpairs UNION SELECT b, a FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS doc, dst AS r FROM e
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN e ON reach.r = e.src),
+       |comp AS (
+       |  SELECT doc, least(doc, MIN(r)) AS root FROM reach GROUP BY doc)
+       |SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS keeper,
+       |  (d.doc_id = COALESCE(c.root, d.doc_id)) AS kept
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+       |ORDER BY d.doc_id""".stripMargin
+
   // --- SimHash fingerprints (32-bit, md5-hexchar-parity bits) ---
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
@@ -546,5 +611,6 @@ object Dedup {
     QueryDef("minhash_lsh", minhashLsh, Some(minhashLshOracle)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    QueryDef("dedup_keeper_map", dedupKeeperMap, Some(dedupKeeperMapOracle)),
     QueryDef("simhash", simhash, Some(simhashOracle)))
 }
