@@ -45,15 +45,15 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val firstPass = names.map(n => n -> timed(n))
-    // Re-run the slowest tail and keep min-of-runs: this machine swings
-    // up to +50% under concurrent load, and a one-off spike on a single
+    // Re-run EVERY query and keep min-of-runs: this machine swings up
+    // to +50% under concurrent load, and a one-off spike on a single
     // query otherwise reads as a regression in the round artifact. The
     // min of two runs is a far better estimate of the plan's true cost
-    // than either sample.
-    val retry = firstPass.filter(_._2 >= 0).sortBy(-_._2)
-      .take(math.max(10, names.length / 8)).map(_._1).toSet
+    // than either sample — and retrying all of them keeps the
+    // methodology uniform across queries, so cross-query ratios (e.g.
+    // the SCALE.md 10x table) compare like with like.
     val results = firstPass.map { case (name, t1) =>
-      if (t1 >= 0 && retry(name)) {
+      if (t1 >= 0) {
         val t2 = timed(name)
         name -> (if (t2 >= 0) math.min(t1, t2) else t1)
       } else name -> t1

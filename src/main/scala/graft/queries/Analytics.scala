@@ -195,11 +195,24 @@ object Analytics {
     * join. No banding, no explode, no per-probe interval scan.
     */
   def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    // Adjacent islands of one user can share a valid_from when boundary
+    // events carry identical timestamps; the earlier island's interval
+    // [vf, vf) is then EMPTY, and an as-of probe at a tied time would
+    // pick among equal vf_us rows in arrival order. The oracle's
+    // half-open interval semantics deterministically exclude the
+    // empty-interval version, so tie-break to max(version) per
+    // (d_user, vf_us) — one user-partitioned aggregate over the
+    // already-compacted islands — before the as-of probe.
     val dim = scd2History(spark, dir).select(
-      col("user_id").as("d_user"),
-      col("island").as("version"),
-      col("seg_type"),
-      unix_micros(col("valid_from")).as("vf_us"))
+        col("user_id").as("d_user"),
+        col("island").as("version"),
+        col("seg_type"),
+        unix_micros(col("valid_from")).as("vf_us"))
+      .groupBy(col("d_user"), col("vf_us"))
+      .agg(max(struct(col("version"), col("seg_type"))).as("m"))
+      .select(
+        col("d_user"), col("vf_us"),
+        col("m.version").as("version"), col("m.seg_type").as("seg_type"))
     val probes = Tables.events(spark, dir)
       .where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))

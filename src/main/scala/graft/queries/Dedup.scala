@@ -96,6 +96,8 @@ object Dedup {
     if (df != null) df.unpersist()
     val p = lshPairsCache.remove((spark, dir))
     if (p != null) p.unpersist()
+    val l = ccLabelsCache.remove((spark, dir))
+    if (l != null) l.unpersist()
   }
 
   /** The verified LSH near-dup pair relation, persisted and shared by
@@ -426,7 +428,15 @@ object Dedup {
     * loop converges in a few rounds. Output: one row per cluster,
     * keyed by its keeper (min doc_id).
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Min-label propagation to FIXPOINT over the shared LSH pair graph:
+    * each round is one join + min-aggregate over the LABEL table,
+    * whose size is the number of near-dup DOCS (tiny relative to the
+    * corpus — the pair graph at 100 TB is dedup output, not input
+    * data), and near-dup components have small diameter so the loop
+    * converges in a few rounds. Output: (doc, root) for every doc that
+    * appears in a near-dup pair.
+    */
+  private def ccLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLshShared(spark, dir).select(col("a"), col("b"))
     val edges = pairs
       .union(pairs.select(col("b"), col("a")))
@@ -468,15 +478,39 @@ object Dedup {
       // a silent cap-exit would split one component into bogus
       // clusters (wrong keeper selection) — fail loudly instead
       require(changed == 0,
-        s"dedupClusters did not converge in $iter rounds ($changed labels still moving)")
+        s"ccLabels did not converge in $iter rounds ($changed labels still moving)")
       labels
-        .groupBy(col("root").as("cluster_id"))
-        .agg(
-          count(lit(1)).as("n_members"),
-          max(col("doc")).as("max_member"))
-        .orderBy("cluster_id")
     } finally edges.unpersist()
   }
+
+  /** The CONVERGED label table, computed once per (session, dir) and
+    * shared by both its consumers (`dedup_clusters`, `dedup_keeper_map`)
+    * — without the share each ran its own identical fixpoint loop, so
+    * the whole propagation (a full CC pass at 100 TB) executed twice
+    * per session. Same invalidation as the other shared relations.
+    * labels are localCheckpointed inside [[ccLabels]], so the persist
+    * pins a lineage-free table.
+    */
+  private val ccLabelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[queries] def ccLabelsShared(
+      spark: SparkSession, dir: String): DataFrame = {
+    val stale =
+      ccLabelsCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(ccLabelsCache.remove)
+    ccLabelsCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) => ccLabels(s, d).persist(StorageLevel.MEMORY_AND_DISK) })
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    ccLabelsShared(spark, dir)
+      .groupBy(col("root").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(col("doc")).as("max_member"))
+      .orderBy("cluster_id")
 
   def dedupClustersOracle: String =
     s"""WITH RECURSIVE $ShinglesSql,
@@ -494,52 +528,22 @@ object Dedup {
 
   /** The artifact downstream jobs actually consume: doc_id -> keeper
     * for EVERY document (docs in no near-dup cluster keep themselves).
-    * Same min-label propagation as [[dedupClusters]] over the shared
-    * pair relation, then a left join from the full doc-id set — the
-    * corpus-sized side never shuffles more than once, and `kept`
-    * (doc == keeper) is the projection a training run filters on.
+    * Consumes the SHARED converged label table from [[ccLabelsShared]]
+    * (one fixpoint loop per session, not one per query), then a left
+    * join from the full doc-id set — the corpus-sized side never
+    * shuffles more than once, and `kept` (doc == keeper) is the
+    * projection a training run filters on.
     */
   def dedupKeeperMap(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshShared(spark, dir).select(col("a"), col("b"))
-    val edges = pairs
-      .union(pairs.select(col("b"), col("a")))
-      .toDF("src", "dst")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var labels = edges
-        .groupBy(col("src"))
-        .agg(least(min(col("dst")), col("src")).as("root"))
-        .withColumnRenamed("src", "doc")
-        .localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val prop = edges
-          .join(labels, edges("src") === labels("doc"))
-          .select(
-            col("dst").as("doc"), col("root"),
-            lit(null).cast("long").as("old"))
-        val self = labels
-          .select(col("doc"), col("root"), col("root").as("old"))
-        val next = self.unionByName(prop)
-          .groupBy(col("doc"))
-          .agg(min(col("root")).as("root"), min(col("old")).as("old"))
-          .localCheckpoint(eager = false)
-        changed = next.where(col("root") < col("old")).count()
-        labels = next.select(col("doc"), col("root"))
-        iter += 1
-      }
-      require(changed == 0,
-        s"dedupKeeperMap did not converge in $iter rounds")
-      Tables.read(spark, dir, "documents")
-        .select(col("doc_id"))
-        .join(labels.withColumnRenamed("doc", "doc_id"), Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          coalesce(col("root"), col("doc_id")).as("keeper"))
-        .withColumn("kept", col("doc_id") === col("keeper"))
-        .orderBy("doc_id")
-    } finally edges.unpersist()
+    val labels = ccLabelsShared(spark, dir)
+    Tables.read(spark, dir, "documents")
+      .select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("keeper"))
+      .withColumn("kept", col("doc_id") === col("keeper"))
+      .orderBy("doc_id")
   }
 
   def dedupKeeperMapOracle: String =

@@ -199,7 +199,17 @@ object Similarity {
     * still hash-exact.
     */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = vectors(spark, dir)
+    // the ±1 plane literals are LshMaxDim long, so a longer embedding
+    // would silently truncate to the first LshMaxDim components (and
+    // the verify-side dot kernel would then throw a generic length
+    // mismatch) — fail loudly, naming the cap, before any plane math
+    val rawVecs = vectors(spark, dir)
+    val vecs = rawVecs.withColumn(
+      "v",
+      when(size(col("v")) <= LshMaxDim, col("v")).otherwise(raise_error(concat(
+        lit("dedup_embedding_lsh: embedding dim "),
+        size(col("v")).cast("string"),
+        lit(s" exceeds the $LshMaxDim-dimension hyperplane cap (LshMaxDim)")))))
     val signCols = (0 until LshPlanes).map { h =>
       val w = typedlit((0 until LshMaxDim).map(d => planeWeight(h, d)))
       when(dot(col("v"), slice(w, lit(1), size(col("v")))) > 0, "1")

@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -48,7 +48,16 @@ class EvtStreamSource extends TableProvider {
 }
 
 object EvtStreamSource {
-  val Schema: StructType = StructType(Seq(StructField("value", StringType)))
+  /** `_offset` is the source-assigned GLOBAL line offset (the same
+    * cumulative count the replay offsets use). Downstream delivery
+    * sorts on it, so per-listener wire order is source arrival order
+    * even when one micro-batch spans several input partitions —
+    * `monotonically_increasing_id` would only order within a
+    * partition and interleave across them in partition-id order.
+    */
+  val Schema: StructType = StructType(Seq(
+    StructField("value", StringType),
+    StructField("_offset", LongType, nullable = false)))
 
   /** Test/ops hook: live line counts per source instance key. */
   val buffered = new ConcurrentHashMap[String, Integer]()
@@ -72,7 +81,8 @@ final class EvtStreamTable(properties: util.Map[String, String])
             Option(options.get("mode")).map(Integer.parseInt(_, 8)),
             Option(options.get("owner")),
             Option(options.get("group")),
-            Option(options.get("maxLinesPerBatch")).map(_.toLong))
+            Option(options.get("maxLinesPerBatch")).map(_.toLong),
+            Option(options.get("partitionsPerBatch")).map(_.toInt))
       }
 }
 
@@ -86,11 +96,14 @@ final class EvtStreamMicroBatch(
     socketMode: Option[Int] = None,
     socketOwner: Option[String] = None,
     socketGroup: Option[String] = None,
-    maxLinesPerBatch: Option[Long] = None)
+    maxLinesPerBatch: Option[Long] = None,
+    partitionsPerBatch: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   maxLinesPerBatch.foreach(m => require(m > 0,
     s"maxLinesPerBatch must be positive, got $m (0 would stall the " +
       "stream forever while the driver buffer grows unboundedly)"))
+  partitionsPerBatch.foreach(p => require(p > 0,
+    s"partitionsPerBatch must be positive, got $p"))
   private val lines = ArrayBuffer.empty[String]
   private val running = new AtomicBoolean(true)
   @volatile private var committed = 0L
@@ -245,17 +258,27 @@ final class EvtStreamMicroBatch(
             "is not replayable from a live socket — start a fresh query")
       lines.slice((s - committed).toInt, (e - committed).toInt).toArray
     }
-    Array(LinesPartition(slice))
+    // contiguous chunks so each partition's rows keep consecutive
+    // global offsets; with >1 partition the per-line `_offset` column
+    // is what preserves cross-partition arrival order downstream
+    val nParts = math.max(1, math.min(
+      partitionsPerBatch.getOrElse(1), slice.length))
+    val chunk = (slice.length + nParts - 1) / math.max(nParts, 1)
+    if (slice.isEmpty) Array(LinesPartition(slice, s))
+    else slice.grouped(chunk).zipWithIndex.map { case (rows, i) =>
+      LinesPartition(rows, s + i.toLong * chunk)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
-      val rows = partition.asInstanceOf[LinesPartition].rows
+      val p = partition.asInstanceOf[LinesPartition]
+      val rows = p.rows
       new PartitionReader[InternalRow] {
         private var i = -1
         override def next(): Boolean = { i += 1; i < rows.length }
         override def get(): InternalRow =
-          InternalRow(UTF8String.fromString(rows(i)))
+          InternalRow(UTF8String.fromString(rows(i)), p.startOffset + i)
         override def close(): Unit = ()
       }
     }
@@ -279,4 +302,5 @@ final class EvtStreamMicroBatch(
   }
 }
 
-final case class LinesPartition(rows: Array[String]) extends InputPartition
+final case class LinesPartition(rows: Array[String], startOffset: Long)
+    extends InputPartition

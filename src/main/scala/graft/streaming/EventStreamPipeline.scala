@@ -48,7 +48,11 @@ object EventStreamPipeline {
     */
   def parseLines(lines: DataFrame): DataFrame =
     lines
-      .select(inline(array(from_json(col("value"), envelopeSchema))))
+      .select(
+        // the source's global line offset (when present) survives the
+        // parse so delivery can restore cross-partition arrival order
+        lines.columns.filter(_ == "_offset").map(col).toSeq :+
+          inline(array(from_json(col("value"), envelopeSchema))): _*)
       .where(
         col("action") === "notify" && col("subsystem").isNotNull &&
           col("event").isNotNull && col("id").isNotNull &&

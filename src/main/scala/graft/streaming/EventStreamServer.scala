@@ -32,7 +32,8 @@ final class EventStreamServer(
     socketMode: Option[Int] = None,
     socketOwner: Option[String] = None,
     socketGroup: Option[String] = None,
-    tls: Option[(String, String)] = None) {
+    tls: Option[(String, String)] = None,
+    partitionsPerBatch: Option[Int] = None) {
 
   val sse = new SseServer(httpPort, pingIntervalSec, auth, tls)
 
@@ -42,6 +43,7 @@ final class EventStreamServer(
   socketMode.foreach(m => reader.option("mode", Integer.toOctalString(m)))
   socketOwner.foreach(o => reader.option("owner", o))
   socketGroup.foreach(g => reader.option("group", g))
+  partitionsPerBatch.foreach(p => reader.option("partitionsPerBatch", p.toString))
   private val lines: DataFrame = reader.load()
 
   /** Above this registry size the per-batch plan would unroll too many
@@ -78,10 +80,17 @@ final class EventStreamServer(
   private def deliverBatch(batch: DataFrame, batchId: Long): Unit = {
     val listeners = sse.allListeners
     if (listeners.isEmpty) return
-    // batch order as a sortable tag: monotonically_increasing_id is
-    // (partition << 33 | row-in-partition), so sorting by it restores
-    // source arrival order within each listener's shard
-    val tagged = batch.withColumn("_seq", monotonically_increasing_id())
+    // batch order as a sortable tag: the evtstream source assigns each
+    // line its GLOBAL offset (`_offset`), so sorting by it restores
+    // source arrival order per listener even when a micro-batch spans
+    // several input partitions. The fallback for offset-less batches,
+    // monotonically_increasing_id = (partition << 33 | row-in-
+    // partition), is arrival order only for single-partition sources —
+    // cross-partition it interleaves in partition-id order.
+    val tagged =
+      if (batch.columns.contains("_offset"))
+        batch.withColumn("_seq", col("_offset"))
+      else batch.withColumn("_seq", monotonically_increasing_id())
     val delivered =
       if (listeners.size <= CompiledSubsLimit)
         // the documented pipeline IS the serving plan — reusing it

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{SparkEntry, TestSpark}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Smoke + cross-strategy checks at sf0.001. The authoritative
@@ -294,17 +295,37 @@ class QueriesSpec extends AnyFunSuite {
       assert(got(id) == model(text), s"doc $id: '$text'")
   }
 
-  test("invalidateShared drops BOTH shared dedup relations") {
-    // warm both caches (shingle arrays + verified LSH pairs), snapshot
-    // the session's persisted-plan count, invalidate, and require the
-    // count to DROP by two — a stale shared relation after a table
-    // rewrite would silently serve the old snapshot
-    Dedup.dedupClusters(spark, dir).collect() // warms arr + pairs
+  test("invalidateShared drops ALL shared dedup relations") {
+    // warm all three caches (shingle arrays + verified LSH pairs +
+    // converged CC labels), snapshot the session's persisted-plan
+    // count, invalidate, and require the count to DROP by three — a
+    // stale shared relation after a table rewrite would silently serve
+    // the old snapshot
+    Dedup.dedupClusters(spark, dir).collect() // warms arr + pairs + labels
     val before = spark.sparkContext.getPersistentRDDs.size
-    assert(before >= 2, s"expected both shared persists, saw $before")
+    assert(before >= 3, s"expected all three shared persists, saw $before")
     Dedup.invalidateShared(spark, dir)
     val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after <= before - 2,
-      s"invalidateShared must unpersist both relations ($before -> $after)")
+    assert(after <= before - 3,
+      s"invalidateShared must unpersist all three relations ($before -> $after)")
+  }
+
+  test("dedup_clusters and dedup_keeper_map share ONE converged label table") {
+    // the fixpoint loop must run once per (session, dir): after
+    // clusters ran, keeper_map must not add a persisted relation (it
+    // consumes the shared converged labels instead of re-looping)
+    Dedup.invalidateShared(spark, dir)
+    Dedup.dedupClusters(spark, dir).collect()
+    val afterClusters = spark.sparkContext.getPersistentRDDs.size
+    val keepers = Dedup.dedupKeeperMap(spark, dir)
+    assert(keepers.count() > 0)
+    val afterKeepers = spark.sparkContext.getPersistentRDDs.size
+    assert(afterKeepers == afterClusters,
+      s"keeper_map must reuse the shared labels ($afterClusters -> $afterKeepers)")
+    // keeper invariants still hold on the shared path: every doc maps
+    // to a keeper <= itself, keepers are their own keeper
+    val bad = keepers.where(col("keeper") > col("doc_id")).count()
+    assert(bad == 0, s"$bad docs with keeper > doc_id")
+    Dedup.invalidateShared(spark, dir)
   }
 }

@@ -122,6 +122,39 @@ class EvtStreamSourceSpec extends AnyFunSuite {
     } finally mb.stop()
   }
 
+  test("partitionsPerBatch splits a batch into contiguous offset-correct chunks") {
+    val mb = new EvtStreamMicroBatch(
+      path = None, port = Some(0), partitionsPerBatch = Some(3))
+    try {
+      val port = mb.instanceKey.stripPrefix("tcp:").toInt
+      val ch = SocketChannel.open(new InetSocketAddress("127.0.0.1", port))
+      val w = new OutputStreamWriter(
+        java.nio.channels.Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+      (1 to 7).foreach(i => w.write(s"line-$i\n"))
+      w.flush()
+      val deadline = System.currentTimeMillis() + 10000
+      while (EvtStreamSource.buffered.getOrDefault(mb.instanceKey, 0) < 7
+        && System.currentTimeMillis() < deadline) Thread.sleep(20)
+
+      val parts = mb.planInputPartitions(LineOffset(0), LineOffset(7))
+        .map(_.asInstanceOf[LinesPartition])
+      assert(parts.length == 3)
+      // contiguous chunks, global start offsets, nothing lost
+      assert(parts.map(_.rows.toSeq).toSeq ==
+        Seq(Seq("line-1", "line-2", "line-3"),
+          Seq("line-4", "line-5", "line-6"), Seq("line-7")))
+      assert(parts.map(_.startOffset).toSeq == Seq(0L, 3L, 6L))
+      // a commit shifts the buffer but offsets stay global
+      mb.commit(LineOffset(3))
+      val tail = mb.planInputPartitions(LineOffset(3), LineOffset(7))
+        .map(_.asInstanceOf[LinesPartition])
+      assert(tail.map(_.startOffset).toSeq == Seq(3L, 5L))
+      assert(tail.flatMap(_.rows).toSeq ==
+        Seq("line-4", "line-5", "line-6", "line-7"))
+      ch.close()
+    } finally mb.stop()
+  }
+
   test("non-positive maxLinesPerBatch is rejected at construction") {
     intercept[IllegalArgumentException] {
       new EvtStreamMicroBatch(

@@ -249,6 +249,46 @@ class EndToEndSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("multi-partition source still delivers in per-listener arrival order") {
+    // With partitionsPerBatch > 1 one micro-batch spans several input
+    // partitions; `_seq` derives from the source's GLOBAL line offset
+    // (`_offset`), so per-listener wire order must remain arrival
+    // order — monotonically_increasing_id would interleave partitions
+    // in partition-id order here and scramble it.
+    val sockPath = s"/tmp/graft-mp-${System.nanoTime()}.sock"
+    val server = new EventStreamServer(
+      spark, socketPath = Some(sockPath), pingIntervalSec = 3600,
+      partitionsPerBatch = Some(4))
+    try {
+      val a = httpGet(server.sse.actualPort, "/events?subsystem=jobs")
+      val b = httpGet(server.sse.actualPort, "/events?subsystem=jobs")
+      readAvailable(a, "\r\n\r\n"); readAvailable(b, "\r\n\r\n")
+
+      val n = 40
+      val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+      ch.connect(UnixDomainSocketAddress.of(sockPath))
+      val pw = new OutputStreamWriter(
+        Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+      for (i <- 1 to n)
+        pw.write(s"""{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": $i}, "id": "m$i"}""" + "\n")
+      pw.flush()
+      val deadline = System.currentTimeMillis() + 15000
+      while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < n
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      server.processAllAvailable()
+
+      for (sub <- Seq(a, b)) {
+        val body = readAvailable(sub, s"id: m$n\r\n")
+        val positions = (1 to n).map(i => body.indexOf(s"id: m$i\r\n"))
+        assert(positions.forall(_ >= 0), got(body))
+        assert(positions == positions.sorted,
+          s"multi-partition delivery order broken: ${positions.zipWithIndex
+            .filter { case (p, i) => i > 0 && p < positions(i - 1) }.take(3)}")
+      }
+      a.close(); b.close(); ch.close()
+    } finally server.close()
+  }
+
   test("large registry takes the dynamic broadcast-join delivery path") {
     // above CompiledSubsLimit (64) the server switches from
     // plan-compiled predicates to the broadcast-join + runtime
