@@ -12,6 +12,24 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.LongType
 
+/** Match direction of the as-of operator — the pandas `merge_asof
+  * direction` triple:
+  *   - [[AsOfDirection.Backward]]: greatest right time <= left time
+  *     (`<` when strict) — the default, DuckDB `l.t >= r.t`.
+  *   - [[AsOfDirection.Forward]]: smallest right time >= left time
+  *     (`>` when strict) — DuckDB `l.t <= r.t`.
+  *   - [[AsOfDirection.Nearest]]: whichever of the backward/forward
+  *     candidates has the smaller absolute gap, backward winning ties;
+  *     with a tolerance each candidate is filtered by it BEFORE the
+  *     pick. Strict mode is not defined for nearest.
+  */
+sealed trait AsOfDirection
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
+}
+
 /** Whole-operator as-of join as a first-class Catalyst operator — the
   * (c) tier of the custom-operator ladder: LogicalPlan + SparkStrategy
   * + SparkPlan, registered per session via `experimental.extraStrategies`
@@ -24,6 +42,9 @@ import org.apache.spark.sql.types.LongType
   * DuckDB's `ASOF LEFT JOIN ... ON l.k1 = r.k1 [AND ...] AND l.t >= r.t`.
   * `strict` switches the comparison to `<`; `toleranceUs` voids
   * matches older than the gap (pandas merge_asof's mode pair).
+  * `direction` generalizes to forward (smallest time at-or-after) and
+  * nearest (smaller absolute gap of the two, backward on ties) — see
+  * [[AsOfDirection]].
   *
   * Physical shape — the one you'd want at 100 TB:
   *   - `requiredChildDistribution` clusters both sides on the keys:
@@ -50,11 +71,15 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     strict: Boolean = false,
-    toleranceUs: Option[Long] = None)
+    toleranceUs: Option[Long] = None,
+    direction: AsOfDirection = AsOfDirection.Backward)
   extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of requires one or more key columns, the same number per side")
+  require(direction != AsOfDirection.Nearest || !strict,
+    "nearest as-of does not define a strict mode (exclude exact matches " +
+      "by filtering instead)")
   // enforced HERE, not only in the DataFrame helper: the node is
   // public (ExtensionsSpec constructs it directly) and the exec's key
   // ordering is built from the LEFT types — a mismatched right key
@@ -127,7 +152,71 @@ object AsOfJoin {
       leftKeys: Seq[String], leftTime: String,
       rightKeys: Seq[String], rightTime: String,
       strict: Boolean = false,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None): DataFrame =
+    joinMulti(
+      left, right, leftKeys, leftTime, rightKeys, rightTime,
+      strict, toleranceUs, AsOfDirection.Backward)
+
+  /** Single-key convenience form of [[forwardMulti]]. */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      strict: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame =
+    forwardMulti(
+      left, right, Seq(leftKey), leftTime, Seq(rightKey), rightTime,
+      strict, toleranceUs)
+
+  /** FORWARD as-of: for every left row, the right row with the same
+    * key tuple and the SMALLEST time >= the left time (`>` when
+    * strict; ties on equal right time resolved by right sort order —
+    * the FIRST such row). The symmetric merge of [[backwardMulti]];
+    * `toleranceUs` voids matches further ahead than the gap.
+    */
+  def forwardMulti(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], leftTime: String,
+      rightKeys: Seq[String], rightTime: String,
+      strict: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame =
+    joinMulti(
+      left, right, leftKeys, leftTime, rightKeys, rightTime,
+      strict, toleranceUs, AsOfDirection.Forward)
+
+  /** Single-key convenience form of [[nearestMulti]]. */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame =
+    nearestMulti(
+      left, right, Seq(leftKey), leftTime, Seq(rightKey), rightTime,
+      toleranceUs)
+
+  /** NEAREST as-of: of the backward candidate (greatest time <= left)
+    * and the forward candidate (smallest time >= left), the one with
+    * the smaller absolute gap — backward wins ties. A tolerance
+    * filters EACH candidate before the pick (pandas
+    * `merge_asof(direction='nearest', tolerance=...)`). No strict
+    * mode.
+    */
+  def nearestMulti(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], leftTime: String,
+      rightKeys: Seq[String], rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame =
+    joinMulti(
+      left, right, leftKeys, leftTime, rightKeys, rightTime,
+      strict = false, toleranceUs, AsOfDirection.Nearest)
+
+  private def joinMulti(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], leftTime: String,
+      rightKeys: Seq[String], rightTime: String,
+      strict: Boolean,
+      toleranceUs: Option[Long],
+      direction: AsOfDirection): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"as-of sides must have disjoint column names, both have: $overlap")
@@ -170,7 +259,8 @@ object AsOfJoin {
         s"as-of time columns must be BIGINT (unix micros), ${a.name} is ${a.dataType}")
     }
     PlanBridge.ofRows(
-      spark, AsOfJoin(lPlan, rPlan, lks, rks, lt, rt, strict, toleranceUs))
+      spark,
+      AsOfJoin(lPlan, rPlan, lks, rks, lt, rt, strict, toleranceUs, direction))
   }
 
   /** Idempotently add the planner strategy to a session. Synchronized:
@@ -201,7 +291,7 @@ object AsOfJoin {
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lks, rks, lt, rt, strict, tol) =>
+    case AsOfJoin(l, r, lks, rks, lt, rt, strict, tol, dir) =>
       // a true self-join constructed directly from one relation
       // (skipping backwardMulti's re-alias) carries duplicate
       // attribute ids across sides; downstream resolution against the
@@ -217,10 +307,10 @@ object AsOfJoinStrategy extends SparkStrategy {
       val size = r.stats.sizeInBytes
       if (threshold > 0 && size >= 0 && size <= threshold)
         BroadcastAsOfJoinExec(
-          lks, rks, lt, rt, strict, tol, planLater(l), planLater(r)) :: Nil
+          lks, rks, lt, rt, strict, tol, dir, planLater(l), planLater(r)) :: Nil
       else
         AsOfJoinExec(
-          lks, rks, lt, rt, strict, tol, planLater(l), planLater(r)) :: Nil
+          lks, rks, lt, rt, strict, tol, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -258,6 +348,7 @@ case class BroadcastAsOfJoinExec(
     rightTime: Expression,
     strict: Boolean,
     toleranceUs: Option[Long],
+    direction: AsOfDirection,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -294,6 +385,12 @@ case class BroadcastAsOfJoinExec(
     val isStrict = strict
     val hasTol = toleranceUs.isDefined
     val tol = toleranceUs.getOrElse(Long.MaxValue)
+    // 0 = backward, 1 = forward, 2 = nearest (plain int for the hot loop)
+    val mode = direction match {
+      case AsOfDirection.Backward => 0
+      case AsOfDirection.Forward => 1
+      case AsOfDirection.Nearest => 2
+    }
     left.execute().mapPartitions { lIter =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
@@ -347,31 +444,57 @@ case class BroadcastAsOfJoinExec(
         if (lKey.anyNull || lTimeV == null) proj(joined(l, nullRight))
         else {
           val t = lTimeV.asInstanceOf[Long]
-          // upper bound: first index whose (key, time) exceeds the
-          // target — entries with this key and an eligible time rank
-          // below it, so idx = lo - 1 is the LAST eligible row
+          // ONE search serves both directions: rows at the cut's "below"
+          // side rank c < 0, so idxB = lo - 1 is the LAST below-cut row
+          // (the backward candidate) and idxF = lo the FIRST at-or-
+          // above-cut row (the forward candidate). `backIncl` decides
+          // which side equal times belong to: backward non-strict and
+          // forward strict put them below (<= t); forward non-strict
+          // puts them above so an exact match is found ahead. Nearest
+          // uses below — an equal-time row is then the gap-0 backward
+          // candidate, which wins the pick anyway (ties → backward).
+          val backIncl = if (mode == 1) isStrict else mode == 2 || !isStrict
           var lo = 0; var hi = n
           while (lo < hi) {
             val mid = (lo + hi) >>> 1
             val c = {
               val ck = keyOrd.compare(keys(mid), lKey)
               if (ck != 0) ck
-              else if (if (isStrict) times(mid) < t else times(mid) <= t) -1
+              else if (if (backIncl) times(mid) <= t else times(mid) < t) -1
               else 1
             }
             if (c < 0) lo = mid + 1 else hi = mid
           }
-          val idx = lo - 1
-          val eligible = idx >= 0 && keyOrd.compare(keys(idx), lKey) == 0
-          // tolerance at emit, identical to the merge exec: the found
-          // row has the MAXIMAL eligible time, so if even it is too
-          // old every other candidate is older; a negative gap is
-          // Long overflow (gap > Long.MaxValue) and must void
-          val matched = eligible && {
-            val gap = t - times(idx)
-            !hasTol || (gap >= 0 && gap <= tol)
-          }
-          proj(joined(l, if (matched) rows(idx) else nullRight))
+          val idxB = lo - 1
+          val backOk = mode != 1 && idxB >= 0 &&
+            keyOrd.compare(keys(idxB), lKey) == 0 && {
+              // tolerance at emit, identical to the merge exec: the
+              // found row has the MAXIMAL eligible time, so if even it
+              // is too old every other candidate is older; a negative
+              // gap is Long overflow (gap > Long.MaxValue) and voids
+              val gap = t - times(idxB)
+              !hasTol || (gap >= 0 && gap <= tol)
+            }
+          val idxF = lo
+          val fwdOk = mode != 0 && idxF < n &&
+            keyOrd.compare(keys(idxF), lKey) == 0 && {
+              val gap = times(idxF) - t
+              !hasTol || (gap >= 0 && gap <= tol)
+            }
+          val matched: InternalRow =
+            if (mode == 0) { if (backOk) rows(idxB) else nullRight }
+            else if (mode == 1) { if (fwdOk) rows(idxF) else nullRight }
+            else {
+              // nearest: smaller absolute gap wins, backward on ties;
+              // an overflowed (negative) gap ranks as infinitely far
+              def norm(g: Long) = if (g < 0) Long.MaxValue else g
+              if (backOk && (!fwdOk ||
+                  norm(t - times(idxB)) <= norm(times(idxF) - t)))
+                rows(idxB)
+              else if (fwdOk) rows(idxF)
+              else nullRight
+            }
+          proj(joined(l, matched))
         }
       }
     }
@@ -385,6 +508,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     strict: Boolean,
     toleranceUs: Option[Long],
+    direction: AsOfDirection,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -428,6 +552,12 @@ case class AsOfJoinExec(
     val isStrict = strict
     val hasTol = toleranceUs.isDefined
     val tol = toleranceUs.getOrElse(Long.MaxValue)
+    // 0 = backward, 1 = forward, 2 = nearest (plain int for the hot loop)
+    val mode = direction match {
+      case AsOfDirection.Backward => 0
+      case AsOfDirection.Forward => 1
+      case AsOfDirection.Nearest => 2
+    }
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
@@ -463,10 +593,19 @@ case class AsOfJoinExec(
           if (best != null && keyOrd.compare(bestKey, lKey) != 0) best = null
           // ONE loop, ONE key projection per right-head visit: skip
           // tuples before this key (null-containing right keys can
-          // never match and are skipped the same way), then consume
-          // this key's rows up to time t (strictly before t in strict
-          // mode); later rows stay for the next left row (left times
-          // ascend within the key)
+          // never match and are skipped the same way), then pass this
+          // key's rows up to the cut — backward/nearest BUFFER the last
+          // passed row (`best`), forward just discards them (a later
+          // left row has a later time, so they stay ineligible). Rows
+          // at-or-past the cut stay for the next left row; in forward
+          // mode the head IS the candidate and is NOT consumed (later
+          // left rows may match the same row). The cut puts equal
+          // times below for backward non-strict / forward strict /
+          // nearest, above for the rest — mirroring the broadcast
+          // exec's bound (nearest claims equal times as the gap-0
+          // backward candidate, which wins the pick anyway).
+          val consumeIncl =
+            if (mode == 1) isStrict else mode == 2 || !isStrict
           var scanning = true
           while (scanning && rHead != null) {
             val rKey = rKeyProj(rHead)
@@ -478,25 +617,55 @@ case class AsOfJoinExec(
               if (rtV == null) advance() // null time never matches
               else {
                 val rTime = rtV.asInstanceOf[Long]
-                if (if (isStrict) rTime < t else rTime <= t) {
-                  best = rHead.copy(); bestKey = lKey.copy(); bestTime = rTime
+                if (if (consumeIncl) rTime <= t else rTime < t) {
+                  if (mode != 1) {
+                    best = rHead.copy(); bestKey = lKey.copy(); bestTime = rTime
+                  }
                   advance()
                 } else scanning = false
               }
             } else scanning = false
           }
+          // forward candidate: the unconsumed head, when it is this
+          // key's first at-or-past-cut row (null keys/times can't
+          // reach here unconsumed for an equal key — they advance)
+          var fwdRow: InternalRow = null
+          var fwdTime = 0L
+          if (mode != 0 && rHead != null) {
+            val rKey = rKeyProj(rHead)
+            if (!rKey.anyNull && keyOrd.compare(rKey, lKey) == 0) {
+              val rtV = rt.eval(rHead)
+              if (rtV != null) {
+                fwdRow = rHead; fwdTime = rtV.asInstanceOf[Long]
+              }
+            }
+          }
           // tolerance check at emit equals pre-filtering candidates by
-          // gap: `best` holds the MAXIMAL eligible right time, so if
-          // even it is too old every other eligible row is older. It
-          // stays buffered — a later left row only voids it again,
-          // never wrongly matches it. Eligibility means bestTime <= t,
-          // so the true gap is non-negative; a negative difference is
-          // Long overflow (gap > Long.MaxValue) and must void — but
-          // only when a tolerance is set (without one, any gap keeps).
-          val gap = t - bestTime
-          val matched = best != null &&
-            (!hasTol || (gap >= 0 && gap <= tol))
-          proj(joined(l, if (matched) best else nullRight))
+          // gap: `best` holds the MAXIMAL backward-eligible right time
+          // (and the head the MINIMAL forward-eligible), so if even it
+          // is too far every other candidate is farther. `best` stays
+          // buffered — a later left row only voids it again, never
+          // wrongly matches it. Eligible gaps are non-negative; a
+          // negative difference is Long overflow (gap > Long.MaxValue)
+          // and must void — but only when a tolerance is set (without
+          // one, any gap keeps; for the nearest PICK an overflowed gap
+          // ranks as infinitely far).
+          val gapB = t - bestTime
+          val backOk = mode != 1 && best != null &&
+            (!hasTol || (gapB >= 0 && gapB <= tol))
+          val gapF = fwdTime - t
+          val fwdOk = mode != 0 && fwdRow != null &&
+            (!hasTol || (gapF >= 0 && gapF <= tol))
+          val out: InternalRow =
+            if (mode == 0) { if (backOk) best else nullRight }
+            else if (mode == 1) { if (fwdOk) fwdRow else nullRight }
+            else {
+              def norm(g: Long) = if (g < 0) Long.MaxValue else g
+              if (backOk && (!fwdOk || norm(gapB) <= norm(gapF))) best
+              else if (fwdOk) fwdRow
+              else nullRight
+            }
+          proj(joined(l, out))
         }
       }
     }

@@ -137,8 +137,86 @@ object NativePlans {
       |ON p.user_id = c.c_user_id AND p.kh = c.c_kh AND p.us >= c.click_us
       |ORDER BY p.event_id""".stripMargin
 
+  /** `asof_forward`: for every purchase, the NEXT click by the same
+    * user at-or-after it — the forward direction of the native
+    * operator (time-to-next-action, the retention-analysis shape).
+    * Same physical plan as backward: one exchange per side, linear
+    * merge with the head as the unconsumed forward candidate; DuckDB
+    * oracles it directly with the `<=` ASOF comparator.
+    */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(spark, dir)
+    AsOfJoin.forward(
+        purchases, clicks,
+        leftKey = "user_id", leftTime = "us",
+        rightKey = "c_user_id", rightTime = "click_us")
+      .select(
+        col("event_id"), col("user_id"), col("click_id"), col("click_us"))
+      .orderBy("event_id")
+  }
+
+  def asofForwardOracle: String =
+    """SELECT p.event_id, p.user_id, c.click_id, c.click_us
+      |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |     (SELECT user_id AS c_user_id,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |             max(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
+      |ON p.user_id = c.c_user_id AND p.us <= c.click_us
+      |ORDER BY p.event_id""".stripMargin
+
+  /** `asof_nearest`: the click CLOSEST in time to each purchase,
+    * backward winning exact ties — one merge pass tracking both
+    * directional candidates. DuckDB has no nearest ASOF, so the
+    * oracle runs both directional ASOF joins and picks the smaller
+    * gap with the same tie rule.
+    */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(spark, dir)
+    AsOfJoin.nearest(
+        purchases, clicks,
+        leftKey = "user_id", leftTime = "us",
+        rightKey = "c_user_id", rightTime = "click_us")
+      .select(
+        col("event_id"), col("user_id"), col("click_id"), col("click_us"))
+      .orderBy("event_id")
+  }
+
+  def asofNearestOracle: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id AS c_user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |         max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |b AS (
+      |  SELECT p.event_id, c.click_id b_id, c.click_us b_us
+      |  FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.c_user_id AND p.us >= c.click_us),
+      |f AS (
+      |  SELECT p.event_id, c.click_id f_id, c.click_us f_us
+      |  FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.c_user_id AND p.us <= c.click_us)
+      |SELECT p.event_id, p.user_id,
+      |  CASE WHEN b_us IS NOT NULL
+      |         AND (f_us IS NULL OR p.us - b_us <= f_us - p.us)
+      |       THEN b_id ELSE f_id END AS click_id,
+      |  CASE WHEN b_us IS NOT NULL
+      |         AND (f_us IS NULL OR p.us - b_us <= f_us - p.us)
+      |       THEN b_us ELSE f_us END AS click_us
+      |FROM p
+      |JOIN b ON p.event_id = b.event_id
+      |JOIN f ON p.event_id = f.event_id
+      |ORDER BY p.event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("asof_native", asofNative, Some(asofNativeOracle)),
     QueryDef("asof_strict", asofStrict, Some(asofStrictOracle)),
-    QueryDef("asof_multi", asofMulti, Some(asofMultiOracle)))
+    QueryDef("asof_multi", asofMulti, Some(asofMultiOracle)),
+    QueryDef("asof_forward", asofForward, Some(asofForwardOracle)),
+    QueryDef("asof_nearest", asofNearest, Some(asofNearestOracle)))
 }

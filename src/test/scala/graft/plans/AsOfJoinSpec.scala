@@ -203,6 +203,128 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("forward as-of: smallest time at-or-after, per-key, left-outer") {
+    bothPaths {
+      val got = AsOfJoin.forward(left, right, "k", "t", "rk", "rt")
+        .select(col("id"), col("rt"), col("rv")).collect()
+        .map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+      assert(got(1L) == ((200L, "a"))) // next row ahead
+      assert(got(2L) == ((200L, "a"))) // exactly AT: inclusive
+      assert(got(3L) == ((300L, "c"))) // between rows: the later one
+      assert(got(4L) == ((null, null))) // nothing ahead
+      assert(got(5L) == ((null, null))) // key absent
+      assert(got(6L) == ((600L, "z"))) // key whose rows are all later
+    }
+  }
+
+  test("forward strict excludes equal times; forward tolerance voids far rows") {
+    bothPaths {
+      val strict = AsOfJoin.forward(left, right, "k", "t", "rk", "rt",
+          strict = true)
+        .select(col("id"), col("rt")).collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(strict(1L) == 200L)
+      assert(strict(2L) == 240L) // t=200: the equal-time row is skipped
+      val tol = AsOfJoin.forward(left, right, "k", "t", "rk", "rt",
+          toleranceUs = Some(50L))
+        .select(col("id"), col("rt")).collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(tol(1L) == null) // gap 100 > 50: voided
+      assert(tol(2L) == 200L) // gap 0
+      assert(tol(3L) == 300L) // gap 50 <= 50
+      assert(tol(6L) == null) // gap 100: voided
+    }
+  }
+
+  test("nearest as-of: smaller gap wins, backward takes ties") {
+    bothPaths {
+      val got = AsOfJoin.nearest(left, right, "k", "t", "rk", "rt")
+        .select(col("id"), col("rt"), col("rv")).collect()
+        .map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+      assert(got(1L) == ((200L, "a"))) // only a forward candidate
+      assert(got(2L) == ((200L, "a"))) // exact: gap-0 backward
+      assert(got(3L) == ((240L, "b"))) // back gap 10 < fwd gap 50
+      assert(got(4L) == ((300L, "c"))) // only a backward candidate
+      assert(got(5L) == ((null, null)))
+      assert(got(6L) == ((600L, "z"))) // only forward
+      // exact tie: t=270 sits 30 from 240 and 30 from 300 — backward
+      val tie = AsOfJoin.nearest(
+          Seq((1L, 10L, 270L)).toDF("id", "k", "t"), right,
+          "k", "t", "rk", "rt")
+        .select(col("rt")).head().get(0)
+      assert(tie == 240L)
+      // tolerance filters each side before the pick
+      val tol = AsOfJoin.nearest(left, right, "k", "t", "rk", "rt",
+          toleranceUs = Some(40L))
+        .select(col("id"), col("rt")).collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(tol(3L) == 240L) // gap 10 passes
+      assert(tol(4L) == null) // gap 600: both sides out of tolerance
+      assert(tol(1L) == null) // fwd gap 100 > 40
+    }
+  }
+
+  test("nearest + strict is rejected at node construction") {
+    val r = right.select(right.columns.map(c => col(c).as(c)): _*)
+    def attr(df: DataFrame, n: String) =
+      df.queryExecution.analyzed.output.find(_.name == n).get
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin(
+        left.queryExecution.analyzed, r.queryExecution.analyzed,
+        Seq(attr(left, "k")), Seq(attr(r, "rk")),
+        attr(left, "t"), attr(r, "rt"),
+        strict = true, direction = AsOfDirection.Nearest))
+    assert(e.getMessage.contains("nearest"))
+  }
+
+  test("property: forward and nearest match declarative references") {
+    import org.scalacheck.{Gen, rng}
+    def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+      (0 until n).flatMap(i =>
+        g.apply(Gen.Parameters.default, rng.Seed(seed + i)))
+    // forward reference: min (rt, rv) among same-key rows with rt >= t
+    def refForward(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("k") === col("rk") && col("rt") >= col("t"), "left")
+        .groupBy(col("id"), col("k"), col("t"))
+        .agg(min(struct(col("rt"), col("rv"))).as("m"))
+        .select(col("id"), col("m.rt").as("rt"), col("m.rv").as("rv"))
+    // nearest reference: min (|rt-t|, rt, rv) among ALL same-key rows —
+    // the global gap-minimal row is one of the two directional
+    // candidates, and (gap, rt) ordering gives backward the tie
+    def refNearest(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("k") === col("rk"), "left")
+        .groupBy(col("id"), col("k"), col("t"))
+        .agg(min(struct(
+          abs(col("rt") - col("t")), col("rt"), col("rv"))).as("m"))
+        .select(col("id"), col("m.rt").as("rt"), col("m.rv").as("rv"))
+    val keyGen = Gen.chooseNum(1L, 8L)
+    val timeGen = Gen.chooseNum(-50L, 50L)
+    for (seed <- 0 to 2) {
+      val leftRows = sample(Gen.zip(keyGen, timeGen), 120, 4000L * seed)
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rightRows = sample(Gen.zip(keyGen, timeGen), 80, 99L * seed)
+        .distinct.zipWithIndex
+        .map { case ((k, t), i) => (k, t, s"r$i") }
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val l = leftRows.toDF("id", "k", "t")
+      val r = rightRows.toDF("rk", "rt", "rv")
+      val expF = asRows(refForward(l, r))
+      val expN = asRows(refNearest(l, r))
+      for (parts <- Seq(1, 3)) {
+        bothPaths {
+          val gotF = AsOfJoin.forward(
+              l.repartition(parts), r.repartition(parts), "k", "t", "rk", "rt")
+            .select(col("id"), col("rt"), col("rv"))
+          assert(asRows(gotF) === expF, s"forward seed=$seed parts=$parts")
+          val gotN = AsOfJoin.nearest(
+              l.repartition(parts), r.repartition(parts), "k", "t", "rk", "rt")
+            .select(col("id"), col("rt"), col("rv"))
+          assert(asRows(gotN) === expN, s"nearest seed=$seed parts=$parts")
+        }
+      }
+    }
+  }
+
   test("ambiguous column names on one side fail loudly") {
     val dup = left.join(right, col("k") === col("rk"))
       .select(col("id"), col("k"), col("t"), col("rt").as("t2"))
