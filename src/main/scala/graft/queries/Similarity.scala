@@ -623,6 +623,64 @@ object Similarity {
        |SELECT q_id, rnk, vec_id AS neighbor, ad2 FROM ranked
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  // --- ANN quality gate: recall@3 of every approximate method ---
+
+  /** The answer-quality counterpart of the cost benchmarks: recall@3
+    * of each approximate family (IVF, refined IVF, multi-probe, LSH,
+    * PQ) against the brute-force ground truth on the same 10 queries.
+    * Everything upstream is integer-exact, so the recall VALUES are
+    * deterministic and hash-pinned by the oracle — a silent recall
+    * regression (e.g. a centroid-assignment tie-break drift) fails the
+    * gate even when each method's own query still looks plausible.
+    * The truth set is localCheckpointed (tiny: 30 rows) so the brute
+    * pipeline runs once, not once per method.
+    */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = knnBrute(spark, dir).where(col("rnk") <= 3)
+      .select(col("q_id"), col("neighbor"))
+      .localCheckpoint(eager = false)
+    val denom = truth.agg(count(lit(1)).as("n_truth"))
+    def scored(name: String, df: DataFrame): DataFrame =
+      df.select(col("q_id"), col("neighbor"))
+        .join(broadcast(truth), Seq("q_id", "neighbor"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"))
+    Seq(
+        scored("knn_ivf", knnIvf(spark, dir)),
+        scored("knn_ivf_kmeans", knnIvfKmeans(spark, dir)),
+        scored("knn_ivf_probe2", knnIvfProbe2(spark, dir)),
+        scored("knn_lsh", knnLsh(spark, dir)),
+        scored("knn_pq", knnPq(spark, dir)))
+      .reduce(_.unionByName(_))
+      .crossJoin(broadcast(denom))
+      .select(
+        col("method"), col("hits"), col("n_truth"),
+        (col("hits").cast("double") / col("n_truth")).as("recall_at_3"))
+      .orderBy("method")
+  }
+
+  def knnRecallOracle: String = {
+    def m(name: String, sub: String): String =
+      s"""SELECT '$name' AS method, CAST(count(*) AS BIGINT) hits
+         |FROM ($sub) x JOIN truth USING (q_id, neighbor)""".stripMargin
+    s"""WITH truth AS (
+       |  SELECT q_id, neighbor FROM ($knnBruteOracle) b WHERE rnk <= 3),
+       |tn AS (SELECT CAST(count(*) AS BIGINT) n_truth FROM truth),
+       |ms AS (
+       |${m("knn_ivf", knnIvfOracle)}
+       |UNION ALL
+       |${m("knn_ivf_kmeans", knnIvfKmeansOracle)}
+       |UNION ALL
+       |${m("knn_ivf_probe2", knnIvfProbe2Oracle)}
+       |UNION ALL
+       |${m("knn_lsh", knnLshOracle)}
+       |UNION ALL
+       |${m("knn_pq", knnPqOracle)})
+       |SELECT method, hits, n_truth,
+       |  CAST(hits AS DOUBLE) / n_truth AS recall_at_3
+       |FROM ms CROSS JOIN tn ORDER BY method""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
     QueryDef("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
@@ -633,5 +691,6 @@ object Similarity {
     QueryDef("knn_ivf_kmeans", knnIvfKmeans, Some(knnIvfKmeansOracle)),
     QueryDef("knn_ivf_probe2", knnIvfProbe2, Some(knnIvfProbe2Oracle)),
     QueryDef("knn_lsh", knnLsh, Some(knnLshOracle)),
-    QueryDef("knn_pq", knnPq, Some(knnPqOracle)))
+    QueryDef("knn_pq", knnPq, Some(knnPqOracle)),
+    QueryDef("knn_recall", knnRecall, Some(knnRecallOracle)))
 }

@@ -295,6 +295,16 @@ class QueriesSpec extends AnyFunSuite {
       assert(got(id) == model(text), s"doc $id: '$text'")
   }
 
+  test("knn_recall: probing more cells never lowers recall; range sane") {
+    val rows = Similarity.knnRecall(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet == Set(
+      "knn_ivf", "knn_ivf_kmeans", "knn_ivf_probe2", "knn_lsh", "knn_pq"))
+    assert(rows.values.forall(v => v >= 0.0 && v <= 1.0), rows)
+    // probe2 searches a STRICT superset of ivf's candidate cells
+    assert(rows("knn_ivf_probe2") >= rows("knn_ivf"), rows)
+  }
+
   test("invalidateShared drops ALL shared dedup relations") {
     // warm all three caches (shingle arrays + verified LSH pairs +
     // converged CC labels), snapshot the session's persisted-plan
