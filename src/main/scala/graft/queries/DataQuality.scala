@@ -174,7 +174,58 @@ object DataQuality {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** `column_profile`: the per-column profile a data catalog keeps —
+    * null count, distinct count, min/max — for every audited column of
+    * `orders`, in ONE aggregation pass over one scan (Spark plans the
+    * multi-distinct agg with one expand, not one scan per column).
+    * Min/max compute on the NATIVE type and cast to VARCHAR only for
+    * the unpivoted report, so numeric/date ordering is never string
+    * ordering; the price column profiles in exact cents.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.read(spark, dir, "orders")
+      .withColumn("cents", Quantize.cents(col("o_totalprice")))
+    def prof(name: String, c: String) = struct(
+      lit(name).as("column_name"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("string").as("min_v"),
+      max(col(c)).cast("string").as("max_v"))
+    orders
+      .agg(
+        prof("o_orderkey", "o_orderkey").as("p1"),
+        prof("o_custkey", "o_custkey").as("p2"),
+        prof("o_orderpriority", "o_orderpriority").as("p3"),
+        prof("o_orderdate", "o_orderdate").as("p4"),
+        prof("o_totalprice_cents", "cents").as("p5"))
+      .select(explode(array(
+        col("p1"), col("p2"), col("p3"), col("p4"), col("p5"))).as("p"))
+      .select(
+        col("p.column_name"), col("p.n_null"), col("p.n_distinct"),
+        col("p.min_v"), col("p.max_v"))
+      .orderBy("column_name")
+  }
+
+  def columnProfileOracle: String = {
+    def prof(name: String, c: String) =
+      s"""SELECT '$name' column_name,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) min_v, CAST(MAX($c) AS VARCHAR) max_v
+         |FROM o""".stripMargin
+    s"""WITH o AS (
+       |  SELECT *, ${Quantize.centsSql("o_totalprice")} cents FROM orders)
+       |SELECT * FROM (
+       |${prof("o_orderkey", "o_orderkey")}
+       |UNION ALL ${prof("o_custkey", "o_custkey")}
+       |UNION ALL ${prof("o_orderpriority", "o_orderpriority")}
+       |UNION ALL ${prof("o_orderdate", "o_orderdate")}
+       |UNION ALL ${prof("o_totalprice_cents", "cents")})
+       |ORDER BY column_name""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dq_audit", dqAudit, Some(dqAuditOracle)),
+    QueryDef("column_profile", columnProfile, Some(columnProfileOracle)),
     QueryDef("table_diff", tableDiff, Some(tableDiffOracle)))
 }

@@ -352,6 +352,64 @@ object Dedup {
        |$MinhashPairsCtes
        |SELECT a, b, jacc FROM lshpairs ORDER BY a, b""".stripMargin
 
+  /** `minhash_containment`: ASYMMETRIC near-dup mining — containment
+    * C(a,b) = |A∩B| / min(|A|,|B|) flags a document that is a subset
+    * of a larger one (quote-plus-commentary, boilerplate-wrapped
+    * copies) even when Jaccard is low because the sizes differ. Same
+    * bounded LSH band candidates and in-row array-intersect verify as
+    * [[minhashLsh]]; only the final ratio differs. (Band recall is
+    * Jaccard-driven, so extreme-size-ratio subsets may not collide —
+    * the standard minhash-containment trade-off, shared with the
+    * oracle by construction.)
+    */
+  def minhashContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docarr = docShingleArraysShared(spark, dir)
+    val bands = minhashBands(docarr)
+    val candidates = bands.select(col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(
+        bands.select(col("band"), col("bkey"), col("doc_id").as("b")),
+        Seq("band", "bkey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    candidates
+      .join(docarr.select(col("doc_id").as("a"), col("arr").as("arr_a")), "a")
+      .join(docarr.select(col("doc_id").as("b"), col("arr").as("arr_b")), "b")
+      .select(
+        col("a"), col("b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("inter"),
+        size(col("arr_a")).cast("long").as("na"),
+        size(col("arr_b")).cast("long").as("nb"))
+      .withColumn(
+        "containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= 0.7)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        col("containment"))
+      .orderBy("a", "b")
+  }
+
+  def minhashContainmentOracle: String =
+    s"""WITH $ShinglesSql,
+       |$BandsCtes,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id a, y.doc_id b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, CAST(count(*) AS BIGINT) inter
+       |  FROM cand c JOIN sh x ON x.doc_id = c.a
+       |  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+       |  GROUP BY c.a, c.b)
+       |SELECT i.a, i.b, inter, sa.n na, sb.n nb,
+       |  CAST(inter AS DOUBLE) / least(sa.n, sb.n) containment
+       |FROM inter i
+       |JOIN sizes sa ON i.a = sa.doc_id
+       |JOIN sizes sb ON i.b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.7
+       |ORDER BY a, b""".stripMargin
+
   // --- incremental dedup: new batch vs existing corpus index ---
 
   /** The production crawl shape: an incoming batch (here doc_id%10=7,
@@ -613,6 +671,8 @@ object Dedup {
     QueryDef(
       "ngram_jaccard_capped", ngramJaccardCapped, Some(ngramJaccardCappedOracle)),
     QueryDef("minhash_lsh", minhashLsh, Some(minhashLshOracle)),
+    QueryDef(
+      "minhash_containment", minhashContainment, Some(minhashContainmentOracle)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("dedup_keeper_map", dedupKeeperMap, Some(dedupKeeperMapOracle)),

@@ -76,6 +76,56 @@ object Layout {
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  private val CompactTarget = 2000L // rows per compacted output file
+
+  /** `compaction_plan`: the small-file compaction planner — group a
+    * table's per-day "files" (one file per order day, sized by row
+    * count) into target-sized compaction bins, never crossing a month
+    * boundary (compaction respects the table's partition layout, and
+    * the month partition is ALSO what keeps the planning window
+    * partitioned: the running-size prefix sum runs per month over
+    * file METADATA rows, thousands at 100 TB, not data). Bin id =
+    * cumulative-rows-before div target — the deterministic streaming
+    * bin-packing every table maintenance service runs.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables.read(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("file_rows"))
+      .withColumn("month", trunc(col("day"), "month"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("month")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col("file_rows")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $CompactTarget"))
+      .groupBy(col("month"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("file_rows")).as("total_rows"),
+        min(col("day")).as("day_min"),
+        max(col("day")).as("day_max"))
+      .orderBy("month", "bin")
+  }
+
+  def compactionPlanOracle: String =
+    s"""WITH f AS (
+       |  SELECT CAST(o_orderdate AS DATE) fday, CAST(COUNT(*) AS BIGINT) file_rows
+       |  FROM orders GROUP BY 1),
+       |m AS (
+       |  SELECT *, date_trunc('month', fday) fmonth,
+       |    CAST(COALESCE(SUM(file_rows) OVER (
+       |      PARTITION BY date_trunc('month', fday) ORDER BY fday
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      cum_before
+       |  FROM f)
+       |SELECT fmonth AS month, cum_before // $CompactTarget AS bin,
+       |  CAST(COUNT(*) AS BIGINT) n_files,
+       |  CAST(SUM(file_rows) AS BIGINT) total_rows,
+       |  MIN(fday) day_min, MAX(fday) day_max
+       |FROM m GROUP BY 1, 2 ORDER BY month, bin""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("zorder_layout", zorderLayout, Some(zorderLayoutOracle)))
+    QueryDef("zorder_layout", zorderLayout, Some(zorderLayoutOracle)),
+    QueryDef("compaction_plan", compactionPlan, Some(compactionPlanOracle)))
 }

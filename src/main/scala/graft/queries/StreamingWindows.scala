@@ -176,7 +176,46 @@ object StreamingWindows {
       |SELECT window_start, event_type, n, CAST(rnk AS BIGINT) rnk
       |FROM r WHERE rnk <= 2 ORDER BY window_start, rnk""".stripMargin
 
+  /** Streaming deduplication semantics (`dropDuplicates` /
+    * `dropDuplicatesWithinWatermark` keyed state): keep the FIRST
+    * event per (user, event_type) — deterministically the minimum
+    * (event time, event_id), which is what arrival-ordered streaming
+    * dedup retains — plus how many duplicates the state absorbed.
+    * Batch plan: ONE hash aggregate (min-of-struct + count), no
+    * window, map-side combinable — the exact cost model of the
+    * streaming operator's state updates at 100 TB.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        min(struct(col("us"), col("event_id"))).as("m"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"), col("event_type"),
+        col("m.us").as("first_us"),
+        col("m.event_id").as("first_event_id"),
+        col("n_events"))
+      .orderBy("user_id", "event_type")
+
+  def streamDedupOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) us, event_id
+      |  FROM events),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY user_id, event_type ORDER BY us, event_id) rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id, event_type) AS BIGINT) n_events
+      |  FROM e)
+      |SELECT user_id, event_type, us AS first_us, event_id AS first_event_id,
+      |  n_events
+      |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_dedup", streamDedup, Some(streamDedupOracle)),
     QueryDef("stream_topk", streamTopk, Some(streamTopkOracle)),
     QueryDef("stream_tumbling", streamTumbling, Some(streamTumblingOracle)),
     QueryDef("stream_sliding", streamSliding, Some(streamSlidingOracle)),

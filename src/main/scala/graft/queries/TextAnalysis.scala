@@ -397,7 +397,95 @@ object TextAnalysis {
        |FROM occ LEFT JOIN v ON occ.token = v.token
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Query terms for the BM25 leaderboard — a fixed conjunctive-ish
+    * keyword query, the IR retrieval shape.
+    */
+  private val Bm25Terms = Seq("spark", "join", "window")
+
+  /** `bm25_topk`: BM25-ranked top-10 documents for a keyword query.
+    * The scoring follows Robertson's formula (k1 = 1.2, b = 0.75) but
+    * QUANTIZES the idf and tf-normalization factors to integer
+    * micro-units (floor(1e6 * x) of a deterministically-rounded IEEE
+    * expression) so the per-document score is an exact BIGINT sum —
+    * order-independent under distributed aggregation, bit-identical
+    * in DuckDB. The plan is the posting-list shape: terms filter to
+    * the query set BEFORE any aggregation, so the tf table is
+    * (matching docs x 3 terms), never corpus-sized; df and the corpus
+    * stats broadcast. At 100 TB this is one narrow scan + a
+    * dimension-sized ranking, exactly an inverted-index probe.
+    */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+    // (doc, dl, term) with dl = total token count: the array
+    // materializes once per row (Generate barrier), dl derives
+    // narrowly from it, and only then does the explode expand rows
+    val base = docs
+      .select(col("doc_id"), explode(array(toks(lower(col("text"))))).as("t"))
+      .select(
+        col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+    val tf = base.where(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs
+      .select(size(toks(lower(col("text")))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "idf_q",
+        floor(lit(1e6) *
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .cast("long"))
+      .withColumn(
+        "tf_q",
+        floor(lit(1e6) * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl") / (col("sum_dl").cast("double") / col("n_docs")))))))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("idf_q") * col("tf_q")).as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Fractional literals in e-notation: DuckDB parses plain decimals
+    * as DECIMAL (different rounding); 2.2e0 etc. force DOUBLE so both
+    * engines evaluate the identical IEEE expression tree.
+    */
+  def bm25TopkOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${ToksSql.format("lower(text)")} t FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) dl FROM d),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) n_docs, CAST(SUM(dl) AS BIGINT) sum_dl
+       |  FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+       |  FROM (SELECT doc_id, unnest(t) term FROM d)
+       |  WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY 1, 2),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(1e6 * ((n_docs - df + 5e-1) / (df + 5e-1))) AS BIGINT) *
+       |    CAST(floor(1e6 * ((tf * 2.2e0) /
+       |      (tf + 1.2e0 * (2.5e-1 + 7.5e-1 *
+       |        (dl.dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))) AS BIGINT) comp
+       |  FROM tf
+       |  JOIN dft USING (term)
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN st)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) n_terms,
+       |  CAST(SUM(comp) AS BIGINT) score_q
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("bm25_topk", bm25Topk, Some(bm25TopkOracle)),
     QueryDef("oov_rate", oovRate, Some(oovRateOracle)),
     QueryDef("text_tokens", textTokens, Some(textTokensOracle)),
     QueryDef("pos_tokens", posTokens, Some(posTokensOracle)),
