@@ -619,6 +619,44 @@ object Dedup {
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
        |ORDER BY d.doc_id""".stripMargin
 
+  /** `entity_matching`: blocked record linkage over `customer` — the
+    * MDM/entity-resolution shape: block on (nation, name-number
+    * prefix) so candidate generation is a bounded-bucket self-join
+    * (never all-pairs over the customer base), then verify candidates
+    * with an edit-distance kernel (levenshtein <= 1, both engines'
+    * standard definition). At 100 TB blocks bound the quadratic term
+    * exactly like LSH bands bound the shingle pipeline; the verify
+    * runs only on in-block pairs.
+    */
+  def entityMatching(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "customer").select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      substring(col("c_name"), 10, 4).as("blk"))
+    val a = cust.select(
+      col("c_nationkey").as("nat"), col("blk"),
+      col("c_custkey").as("a"), col("c_name").as("name_a"))
+    val b = cust.select(
+      col("c_nationkey").as("nat"), col("blk"),
+      col("c_custkey").as("b"), col("c_name").as("name_b"))
+    a.join(b, Seq("nat", "blk"))
+      .where(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= 1)
+      .select(col("nat"), col("a"), col("b"), col("dist"))
+      .orderBy("nat", "a", "b")
+  }
+
+  def entityMatchingOracle: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name, c_nationkey nat, substr(c_name, 10, 4) blk
+      |  FROM customer)
+      |SELECT x.nat AS nat, x.c_custkey a, y.c_custkey b,
+      |  CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) dist
+      |FROM c x JOIN c y ON x.nat = y.nat AND x.blk = y.blk
+      |  AND x.c_custkey < y.c_custkey
+      |WHERE levenshtein(x.c_name, y.c_name) <= 1
+      |ORDER BY nat, a, b""".stripMargin
+
   // --- SimHash fingerprints (32-bit, md5-hexchar-parity bits) ---
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
@@ -676,5 +714,6 @@ object Dedup {
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("dedup_keeper_map", dedupKeeperMap, Some(dedupKeeperMapOracle)),
+    QueryDef("entity_matching", entityMatching, Some(entityMatchingOracle)),
     QueryDef("simhash", simhash, Some(simhashOracle)))
 }

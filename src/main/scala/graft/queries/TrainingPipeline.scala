@@ -486,7 +486,66 @@ object TrainingPipeline {
       |FROM v JOIN b USING (event_type)
       |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin
 
+  /** `zscore_normalize`: per-group feature standardization — the
+    * feature-scaling pass a training pipeline runs before model
+    * input. The group moments derive from EXACT integer sums (sum of
+    * cents, sum of squared cents — order-independent under
+    * distributed aggregation), so mean/std are single deterministic
+    * IEEE expressions over exact longs; the normalized value is
+    * computed per row after a broadcast join of the 5-row moments
+    * table. Never a low-cardinality window over the fact table — the
+    * two-pass agg+broadcast IS the 100 TB shape. Population std
+    * (divide by n), zero-variance groups normalize to 0.
+    */
+  def zscoreNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.read(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority").as("priority"),
+      Quantize.cents(col("o_totalprice")).as("cents"))
+    val moments = ord.groupBy(col("priority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("s1"),
+        // squared cents overflow a BIGINT sum past ~10^5 rows of
+        // large orders: the sum accumulates in DECIMAL(38,0) (exact,
+        // like DuckDB's HUGEINT) and converts to double once
+        sum((col("cents") * col("cents")).cast(DecimalType(38, 0))).as("s2"))
+      .select(
+        col("priority"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        // clamp: the moments identity can go epsilon-negative under
+        // IEEE cancellation; DuckDB's sqrt raises on negatives
+        sqrt(greatest(
+          (col("s2").cast("double") / col("n")) -
+            (col("s1").cast("double") / col("n")) *
+            (col("s1").cast("double") / col("n")),
+          lit(0.0))).as("std"))
+    ord.join(broadcast(moments), "priority")
+      .select(
+        col("o_orderkey"), col("priority"), col("cents"),
+        when(col("std") > 0, (col("cents") - col("mean")) / col("std"))
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy("o_orderkey")
+  }
+
+  def zscoreNormalizeOracle: String =
+    s"""WITH ord AS (
+       |  SELECT o_orderkey, o_orderpriority priority,
+       |    ${Quantize.centsSql("o_totalprice")} cents
+       |  FROM orders),
+       |m AS (
+       |  SELECT priority,
+       |    CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean,
+       |    sqrt(greatest((CAST(SUM(cents * cents) AS DOUBLE) / COUNT(*)) -
+       |      (CAST(SUM(cents) AS DOUBLE) / COUNT(*)) *
+       |      (CAST(SUM(cents) AS DOUBLE) / COUNT(*)), 0e0)) AS std
+       |  FROM ord GROUP BY priority)
+       |SELECT o_orderkey, priority, cents,
+       |  CASE WHEN std > 0 THEN (cents - mean) / std ELSE 0e0 END AS z
+       |FROM ord JOIN m USING (priority)
+       |ORDER BY o_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("zscore_normalize", zscoreNormalize, Some(zscoreNormalizeOracle)),
     QueryDef("winsorize", winsorize, Some(winsorizeOracle)),
     QueryDef("decontaminate", decontaminate, Some(decontaminateOracle)),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
