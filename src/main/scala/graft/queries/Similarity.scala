@@ -50,12 +50,44 @@ object Similarity {
     * inlines the interpreted transform lambda into every reference
     * (v, both dot operands) and into every downstream consumer.
     */
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private def vectorsRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "embeddings")
       .select(
         col("vec_id"), col("label"),
         explode(array(quant(col("embedding")))).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
+
+  /** The quantized (vec_id, label, v, nrm) relation, persisted and
+    * shared by every similarity consumer in the session — ten queries
+    * (brute/filtered/IVF×3/LSH/PQ/embedding-dedup×2/recall) each
+    * re-scanned `embeddings` and re-ran the quantization transform
+    * before this; at 100 TB the quantize+norm pass is the common
+    * narrow prefix you materialize once (the same multi-consumer
+    * shape as the shared shingle arrays). Keyed per (session, dir);
+    * snapshot semantics like any persisted relation —
+    * [[invalidateShared]] drops it after an underlying rewrite.
+    */
+  private val vecCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val stale =
+      vecCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(vecCache.remove)
+    vecCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        vectorsRaw(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  /** Drop (and unpersist) the shared vector relation for `dir`. */
+  def invalidateShared(spark: SparkSession, dir: String): Unit = {
+    val df = vecCache.remove((spark, dir))
+    if (df != null) df.unpersist()
+  }
 
   private val VectorsSql =
     s"""vecs AS (

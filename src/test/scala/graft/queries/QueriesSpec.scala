@@ -295,6 +295,20 @@ class QueriesSpec extends AnyFunSuite {
       assert(got(id) == model(text), s"doc $id: '$text'")
   }
 
+  test("similarity shares ONE quantized vector relation; invalidate drops it") {
+    Similarity.invalidateShared(spark, dir)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Similarity.knnBrute(spark, dir).collect()  // warms the shared vectors
+    val afterFirst = spark.sparkContext.getPersistentRDDs.size
+    assert(afterFirst == before + 1,
+      s"expected one new persist ($before -> $afterFirst)")
+    Similarity.knnIvf(spark, dir).collect()    // must reuse, not re-persist
+    assert(spark.sparkContext.getPersistentRDDs.size == afterFirst)
+    Similarity.invalidateShared(spark, dir)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "invalidateShared must unpersist the shared vector relation")
+  }
+
   test("knn_recall: probing more cells never lowers recall; range sane") {
     val rows = Similarity.knnRecall(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
