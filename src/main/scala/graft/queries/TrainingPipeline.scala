@@ -544,7 +544,63 @@ object TrainingPipeline {
        |FROM ord JOIN m USING (priority)
        |ORDER BY o_orderkey""".stripMargin
 
+  /** `weighted_sample`: reproducible weight-proportional sampling —
+    * k=5 documents per source, longer documents more likely — via
+    * PRIORITY SAMPLING (Duffield–Lund–Thorup / sequential Poisson):
+    * each doc draws a deterministic uniform `u` from [[ContentHash]]
+    * (never `rand()` — same doc, same draw, on any cluster), its
+    * priority is `u/weight`, and the k smallest priorities per
+    * stratum win. Integer-exact: `u` is the 16-bit hash + 1 and the
+    * priority is `(u · 1,000,000) div weight`, so both engines rank
+    * identical BIGINTs — no `pow`/`ln` last-ulp hazard.
+    *
+    * Plan shape: one narrow projection + a rank<=k filter directly
+    * over the window, which Spark plans as WindowGroupLimit — a
+    * map-side partial top-k per source BEFORE the shuffle (the
+    * `group_topk` shape), so the 20-value stratum key never
+    * concentrates unfiltered rows on 20 reducers. At 100 TB this is
+    * the corpus-subsampling front door: scan → hash → per-partition
+    * heap of k per stratum → tiny shuffle of ≤ k·strata·partitions
+    * survivor rows.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = Tables.read(spark, dir, "documents")
+      .select(
+        col("source"), col("doc_id"), col("n_chars"),
+        ((ContentHash.bucket(col("doc_id"), 65536) + 1) * 1000000L)
+          .as("scaled"))
+      .withColumn("priority", expr("scaled div greatest(n_chars, 1)"))
+      .drop("scaled")
+    pri
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("priority"), col("doc_id"))).cast("long"))
+      .where(col("rn") <= 5)
+      .orderBy(col("source"), col("rn"))
+  }
+
+  def weightedSampleOracle: String =
+    s"""WITH pri AS (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST(((${ContentHash.bucketSql("doc_id", 65536)}) + 1)
+       |              * 1000000 AS BIGINT) // greatest(n_chars, 1)
+       |           AS priority
+       |  FROM documents),
+       |rnk AS (
+       |  SELECT source, doc_id, n_chars, priority,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY source ORDER BY priority, doc_id)
+       |           AS BIGINT) AS rn
+       |  FROM pri)
+       |SELECT source, doc_id, n_chars, priority, rn
+       |FROM rnk WHERE rn <= 5
+       |ORDER BY source, rn""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("zscore_normalize", zscoreNormalize, Some(zscoreNormalizeOracle)),
     QueryDef("winsorize", winsorize, Some(winsorizeOracle)),
     QueryDef("decontaminate", decontaminate, Some(decontaminateOracle)),

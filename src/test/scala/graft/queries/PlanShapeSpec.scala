@@ -82,6 +82,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(limits.size == 2, phys.toString.take(2000))
   }
 
+  test("weighted_sample plans WindowGroupLimit (map-side partial top-k)") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val phys = physicalPlanNoAqe(TrainingPipeline.weightedSample(spark, dir))
+    val limits = phys.collect { case w: WindowGroupLimitExec => w }
+    // partial (pre-shuffle) + final — the 20-value source key must
+    // never see unfiltered rows on its reducers
+    assert(limits.size == 2, phys.toString.take(2000))
+  }
+
   test("dedup_incremental broadcasts the batch side; index never shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

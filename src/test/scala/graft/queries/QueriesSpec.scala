@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{SparkEntry, TestSpark}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{avg, col}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Smoke + cross-strategy checks at sf0.001. The authoritative
@@ -307,6 +307,34 @@ class QueriesSpec extends AnyFunSuite {
     Similarity.invalidateShared(spark, dir)
     assert(spark.sparkContext.getPersistentRDDs.size == before,
       "invalidateShared must unpersist the shared vector relation")
+  }
+
+  test("pagerank: teleport floor, kinds, descending order, bipartite pull") {
+    val rows = Graph.pagerank(spark, dir).collect()
+    assert(rows.length == 25)
+    val ranks = rows.map(_.getLong(2))
+    // every node keeps at least its teleport mass
+    assert(ranks.forall(_ >= 150000L))
+    assert(ranks.sameElements(ranks.sortBy(-_)), "not rank-descending")
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("customer", "supplier")))
+    // 100 suppliers aggregate 1500 customers' mass: the top of the
+    // ranking must be supplier-dominated
+    assert(rows.take(5).forall(_.getString(0) == "supplier"),
+      rows.take(5).mkString(", "))
+  }
+
+  test("weighted_sample: k per stratum, dense ranks, longer docs favored") {
+    val rows = TrainingPipeline.weightedSample(spark, dir).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.values.forall(_.length == 5), "expected k=5 per source")
+    for ((_, g) <- bySource)
+      assert(g.map(_.getLong(4)).sorted.sameElements(1L to 5L))
+    // weight-proportional: sampled docs skew long vs the corpus
+    val sampledMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val corpus = Tables.read(spark, dir, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampledMean > corpus,
+      s"sampled mean $sampledMean <= corpus mean $corpus")
   }
 
   test("knn_recall: probing more cells never lowers recall; range sane") {
