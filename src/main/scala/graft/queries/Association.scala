@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Association-rule mining (the market-basket family: frequent
+  * itemsets, confidence, lift) — the classic "what co-occurs"
+  * operator every behavioral/training-data pipeline runs to find
+  * correlated labels, tags, or event types. Metrics are integer ppm
+  * (floor division), so the DuckDB oracle pins exact values.
+  */
+object Association {
+
+  /** `assoc_rules`: frequent event-type PAIRS over per-user baskets
+    * (basket = the set of event types a user ever fired), with
+    * support, directional confidence and lift.
+    *
+    * Plan shape: ONE hash shuffle total. `groupBy(user).collect_set`
+    * builds baskets (map-side partial sets — the distinct (user,
+    * type) relation never materializes row-per-pair), then pair
+    * expansion, per-type supports and the user count are all NARROW
+    * over the persisted basket relation, and the pair/support
+    * aggregates that follow run over explode output bounded by
+    * |users| · |types|² — at 100 TB the only big exchange is the one
+    * basket build. Baskets are bounded by the type DOMAIN (not event
+    * volume); for an unbounded item domain you'd cap baskets
+    * (`slice` after `sort_array`) and mine top items only.
+    *
+    * support_ppm = users(a,b)·10⁶ div users,
+    * conf_ppm (a→b) = users(a,b)·10⁶ div users(a),
+    * lift_milli = users(a,b)·users·10³ div (users(a)·users(b)) —
+    * lift > 1000 ⇒ positively associated.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nu = baskets.agg(count(lit(1)).as("nu"))
+      val supp = baskets
+        .select(explode(col("types")).as("t"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("s"))
+      val pairs = baskets
+        .select(col("types"), explode(col("types")).as("a"))
+        .select(col("a"), explode(col("types")).as("b"))
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val out = pairs
+        .join(
+          broadcast(supp.select(col("t").as("a"), col("s").as("sa"))), "a")
+        .join(
+          broadcast(supp.select(col("t").as("b"), col("s").as("sb"))), "b")
+        .crossJoin(broadcast(nu))
+        .select(
+          col("a"), col("b"), col("cnt"),
+          expr("cnt * 1000000 div nu").as("support_ppm"),
+          expr("cnt * 1000000 div sa").as("conf_ppm"),
+          expr("(cnt * nu * 1000) div (sa * sb)").as("lift_milli"))
+        .orderBy(col("lift_milli").desc, col("a"), col("b"))
+        .localCheckpoint() // materialize before the basket unpersist
+      out
+    } finally baskets.unpersist()
+  }
+
+  def assocRulesOracle: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+      |       FROM events),
+      |supp AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS s
+      |         FROM ut GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.event_type AS a, y.event_type AS b,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM ut x JOIN ut y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.a, p.b, p.cnt,
+      |       p.cnt * 1000000 // nu.nu AS support_ppm,
+      |       p.cnt * 1000000 // sa.s AS conf_ppm,
+      |       (p.cnt * nu.nu * 1000) // (sa.s * sb.s) AS lift_milli
+      |FROM pairs p
+      |JOIN supp sa ON p.a = sa.t
+      |JOIN supp sb ON p.b = sb.t
+      |CROSS JOIN nu
+      |ORDER BY lift_milli DESC, a, b""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("assoc_rules", assocRules, Some(assocRulesOracle)))
+}

@@ -337,6 +337,31 @@ class QueriesSpec extends AnyFunSuite {
       s"sampled mean $sampledMean <= corpus mean $corpus")
   }
 
+  test("assoc_rules matches a brute-force basket model") {
+    val got = Association.assocRules(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // brute-force model over the collected (user, type) pairs
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nu = ut.map(_._1).distinct.length.toLong
+    val supp = ut.groupBy(_._2).map { case (t, g) => t -> g.length.toLong }
+    val byUser: Seq[Seq[String]] =
+      ut.groupBy(_._1).values.map(_.map(_._2).toSeq.sorted).toSeq
+    val cnt = byUser
+      .flatMap(ts => for (a <- ts; b <- ts if a < b) yield (a, b))
+      .groupBy(identity).map { case (p, g) => p -> g.length.toLong }
+    assert(got.keySet == cnt.keySet)
+    for ((p @ (a, b), c) <- cnt) {
+      val (gc, sup, conf, lift) = got(p)
+      assert(gc == c, s"$p count")
+      assert(sup == c * 1000000L / nu, s"$p support")
+      assert(conf == c * 1000000L / supp(a), s"$p confidence")
+      assert(lift == c * nu * 1000L / (supp(a) * supp(b)), s"$p lift")
+    }
+  }
+
   test("knn_recall: probing more cells never lowers recall; range sane") {
     val rows = Similarity.knnRecall(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
