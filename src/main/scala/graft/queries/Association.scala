@@ -88,6 +88,62 @@ object Association {
       |CROSS JOIN nu
       |ORDER BY lift_milli DESC, a, b""".stripMargin
 
+  /** `markov_transitions`: the order-SENSITIVE complement to
+    * [[assocRules]] — the first-order Markov transition matrix of
+    * user journeys. Consecutive events per user (by ts, event_id
+    * tie-break) form (prev → next) steps; output is each transition's
+    * count and row-normalized probability in ppm.
+    *
+    * Plan shape: one shuffle(user) + in-partition sort for the lag
+    * window (user cardinality ≫ executors ⇒ even spread, the
+    * `window_lag` shape), then a tiny (types²) aggregate; the
+    * per-prev totals come from a second aggregation over the
+    * ALREADY-AGGREGATED transition counts (types² rows), broadcast
+    * back — never a second pass over events.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(
+        col("user_id"),
+        lag(col("event_type"), 1).over(w).as("prev"),
+        col("event_type").as("next"))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = steps.groupBy(col("prev")).agg(sum(col("cnt")).as("tot"))
+    steps
+      .join(broadcast(totals), "prev")
+      .select(
+        col("prev"), col("next"), col("cnt"),
+        expr("cnt * 1000000 div tot").as("prob_ppm"))
+      .orderBy(col("prev"), col("next"))
+  }
+
+  def markovTransitionsOracle: String =
+    """WITH steps AS (
+      |  SELECT prev, event_type AS next
+      |  FROM (SELECT user_id, event_type,
+      |               lag(event_type) OVER (
+      |                 PARTITION BY user_id
+      |                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |                 AS prev
+      |        FROM events)
+      |  WHERE prev IS NOT NULL),
+      |cnts AS (
+      |  SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM steps GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT prev, CAST(sum(cnt) AS BIGINT) AS tot
+      |  FROM cnts GROUP BY 1)
+      |SELECT cnts.prev, next, cnt, cnt * 1000000 // tot AS prob_ppm
+      |FROM cnts JOIN tot ON cnts.prev = tot.prev
+      |ORDER BY cnts.prev, next""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("assoc_rules", assocRules, Some(assocRulesOracle)))
+    QueryDef("assoc_rules", assocRules, Some(assocRulesOracle)),
+    QueryDef(
+      "markov_transitions", markovTransitions, Some(markovTransitionsOracle)))
 }

@@ -362,6 +362,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("markov_transitions: rows normalize to ~1e6 ppm; step count exact") {
+    val rows = Association.markovTransitions(spark, dir).collect()
+    val byPrev = rows.groupBy(_.getString(0))
+    for ((p, g) <- byPrev) {
+      val s = g.map(_.getLong(3)).sum
+      // floor division loses < 1 ppm per cell
+      assert(s <= 1000000L && s > 1000000L - g.length, s"prev=$p sums to $s")
+    }
+    // each user contributes (events - 1) steps
+    val ev = Tables.events(spark, dir)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
   test("knn_recall: probing more cells never lowers recall; range sane") {
     val rows = Similarity.knnRecall(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
