@@ -55,15 +55,29 @@ object Graph {
     val both = eraw.select(col("src"), col("dst"), col("w"))
       .unionByName(
         eraw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    // node table = outw's key set (one row per src by construction);
+    // it and the per-iteration rank table are |nodes|-sized — ALWAYS
+    // broadcast against the edge relation, so iterations never
+    // shuffle edges, only the contrib aggregate moves. outw is
+    // persisted too: rank₀ and the edge build both read it, and
+    // without the cache rank₀ silently re-runs the whole fact join
+    // (measured ~1s of the old 5s at sf0.1).
     val outw = both.groupBy(col("src")).agg(sum(col("w")).as("tw"))
-    val edges = both.join(outw, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = both.join(broadcast(outw), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var ranks = edges.select(col("src").as("node")).distinct()
+      // fill both caches up front so every iteration is a pure
+      // cache-scan job; at bench scale the per-iteration cost is then
+      // dominated by fixed plan/codegen/broadcast overhead (~0.3s/
+      // round), which amortizes to nothing at cluster scale where the
+      // edge scan dominates
+      edges.count()
+      var ranks = outw.select(col("src").as("node"))
         .withColumn("r", lit(1000000L))
       for (_ <- 1 to 3) {
         ranks = edges
-          .join(ranks, edges("src") === ranks("node"))
+          .join(broadcast(ranks), edges("src") === ranks("node"))
           .withColumn("contrib", expr("(r * 85 * w) div (tw * 100)"))
           .groupBy(col("dst"))
           .agg((sum(col("contrib")) + lit(150000L)).as("r"))
@@ -80,7 +94,7 @@ object Graph {
         .limit(25)
         .localCheckpoint() // materialize before the edge unpersist
       out
-    } finally edges.unpersist()
+    } finally { edges.unpersist(); outw.unpersist() }
   }
 
   def pagerankOracle: String =
