@@ -15,7 +15,8 @@ object SparkEntry {
       MultimodalQueries.defs ++ Advanced.defs ++ Extended.defs ++
       TrainingPipeline.defs ++ Statistics.defs ++ Analytics.defs ++
       RuntimeFilters.defs ++ Incremental.defs ++ DataQuality.defs ++
-      NativePlans.defs ++ Layout.defs ++ Graph.defs ++ Association.defs
+      NativePlans.defs ++ Layout.defs ++ Graph.defs ++ Association.defs ++
+      Hierarchy.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -376,6 +376,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == expected)
   }
 
+  test("bom_rollup: root covers the forest; depth and leaf arithmetic") {
+    val rows = Hierarchy.bomRollup(spark, dir).collect()
+    val byKey = rows.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val totalCents = Tables.read(spark, dir, "part")
+      .agg(org.apache.spark.sql.functions.sum(
+        Quantize.cents(col("p_retailprice")))).head().getLong(0)
+    // root 0's subtree is the entire tree
+    assert(byKey(0L) == ((0L, rows.length.toLong, totalCents)))
+    // depth = number of (k-1) div 4 steps to reach the root
+    for ((k, (d, _, _)) <- byKey) {
+      var c = k; var steps = 0L
+      while (c >= 1) { c = (c - 1) / 4; steps += 1 }
+      assert(d == steps, s"depth of $k")
+    }
+    // leaves (no child key in range) have singleton subtrees
+    val maxK = byKey.keys.max
+    for ((k, (_, sn, _)) <- byKey if 4 * k + 1 > maxK)
+      assert(sn == 1L, s"leaf $k")
+  }
+
   test("knn_recall: probing more cells never lowers recall; range sane") {
     val rows = Similarity.knnRecall(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
