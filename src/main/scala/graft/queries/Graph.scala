@@ -55,13 +55,31 @@ object Graph {
     val both = eraw.select(col("src"), col("dst"), col("w"))
       .unionByName(
         eraw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    pagerankOn(both, iterations = 3)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        expr("node div 2").as("entity"),
+        col("r").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("entity"), col("kind"))
+      .limit(25)
+      .localCheckpoint() // materialize: pagerankOn unpersisted its caches
+  }
+
+  /** The iteration core over ANY weighted directed edge relation
+    * (src, dst, w) — also exercised by `GraphPropertySpec` against an
+    * in-memory integer model on seeded random graphs. Returns (node,
+    * r) for every node with out-edges, MATERIALIZED (localCheckpoint)
+    * so callers compose freely after the internal caches are gone.
+    */
+  def pagerankOn(both: DataFrame, iterations: Int): DataFrame = {
     // node table = outw's key set (one row per src by construction);
     // it and the per-iteration rank table are |nodes|-sized — ALWAYS
     // broadcast against the edge relation, so iterations never
     // shuffle edges, only the contrib aggregate moves. outw is
     // persisted too: rank₀ and the edge build both read it, and
-    // without the cache rank₀ silently re-runs the whole fact join
-    // (measured ~1s of the old 5s at sf0.1).
+    // without the cache rank₀ silently re-runs the whole upstream
+    // build (measured ~1s of the old 5s at sf0.1).
     val outw = both.groupBy(col("src")).agg(sum(col("w")).as("tw"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = both.join(broadcast(outw), "src")
@@ -75,7 +93,7 @@ object Graph {
       edges.count()
       var ranks = outw.select(col("src").as("node"))
         .withColumn("r", lit(1000000L))
-      for (_ <- 1 to 3) {
+      for (_ <- 1 to iterations) {
         ranks = edges
           .join(broadcast(ranks), edges("src") === ranks("node"))
           .withColumn("contrib", expr("(r * 85 * w) div (tw * 100)"))
@@ -84,16 +102,7 @@ object Graph {
           .select(col("dst").as("node"), col("r"))
           .localCheckpoint(eager = false)
       }
-      val out = ranks
-        .select(
-          when(col("node") % 2 === 0, lit("customer"))
-            .otherwise(lit("supplier")).as("kind"),
-          expr("node div 2").as("entity"),
-          col("r").as("rank_ppm"))
-        .orderBy(col("rank_ppm").desc, col("entity"), col("kind"))
-        .limit(25)
-        .localCheckpoint() // materialize before the edge unpersist
-      out
+      ranks.localCheckpoint()
     } finally { edges.unpersist(); outw.unpersist() }
   }
 

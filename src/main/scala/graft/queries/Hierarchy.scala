@@ -53,32 +53,7 @@ object Hierarchy {
     val rounds =
       math.ceil(math.log(math.max(depthBound, 1)) / math.log(2)).toInt
     require((1L << rounds) >= depthBound, s"round arithmetic: $rounds")
-    // pairs holds distances 1..2^i, frontier holds EXACTLY 2^i: the
-    // composed distances 2^i+1..2^{i+1} are disjoint from pairs, so
-    // no round ever needs a distinct (tree paths are unique) — one
-    // join per relation per round instead of join+dedup-shuffle
-    var closure = edges
-    var frontier = edges
-    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    for (i <- 1 to rounds) {
-      val hop = frontier
-        .select(col("node").as("mid"), col("anc").as("far"))
-      closure = closure
-        .unionByName(
-          closure.select(col("node"), col("anc").as("mid"))
-            .join(hop, "mid")
-            .select(col("node"), col("far").as("anc")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      persisted += closure
-      if (i < rounds) {
-        frontier = frontier
-          .select(col("node"), col("anc").as("mid"))
-          .join(hop, "mid")
-          .select(col("node"), col("far").as("anc"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        persisted += frontier
-      }
-    }
+    val (closure, persisted) = closureOf(edges, rounds)
     try {
       val pairs = closure
         .unionByName(part.select(
@@ -102,6 +77,43 @@ object Hierarchy {
         .orderBy(col("p_partkey"))
         .localCheckpoint() // materialize before the closure unpersist
     } finally persisted.foreach(_.unpersist())
+  }
+
+  /** Path-doubling transitive closure over ANY (node, anc) parent
+    * relation whose paths are unique (trees/forests) — also exercised
+    * by `GraphPropertySpec` against a BFS model on seeded random
+    * forests. Pairs hold distances 1..2^i, the frontier EXACTLY 2^i:
+    * composed distances 2^i+1..2^{i+1} are disjoint from pairs, so no
+    * round ever needs a distinct — one join per relation per round
+    * instead of join+dedup-shuffle. Returns the closure plus every
+    * persisted intermediate (caller unpersists after materializing).
+    */
+  def closureOf(
+      edges: DataFrame,
+      rounds: Int): (DataFrame, Seq[DataFrame]) = {
+    var closure = edges
+    var frontier = edges
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (i <- 1 to rounds) {
+      val hop = frontier
+        .select(col("node").as("mid"), col("anc").as("far"))
+      closure = closure
+        .unionByName(
+          closure.select(col("node"), col("anc").as("mid"))
+            .join(hop, "mid")
+            .select(col("node"), col("far").as("anc")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted += closure
+      if (i < rounds) {
+        frontier = frontier
+          .select(col("node"), col("anc").as("mid"))
+          .join(hop, "mid")
+          .select(col("node"), col("far").as("anc"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        persisted += frontier
+      }
+    }
+    (closure, persisted.toSeq)
   }
 
   def bomRollupOracle: String =

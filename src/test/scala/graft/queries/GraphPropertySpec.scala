@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Model checks for the iterative graph operators: the distributed
+  * pipelines ([[Graph.pagerankOn]], [[Hierarchy.closureOf]]) must
+  * agree EXACTLY (integer arithmetic) with tiny in-memory reference
+  * implementations on seeded random inputs — the same
+  * battery-vs-model discipline as `FilterPropertySpec`, covering
+  * shapes the fixed test tables never produce (dangling nodes,
+  * multi-root forests, skewed weights, chains deeper than the round
+  * budget covers at the default data).
+  */
+class GraphPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def pagerankModel(
+      edges: Seq[(Long, Long, Long)], iterations: Int): Map[Long, Long] = {
+    val tw = edges.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+    var ranks: Map[Long, Long] =
+      edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iterations) {
+      val contribs = edges
+        .filter(e => ranks.contains(e._1))
+        .groupBy(_._2)
+        .map { case (dst, g) =>
+          dst -> g.map { case (s, _, w) =>
+            ranks(s) * 85 * w / (tw(s) * 100)
+          }.sum
+        }
+      ranks = contribs.map { case (d, c) => d -> (150000L + c) }
+    }
+    ranks
+  }
+
+  test("pagerankOn matches the integer model on seeded random digraphs") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(20)
+      val edges = (for {
+        s <- 0L until n
+        d <- 0L until n
+        if s != d && rnd.nextInt(4) == 0 // sparse, dangling nodes likely
+      } yield (s, d, 1L + rnd.nextInt(9))).toSeq
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst", "w")
+        val got = Graph.pagerankOn(df, iterations = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = pagerankModel(edges, iterations = 3)
+        assert(got == want, s"trial $trial: $edges")
+      }
+    }
+  }
+
+  test("closureOf matches a BFS ancestor model on seeded random forests") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(40)
+      // random forest: each node's parent is a strictly-smaller key
+      // (or a root when nextInt hits 0) — arbitrary fan-out and depth
+      val parent = (1L until n).flatMap { k =>
+        if (rnd.nextInt(5) == 0) None
+        else Some(k -> rnd.nextLong(k)) // parent in [0, k)
+      }
+      val depth = {
+        val p = parent.toMap
+        def d(k: Long): Int =
+          p.get(k).map(1 + d(_)).getOrElse(0)
+        (0L until n).map(d).max
+      }
+      val rounds = math.max(1,
+        math.ceil(math.log(math.max(depth, 1)) / math.log(2)).toInt)
+      val df = parent.toDF("node", "anc")
+      val (closure, persisted) = Hierarchy.closureOf(df, rounds)
+      val got = closure.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      persisted.foreach(_.unpersist())
+      // model: all (node, proper ancestor) pairs by parent walking
+      val p = parent.toMap
+      val want = (1L until n).flatMap { k =>
+        Iterator.iterate(p.get(k))(_.flatMap(p.get))
+          .takeWhile(_.isDefined).map(a => (k, a.get))
+      }.toSet
+      assert(got == want, s"trial $trial depth=$depth rounds=$rounds")
+    }
+  }
+}
