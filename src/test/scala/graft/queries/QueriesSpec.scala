@@ -397,6 +397,38 @@ class QueriesSpec extends AnyFunSuite {
       assert(sn == 1L, s"leaf $k")
   }
 
+  test("shortest_path: bipartite parity and exact BFS model") {
+    val rows = Graph.shortestPath(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // bipartite: customers at even hop counts, suppliers at odd
+    for ((kind, entity, d) <- rows)
+      assert(
+        (kind == "customer") == (d % 2 == 0), s"$kind $entity dist $d")
+    // exact BFS model over the collected edge list
+    val li = Tables.read(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+    val ord = Tables.read(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("ok") === col("o_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._2) }
+    var dist = adj.keys.filter(n => n % 2 == 0 && n < 20)
+      .map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val step = dist.toSeq
+        .flatMap { case (n, d) => adj(n).map(_ -> (d + 1)) }
+      dist = (dist.toSeq ++ step).groupBy(_._1)
+        .map { case (n, g) => n -> g.map(_._2).min }
+    }
+    val got = rows.map { case (kind, entity, d) =>
+      (if (kind == "customer") entity * 2 else entity * 2 + 1) -> d
+    }.toMap
+    assert(got == dist)
+  }
+
   test("knn_recall: probing more cells never lowers recall; range sane") {
     val rows = Similarity.knnRecall(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
