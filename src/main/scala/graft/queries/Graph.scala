@@ -242,7 +242,90 @@ object Graph {
        |ORDER BY dist, entity, kind""".stripMargin
   }
 
+  /** `hits`: Kleinberg hubs-and-authorities over the DIRECTED
+    * customer→supplier half of the shared trade graph — the
+    * mutually-recursive member of the iterative family, and the one
+    * that exercises per-round NORMALIZATION (PageRank's damping never
+    * rescales). Two full rounds; after each half-step scores rescale
+    * to max=10⁶ ppm via a 1-row broadcast max (the chi_square
+    * grand-total shape — never an unpartitioned window). All integer:
+    * `x·10⁶ div max(x)`, so the oracle replays exactly.
+    *
+    * Plan shape per half-step: broadcast the node-sized score table
+    * against the cached directed edges + 1×shuffle(other side)
+    * aggregate + a broadcast 1-row max — edges never shuffle.
+    */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val directed = tradeEdges(spark, dir).where(col("src") % 2 === 0)
+    def normalize(scores: DataFrame): DataFrame = {
+      val mx = scores.agg(max(col("x")).as("mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("node"), expr("x * 1000000 div mx").as("x"))
+        .localCheckpoint(eager = false)
+    }
+    var hubs = directed.select(col("src").as("node")).distinct()
+      .withColumn("x", lit(1000000L))
+      .localCheckpoint(eager = false)
+    var auths: DataFrame = null
+    for (_ <- 1 to 2) {
+      auths = normalize(
+        directed.join(broadcast(hubs), directed("src") === hubs("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("x") * col("w")).as("x"))
+          .select(col("dst").as("node"), col("x")))
+      hubs = normalize(
+        directed.join(broadcast(auths), directed("dst") === auths("node"))
+          .groupBy(col("src"))
+          .agg(sum(col("x") * col("w")).as("x"))
+          .select(col("src").as("node"), col("x")))
+    }
+    val topHubs = hubs
+      .select(lit("hub").as("kind"), expr("node div 2").as("entity"), col("x"))
+      .orderBy(col("x").desc, col("entity")).limit(15)
+    val topAuths = auths
+      .select(
+        lit("authority").as("kind"), expr("node div 2").as("entity"), col("x"))
+      .orderBy(col("x").desc, col("entity")).limit(15)
+    topHubs.unionByName(topAuths)
+      .select(col("kind"), col("entity"), col("x").as("score_ppm"))
+      .orderBy(col("kind"), col("score_ppm").desc, col("entity"))
+      .localCheckpoint()
+  }
+
+  def hitsOracle: String =
+    """WITH eraw AS (
+      |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+      |         CAST(count(*) AS BIGINT) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS x
+      |       FROM eraw),
+      |a1r AS (SELECT dst AS node, CAST(sum(h0.x * eraw.w) AS BIGINT) AS x
+      |        FROM eraw JOIN h0 ON eraw.src = h0.node GROUP BY dst),
+      |a1 AS (SELECT node, x * 1000000 // (SELECT max(x) FROM a1r) AS x
+      |       FROM a1r),
+      |h1r AS (SELECT src AS node, CAST(sum(a1.x * eraw.w) AS BIGINT) AS x
+      |        FROM eraw JOIN a1 ON eraw.dst = a1.node GROUP BY src),
+      |h1 AS (SELECT node, x * 1000000 // (SELECT max(x) FROM h1r) AS x
+      |       FROM h1r),
+      |a2r AS (SELECT dst AS node, CAST(sum(h1.x * eraw.w) AS BIGINT) AS x
+      |        FROM eraw JOIN h1 ON eraw.src = h1.node GROUP BY dst),
+      |a2 AS (SELECT node, x * 1000000 // (SELECT max(x) FROM a2r) AS x
+      |       FROM a2r),
+      |h2r AS (SELECT src AS node, CAST(sum(a2.x * eraw.w) AS BIGINT) AS x
+      |        FROM eraw JOIN a2 ON eraw.dst = a2.node GROUP BY src),
+      |h2 AS (SELECT node, x * 1000000 // (SELECT max(x) FROM h2r) AS x
+      |       FROM h2r),
+      |th AS (SELECT 'hub' AS kind, node // 2 AS entity, x
+      |       FROM h2 ORDER BY x DESC, entity LIMIT 15),
+      |ta AS (SELECT 'authority' AS kind, node // 2 AS entity, x
+      |       FROM a2 ORDER BY x DESC, entity LIMIT 15)
+      |SELECT kind, entity, x AS score_ppm
+      |FROM (SELECT * FROM th UNION ALL SELECT * FROM ta) u
+      |ORDER BY kind, score_ppm DESC, entity""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pagerank", pagerank, Some(pagerankOracle)),
-    QueryDef("shortest_path", shortestPath, Some(shortestPathOracle)))
+    QueryDef("shortest_path", shortestPath, Some(shortestPathOracle)),
+    QueryDef("hits", hits, Some(hitsOracle)))
 }

@@ -429,6 +429,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == dist)
   }
 
+  test("hits: both sides normalized to max=1e6, positive, descending") {
+    val rows = Graph.hits(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byKind = rows.groupBy(_._1)
+    assert(byKind.keySet == Set("hub", "authority"))
+    for ((kind, g) <- byKind) {
+      val scores = g.map(_._3)
+      assert(scores.max == 1000000L, s"$kind max")
+      assert(scores.forall(_ > 0), s"$kind positivity")
+      assert(scores.sameElements(scores.sortBy(-_)), s"$kind order")
+    }
+  }
+
   test("knn_recall: probing more cells never lowers recall; range sane") {
     val rows = Similarity.knnRecall(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
