@@ -287,7 +287,73 @@ object Analytics {
       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY priority, sale_day""".stripMargin
 
+  /** Seasonal-naive forecast backtest over the event stream: train on
+    * the first 23 days of the month, forecast daily revenue by weekday
+    * class ((day-1) mod 7 — pure arithmetic, no engine dow-origin
+    * divergence), score MAE on the held-out tail. Forecast and MAE are
+    * integer floor divisions of exact cent sums, so the backtest table
+    * hash-pins.
+    *
+    * Scale shape: one map-side-combinable daily aggregate over the
+    * facts; train means and test scores are arithmetic over the tiny
+    * per-day table, with the 7-row forecast broadcast back. The
+    * backtest costs one aggregate regardless of event volume — the
+    * forecasting front door for the capacity dashboards the reference's
+    * stats endpoint feeds.
+    */
+  def forecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(
+        to_date(col("ts")).as("d"),
+        Quantize.cents(col("value")).as("vc"))
+      .groupBy(col("d"))
+      .agg(sum(col("vc")).as("day_cents"))
+      .select(
+        dayofmonth(col("d")).as("dom"),
+        ((dayofmonth(col("d")) - 1) % 7).as("dow"),
+        col("day_cents"))
+    val train = daily.where(col("dom") <= 23)
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_train"), sum(col("day_cents")).as("train_cents"))
+      .withColumn("forecast_cents", expr("train_cents div n_train"))
+    val test = daily.where(col("dom") > 23)
+      .join(broadcast(train), "dow")
+      .groupBy(col("dow"))
+      .agg(
+        max(col("n_train")).as("n_train"),
+        max(col("forecast_cents")).as("forecast_cents"),
+        count(lit(1)).as("n_test"),
+        sum(abs(col("day_cents") - col("forecast_cents"))).as("abs_err"))
+    test.select(
+      col("dow").cast("long").as("dow"),
+      col("n_train"),
+      col("forecast_cents"),
+      col("n_test"),
+      expr("abs_err div n_test").as("mae_cents"))
+      .orderBy("dow")
+  }
+
+  def forecastBaselineOracle: String =
+    s"""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) d, SUM(${Quantize.centsSql("value")}) day_cents
+      |  FROM events GROUP BY 1),
+      |tagged AS (
+      |  SELECT day(d) dom, (day(d) - 1) % 7 dow, day_cents FROM daily),
+      |train AS (
+      |  SELECT dow, CAST(COUNT(*) AS BIGINT) n_train,
+      |    SUM(day_cents) train_cents,
+      |    CAST(SUM(day_cents) // COUNT(*) AS BIGINT) forecast_cents
+      |  FROM tagged WHERE dom <= 23 GROUP BY 1)
+      |SELECT CAST(t.dow AS BIGINT) dow, MAX(n_train) n_train,
+      |  MAX(forecast_cents) forecast_cents,
+      |  CAST(COUNT(*) AS BIGINT) n_test,
+      |  CAST(SUM(abs(day_cents - forecast_cents)) // COUNT(*) AS BIGINT) mae_cents
+      |FROM tagged t JOIN train USING (dow)
+      |WHERE t.dom > 23
+      |GROUP BY t.dow ORDER BY dow""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("forecast_baseline", forecastBaseline, Some(forecastBaselineOracle)),
     QueryDef("funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
     QueryDef("scd2_history", scd2History, Some(scd2HistoryOracle)),

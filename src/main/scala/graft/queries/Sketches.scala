@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-independent cardinality / frequency sketches whose ESTIMATES
+  * are themselves deterministic and therefore hash-pinnable: the hash
+  * is content-derived (md5 — no RNG state), partial states are sets /
+  * sums (merge-order invariant), and the only float is one final
+  * closed-form scalar both engines evaluate over identical integer
+  * operands. This is the property `sketch_distinct` (HLL) can only
+  * approximate with error-bound booleans; KMV and Count-Min replayed
+  * from first principles pin the estimates exactly.
+  *
+  * Reference context: the reference keeps exact per-subsystem counters
+  * (`evtstrd/stats.py` — tiny domains). At 100 TB the distinct-user /
+  * frequency questions those counters answer need sketches; these two
+  * queries are the mergeable forms of that stats surface.
+  */
+object Sketches {
+
+  private val K = 64 // minima kept per segment (KMV)
+  private val HashSpace = 1152921504606846976L // 2^60: 15 md5 hex chars
+  private val SegA = "1-URGENT"
+  private val SegB = "2-HIGH"
+
+  private def custHash = // 60-bit content hash of the customer key
+    conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** KMV (k-minimum-values) distinct sketch over customers per order
+    * priority, PLUS the set-operation estimates HLL structurally can't
+    * give: union (k smallest of the merged minima, same estimator) and
+    * intersection (Beyer et al.: ρ = union-minima seen in both sides,
+    * est = ρ·est_union/k). Every estimate sits beside its exact count.
+    *
+    * Scale shape: ONE distinct shuffle over (segment, hash), then the
+    * rank<=k filter plans WindowGroupLimit (map-side partial k-minima
+    * — the `group_topk` pattern, safe on a 5-value key); everything
+    * downstream operates on the <=5·k-row minima relation. At 100 TB
+    * the sketch build moves only distinct pairs and the merge phase is
+    * driver-free arithmetic on ~320 rows.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.read(spark, dir, "orders")
+    val pairs = orders
+      .select(col("o_orderpriority").as("seg"), custHash.as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("seg")).orderBy(col("h"))
+    val mins = pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= K)
+      .select("seg", "h")
+
+    // θ = k-th smallest ⇒ est = floor((k-1)·|space|/θ); a segment with
+    // fewer than k distinct hashes retained them ALL ⇒ est is exact.
+    def estimate(nMin: org.apache.spark.sql.Column, theta: org.apache.spark.sql.Column) =
+      when(nMin < K, nMin).otherwise(
+        floor(lit((K - 1).toDouble) * lit(HashSpace.toDouble) /
+          theta.cast("double")).cast("long"))
+
+    val perSeg = mins.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_min"), max(col("h")).as("theta"))
+      .select(col("seg"), estimate(col("n_min"), col("theta")).as("est"))
+    val exactSeg = orders.groupBy(col("o_orderpriority").as("seg"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val segRows = exactSeg.join(perSeg, "seg")
+      .select(col("seg").as("set_expr"), col("n_exact"), col("est"))
+
+    // Union/intersection of two priorities from the two minima sets
+    // alone (the mergeable-summary property): k smallest of A∪B minima
+    // with a both-sides flag.
+    val u = mins.where(col("seg").isin(SegA, SegB))
+      .groupBy(col("h")).agg(countDistinct(col("seg")).as("nseg"))
+      .orderBy(col("h")).limit(K)
+    val uAgg = u.agg(
+      count(lit(1)).as("n_u"),
+      max(col("h")).as("theta_u"),
+      sum((col("nseg") === 2).cast("long")).as("rho"))
+      .select(
+        estimate(col("n_u"), col("theta_u")).as("est_u"),
+        col("n_u"), col("rho"))
+    val unionExact = orders.where(col("o_orderpriority").isin(SegA, SegB))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val interExact = orders.where(col("o_orderpriority").isin(SegA, SegB))
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("np"))
+      .where(col("np") === 2)
+      .agg(count(lit(1)).as("n_exact"))
+
+    val unionRow = unionExact.crossJoin(uAgg).select(
+      lit(s"union:$SegA|$SegB").as("set_expr"),
+      col("n_exact"),
+      col("est_u").as("est"))
+    // ρ of n_u union minima land in the intersection ⇒ scale est_u by
+    // ρ/k; when the union kept fewer than k minima both sides are
+    // complete and ρ IS the exact intersection.
+    val interRow = interExact.crossJoin(uAgg).select(
+      lit(s"intersect:$SegA|$SegB").as("set_expr"),
+      col("n_exact"),
+      when(col("n_u") < K, col("rho"))
+        .otherwise(expr(s"(rho * est_u) div $K")).as("est"))
+
+    segRows.unionByName(unionRow).unionByName(interRow)
+      .orderBy("set_expr")
+  }
+
+  def kmvDistinctOracle: String =
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT o_orderpriority seg,
+      |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT h
+      |  FROM orders),
+      |mins AS (
+      |  SELECT seg, h FROM (
+      |    SELECT seg, h, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY h) rn
+      |    FROM pairs) WHERE rn <= $K),
+      |per AS (
+      |  SELECT seg, CAST(COUNT(*) AS BIGINT) n_min, MAX(h) theta
+      |  FROM mins GROUP BY seg),
+      |est AS (
+      |  SELECT seg, CASE WHEN n_min < $K THEN n_min
+      |    ELSE CAST(FLOOR(${K - 1}.0 * $HashSpace.0 / CAST(theta AS DOUBLE)) AS BIGINT)
+      |    END est FROM per),
+      |exact AS (
+      |  SELECT o_orderpriority seg, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) n_exact
+      |  FROM orders GROUP BY 1),
+      |u AS (
+      |  SELECT h, COUNT(DISTINCT seg) nseg FROM mins
+      |  WHERE seg IN ('$SegA', '$SegB') GROUP BY h ORDER BY h LIMIT $K),
+      |uagg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n_u, MAX(h) theta_u,
+      |    CAST(SUM(CASE WHEN nseg = 2 THEN 1 ELSE 0 END) AS BIGINT) rho
+      |  FROM u),
+      |uest AS (
+      |  SELECT n_u, rho, CASE WHEN n_u < $K THEN n_u
+      |    ELSE CAST(FLOOR(${K - 1}.0 * $HashSpace.0 / CAST(theta_u AS DOUBLE)) AS BIGINT)
+      |    END est_u FROM uagg),
+      |uexact AS (
+      |  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) n_exact FROM orders
+      |  WHERE o_orderpriority IN ('$SegA', '$SegB')),
+      |iexact AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n_exact FROM (
+      |    SELECT o_custkey FROM orders
+      |    WHERE o_orderpriority IN ('$SegA', '$SegB')
+      |    GROUP BY o_custkey HAVING COUNT(DISTINCT o_orderpriority) = 2))
+      |SELECT seg set_expr, n_exact, est FROM exact JOIN est USING (seg)
+      |UNION ALL
+      |SELECT 'union:$SegA|$SegB', uexact.n_exact, uest.est_u FROM uexact, uest
+      |UNION ALL
+      |SELECT 'intersect:$SegA|$SegB', iexact.n_exact,
+      |  CASE WHEN uest.n_u < $K THEN uest.rho
+      |    ELSE (uest.rho * uest.est_u) // $K END
+      |FROM iexact, uest
+      |ORDER BY set_expr""".stripMargin
+
+  private val D = 3 // Count-Min hash rows
+  private val W = 64 // Count-Min cells per row
+
+  private def cmCell(d: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(d.cast("string"), lit(":"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % W
+
+  /** Count-Min frequency estimates for sampled users: d=3 salted-md5
+    * rows × w=64 cells, est(key) = min over rows of its cell sum.
+    * Cell counts are plain sums (order-independent ⇒ the estimates are
+    * deterministic, unlike sampled counters), so the values hash-pin
+    * and the structural guarantee — CM never underestimates — pins as
+    * an always-true boolean beside exact counts.
+    *
+    * Scale shape: one pass over events with a ×d Expand collapsing
+    * map-side into ≤ d·w cells per partition; the final sketch is 192
+    * rows broadcast to the probe side. The exact-count column is the
+    * oracle baseline, not part of the production sketch path.
+    */
+  def countminFreq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ds = array((0 until D).map(lit): _*)
+    val cells = ev
+      .select(explode(ds).as("d"), col("user_id"))
+      .groupBy(col("d"), cmCell(col("d"), col("user_id")).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val keys = ev.where(col("user_id") % 10 === 0)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    val probes = keys.select(col("user_id"), explode(ds).as("d"))
+      .withColumn("cell", cmCell(col("d"), col("user_id")))
+    val est = probes.join(broadcast(cells), Seq("d", "cell"))
+      .groupBy(col("user_id")).agg(min(col("cnt")).as("cm_est"))
+    keys.join(est, "user_id")
+      .select(
+        col("user_id"), col("exact_cnt"), col("cm_est"),
+        (col("cm_est") >= col("exact_cnt")).as("is_overestimate"))
+      .orderBy("user_id")
+  }
+
+  def countminFreqOracle: String =
+    s"""WITH ds AS (SELECT UNNEST([0, 1, 2]) d),
+      |cells AS (
+      |  SELECT d,
+      |    ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % $W cell,
+      |    CAST(COUNT(*) AS BIGINT) cnt
+      |  FROM events, ds GROUP BY 1, 2),
+      |keys AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) exact_cnt FROM events
+      |  WHERE user_id % 10 = 0 GROUP BY 1),
+      |probes AS (
+      |  SELECT user_id, d,
+      |    ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % $W cell
+      |  FROM keys, ds),
+      |est AS (
+      |  SELECT user_id, MIN(cnt) cm_est FROM probes JOIN cells USING (d, cell)
+      |  GROUP BY 1)
+      |SELECT user_id, exact_cnt, cm_est, cm_est >= exact_cnt AS is_overestimate
+      |FROM keys JOIN est USING (user_id) ORDER BY user_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("kmv_distinct", kmvDistinct, Some(kmvDistinctOracle)),
+    QueryDef("countmin_freq", countminFreq, Some(countminFreqOracle)))
+}

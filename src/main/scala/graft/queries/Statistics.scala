@@ -431,7 +431,107 @@ object Statistics {
       |  CAST(max_sz * 1000000 // n_rows AS BIGINT) top_key_ppm
       |FROM i, t GROUP BY n_keys, n_rows, max_sz""".stripMargin
 
+  /** Per-nation OLS trend of monthly revenue: x = month index, y =
+    * monthly revenue cents, slope/intercept/r² from the closed form
+    * over exact moment sums. Sums that can leave int64 at scale (Σy,
+    * Σxy, Σy²) accumulate as DECIMAL(38,0) on the Spark side and
+    * HUGEINT in DuckDB — both lossless, both converting to the same
+    * nearest-double operands for the one final float expression.
+    *
+    * Scale shape: fact⋈customer shuffles once, nation broadcasts, the
+    * monthly pre-aggregate is map-side combinable, and the per-nation
+    * regression runs over a nations×months table — aggregate-sized
+    * regardless of fact volume. The trend-per-group question at 100 TB
+    * costs exactly the revenue-per-group aggregate.
+    */
+  def linregTrend(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.read(spark, dir, "orders")
+    val cust = Tables.read(spark, dir, "customer")
+    val nation = Tables.read(spark, dir, "nation")
+    val monthly = orders
+      .join(cust, orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(
+        col("n_name"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .as("x"))
+      .agg(sum(Quantize.cents(col("o_totalprice"))).as("yc"))
+    val ycD = col("yc").cast("decimal(38,0)")
+    val m = monthly.groupBy(col("n_name")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(ycD).as("sy"),
+      sum(col("x").cast("decimal(38,0)") * ycD).as("sxy"),
+      sum(ycD * ycD).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val syD = col("sy").cast("double")
+    val sxyD = col("sxy").cast("double")
+    val covN = nD * sxyD - sxD * syD // n·Σxy − Σx·Σy
+    val varX = nD * sxxD - sxD * sxD
+    val slope = covN / varX
+    // r² stays INTEGER (ppm): Σy² crosses 2^53 already at sf0.1 and
+    // DuckDB's HUGEINT→double is not correctly rounded (Spark's
+    // Decimal→double is), so any float touching syy diverges in the
+    // last ulps. cov²·10⁶ ~ 8e36 at sf1 — inside DECIMAL(38,0) and
+    // HUGEINT; past ~sf3 swap the ppm numerator to a coarser quantum.
+    val dec = "decimal(38,0)"
+    m.withColumn("covi",
+        col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy"))
+      .withColumn("varxi",
+        col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx"))
+      .withColumn("varyi",
+        col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+      .select(
+        col("n_name"),
+        col("n").as("n_months"),
+        slope.as("slope_cents"),
+        ((syD - covN / varX * sxD) / nD).as("intercept_cents"),
+        expr("""CASE WHEN varxi * varyi = 0 THEN CAST(NULL AS BIGINT)
+          ELSE (CAST(1000000 AS decimal(38,0)) * covi * covi) div (varxi * varyi)
+          END""").as("r2_ppm"))
+      .orderBy("n_name")
+  }
+
+  def linregTrendOracle: String =
+    s"""WITH monthly AS (
+      |  SELECT n_name,
+      |    (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS x,
+      |    SUM(${Quantize.centsSql("o_totalprice")}) yc
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT n_name, CAST(COUNT(*) AS BIGINT) n,
+      |    SUM(x) sx, SUM(x * x) sxx,
+      |    SUM(CAST(yc AS HUGEINT)) sy,
+      |    SUM(CAST(x AS HUGEINT) * yc) sxy,
+      |    SUM(CAST(yc AS HUGEINT) * yc) syy
+      |  FROM monthly GROUP BY 1)
+      |SELECT n_name, n AS n_months,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    AS slope_cents,
+      |  (CAST(sy AS DOUBLE)
+      |    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents,
+      |  CASE WHEN (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      |            * (CAST(n AS HUGEINT) * syy - sy * sy) = 0
+      |    THEN CAST(NULL AS BIGINT)
+      |    ELSE CAST(
+      |      (1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+      |               * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+      |      // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      |         * (CAST(n AS HUGEINT) * syy - sy * sy)) AS BIGINT)
+      |    END AS r2_ppm
+      |FROM m ORDER BY n_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("linreg_trend", linregTrend, Some(linregTrendOracle)),
     QueryDef("skew_report", skewReport, Some(skewReportOracle)),
     QueryDef("stats_outliers", statsOutliers, Some(statsOutliersOracle)),
     QueryDef("corr_stats", corrStats, Some(corrStatsOracle)),
