@@ -352,7 +352,51 @@ object Analytics {
       |WHERE t.dom > 23
       |GROUP BY t.dow ORDER BY dow""".stripMargin
 
+  /** Recency-decayed per-user activity leaderboard: every event's
+    * weight is 2^(30 − age_days) relative to a fixed as-of date —
+    * half-life of one day expressed in EXACT integer powers of two
+    * (the float e^−λt form is not order-independent; bit-shift weights
+    * sum exactly, so distributed partial sums are deterministic).
+    * Top 3 users per event type by decayed score.
+    *
+    * Scale shape: narrow weight projection folded into one
+    * (type, user) aggregate, then the rank<=3 filter plans
+    * WindowGroupLimit over the 5-value type key — map-side partial
+    * top-k, the `group_topk` pattern. The decay leaderboard at 100 TB
+    * costs the per-key aggregate and nothing else.
+    */
+  def decayedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.events(spark, dir)
+      .select(
+        col("event_type"), col("user_id"),
+        expr("shiftleft(CAST(1 AS BIGINT), " +
+          "30 - datediff(DATE '2024-01-31', CAST(ts AS DATE)))").as("w"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("w")).as("decayed_score"))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("decayed_score").desc, col("user_id"))
+    scored
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .where(col("rnk") <= 3)
+      .orderBy("event_type", "rnk")
+  }
+
+  def decayedTopkOracle: String =
+    """WITH s AS (
+      |  SELECT event_type, user_id,
+      |    SUM(CAST(1 AS BIGINT) << (30 - date_diff('day', CAST(ts AS DATE), DATE '2024-01-31')))
+      |      decayed_score
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY decayed_score DESC, user_id) rnk
+      |  FROM s)
+      |SELECT event_type, user_id, CAST(decayed_score AS BIGINT) decayed_score,
+      |  CAST(rnk AS BIGINT) rnk
+      |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("decayed_topk", decayedTopk, Some(decayedTopkOracle)),
     QueryDef("forecast_baseline", forecastBaseline, Some(forecastBaselineOracle)),
     QueryDef("funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),

@@ -214,7 +214,47 @@ object StreamingWindows {
       |  n_events
       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** Stream-static enrichment: each micro-batch of events joins the
+    * static customer→nation dimension (user_id keys into the customer
+    * table) before windowed aggregation — the canonical "enrich the
+    * stream against a warehouse table" topology. The dimension side
+    * BROADCASTS (it is bounded; the stream is not), so at 100 TB/day
+    * of events no shuffle ever carries the stream: each executor
+    * probes its batch partition against the replicated dimension,
+    * exactly how Structured Streaming plans a stream-static equi-join.
+    * Oracle: the batch equivalent over the full table.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.read(spark, dir, "customer")
+      .join(
+        Tables.read(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    Tables.events(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(
+        window(col("ts"), "6 hours").as("w"),
+        col("n_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Quantize.cents(col("value"))).as("value_cents"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("n_name"), col("n"), col("value_cents"))
+      .orderBy("window_start", "n_name")
+  }
+
+  def streamEnrichOracle: String =
+    s"""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600 AS window_start,
+      |  n_name, CAST(COUNT(*) AS BIGINT) n,
+      |  CAST(SUM(${Quantize.centsSql("value")}) AS BIGINT) value_cents
+      |FROM events
+      |JOIN customer ON user_id = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY window_start, n_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_enrich", streamEnrich, Some(streamEnrichOracle)),
     QueryDef("stream_dedup", streamDedup, Some(streamDedupOracle)),
     QueryDef("stream_topk", streamTopk, Some(streamTopkOracle)),
     QueryDef("stream_tumbling", streamTumbling, Some(streamTumblingOracle)),

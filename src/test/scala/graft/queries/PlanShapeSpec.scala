@@ -91,6 +91,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(limits.size == 2, phys.toString.take(2000))
   }
 
+  test("kmv_distinct plans WindowGroupLimit (map-side partial k-minima)") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val phys = physicalPlanNoAqe(Sketches.kmvDistinct(spark, dir))
+    val limits = phys.collect { case w: WindowGroupLimitExec => w }
+    // partial (pre-shuffle) + final — the sketch build must keep only
+    // k minima per map task, never sort all hashes on 5 reducers
+    assert(limits.size >= 2, phys.toString.take(2000))
+  }
+
+  test("decayed_topk plans WindowGroupLimit (map-side partial top-k)") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val phys = physicalPlanNoAqe(Analytics.decayedTopk(spark, dir))
+    val limits = phys.collect { case w: WindowGroupLimitExec => w }
+    assert(limits.size >= 2, phys.toString.take(2000))
+  }
+
   test("dedup_incremental broadcasts the batch side; index never shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

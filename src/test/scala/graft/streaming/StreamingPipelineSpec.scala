@@ -176,6 +176,43 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrich matches batch (stream_enrich shape)") {
+    import spark.implicits._
+    // the static dimension: user -> region, broadcast into every batch
+    val dim = (0 until 5).map(i => (s"u$i", s"region${i % 2}"))
+      .toDF("user", "region")
+    val ts = (0 until 90).map(i =>
+      (java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 131L)),
+        s"u${i % 5}"))
+    def plan(df: org.apache.spark.sql.DataFrame) = df
+      .join(broadcast(dim), "user")
+      .groupBy(window(col("ts"), "15 minutes"), col("region"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("region"), col("n"))
+    val batch = plan(ts.toDF("ts", "user"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+
+    val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val q = plan(mem.toDF().toDF("ts", "user").withWatermark("ts", "5 minutes"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete")
+      .start()
+    try {
+      mem.addData(ts)
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      assert(got.toSeq == batch.toSeq)
+      // the stream side must probe a broadcast, never shuffle into the dim
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      assert(exec.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        exec.toString.take(2000))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint restores state: no loss, no duplicates") {
     import spark.implicits._
     // Stateful dedup across a stop/restart: run 1 commits ids 0-9 and
