@@ -395,7 +395,55 @@ object Analytics {
       |  CAST(rnk AS BIGINT) rnk
       |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
 
+  /** Sequence-pattern detection over per-user journeys — the
+    * MATCH_RECOGNIZE / CEP shape: each user's events collapse to an
+    * ordered initial-string (c/e/p/s/v per event type) and regex
+    * patterns count behavioral motifs (clicks-then-purchase,
+    * views-then-purchase). Deterministic: order is (ts, event_id),
+    * initials are distinct per type, and both engines run greedy
+    * non-overlapping matching on backreference-free patterns.
+    *
+    * Scale shape: ONE shuffle(user) building the sorted journey string
+    * (sort_array of packed structs — in-partition sort, no window),
+    * then codegen'd regex per row. Journey strings are bounded by
+    * per-user activity, not corpus size; at 100 TB the pattern pass
+    * costs the per-user aggregate. (True streaming CEP additionally
+    * needs state timeouts — `ConnectionTimers` demonstrates that
+    * machinery; this is the batch/backfill form.)
+    */
+  def eventPattern(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"),
+        struct(
+          unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          substring(col("event_type"), 1, 1).as("i")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("", sort_array(collect_list(col("e"))).getField("i"))
+        .as("seq"))
+      .select(
+        col("user_id"),
+        length(col("seq")).cast("long").as("seq_len"),
+        size(expr("regexp_extract_all(seq, 'c+p', 0)")).cast("long")
+          .as("n_click_buy"),
+        size(expr("regexp_extract_all(seq, 'v+p', 0)")).cast("long")
+          .as("n_view_buy"))
+      .orderBy("user_id")
+
+  def eventPatternOracle: String =
+    """WITH j AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(length(seq) AS BIGINT) seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'c+p')) AS BIGINT) n_click_buy,
+      |  CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT) n_view_buy
+      |FROM j ORDER BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("event_pattern", eventPattern, Some(eventPatternOracle)),
     QueryDef("decayed_topk", decayedTopk, Some(decayedTopkOracle)),
     QueryDef("forecast_baseline", forecastBaseline, Some(forecastBaselineOracle)),
     QueryDef("funnel_steps", funnelSteps, Some(funnelStepsOracle)),

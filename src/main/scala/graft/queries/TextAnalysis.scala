@@ -484,7 +484,51 @@ object TextAnalysis {
        |FROM scored GROUP BY doc_id
        |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin
 
+  private val AccentFrom = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"
+  private val AccentTo = "aaaaaaeeeeiiiioooooouuuucnyy"
+
+  /** Canonical text normalization — the preprocessing step every
+    * dedup/fingerprint pipeline runs before hashing: casefold, strip
+    * accents (EXPLICIT translate table, identical literal in both
+    * engines — no locale/ICU dependence), collapse non-alphanumerics
+    * to spaces, squeeze runs, trim. Emits a bounded prefix plus token
+    * count per document so the normalized form itself is hash-pinned.
+    *
+    * Scale shape: pure per-row codegen'd projection, zero shuffle —
+    * the normalization pass is a scan at any corpus size.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(
+            translate(lower(col("text")), AccentFrom, AccentTo),
+            "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm"))
+      .select(
+        col("doc_id"),
+        substring(col("norm"), 1, 60).as("norm_prefix"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens"),
+        length(col("norm")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  def textNormalizeOracle: String =
+    s"""WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(
+      |      regexp_replace(
+      |        translate(lower(text), '$AccentFrom', '$AccentTo'),
+      |        '[^a-z0-9 ]', ' ', 'g'),
+      |      ' +', ' ', 'g')) norm
+      |  FROM documents)
+      |SELECT doc_id, substr(norm, 1, 60) norm_prefix,
+      |  CAST(len(string_split(norm, ' ')) AS BIGINT) n_tokens,
+      |  CAST(length(norm) AS BIGINT) n_chars
+      |FROM n ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_normalize", textNormalize, Some(textNormalizeOracle)),
     QueryDef("bm25_topk", bm25Topk, Some(bm25TopkOracle)),
     QueryDef("oov_rate", oovRate, Some(oovRateOracle)),
     QueryDef("text_tokens", textTokens, Some(textTokensOracle)),
