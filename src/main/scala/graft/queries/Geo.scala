@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial radius join — the grid-bucketed neighbor-join pattern every
+  * geo engine uses (GeoSpark/Sedona partitioning, H3/S2 cell joins),
+  * expressed as pure Spark algebra: bucket both sides into R-sized
+  * grid cells, explode the SMALL side into its 3×3 neighbor cells
+  * (bounded ×9), equi-join on the cell key, then an exact residual
+  * distance predicate. Never a cross join: candidates are bounded by
+  * cell occupancy, the same bounded-bucket discipline as the LSH
+  * dedup family.
+  *
+  * Coordinates are synthetic but deterministic: micro-degree points
+  * content-hashed from the entity keys (md5 arithmetic — the
+  * [[ContentHash]] pattern), so both engines derive identical
+  * geometry. All distance math is INTEGER (squared micro-degrees in
+  * int64: diffs < 2^20, squares < 2^40, sums < 2^41), so the oracle
+  * hash-pins exact results — no floating trig divergence (haversine's
+  * sin/cos disagree in last ulps across libm implementations).
+  */
+object Geo {
+
+  private val R = 20000L // radius in micro-degrees; also the cell size
+  private val Box = 1000000L // 1°×1° box, micro-degrees
+  private val PackBase = 1000000L // packs (dist2, suppkey): key < 1e6
+
+  /** Two independent 24-bit hex chunks of the key's md5 → (lat, lon)
+    * inside the box.
+    */
+  private def udeg(key: Column, off: Int): Column =
+    conv(substring(md5(key.cast("string")), 1 + off, 6), 16, 10)
+      .cast("long") % Box
+
+  private def udegSql(keyExpr: String, off: Int): String =
+    s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), ${1 + off}, 6))::BIGINT % $Box"
+
+  /** Per customer: how many suppliers sit within R micro-degrees, the
+    * exact squared distance to the closest one, and that supplier's
+    * key (ties broken to the smallest key via integer packing —
+    * `dist2 * 1e6 + suppkey` minimized, portable to any engine).
+    *
+    * Scale shape: the supplier (small) side explodes ×9 into neighbor
+    * cells and the join is a plain equi-join on the cell key — at
+    * 100 TB the big side shuffles once by cell (or not at all if the
+    * small side broadcasts, as here), and cell size R bounds candidate
+    * fan-in regardless of corpus size. The residual filter is
+    * codegen'd integer math at the join.
+    */
+  def geoRadiusJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        udeg(col("c_custkey"), 0).as("lat"),
+        udeg(col("c_custkey"), 8).as("lon"))
+      .withColumn("clat", expr(s"lat div $R"))
+      .withColumn("clon", expr(s"lon div $R"))
+    val supp = Tables.read(spark, dir, "supplier")
+      .select(
+        col("s_suppkey"),
+        udeg(col("s_suppkey"), 0).as("slat"),
+        udeg(col("s_suppkey"), 8).as("slon"))
+      .select(
+        col("s_suppkey"), col("slat"), col("slon"),
+        explode(array((-1 to 1).map(lit): _*)).as("dlat"))
+      .select(
+        col("s_suppkey"), col("slat"), col("slon"), col("dlat"),
+        explode(array((-1 to 1).map(lit): _*)).as("dlon"))
+      .select(
+        col("s_suppkey"), col("slat"), col("slon"),
+        (expr(s"slat div $R") + col("dlat")).as("clat"),
+        (expr(s"slon div $R") + col("dlon")).as("clon"))
+    val dist2 =
+      (col("lat") - col("slat")) * (col("lat") - col("slat")) +
+        (col("lon") - col("slon")) * (col("lon") - col("slon"))
+    cust.join(broadcast(supp), Seq("clat", "clon"))
+      .withColumn("dist2", dist2)
+      .where(col("dist2") <= R * R)
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(lit(1)).as("n_nearby"),
+        min(col("dist2") * PackBase + col("s_suppkey")).as("packed"))
+      .select(
+        col("c_custkey"),
+        col("n_nearby"),
+        expr(s"packed div $PackBase").as("min_dist2"),
+        (col("packed") % PackBase).as("nearest_supp"))
+      .orderBy("c_custkey")
+  }
+
+  def geoRadiusJoinOracle: String =
+    s"""WITH cust AS (
+      |  SELECT c_custkey,
+      |    ${udegSql("c_custkey", 0)} lat,
+      |    ${udegSql("c_custkey", 8)} lon
+      |  FROM customer),
+      |supp AS (
+      |  SELECT s_suppkey,
+      |    ${udegSql("s_suppkey", 0)} slat,
+      |    ${udegSql("s_suppkey", 8)} slon
+      |  FROM supplier),
+      |sgrid AS (
+      |  SELECT s_suppkey, slat, slon,
+      |    slat // $R + d1.d AS clat, slon // $R + d2.d AS clon
+      |  FROM supp, (SELECT UNNEST([-1, 0, 1]) d) d1,
+      |       (SELECT UNNEST([-1, 0, 1]) d) d2),
+      |cand AS (
+      |  SELECT c_custkey, s_suppkey,
+      |    (lat - slat) * (lat - slat) + (lon - slon) * (lon - slon) dist2
+      |  FROM cust JOIN sgrid
+      |    ON lat // $R = clat AND lon // $R = clon
+      |  WHERE (lat - slat) * (lat - slat) + (lon - slon) * (lon - slon)
+      |    <= ${R * R})
+      |SELECT c_custkey, CAST(COUNT(*) AS BIGINT) n_nearby,
+      |  CAST(MIN(dist2 * $PackBase + s_suppkey) // $PackBase AS BIGINT) min_dist2,
+      |  CAST(MIN(dist2 * $PackBase + s_suppkey) % $PackBase AS BIGINT) nearest_supp
+      |FROM cand GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("geo_radius_join", geoRadiusJoin, Some(geoRadiusJoinOracle)))
+}
