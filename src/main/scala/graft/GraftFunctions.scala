@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.StringType
   *   simhash32(tokens)               -- one-pass 32-bit simhash
   *   minhash_sig(shingles, k)        -- k minwise md5 signatures
   *   misra_gries(item, k)            -- heavy-hitters summary AGGREGATE
+  *   kmv_sketch(hash, k)             -- k-minimum-values distinct AGGREGATE
   *   ordered_pairs(ids)              -- a<b pair expansion of a list
   *
   * Filter strings must be literals: they compile at plan time into the
@@ -112,6 +113,15 @@ object GraftFunctions {
           s"k must be a literal int, got: $e")
       }
       graft.functions.MisraGries(args(0), k).toAggregateExpression()
+    },
+    "kmv_sketch" -> { args =>
+      require(args.length == 2, "kmv_sketch(hash, k)")
+      val k = args(1) match {
+        case Literal(v: Int, _) => v
+        case e => throw new IllegalArgumentException(
+          s"k must be a literal int, got: $e")
+      }
+      graft.functions.KmvSketch(args(0), k).toAggregateExpression()
     },
     "ordered_pairs" -> { args =>
       require(

@@ -138,9 +138,109 @@ case class MisraGries(
     copy(child = newChild)
 }
 
+/** KMV (k-minimum-values) distinct sketch as a real mergeable
+  * aggregate: the buffer is the set of the k SMALLEST distinct hash
+  * values seen. Unlike Misra–Gries, the result is fully DETERMINISTIC
+  * under any merge tree — "k smallest distinct elements of a multiset"
+  * is merge-order invariant — so the estimate itself is reproducible
+  * across partitionings, AQE re-plans and cluster sizes (the property
+  * `kmv_distinct` pins relationally; this is the one-pass aggregate
+  * form: k-sized buffers, map-side combinable, no WindowGroupLimit
+  * shuffle of distinct pairs).
+  *
+  * Input is a 60-bit content hash (e.g. 15 md5 hex chars); output is
+  * `struct(n_min, theta, est)` with est = n_min when the set never
+  * filled, else floor((k−1)·2⁶⁰/θ) — the same closed form, same
+  * double arithmetic, as the relational query.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2 && k <= 65536, s"kmv_sketch k must be in [2, 65536], got $k")
+
+  private val HashSpace = 1152921504606846976L // 2^60
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_min", LongType, nullable = false),
+    StructField("theta", LongType, nullable = true),
+    StructField("est", LongType, nullable = false)))
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch expects a long hash column, got $other")
+  }
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty
+
+  private def insert(buf: mutable.TreeSet[Long], h: Long): Unit =
+    if (buf.size < k) buf += h
+    else if (h < buf.last && !buf.contains(h)) { buf -= buf.last; buf += h }
+
+  override def update(
+      buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      b1: mutable.TreeSet[Long], b2: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    b2.foreach(insert(b1, _))
+    b1
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any = {
+    val n = buf.size.toLong
+    if (n < k) InternalRow(n, if (buf.isEmpty) null else buf.last, n)
+    else {
+      val theta = buf.last
+      val est = math.floor(
+        (k - 1).toDouble * HashSpace.toDouble / theta.toDouble).toLong
+      InternalRow(n, theta, est)
+    }
+  }
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(b: Array[Byte]): mutable.TreeSet[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val n = bb.getInt()
+    val out = mutable.TreeSet.empty[Long]
+    var i = 0
+    while (i < n) { out += bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   /** Column API: `misraGries(col, k)` aggregate. */
   def misraGries(c: Column, k: Int): Column =
     ColumnBridge.column(
       MisraGries(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Column API: `kmvSketch(hashCol, k)` aggregate. */
+  def kmvSketch(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvSketch(ColumnBridge.expression(c), k).toAggregateExpression())
 }
