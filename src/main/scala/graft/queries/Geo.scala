@@ -58,7 +58,12 @@ object Geo {
       .withColumn("clon", expr(s"lon div $R"))
     val supp = Tables.read(spark, dir, "supplier")
       .select(
-        col("s_suppkey"),
+        // the (dist2, suppkey) packing needs suppkey < PackBase; fail
+        // loudly past sf~100 instead of silently corrupting the argmin
+        when(col("s_suppkey") >= PackBase, raise_error(concat(
+          lit("geo_radius_join: s_suppkey "), col("s_suppkey").cast("string"),
+          lit(s" exceeds the $PackBase packing base (PackBase)"))))
+          .otherwise(col("s_suppkey")).as("s_suppkey"),
         udeg(col("s_suppkey"), 0).as("slat"),
         udeg(col("s_suppkey"), 8).as("slon"))
       .select(

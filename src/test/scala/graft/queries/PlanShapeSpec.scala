@@ -107,6 +107,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(limits.size >= 2, phys.toString.take(2000))
   }
 
+  test("countmin_freq and geo_radius_join probe broadcasts (no cartesian)") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    for (plan <- Seq(
+        physicalPlanNoAqe(Sketches.countminFreq(spark, dir)),
+        physicalPlanNoAqe(Geo.geoRadiusJoin(spark, dir)))) {
+      // the 192-cell sketch / ×9-exploded grid side must broadcast —
+      // the big side reads straight through
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        plan.toString.take(2000))
+      assert(!plan.toString.contains("CartesianProduct"),
+        plan.toString.take(2000))
+    }
+  }
+
   test("dedup_incremental broadcasts the batch side; index never shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
