@@ -891,5 +891,66 @@ object Extended {
     QueryDef("train_split", trainSplit, Some(trainSplitOracle)),
     QueryDef("group_topk", groupTopk, Some(groupTopkOracle)),
     QueryDef("nullsafe_join", nullsafeJoin, Some(nullsafeJoinOracle)),
-    QueryDef("null_semantics", nullSemantics, Some(nullSemanticsOracle)))
+    QueryDef("null_semantics", nullSemantics, Some(nullSemanticsOracle)),
+    QueryDef("safe_arithmetic", safeArithmetic, Some(safeArithmeticOracle)))
+
+  /** Spark 4 runs ANSI mode by default: arithmetic overflow, division
+    * by zero and bad casts THROW unless the `try_*` forms are used —
+    * the semantics every library operator here relies on (`try_to_date`
+    * in the filter compiler, guards in the kernels). This battery pins
+    * the recovery surface: try_divide/try_add/try_cast turn each
+    * failure into NULL, counted per failure class over a derived
+    * corpus. DuckDB oracles via TRY_CAST and NULLIF-guarded division —
+    * same NULL-in/NULL-out outcomes, engine-portably.
+    *
+    * Scale shape: one narrow projection + a single global aggregate —
+    * semantics proof, not a data-volume operator.
+    */
+  def safeArithmetic(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.read(spark, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      Quantize.cents(col("o_totalprice")).as("cents"),
+      col("o_orderpriority").as("prio"))
+    o.select(
+      // div-by-zero: every 7th row divides by zero -> NULL
+      expr("try_divide(cents, k % 7)").as("div7"),
+      // overflow: Long.MaxValue + cents overflows for every row
+      expr(s"try_add(${Long.MaxValue}L, cents)").as("ovf"),
+      // bad cast: '1-URGENT' etc. never parse as ints
+      expr("try_cast(prio AS BIGINT)").as("badcast"),
+      // good cast: the leading digit does parse once extracted
+      expr("try_cast(substring(prio, 1, 1) AS BIGINT)").as("goodcast"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("div7").isNull.cast("long")).as("n_div0_null"),
+        sum(col("ovf").isNull.cast("long")).as("n_overflow_null"),
+        sum(col("badcast").isNull.cast("long")).as("n_badcast_null"),
+        sum(col("goodcast")).as("sum_goodcast"),
+        // try_divide result where defined: floor to micros for an
+        // integer-exact checksum of the non-null division results
+        sum(when(col("div7").isNotNull,
+          expr("CAST(floor(div7 * 1000) AS BIGINT)"))).as("div_milli_sum"))
+  }
+
+  def safeArithmeticOracle: String =
+    s"""WITH t AS (
+       |  SELECT o_orderkey k, ${Quantize.centsSql("o_totalprice")} cents,
+       |    o_orderpriority prio
+       |  FROM orders),
+       |d AS (
+       |  SELECT
+       |    CASE WHEN k % 7 = 0 THEN NULL
+       |      ELSE CAST(cents AS DOUBLE) / (k % 7) END div7,
+       |    CAST(NULL AS BIGINT) ovf,
+       |    TRY_CAST(prio AS BIGINT) badcast,
+       |    TRY_CAST(substr(prio, 1, 1) AS BIGINT) goodcast
+       |  FROM t)
+       |SELECT CAST(COUNT(*) AS BIGINT) n_rows,
+       |  CAST(SUM(CASE WHEN div7 IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_div0_null,
+       |  CAST(COUNT(*) AS BIGINT) n_overflow_null,
+       |  CAST(SUM(CASE WHEN badcast IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_badcast_null,
+       |  CAST(SUM(goodcast) AS BIGINT) sum_goodcast,
+       |  CAST(SUM(CASE WHEN div7 IS NOT NULL
+       |    THEN CAST(floor(div7 * 1000) AS BIGINT) END) AS BIGINT) div_milli_sum
+       |FROM d""".stripMargin
 }
