@@ -713,6 +713,62 @@ object Similarity {
        |FROM ms CROSS JOIN tn ORDER BY method""".stripMargin
   }
 
+  /** `embedding_outliers`: distance of every vector to its LABEL's
+    * centroid, top-25 farthest — the embedding-space outlier /
+    * mislabel filter (the FineWeb-style "drop points far from their
+    * cluster" pruning step; also the QA pass over any labeled
+    * embedding corpus). Centroid arithmetic is the kmeans M-step
+    * idiom verbatim: [[graft.functions.LongVectorSum]] map-side
+    * combinable sum + floor(sum/cnt + 0.5) on an exact-integer
+    * double quotient, so centroids and distances are bit-identical
+    * in DuckDB.
+    *
+    * Plan shape: one K×dim centroid aggregate over the shared
+    * quantized relation, broadcast back, one narrow codegen'd
+    * [[graft.functions.LongArrayL2Sq]] pass, one 25-row top-k. At
+    * 100 TB: the centroid table is label-domain-sized (broadcast),
+    * the scoring scan is embarrassingly parallel, nothing joins
+    * vec×vec.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val cents = vecs.groupBy(col("label"))
+      .agg(
+        graft.functions.VectorFunctions.vecSum(col("v")).as("s"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("label"),
+        transform(
+          col("s"),
+          x => floor(x.cast("double") / col("cnt") + 0.5).cast("long"))
+          .as("cv"),
+        col("cnt").as("n_label"))
+    vecs.join(broadcast(cents), "label")
+      .select(
+        col("vec_id"), col("label"), col("n_label"),
+        graft.functions.VectorFunctions.l2sqLong(col("v"), col("cv"))
+          .as("dist2"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+      .limit(25)
+  }
+
+  def embeddingOutliersOracle: String =
+    s"""WITH $VectorsSql,
+       |m AS (
+       |  SELECT label, i,
+       |    CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) mu,
+       |    CAST(COUNT(*) AS BIGINT) n_label
+       |  FROM vn, unnest(range(1, 65)) t(i)
+       |  GROUP BY label, i),
+       |cents AS (
+       |  SELECT label, list(mu ORDER BY i) cv, MIN(n_label) n_label
+       |  FROM m GROUP BY label)
+       |SELECT vn.vec_id, vn.label, cents.n_label,
+       |  CAST(list_sum(list_transform(range(1, len(v) + 1),
+       |    i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS BIGINT) dist2
+       |FROM vn JOIN cents ON vn.label = cents.label
+       |ORDER BY dist2 DESC, vec_id LIMIT 25""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
     QueryDef("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
@@ -724,5 +780,7 @@ object Similarity {
     QueryDef("knn_ivf_probe2", knnIvfProbe2, Some(knnIvfProbe2Oracle)),
     QueryDef("knn_lsh", knnLsh, Some(knnLshOracle)),
     QueryDef("knn_pq", knnPq, Some(knnPqOracle)),
-    QueryDef("knn_recall", knnRecall, Some(knnRecallOracle)))
+    QueryDef("knn_recall", knnRecall, Some(knnRecallOracle)),
+    QueryDef(
+      "embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)))
 }

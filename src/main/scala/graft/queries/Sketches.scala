@@ -212,7 +212,38 @@ object Sketches {
       |SELECT user_id, exact_cnt, cm_est, cm_est >= exact_cnt AS is_overestimate
       |FROM keys JOIN est USING (user_id) ORDER BY user_id""".stripMargin
 
+  /** `bitmap_distinct`: EXACT distinct customers per order priority
+    * through the mergeable bitmap aggregate
+    * ([[graft.functions.BitmapDistinct]]) — the exact sibling of the
+    * KMV estimate above, next to the built-in `count(distinct)` the
+    * oracle states. Update = set-bit, merge = OR, eval = popcount:
+    * order/partitioning-invariant, so the exact answer is
+    * reproducible under any merge tree.
+    *
+    * Plan shape: ONE hash aggregate, map-side combinable — each map
+    * task dedups into a local bitset and ships one buffer per
+    * (task, priority), where the built-in distinct plans an Expand
+    * plus a shuffle of every distinct (priority, custkey) pair. At
+    * 100 TB with surrogate-key domains this is the
+    * `bitmap_count_distinct` warehouses reach for; BitmapSpec pins
+    * agg == count(distinct) and merge-tree invariance across
+    * repartitionings.
+    */
+  def bitmapDistinctQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapFunctions.bitmapDistinct
+    Tables.read(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("seg"))
+      .agg(bitmapDistinct(col("o_custkey"), 1 << 26).as("n_customers"))
+      .orderBy("seg")
+  }
+
+  def bitmapDistinctOracle: String =
+    """SELECT o_orderpriority AS seg,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("kmv_distinct", kmvDistinct, Some(kmvDistinctOracle)),
-    QueryDef("countmin_freq", countminFreq, Some(countminFreqOracle)))
+    QueryDef("countmin_freq", countminFreq, Some(countminFreqOracle)),
+    QueryDef("bitmap_distinct", bitmapDistinctQ, Some(bitmapDistinctOracle)))
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Text-analysis operators over the `documents` table (north-star
   * gap-fill: language-ID, quality scoring, token counting, document
@@ -527,8 +528,80 @@ object TextAnalysis {
       |  CAST(length(norm) AS BIGINT) n_chars
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** `ngram_lm`: corpus bigram language-model scoring — the
+    * perplexity-style quality filter (CCNet / KenLM shape) every
+    * pretraining pipeline runs: train counts ON the corpus, score
+    * every document BY them, rank. Probabilities are integer ppm
+    * (floor division), conditional on the bigram's first token —
+    * p_ppm(w2|w1) = c(w1,w2)·10⁶ div c(w1·) — and a document's score
+    * is the floor-mean over its bigram occurrences, so every number
+    * is an exact BIGINT both engines reproduce (no log/float
+    * perplexity — the RANKING is the operator; a monotone transform
+    * of it adds no information). High score = predictable/repetitive
+    * text, the same signal the float form thresholds on.
+    *
+    * Plan shape: the bigram-occurrence relation materializes once
+    * (persisted) and feeds three consumers — the bigram count, the
+    * first-token count, and the per-doc probe. Everything joins on
+    * bigram/token keys (model-sized, Zipf-bounded), NEVER doc×doc;
+    * the per-doc aggregate is one linear pass. At 100 TB: two
+    * model-building shuffles bounded by observed-vocab size + one
+    * scoring join — exactly the distributed KenLM-scoring shape.
+    */
+  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
+    val tk = toks(lower(col("text")))
+    val pairs = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), explode(array(tk)).as("tk")) // Generate barrier: tokenize once
+      .where(size(col("tk")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("tk")) - 1),
+          i => struct(
+            element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("z"))
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val prob = cb.join(c1, "w1")
+        .select(col("w1"), col("w2"), expr("c2 * 1000000 div c1").as("p_ppm"))
+      pairs.join(prob, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("s"))
+        .select(
+          col("doc_id"), col("n_bigrams"),
+          expr("s div n_bigrams").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(25)
+        .localCheckpoint() // materialize before the pair unpersist
+    } finally pairs.unpersist()
+  }
+
+  def ngramLmOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${ToksSql.format("lower(text)")} tk FROM documents),
+       |p AS (
+       |  SELECT doc_id, unnest(tk[1:len(tk)-1]) w1, unnest(tk[2:len(tk)]) w2
+       |  FROM t WHERE len(tk) >= 2),
+       |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c2 FROM p GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) c1 FROM p GROUP BY 1),
+       |prob AS (
+       |  SELECT cb.w1, cb.w2, cb.c2 * 1000000 // c1.c1 AS p_ppm
+       |  FROM cb JOIN c1 ON cb.w1 = c1.w1),
+       |ds AS (
+       |  SELECT p.doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+       |         CAST(sum(pr.p_ppm) AS BIGINT) s
+       |  FROM p JOIN prob pr ON p.w1 = pr.w1 AND p.w2 = pr.w2
+       |  GROUP BY 1)
+       |SELECT doc_id, n_bigrams, s // n_bigrams AS score_ppm
+       |FROM ds ORDER BY score_ppm DESC, doc_id LIMIT 25""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_normalize", textNormalize, Some(textNormalizeOracle)),
+    QueryDef("ngram_lm", ngramLm, Some(ngramLmOracle)),
     QueryDef("bm25_topk", bm25Topk, Some(bm25TopkOracle)),
     QueryDef("oov_rate", oovRate, Some(oovRateOracle)),
     QueryDef("text_tokens", textTokens, Some(textTokensOracle)),

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bitmap aggregate is EXACT: popcount(OR of set-bits) must equal
+  * the built-in `count(distinct)` under every partitioning (merge =
+  * bitwise OR is order/shape invariant), and keys outside the dense
+  * domain must fail loudly — never fold into a wrong bit.
+  */
+class BitmapDistinctSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def orders = Tables.read(spark, dir, "orders")
+
+  test("bitmap cardinality == count(distinct) per group") {
+    val got = orders.groupBy("o_orderpriority")
+      .agg(BitmapFunctions.bitmapDistinct(col("o_custkey"), 1 << 26).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("exact under any partitioning / merge tree") {
+    def run(parts: Int) = orders.repartition(parts)
+      .groupBy("o_orderpriority")
+      .agg(BitmapFunctions.bitmapDistinct(col("o_custkey"), 1 << 26).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(13) && run(13) == run(32))
+  }
+
+  test("nulls are ignored, empty group counts zero") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Long)](
+      ("a", 1L), ("a", 1L), ("a", null), ("b", null))
+      .toDF("g", "k")
+    val got = df.groupBy("g")
+      .agg(BitmapFunctions.bitmapDistinct(col("k"), 1024).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 0L))
+  }
+
+  test("out-of-domain key fails loudly, naming the cap") {
+    import spark.implicits._
+    val df = Seq(5L, 2048L).toDF("k")
+    val e = intercept[Exception] {
+      df.agg(BitmapFunctions.bitmapDistinct(col("k"), 1024)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("dense domain")),
+      s"expected the dense-domain guard, got: $e")
+  }
+}

@@ -105,4 +105,32 @@ class GraphPropertySpec extends AnyFunSuite {
       assert(got == want, s"trial $trial depth=$depth rounds=$rounds")
     }
   }
+
+  test("triangleCountOn matches brute-force enumeration on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(25)
+      // undirected simple graph, a < b, density ~1/3 => skewed
+      // degrees and plenty of triangles
+      val edges = (for {
+        a <- 0L until n
+        b <- (a + 1) until n
+        if rnd.nextInt(3) == 0
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val got = Graph.triangleCountOn(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // model: O(n^3) scan over the adjacency set
+        val es = edges.toSet
+        val tri = for {
+          a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+          if es((a, b)) && es((b, c)) && es((a, c))
+        } yield (a, b, c)
+        val want = tri.flatMap(t => Seq(t._1, t._2, t._3))
+          .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+        assert(got == want, s"trial $trial n=$n edges=${edges.size}")
+      }
+    }
+  }
 }
