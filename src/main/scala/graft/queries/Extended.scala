@@ -869,7 +869,63 @@ object Extended {
       |UNPIVOT (value FOR metric IN (n_events, n_users, sum_cents))
       |ORDER BY event_type, metric""".stripMargin
 
+  /** `pareto_skyline`: the group-wise SKYLINE operator (Börzsönyi et
+    * al.'s classic) — per brand, the parts not dominated on
+    * (minimize retail price, maximize size): a dominates b iff
+    * price≤ ∧ size≥ with one strict. The multi-objective "best
+    * tradeoffs" shelf every catalog/pricing pipeline computes.
+    *
+    * Plan shape — in 2D the skyline REDUCES to a sort-scan, so the
+    * idiomatic Spark form is pure relational algebra, no custom
+    * operator: one map-combinable (brand, price)→max(size) aggregate
+    * collapses the fact table to a dimension-sized grid, a
+    * brand-PARTITIONED running-max window (frame ends 1 PRECEDING —
+    * strictly-cheaper rows only) marks frontier prices, and one join
+    * back picks the surviving rows (price-duplicates with the same
+    * max size all survive; a same-price larger size dominates). At
+    * 100 TB the window input is |brand × distinct-price| rows, never
+    * fact-sized. For d>2 dims (no total order) the same pipeline
+    * swaps the window for partition-local skyline + candidate merge
+    * — skylines compose under union — with this 2D form as its
+    * per-partition kernel.
+    */
+  def paretoSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.read(spark, dir, "part")
+      .select(
+        col("p_brand"), col("p_partkey"),
+        Quantize.cents(col("p_retailprice")).as("price_c"),
+        col("p_size").cast("long").as("sz"))
+    val best = pts.groupBy(col("p_brand"), col("price_c"))
+      .agg(max(col("sz")).as("msize"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = best.withColumn("mprev", max(col("msize")).over(w))
+    pts.join(run, Seq("p_brand", "price_c"))
+      .where(col("sz") === col("msize") &&
+        (col("mprev").isNull || col("sz") > col("mprev")))
+      .select(col("p_brand"), col("p_partkey"), col("price_c"), col("sz"))
+      .orderBy("p_brand", "price_c", "p_partkey")
+  }
+
+  def paretoSkylineOracle: String =
+    s"""WITH pts AS (
+       |  SELECT p_brand, p_partkey,
+       |    ${Quantize.centsSql("p_retailprice")} price_c,
+       |    CAST(p_size AS BIGINT) sz
+       |  FROM part),
+       |best AS (SELECT p_brand, price_c, max(sz) msize FROM pts GROUP BY 1, 2),
+       |run AS (
+       |  SELECT p_brand, price_c, msize,
+       |    max(msize) OVER (PARTITION BY p_brand ORDER BY price_c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) mprev
+       |  FROM best)
+       |SELECT pts.p_brand, pts.p_partkey, pts.price_c, pts.sz
+       |FROM pts JOIN run USING (p_brand, price_c)
+       |WHERE pts.sz = run.msize AND (run.mprev IS NULL OR pts.sz > run.mprev)
+       |ORDER BY p_brand, price_c, p_partkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("pareto_skyline", paretoSkyline, Some(paretoSkylineOracle)),
     QueryDef("grouping_sets", groupingSets, Some(groupingSetsOracle)),
     QueryDef("window_dist", windowDist, Some(windowDistOracle)),
     QueryDef("set_ops_all", setOpsAll, Some(setOpsAllOracle)),

@@ -387,16 +387,25 @@ object Graph {
     * aggregate; everything after operates on the support-pruned
     * edge relation.
     */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+  /** The support-pruned supplier co-occurrence edge relation (a, b)
+    * with a < b — shared builder for `triangle_count` and
+    * `k_core_peel` (each call persists its own copy around its
+    * consumption; the relation is aggregate-sized).
+    */
+  private def coEdges(spark: SparkSession, dir: String): DataFrame = {
     val os = Tables.read(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
       .distinct()
-    val edges = os.as("x")
+    os.as("x")
       .join(os.as("y"), col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
       .groupBy(col("x.s").as("a"), col("y.s").as("b"))
       .agg(count(lit(1)).as("c"))
       .where(col("c") >= TriSupport)
       .select("a", "b")
+  }
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(spark, dir)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       triangleCountOn(edges)
@@ -461,9 +470,97 @@ object Graph {
        |FROM nodes GROUP BY 1
        |ORDER BY n_tri DESC, suppkey LIMIT 25""".stripMargin
 
+  /** Degree threshold for the peeling rounds. */
+  private val CoreK = 50
+
+  /** `k_core_peel`: the first 3 peeling rounds of k-core
+    * decomposition over the supplier co-occurrence graph — each
+    * round removes every node whose degree in the SURVIVING subgraph
+    * is < k, the cascade that isolates dense cores (community /
+    * fraud-ring extraction; peeling is also how degeneracy ordering
+    * is derived). Output: every graph node with its removal round
+    * (1–3) or 0 = still in the core after 3 rounds. The round bound
+    * makes the operator oracle-expressible (fixed CTE chain); the
+    * production fixpoint loops the identical round body until no
+    * removal, exactly like `dedup_clusters`' convergence loop.
+    *
+    * Plan shape: each round is ONE degree aggregate over the
+    * surviving edge relation + two broadcast semi/anti joins against
+    * the |V|-sized removal set — the edge relation shrinks
+    * monotonically, never grows, and nothing is fact-sized after the
+    * shared co-occurrence build.
+    */
+  def kCorePeel(spark: SparkSession, dir: String): DataFrame = {
+    val und = coEdges(spark, dir)
+    val edges0 = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val allNodes = edges0.select(col("u").as("n")).distinct()
+      var edges = edges0
+      var survivors = allNodes
+      var removed: DataFrame = null // (n, rnd)
+      for (rnd <- 1 to 3) {
+        // degree over SURVIVORS (left join): a node orphaned by its
+        // neighbors' removal has deg 0 and peels next round
+        val deg = survivors.join(
+          edges.groupBy(col("u").as("n")).agg(count(lit(1)).as("d")),
+          Seq("n"), "left")
+          .select(col("n"), coalesce(col("d"), lit(0L)).as("deg"))
+        val drop = deg.where(col("deg") < CoreK)
+          .select(col("n"), lit(rnd.toLong).as("rnd"))
+        removed = if (removed == null) drop else removed.unionAll(drop)
+        val keep = deg.where(col("deg") >= CoreK).select(col("n"))
+        survivors = keep
+        edges = edges
+          .join(broadcast(keep).withColumnRenamed("n", "u"), Seq("u"), "semi")
+          .join(broadcast(keep).withColumnRenamed("n", "v"), Seq("v"), "semi")
+      }
+      allNodes
+        .join(removed, Seq("n"), "left")
+        .select(
+          col("n").as("suppkey"),
+          coalesce(col("rnd"), lit(0L)).as("removed_round"))
+        .orderBy("suppkey")
+        .localCheckpoint() // materialize before the edge unpersist
+    } finally edges0.unpersist()
+  }
+
+  def kCorePeelOracle: String =
+    s"""WITH und AS (
+       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) x
+       |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriSupport),
+       |e0 AS (SELECT a u, b v FROM und UNION ALL SELECT b, a FROM und),
+       |s0 AS (SELECT DISTINCT u n FROM e0),
+       |d1 AS (SELECT s0.n, CAST(count(e0.u) AS BIGINT) deg
+       |       FROM s0 LEFT JOIN e0 ON s0.n = e0.u GROUP BY 1),
+       |r1 AS (SELECT n FROM d1 WHERE deg < $CoreK),
+       |s1 AS (SELECT n FROM d1 WHERE deg >= $CoreK),
+       |e1 AS (SELECT u, v FROM e0
+       |       WHERE u IN (SELECT n FROM s1) AND v IN (SELECT n FROM s1)),
+       |d2 AS (SELECT s1.n, CAST(count(e1.u) AS BIGINT) deg
+       |       FROM s1 LEFT JOIN e1 ON s1.n = e1.u GROUP BY 1),
+       |r2 AS (SELECT n FROM d2 WHERE deg < $CoreK),
+       |s2 AS (SELECT n FROM d2 WHERE deg >= $CoreK),
+       |e2 AS (SELECT u, v FROM e1
+       |       WHERE u IN (SELECT n FROM s2) AND v IN (SELECT n FROM s2)),
+       |d3 AS (SELECT s2.n, CAST(count(e2.u) AS BIGINT) deg
+       |       FROM s2 LEFT JOIN e2 ON s2.n = e2.u GROUP BY 1),
+       |r3 AS (SELECT n FROM d3 WHERE deg < $CoreK)
+       |SELECT s0.n AS suppkey,
+       |  CAST(CASE WHEN s0.n IN (SELECT n FROM r1) THEN 1
+       |       WHEN s0.n IN (SELECT n FROM r2) THEN 2
+       |       WHEN s0.n IN (SELECT n FROM r3) THEN 3
+       |       ELSE 0 END AS BIGINT) AS removed_round
+       |FROM s0 ORDER BY suppkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pagerank", pagerank, Some(pagerankOracle)),
     QueryDef("shortest_path", shortestPath, Some(shortestPathOracle)),
     QueryDef("hits", hits, Some(hitsOracle)),
-    QueryDef("triangle_count", triangleCount, Some(triangleCountOracle)))
+    QueryDef("triangle_count", triangleCount, Some(triangleCountOracle)),
+    QueryDef("k_core_peel", kCorePeel, Some(kCorePeelOracle)))
 }

@@ -548,7 +548,13 @@ object TextAnalysis {
     * model-building shuffles bounded by observed-vocab size + one
     * scoring join — exactly the distributed KenLM-scoring shape.
     */
-  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document LM scores for EVERY doc with >= 1 bigram —
+    * (doc_id, n_bigrams, score_ppm), materialized (the result is
+    * doc-count-sized) so the internal bigram persist can be dropped
+    * before returning. Shared by `ngram_lm` (ranking) and
+    * `lm_prune` (the filter decision).
+    */
+  private def lmScores(spark: SparkSession, dir: String): DataFrame = {
     val tk = toks(lower(col("text")))
     val pairs = Tables.read(spark, dir, "documents")
       .select(col("doc_id"), explode(array(tk)).as("tk")) // Generate barrier: tokenize once
@@ -574,14 +580,15 @@ object TextAnalysis {
         .select(
           col("doc_id"), col("n_bigrams"),
           expr("s div n_bigrams").as("score_ppm"))
-        .orderBy(col("score_ppm").desc, col("doc_id"))
-        .limit(25)
         .localCheckpoint() // materialize before the pair unpersist
     } finally pairs.unpersist()
   }
 
-  def ngramLmOracle: String =
-    s"""WITH t AS (
+  /** The shared per-doc score CTE chain (everything up to `ds`) for
+    * the two LM oracles.
+    */
+  private def lmScoresSql: String =
+    s"""t AS (
        |  SELECT doc_id, ${ToksSql.format("lower(text)")} tk FROM documents),
        |p AS (
        |  SELECT doc_id, unnest(tk[1:len(tk)-1]) w1, unnest(tk[2:len(tk)]) w2
@@ -593,15 +600,69 @@ object TextAnalysis {
        |  FROM cb JOIN c1 ON cb.w1 = c1.w1),
        |ds AS (
        |  SELECT p.doc_id, CAST(count(*) AS BIGINT) n_bigrams,
-       |         CAST(sum(pr.p_ppm) AS BIGINT) s
+       |         CAST(sum(pr.p_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) score_ppm
        |  FROM p JOIN prob pr ON p.w1 = pr.w1 AND p.w2 = pr.w2
-       |  GROUP BY 1)
-       |SELECT doc_id, n_bigrams, s // n_bigrams AS score_ppm
+       |  GROUP BY 1)""".stripMargin
+
+  def ngramLm(spark: SparkSession, dir: String): DataFrame =
+    lmScores(spark, dir)
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(25)
+
+  /** `lm_prune`: the CCNet filter DECISION on top of the LM scores —
+    * per language, rank documents by score and cut into tertiles
+    * (ntile over (score, doc_id) — fully deterministic); the middle
+    * tertile is the kept band (CCNet's head/middle/tail heuristic:
+    * the top band is boilerplate-repetitive, the bottom is noise).
+    * Output: per (lang, tertile) doc count, score range and the keep
+    * flag — the corpus-curation audit table.
+    *
+    * Plan shape: scoring as in `ngram_lm`; the tertile window
+    * partitions by language over the doc-count-sized score relation,
+    * then one tiny aggregate. Nothing here is fact-sized after the
+    * scoring join.
+    */
+  def lmPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = lmScores(spark, dir)
+    val withLang = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(sc, "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score_ppm"), col("doc_id"))
+    withLang
+      .withColumn("tertile", ntile(3).over(w).cast("long"))
+      .groupBy(col("lang"), col("tertile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("score_ppm")).as("min_score"),
+        max(col("score_ppm")).as("max_score"))
+      .withColumn("keep", col("tertile") === 2)
+      .orderBy("lang", "tertile")
+  }
+
+  def lmPruneOracle: String =
+    s"""WITH $lmScoresSql,
+       |tl AS (
+       |  SELECT d.lang, ds.doc_id, ds.score_ppm,
+       |    CAST(ntile(3) OVER (PARTITION BY d.lang
+       |      ORDER BY ds.score_ppm, ds.doc_id) AS BIGINT) tertile
+       |  FROM ds JOIN documents d ON ds.doc_id = d.doc_id)
+       |SELECT lang, tertile, CAST(count(*) AS BIGINT) n_docs,
+       |  min(score_ppm) min_score, max(score_ppm) max_score,
+       |  tertile = 2 AS keep
+       |FROM tl GROUP BY lang, tertile
+       |ORDER BY lang, tertile""".stripMargin
+
+  def ngramLmOracle: String =
+    s"""WITH $lmScoresSql
+       |SELECT doc_id, n_bigrams, score_ppm
        |FROM ds ORDER BY score_ppm DESC, doc_id LIMIT 25""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_normalize", textNormalize, Some(textNormalizeOracle)),
     QueryDef("ngram_lm", ngramLm, Some(ngramLmOracle)),
+    QueryDef("lm_prune", lmPrune, Some(lmPruneOracle)),
     QueryDef("bm25_topk", bm25Topk, Some(bm25TopkOracle)),
     QueryDef("oov_rate", oovRate, Some(oovRateOracle)),
     QueryDef("text_tokens", textTokens, Some(textTokensOracle)),
