@@ -23,6 +23,9 @@ import org.apache.spark.sql.types.StringType
   *   minhash_sig(shingles, k)        -- k minwise md5 signatures
   *   misra_gries(item, k)            -- heavy-hitters summary AGGREGATE
   *   kmv_sketch(hash, k)             -- k-minimum-values distinct AGGREGATE
+  *   bitmap_distinct(key, maxBits)   -- exact bitmap distinct AGGREGATE
+  *   bitmap_agg(key, maxBits)        -- bitmap-as-value AGGREGATE (binary)
+  *   bitmap_or(bm) / bitmap_count(bm)-- bitmap rollup AGGREGATE / popcount
   *   ordered_pairs(ids)              -- a<b pair expansion of a list
   *
   * Filter strings must be literals: they compile at plan time into the
@@ -38,6 +41,12 @@ object GraftFunctions {
     case _ =>
       throw new IllegalArgumentException(
         s"$what must be a literal string, got: $e")
+  }
+
+  private def literalInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a literal int, got: $e")
   }
 
   private def pathOf(e: Expression): Seq[String] =
@@ -122,6 +131,24 @@ object GraftFunctions {
           s"k must be a literal int, got: $e")
       }
       graft.functions.KmvSketch(args(0), k).toAggregateExpression()
+    },
+    "bitmap_distinct" -> { args =>
+      require(args.length == 2, "bitmap_distinct(key, maxBits)")
+      graft.functions.BitmapDistinct(args(0), literalInt(args(1), "maxBits"))
+        .toAggregateExpression()
+    },
+    "bitmap_agg" -> { args =>
+      require(args.length == 2, "bitmap_agg(key, maxBits)")
+      graft.functions.BitmapValueAgg(args(0), literalInt(args(1), "maxBits"))
+        .toAggregateExpression()
+    },
+    "bitmap_or" -> { args =>
+      require(args.length == 1, "bitmap_or(bitmap)")
+      graft.functions.BitmapOrAgg(args(0)).toAggregateExpression()
+    },
+    "bitmap_count" -> { args =>
+      require(args.length == 1, "bitmap_count(bitmap)")
+      graft.functions.BitmapCount(args(0))
     },
     "ordered_pairs" -> { args =>
       require(

@@ -95,6 +95,160 @@ case class BitmapDistinct(
     copy(child = newChild)
 }
 
+/** The bitmap as a VALUE: same buffer/update/merge as
+  * [[BitmapDistinct]], but eval yields the serialized bitset
+  * (BinaryType) instead of its popcount — the re-aggregatable form
+  * (Snowflake BITMAP_AGG / ClickHouse groupBitmapState shape). Build
+  * per fine slice once, then [[BitmapOrAgg]] merges slices into any
+  * coarser rollup (sliding windows, cube cells) WITHOUT rescanning
+  * the fact table — distinct-count partials that are otherwise
+  * non-additive become a cheap OR.
+  */
+case class BitmapValueAgg(
+    child: Expression,
+    maxBits: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.BitSet]
+  with UnaryLike[Expression] {
+
+  require(
+    maxBits >= 1 && maxBits <= (1 << 27),
+    s"bitmap_agg domain cap must be in [1, 2^27] bits (16 MiB), got $maxBits")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_agg expects an integer key column, got $other")
+  }
+
+  override def createAggregationBuffer(): java.util.BitSet =
+    new java.util.BitSet()
+
+  override def update(
+      buf: java.util.BitSet, input: InternalRow): java.util.BitSet = {
+    val v = child.eval(input)
+    if (v != null) {
+      val k = v match {
+        case i: Int => i.toLong
+        case l: Long => l
+      }
+      if (k < 0 || k >= maxBits) throw new IllegalArgumentException(
+        s"bitmap_agg key $k outside dense domain [0, $maxBits); " +
+          "raise maxBits or remap keys")
+      buf.set(k.toInt)
+    }
+    buf
+  }
+
+  override def merge(
+      b1: java.util.BitSet, b2: java.util.BitSet): java.util.BitSet = {
+    b1.or(b2)
+    b1
+  }
+
+  override def eval(buf: java.util.BitSet): Any = buf.toByteArray
+
+  override def serialize(buf: java.util.BitSet): Array[Byte] =
+    buf.toByteArray
+  override def deserialize(b: Array[Byte]): java.util.BitSet =
+    java.util.BitSet.valueOf(b)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapValueAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapValueAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapValueAgg =
+    copy(child = newChild)
+}
+
+/** OR-merge of serialized bitmaps ([[BitmapValueAgg]] outputs) — the
+  * rollup aggregate of the bitmap family.
+  */
+case class BitmapOrAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.BitSet]
+  with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_or expects a serialized bitmap (binary), got $other")
+  }
+
+  override def createAggregationBuffer(): java.util.BitSet =
+    new java.util.BitSet()
+
+  override def update(
+      buf: java.util.BitSet, input: InternalRow): java.util.BitSet = {
+    val v = child.eval(input)
+    if (v != null) buf.or(java.util.BitSet.valueOf(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(
+      b1: java.util.BitSet, b2: java.util.BitSet): java.util.BitSet = {
+    b1.or(b2)
+    b1
+  }
+
+  override def eval(buf: java.util.BitSet): Any = buf.toByteArray
+
+  override def serialize(buf: java.util.BitSet): Array[Byte] =
+    buf.toByteArray
+  override def deserialize(b: Array[Byte]): java.util.BitSet =
+    java.util.BitSet.valueOf(b)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapOrAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapOrAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapOrAgg =
+    copy(child = newChild)
+}
+
+object BitmapOps {
+  /** Popcount of a serialized bitset — called from codegen. */
+  def popcount(b: Array[Byte]): Long = {
+    var i = 0
+    var n = 0L
+    while (i < b.length) { n += java.lang.Integer.bitCount(b(i) & 0xff); i += 1 }
+    n
+  }
+}
+
+/** Scalar popcount of a serialized bitmap — codegen'd (one static
+  * call, stays inside WholeStageCodegen).
+  */
+case class BitmapCount(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(BinaryType)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(b: Any): Any =
+    BitmapOps.popcount(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BitmapOps.popcount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BitmapCount =
+    copy(child = newChild)
+}
+
 object BitmapFunctions {
   /** Column API: exact mergeable distinct count of an integer key
     * column with dense domain [0, maxBits).
@@ -102,4 +256,18 @@ object BitmapFunctions {
   def bitmapDistinct(c: Column, maxBits: Int): Column =
     ColumnBridge.column(
       BitmapDistinct(ColumnBridge.expression(c), maxBits).toAggregateExpression())
+
+  /** Column API: aggregate keys into a serialized bitmap value. */
+  def bitmapAgg(c: Column, maxBits: Int): Column =
+    ColumnBridge.column(
+      BitmapValueAgg(ColumnBridge.expression(c), maxBits).toAggregateExpression())
+
+  /** Column API: OR-merge serialized bitmaps. */
+  def bitmapOr(c: Column): Column =
+    ColumnBridge.column(
+      BitmapOrAgg(ColumnBridge.expression(c)).toAggregateExpression())
+
+  /** Column API: popcount of a serialized bitmap. */
+  def bitmapCount(c: Column): Column =
+    ColumnBridge.column(BitmapCount(ColumnBridge.expression(c)))
 }

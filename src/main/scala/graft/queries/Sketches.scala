@@ -242,8 +242,63 @@ object Sketches {
       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Slice width for `sliding_distinct`: 6 hours in micros. */
+  private val SliceUs = 21600000000L
+
+  /** `sliding_distinct`: exact distinct users per 24-hour window
+    * sliding by 6 hours — the classic OVERLAPPING-window distinct,
+    * which plain aggregation can't express (distinct counts are
+    * non-additive) and naive plans solve by re-scanning the fact
+    * table once per overlap factor. Here the fact table is scanned
+    * ONCE into per-6h-slice bitmap values ([[graft.functions
+    * .BitmapValueAgg]]); each slice then fans out to the 4 windows
+    * covering it and an OR-merge + popcount ([[graft.functions
+    * .BitmapOrAgg]] / [[graft.functions.BitmapCount]]) produces the
+    * exact count — distinct made additive by carrying the SET as a
+    * mergeable value (the Snowflake BITMAP_AGG / ClickHouse
+    * groupBitmapState pattern).
+    *
+    * Plan shape: one fact-level aggregate to slice bitmaps
+    * (map-side combinable), then everything operates on the
+    * slice-count-sized relation (4× explode of ~120 rows). At
+    * 100 TB the overlap factor multiplies 16-KB bitmaps, not events.
+    */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapFunctions._
+    val slices = Tables.events(spark, dir)
+      .select(
+        expr(s"unix_micros(ts) div $SliceUs").as("slice"), col("user_id"))
+      .groupBy("slice")
+      .agg(
+        bitmapAgg(col("user_id"), 1 << 26).as("bm"),
+        count(lit(1)).as("n_ev"))
+    slices
+      .select(
+        explode(sequence(col("slice") - 3, col("slice"))).as("w"),
+        col("bm"), col("n_ev"))
+      .groupBy("w")
+      .agg(
+        bitmapCount(bitmapOr(col("bm"))).as("n_users"),
+        sum(col("n_ev")).as("n_events"))
+      .select(
+        (col("w") * SliceUs).as("window_start_us"),
+        col("n_users"), col("n_events"))
+      .orderBy("window_start_us")
+  }
+
+  def slidingDistinctOracle: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // $SliceUs AS s, user_id
+       |  FROM events),
+       |wx AS (SELECT unnest(range(s - 3, s + 1)) w, user_id FROM e)
+       |SELECT w * $SliceUs AS window_start_us,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) n_users,
+       |  CAST(count(*) AS BIGINT) n_events
+       |FROM wx GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("kmv_distinct", kmvDistinct, Some(kmvDistinctOracle)),
     QueryDef("countmin_freq", countminFreq, Some(countminFreqOracle)),
-    QueryDef("bitmap_distinct", bitmapDistinctQ, Some(bitmapDistinctOracle)))
+    QueryDef("bitmap_distinct", bitmapDistinctQ, Some(bitmapDistinctOracle)),
+    QueryDef("sliding_distinct", slidingDistinct, Some(slidingDistinctOracle)))
 }

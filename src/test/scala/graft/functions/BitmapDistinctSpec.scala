@@ -45,6 +45,37 @@ class BitmapDistinctSpec extends AnyFunSuite {
     assert(got == Map("a" -> 1L, "b" -> 0L))
   }
 
+  test("slice bitmaps OR-merged == direct distinct (bitmap as value)") {
+    // build per-priority-and-clerk-shard bitmaps, then roll up per
+    // priority by OR — must equal the one-shot distinct count
+    val sliced = orders
+      .groupBy(col("o_orderpriority"), (col("o_orderkey") % 7).as("shard"))
+      .agg(BitmapFunctions.bitmapAgg(col("o_custkey"), 1 << 26).as("bm"))
+      .groupBy("o_orderpriority")
+      .agg(BitmapFunctions.bitmapCount(
+        BitmapFunctions.bitmapOr(col("bm"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sliced == direct)
+  }
+
+  test("bitmap family is reachable from SQL") {
+    graft.GraftFunctions.register(spark)
+    orders.createOrReplaceTempView("orders_bm")
+    val got = spark.sql(
+      """SELECT bitmap_count(bitmap_or(bm)) n FROM (
+        |  SELECT bitmap_agg(o_custkey, 1048576) bm
+        |  FROM orders_bm GROUP BY o_orderkey % 5)""".stripMargin)
+      .collect().head.getLong(0)
+    val direct = spark.sql(
+      "SELECT bitmap_distinct(o_custkey, 1048576) FROM orders_bm")
+      .collect().head.getLong(0)
+    assert(got == direct &&
+      got == orders.select(countDistinct(col("o_custkey"))).collect().head.getLong(0))
+  }
+
   test("out-of-domain key fails loudly, naming the cap") {
     import spark.implicits._
     val df = Seq(5L, 2048L).toDF("k")
