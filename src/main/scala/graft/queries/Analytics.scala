@@ -442,7 +442,66 @@ object Analytics {
       |  CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT) n_view_buy
       |FROM j ORDER BY user_id""".stripMargin
 
+  /** `clamped_balance`: per-supplier inventory balance where receipts
+    * add, returns ('R' flag) subtract, and the balance FLOORS at
+    * zero — the stateful sequential recursion (b = max(0, b + x))
+    * every inventory/credit-limit pipeline runs. The trick that
+    * keeps it relational: a one-sided clamp has the closed form
+    * b_n = r_n − min(0, min_i r_i) over the UNCLAMPED prefix sums
+    * r, so two partitioned window passes (running sum, then its
+    * running min collapsed into the final aggregate) replace the
+    * sequential fold — model-checked against the literal fold on
+    * seeded random sequences (ClampIdentitySpec) and exact in
+    * integers.
+    *
+    * Plan shape: one window partitioned by supplier (never
+    * unpartitioned) + one hash aggregate; order within supplier is
+    * total (shipdate, orderkey, linenumber) so both engines fold
+    * identically. At 100 TB this is one shuffle on suppkey.
+    */
+  def clampedBalance(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.read(spark, dir, "lineitem")
+      .select(
+        col("l_suppkey").as("suppkey"),
+        when(col("l_returnflag") === "R",
+          -col("l_quantity").cast("long"))
+          .otherwise(col("l_quantity").cast("long")).as("x"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.withColumn("r", sum(col("x")).over(w))
+      .groupBy("suppkey")
+      .agg(
+        count(lit(1)).as("n_tx"),
+        sum(col("x")).as("net"),
+        min(col("r")).as("low_water"))
+      .select(
+        col("suppkey"), col("n_tx"), col("net"),
+        (col("net") - least(lit(0L), col("low_water"))).as("balance"))
+      .orderBy("suppkey")
+  }
+
+  def clampedBalanceOracle: String =
+    """WITH tx AS (
+      |  SELECT l_suppkey suppkey,
+      |    CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT)
+      |         ELSE CAST(l_quantity AS BIGINT) END x,
+      |    l_shipdate, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |pre AS (
+      |  SELECT suppkey, x,
+      |    sum(x) OVER (PARTITION BY suppkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) r
+      |  FROM tx)
+      |SELECT suppkey, CAST(count(*) AS BIGINT) n_tx,
+      |  CAST(sum(x) AS BIGINT) net,
+      |  CAST(sum(x) - least(0, min(r)) AS BIGINT) balance
+      |FROM pre GROUP BY suppkey ORDER BY suppkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("clamped_balance", clampedBalance, Some(clampedBalanceOracle)),
     QueryDef("event_pattern", eventPattern, Some(eventPatternOracle)),
     QueryDef("decayed_topk", decayedTopk, Some(decayedTopkOracle)),
     QueryDef("forecast_baseline", forecastBaseline, Some(forecastBaselineOracle)),

@@ -213,10 +213,69 @@ object NativePlans {
       |JOIN f ON p.event_id = f.event_id
       |ORDER BY p.event_id""".stripMargin
 
+  /** `attribution`: last-touch marketing attribution — every purchase
+    * credits the most recent click/view by the same user within 24
+    * hours, rolled up to a per-channel conversions + revenue report
+    * (the workload as-of joins exist FOR: the operator composes
+    * straight into the business aggregate). Touches pre-dedup to one
+    * row per (user, time) with max-id/max-type picks so the
+    * inclusive-tie match is deterministic; the 24h tolerance voids
+    * stale matches, surfacing them as the 'unattributed' bucket.
+    *
+    * Plan shape: one native as-of merge (hash shuffle per side +
+    * in-partition sort, zero row expansion) feeding a 3-row
+    * aggregate. At 100 TB both sides shuffle once on user; nothing
+    * is quadratic in touches per user.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        Quantize.cents(col("value")).as("val_c"))
+    val touches = ev.where(col("event_type").isin("click", "view"))
+      .groupBy(
+        col("user_id").as("tu"), unix_micros(col("ts")).as("tus"))
+      .agg(max(col("event_id")).as("tid"), max(col("event_type")).as("ttype"))
+    AsOfJoin.backward(
+        purchases, touches,
+        leftKey = "user_id", leftTime = "us",
+        rightKey = "tu", rightTime = "tus",
+        toleranceUs = Some(86400000000L))
+      .select(
+        coalesce(col("ttype"), lit("unattributed")).as("channel"),
+        col("val_c"))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("val_c")).as("revenue_c"))
+      .orderBy("channel")
+  }
+
+  def attributionOracle: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) us,
+      |         CAST(round(value * 100) AS BIGINT) val_c
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id tu, epoch_us(CAST(ts AS TIMESTAMP)) tus,
+      |         max(event_id) tid, max(event_type) ttype
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+      |a AS (
+      |  SELECT p.event_id, p.val_c,
+      |    CASE WHEN p.us - t.tus <= 86400000000 THEN t.ttype END ch
+      |  FROM p ASOF LEFT JOIN t ON p.user_id = t.tu AND p.us >= t.tus)
+      |SELECT coalesce(ch, 'unattributed') AS channel,
+      |  CAST(count(*) AS BIGINT) n_purchases,
+      |  CAST(sum(val_c) AS BIGINT) revenue_c
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("asof_native", asofNative, Some(asofNativeOracle)),
     QueryDef("asof_strict", asofStrict, Some(asofStrictOracle)),
     QueryDef("asof_multi", asofMulti, Some(asofMultiOracle)),
     QueryDef("asof_forward", asofForward, Some(asofForwardOracle)),
-    QueryDef("asof_nearest", asofNearest, Some(asofNearestOracle)))
+    QueryDef("asof_nearest", asofNearest, Some(asofNearestOracle)),
+    QueryDef("attribution", attribution, Some(attributionOracle)))
 }
