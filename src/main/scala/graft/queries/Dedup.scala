@@ -494,8 +494,14 @@ object Dedup {
     * converges in a few rounds. Output: (doc, root) for every doc that
     * appears in a near-dup pair.
     */
-  private def ccLabels(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshShared(spark, dir).select(col("a"), col("b"))
+  private def ccLabels(spark: SparkSession, dir: String): DataFrame =
+    ccOn(minhashLshShared(spark, dir).select(col("a"), col("b")))
+
+  /** The fixpoint core over ANY undirected pair relation (a, b):
+    * (doc, root) for every node appearing in a pair — also consumed
+    * by [[Geo.dbscanGrid]]'s dense-cell graph.
+    */
+  private[queries] def ccOn(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("b"), col("a")))
       .toDF("src", "dst")

@@ -122,6 +122,84 @@ object Geo {
       |  CAST(MIN(dist2 * $PackBase + s_suppkey) % $PackBase AS BIGINT) nearest_supp
       |FROM cand GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
+  private val DCell = 50000L // dbscan grid cell, micro-degrees
+  private val MinPts = 5L // density threshold per cell
+  private val CellPack = 100L // cid = cx * 100 + cy; 20 cells per axis
+
+  /** `dbscan_grid`: grid-density clustering (the DBSCAN shape at
+    * cell granularity — GriDBSCAN / in-warehouse approximations):
+    * cells of the customer point cloud holding >= MinPts points are
+    * DENSE; dense cells adjacent in the 8-neighborhood merge into
+    * clusters via the SAME min-label connected-components fixpoint
+    * the dedup family runs ([[Dedup.ccOn]]). Output: top-25 clusters
+    * by contained points. The parameter regime is exercised at every
+    * SF: sparse isolated cells at sf0.001, a real mixed
+    * dense/sparse mosaic at sf0.01, a saturated grid (one spanning
+    * cluster) at sf0.1.
+    *
+    * Plan shape: one fact-level cell aggregate (map-combinable);
+    * everything after — neighbor explode (bounded ×9), the dense
+    * cell graph, the CC loop — operates on the <=400-row dense-cell
+    * relation. At 100 TB the cell aggregate is the only full-data
+    * pass; cluster structure lives at grid resolution, the same
+    * cells-not-points discipline as `geo_radius_join`.
+    */
+  def dbscanGrid(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.read(spark, dir, "customer")
+      .select(
+        udeg(col("c_custkey"), 0).as("lat"),
+        udeg(col("c_custkey"), 8).as("lon"))
+      .groupBy(
+        expr(s"lat div $DCell").as("cx"), expr(s"lon div $DCell").as("cy"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= MinPts)
+      .withColumn("cid", col("cx") * CellPack + col("cy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nb = cells.select(
+        col("cid"),
+        explode(array((for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0)
+          yield (col("cx") + dx) * CellPack + (col("cy") + dy)): _*)).as("nid"))
+      val edges = nb
+        .join(cells.select(col("cid").as("nid")), "nid")
+        .where(col("cid") < col("nid"))
+        .select(col("cid").as("a"), col("nid").as("b"))
+      val labels = Dedup.ccOn(edges).withColumnRenamed("doc", "cid")
+      cells.join(labels, Seq("cid"), "left")
+        .select(
+          coalesce(col("root"), col("cid")).as("cluster_id"), col("n"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"))
+        .orderBy(col("n_points").desc, col("cluster_id"))
+        .limit(25)
+        .localCheckpoint() // materialize before the cell unpersist
+    } finally cells.unpersist()
+  }
+
+  def dbscanGridOracle: String =
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT ${udegSql("c_custkey", 0)} lat, ${udegSql("c_custkey", 8)} lon
+       |  FROM customer),
+       |c AS (
+       |  SELECT lat // $DCell cx, lon // $DCell cy,
+       |         CAST(count(*) AS BIGINT) n
+       |  FROM pts GROUP BY 1, 2 HAVING count(*) >= $MinPts),
+       |c2 AS (SELECT cx * $CellPack + cy cid, cx, cy, n FROM c),
+       |e AS (
+       |  SELECT a.cid src, b.cid dst FROM c2 a JOIN c2 b
+       |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       |    AND a.cid <> b.cid),
+       |reach AS (
+       |  SELECT src AS cid, dst AS r FROM e
+       |  UNION
+       |  SELECT reach.cid, e.dst FROM reach JOIN e ON reach.r = e.src),
+       |comp AS (SELECT cid, least(cid, MIN(r)) AS root FROM reach GROUP BY cid)
+       |SELECT coalesce(comp.root, c2.cid) AS cluster_id,
+       |  CAST(count(*) AS BIGINT) n_cells, CAST(sum(c2.n) AS BIGINT) n_points
+       |FROM c2 LEFT JOIN comp ON c2.cid = comp.cid
+       |GROUP BY 1 ORDER BY n_points DESC, cluster_id LIMIT 25""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("geo_radius_join", geoRadiusJoin, Some(geoRadiusJoinOracle)))
+    QueryDef("geo_radius_join", geoRadiusJoin, Some(geoRadiusJoinOracle)),
+    QueryDef("dbscan_grid", dbscanGrid, Some(dbscanGridOracle)))
 }
