@@ -499,9 +499,15 @@ object Dedup {
 
   /** The fixpoint core over ANY undirected pair relation (a, b):
     * (doc, root) for every node appearing in a pair — also consumed
-    * by [[Geo.dbscanGrid]]'s dense-cell graph.
+    * by [[Geo.dbscanGrid]]'s dense-cell graph. `pointerJump = true`
+    * adds the label-of-label shortcut (pointer jumping) to each
+    * round, collapsing convergence from O(diameter) to
+    * O(log diameter) rounds — worth one extra small join per round
+    * on LARGE-diameter graphs (grid mosaics, chains); the near-dup
+    * pair graphs have tiny diameters, so the dedup callers skip it.
     */
-  private[queries] def ccOn(pairs: DataFrame): DataFrame = {
+  private[queries] def ccOn(
+      pairs: DataFrame, pointerJump: Boolean = false): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("b"), col("a")))
       .toDF("src", "dst")
@@ -517,7 +523,7 @@ object Dedup {
         .localCheckpoint()
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 20) {
+      while (changed > 0 && iter < 25) {
         val prop = edges
           .join(labels, edges("src") === labels("doc"))
           .select(
@@ -528,7 +534,22 @@ object Dedup {
         // update — the convergence check needs no separate join
         val self = labels
           .select(col("doc"), col("root"), col("root").as("old"))
-        val next = self.unionByName(prop)
+        // pointer jump: my root's CURRENT root is also an upper-bound
+        // label for me (root chains stay within the component, so
+        // correctness is untouched; the shortcut only accelerates)
+        val jump =
+          if (!pointerJump) Seq.empty[DataFrame]
+          else Seq(
+            labels.as("l1")
+              .join(
+                labels.select(
+                  col("doc").as("jd"), col("root").as("jr")),
+                col("l1.root") === col("jd"))
+              .select(
+                col("l1.doc").as("doc"), col("jr").as("root"),
+                lit(null).cast("long").as("old")))
+        val next = (Seq(self, prop) ++ jump)
+          .reduce(_ unionByName _)
           .groupBy(col("doc"))
           .agg(min(col("root")).as("root"), min(col("old")).as("old"))
           // lazy: materialized by the count below — ONE action per

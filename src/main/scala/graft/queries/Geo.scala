@@ -164,7 +164,11 @@ object Geo {
         .join(cells.select(col("cid").as("nid")), "nid")
         .where(col("cid") < col("nid"))
         .select(col("cid").as("a"), col("nid").as("b"))
-      val labels = Dedup.ccOn(edges).withColumnRenamed("doc", "cid")
+      // pointer jumping: the saturated-grid regime has diameter ~19
+      // (20×20 Chebyshev grid), so plain propagation needs ~19 driver
+      // rounds; the jump collapses it to ~log
+      val labels = Dedup.ccOn(edges, pointerJump = true)
+        .withColumnRenamed("doc", "cid")
       cells.join(labels, Seq("cid"), "left")
         .select(
           coalesce(col("root"), col("cid")).as("cluster_id"), col("n"))

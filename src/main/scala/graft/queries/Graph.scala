@@ -108,6 +108,8 @@ object Graph {
     if (w != null) { w._2.unpersist(); w._1.unpersist() }
     val df = edgeCache.remove((spark, dir))
     if (df != null) df.unpersist()
+    val ce = coEdgeCache.remove((spark, dir))
+    if (ce != null) ce.unpersist()
   }
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
@@ -388,33 +390,42 @@ object Graph {
     * edge relation.
     */
   /** The support-pruned supplier co-occurrence edge relation (a, b)
-    * with a < b — shared builder for `triangle_count` and
-    * `k_core_peel` (each call persists its own copy around its
-    * consumption; the relation is aggregate-sized).
+    * with a < b — persisted once per (session, dir) and shared by
+    * `triangle_count` and `k_core_peel` (the one fact-level
+    * self-join either needs; same registry discipline as
+    * [[tradeEdges]], dropped by [[invalidateShared]]).
     */
-  private def coEdges(spark: SparkSession, dir: String): DataFrame = {
-    val os = Tables.read(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
-      .distinct()
-    os.as("x")
-      .join(os.as("y"), col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-      .agg(count(lit(1)).as("c"))
-      .where(col("c") >= TriSupport)
-      .select("a", "b")
+  private val coEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def coEdgesShared(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val stale =
+      coEdgeCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(coEdgeCache.remove)
+    coEdgeCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        val os = Tables.read(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+          .distinct()
+        os.as("x")
+          .join(
+            os.as("y"), col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
+          .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .where(col("c") >= TriSupport)
+          .select("a", "b")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
   }
 
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coEdges(spark, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      triangleCountOn(edges)
-        .withColumnRenamed("node", "suppkey")
-        .orderBy(col("n_tri").desc, col("suppkey"))
-        .limit(25)
-        .localCheckpoint() // materialize before the edge unpersist
-    } finally edges.unpersist()
-  }
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCountOn(coEdgesShared(spark, dir))
+      .withColumnRenamed("node", "suppkey")
+      .orderBy(col("n_tri").desc, col("suppkey"))
+      .limit(25)
+      .localCheckpoint() // 25-row result; lineage-free of the shared edges
 
   /** The enumeration core over ANY undirected edge relation (a, b)
     * with a < b, no duplicates: per-node triangle counts (node,
@@ -437,6 +448,10 @@ object Graph {
       .select(
         when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+      // three consumers (both wedge sides + the closing probe):
+      // materialize once, |E|-sized, instead of re-running the
+      // degree joins per consumer
+      .localCheckpoint()
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
@@ -491,7 +506,7 @@ object Graph {
     * shared co-occurrence build.
     */
   def kCorePeel(spark: SparkSession, dir: String): DataFrame = {
-    val und = coEdges(spark, dir)
+    val und = coEdgesShared(spark, dir)
     val edges0 = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -502,19 +517,31 @@ object Graph {
       var removed: DataFrame = null // (n, rnd)
       for (rnd <- 1 to 3) {
         // degree over SURVIVORS (left join): a node orphaned by its
-        // neighbors' removal has deg 0 and peels next round
+        // neighbors' removal has deg 0 and peels next round. Each
+        // round materializes ONCE into a lineage-free table
+        // (localCheckpoint) — leaving the cascade lazy re-executes
+        // every prior round per consumer (the deg/edges subtrees
+        // appear in several branches of the final DAG, compounding
+        // 2^rounds), measured 15s vs ~5s at sf0.1.
         val deg = survivors.join(
           edges.groupBy(col("u").as("n")).agg(count(lit(1)).as("d")),
           Seq("n"), "left")
           .select(col("n"), coalesce(col("d"), lit(0L)).as("deg"))
+          .localCheckpoint()
         val drop = deg.where(col("deg") < CoreK)
           .select(col("n"), lit(rnd.toLong).as("rnd"))
         removed = if (removed == null) drop else removed.unionAll(drop)
         val keep = deg.where(col("deg") >= CoreK).select(col("n"))
         survivors = keep
-        edges = edges
-          .join(broadcast(keep).withColumnRenamed("n", "u"), Seq("u"), "semi")
-          .join(broadcast(keep).withColumnRenamed("n", "v"), Seq("v"), "semi")
+        if (rnd < 3) // the last round's surviving edges feed nothing
+          edges = edges
+            .join(keep.withColumnRenamed("n", "u"), Seq("u"), "semi")
+            .join(keep.withColumnRenamed("n", "v"), Seq("v"), "semi")
+            // lazy: the NEXT round's deg checkpoint materializes it,
+            // folding the semi joins (AQE broadcasts the tiny keep
+            // side at runtime) into that job instead of spawning
+            // broadcast + checkpoint jobs per round
+            .localCheckpoint(eager = false)
       }
       allNodes
         .join(removed, Seq("n"), "left")
