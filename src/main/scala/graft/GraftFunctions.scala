@@ -23,8 +23,8 @@ import org.apache.spark.sql.types.StringType
   *   minhash_sig(shingles, k)        -- k minwise md5 signatures
   *   misra_gries(item, k)            -- heavy-hitters summary AGGREGATE
   *   kmv_sketch(hash, k)             -- k-minimum-values distinct AGGREGATE
-  *   bitmap_distinct(key, maxBits)   -- exact bitmap distinct AGGREGATE
-  *   bitmap_agg(key, maxBits)        -- bitmap-as-value AGGREGATE (binary)
+  *   bitmap_distinct(key[, maxKeys]) -- exact bitmap distinct AGGREGATE
+  *   bitmap_agg(key[, maxKeys])      -- bitmap-as-value AGGREGATE (binary)
   *   bitmap_or(bm) / bitmap_count(bm)-- bitmap rollup AGGREGATE / popcount
   *   ordered_pairs(ids)              -- a<b pair expansion of a list
   *
@@ -133,14 +133,21 @@ object GraftFunctions {
       graft.functions.KmvSketch(args(0), k).toAggregateExpression()
     },
     "bitmap_distinct" -> { args =>
-      require(args.length == 2, "bitmap_distinct(key, maxBits)")
-      graft.functions.BitmapDistinct(args(0), literalInt(args(1), "maxBits"))
-        .toAggregateExpression()
+      require(
+        args.length == 1 || args.length == 2,
+        "bitmap_distinct(key[, maxKeys])")
+      val cap =
+        if (args.length == 2) literalInt(args(1), "maxKeys").toLong
+        else graft.functions.BitmapFunctions.DefaultMaxKeys
+      graft.functions.BitmapDistinct(args(0), cap).toAggregateExpression()
     },
     "bitmap_agg" -> { args =>
-      require(args.length == 2, "bitmap_agg(key, maxBits)")
-      graft.functions.BitmapValueAgg(args(0), literalInt(args(1), "maxBits"))
-        .toAggregateExpression()
+      require(
+        args.length == 1 || args.length == 2, "bitmap_agg(key[, maxKeys])")
+      val cap =
+        if (args.length == 2) literalInt(args(1), "maxKeys").toLong
+        else graft.functions.BitmapFunctions.DefaultMaxKeys
+      graft.functions.BitmapValueAgg(args(0), cap).toAggregateExpression()
     },
     "bitmap_or" -> { args =>
       require(args.length == 1, "bitmap_or(bitmap)")

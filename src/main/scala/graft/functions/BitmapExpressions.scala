@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -9,83 +11,178 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
-/** Exact distinct counting as a mergeable BITMAP aggregate — the
-  * exact-answer sibling of [[KmvSketch]] (approximate) in the
-  * mergeable-summaries family. The buffer is a dense bitset over the
-  * key domain; update = set a bit, merge = bitwise OR, eval =
-  * popcount. All three are order- and partitioning-invariant, so the
-  * count is exact under any merge tree, AQE re-plan or cluster size.
+/** Roaring-style sparse bitmap: 64Ki-bit dense containers keyed by
+  * the key's high bits, allocated only where keys exist — so memory
+  * tracks OCCUPIED 64k-ranges, not the key-domain span. A dense
+  * `BitSet` sized by the largest key is wrong the moment keys are
+  * offset surrogate ranges (exactly what the 10× scale replica's
+  * key-striding produces: max key ~9·10⁷ over ~10⁵ live keys);
+  * containers keep every op local to 8-KiB words. Real roaring adds
+  * array/run container encodings — same interface, narrower wire
+  * format — and would slot in behind these three operations
+  * unchanged.
   *
-  * Why this beats `count(distinct x)` at 100 TB: the built-in plans
-  * an Expand + a shuffle of every DISTINCT (group, value) pair,
-  * while the bitmap aggregates map-side into a fixed-size state and
-  * ships ONE buffer per (partition, group) — the same reason
-  * warehouses grow `bitmap_count_distinct`. The dense bitset is the
-  * right container for the suite's surrogate-key domains
-  * (sequential TPC-H keys); sparse/high domains would swap in
-  * roaring-style compressed containers behind the same
-  * update/or/popcount contract — the aggregate's interface (and this
-  * query's plan shape) would not change.
-  *
-  * The domain cap is a hard guard, not a truncation: a key outside
-  * [0, maxBits) fails the query loudly (the [[graft.queries.Geo]]
-  * packing-headroom discipline) instead of silently folding into a
-  * wrong bit.
+  * Serialized form (the aggregate wire/result format):
+  * `[nContainers:int][containerId:int][1024 longs]...`, containers in
+  * ascending id order (TreeMap), so equal bitmaps serialize
+  * identically under any merge history.
   */
-case class BitmapDistinct(
-    child: Expression,
-    maxBits: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.BitSet]
-  with UnaryLike[Expression] {
+object RoaringLite {
+  type Containers = mutable.TreeMap[Int, Array[Long]]
 
-  require(
-    maxBits >= 1 && maxBits <= (1 << 27),
-    s"bitmap_distinct domain cap must be in [1, 2^27] bits (16 MiB), got $maxBits")
+  val ContainerWords = 1024 // 64Ki bits
 
-  override def dataType: DataType = LongType
+  def empty: Containers = mutable.TreeMap.empty
+
+  def set(c: Containers, k: Long): Unit = {
+    val arr = c.getOrElseUpdate(
+      (k >>> 16).toInt, new Array[Long](ContainerWords))
+    val off = (k & 0xffff).toInt
+    arr(off >>> 6) |= 1L << (off & 63)
+  }
+
+  def or(into: Containers, from: Containers): Containers = {
+    from.foreach { case (cid, words) =>
+      into.get(cid) match {
+        case Some(dst) =>
+          var i = 0
+          while (i < ContainerWords) { dst(i) |= words(i); i += 1 }
+        case None => into.update(cid, words.clone())
+      }
+    }
+    into
+  }
+
+  def cardinality(c: Containers): Long = {
+    var n = 0L
+    c.foreach { case (_, words) =>
+      var i = 0
+      while (i < ContainerWords) {
+        n += java.lang.Long.bitCount(words(i)); i += 1
+      }
+    }
+    n
+  }
+
+  def serialize(c: Containers): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + c.size * (4 + ContainerWords * 8))
+    bb.putInt(c.size)
+    c.foreach { case (cid, words) =>
+      bb.putInt(cid)
+      var i = 0
+      while (i < ContainerWords) { bb.putLong(words(i)); i += 1 }
+    }
+    bb.array()
+  }
+
+  def deserialize(b: Array[Byte]): Containers = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val n = bb.getInt()
+    val out = empty
+    var c = 0
+    while (c < n) {
+      val cid = bb.getInt()
+      val words = new Array[Long](ContainerWords)
+      var i = 0
+      while (i < ContainerWords) { words(i) = bb.getLong(); i += 1 }
+      out.update(cid, words)
+      c += 1
+    }
+    out
+  }
+
+  /** Popcount straight off the serialized form — called from codegen. */
+  def popcount(b: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val n = bb.getInt()
+    var total = 0L
+    var c = 0
+    while (c < n) {
+      bb.getInt() // container id
+      var i = 0
+      while (i < ContainerWords) {
+        total += java.lang.Long.bitCount(bb.getLong()); i += 1
+      }
+      c += 1
+    }
+    total
+  }
+}
+
+/** Shared shape of the bitmap aggregates: update = set-bit, merge =
+  * container-wise OR — order/partitioning-invariant, so results are
+  * exact and reproducible under any merge tree.
+  */
+sealed trait BitmapAggBase
+  extends TypedImperativeAggregate[RoaringLite.Containers] {
+  this: UnaryLike[Expression] =>
+
+  def maxKeys: Long
+  protected def fnName: String
+
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"bitmap_distinct expects an integer key column, got $other")
+      s"$fnName expects an integer key column, got $other")
   }
 
-  override def createAggregationBuffer(): java.util.BitSet =
-    new java.util.BitSet()
+  override def createAggregationBuffer(): RoaringLite.Containers =
+    RoaringLite.empty
 
   override def update(
-      buf: java.util.BitSet, input: InternalRow): java.util.BitSet = {
+      buf: RoaringLite.Containers, input: InternalRow): RoaringLite.Containers = {
     val v = child.eval(input)
     if (v != null) {
       val k = v match {
         case i: Int => i.toLong
         case l: Long => l
       }
-      if (k < 0 || k >= maxBits) throw new IllegalArgumentException(
-        s"bitmap_distinct key $k outside dense domain [0, $maxBits); " +
-          "raise maxBits or remap keys (roaring containers are the " +
-          "sparse-domain extension)")
-      buf.set(k.toInt)
+      // negative keys would alias onto huge container ids; a key cap
+      // keeps a typo'd column from silently ballooning the state
+      if (k < 0 || k >= maxKeys) throw new IllegalArgumentException(
+        s"$fnName key $k outside domain [0, $maxKeys); " +
+          "raise maxKeys or remap keys")
+      RoaringLite.set(buf, k)
     }
     buf
   }
 
   override def merge(
-      b1: java.util.BitSet, b2: java.util.BitSet): java.util.BitSet = {
-    b1.or(b2)
-    b1
-  }
+      b1: RoaringLite.Containers,
+      b2: RoaringLite.Containers): RoaringLite.Containers =
+    RoaringLite.or(b1, b2)
 
-  override def eval(buf: java.util.BitSet): Any = buf.cardinality().toLong
+  override def serialize(buf: RoaringLite.Containers): Array[Byte] =
+    RoaringLite.serialize(buf)
+  override def deserialize(b: Array[Byte]): RoaringLite.Containers =
+    RoaringLite.deserialize(b)
+}
 
-  override def serialize(buf: java.util.BitSet): Array[Byte] =
-    buf.toByteArray
+/** Exact distinct counting as a mergeable bitmap aggregate — the
+  * exact-answer sibling of [[KmvSketch]] (approximate) in the
+  * mergeable-summaries family; eval = popcount.
+  *
+  * Why this beats `count(distinct x)` at 100 TB: the built-in plans
+  * an Expand + a shuffle of every DISTINCT (group, value) pair,
+  * while the bitmap aggregates map-side into container state and
+  * ships one buffer per (partition, group) — the same reason
+  * warehouses grow `bitmap_count_distinct`.
+  */
+case class BitmapDistinct(
+    child: Expression,
+    maxKeys: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends BitmapAggBase with UnaryLike[Expression] {
 
-  override def deserialize(b: Array[Byte]): java.util.BitSet =
-    java.util.BitSet.valueOf(b)
+  override protected def fnName: String = "bitmap_distinct"
+  override def dataType: DataType = LongType
+
+  override def eval(buf: RoaringLite.Containers): Any =
+    RoaringLite.cardinality(buf)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
     copy(mutableAggBufferOffset = newOffset)
@@ -95,9 +192,8 @@ case class BitmapDistinct(
     copy(child = newChild)
 }
 
-/** The bitmap as a VALUE: same buffer/update/merge as
-  * [[BitmapDistinct]], but eval yields the serialized bitset
-  * (BinaryType) instead of its popcount — the re-aggregatable form
+/** The bitmap as a VALUE: eval yields the serialized containers
+  * (BinaryType) instead of the popcount — the re-aggregatable form
   * (Snowflake BITMAP_AGG / ClickHouse groupBitmapState shape). Build
   * per fine slice once, then [[BitmapOrAgg]] merges slices into any
   * coarser rollup (sliding windows, cube cells) WITHOUT rescanning
@@ -106,56 +202,16 @@ case class BitmapDistinct(
   */
 case class BitmapValueAgg(
     child: Expression,
-    maxBits: Int,
+    maxKeys: Long,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.BitSet]
-  with UnaryLike[Expression] {
+  extends BitmapAggBase with UnaryLike[Expression] {
 
-  require(
-    maxBits >= 1 && maxBits <= (1 << 27),
-    s"bitmap_agg domain cap must be in [1, 2^27] bits (16 MiB), got $maxBits")
-
+  override protected def fnName: String = "bitmap_agg"
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"bitmap_agg expects an integer key column, got $other")
-  }
-
-  override def createAggregationBuffer(): java.util.BitSet =
-    new java.util.BitSet()
-
-  override def update(
-      buf: java.util.BitSet, input: InternalRow): java.util.BitSet = {
-    val v = child.eval(input)
-    if (v != null) {
-      val k = v match {
-        case i: Int => i.toLong
-        case l: Long => l
-      }
-      if (k < 0 || k >= maxBits) throw new IllegalArgumentException(
-        s"bitmap_agg key $k outside dense domain [0, $maxBits); " +
-          "raise maxBits or remap keys")
-      buf.set(k.toInt)
-    }
-    buf
-  }
-
-  override def merge(
-      b1: java.util.BitSet, b2: java.util.BitSet): java.util.BitSet = {
-    b1.or(b2)
-    b1
-  }
-
-  override def eval(buf: java.util.BitSet): Any = buf.toByteArray
-
-  override def serialize(buf: java.util.BitSet): Array[Byte] =
-    buf.toByteArray
-  override def deserialize(b: Array[Byte]): java.util.BitSet =
-    java.util.BitSet.valueOf(b)
+  override def eval(buf: RoaringLite.Containers): Any =
+    RoaringLite.serialize(buf)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapValueAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -172,7 +228,7 @@ case class BitmapOrAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.BitSet]
+  extends TypedImperativeAggregate[RoaringLite.Containers]
   with UnaryLike[Expression] {
 
   override def dataType: DataType = BinaryType
@@ -184,28 +240,29 @@ case class BitmapOrAgg(
       s"bitmap_or expects a serialized bitmap (binary), got $other")
   }
 
-  override def createAggregationBuffer(): java.util.BitSet =
-    new java.util.BitSet()
+  override def createAggregationBuffer(): RoaringLite.Containers =
+    RoaringLite.empty
 
   override def update(
-      buf: java.util.BitSet, input: InternalRow): java.util.BitSet = {
+      buf: RoaringLite.Containers, input: InternalRow): RoaringLite.Containers = {
     val v = child.eval(input)
-    if (v != null) buf.or(java.util.BitSet.valueOf(v.asInstanceOf[Array[Byte]]))
+    if (v != null)
+      RoaringLite.or(buf, RoaringLite.deserialize(v.asInstanceOf[Array[Byte]]))
     buf
   }
 
   override def merge(
-      b1: java.util.BitSet, b2: java.util.BitSet): java.util.BitSet = {
-    b1.or(b2)
-    b1
-  }
+      b1: RoaringLite.Containers,
+      b2: RoaringLite.Containers): RoaringLite.Containers =
+    RoaringLite.or(b1, b2)
 
-  override def eval(buf: java.util.BitSet): Any = buf.toByteArray
+  override def eval(buf: RoaringLite.Containers): Any =
+    RoaringLite.serialize(buf)
 
-  override def serialize(buf: java.util.BitSet): Array[Byte] =
-    buf.toByteArray
-  override def deserialize(b: Array[Byte]): java.util.BitSet =
-    java.util.BitSet.valueOf(b)
+  override def serialize(buf: RoaringLite.Containers): Array[Byte] =
+    RoaringLite.serialize(buf)
+  override def deserialize(b: Array[Byte]): RoaringLite.Containers =
+    RoaringLite.deserialize(b)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapOrAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -213,16 +270,6 @@ case class BitmapOrAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): BitmapOrAgg =
     copy(child = newChild)
-}
-
-object BitmapOps {
-  /** Popcount of a serialized bitset — called from codegen. */
-  def popcount(b: Array[Byte]): Long = {
-    var i = 0
-    var n = 0L
-    while (i < b.length) { n += java.lang.Integer.bitCount(b(i) & 0xff); i += 1 }
-    n
-  }
 }
 
 /** Scalar popcount of a serialized bitmap — codegen'd (one static
@@ -237,30 +284,36 @@ case class BitmapCount(child: Expression)
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(b: Any): Any =
-    BitmapOps.popcount(b.asInstanceOf[Array[Byte]])
+    RoaringLite.popcount(b.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
     : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.BitmapOps.popcount($c)")
+    defineCodeGen(
+      ctx, ev, c => s"graft.functions.RoaringLite.popcount($c)")
 
   override protected def withNewChildInternal(newChild: Expression): BitmapCount =
     copy(child = newChild)
 }
 
 object BitmapFunctions {
-  /** Column API: exact mergeable distinct count of an integer key
-    * column with dense domain [0, maxBits).
+  /** Default key-domain sanity cap: 2^40 (container ids stay far from
+    * Int overflow; a mis-typed column fails loudly).
     */
-  def bitmapDistinct(c: Column, maxBits: Int): Column =
+  val DefaultMaxKeys: Long = 1L << 40
+
+  /** Column API: exact mergeable distinct count of an integer key
+    * column in [0, maxKeys).
+    */
+  def bitmapDistinct(c: Column, maxKeys: Long = DefaultMaxKeys): Column =
     ColumnBridge.column(
-      BitmapDistinct(ColumnBridge.expression(c), maxBits).toAggregateExpression())
+      BitmapDistinct(ColumnBridge.expression(c), maxKeys).toAggregateExpression())
 
   /** Column API: aggregate keys into a serialized bitmap value. */
-  def bitmapAgg(c: Column, maxBits: Int): Column =
+  def bitmapAgg(c: Column, maxKeys: Long = DefaultMaxKeys): Column =
     ColumnBridge.column(
-      BitmapValueAgg(ColumnBridge.expression(c), maxBits).toAggregateExpression())
+      BitmapValueAgg(ColumnBridge.expression(c), maxKeys).toAggregateExpression())
 
   /** Column API: OR-merge serialized bitmaps. */
   def bitmapOr(c: Column): Column =

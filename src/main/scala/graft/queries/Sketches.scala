@@ -233,7 +233,7 @@ object Sketches {
     import graft.functions.BitmapFunctions.bitmapDistinct
     Tables.read(spark, dir, "orders")
       .groupBy(col("o_orderpriority").as("seg"))
-      .agg(bitmapDistinct(col("o_custkey"), 1 << 26).as("n_customers"))
+      .agg(bitmapDistinct(col("o_custkey")).as("n_customers"))
       .orderBy("seg")
   }
 
@@ -270,7 +270,7 @@ object Sketches {
         expr(s"unix_micros(ts) div $SliceUs").as("slice"), col("user_id"))
       .groupBy("slice")
       .agg(
-        bitmapAgg(col("user_id"), 1 << 26).as("bm"),
+        bitmapAgg(col("user_id")).as("bm"),
         count(lit(1)).as("n_ev"))
     slices
       .select(

@@ -18,7 +18,7 @@ class BitmapDistinctSpec extends AnyFunSuite {
 
   test("bitmap cardinality == count(distinct) per group") {
     val got = orders.groupBy("o_orderpriority")
-      .agg(BitmapFunctions.bitmapDistinct(col("o_custkey"), 1 << 26).as("n"))
+      .agg(BitmapFunctions.bitmapDistinct(col("o_custkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val want = orders.groupBy("o_orderpriority")
       .agg(countDistinct(col("o_custkey")).as("n"))
@@ -29,7 +29,7 @@ class BitmapDistinctSpec extends AnyFunSuite {
   test("exact under any partitioning / merge tree") {
     def run(parts: Int) = orders.repartition(parts)
       .groupBy("o_orderpriority")
-      .agg(BitmapFunctions.bitmapDistinct(col("o_custkey"), 1 << 26).as("n"))
+      .agg(BitmapFunctions.bitmapDistinct(col("o_custkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(run(1) == run(13) && run(13) == run(32))
   }
@@ -50,7 +50,7 @@ class BitmapDistinctSpec extends AnyFunSuite {
     // priority by OR — must equal the one-shot distinct count
     val sliced = orders
       .groupBy(col("o_orderpriority"), (col("o_orderkey") % 7).as("shard"))
-      .agg(BitmapFunctions.bitmapAgg(col("o_custkey"), 1 << 26).as("bm"))
+      .agg(BitmapFunctions.bitmapAgg(col("o_custkey")).as("bm"))
       .groupBy("o_orderpriority")
       .agg(BitmapFunctions.bitmapCount(
         BitmapFunctions.bitmapOr(col("bm"))).as("n"))
@@ -86,7 +86,7 @@ class BitmapDistinctSpec extends AnyFunSuite {
       if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(e).exists(_.getMessage != null) &&
       causes(e).exists(c =>
-        c.getMessage != null && c.getMessage.contains("dense domain")),
+        c.getMessage != null && c.getMessage.contains("outside domain")),
       s"expected the dense-domain guard, got: $e")
   }
 }
