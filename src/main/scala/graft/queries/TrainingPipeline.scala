@@ -535,7 +535,12 @@ object TrainingPipeline {
        |m AS (
        |  SELECT priority,
        |    CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean,
-       |    sqrt(greatest((CAST(SUM(cents * cents) AS DOUBLE) / COUNT(*)) -
+       |    -- Σc² crosses 2^53 at sf0.1 and DuckDB's HUGEINT->DOUBLE
+       |    -- cast is NOT correctly rounded (off-by-one-ulp on the
+       |    -- 5-LOW group) while Spark's DECIMAL(38,0)->double is;
+       |    -- the VARCHAR detour goes through strtod, which IS
+       |    -- correctly rounded, so both engines see the same double
+       |    sqrt(greatest((CAST(CAST(SUM(cents * cents) AS VARCHAR) AS DOUBLE) / COUNT(*)) -
        |      (CAST(SUM(cents) AS DOUBLE) / COUNT(*)) *
        |      (CAST(SUM(cents) AS DOUBLE) / COUNT(*)), 0e0)) AS std
        |  FROM ord GROUP BY priority)

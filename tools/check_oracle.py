@@ -13,11 +13,19 @@ import sys
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ("region nation customer supplier part orders lineitem events "
-          "documents embeddings").split():
-    con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+
+def connect():
+    # a FRESH connection per query: one shared connection accumulates
+    # enough state across ~160 oracle runs that late queries slow to
+    # a crawl (observed 70+ min for a suite whose per-query fresh-
+    # connection total is ~5 min)
+    c = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return c
 
 with open(f"{outdir}/oracle_sql.json") as f:
     oracles = json.load(f)
@@ -33,6 +41,7 @@ def canon(v):
 
 fails = 0
 for name, sql in sorted(oracles.items()):
+    con = connect()
     try:
         spark_rel = con.sql(
             f"SELECT * FROM '{outdir}/{name}/*.parquet'")
