@@ -554,9 +554,12 @@ object TextAnalysis {
     * before returning. Shared by `ngram_lm` (ranking) and
     * `lm_prune` (the filter decision).
     */
-  private def lmScores(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc bigram occurrences (doc_id, w1, w2) — un-persisted plan;
+    * each consumer persists around its own use.
+    */
+  private def bigramPairs(spark: SparkSession, dir: String): DataFrame = {
     val tk = toks(lower(col("text")))
-    val pairs = Tables.read(spark, dir, "documents")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"), explode(array(tk)).as("tk")) // Generate barrier: tokenize once
       .where(size(col("tk")) >= 2)
       .select(
@@ -567,6 +570,10 @@ object TextAnalysis {
             element_at(col("tk"), i).as("w1"),
             element_at(col("tk"), i + 1).as("w2")))).as("z"))
       .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+  }
+
+  private def lmScores(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = bigramPairs(spark, dir)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val cb = pairs.groupBy(col("w1"), col("w2"))
@@ -608,6 +615,66 @@ object TextAnalysis {
     lmScores(spark, dir)
       .orderBy(col("score_ppm").desc, col("doc_id"))
       .limit(25)
+
+  /** Minimum bigram count for a collocation candidate. */
+  private val CollocMinCount = 5L
+
+  /** `collocations`: PMI-style association mining — the bigrams that
+    * co-occur far more than their unigram frequencies predict (the
+    * collocation-extraction pass corpus linguistics and phrase-
+    * vocabulary builders run; word2vec's phrase pass is this exact
+    * statistic). The score is the integer-ppm lift
+    * `c(w1,w2)·N·10⁶ div (c(w1)·c(w2))` over token counts — a
+    * monotone transform of pointwise mutual information (log of the
+    * same ratio), so the RANKING is PMI's without the cross-engine
+    * log hazard; a count floor kills the unstable rare-pair tail.
+    *
+    * Plan shape: one bigram aggregate + one unigram aggregate
+    * (both map-combinable, model-sized), two broadcast joins of the
+    * unigram table, a 1-row count cross join, top-25. Nothing is
+    * doc×doc and nothing fact-sized survives the aggregates.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = bigramPairs(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val toksAll = Tables.read(spark, dir, "documents")
+        .select(explode(toks(lower(col("text")))).as("w"))
+      val uni = toksAll.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val ntok = toksAll.agg(count(lit(1)).as("n"))
+      val cb = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+        .where(col("c2") >= CollocMinCount)
+      cb
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("u1"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("u2"))), "w2")
+        .crossJoin(broadcast(ntok))
+        .select(
+          col("w1"), col("w2"), col("c2"),
+          expr("(c2 * n * 1000000) div (u1 * u2)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+        .limit(25)
+        .localCheckpoint() // materialize before the pair unpersist
+    } finally pairs.unpersist()
+  }
+
+  def collocationsOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${ToksSql.format("lower(text)")} tk FROM documents),
+       |p AS (
+       |  SELECT doc_id, unnest(tk[1:len(tk)-1]) w1, unnest(tk[2:len(tk)]) w2
+       |  FROM t WHERE len(tk) >= 2),
+       |occ AS (SELECT unnest(tk) w FROM t),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) c FROM occ GROUP BY 1),
+       |ntok AS (SELECT CAST(count(*) AS BIGINT) n FROM occ),
+       |cb AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) c2 FROM p GROUP BY 1, 2
+       |  HAVING count(*) >= $CollocMinCount)
+       |SELECT cb.w1, cb.w2, cb.c2,
+       |  (cb.c2 * ntok.n * 1000000) // (u1.c * u2.c) AS lift_ppm
+       |FROM cb JOIN uni u1 ON cb.w1 = u1.w JOIN uni u2 ON cb.w2 = u2.w
+       |CROSS JOIN ntok
+       |ORDER BY lift_ppm DESC, w1, w2 LIMIT 25""".stripMargin
 
   /** `lm_prune`: the CCNet filter DECISION on top of the LM scores —
     * per language, rank documents by score and cut into tertiles
@@ -663,6 +730,7 @@ object TextAnalysis {
     QueryDef("text_normalize", textNormalize, Some(textNormalizeOracle)),
     QueryDef("ngram_lm", ngramLm, Some(ngramLmOracle)),
     QueryDef("lm_prune", lmPrune, Some(lmPruneOracle)),
+    QueryDef("collocations", collocations, Some(collocationsOracle)),
     QueryDef("bm25_topk", bm25Topk, Some(bm25TopkOracle)),
     QueryDef("oov_rate", oovRate, Some(oovRateOracle)),
     QueryDef("text_tokens", textTokens, Some(textTokensOracle)),
