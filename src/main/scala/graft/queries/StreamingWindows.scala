@@ -36,6 +36,35 @@ object StreamingWindows {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) total
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** `stream_distinct`: EXACT distinct users per tumbling window
+    * through the mergeable bitmap aggregate — the distinct-count
+    * streaming dashboards usually approximate (HLL) served exactly:
+    * [[graft.functions.BitmapDistinct]]'s buffer is the windowed
+    * STATE, serialized into the state store between micro-batches
+    * and OR-merged as late rows arrive, so a custom
+    * TypedImperativeAggregate carries streaming aggregation state
+    * like any built-in (StreamingPipelineSpec proves live parity
+    * over a watermarked MemoryStream). Batch semantics here; the
+    * identical plan runs as a stream.
+    */
+  def streamDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(
+        graft.functions.BitmapFunctions.bitmapDistinct(col("user_id"))
+          .as("n_users"),
+        count(lit(1)).as("n"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("n_users"), col("n"))
+      .orderBy("window_start")
+
+  def streamDistinctOracle: String =
+    """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600 AS window_start,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) n_users,
+      |  CAST(COUNT(*) AS BIGINT) n
+      |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
+
   /** Sliding windows: 6-hour windows every 3 hours (each event lands
     * in exactly two windows).
     */
@@ -254,6 +283,7 @@ object StreamingWindows {
       |GROUP BY 1, 2 ORDER BY window_start, n_name""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_distinct", streamDistinct, Some(streamDistinctOracle)),
     QueryDef("stream_enrich", streamEnrich, Some(streamEnrichOracle)),
     QueryDef("stream_dedup", streamDedup, Some(streamDedupOracle)),
     QueryDef("stream_topk", streamTopk, Some(streamTopkOracle)),

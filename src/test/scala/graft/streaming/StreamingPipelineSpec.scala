@@ -257,4 +257,42 @@ class StreamingPipelineSpec extends AnyFunSuite {
         == (10 until 15).map(i => s"id-$i").sorted)
     } finally q2.stop()
   }
+
+  test("bitmap distinct aggregate carries streaming state (stream_distinct shape)") {
+    import spark.implicits._
+    // users revisit across micro-batches, so the exact distinct per
+    // window NEEDS the bitmap state to merge across batches — a
+    // per-batch count would overcount revisits
+    val ts = (0 until 120).map(i =>
+      (java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 41L)),
+        (i % 7).toLong))
+    def plan(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(
+        graft.functions.BitmapFunctions.bitmapDistinct(col("uid"))
+          .as("n_users"),
+        count(lit(1)).as("n"))
+      .select(
+        unix_timestamp(col("window.start")).as("ws"),
+        col("n_users"), col("n"))
+    val batch = plan(ts.toDF("ts", "uid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+
+    val mem = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    val q = plan(mem.toDF().toDF("ts", "uid").withWatermark("ts", "5 minutes"))
+      .writeStream.format("memory").queryName("bmdist_out")
+      .outputMode("complete")
+      .start()
+    try {
+      // three separate micro-batches: windows straddle batch
+      // boundaries, so buffers round-trip the state store serialized
+      mem.addData(ts.take(40)); q.processAllAvailable()
+      mem.addData(ts.slice(40, 80)); q.processAllAvailable()
+      mem.addData(ts.drop(80)); q.processAllAvailable()
+      val got = spark.table("bmdist_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
 }
