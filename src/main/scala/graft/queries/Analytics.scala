@@ -500,7 +500,65 @@ object Analytics {
       |  CAST(sum(x) - least(0, min(r)) AS BIGINT) balance
       |FROM pre GROUP BY suppkey ORDER BY suppkey""".stripMargin
 
+  /** `drift_cusum`: one-sided CUSUM drift detection per event type —
+    * the sequential change-point monitor (Page's test) every
+    * data-quality pipeline runs over daily metric series: accumulate
+    * positive deviations from the series mean (minus a slack of
+    * mean/20), reset at zero, flag days where the accumulation
+    * crosses mean/4. The CUSUM recursion c = max(0, c + dev) is the
+    * same one-sided clamp as `clamped_balance`, so it computes
+    * relationally via the closed form c = r − min(0, running-min r)
+    * over prefix sums — two windows partitioned by event type over
+    * the DAILY aggregate (dimension-sized), never raw events. All
+    * arithmetic integer cents (mean/slack by floor division).
+    */
+  def driftCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(
+        col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(Quantize.cents(col("value"))).as("x"))
+    val withMean = daily
+      .join(
+        daily.groupBy(col("event_type"))
+          .agg(expr("sum(x) div count(1)").as("mu")),
+        "event_type")
+      .withColumn("dev", col("x") - col("mu") - expr("mu div 20"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withMean
+      .withColumn("r", sum(col("dev")).over(w))
+      .withColumn("m", min(col("r")).over(w))
+      .select(
+        col("event_type"), col("day"), col("x"),
+        (col("r") - least(lit(0L), col("m"))).as("cusum"),
+        (col("r") - least(lit(0L), col("m")) > expr("mu div 4")).as("drift"))
+      .orderBy("event_type", "day")
+  }
+
+  def driftCusumOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) mu
+      |  FROM daily GROUP BY 1),
+      |pre AS (
+      |  SELECT d.event_type, d.day, d.x, m.mu,
+      |    SUM(d.x - m.mu - m.mu // 20) OVER (PARTITION BY d.event_type
+      |      ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) r
+      |  FROM daily d JOIN m USING (event_type)),
+      |cs AS (
+      |  SELECT event_type, day, x, mu,
+      |    CAST(r - least(0, min(r) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) cusum
+      |  FROM pre)
+      |SELECT event_type, day, x, cusum, cusum > mu // 4 AS drift
+      |FROM cs ORDER BY event_type, day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("drift_cusum", driftCusum, Some(driftCusumOracle)),
     QueryDef("clamped_balance", clampedBalance, Some(clampedBalanceOracle)),
     QueryDef("event_pattern", eventPattern, Some(eventPatternOracle)),
     QueryDef("decayed_topk", decayedTopk, Some(decayedTopkOracle)),
