@@ -15,18 +15,29 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table is written with TIMESTAMP(NANOS), which Spark's
-    * parquet reader only surfaces via the nanosAsLong legacy conf. Read
-    * it that way and convert to a micros TimestampType column (floor
-    * division — matches DuckDB's `CAST(ts AS TIMESTAMP)` truncation, so
-    * oracle comparisons agree).
+  /** The events table's `ts` encoding has varied across driver data
+    * generations: TIMESTAMP(NANOS) (surfaced by Spark only as a LONG
+    * via the nanosAsLong legacy conf) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ). Dispatch on
+    * the type actually read so both generations land on the same
+    * session-UTC micros TimestampType column the suite (and the
+    * DuckDB oracle, which sees naive micros either way) computes on:
+    * nanos-as-long floor-divides to micros — DuckDB's own
+    * `CAST(ts AS TIMESTAMP)` truncation — and NTZ casts through the
+    * UTC session timezone, which is numerically the identity on the
+    * stored micros.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Exception => () } // non-settable => already decided
     import org.apache.spark.sql.functions._
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }
 
