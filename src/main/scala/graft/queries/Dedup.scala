@@ -646,6 +646,93 @@ object Dedup {
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
        |ORDER BY d.doc_id""".stripMargin
 
+  /** `golden_record`: survivorship merge — the MDM step AFTER dedup
+    * clustering: each near-dup cluster collapses to one merged
+    * "golden" row whose fields come from per-field survivorship
+    * rules rather than any single member. Rules here (all
+    * deterministic, all relational): canonical content = the longest
+    * text (tie → smallest doc_id) via ONE min-of-struct aggregate —
+    * no per-cluster sort; lang = majority vote (tie → smallest lang)
+    * over a cluster×lang grid aggregate; provenance = every distinct
+    * source, sorted. Consumes the SHARED converged CC label table
+    * (the same one fixpoint loop dedup_clusters/keeper_map use), so
+    * the survivorship pass itself is two grid-sized aggregates over
+    * one corpus-sized join — nothing here re-runs candidate
+    * generation or propagation, which is what makes golden-record
+    * maintenance cheap enough to re-run per ingest batch at 100 TB.
+    */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ccLabelsShared(spark, dir).withColumnRenamed("doc", "doc_id")
+    val docs = Tables.read(spark, dir, "documents")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("root"), col("doc_id")))
+    val langVotes = docs
+      .groupBy(col("cluster_id"), col("lang"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((col("votes") * -1).as("nv"), col("lang").as("l")))
+        .as("lv"))
+      .select(col("cluster_id"), col("lv.l").as("lang"))
+    docs
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("keeper"),
+        min(struct((col("n_chars") * -1).as("nl"), col("doc_id").as("d")))
+          .as("best"),
+        countDistinct(col("source")).as("n_sources"),
+        array_join(array_sort(collect_set(col("source"))), ",")
+          .as("sources"))
+      .select(
+        col("cluster_id"), col("n_members"), col("keeper"),
+        col("best.d").as("canon_doc"),
+        (col("best.nl") * -1).cast("long").as("canon_len"),
+        col("n_sources"), col("sources"))
+      .join(langVotes, "cluster_id")
+      .orderBy("cluster_id")
+  }
+
+  def goldenRecordOracle: String =
+    s"""WITH RECURSIVE $ShinglesSql,
+       |$MinhashPairsCtes,
+       |e AS (SELECT a src, b dst FROM lshpairs UNION SELECT b, a FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS doc, dst AS r FROM e
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN e ON reach.r = e.src),
+       |comp AS (
+       |  SELECT doc, least(doc, MIN(r)) AS root FROM reach GROUP BY doc),
+       |d AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    COALESCE(c.root, doc_id) cluster_id
+       |  FROM documents LEFT JOIN comp c ON doc_id = c.doc),
+       |canon AS (
+       |  SELECT cluster_id, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY n_chars DESC, doc_id) rn
+       |  FROM d),
+       |votes AS (
+       |  SELECT cluster_id, lang, count(*) votes
+       |  FROM d GROUP BY 1, 2),
+       |lv AS (
+       |  SELECT cluster_id, lang,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY votes DESC, lang) rn
+       |  FROM votes),
+       |agg AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) n_members,
+       |    min(doc_id) keeper,
+       |    CAST(count(DISTINCT source) AS BIGINT) n_sources,
+       |    string_agg(DISTINCT source, ',' ORDER BY source) sources
+       |  FROM d GROUP BY 1)
+       |SELECT a.cluster_id, a.n_members, a.keeper,
+       |  c.doc_id canon_doc, CAST(c.n_chars AS BIGINT) canon_len,
+       |  a.n_sources, a.sources, l.lang
+       |FROM agg a
+       |JOIN canon c ON a.cluster_id = c.cluster_id AND c.rn = 1
+       |JOIN lv l ON a.cluster_id = l.cluster_id AND l.rn = 1
+       |ORDER BY a.cluster_id""".stripMargin
+
   /** `entity_matching`: blocked record linkage over `customer` — the
     * MDM/entity-resolution shape: block on (nation, all-but-the-last-
     * two digits of the name number) so candidate generation is a
@@ -754,6 +841,7 @@ object Dedup {
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("dedup_keeper_map", dedupKeeperMap, Some(dedupKeeperMapOracle)),
+    QueryDef("golden_record", goldenRecord, Some(goldenRecordOracle)),
     QueryDef("entity_matching", entityMatching, Some(entityMatchingOracle)),
     QueryDef("simhash", simhash, Some(simhashOracle)))
 }
