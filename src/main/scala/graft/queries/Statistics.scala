@@ -530,7 +530,195 @@ object Statistics {
       |    END AS r2_ppm
       |FROM m ORDER BY n_name""".stripMargin
 
+  /** `ks_test`: two-sample Kolmogorov–Smirnov distribution test — the
+    * CONTINUOUS member of the drift-detection family (chi_square
+    * covers categorical, drift_cusum covers temporal location shift):
+    * D = max over v of |F1(v) − F2(v)| between the click and purchase
+    * value distributions, evaluated on the pooled value grid.
+    *
+    * Exactness: values quantize to cents, CDFs never materialize as
+    * floats — the statistic is max |cum1·n2 − cum2·n1| over integer
+    * cumulatives, divided once at the end (ppm floor division). The
+    * α=0.05 decision compares D² against c²·(n1+n2)/(n1·n2)
+    * (c = 1.358) cross-multiplied into DECIMAL(38,0), so even the
+    * significance boolean is bit-exact across engines.
+    *
+    * Scale shape: the only fact-sized operation is the (value →
+    * c1, c2) histogram aggregate. Cumulatives then run as the SHARDED
+    * prefix sum (the pack_sequences idiom): values hash into ordered
+    * $10 shards, each shard's running sum is a shard-PARTITIONED
+    * window (never a global window), and cross-shard offsets come
+    * from a triangular join over the ~50-row shard-total table. The
+    * value DOMAIN (bounded cents), not the event count, caps the
+    * window input at every scale.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(
+        Quantize.cents(col("value")).as("vc"),
+        col("event_type").as("g"))
+    val hist = ev.groupBy(col("vc")).agg(
+      count(when(col("g") === "click", 1)).as("c1"),
+      count(when(col("g") === "purchase", 1)).as("c2"))
+    val sharded = hist.withColumn("shard", expr("vc div 1000"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("vc"))
+    val inShard = sharded
+      .withColumn("cum1_in", sum(col("c1")).over(w))
+      .withColumn("cum2_in", sum(col("c2")).over(w))
+    val shardTotals = sharded.groupBy(col("shard")).agg(
+      sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+    val offsets = shardTotals.as("a")
+      .join(
+        broadcast(shardTotals.as("b")), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(
+        coalesce(sum(col("b.t1")), lit(0L)).as("off1"),
+        coalesce(sum(col("b.t2")), lit(0L)).as("off2"))
+    val n = hist.agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val d = inShard
+      .join(broadcast(offsets), "shard")
+      .crossJoin(broadcast(n))
+      .select(
+        col("vc"), col("n1"), col("n2"),
+        abs((col("off1") + col("cum1_in")) * col("n2") -
+          (col("off2") + col("cum2_in")) * col("n1")).as("dn"))
+    val m = d.groupBy(col("n1"), col("n2")).agg(max(col("dn")).as("maxdn"))
+    d.join(broadcast(m), Seq("n1", "n2"))
+      .where(col("dn") === col("maxdn"))
+      .groupBy(col("n1"), col("n2"), col("maxdn"))
+      .agg(min(col("vc")).as("at_cents"))
+      .select(
+        col("n1"), col("n2"),
+        expr("maxdn * 1000000 div (n1 * n2)").as("d_ppm"),
+        col("at_cents"),
+        (col("maxdn").cast("decimal(38,0)") *
+          col("maxdn").cast("decimal(38,0)") * lit(1000000) >
+          lit(1844164).cast("decimal(38,0)") *
+          (col("n1") + col("n2")) * col("n1") * col("n2"))
+          .as("reject_95"))
+  }
+
+  def ksTestOracle: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) vc, event_type g
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |hist AS (
+      |  SELECT vc,
+      |    CAST(count(*) FILTER (g = 'click') AS BIGINT) c1,
+      |    CAST(count(*) FILTER (g = 'purchase') AS BIGINT) c2
+      |  FROM ev GROUP BY 1),
+      |n AS (
+      |  SELECT CAST(sum(c1) AS BIGINT) n1, CAST(sum(c2) AS BIGINT) n2
+      |  FROM hist),
+      |cum AS (
+      |  SELECT vc,
+      |    CAST(sum(c1) OVER (ORDER BY vc) AS BIGINT) f1,
+      |    CAST(sum(c2) OVER (ORDER BY vc) AS BIGINT) f2
+      |  FROM hist),
+      |d AS (
+      |  SELECT vc, abs(f1 * n.n2 - f2 * n.n1) dn FROM cum, n),
+      |m AS (SELECT max(dn) maxdn FROM d)
+      |SELECT n.n1, n.n2,
+      |  m.maxdn * 1000000 // (n.n1 * n.n2) AS d_ppm,
+      |  (SELECT min(vc) FROM d WHERE dn = m.maxdn) AS at_cents,
+      |  (CAST(m.maxdn AS HUGEINT) * m.maxdn * 1000000 >
+      |   CAST(1844164 AS HUGEINT) * (n.n1 + n.n2) * n.n1 * n.n2)
+      |    AS reject_95
+      |FROM n, m""".stripMargin
+
+  /** `ab_test`: two-proportion experiment readout — users content-hash
+    * into variants A/B (the deterministic assignment every real
+    * experiment framework uses — reproducible across engines, runs
+    * and partitionings, unlike rand()), conversion = fired at least
+    * one purchase event, and the pooled two-proportion z statistic
+    * decides significance. The algebra is cross-multiplied so no
+    * square root or float division ever happens:
+    * z² = (c1·n2 − c2·n1)²·N div (n1·n2·(c1+c2)·(N−c1−c2)), N=n1+n2,
+    * reported in milli (z² > 3841/1000 ⟺ p < 0.05 two-sided, the
+    * χ²₁ 95% quantile 3.841459 held as an integer micro constant).
+    * The squared numerator crosses 2^63 around 10⁴ users/arm, so the
+    * decision arithmetic runs in DECIMAL(38,0)/HUGEINT — the
+    * linreg_trend discipline.
+    *
+    * Plan shape: ONE fact-sized aggregate (per-user conversion flag
+    * via max(when)), then a 2-row variant rollup and single-row
+    * algebra. Nothing else moves at 100 TB.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    // "ever purchased" saturates on this data (every user buys inside
+    // the 30-day window), which zeroes p̂(1−p̂) — so the conversion
+    // event is the heavy-buyer cut at the corpus median (>= 14
+    // purchases), non-degenerate at every SF; the zero-variance edge
+    // still guards to NULL rather than throwing under ANSI.
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((count(when(col("event_type") === "purchase", 1)) >= 14)
+        .cast("long").as("converted"))
+      .withColumn("variant", ContentHash.bucket(col("user_id"), 2))
+    val arms = perUser.groupBy(col("variant")).agg(
+      count(lit(1)).as("n"), sum(col("converted")).as("c"))
+    val wide = arms.agg(
+      sum(when(col("variant") === 0, col("n"))).as("n_a"),
+      sum(when(col("variant") === 0, col("c"))).as("c_a"),
+      sum(when(col("variant") === 1, col("n"))).as("n_b"),
+      sum(when(col("variant") === 1, col("c"))).as("c_b"))
+    val dec = "decimal(38,0)"
+    wide.select(
+      col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      expr(
+        s"""CASE WHEN c_a + c_b = 0 OR n_a + n_b - c_a - c_b = 0
+           |  THEN NULL
+           |  ELSE CAST((CAST(c_a AS $dec) * n_b - CAST(c_b AS $dec) * n_a)
+           |    * (CAST(c_a AS $dec) * n_b - CAST(c_b AS $dec) * n_a)
+           |    * (n_a + n_b) * 1000
+           |    div (CAST(n_a AS $dec) * n_b * (c_a + c_b)
+           |         * (n_a + n_b - c_a - c_b)) AS BIGINT) END""".stripMargin
+          .replaceAll("\n", " ")).as("z2_milli"),
+      expr(
+        s"""(CAST(c_a AS $dec) * n_b - CAST(c_b AS $dec) * n_a)
+           |  * (CAST(c_a AS $dec) * n_b - CAST(c_b AS $dec) * n_a)
+           |  * (n_a + n_b) * 1000000
+           |  > CAST(3841459 AS $dec) * n_a * n_b * (c_a + c_b)
+           |    * (n_a + n_b - c_a - c_b)""".stripMargin
+          .replaceAll("\n", " ")).as("reject_95"))
+  }
+
+  def abTestOracle: String = {
+    val b = ContentHash.bucketSql("user_id", 2)
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(count(*) FILTER (event_type = 'purchase') >= 14
+      |      AS BIGINT) converted,
+      |    BKT variant
+      |  FROM events GROUP BY user_id),
+      |wide AS (
+      |  SELECT
+      |    CAST(count(*) FILTER (variant = 0) AS BIGINT) n_a,
+      |    CAST(sum(converted) FILTER (variant = 0) AS BIGINT) c_a,
+      |    CAST(count(*) FILTER (variant = 1) AS BIGINT) n_b,
+      |    CAST(sum(converted) FILTER (variant = 1) AS BIGINT) c_b
+      |  FROM pu)
+      |SELECT n_a, c_a, n_b, c_b,
+      |  CASE WHEN c_a + c_b = 0 OR n_a + n_b - c_a - c_b = 0 THEN NULL
+      |  ELSE CAST((CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+      |    * (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+      |    * (n_a + n_b) * 1000
+      |    // (CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
+      |       * (n_a + n_b - c_a - c_b)) AS BIGINT) END z2_milli,
+      |  (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+      |    * (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+      |    * (n_a + n_b) * 1000000
+      |    > CAST(3841459 AS HUGEINT) * n_a * n_b * (c_a + c_b)
+      |      * (n_a + n_b - c_a - c_b) reject_95
+      |FROM wide""".stripMargin.replace("BKT", b)
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ab_test", abTest, Some(abTestOracle)),
+    QueryDef("ks_test", ksTest, Some(ksTestOracle)),
     QueryDef("linreg_trend", linregTrend, Some(linregTrendOracle)),
     QueryDef("skew_report", skewReport, Some(skewReportOracle)),
     QueryDef("stats_outliers", statsOutliers, Some(statsOutliersOracle)),
