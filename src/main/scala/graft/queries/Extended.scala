@@ -621,6 +621,124 @@ object Extended {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** `peak_concurrency`: maximum simultaneous sessions per day — the
+    * sweep-line interval-aggregation operator (peak concurrent
+    * viewers / connections / capacity sizing) the interval_join
+    * family doesn't cover. Sessions come from the same 30-minute-gap
+    * sessionization as session_stats (all users), treated as CLOSED
+    * micros intervals [start_us, end_us].
+    *
+    * Plan shape: the classic sweep needs a GLOBAL ordered prefix sum
+    * — banned — so the sweep is day-partitioned: each session
+    * explodes into the days it covers (bounded: a session spans at
+    * most a handful of days), contributing +1 at max(start, the
+    * day's midnight) and -1 at end_us+1 only when that instant still
+    * falls inside the same day (a session running past midnight
+    * keeps its slot to the day's last instant and re-enters the next
+    * day as a fresh midnight +1). Deltas AGGREGATE per (day, t)
+    * before the window — same-instant end/start cancellation IS the
+    * half-open semantics, and the interchangeable-row tie hazard
+    * disappears because ties no longer exist. The running sum is a
+    * day-PARTITIONED window over the per-day event grid; output is
+    * one row per day. At 100 TB the only fact-sized steps are the
+    * sessionization window (user-partitioned) and the delta
+    * aggregate.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn(
+        "new_session",
+        when(
+          lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val plus = sessions
+      .select(
+        explode(sequence(
+          to_date(timestamp_micros(col("start_us"))),
+          to_date(timestamp_micros(col("end_us"))),
+          expr("interval 1 day"))).as("d"),
+        col("start_us"))
+      .select(
+        col("d"),
+        greatest(
+          col("start_us"),
+          unix_micros(to_timestamp(col("d")))).as("t"),
+        lit(1L).as("delta"))
+    val minus = sessions
+      .where(
+        to_date(timestamp_micros(col("end_us") + 1)) ===
+          to_date(timestamp_micros(col("end_us"))))
+      .select(
+        to_date(timestamp_micros(col("end_us"))).as("d"),
+        (col("end_us") + 1).as("t"),
+        lit(-1L).as("delta"))
+    val net = plus.unionByName(minus)
+      .groupBy(col("d"), col("t"))
+      .agg(sum(col("delta")).as("net"), sum(when(col("delta") === 1, 1L)).as("starts"))
+    val wd = Window.partitionBy(col("d")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    net
+      .withColumn("conc", sum(col("net")).over(wd))
+      .groupBy(col("d"))
+      .agg(
+        max(col("conc")).as("peak"),
+        sum(coalesce(col("starts"), lit(0L))).as("n_sessions"))
+      .orderBy("d")
+  }
+
+  def peakConcurrencyOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+      |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) session_id, us
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT user_id, session_id, MIN(us) start_us, MAX(us) end_us
+      |  FROM sess GROUP BY 1, 2),
+      |plus AS (
+      |  SELECT CAST(unnest(generate_series(
+      |      CAST(make_timestamp(start_us) AS DATE),
+      |      CAST(make_timestamp(end_us) AS DATE),
+      |      INTERVAL 1 DAY)) AS DATE) d,
+      |    start_us, end_us
+      |  FROM iv),
+      |deltas AS (
+      |  SELECT d,
+      |    GREATEST(start_us, epoch_us(CAST(d AS TIMESTAMP))) t,
+      |    CAST(1 AS BIGINT) delta
+      |  FROM plus
+      |  UNION ALL
+      |  SELECT CAST(make_timestamp(end_us) AS DATE) d, end_us + 1,
+      |    CAST(-1 AS BIGINT)
+      |  FROM iv
+      |  WHERE CAST(make_timestamp(end_us + 1) AS DATE)
+      |      = CAST(make_timestamp(end_us) AS DATE)),
+      |net AS (
+      |  SELECT d, t, CAST(SUM(delta) AS BIGINT) net,
+      |    CAST(SUM(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) starts
+      |  FROM deltas GROUP BY 1, 2),
+      |swept AS (
+      |  SELECT d, starts, CAST(SUM(net) OVER (
+      |    PARTITION BY d ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) conc
+      |  FROM net)
+      |SELECT d, MAX(conc) peak,
+      |  CAST(SUM(COALESCE(starts, 0)) AS BIGINT) n_sessions
+      |FROM swept GROUP BY d ORDER BY d""".stripMargin
+
   // --- deterministic train/val/test split (reproducible sampling) ---
 
   /** Content-hash split assignment: the first 16 bits of md5 of the
@@ -944,6 +1062,7 @@ object Extended {
     QueryDef("interval_join", intervalJoin, Some(intervalJoinOracle)),
     QueryDef("sessionize_lag", sessionizeLag, Some(sessionizeLagOracle)),
     QueryDef("session_stats", sessionStats, Some(sessionStatsOracle)),
+    QueryDef("peak_concurrency", peakConcurrency, Some(peakConcurrencyOracle)),
     QueryDef("train_split", trainSplit, Some(trainSplitOracle)),
     QueryDef("group_topk", groupTopk, Some(groupTopkOracle)),
     QueryDef("nullsafe_join", nullsafeJoin, Some(nullsafeJoinOracle)),
