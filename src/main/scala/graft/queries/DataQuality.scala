@@ -228,8 +228,54 @@ object DataQuality {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** `histogram_bins`: equi-width value histogram of order totals —
+    * the distribution half of column profiling (column_profile
+    * reports the moments/extremes; this reports the SHAPE data
+    * engineers eyeball for skew, truncation and outliers before
+    * picking partition bounds). One hash aggregate over the
+    * cents-quantized fact column into fixed $25,000 bins — the bin
+    * count is value-domain-bounded, so the output stays ~20 rows at
+    * any scale; share in ppm via one broadcast single-row total.
+    * Empty bins are absent (a spine join would add them — gap_fill
+    * covers that idiom).
+    */
+  private val HistWidthCents = 2500000L
+
+  def histogramBins(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.read(spark, dir, "orders")
+      .select(Quantize.cents(col("o_totalprice")).as("vc"))
+    val hist = vals
+      .withColumn("bin", expr(s"vc div ${HistWidthCents}L"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("vc")).as("min_cents"),
+        max(col("vc")).as("max_cents"))
+    val total = vals.agg(count(lit(1)).as("tot"))
+    hist.crossJoin(broadcast(total))
+      .select(
+        col("bin"),
+        (col("bin") * HistWidthCents).as("lo_cents"),
+        col("n"), col("min_cents"), col("max_cents"),
+        expr("n * 1000000 div tot").as("pct_ppm"))
+      .orderBy("bin")
+  }
+
+  def histogramBinsOracle: String =
+    s"""WITH v AS (
+       |  SELECT ${Quantize.centsSql("o_totalprice")} vc FROM orders),
+       |h AS (
+       |  SELECT vc // $HistWidthCents bin, CAST(count(*) AS BIGINT) n,
+       |    min(vc) min_cents, max(vc) max_cents
+       |  FROM v GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) tot FROM v)
+       |SELECT bin, bin * $HistWidthCents lo_cents, n, min_cents,
+       |  max_cents, n * 1000000 // tot pct_ppm
+       |FROM h, t ORDER BY bin""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dq_audit", dqAudit, Some(dqAuditOracle)),
     QueryDef("column_profile", columnProfile, Some(columnProfileOracle)),
-    QueryDef("table_diff", tableDiff, Some(tableDiffOracle)))
+    QueryDef("table_diff", tableDiff, Some(tableDiffOracle)),
+    QueryDef("histogram_bins", histogramBins, Some(histogramBinsOracle)))
 }

@@ -485,6 +485,64 @@ object Graph {
        |FROM nodes GROUP BY 1
        |ORDER BY n_tri DESC, suppkey LIMIT 25""".stripMargin
 
+  /** `node_similarity`: common-neighbor Jaccard between supplier
+    * pairs over the SAME shared support-pruned co-occurrence graph —
+    * the link-prediction / "suppliers like this one" primitive
+    * (neighborhood overlap is the classic who-also-bought signal;
+    * PMI-lift collocations cover the text analog). For pair (x, y):
+    * jacc_ppm = |N(x)∩N(y)|·10⁶ div (|N(x)|+|N(y)|−|N(x)∩N(y)|),
+    * integer-exact.
+    *
+    * Plan shape: candidate pairs and intersection sizes come from
+    * ONE wedge self-join of the adjacency relation on the shared
+    * middle node (x < y halves the output), aggregated to (x, y,
+    * cn); degrees are a |V|-sized aggregate, broadcast back twice.
+    * Wedge traffic is Σ deg(m)² — bounded here because the node
+    * domain is dimension-sized and edges are support-pruned; for an
+    * unbounded domain the hot-middle cap (the hot-shingle guardrail)
+    * applies verbatim, trading recall on stopword-class hub nodes
+    * for a cap² bound, and top-k keeps the output panel-sized.
+    */
+  def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coEdgesShared(spark, dir)
+    val adj = edges.select(col("a").as("x"), col("b").as("m"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("m")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val cn = adj.as("e1")
+      .join(
+        adj.as("e2"),
+        col("e1.m") === col("e2.m") && col("e1.x") < col("e2.x"))
+      .groupBy(col("e1.x").as("x"), col("e2.x").as("y"))
+      .agg(count(lit(1)).as("cn"))
+    cn
+      .join(broadcast(deg.toDF("x", "dx")), "x")
+      .join(broadcast(deg.toDF("y", "dy")), "y")
+      .select(
+        col("x"), col("y"), col("cn"), col("dx"), col("dy"),
+        expr("cn * 1000000 div (dx + dy - cn)").as("jacc_ppm"))
+      .orderBy(col("jacc_ppm").desc, col("x"), col("y"))
+      .limit(25)
+      .localCheckpoint() // 25-row panel; lineage-free of the shared edges
+  }
+
+  def nodeSimilarityOracle: String =
+    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (
+       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM os x JOIN os y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriSupport),
+       |adj AS (SELECT a x, b m FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT x, CAST(count(*) AS BIGINT) deg FROM adj GROUP BY 1),
+       |cn AS (
+       |  SELECT e1.x x, e2.x y, CAST(count(*) AS BIGINT) cn
+       |  FROM adj e1 JOIN adj e2 ON e1.m = e2.m AND e1.x < e2.x
+       |  GROUP BY 1, 2)
+       |SELECT cn.x, cn.y, cn.cn, dx.deg dx, dy.deg dy,
+       |  cn.cn * 1000000 // (dx.deg + dy.deg - cn.cn) jacc_ppm
+       |FROM cn JOIN deg dx ON cn.x = dx.x JOIN deg dy ON cn.y = dy.x
+       |ORDER BY jacc_ppm DESC, cn.x, cn.y LIMIT 25""".stripMargin
+
   /** Degree threshold for the peeling rounds. */
   private val CoreK = 50
 
@@ -589,5 +647,6 @@ object Graph {
     QueryDef("shortest_path", shortestPath, Some(shortestPathOracle)),
     QueryDef("hits", hits, Some(hitsOracle)),
     QueryDef("triangle_count", triangleCount, Some(triangleCountOracle)),
-    QueryDef("k_core_peel", kCorePeel, Some(kCorePeelOracle)))
+    QueryDef("k_core_peel", kCorePeel, Some(kCorePeelOracle)),
+    QueryDef("node_similarity", nodeSimilarity, Some(nodeSimilarityOracle)))
 }
