@@ -557,7 +557,70 @@ object Analytics {
       |SELECT event_type, day, x, cusum, cusum > mu // 4 AS drift
       |FROM cs ORDER BY event_type, day""".stripMargin
 
+  /** `twap`: time-weighted average value per (user, day) — the
+    * step-function integral (TWAP/TWAB: time-weighted average price /
+    * balance) the ROW-weighted aggregates can't express: each event's
+    * value holds until the user's next event, the last of the day
+    * holds to midnight, so twap_cents = Σ value·held_us div Σ held_us
+    * with the integral window [first event, day end). Everything is
+    * integer micros × integer cents (Σ held ≤ a day ⇒ the weighted
+    * sum stays < 2^63 by orders of magnitude), one division at the
+    * end — bit-exact against the oracle.
+    *
+    * Plan shape: ONE (user, day)-partitioned lead window over the
+    * fact rows, then the partial+final weighted-sum aggregate on the
+    * same key — co-partitioned with the window's shuffle, nothing
+    * else moves. Restricted to user_id < 40 to keep the oracle row
+    * count stable (the session_stats convention).
+    */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .where(col("user_id") < 40)
+      .select(
+        col("user_id"), col("event_id"),
+        to_date(col("ts")).as("d"), unix_micros(col("ts")).as("us"),
+        Quantize.cents(col("value")).as("vc"))
+      .withColumn(
+        "day_end_us",
+        unix_micros(to_timestamp(col("d"))) + 86400L * 1000000L)
+      .withColumn(
+        "held_us",
+        coalesce(lead(col("us"), 1).over(w), col("day_end_us")) - col("us"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("held_us")).as("span_us"),
+        sum(col("vc") * col("held_us")).as("wsum"))
+      .select(
+        col("user_id"), col("d"), col("n_events"), col("span_us"),
+        expr("wsum div span_us").as("twap_cents"))
+      .orderBy("user_id", "d")
+  }
+
+  def twapOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) d,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) us,
+       |    ${Quantize.centsSql("value")} vc
+       |  FROM events WHERE user_id < 40),
+       |held AS (
+       |  SELECT user_id, d, vc,
+       |    COALESCE(
+       |      LEAD(us) OVER (PARTITION BY user_id, d ORDER BY us, event_id),
+       |      epoch_us(CAST(d AS TIMESTAMP)) + 86400000000) - us held_us
+       |  FROM ev)
+       |SELECT user_id, d, CAST(COUNT(*) AS BIGINT) n_events,
+       |  CAST(SUM(held_us) AS BIGINT) span_us,
+       |  CAST(SUM(vc * held_us) AS BIGINT) // CAST(SUM(held_us) AS BIGINT)
+       |    twap_cents
+       |FROM held GROUP BY user_id, d
+       |ORDER BY user_id, d""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("twap", twap, Some(twapOracle)),
     QueryDef("drift_cusum", driftCusum, Some(driftCusumOracle)),
     QueryDef("clamped_balance", clampedBalance, Some(clampedBalanceOracle)),
     QueryDef("event_pattern", eventPattern, Some(eventPatternOracle)),

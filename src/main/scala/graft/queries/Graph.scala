@@ -543,6 +543,49 @@ object Graph {
        |FROM cn JOIN deg dx ON cn.x = dx.x JOIN deg dy ON cn.y = dy.x
        |ORDER BY jacc_ppm DESC, cn.x, cn.y LIMIT 25""".stripMargin
 
+  /** `degree_dist`: power-of-two-bucketed degree histogram of the
+    * co-occurrence graph — the power-law diagnostic run before
+    * choosing any graph algorithm's skew strategy (a heavy-tailed
+    * bucket table is the signal that wedge joins need the hot-middle
+    * cap and joins need salting). Bucket = binary bit width of the
+    * degree (the length_buckets idiom — integer-exact where a float
+    * log2 can flip at exact powers of two). |V|-sized aggregate over
+    * the shared edge relation; output is ~bit-width rows at any
+    * scale.
+    */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coEdgesShared(spark, dir)
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    deg
+      .withColumn("bucket_bits", length(bin(col("deg"))).cast("long"))
+      .groupBy(col("bucket_bits"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"),
+        sum(col("deg")).as("sum_deg"))
+      .orderBy("bucket_bits")
+  }
+
+  def degreeDistOracle: String =
+    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (
+       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM os x JOIN os y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriSupport),
+       |deg AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) deg
+       |  FROM (SELECT a n FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY 1)
+       |SELECT CAST(length(bin(deg)) AS BIGINT) bucket_bits,
+       |  CAST(count(*) AS BIGINT) n_nodes,
+       |  min(deg) min_deg, max(deg) max_deg,
+       |  CAST(sum(deg) AS BIGINT) sum_deg
+       |FROM deg GROUP BY 1 ORDER BY bucket_bits""".stripMargin
+
   /** Degree threshold for the peeling rounds. */
   private val CoreK = 50
 
@@ -648,5 +691,6 @@ object Graph {
     QueryDef("hits", hits, Some(hitsOracle)),
     QueryDef("triangle_count", triangleCount, Some(triangleCountOracle)),
     QueryDef("k_core_peel", kCorePeel, Some(kCorePeelOracle)),
-    QueryDef("node_similarity", nodeSimilarity, Some(nodeSimilarityOracle)))
+    QueryDef("node_similarity", nodeSimilarity, Some(nodeSimilarityOracle)),
+    QueryDef("degree_dist", degreeDist, Some(degreeDistOracle)))
 }
