@@ -646,6 +646,55 @@ object Dedup {
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
        |ORDER BY d.doc_id""".stripMargin
 
+  /** `lsh_recall`: the answer-quality gate for the banded-MinHash
+    * dedup path — knn_recall's twin on the text side. Both the LSH
+    * pipeline and the exact baseline verify candidates at the same
+    * Jaccard >= 0.5, so verified LSH pairs are a SUBSET of the exact
+    * truth and recall = |found| / |truth| measures exactly what the
+    * 4-band/2-row signature scheme loses (pairs whose bands never
+    * collide). The division is ppm floor-division, so the recall
+    * VALUE itself is hash-pinned by the oracle — cost has SCALE.md
+    * rows, answer quality has this. Audit-class query: the exact
+    * truth side deliberately runs the all-pairs baseline (like
+    * knn_recall runs knn_brute); the semi join guards the subset
+    * claim structurally rather than assuming it.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = docShingleArraysShared(spark, dir)
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
+    val truth = jaccardPairs(shingles(spark, dir), sizes)
+      .where(col("jacc") >= 0.5)
+      .select(col("a"), col("b"))
+    val found = minhashLshShared(spark, dir).select(col("a"), col("b"))
+      .join(truth, Seq("a", "b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .select(
+        col("n_truth"), col("n_found"),
+        expr("n_found * 1000000 div n_truth").as("recall_ppm"))
+  }
+
+  def lshRecallOracle: String =
+    s"""WITH $ShinglesSql,
+       |$MinhashPairsCtes,
+       |allpairs AS (
+       |  SELECT a.doc_id a, b.doc_id b, CAST(count(*) AS BIGINT) inter
+       |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT p.a, p.b
+       |  FROM allpairs p
+       |  JOIN sizes sa ON p.a = sa.doc_id
+       |  JOIN sizes sb ON p.b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+       |found AS (
+       |  SELECT l.a, l.b FROM lshpairs l
+       |  WHERE EXISTS (SELECT 1 FROM truth t WHERE t.a = l.a AND t.b = l.b)),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) n_truth FROM truth),
+       |nf AS (SELECT CAST(count(*) AS BIGINT) n_found FROM found)
+       |SELECT n_truth, n_found, n_found * 1000000 // n_truth recall_ppm
+       |FROM nt, nf""".stripMargin
+
   /** `golden_record`: survivorship merge — the MDM step AFTER dedup
     * clustering: each near-dup cluster collapses to one merged
     * "golden" row whose fields come from per-field survivorship
@@ -842,6 +891,7 @@ object Dedup {
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("dedup_keeper_map", dedupKeeperMap, Some(dedupKeeperMapOracle)),
     QueryDef("golden_record", goldenRecord, Some(goldenRecordOracle)),
+    QueryDef("lsh_recall", lshRecall, Some(lshRecallOracle)),
     QueryDef("entity_matching", entityMatching, Some(entityMatchingOracle)),
     QueryDef("simhash", simhash, Some(simhashOracle)))
 }
