@@ -739,6 +739,69 @@ object Extended {
       |  CAST(SUM(COALESCE(starts, 0)) AS BIGINT) n_sessions
       |FROM swept GROUP BY d ORDER BY d""".stripMargin
 
+  /** `fifo_match`: FIFO flow matching (cost-basis assignment /
+    * inventory consumption): per part, 'O' lineitems are inflows and
+    * 'F' lineitems outflows, each in shipdate order, and every
+    * outflow unit consumes the OLDEST unconsumed inflow unit. The
+    * sequential-sounding recursion is pure algebra via cumulative
+    * intervals: each row owns [cum − qty, cum) on its side's running
+    * quantity axis, and FIFO matches are EXACTLY the pairwise
+    * interval overlaps — min(bhi, shi) − max(blo, slo) units of buy
+    * b feed sell s. Two part-partitioned running sums + one equi-join
+    * on part with the overlap residual; per-part row counts bound the
+    * pair fan-out (at 100 TB you'd additionally band the join on
+    * coarse cum-quantity buckets — the range_join discipline — so
+    * a hot part never goes quadratic). Restricted to part < 200 to
+    * keep the pair-level oracle output stable.
+    */
+  def fifoMatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("part"), col("st"))
+      .orderBy(col("sd"), col("ok"), col("ln"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flows = Tables.read(spark, dir, "lineitem")
+      .where(col("l_partkey") < 200)
+      .select(
+        col("l_partkey").as("part"), col("l_linestatus").as("st"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_quantity").cast("long").as("qty"), col("l_shipdate").as("sd"))
+      .withColumn("hi", sum(col("qty")).over(w))
+      .withColumn("lo", col("hi") - col("qty"))
+    val buys = flows.where(col("st") === "O")
+      .select(
+        col("part"), col("ok").as("b_ok"), col("ln").as("b_ln"),
+        col("lo").as("blo"), col("hi").as("bhi"))
+    val sells = flows.where(col("st") === "F")
+      .select(
+        col("part"), col("ok").as("s_ok"), col("ln").as("s_ln"),
+        col("lo").as("slo"), col("hi").as("shi"))
+    buys.join(sells, Seq("part"))
+      .where(col("blo") < col("shi") && col("slo") < col("bhi"))
+      .select(
+        col("part"), col("b_ok"), col("b_ln"), col("s_ok"), col("s_ln"),
+        (least(col("bhi"), col("shi")) - greatest(col("blo"), col("slo")))
+          .as("qty_matched"),
+        col("blo"), col("slo"))
+      .orderBy("part", "blo", "slo")
+  }
+
+  def fifoMatchOracle: String =
+    """WITH f AS (
+      |  SELECT l_partkey part, l_linestatus st, l_orderkey ok,
+      |    l_linenumber ln, CAST(l_quantity AS BIGINT) qty, l_shipdate sd
+      |  FROM lineitem WHERE l_partkey < 200),
+      |cum AS (
+      |  SELECT *, CAST(SUM(qty) OVER (PARTITION BY part, st
+      |      ORDER BY sd, ok, ln ROWS UNBOUNDED PRECEDING) AS BIGINT) hi
+      |  FROM f),
+      |iv AS (SELECT *, hi - qty lo FROM cum)
+      |SELECT b.part, b.ok b_ok, b.ln b_ln, s.ok s_ok, s.ln s_ln,
+      |  LEAST(b.hi, s.hi) - GREATEST(b.lo, s.lo) qty_matched,
+      |  b.lo blo, s.lo slo
+      |FROM iv b JOIN iv s ON b.part = s.part
+      |  AND b.st = 'O' AND s.st = 'F'
+      |  AND b.lo < s.hi AND s.lo < b.hi
+      |ORDER BY b.part, blo, slo""".stripMargin
+
   // --- deterministic train/val/test split (reproducible sampling) ---
 
   /** Content-hash split assignment: the first 16 bits of md5 of the
@@ -1063,6 +1126,7 @@ object Extended {
     QueryDef("sessionize_lag", sessionizeLag, Some(sessionizeLagOracle)),
     QueryDef("session_stats", sessionStats, Some(sessionStatsOracle)),
     QueryDef("peak_concurrency", peakConcurrency, Some(peakConcurrencyOracle)),
+    QueryDef("fifo_match", fifoMatch, Some(fifoMatchOracle)),
     QueryDef("train_split", trainSplit, Some(trainSplitOracle)),
     QueryDef("group_topk", groupTopk, Some(groupTopkOracle)),
     QueryDef("nullsafe_join", nullsafeJoin, Some(nullsafeJoinOracle)),
