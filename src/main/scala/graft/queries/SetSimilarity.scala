@@ -1,6 +1,5 @@
 package graft.queries
 
-import graft.functions.PairFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -62,13 +61,27 @@ object SetSimilarity {
             .orderBy(col("df"), col("shingle"))))
       // p = n - ceil(0.8 n) + 1; ceil(4n/5) = (4n+4) div 5 exactly
       .where(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-      .select(col("shingle"), col("doc_id"))
-    val cands = prefix
-      .groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(explode(PairFunctions.orderedPairs(col("ds"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("shingle"), col("doc_id"), col("n"), col("rk").cast("long").as("rk"))
+    // Candidate generation = one shingle-keyed self-join of the prefix
+    // relation with PPJoin's two candidate-killers applied BEFORE the
+    // pair distinct (measured: 122k raw candidate rows vs 256 true
+    // pairs at sf0.1 — verification cost was 99% false positives):
+    //  - length filter: jacc >= 0.8 forces 4*max(na,nb) <= 5*min(na,nb)
+    //    (at i = min side, jacc = min/max);
+    //  - positional filter: via match rank (ra, rb), the overlap can
+    //    reach at most 1 + min(na-ra, nb-rb) shingles, which must meet
+    //    the required overlap alpha = ceil(4(na+nb)/9) (from
+    //    jacc_ppm >= 800000 cross-multiplied). Both prune-only-
+    //    impossible bounds, so the join stays lossless: the smallest
+    //    common shingle's row always survives for a qualifying pair.
+    val cands = prefix.toDF("shingle", "a", "na", "ra")
+      .join(prefix.toDF("shingle", "b", "nb", "rb"), "shingle")
+      .where(col("a") < col("b"))
+      .where(col("nb") * 5 >= col("na") * 4 && col("na") * 5 >= col("nb") * 4)
+      .where(
+        lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+          expr("(4 * (na + nb) + 8) div 9"))
+      .select(col("a"), col("b"))
       .distinct()
     val arrs = docarr.select(col("doc_id"), col("arr"))
     cands
