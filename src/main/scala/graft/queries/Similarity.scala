@@ -272,12 +272,15 @@ object Similarity {
       .orderBy("a", "b")
   }
 
-  def dedupEmbeddingLshOracle: String = {
+  /** The embedding-LSH candidate->verify chain as reusable CTE text
+    * ending in `epairs(a, b, cos)` — shared by the dedup_embedding_lsh
+    * oracle and the cluster canonicalization on top of it.
+    */
+  private val EmbLshPairsCtes: String = {
     val weightSql =
       "(CASE WHEN ascii(substr(md5(CAST(h AS VARCHAR) || '|' || " +
         "CAST(d - 1 AS VARCHAR)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END)"
-    s"""WITH $VectorsSql,
-       |planes AS (SELECT unnest(range(0, $LshPlanes)) h),
+    s"""planes AS (SELECT unnest(range(0, $LshPlanes)) h),
        |sgn AS (
        |  SELECT vec_id, h,
        |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
@@ -290,13 +293,51 @@ object Similarity {
        |cand AS (
        |  SELECT DISTINCT x.vec_id a, y.vec_id b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-       |  WHERE x.vec_id < y.vec_id)
-       |SELECT c.a, c.b,
-       |  CAST(${dotSql("x.v", "y.v")} AS DOUBLE) / sqrt(CAST(x.nrm * y.nrm AS DOUBLE)) cos
-       |FROM cand c JOIN vn x ON c.a = x.vec_id JOIN vn y ON c.b = y.vec_id
-       |WHERE CAST(${dotSql("x.v", "y.v")} AS DOUBLE) / sqrt(CAST(x.nrm * y.nrm AS DOUBLE)) >= 0.35
-       |ORDER BY a, b""".stripMargin
+       |  WHERE x.vec_id < y.vec_id),
+       |epairs AS (
+       |  SELECT c.a, c.b,
+       |    CAST(${dotSql("x.v", "y.v")} AS DOUBLE)
+       |      / sqrt(CAST(x.nrm * y.nrm AS DOUBLE)) cos
+       |  FROM cand c JOIN vn x ON c.a = x.vec_id JOIN vn y ON c.b = y.vec_id
+       |  WHERE CAST(${dotSql("x.v", "y.v")} AS DOUBLE)
+       |      / sqrt(CAST(x.nrm * y.nrm AS DOUBLE)) >= 0.35)""".stripMargin
   }
+
+  def dedupEmbeddingLshOracle: String =
+    s"""WITH $VectorsSql,
+       |$EmbLshPairsCtes
+       |SELECT a, b, cos FROM epairs ORDER BY a, b""".stripMargin
+
+  /** `embedding_clusters`: connected-component canonicalization over
+    * the verified embedding near-dup pairs — text-side parity
+    * (minhash_lsh -> dedup_clusters :: dedup_embedding_lsh -> this):
+    * semantic duplicate GROUPS, not just pairs, are what an
+    * embedding-dedup keep/drop decision consumes. Reuses the SHARED
+    * min-label propagation core ([[Dedup.ccOn]]); the pair relation
+    * is persisted inside ccOn for the fixpoint rounds, so the LSH
+    * pipeline runs once however many rounds convergence takes.
+    */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ccOn(dedupEmbeddingLsh(spark, dir).select(col("a"), col("b")))
+      .groupBy(col("root").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(col("doc")).as("max_member"))
+      .orderBy("cluster_id")
+
+  def embeddingClustersOracle: String =
+    s"""WITH RECURSIVE $VectorsSql,
+       |$EmbLshPairsCtes,
+       |e AS (SELECT a src, b dst FROM epairs UNION SELECT b, a FROM epairs),
+       |reach AS (
+       |  SELECT src AS doc, dst AS r FROM e
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN e ON reach.r = e.src),
+       |comp AS (
+       |  SELECT doc, least(doc, MIN(r)) AS root FROM reach GROUP BY doc)
+       |SELECT root AS cluster_id, CAST(COUNT(*) AS BIGINT) n_members,
+       |  MAX(doc) AS max_member
+       |FROM comp GROUP BY root ORDER BY cluster_id""".stripMargin
 
   // --- IVF-bucketed approximate top-k ---
   // Shared building blocks for the three IVF variants (seed / k-means
@@ -775,6 +816,8 @@ object Similarity {
     QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef(
       "dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshOracle)),
+    QueryDef(
+      "embedding_clusters", embeddingClusters, Some(embeddingClustersOracle)),
     QueryDef("knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("knn_ivf_kmeans", knnIvfKmeans, Some(knnIvfKmeansOracle)),
     QueryDef("knn_ivf_probe2", knnIvfProbe2, Some(knnIvfProbe2Oracle)),
