@@ -619,7 +619,50 @@ object Analytics {
        |FROM held GROUP BY user_id, d
        |ORDER BY user_id, d""".stripMargin
 
+  /** `seasonality_profile`: the (ISO weekday × hour-of-day) activity
+    * grid — the seasonality matrix behind every traffic dashboard and
+    * the input the seasonal-naive forecast (forecast_baseline) class
+    * generalizes. One map-side-combinable aggregate from the fact
+    * table into a fixed 7×24 grid; means are integer floor division,
+    * shares are ppm against a broadcast single-row total. Weekday is
+    * Spark `weekday()+1` ≡ DuckDB `isodow` (Monday=1) — pinned
+    * explicitly because the engines' default `dayofweek` disagree on
+    * week start.
+    */
+  def seasonalityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .groupBy(
+        (weekday(col("ts")) + 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(Quantize.cents(col("value"))).as("sum_cents"))
+    val total = grid.agg(sum(col("n_events")).as("tot"))
+    grid.crossJoin(broadcast(total))
+      .select(
+        col("dow"), col("hr"), col("n_events"), col("sum_cents"),
+        expr("sum_cents div n_events").as("mean_cents"),
+        expr("n_events * 1000000 div tot").as("share_ppm"))
+      .orderBy("dow", "hr")
+  }
+
+  def seasonalityProfileOracle: String =
+    s"""WITH g AS (
+       |  SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) dow,
+       |    CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) hr,
+       |    CAST(count(*) AS BIGINT) n_events,
+       |    CAST(sum(${Quantize.centsSql("value")}) AS BIGINT) sum_cents
+       |  FROM events GROUP BY 1, 2),
+       |t AS (SELECT CAST(sum(n_events) AS BIGINT) tot FROM g)
+       |SELECT dow, hr, n_events, sum_cents,
+       |  sum_cents // n_events mean_cents,
+       |  n_events * 1000000 // tot share_ppm
+       |FROM g, t ORDER BY dow, hr""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "seasonality_profile", seasonalityProfile,
+      Some(seasonalityProfileOracle)),
     QueryDef("twap", twap, Some(twapOracle)),
     QueryDef("drift_cusum", driftCusum, Some(driftCusumOracle)),
     QueryDef("clamped_balance", clampedBalance, Some(clampedBalanceOracle)),

@@ -447,7 +447,61 @@ object Relational {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) total
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** `share_of_parent`: hierarchical contribution ratios — each
+    * nation's revenue share WITHIN its region and each region's share
+    * of the total, the OLAP drill-down readout a plain rollup doesn't
+    * give (rollup emits the level totals; this divides across
+    * adjacent levels). One fact-sized aggregate to the nation grain,
+    * then region and grand totals re-aggregate from the nation grid
+    * (never re-scanning facts) and broadcast back — ratios in integer
+    * ppm of cents, so the division is floor-exact in both engines.
+    * Headroom: region_cents·10⁶ approaches 2^63 around 100× this SF —
+    * past that, swap the ppm arithmetic to DECIMAL(38,0) (the
+    * linreg_trend discipline); ANSI mode fails loud, not wrong.
+    */
+  def shareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.read(spark, dir, "nation")
+    val region = Tables.read(spark, dir, "region")
+    val cust = Tables.read(spark, dir, "customer")
+    val byNation = Tables.read(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(Quantize.cents(col("o_totalprice"))).as("cents"))
+    val byRegion = byNation.groupBy(col("r_name"))
+      .agg(sum(col("cents")).as("r_cents"))
+    val total = byRegion.agg(sum(col("r_cents")).as("t_cents"))
+    byNation
+      .join(broadcast(byRegion), "r_name")
+      .crossJoin(broadcast(total))
+      .select(
+        col("r_name"), col("n_name"), col("cents"),
+        expr("cents * 1000000 div r_cents").as("nation_share_ppm"),
+        expr("r_cents * 1000000 div t_cents").as("region_share_ppm"))
+      .orderBy("r_name", "n_name")
+  }
+
+  def shareOfParentOracle: String =
+    s"""WITH bn AS (
+       |  SELECT r_name, n_name,
+       |    CAST(sum(${Quantize.centsSql("o_totalprice")}) AS BIGINT) cents
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY 1, 2),
+       |br AS (SELECT r_name, CAST(sum(cents) AS BIGINT) r_cents
+       |  FROM bn GROUP BY 1),
+       |t AS (SELECT CAST(sum(r_cents) AS BIGINT) t_cents FROM br)
+       |SELECT bn.r_name, bn.n_name, bn.cents,
+       |  bn.cents * 1000000 // br.r_cents nation_share_ppm,
+       |  br.r_cents * 1000000 // t.t_cents region_share_ppm
+       |FROM bn JOIN br ON bn.r_name = br.r_name, t
+       |ORDER BY bn.r_name, bn.n_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("share_of_parent", shareOfParent, Some(shareOfParentOracle)),
     QueryDef("sketch_distinct", sketchDistinct, Some(sketchDistinctOracle)),
     QueryDef("salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("q1_agg", q1Agg, Some(q1Oracle)),
