@@ -782,6 +782,48 @@ object Dedup {
        |JOIN lv l ON a.cluster_id = l.cluster_id AND l.rn = 1
        |ORDER BY a.cluster_id""".stripMargin
 
+  /** `dup_rate_by_source`: near-duplicate rate per crawl source — the
+    * "which feed is dirty" readout a corpus-curation team watches:
+    * per source, how many documents lose their near-dup cluster
+    * election (doc ≠ keeper under the shared min-label convention).
+    * One corpus-sized left join against the SHARED converged CC
+    * labels, one source-grain aggregate, rates in integer ppm.
+    */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ccLabelsShared(spark, dir).withColumnRenamed("doc", "doc_id")
+    Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn(
+        "is_dup",
+        (col("doc_id") =!= coalesce(col("root"), col("doc_id")))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+      .withColumn("dup_ppm", expr("n_dups * 1000000 div n_docs"))
+      .orderBy("source")
+  }
+
+  def dupRateBySourceOracle: String =
+    s"""WITH RECURSIVE $ShinglesSql,
+       |$MinhashPairsCtes,
+       |e AS (SELECT a src, b dst FROM lshpairs UNION SELECT b, a FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS doc, dst AS r FROM e
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN e ON reach.r = e.src),
+       |comp AS (
+       |  SELECT doc, least(doc, MIN(r)) AS root FROM reach GROUP BY doc),
+       |d AS (
+       |  SELECT source,
+       |    CASE WHEN d.doc_id <> COALESCE(c.root, d.doc_id)
+       |      THEN 1 ELSE 0 END is_dup
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc)
+       |SELECT source, CAST(count(*) AS BIGINT) n_docs,
+       |  CAST(sum(is_dup) AS BIGINT) n_dups,
+       |  CAST(sum(is_dup) AS BIGINT) * 1000000 // count(*) dup_ppm
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** `entity_matching`: blocked record linkage over `customer` — the
     * MDM/entity-resolution shape: block on (nation, all-but-the-last-
     * two digits of the name number) so candidate generation is a
@@ -892,6 +934,8 @@ object Dedup {
     QueryDef("dedup_keeper_map", dedupKeeperMap, Some(dedupKeeperMapOracle)),
     QueryDef("golden_record", goldenRecord, Some(goldenRecordOracle)),
     QueryDef("lsh_recall", lshRecall, Some(lshRecallOracle)),
+    QueryDef(
+      "dup_rate_by_source", dupRateBySource, Some(dupRateBySourceOracle)),
     QueryDef("entity_matching", entityMatching, Some(entityMatchingOracle)),
     QueryDef("simhash", simhash, Some(simhashOracle)))
 }

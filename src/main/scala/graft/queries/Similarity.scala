@@ -339,6 +339,45 @@ object Similarity {
        |  MAX(doc) AS max_member
        |FROM comp GROUP BY root ORDER BY cluster_id""".stripMargin
 
+  /** `ivf_balance`: cell-occupancy diagnostic for the IVF index —
+    * skew_report's ANN twin: probe cost under IVF is driven by the
+    * largest cells (a probe scans its whole cell), so the occupancy
+    * distribution IS the index-quality readout that decides whether
+    * to re-seed, add cells, or multi-probe. Assignment is the same
+    * zero-shuffle broadcast-argmin kernel the query path uses; the
+    * output is one |cells|-sized aggregate with ppm shares.
+    */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val assigned = assignCells(vecs, seedCentroids(vecs))
+    val cells = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val total = cells.agg(sum(col("n_vecs")).as("tot"))
+    cells.crossJoin(broadcast(total))
+      .select(
+        col("cell"), col("n_vecs"),
+        expr("n_vecs * 1000000 div tot").as("share_ppm"))
+      .orderBy("cell")
+  }
+
+  def ivfBalanceOracle: String =
+    s"""WITH $VectorsSql,
+       |cents AS (SELECT vec_id c_id, v cv FROM vn WHERE vec_id % 53 = 0),
+       |dists AS (
+       |  SELECT vn.vec_id, c_id,
+       |    CAST(list_sum(list_transform(range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS BIGINT) d2
+       |  FROM vn CROSS JOIN cents),
+       |assigned AS (
+       |  SELECT vec_id, c_id cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) arn
+       |    FROM dists) WHERE arn = 1),
+       |cells AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) n_vecs
+       |  FROM assigned GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) tot FROM cells)
+       |SELECT cell, n_vecs, n_vecs * 1000000 // tot share_ppm
+       |FROM cells, t ORDER BY cell""".stripMargin
+
   // --- IVF-bucketed approximate top-k ---
   // Shared building blocks for the three IVF variants (seed / k-means
   // refined / multi-probe), so the assignment shape and tie-breaks are
@@ -819,6 +858,7 @@ object Similarity {
     QueryDef(
       "embedding_clusters", embeddingClusters, Some(embeddingClustersOracle)),
     QueryDef("knn_ivf", knnIvf, Some(knnIvfOracle)),
+    QueryDef("ivf_balance", ivfBalance, Some(ivfBalanceOracle)),
     QueryDef("knn_ivf_kmeans", knnIvfKmeans, Some(knnIvfKmeansOracle)),
     QueryDef("knn_ivf_probe2", knnIvfProbe2, Some(knnIvfProbe2Oracle)),
     QueryDef("knn_lsh", knnLsh, Some(knnLshOracle)),
