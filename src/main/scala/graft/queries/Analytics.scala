@@ -659,7 +659,110 @@ object Analytics {
        |  n_events * 1000000 // tot share_ppm
        |FROM g, t ORDER BY dow, hr""".stripMargin
 
+  /** `conversion_lag_histogram`: the DISTRIBUTION of click→purchase
+    * latency — funnel_steps reports the mean; capacity and UX
+    * decisions need the shape (median vs tail). Per user: first
+    * click, then first purchase strictly after it; the delay in
+    * whole seconds buckets into powers of two via the integer-exact
+    * bit-width idiom (no float log2). Two user-grain aggregates and
+    * one co-partitioned join — the histogram itself is ~32 rows at
+    * any scale.
+    */
+  def conversionLagHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val firstClick = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val firstBuy = ev.where(col("event_type") === "purchase")
+      .join(firstClick, "user_id")
+      .where(col("us") > col("c_us"))
+      .groupBy(col("user_id"), col("c_us")).agg(min(col("us")).as("p_us"))
+    firstBuy
+      .withColumn("lag_s", expr("(p_us - c_us) div 1000000"))
+      .withColumn(
+        "bucket_cap_s",
+        when(col("lag_s") <= 1, lit(1L))
+          .otherwise(
+            call_function(
+              "shiftleft", lit(1L), length(bin(col("lag_s") - 1)).cast("int"))
+              .cast("long")))
+      .groupBy(col("bucket_cap_s"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        min(col("lag_s")).as("min_lag_s"),
+        max(col("lag_s")).as("max_lag_s"))
+      .orderBy("bucket_cap_s")
+  }
+
+  def conversionLagHistogramOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) us
+      |  FROM events),
+      |fc AS (
+      |  SELECT user_id, min(us) c_us FROM ev
+      |  WHERE event_type = 'click' GROUP BY 1),
+      |fb AS (
+      |  SELECT ev.user_id, min(us) p_us, min(c_us) c_us
+      |  FROM ev JOIN fc ON ev.user_id = fc.user_id AND ev.us > fc.c_us
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |lag AS (
+      |  SELECT (p_us - c_us) // 1000000 lag_s FROM fb),
+      |b AS (
+      |  SELECT lag_s,
+      |    CASE WHEN lag_s <= 1 THEN 1
+      |      ELSE 1::BIGINT << length(bin(lag_s - 1)) END bucket_cap_s
+      |  FROM lag)
+      |SELECT bucket_cap_s, CAST(count(*) AS BIGINT) n_users,
+      |  min(lag_s) min_lag_s, max(lag_s) max_lag_s
+      |FROM b GROUP BY 1 ORDER BY bucket_cap_s""".stripMargin
+
+  /** `topk_with_others`: the dashboard fold — top-2 event types per
+    * nation-independent day kept by exact rank, everything else
+    * collapsed into an 'other' bucket so the output stays fixed-width
+    * however many categories exist. Rank runs over the (day, type)
+    * grid (day-partitioned WindowGroupLimit-eligible window, never
+    * fact-sized), then a conditional relabel + re-aggregate.
+    */
+  def topkWithOthers(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = grid.withColumn(
+      "rk",
+      row_number().over(
+        Window.partitionBy(col("d"))
+          .orderBy(col("n").desc, col("event_type"))))
+    ranked
+      .withColumn(
+        "label",
+        when(col("rk") <= 2, col("event_type")).otherwise(lit("other")))
+      .groupBy(col("d"), col("label"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_types"))
+      .orderBy("d", "label")
+  }
+
+  def topkWithOthersOracle: String =
+    """WITH g AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) d, event_type,
+      |    CAST(count(*) AS BIGINT) n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY d
+      |    ORDER BY n DESC, event_type) rk
+      |  FROM g),
+      |l AS (
+      |  SELECT d, CASE WHEN rk <= 2 THEN event_type ELSE 'other' END lbl, n
+      |  FROM r)
+      |SELECT d, lbl AS "label", CAST(sum(n) AS BIGINT) n_events,
+      |  CAST(count(*) AS BIGINT) n_types
+      |FROM l GROUP BY 1, 2 ORDER BY d, lbl""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "conversion_lag_histogram", conversionLagHistogram,
+      Some(conversionLagHistogramOracle)),
+    QueryDef(
+      "topk_with_others", topkWithOthers, Some(topkWithOthersOracle)),
     QueryDef(
       "seasonality_profile", seasonalityProfile,
       Some(seasonalityProfileOracle)),
