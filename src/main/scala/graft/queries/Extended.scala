@@ -658,6 +658,17 @@ object Extended {
       .withColumn("session_id", sum(col("new_session")).over(wRun))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    dailyPeakOf(sessions)
+  }
+
+  /** The day-partitioned sweep core over ANY closed-interval relation
+    * (start_us, end_us) — per covered day: peak simultaneous
+    * intervals and the count of intervals active that day. Also
+    * model-checked by `SweepPropertySpec` against a brute-force
+    * per-instant counter on seeded random interval sets (midnight
+    * crossings included).
+    */
+  private[queries] def dailyPeakOf(sessions: DataFrame): DataFrame = {
     val plus = sessions
       .select(
         explode(sequence(
@@ -755,15 +766,25 @@ object Extended {
     * keep the pair-level oracle output stable.
     */
   def fifoMatch(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("part"), col("st"))
-      .orderBy(col("sd"), col("ok"), col("ln"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val flows = Tables.read(spark, dir, "lineitem")
       .where(col("l_partkey") < 200)
       .select(
         col("l_partkey").as("part"), col("l_linestatus").as("st"),
         col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
         col("l_quantity").cast("long").as("qty"), col("l_shipdate").as("sd"))
+    fifoPairsOf(flows)
+  }
+
+  /** The FIFO interval-overlap core over ANY flow relation
+    * (part, st ∈ {O=in, F=out}, ok, ln, qty, sd) — the pair-level
+    * match table. Also model-checked by `SweepPropertySpec` against a
+    * sequential queue simulation on seeded random flows.
+    */
+  private[queries] def fifoPairsOf(rawFlows: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("part"), col("st"))
+      .orderBy(col("sd"), col("ok"), col("ln"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flows = rawFlows
       .withColumn("hi", sum(col("qty")).over(w))
       .withColumn("lo", col("hi") - col("qty"))
     val buys = flows.where(col("st") === "O")

@@ -503,8 +503,19 @@ object Graph {
     * applies verbatim, trading recall on stopword-class hub nodes
     * for a cap² bound, and top-k keeps the output panel-sized.
     */
-  def nodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coEdgesShared(spark, dir)
+  def nodeSimilarity(spark: SparkSession, dir: String): DataFrame =
+    nodeSimilarityOn(coEdgesShared(spark, dir))
+      .orderBy(col("jacc_ppm").desc, col("x"), col("y"))
+      .limit(25)
+      .localCheckpoint() // 25-row panel; lineage-free of the shared edges
+
+  /** The similarity core over ANY undirected edge relation (a, b)
+    * with a < b, no duplicates — every co-neighbored pair with its
+    * common-neighbor count, degrees, and integer-ppm Jaccard; also
+    * model-checked by `GraphPropertySpec` against a brute-force
+    * set-intersection counter on seeded random graphs.
+    */
+  def nodeSimilarityOn(edges: DataFrame): DataFrame = {
     val adj = edges.select(col("a").as("x"), col("b").as("m"))
       .unionAll(edges.select(col("b").as("x"), col("a").as("m")))
     val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
@@ -520,9 +531,6 @@ object Graph {
       .select(
         col("x"), col("y"), col("cn"), col("dx"), col("dy"),
         expr("cn * 1000000 div (dx + dy - cn)").as("jacc_ppm"))
-      .orderBy(col("jacc_ppm").desc, col("x"), col("y"))
-      .limit(25)
-      .localCheckpoint() // 25-row panel; lineage-free of the shared edges
   }
 
   def nodeSimilarityOracle: String =
