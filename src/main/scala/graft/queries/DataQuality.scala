@@ -273,7 +273,58 @@ object DataQuality {
        |  max_cents, n * 1000000 // tot pct_ppm
        |FROM h, t ORDER BY bin""".stripMargin
 
+  /** `column_modes`: most-frequent values per audited column — the
+    * third profiling face beside column_profile (moments/extremes)
+    * and histogram_bins (shape): the top-3 values with ppm shares per
+    * categorical column, the default-value / placeholder-pollution
+    * detector ('1996-01-01 everywhere' class of bugs). One scan
+    * unpivots the audited columns via explode(map), one (column,
+    * value) grid aggregate, rank over the grid (column-partitioned,
+    * grid-sized), shares from a per-column total re-aggregated off
+    * the same grid.
+    */
+  def columnModes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = Tables.read(spark, dir, "orders")
+      .select(explode(map(
+        lit("o_orderstatus"), col("o_orderstatus"),
+        lit("o_orderpriority"), col("o_orderpriority"))).as(Seq("c", "v")))
+      .groupBy(col("c"), col("v"))
+      .agg(count(lit(1)).as("n"))
+    val totals = grid.groupBy(col("c")).agg(sum(col("n")).as("tot"))
+    grid
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("c")).orderBy(col("n").desc, col("v"))))
+      .where(col("rk") <= 3)
+      .join(broadcast(totals), "c")
+      .select(
+        col("c").as("column_name"), col("rk").cast("long").as("rk"),
+        col("v").as("value"),
+        col("n"), expr("n * 1000000 div tot").as("share_ppm"))
+      .orderBy("column_name", "rk")
+  }
+
+  def columnModesOracle: String =
+    """WITH g AS (
+      |  SELECT c, v, CAST(count(*) AS BIGINT) n FROM (
+      |    SELECT 'o_orderstatus' c, o_orderstatus v FROM orders
+      |    UNION ALL
+      |    SELECT 'o_orderpriority', o_orderpriority FROM orders)
+      |  GROUP BY 1, 2),
+      |t AS (SELECT c, CAST(sum(n) AS BIGINT) tot FROM g GROUP BY 1),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY c
+      |    ORDER BY n DESC, v) rk
+      |  FROM g)
+      |SELECT r.c column_name, CAST(r.rk AS BIGINT) rk, r.v "value", r.n,
+      |  r.n * 1000000 // t.tot share_ppm
+      |FROM r JOIN t ON r.c = t.c
+      |WHERE r.rk <= 3 ORDER BY column_name, rk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("column_modes", columnModes, Some(columnModesOracle)),
     QueryDef("dq_audit", dqAudit, Some(dqAuditOracle)),
     QueryDef("column_profile", columnProfile, Some(columnProfileOracle)),
     QueryDef("table_diff", tableDiff, Some(tableDiffOracle)),

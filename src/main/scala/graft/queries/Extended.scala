@@ -823,6 +823,73 @@ object Extended {
       |  AND b.lo < s.hi AND s.lo < b.hi
       |ORDER BY b.part, blo, slo""".stripMargin
 
+  /** `interval_coalesce`: merge overlapping/touching intervals per
+    * key — the classic interval-union primitive (busy periods,
+    * coverage spans, outage windows) that gaps-and-islands on VALUES
+    * (scd2_history) and gap-based sessionization (session_stats)
+    * don't give. Input: each order's [orderdate, last shipdate] span;
+    * output: per customer, maximal merged busy spans. The closed
+    * form: one customer-partitioned window where a span opens a new
+    * island iff its start exceeds the running max of all PREVIOUS
+    * ends (ties merge — closed intervals), island id = running sum
+    * of open flags, then one aggregate per island. Order-to-ship
+    * spans for one customer overlap heavily, so the merge is real
+    * work, not identity. Restricted to custkey < 100 for stable
+    * oracle output.
+    */
+  def intervalCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.read(spark, dir, "orders")
+      .where(col("o_custkey") < 100)
+      .join(
+        Tables.read(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(
+        col("o_custkey").as("c"), col("o_orderkey").as("ok"),
+        col("o_orderdate").as("s"))
+      .agg(max(col("l_shipdate")).as("e"))
+    val w = Window.partitionBy(col("c")).orderBy(col("s"), col("e"), col("ok"))
+    spans
+      .withColumn(
+        "prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(
+        "opens",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn(
+        "island",
+        sum(col("opens")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("c").as("custkey"), col("island"))
+      .agg(
+        min(col("s")).as("span_start"),
+        max(col("e")).as("span_end"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("custkey", "island")
+  }
+
+  def intervalCoalesceOracle: String =
+    """WITH spans AS (
+      |  SELECT o_custkey c, o_orderkey ok, o_orderdate s,
+      |    max(l_shipdate) e
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_custkey < 100
+      |  GROUP BY 1, 2, 3),
+      |flagged AS (
+      |  SELECT *, CASE WHEN max(e) OVER (PARTITION BY c ORDER BY s, e, ok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR s > max(e) OVER (PARTITION BY c ORDER BY s, e, ok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 1 ELSE 0 END opens
+      |  FROM spans),
+      |islands AS (
+      |  SELECT *, CAST(SUM(opens) OVER (PARTITION BY c ORDER BY s, e, ok
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) island
+      |  FROM flagged)
+      |SELECT c custkey, island, min(s) span_start, max(e) span_end,
+      |  CAST(count(*) AS BIGINT) n_orders
+      |FROM islands GROUP BY 1, 2 ORDER BY custkey, island""".stripMargin
+
   // --- deterministic train/val/test split (reproducible sampling) ---
 
   /** Content-hash split assignment: the first 16 bits of md5 of the
@@ -1148,6 +1215,8 @@ object Extended {
     QueryDef("session_stats", sessionStats, Some(sessionStatsOracle)),
     QueryDef("peak_concurrency", peakConcurrency, Some(peakConcurrencyOracle)),
     QueryDef("fifo_match", fifoMatch, Some(fifoMatchOracle)),
+    QueryDef(
+      "interval_coalesce", intervalCoalesce, Some(intervalCoalesceOracle)),
     QueryDef("train_split", trainSplit, Some(trainSplitOracle)),
     QueryDef("group_topk", groupTopk, Some(groupTopkOracle)),
     QueryDef("nullsafe_join", nullsafeJoin, Some(nullsafeJoinOracle)),
