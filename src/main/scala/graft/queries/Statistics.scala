@@ -562,7 +562,13 @@ object Statistics {
     val hist = ev.groupBy(col("vc")).agg(
       count(when(col("g") === "click", 1)).as("c1"),
       count(when(col("g") === "purchase", 1)).as("c2"))
-    val sharded = hist.withColumn("shard", expr("vc div 1000"))
+    // shard width derives from the OBSERVED max (integer, so the
+    // oracle replicates it exactly): ~64 ordered shards at ANY value
+    // domain — a fixed width would blow the shard count (and the
+    // triangular offset join) on a wider domain than it was tuned for
+    val width = hist.agg(expr("max(vc) div 64 + 1").as("w"))
+    val sharded = hist.crossJoin(broadcast(width))
+      .withColumn("shard", expr("vc div w"))
     val w = Window.partitionBy(col("shard")).orderBy(col("vc"))
     val inShard = sharded
       .withColumn("cum1_in", sum(col("c1")).over(w))
