@@ -32,6 +32,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"global windows: $offenders")
   }
 
+  /** A CartesianProduct (shuffled all-pairs, BOTH sides big) is never
+    * the plan a 100 TB operator should reach: every deliberate cross
+    * join in the suite pairs a big side with a broadcast single-row
+    * or panel-sized relation, which plans BroadcastNestedLoopJoin.
+    * Pin that suite-wide so a refactor that loses a broadcast hint
+    * (and silently re-plans the all-pairs shuffle) fails here.
+    */
+  test("no query plans a CartesianProduct, over ANY input") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq
+      c <- physicalPlanNoAqe(fn(spark, dir)).collect {
+        case c: CartesianProductExec => c
+      }
+    } yield name
+    assert(offenders.isEmpty, s"cartesian products: $offenders")
+  }
+
   test("bloom_prune_join filters the fact scan BELOW the join") {
     val plan = RuntimeFilters.bloomPruneJoin(spark, dir)
       .queryExecution.optimizedPlan
