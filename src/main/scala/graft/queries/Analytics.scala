@@ -287,6 +287,55 @@ object Analytics {
       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY priority, sale_day""".stripMargin
 
+  /** `rolling_median`: trailing-7-day EXACT median of daily revenue
+    * per priority — the robust rolling smoother beside
+    * rolling_revenue's mean (one outlier day drags a mean for a week;
+    * the median shrugs). The window input is the (priority, day)
+    * GRID, never fact rows, so collecting each ≤7-value frame into a
+    * sorted array is constant work per output row; the median is
+    * integer order-statistic arithmetic (floor-mean of the two middle
+    * elements on even frames) — no float interpolation, bit-exact
+    * against the oracle's list-window form.
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.read(spark, dir, "orders")
+      .select(
+        col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("sale_day"),
+        Quantize.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("priority"), col("sale_day"))
+      .agg(sum(col("cents")).as("day_cents"))
+      .withColumn("dayn", unix_date(col("sale_day")).cast("long"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("dayn"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("vals", sort_array(collect_list(col("day_cents")).over(w)))
+      .withColumn("n_days", size(col("vals")).cast("long"))
+      .select(
+        col("priority"), col("sale_day"), col("n_days"),
+        expr(
+          "(element_at(vals, CAST((n_days + 1) div 2 AS INT)) + " +
+            "element_at(vals, CAST(n_days div 2 + 1 AS INT))) div 2")
+          .as("median_cents"))
+      .orderBy("priority", "sale_day")
+  }
+
+  def rollingMedianOracle: String =
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority priority, CAST(o_orderdate AS DATE) sale_day,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) day_cents,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) dayn
+       |  FROM orders GROUP BY 1, 2, 4),
+       |framed AS (
+       |  SELECT priority, sale_day,
+       |    list_sort(list(day_cents) OVER (PARTITION BY priority ORDER BY dayn
+       |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) vals
+       |  FROM daily)
+       |SELECT priority, sale_day, CAST(len(vals) AS BIGINT) n_days,
+       |  (vals[(len(vals) + 1) // 2] + vals[len(vals) // 2 + 1]) // 2
+       |    AS median_cents
+       |FROM framed ORDER BY priority, sale_day""".stripMargin
+
   /** Seasonal-naive forecast backtest over the event stream: train on
     * the first 23 days of the month, forecast daily revenue by weekday
     * class ((day-1) mod 7 — pure arithmetic, no engine dow-origin
@@ -776,5 +825,6 @@ object Analytics {
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
     QueryDef("scd2_history", scd2History, Some(scd2HistoryOracle)),
     QueryDef("pit_join", pitJoin, Some(pitJoinOracle)),
-    QueryDef("rolling_revenue", rollingRevenue, Some(rollingRevenueOracle)))
+    QueryDef("rolling_revenue", rollingRevenue, Some(rollingRevenueOracle)),
+    QueryDef("rolling_median", rollingMedian, Some(rollingMedianOracle)))
 }
