@@ -278,6 +278,75 @@ object Graph {
        |ORDER BY dist, entity, kind""".stripMargin
   }
 
+  /** `weighted_paths`: Bellman–Ford relaxation with REAL edge costs
+    * over the shared trade graph — the weighted member of the
+    * min-plus family (shortest_path relaxes hop counts; here cost =
+    * 1 + 10⁶ div w, so heavily-co-trading pairs are "closer" — the
+    * supply-chain-proximity metric). Exactly 4 relaxation rounds in
+    * both engines (partial distances are deterministic whether or not
+    * converged, so the oracle replays the rounds verbatim as unrolled
+    * CTEs). Plan per round: broadcast the node-sized distance table
+    * against the cached edge relation + one union-min aggregate —
+    * edges never shuffle, the Dedup-shingle sharing pattern.
+    */
+  def weightedPaths(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+      .withColumn("cost", expr("1000000 div w + 1"))
+    var dist = edges
+      .select(col("src").as("node")).distinct()
+      .where(col("node") % 2 === 0 && col("node") < 20)
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to 4) {
+      val step = edges
+        .join(broadcast(dist), edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
+      dist = dist.unionByName(step)
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        expr("node div 2").as("entity"),
+        col("dist"))
+      .orderBy(col("dist"), col("entity"), col("kind"))
+      .localCheckpoint()
+  }
+
+  def weightedPathsOracle: String = {
+    def stepAndMin(i: Int): String = {
+      val prev = s"d${i - 1}"
+      s"""s$i AS (
+         |  SELECT e.dst AS node, min($prev.dist + e.cost) AS dist
+         |  FROM e JOIN $prev ON e.src = $prev.node GROUP BY e.dst),
+         |d$i AS (
+         |  SELECT node, CAST(min(dist) AS BIGINT) AS dist
+         |  FROM (SELECT node, dist FROM $prev
+         |        UNION ALL SELECT node, dist FROM s$i) u
+         |  GROUP BY node)""".stripMargin
+    }
+    s"""WITH eraw AS (
+       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+       |    CAST(count(*) AS BIGINT) w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT src, dst, 1000000 // w + 1 AS cost FROM eraw
+       |  UNION ALL
+       |  SELECT dst, src, 1000000 // w + 1 FROM eraw),
+       |d0 AS (
+       |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM e WHERE src % 2 = 0 AND src < 20),
+       |${(1 to 4).map(stepAndMin).mkString(",\n")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |         AS kind,
+       |       node // 2 AS entity, dist
+       |FROM d4
+       |ORDER BY dist, entity, kind""".stripMargin
+  }
+
   /** `hits`: Kleinberg hubs-and-authorities over the DIRECTED
     * customer→supplier half of the shared trade graph — the
     * mutually-recursive member of the iterative family, and the one
@@ -696,6 +765,7 @@ object Graph {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pagerank", pagerank, Some(pagerankOracle)),
     QueryDef("shortest_path", shortestPath, Some(shortestPathOracle)),
+    QueryDef("weighted_paths", weightedPaths, Some(weightedPathsOracle)),
     QueryDef("hits", hits, Some(hitsOracle)),
     QueryDef("triangle_count", triangleCount, Some(triangleCountOracle)),
     QueryDef("k_core_peel", kCorePeel, Some(kCorePeelOracle)),
