@@ -806,7 +806,127 @@ object Analytics {
       |  CAST(count(*) AS BIGINT) n_types
       |FROM l GROUP BY 1, 2 ORDER BY d, lbl""".stripMargin
 
+  /** `new_vs_returning`: the daily acquisition-vs-retention split —
+    * events on a user's first-ever active day count as "new", later
+    * days as "returning"; the topline every growth dashboard leads
+    * with. One min-per-user aggregate (first day), broadcast back to
+    * the (user, day) grid, one day-grain rollup — the fact table
+    * shuffles once.
+    */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val firstDay = userDays.groupBy(col("user_id"))
+      .agg(min(col("d")).as("first_d"))
+    userDays
+      .join(broadcast(firstDay), "user_id")
+      .groupBy(col("d"))
+      .agg(
+        count(when(col("d") === col("first_d"), 1)).as("new_users"),
+        count(when(col("d") =!= col("first_d"), 1)).as("returning_users"),
+        sum(when(col("d") === col("first_d"), col("n"))).as("new_events"),
+        sum(when(col("d") =!= col("first_d"), col("n")))
+          .as("returning_events"))
+      .orderBy("d")
+  }
+
+  def newVsReturningOracle: String =
+    """WITH ud AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) d,
+      |    CAST(count(*) AS BIGINT) n
+      |  FROM events GROUP BY 1, 2),
+      |fd AS (SELECT user_id, min(d) first_d FROM ud GROUP BY 1)
+      |SELECT d,
+      |  CAST(count(*) FILTER (d = first_d) AS BIGINT) new_users,
+      |  CAST(count(*) FILTER (d <> first_d) AS BIGINT) returning_users,
+      |  CAST(sum(n) FILTER (d = first_d) AS BIGINT) new_events,
+      |  CAST(sum(n) FILTER (d <> first_d) AS BIGINT) returning_events
+      |FROM ud JOIN fd USING (user_id)
+      |GROUP BY d ORDER BY d""".stripMargin
+
+  /** `gini_index`: revenue-concentration (inequality) of per-user
+    * purchase value — the 80/20 diagnostic behind "whales carry the
+    * product" decisions, as one exact integer. With per-user cents
+    * x sorted ascending and 1-based ranks i,
+    * G = (2·Σ i·xᵢ) / (n·Σx) − (n+1)/n, reported as gini_ppm =
+    * (2·Σ i·xᵢ·10⁶) div (n·Σx) − ((n+1)·10⁶) div n (floor per term,
+    * both engines identical). Σ i·xᵢ never materializes a global
+    * rank: ties share consecutive ranks, so each distinct VALUE
+    * contributes x·(c·(2·R_prev + c + 1) div 2) from the value
+    * histogram, where R_prev (users below the value) comes from the
+    * same sharded prefix sum ks_test uses — value-bucket shards,
+    * shard-partitioned windows, triangular cross-shard offsets;
+    * never a global window. The only fact-sized step is the per-user
+    * aggregate.
+    */
+  def giniIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(Quantize.cents(col("value"))).as("x"))
+    val hist = perUser.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val width = hist.agg(expr("max(x) div 64 + 1").as("w"))
+    val sharded = hist.crossJoin(broadcast(width))
+      .withColumn("shard", expr("x div w"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inShard = sharded.withColumn(
+      "cum_in", coalesce(sum(col("c")).over(wIn), lit(0L)))
+    val shardTotals = sharded.groupBy(col("shard"))
+      .agg(sum(col("c")).as("tc"))
+    val offsets = shardTotals.as("a")
+      .join(
+        broadcast(shardTotals.as("b")), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.tc")), lit(0L)).as("off"))
+    inShard
+      .join(broadcast(offsets), "shard")
+      .select(
+        col("x"), col("c"),
+        (col("off") + col("cum_in")).as("r_prev"))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(col("x") * col("c")).as("sx"),
+        sum(col("x") * expr("(c * (2 * r_prev + c + 1)) div 2")).as("six"))
+      .select(
+        col("n"), col("sx"),
+        // 2·six·10⁶ crosses 2^63 around 10⁴ users — DECIMAL(38,0)
+        // for the cross-multiplied term (the linreg_trend discipline)
+        (expr(
+          "CAST((2 * CAST(six AS DECIMAL(38,0)) * 1000000)" +
+            " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)") -
+          expr("((n + 1) * 1000000) div n")).as("gini_ppm"))
+  }
+
+  def giniIndexOracle: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |h AS (SELECT x, CAST(count(*) AS BIGINT) c FROM pu GROUP BY 1),
+      |cum AS (
+      |  SELECT x, c,
+      |    CAST(COALESCE(sum(c) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) r_prev
+      |  FROM h),
+      |agg AS (
+      |  SELECT CAST(sum(c) AS BIGINT) n,
+      |    CAST(sum(x * c) AS BIGINT) sx,
+      |    CAST(sum(x * ((c * (2 * r_prev + c + 1)) // 2)) AS BIGINT) six
+      |  FROM cum)
+      |SELECT n, sx,
+      |  CAST((2 * CAST(six AS HUGEINT) * 1000000)
+      |    // (CAST(n AS HUGEINT) * sx) AS BIGINT)
+      |    - ((n + 1) * 1000000) // n AS gini_ppm
+      |FROM agg""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "new_vs_returning", newVsReturning, Some(newVsReturningOracle)),
+    QueryDef("gini_index", giniIndex, Some(giniIndexOracle)),
     QueryDef(
       "conversion_lag_histogram", conversionLagHistogram,
       Some(conversionLagHistogramOracle)),
