@@ -157,6 +157,10 @@ object GraftFunctions {
       require(args.length == 1, "bitmap_count(bitmap)")
       graft.functions.BitmapCount(args(0))
     },
+    "bitmap_and" -> { args =>
+      require(args.length == 2, "bitmap_and(bitmap, bitmap)")
+      graft.functions.BitmapAnd(args(0), args(1))
+    },
     "ordered_pairs" -> { args =>
       require(
         args.length == 1 || args.length == 2,

@@ -92,6 +92,32 @@ object RoaringLite {
     out
   }
 
+  /** Intersection straight off the serialized forms — called from
+    * codegen. Only containers present in BOTH inputs survive (and
+    * only if any word intersects), so the result is never larger
+    * than the smaller input — AND is the shrinking operation that
+    * makes bitmap retention/overlap queries cheap at any scale.
+    */
+  def and2(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ca = deserialize(a)
+    val cb = deserialize(b)
+    val out = empty
+    ca.foreach { case (cid, wa) =>
+      cb.get(cid).foreach { wb =>
+        val w = new Array[Long](ContainerWords)
+        var i = 0
+        var any = false
+        while (i < ContainerWords) {
+          w(i) = wa(i) & wb(i)
+          any ||= w(i) != 0L
+          i += 1
+        }
+        if (any) out.update(cid, w)
+      }
+    }
+    serialize(out)
+  }
+
   /** Popcount straight off the serialized form — called from codegen. */
   def popcount(b: Array[Byte]): Long = {
     val bb = java.nio.ByteBuffer.wrap(b)
@@ -297,6 +323,34 @@ case class BitmapCount(child: Expression)
     copy(child = newChild)
 }
 
+/** Scalar intersection of two serialized bitmaps — codegen'd; the
+  * AND half of the bitmap algebra (the OR half is the merge
+  * aggregate), enabling "present in BOTH sets" queries — retention,
+  * audience overlap — as pure bitmap arithmetic.
+  */
+case class BitmapAnd(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def dataType: DataType = BinaryType
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    RoaringLite.and2(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(
+      ctx, ev, (a, b) => s"graft.functions.RoaringLite.and2($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAnd =
+    copy(left = newLeft, right = newRight)
+}
+
 object BitmapFunctions {
   /** Default key-domain sanity cap: 2^40 (container ids stay far from
     * Int overflow; a mis-typed column fails loudly).
@@ -323,4 +377,9 @@ object BitmapFunctions {
   /** Column API: popcount of a serialized bitmap. */
   def bitmapCount(c: Column): Column =
     ColumnBridge.column(BitmapCount(ColumnBridge.expression(c)))
+
+  /** Column API: intersection of two serialized bitmaps. */
+  def bitmapAnd(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      BitmapAnd(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -300,5 +300,54 @@ object Sketches {
     QueryDef("kmv_distinct", kmvDistinct, Some(kmvDistinctOracle)),
     QueryDef("countmin_freq", countminFreq, Some(countminFreqOracle)),
     QueryDef("bitmap_distinct", bitmapDistinctQ, Some(bitmapDistinctOracle)),
-    QueryDef("sliding_distinct", slidingDistinct, Some(slidingDistinctOracle)))
+    QueryDef("sliding_distinct", slidingDistinct, Some(slidingDistinctOracle)),
+    QueryDef(
+      "bitmap_retention", bitmapRetention, Some(bitmapRetentionOracle)))
+
+  /** `bitmap_retention`: exact day-over-day retained users via the
+    * AND half of the bitmap algebra — the canonical production use
+    * of user bitmaps (OR makes distincts additive across slices;
+    * AND answers "in BOTH sets": retention, audience overlap). One
+    * fact-level aggregate builds a user bitmap per day; consecutive
+    * days join on the ~30-row daily relation and
+    * popcount(bitmap_and(d, d+1)) is pure 8-KiB-container
+    * arithmetic — the day×day comparison never touches event rows
+    * again, which is what makes N-day retention triangles affordable
+    * at 100 TB. Rates in integer ppm.
+    */
+  def bitmapRetention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapFunctions._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(bitmapAgg(col("user_id")).as("bm"))
+    val next = daily.select(
+      date_sub(col("d"), 1).as("d"), col("bm").as("bm_next"))
+    daily.join(next, "d")
+      .select(
+        col("d"),
+        bitmapCount(col("bm")).as("day_users"),
+        bitmapCount(col("bm_next")).as("next_day_users"),
+        bitmapCount(bitmapAnd(col("bm"), col("bm_next"))).as("retained"))
+      .withColumn(
+        "retained_ppm", expr("retained * 1000000 div day_users"))
+      .orderBy("d")
+  }
+
+  def bitmapRetentionOracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) d, user_id
+      |  FROM events),
+      |daily AS (
+      |  SELECT d, CAST(count(*) AS BIGINT) day_users FROM ud GROUP BY 1),
+      |ret AS (
+      |  SELECT a.d, CAST(count(*) AS BIGINT) retained
+      |  FROM ud a JOIN ud b
+      |    ON b.d = a.d + 1 AND a.user_id = b.user_id
+      |  GROUP BY 1)
+      |SELECT a.d, a.day_users, b.day_users next_day_users, r.retained,
+      |  r.retained * 1000000 // a.day_users retained_ppm
+      |FROM daily a
+      |JOIN daily b ON b.d = a.d + 1
+      |JOIN ret r ON r.d = a.d
+      |ORDER BY a.d""".stripMargin
 }
