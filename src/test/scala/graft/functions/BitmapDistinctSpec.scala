@@ -76,6 +76,26 @@ class BitmapDistinctSpec extends AnyFunSuite {
       got == orders.select(countDistinct(col("o_custkey"))).collect().head.getLong(0))
   }
 
+  test("bitmap_and == set intersection on random key sets (incl. cross-container)") {
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 10) {
+      // keys spanning several 64Ki containers, so the container-drop
+      // path (no common container / no intersecting word) exercises
+      val a = Set.fill(50 + rnd.nextInt(100))(rnd.nextLong(1L << 20))
+      val b = Set.fill(50 + rnd.nextInt(100))(rnd.nextLong(1L << 20)) ++
+        a.take(rnd.nextInt(20))
+      def ser(s: Set[Long]) = {
+        val c = RoaringLite.empty
+        s.foreach(RoaringLite.set(c, _))
+        RoaringLite.serialize(c)
+      }
+      val and = RoaringLite.and2(ser(a), ser(b))
+      assert(RoaringLite.popcount(and) == (a & b).size.toLong)
+      // result round-trips and equals the directly-built intersection
+      assert(java.util.Arrays.equals(and, ser(a & b)))
+    }
+  }
+
   test("out-of-domain key fails loudly, naming the cap") {
     import spark.implicits._
     val df = Seq(5L, 2048L).toDF("k")
