@@ -923,7 +923,74 @@ object Analytics {
       |    - ((n + 1) * 1000000) // n AS gini_ppm
       |FROM agg""".stripMargin
 
+  /** `window_funnel`: time-CONSTRAINED funnel depth (the ClickHouse
+    * windowFunnel shape) — how far each user progresses through
+    * view → click → purchase where every step must land within ONE
+    * HOUR of the previous step's completion (funnel_steps counts the
+    * unconstrained ordered funnel; real campaign attribution expires
+    * steps). Greedy-earliest semantics make it deterministic: each
+    * stage takes the MINIMUM qualifying timestamp given the previous
+    * stage's pick. Three user-grain min-aggregates chained by
+    * co-partitioned joins — the fact table shuffles once per stage,
+    * output is the 4-row depth histogram.
+    */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val users = ev.select(col("user_id")).distinct()
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v1"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id")
+      .where(col("us") >= col("v1") && col("us") <= col("v1") + HourUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("c1"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .where(col("us") >= col("c1") && col("us") <= col("c1") + HourUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("p1"))
+    users
+      .join(v.select(col("user_id"), lit(1L).as("d1")), Seq("user_id"), "left")
+      .join(c.select(col("user_id"), lit(1L).as("d2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1L).as("d3")), Seq("user_id"), "left")
+      .select(
+        (coalesce(col("d1"), lit(0L)) + coalesce(col("d2"), lit(0L)) +
+          coalesce(col("d3"), lit(0L))).as("depth"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("depth")
+  }
+
+  def windowFunnelOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) us
+      |  FROM events),
+      |u AS (SELECT DISTINCT user_id FROM ev),
+      |v AS (
+      |  SELECT user_id, min(us) v1 FROM ev
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT ev.user_id, min(us) c1
+      |  FROM ev JOIN v ON ev.user_id = v.user_id
+      |  WHERE event_type = 'click' AND us >= v1 AND us <= v1 + 3600000000
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT ev.user_id, min(us) p1
+      |  FROM ev JOIN c ON ev.user_id = c.user_id
+      |  WHERE event_type = 'purchase' AND us >= c1 AND us <= c1 + 3600000000
+      |  GROUP BY 1)
+      |SELECT (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+      |      + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+      |      + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)::BIGINT depth,
+      |  CAST(count(*) AS BIGINT) n_users
+      |FROM u
+      |LEFT JOIN v ON u.user_id = v.user_id
+      |LEFT JOIN c ON u.user_id = c.user_id
+      |LEFT JOIN p ON u.user_id = p.user_id
+      |GROUP BY 1 ORDER BY depth""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("window_funnel", windowFunnel, Some(windowFunnelOracle)),
     QueryDef(
       "new_vs_returning", newVsReturning, Some(newVsReturningOracle)),
     QueryDef("gini_index", giniIndex, Some(giniIndexOracle)),

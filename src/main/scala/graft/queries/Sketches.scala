@@ -302,7 +302,9 @@ object Sketches {
     QueryDef("bitmap_distinct", bitmapDistinctQ, Some(bitmapDistinctOracle)),
     QueryDef("sliding_distinct", slidingDistinct, Some(slidingDistinctOracle)),
     QueryDef(
-      "bitmap_retention", bitmapRetention, Some(bitmapRetentionOracle)))
+      "bitmap_retention", bitmapRetention, Some(bitmapRetentionOracle)),
+    QueryDef(
+      "audience_overlap", audienceOverlap, Some(audienceOverlapOracle)))
 
   /** `bitmap_retention`: exact day-over-day retained users via the
     * AND half of the bitmap algebra — the canonical production use
@@ -332,6 +334,46 @@ object Sketches {
         "retained_ppm", expr("retained * 1000000 div day_users"))
       .orderBy("d")
   }
+
+  /** `audience_overlap`: pairwise user-set overlap between event
+    * types — the audience/segment-intersection matrix (who clicks AND
+    * purchases) every targeting decision reads, as pure bitmap
+    * arithmetic: one fact-level aggregate builds a user bitmap per
+    * type (5 rows), then all 10 type pairs AND/popcount on the
+    * broadcast 5-row relation — overlap and integer-ppm Jaccard
+    * without ever re-touching event rows, the same property that
+    * makes bitmap_retention's day×day matrix affordable.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapFunctions._
+    val byType = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(bitmapAgg(col("user_id")).as("bm"))
+    val a = byType.select(col("event_type").as("t1"), col("bm").as("bm1"))
+    val b = byType.select(col("event_type").as("t2"), col("bm").as("bm2"))
+    a.join(broadcast(b), col("t1") < col("t2"))
+      .select(
+        col("t1"), col("t2"),
+        bitmapCount(col("bm1")).as("n1"),
+        bitmapCount(col("bm2")).as("n2"),
+        bitmapCount(bitmapAnd(col("bm1"), col("bm2"))).as("overlap"))
+      .withColumn(
+        "jacc_ppm", expr("overlap * 1000000 div (n1 + n2 - overlap)"))
+      .orderBy("t1", "t2")
+  }
+
+  def audienceOverlapOracle: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT event_type t, user_id FROM events),
+      |n AS (SELECT t, CAST(count(*) AS BIGINT) n FROM ut GROUP BY 1),
+      |ov AS (
+      |  SELECT a.t t1, b.t t2, CAST(count(*) AS BIGINT) overlap
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t
+      |  GROUP BY 1, 2)
+      |SELECT t1, t2, na.n n1, nb.n n2, ov.overlap,
+      |  ov.overlap * 1000000 // (na.n + nb.n - ov.overlap) jacc_ppm
+      |FROM ov JOIN n na ON ov.t1 = na.t JOIN n nb ON ov.t2 = nb.t
+      |ORDER BY t1, t2""".stripMargin
 
   def bitmapRetentionOracle: String =
     """WITH ud AS (
