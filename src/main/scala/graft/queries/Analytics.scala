@@ -989,7 +989,40 @@ object Analytics {
       |LEFT JOIN p ON u.user_id = p.user_id
       |GROUP BY 1 ORDER BY depth""".stripMargin
 
+  /** `error_rate_alert`: per-(day, hour) error share with alert flags
+    * — the ops-monitoring staple (SLO burn panels): error events over
+    * total in integer ppm per hour cell, alert = share above a fixed
+    * 25% threshold AND enough volume to matter (min 10 events — the
+    * standard low-traffic false-alarm guard). One map-side-combinable
+    * aggregate into the bounded 30×24 grid; flags are pure integer
+    * comparisons, bit-exact across engines.
+    */
+  def errorRateAlert(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"), hour(col("ts")).cast("long").as("hr"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+      .withColumn("err_ppm", expr("n_errors * 1000000 div n_events"))
+      .withColumn(
+        "alert", col("err_ppm") >= 250000L && col("n_events") >= 10L)
+      .orderBy("d", "hr")
+  }
+
+  def errorRateAlertOracle: String =
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) d,
+      |  CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) hr,
+      |  CAST(count(*) AS BIGINT) n_events,
+      |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) n_errors,
+      |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+      |    * 1000000 // count(*) err_ppm,
+      |  (CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+      |    * 1000000 // count(*) >= 250000 AND count(*) >= 10) alert
+      |FROM events GROUP BY 1, 2 ORDER BY d, hr""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "error_rate_alert", errorRateAlert, Some(errorRateAlertOracle)),
     QueryDef("window_funnel", windowFunnel, Some(windowFunnelOracle)),
     QueryDef(
       "new_vs_returning", newVsReturning, Some(newVsReturningOracle)),
