@@ -722,7 +722,51 @@ object Statistics {
       |FROM wide""".stripMargin.replace("BKT", b)
   }
 
+  /** `hhi_concentration`: Herfindahl–Hirschman supplier-concentration
+    * index per part — the sourcing-risk diagnostic (gini_index
+    * measures user-revenue inequality; HHI measures how captive a
+    * part is to few suppliers; > 2500 basis points is the antitrust
+    * "highly concentrated" line). HHI = Σ shareᵢ² computed without
+    * materializing float shares: hhi_ppm = (Σ qᵢ²)·10⁶ div (Σ qᵢ)²
+    * over per-(part, supplier) quantity sums — one fact-sized
+    * aggregate, one part-grain rollup, everything after is integer
+    * algebra on the grid. Restricted to part < 50 for stable oracle
+    * output.
+    */
+  def hhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.read(spark, dir, "lineitem")
+      .where(col("l_partkey") < 50)
+      .groupBy(col("l_partkey").as("part"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    ps.groupBy(col("part"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("q")).as("total_q"),
+        sum(col("q") * col("q")).as("sq"))
+      .select(
+        col("part"), col("n_suppliers"), col("total_q"),
+        expr("(sq * 1000000) div (total_q * total_q)").as("hhi_ppm"))
+      .withColumn("concentrated", col("hhi_ppm") >= 250000L)
+      .orderBy("part")
+  }
+
+  def hhiConcentrationOracle: String =
+    """WITH ps AS (
+      |  SELECT l_partkey part, l_suppkey,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) q
+      |  FROM lineitem WHERE l_partkey < 50 GROUP BY 1, 2)
+      |SELECT part, CAST(count(*) AS BIGINT) n_suppliers,
+      |  CAST(sum(q) AS BIGINT) total_q,
+      |  (CAST(sum(q * q) AS BIGINT) * 1000000)
+      |    // (CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT)) hhi_ppm,
+      |  ((CAST(sum(q * q) AS BIGINT) * 1000000)
+      |    // (CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT)) >= 250000)
+      |    concentrated
+      |FROM ps GROUP BY part ORDER BY part""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "hhi_concentration", hhiConcentration, Some(hhiConcentrationOracle)),
     QueryDef("ab_test", abTest, Some(abTestOracle)),
     QueryDef("ks_test", ksTest, Some(ksTestOracle)),
     QueryDef("linreg_trend", linregTrend, Some(linregTrendOracle)),
