@@ -671,7 +671,10 @@ object Dedup {
       .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
       .select(
         col("n_truth"), col("n_found"),
-        expr("n_found * 1000000 div n_truth").as("recall_ppm"))
+        // Empty truth set → NULL, not ANSI DIVIDE_BY_ZERO (matches
+        // DuckDB's NULL on the same edge).
+        expr("CASE WHEN n_truth = 0 THEN NULL " +
+          "ELSE n_found * 1000000 div n_truth END").as("recall_ppm"))
   }
 
   def lshRecallOracle: String =
@@ -692,7 +695,9 @@ object Dedup {
        |  WHERE EXISTS (SELECT 1 FROM truth t WHERE t.a = l.a AND t.b = l.b)),
        |nt AS (SELECT CAST(count(*) AS BIGINT) n_truth FROM truth),
        |nf AS (SELECT CAST(count(*) AS BIGINT) n_found FROM found)
-       |SELECT n_truth, n_found, n_found * 1000000 // n_truth recall_ppm
+       |SELECT n_truth, n_found,
+       |  CASE WHEN n_truth = 0 THEN NULL
+       |    ELSE n_found * 1000000 // n_truth END recall_ppm
        |FROM nt, nf""".stripMargin
 
   /** `golden_record`: survivorship merge — the MDM step AFTER dedup

@@ -771,7 +771,11 @@ object Extended {
       .select(
         col("l_partkey").as("part"), col("l_linestatus").as("st"),
         col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-        col("l_quantity").cast("long").as("qty"), col("l_shipdate").as("sd"))
+        // floor() on BOTH sides pins the decimal→int rule (Spark casts
+        // truncate, DuckDB rounds half-even — equal on integral TPC-H
+        // quantities only by coincidence).
+        floor(col("l_quantity")).cast("long").as("qty"),
+        col("l_shipdate").as("sd"))
     fifoPairsOf(flows)
   }
 
@@ -808,7 +812,8 @@ object Extended {
   def fifoMatchOracle: String =
     """WITH f AS (
       |  SELECT l_partkey part, l_linestatus st, l_orderkey ok,
-      |    l_linenumber ln, CAST(l_quantity AS BIGINT) qty, l_shipdate sd
+      |    l_linenumber ln, CAST(floor(l_quantity) AS BIGINT) qty,
+      |    l_shipdate sd
       |  FROM lineitem WHERE l_partkey < 200),
       |cum AS (
       |  SELECT *, CAST(SUM(qty) OVER (PARTITION BY part, st

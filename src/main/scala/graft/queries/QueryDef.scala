@@ -31,12 +31,19 @@ object Tables {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Exception => () } // non-settable => already decided
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = read(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df
-      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+      // NTZ micros cast through the UTC session zone == identity on the
+      // stored micros (see the dispatch note above).
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts read as unexpected parquet type $other — the driver " +
+          "likely regenerated testdata with a new ts encoding; check the " +
+          "parquet logical type and add an explicit dispatch arm here " +
+          "rather than silently casting")
     }
   }
 }

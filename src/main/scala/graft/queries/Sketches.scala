@@ -370,9 +370,12 @@ object Sketches {
       |  SELECT a.t t1, b.t t2, CAST(count(*) AS BIGINT) overlap
       |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t
       |  GROUP BY 1, 2)
-      |SELECT t1, t2, na.n n1, nb.n n2, ov.overlap,
-      |  ov.overlap * 1000000 // (na.n + nb.n - ov.overlap) jacc_ppm
-      |FROM ov JOIN n na ON ov.t1 = na.t JOIN n nb ON ov.t2 = nb.t
+      |SELECT na.t t1, nb.t t2, na.n n1, nb.n n2,
+      |  COALESCE(ov.overlap, 0) overlap,
+      |  COALESCE(ov.overlap, 0) * 1000000
+      |    // (na.n + nb.n - COALESCE(ov.overlap, 0)) jacc_ppm
+      |FROM n na JOIN n nb ON na.t < nb.t
+      |LEFT JOIN ov ON ov.t1 = na.t AND ov.t2 = nb.t
       |ORDER BY t1, t2""".stripMargin
 
   def bitmapRetentionOracle: String =
@@ -386,10 +389,11 @@ object Sketches {
       |  FROM ud a JOIN ud b
       |    ON b.d = a.d + 1 AND a.user_id = b.user_id
       |  GROUP BY 1)
-      |SELECT a.d, a.day_users, b.day_users next_day_users, r.retained,
-      |  r.retained * 1000000 // a.day_users retained_ppm
+      |SELECT a.d, a.day_users, b.day_users next_day_users,
+      |  COALESCE(r.retained, 0) retained,
+      |  COALESCE(r.retained, 0) * 1000000 // a.day_users retained_ppm
       |FROM daily a
       |JOIN daily b ON b.d = a.d + 1
-      |JOIN ret r ON r.d = a.d
+      |LEFT JOIN ret r ON r.d = a.d
       |ORDER BY a.d""".stripMargin
 }

@@ -737,7 +737,9 @@ object Statistics {
     val ps = Tables.read(spark, dir, "lineitem")
       .where(col("l_partkey") < 50)
       .groupBy(col("l_partkey").as("part"), col("l_suppkey"))
-      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      // floor() pins the decimal→int rule on both engines (see
+      // fifo_match) rather than relying on integral quantities.
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("q"))
     ps.groupBy(col("part"))
       .agg(
         count(lit(1)).as("n_suppliers"),
@@ -753,7 +755,7 @@ object Statistics {
   def hhiConcentrationOracle: String =
     """WITH ps AS (
       |  SELECT l_partkey part, l_suppkey,
-      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) q
+      |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) q
       |  FROM lineitem WHERE l_partkey < 50 GROUP BY 1, 2)
       |SELECT part, CAST(count(*) AS BIGINT) n_suppliers,
       |  CAST(sum(q) AS BIGINT) total_q,
