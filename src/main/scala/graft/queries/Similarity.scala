@@ -200,9 +200,27 @@ object Similarity {
 
   // --- embedding near-dup via random-hyperplane LSH buckets ---
 
-  private val LshPlanes = 16
-  private val LshBandBits = 8
+  private val LshNumBands = 2
+  private val LshTargetOcc = 4L
+  private val LshMinBits = 8
+  private val LshMaxBits = 30
   private val LshMaxDim = 256
+
+  /** Corpus-adaptive band width: the smallest b in
+    * [LshMinBits, LshMaxBits] with 2^b · LshTargetOcc ≥ n. Bucket
+    * count per band is 2^b — independent of the data distribution —
+    * so growing b with the corpus holds expected per-bucket occupancy
+    * (and therefore the candidate-pair count, quadratic in occupancy)
+    * flat at ~LshTargetOcc instead of densifying fixed buckets: the
+    * round-5 `weak` (6.8× cost at 10× data with b frozen at 8).
+    * Integer shift arithmetic, not float log₂, so the Spark and
+    * DuckDB sides can never disagree on a power-of-two boundary.
+    */
+  private[graft] def lshBandBits(n: Long): Int = {
+    var b = LshMinBits
+    while (b < LshMaxBits && (1L << b) * LshTargetOcc < n) b += 1
+    b
+  }
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -215,47 +233,59 @@ object Similarity {
   private def planeWeight(h: Int, d: Int): Long =
     if (md5Hex(s"$h|$d").charAt(0).toInt % 2 == 0) 1L else -1L
 
-  /** The scale path for embedding near-dup mining — label blocking
-    * ([[dedupEmbedding]]) is quadratic IN THE BLOCK, and blocks grow
-    * with the corpus when the label vocabulary is fixed (measured
-    * 17.8x at 10x data, the one super-linear row in SCALE.md).
-    * Random-hyperplane LSH replaces it: 16 sign bits per vector
-    * (16 codegen'd integer dot products against ±1 literal planes —
-    * narrow, zero shuffles), banded 2×8 so a pair collides when ANY
-    * band of 8 sign bits agrees, bucket self-join on (band, bits),
-    * exact integer-cosine verify on the (few) candidates. Bucket
-    * count scales 2^bits per band, so bucket size — and the pair
-    * blowup — is tunable independently of any label vocabulary.
-    * Like minhash_lsh this is approximate-by-construction (recall <
-    * 1); the oracle replicates the same planes, so the result is
-    * still hash-exact.
+  /** (vec_id, band, bkey) at the given band width: LshNumBands bands
+    * of `bits` sign bits each. Package-visible so the banding spec can
+    * pin the occupancy bound on real buckets.
     */
-  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def embLshBands(
+      spark: SparkSession, dir: String, bits: Int): DataFrame = {
     // the ±1 plane literals are LshMaxDim long, so a longer embedding
     // would silently truncate to the first LshMaxDim components (and
     // the verify-side dot kernel would then throw a generic length
     // mismatch) — fail loudly, naming the cap, before any plane math
-    val rawVecs = vectors(spark, dir)
-    val vecs = rawVecs.withColumn(
+    val vecs = vectors(spark, dir).withColumn(
       "v",
       when(size(col("v")) <= LshMaxDim, col("v")).otherwise(raise_error(concat(
         lit("dedup_embedding_lsh: embedding dim "),
         size(col("v")).cast("string"),
         lit(s" exceeds the $LshMaxDim-dimension hyperplane cap (LshMaxDim)")))))
-    val signCols = (0 until LshPlanes).map { h =>
+    val planes = LshNumBands * bits
+    val signCols = (0 until planes).map { h =>
       val w = typedlit((0 until LshMaxDim).map(d => planeWeight(h, d)))
       when(dot(col("v"), slice(w, lit(1), size(col("v")))) > 0, "1")
         .otherwise("0")
     }
-    val bandCols = (0 until LshPlanes / LshBandBits).map { b =>
+    val bandCols = (0 until LshNumBands).map { b =>
       struct(
         lit(b).as("band"),
-        concat(signCols.slice(
-          b * LshBandBits, (b + 1) * LshBandBits): _*).as("bkey"))
+        concat(signCols.slice(b * bits, (b + 1) * bits): _*).as("bkey"))
     }
-    val bands = vecs
+    vecs
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** The scale path for embedding near-dup mining — label blocking
+    * ([[dedupEmbedding]]) is quadratic IN THE BLOCK, and blocks grow
+    * with the corpus when the label vocabulary is fixed (measured
+    * 17.8x at 10x data, the one super-linear row in SCALE.md).
+    * Random-hyperplane LSH replaces it: 2·bits sign bits per vector
+    * (codegen'd integer dot products against ±1 literal planes —
+    * narrow, zero shuffles), banded 2×bits so a pair collides when
+    * ANY band of sign bits agrees, bucket self-join on (band, bits),
+    * exact integer-cosine verify on the (few) candidates. The band
+    * width is CORPUS-ADAPTIVE ([[lshBandBits]]): one driver-side
+    * count (the bom_rollup discipline — fixed up front, never
+    * per-row) picks the smallest width whose 2^bits buckets hold
+    * expected occupancy at ~4, so a 10× corpus gets more buckets,
+    * not denser ones. Like minhash_lsh this is
+    * approximate-by-construction (recall < 1); the oracle replicates
+    * the same count→bits derivation and planes, so the result is
+    * still hash-exact.
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val bands = embLshBands(spark, dir, lshBandBits(vecs.count()))
     val cand = bands.select(col("band"), col("bkey"), col("vec_id").as("a"))
       .join(
         bands.select(col("band"), col("bkey"), col("vec_id").as("b")),
@@ -280,16 +310,22 @@ object Similarity {
     val weightSql =
       "(CASE WHEN ascii(substr(md5(CAST(h AS VARCHAR) || '|' || " +
         "CAST(d - 1 AS VARCHAR)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END)"
-    s"""planes AS (SELECT unnest(range(0, $LshPlanes)) h),
+    s"""ecnt AS (SELECT CAST(count(*) AS BIGINT) n FROM vn),
+       |ebits AS (
+       |  SELECT MIN(b) bits
+       |  FROM (SELECT unnest(range($LshMinBits, ${LshMaxBits + 1})) b) bb, ecnt
+       |  WHERE b = $LshMaxBits
+       |     OR (CAST(1 AS BIGINT) << b) * $LshTargetOcc >= n),
+       |planes AS (SELECT unnest(range(0, $LshNumBands * bits)) h FROM ebits),
        |sgn AS (
        |  SELECT vec_id, h,
        |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
        |      d -> v[d] * $weightSql)) > 0 THEN '1' ELSE '0' END sbit
        |  FROM vn CROSS JOIN planes),
        |bands AS (
-       |  SELECT vec_id, h // $LshBandBits AS band,
+       |  SELECT vec_id, h // bits AS band,
        |    string_agg(sbit, '' ORDER BY h) bkey
-       |  FROM sgn GROUP BY vec_id, h // $LshBandBits),
+       |  FROM sgn, ebits GROUP BY vec_id, h // bits),
        |cand AS (
        |  SELECT DISTINCT x.vec_id a, y.vec_id b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey

@@ -35,7 +35,6 @@ keyed = {
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
-    "embeddings": ["vec_id"],
 }
 
 for t in copy_as_is:
@@ -61,6 +60,26 @@ for t, keys in keyed.items():
         f"COPY (SELECT {sel} FROM '{src}/{t}.parquet', "
         f"(SELECT unnest(range({n_rep})) AS i) r) TO '{dst}/{t}.parquet'")
     print(t, "x", n_rep)
+
+# embeddings: offset vec_id AND sign-flip dimensions per replica
+# (replica 0 keeps the original vectors). A per-(replica, dim) ±1 flip
+# preserves norms and every INTRA-replica dot product exactly
+# (a_d·f_d · b_d·f_d = a_d·b_d), so per-replica similarity structure is
+# identical, while CROSS-replica dots decorrelate to ~0 — the vector
+# twin of the documents text salt below. Without it the 10x "corpus" is
+# 10 bit-identical copies whose sign bits always collide, and any LSH
+# scheme measures as densifying no matter how many buckets it has.
+flip = ("(CASE WHEN ascii(substr(md5(CAST(r.i AS VARCHAR) || '#' || "
+        "CAST(d - 1 AS VARCHAR)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END)")
+con.execute(
+    f"""COPY (SELECT vec_id + r.i * {STRIDE} AS vec_id,
+      CASE WHEN r.i = 0 THEN embedding
+           ELSE CAST(list_transform(range(1, len(embedding) + 1),
+                d -> embedding[d] * {flip}) AS REAL[]) END AS embedding,
+      label
+      FROM '{src}/embeddings.parquet',
+      (SELECT unnest(range({n_rep})) AS i) r) TO '{dst}/embeddings.parquet'""")
+print("embeddings x", n_rep, "(sign-flip salted)")
 
 # documents: offset doc_id AND salt the text per replica (replica 0
 # keeps the original bytes) so similarity structure is intra-replica
