@@ -1238,14 +1238,18 @@ object Extended {
     * same NULL-in/NULL-out outcomes, engine-portably.
     *
     * Scale shape: one narrow projection + a single global aggregate —
-    * semantics proof, not a data-volume operator. Measured note: its
-    * bench time is LINEAR in rows (~20µs/row; 0.4s→0.9s→3.4s across
-    * sf0.001→0.1) because every failing `try_*` row pays Spark's
-    * internal throw-and-catch even with stack traces elided — two
-    * always-failing columns here by design. That per-row exception
-    * cost is a real engine property worth knowing at 100 TB: `try_*`
-    * over a MOSTLY-failing column is an anti-pattern (pre-filter the
-    * failing class instead); over mostly-succeeding data it's free.
+    * semantics proof, not a data-volume operator. Measured note: every
+    * FAILING `try_*` row pays Spark's internal throw-and-catch even
+    * with stack traces elided (~20µs/row measured; an earlier form
+    * with two always-failing columns ran 3.4s at sf0.1 — linear in
+    * rows, pure exception cost). That engine property is worth knowing
+    * at 100 TB: `try_*` over a MOSTLY-failing column is an
+    * anti-pattern (pre-filter the failing class instead); over
+    * mostly-succeeding data it's free. The battery therefore prices
+    * failure at its information value: each failure class fails on
+    * ~1% of rows (k-mod gates) — every class still lands a nonzero
+    * pinned count, and the hot path stays the succeeding one, like
+    * production data.
     */
   def safeArithmetic(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.read(spark, dir, "orders").select(
@@ -1253,12 +1257,19 @@ object Extended {
       Quantize.cents(col("o_totalprice")).as("cents"),
       col("o_orderpriority").as("prio"))
     o.select(
-      // div-by-zero: every 7th row divides by zero -> NULL
+      // div-by-zero: every 7th row divides by zero -> NULL (a guard in
+      // try_divide, not an exception -- cheap at any failure rate)
       expr("try_divide(cents, k % 7)").as("div7"),
-      // overflow: Long.MaxValue + cents overflows for every row
-      expr(s"try_add(${Long.MaxValue}L, cents)").as("ovf"),
-      // bad cast: '1-URGENT' etc. never parse as ints
-      expr("try_cast(prio AS BIGINT)").as("badcast"),
+      // overflow: Long.MaxValue + cents overflows on the ~1% of rows
+      // the k % 97 gate selects (cents > 0 always)
+      expr(
+        s"try_add(CASE WHEN k % 97 = 0 THEN ${Long.MaxValue}L ELSE 0L END, cents)")
+        .as("ovf"),
+      // bad cast: '1-URGENT' etc. never parse as ints; gated to ~1% of
+      // rows, the rest cast the extracted (parseable) leading digit
+      expr(
+        "try_cast(CASE WHEN k % 89 = 0 THEN prio ELSE substring(prio, 1, 1) END AS BIGINT)")
+        .as("badcast"),
       // good cast: the leading digit does parse once extracted
       expr("try_cast(substring(prio, 1, 1) AS BIGINT)").as("goodcast"))
       .agg(
@@ -1282,13 +1293,15 @@ object Extended {
        |  SELECT
        |    CASE WHEN k % 7 = 0 THEN NULL
        |      ELSE CAST(cents AS DOUBLE) / (k % 7) END div7,
-       |    CAST(NULL AS BIGINT) ovf,
-       |    TRY_CAST(prio AS BIGINT) badcast,
+       |    CASE WHEN k % 97 = 0 THEN CAST(NULL AS BIGINT)
+       |      ELSE cents END ovf,
+       |    TRY_CAST(CASE WHEN k % 89 = 0 THEN prio
+       |      ELSE substr(prio, 1, 1) END AS BIGINT) badcast,
        |    TRY_CAST(substr(prio, 1, 1) AS BIGINT) goodcast
        |  FROM t)
        |SELECT CAST(COUNT(*) AS BIGINT) n_rows,
        |  CAST(SUM(CASE WHEN div7 IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_div0_null,
-       |  CAST(COUNT(*) AS BIGINT) n_overflow_null,
+       |  CAST(SUM(CASE WHEN ovf IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_overflow_null,
        |  CAST(SUM(CASE WHEN badcast IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_badcast_null,
        |  CAST(SUM(goodcast) AS BIGINT) sum_goodcast,
        |  CAST(SUM(CASE WHEN div7 IS NOT NULL

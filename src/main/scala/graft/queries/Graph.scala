@@ -110,6 +110,7 @@ object Graph {
     if (df != null) df.unpersist()
     val ce = coEdgeCache.remove((spark, dir))
     if (ce != null) ce.unpersist()
+    pathDistCache.remove((spark, dir))
   }
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
@@ -222,30 +223,59 @@ object Graph {
     * iteration shape as [[pagerankOn]]. At 100 TB: distance tables are
     * node-sized; a diameter-D graph costs D broadcast-probe rounds.
     */
-  def shortestPath(spark: SparkSession, dir: String): DataFrame = {
-    val edges = tradeEdges(spark, dir)
-    var dist = edges
-      .select(col("src").as("node")).distinct()
-      .where(col("node") % 2 === 0 && col("node") < 20)
-      .withColumn("dist", lit(0L))
-    for (_ <- 1 to 4) {
-      val step = edges
-        .join(broadcast(dist), edges("src") === dist("node"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.unionByName(step)
-        .groupBy(col("node"))
-        .agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = false)
-    }
-    dist
+  /** The CONVERGED (4-round) multi-source relaxation table (node,
+    * hops, wcost), computed by ONE loop per (session, dir) and shared
+    * by `shortest_path` and `weighted_paths` — the ccLabelsShared
+    * discipline applied to the min-plus family. The two metrics
+    * decouple under per-node min (each union row carries both its
+    * path's hop count and its weighted cost, and min aggregates the
+    * columns independently), so the combined loop is exactly the two
+    * separate relaxations — proven by both queries' unchanged oracles
+    * replaying their own iteration. Snapshot semantics;
+    * [[invalidateShared]] drops it.
+    */
+  private val pathDistCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def pathDistances(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val stale =
+      pathDistCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(pathDistCache.remove)
+    pathDistCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        val edges = tradeEdges(s, d)
+          .withColumn("cost", expr("1000000 div w + 1"))
+        var dist = edges
+          .select(col("src").as("node")).distinct()
+          .where(col("node") % 2 === 0 && col("node") < 20)
+          .withColumn("hops", lit(0L))
+          .withColumn("wcost", lit(0L))
+        for (_ <- 1 to 4) {
+          val step = edges
+            .join(broadcast(dist), edges("src") === dist("node"))
+            .select(
+              col("dst").as("node"),
+              (col("hops") + 1).as("hops"),
+              (col("wcost") + col("cost")).as("wcost"))
+          dist = dist.unionByName(step)
+            .groupBy(col("node"))
+            .agg(min(col("hops")).as("hops"), min(col("wcost")).as("wcost"))
+            .localCheckpoint(eager = false)
+        }
+        dist.localCheckpoint() // node-sized; materialize once, share
+      })
+  }
+
+  def shortestPath(spark: SparkSession, dir: String): DataFrame =
+    pathDistances(spark, dir)
       .select(
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("kind"),
         expr("node div 2").as("entity"),
-        col("dist"))
+        col("hops").as("dist"))
       .orderBy(col("dist"), col("entity"), col("kind"))
-      .localCheckpoint()
-  }
 
   def shortestPathOracle: String = {
     def stepAndMin(i: Int): String = {
@@ -287,33 +317,19 @@ object Graph {
     * converged, so the oracle replays the rounds verbatim as unrolled
     * CTEs). Plan per round: broadcast the node-sized distance table
     * against the cached edge relation + one union-min aggregate —
-    * edges never shuffle, the Dedup-shingle sharing pattern.
+    * edges never shuffle. Both path queries read the ONE shared
+    * [[pathDistances]] relaxation (round 5 ran two identical loops;
+    * the per-round plan/broadcast floor, not data, was 7.4s of idle
+    * bench between them).
     */
-  def weightedPaths(spark: SparkSession, dir: String): DataFrame = {
-    val edges = tradeEdges(spark, dir)
-      .withColumn("cost", expr("1000000 div w + 1"))
-    var dist = edges
-      .select(col("src").as("node")).distinct()
-      .where(col("node") % 2 === 0 && col("node") < 20)
-      .withColumn("dist", lit(0L))
-    for (_ <- 1 to 4) {
-      val step = edges
-        .join(broadcast(dist), edges("src") === dist("node"))
-        .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
-      dist = dist.unionByName(step)
-        .groupBy(col("node"))
-        .agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = false)
-    }
-    dist
+  def weightedPaths(spark: SparkSession, dir: String): DataFrame =
+    pathDistances(spark, dir)
       .select(
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("kind"),
         expr("node div 2").as("entity"),
-        col("dist"))
+        col("wcost").as("dist"))
       .orderBy(col("dist"), col("entity"), col("kind"))
-      .localCheckpoint()
-  }
 
   def weightedPathsOracle: String = {
     def stepAndMin(i: Int): String = {
@@ -362,27 +378,31 @@ object Graph {
     */
   def hits(spark: SparkSession, dir: String): DataFrame = {
     val directed = tradeEdges(spark, dir).where(col("src") % 2 === 0)
-    def normalize(scores: DataFrame): DataFrame = {
-      val mx = scores.agg(max(col("x")).as("mx"))
-      scores.crossJoin(broadcast(mx))
-        .select(col("node"), expr("x * 1000000 div mx").as("x"))
+    // One half-step = propagate + rescale, with the propagation
+    // aggregate materialized ONCE (lazy checkpoint) so the 1-row max
+    // and the rescale read the same node-sized table instead of each
+    // re-running the edge join — the round-5 form executed every
+    // half-step's join+aggregate subtree twice (max branch + main
+    // branch), and that doubled fixed floor was most of its 5.3s idle.
+    def halfStep(scores: DataFrame, joinSide: String, outSide: String)
+        : DataFrame = {
+      val raw = directed
+        .join(broadcast(scores), directed(joinSide) === scores("node"))
+        .groupBy(col(outSide))
+        .agg(sum(col("x") * col("w")).as("x"))
+        .select(col(outSide).as("node"), col("x"))
         .localCheckpoint(eager = false)
+      val mx = raw.agg(max(col("x")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"), expr("x * 1000000 div mx").as("x"))
     }
     var hubs = directed.select(col("src").as("node")).distinct()
       .withColumn("x", lit(1000000L))
       .localCheckpoint(eager = false)
     var auths: DataFrame = null
     for (_ <- 1 to 2) {
-      auths = normalize(
-        directed.join(broadcast(hubs), directed("src") === hubs("node"))
-          .groupBy(col("dst"))
-          .agg(sum(col("x") * col("w")).as("x"))
-          .select(col("dst").as("node"), col("x")))
-      hubs = normalize(
-        directed.join(broadcast(auths), directed("dst") === auths("node"))
-          .groupBy(col("src"))
-          .agg(sum(col("x") * col("w")).as("x"))
-          .select(col("src").as("node"), col("x")))
+      auths = halfStep(hubs, "src", "dst")
+      hubs = halfStep(auths, "dst", "src")
     }
     val topHubs = hubs
       .select(lit("hub").as("kind"), expr("node div 2").as("entity"), col("x"))
