@@ -1020,7 +1020,251 @@ object Analytics {
       |    * 1000000 // count(*) >= 250000 AND count(*) >= 10) alert
       |FROM events GROUP BY 1, 2 ORDER BY d, hr""".stripMargin
 
+  /** `rfm_segments`: the classic Recency/Frequency/Monetary customer
+    * segmentation — per customer, days since last order (vs a fixed
+    * anchor), order count and lifetime cents, each bucketed 1..3 by
+    * PINNED thresholds (not quantiles: threshold segments are what
+    * marketing ops actually ship, and they stay integer-exact where
+    * per-bucket quantile cuts would drag the ntile machinery in for
+    * no analytical gain). Output: one row per occupied RFM cell with
+    * its population and value.
+    *
+    * Plan shape: one fact scan → customer-grain aggregate (the only
+    * shuffle) → narrow bucket projection → 27-cell aggregate. At
+    * 100 TB both aggregates are map-side-combinable and nothing after
+    * the first is fact-sized.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit("2001-09-01").cast("date"), max(to_date(col("o_orderdate"))))
+          .cast("long").as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum(Quantize.cents(col("o_totalprice"))).as("monet"))
+    cust
+      .select(
+        when(col("rec_days") <= 180, 1L)
+          .when(col("rec_days") <= 540, 2L).otherwise(3L).as("r"),
+        when(col("freq") >= 15, 1L)
+          .when(col("freq") >= 8, 2L).otherwise(3L).as("f"),
+        when(col("monet") >= 350000000L, 1L)
+          .when(col("monet") >= 150000000L, 2L).otherwise(3L).as("m"),
+        col("monet"))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("monet")).as("sum_cents"))
+      .withColumn(
+        "segment",
+        concat(
+          col("r").cast("string"), col("f").cast("string"),
+          col("m").cast("string")))
+      .select("segment", "r", "f", "m", "n_customers", "sum_cents")
+      .orderBy("segment")
+  }
+
+  def rfmSegmentsOracle: String =
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01') rec_days,
+       |    CAST(count(*) AS BIGINT) freq,
+       |    CAST(sum(${Quantize.centsSql("o_totalprice")}) AS BIGINT) monet
+       |  FROM orders GROUP BY 1),
+       |b AS (
+       |  SELECT
+       |    CASE WHEN rec_days <= 180 THEN 1 WHEN rec_days <= 540 THEN 2 ELSE 3 END r,
+       |    CASE WHEN freq >= 15 THEN 1 WHEN freq >= 8 THEN 2 ELSE 3 END f,
+       |    CASE WHEN monet >= 350000000 THEN 1 WHEN monet >= 150000000 THEN 2 ELSE 3 END m,
+       |    monet
+       |  FROM cust)
+       |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) segment,
+       |  CAST(r AS BIGINT) r, CAST(f AS BIGINT) f, CAST(m AS BIGINT) m,
+       |  CAST(count(*) AS BIGINT) n_customers,
+       |  CAST(sum(monet) AS BIGINT) sum_cents
+       |FROM b GROUP BY r, f, m ORDER BY segment""".stripMargin
+
+  /** `autocorr_lag`: sample autocorrelation of the daily-revenue
+    * series at lags 1 and 7 — the seasonality/persistence diagnostic
+    * run before any forecasting model choice (a strong lag-7 ACF is
+    * the weekly cycle `forecast_baseline` assumes). Integer-exact the
+    * suite's way: with n = days and S = Σx over the FULL series, each
+    * centered product (n·x_t − S)(n·x_{t+L} − S) is an exact
+    * DECIMAL(38,0) product, numerator sums over the lag-joined pairs,
+    * denominator over all days, and the ppm ratio is sign·(10⁶·|num|
+    * div den) so truncation-toward-zero agrees across engines (floor
+    * division diverges on negatives).
+    *
+    * Plan shape: one fact scan → day-grain aggregate; everything
+    * after (1-row moments broadcast, day-grid self-join on day+L) is
+    * calendar-sized — ~2400 rows here and bounded by elapsed days,
+    * not data volume, at any scale.
+    */
+  def autocorrLag(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.read(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(Quantize.cents(col("o_totalprice"))).as("x"))
+      .localCheckpoint(eager = false) // day grid: 3 consumers below
+    val mom = daily.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val centered = daily.crossJoin(broadcast(mom))
+      .select(
+        col("day"), col("n"),
+        (col("n").cast("decimal(38,0)") * col("x") - col("s")).as("c"))
+    val den = centered
+      .agg(sum(col("c") * col("c")).as("den"), max(col("n")).as("n_days"))
+    val pairs = Seq(1, 7).map { lag =>
+      val lead = centered.select(
+        col("day").as("lday"), col("c").as("lc"))
+      centered
+        .join(lead, date_add(col("day"), lag) === col("lday"))
+        .agg(
+          lit(lag.toLong).as("lag"),
+          count(lit(1)).as("n_pairs"),
+          sum(col("c") * col("lc")).as("num"))
+    }.reduce(_ unionByName _)
+    pairs.crossJoin(broadcast(den))
+      .select(
+        col("lag"), col("n_pairs"), col("n_days"),
+        (signum(col("num")).cast("long") *
+          expr("CAST((1000000 * abs(num)) div den AS BIGINT)"))
+          .as("acf_ppm"))
+      .orderBy("lag")
+  }
+
+  def autocorrLagOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    CAST(sum(${Quantize.centsSql("o_totalprice")}) AS BIGINT) x
+       |  FROM orders GROUP BY 1),
+       |mom AS (SELECT CAST(count(*) AS HUGEINT) n, CAST(sum(x) AS HUGEINT) s FROM daily),
+       |c AS (SELECT d, n, n * x - s AS c FROM daily, mom),
+       |den AS (SELECT sum(c * c) den, CAST(max(n) AS BIGINT) n_days FROM c),
+       |pairs AS (
+       |  SELECT l.lg, CAST(count(*) AS BIGINT) n_pairs, sum(a.c * b.c) num
+       |  FROM (VALUES (1), (7)) l(lg)
+       |  CROSS JOIN c a
+       |  JOIN c b ON b.d = a.d + l.lg
+       |  GROUP BY l.lg)
+       |SELECT CAST(lg AS BIGINT) lag, n_pairs, n_days,
+       |  CAST(CASE WHEN num < 0 THEN -((1000000 * -num) // den)
+       |       ELSE (1000000 * num) // den END AS BIGINT) acf_ppm
+       |FROM pairs, den ORDER BY lag""".stripMargin
+
+  /** `mom_growth`: month-over-month revenue growth in integer ppm —
+    * the first panel on any revenue dashboard. The consecutive-month
+    * pairing is an equi-join on an integer month number (year·12 +
+    * month), NOT a lag window: the month grid is tiny but the
+    * suite-wide rule bans unpartitioned windows over any input, and
+    * the equi-join form also survives gaps in the calendar without a
+    * sentinel row. Growth is sign-split floor division (negatives
+    * truncate toward zero identically in both engines).
+    *
+    * Plan shape: one fact scan → month-grain aggregate; the grid
+    * self-join and ppm math are calendar-sized. First month has no
+    * predecessor and drops (inner join) — stated, not accidental.
+    */
+  def momGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.read(spark, dir, "orders")
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(sum(Quantize.cents(col("o_totalprice"))).as("rev_cents"))
+      .withColumn(
+        "monthn", (year(col("month")) * 12 + month(col("month"))).cast("long"))
+      .localCheckpoint(eager = false) // grid: both join sides
+    monthly
+      .join(
+        monthly.select(
+          (col("monthn") + 1).as("monthn"),
+          col("rev_cents").as("prev_cents")),
+        "monthn")
+      .select(
+        col("month"), col("rev_cents"), col("prev_cents"),
+        expr("""CASE WHEN rev_cents >= prev_cents
+               |  THEN ((rev_cents - prev_cents) * 1000000) div prev_cents
+               |  ELSE -(((prev_cents - rev_cents) * 1000000) div prev_cents)
+               |END""".stripMargin).as("growth_ppm"))
+      .orderBy("month")
+  }
+
+  def momGrowthOracle: String =
+    s"""WITH m AS (
+       |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) mo,
+       |    CAST(sum(${Quantize.centsSql("o_totalprice")}) AS BIGINT) rev_cents
+       |  FROM orders GROUP BY 1),
+       |k AS (
+       |  SELECT mo, rev_cents,
+       |    CAST(year(mo) * 12 + month(mo) AS BIGINT) monthn
+       |  FROM m)
+       |SELECT a.mo AS "month", a.rev_cents, b.rev_cents prev_cents,
+       |  CAST(CASE WHEN a.rev_cents >= b.rev_cents
+       |    THEN ((a.rev_cents - b.rev_cents) * 1000000) // b.rev_cents
+       |    ELSE -(((b.rev_cents - a.rev_cents) * 1000000) // b.rev_cents)
+       |  END AS BIGINT) growth_ppm
+       |FROM k a JOIN k b ON a.monthn = b.monthn + 1
+       |ORDER BY a.mo""".stripMargin
+
+  /** `seasonal_anomaly`: per-(day, hour) activity value vs the
+    * weekday×hour seasonal expectation — the ops-monitoring layer on
+    * top of [[seasonalityProfile]]'s grid: "Tuesday 14:00 was 3×
+    * its usual Tuesday-14:00" is the alert that a global z-score
+    * (which `stats_outliers` covers) can't express. Expected value =
+    * integer mean of the cell's (dow, hr) class; deviation is
+    * sign-split ppm. Top 25 by absolute deviation.
+    *
+    * Plan shape: one fact scan → (day, hour) grid aggregate →
+    * class-profile re-aggregate of the GRID (never re-scanning
+    * facts, the share_of_parent discipline) broadcast back → top-k.
+    * Everything after the first aggregate is calendar-sized.
+    */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .groupBy(
+        to_date(col("ts")).as("day"), hour(col("ts")).cast("long").as("hr"))
+      .agg(sum(Quantize.cents(col("value"))).as("obs_cents"))
+      .withColumn("dow", (weekday(col("day")) + 1).cast("long"))
+      .localCheckpoint(eager = false) // grid: profile + join sides
+    val profile = grid.groupBy(col("dow"), col("hr"))
+      .agg(sum(col("obs_cents")).as("s"), count(lit(1)).as("n"))
+      .select(col("dow"), col("hr"), expr("s div n").as("exp_cents"))
+    grid.join(broadcast(profile), Seq("dow", "hr"))
+      .select(
+        col("day"), col("hr"), col("dow"), col("obs_cents"), col("exp_cents"),
+        // exp_cents = 0 -> NULL (the lsh_recall zero-guard rule):
+        // impossible on value > 0 data, but an ANSI throw on a future
+        // data generation would fail the whole query
+        expr("""CASE WHEN exp_cents = 0 THEN CAST(NULL AS BIGINT)
+               |  WHEN obs_cents >= exp_cents
+               |  THEN ((obs_cents - exp_cents) * 1000000) div exp_cents
+               |  ELSE -(((exp_cents - obs_cents) * 1000000) div exp_cents)
+               |END""".stripMargin).as("dev_ppm"))
+      .orderBy(abs(col("dev_ppm")).desc, col("day"), col("hr"))
+      .limit(25)
+  }
+
+  def seasonalAnomalyOracle: String =
+    s"""WITH g AS (
+       |  SELECT CAST(ts AS DATE) d, CAST(hour(ts) AS BIGINT) hr,
+       |    CAST(sum(${Quantize.centsSql("value")}) AS BIGINT) obs_cents
+       |  FROM events GROUP BY 1, 2),
+       |gd AS (SELECT d, hr, obs_cents,
+       |         CAST(isodow(d) AS BIGINT) dow FROM g),
+       |p AS (
+       |  SELECT dow, hr, CAST(sum(obs_cents) // count(*) AS BIGINT) exp_cents
+       |  FROM gd GROUP BY 1, 2)
+       |SELECT d AS "day", hr, dow, obs_cents, exp_cents,
+       |  CAST(CASE WHEN exp_cents = 0 THEN NULL
+       |    WHEN obs_cents >= exp_cents
+       |    THEN ((obs_cents - exp_cents) * 1000000) // exp_cents
+       |    ELSE -(((exp_cents - obs_cents) * 1000000) // exp_cents)
+       |  END AS BIGINT) dev_ppm
+       |FROM gd JOIN p USING (dow, hr)
+       |ORDER BY abs(dev_ppm) DESC, d, hr LIMIT 25""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mom_growth", momGrowth, Some(momGrowthOracle)),
+    QueryDef("seasonal_anomaly", seasonalAnomaly, Some(seasonalAnomalyOracle)),
+    QueryDef("rfm_segments", rfmSegments, Some(rfmSegmentsOracle)),
+    QueryDef("autocorr_lag", autocorrLag, Some(autocorrLagOracle)),
     QueryDef(
       "error_rate_alert", errorRateAlert, Some(errorRateAlertOracle)),
     QueryDef("window_funnel", windowFunnel, Some(windowFunnelOracle)),

@@ -752,27 +752,27 @@ object Graph {
   }
 
   def kCorePeelOracle: String =
-    s"""WITH und AS (
+    s"""WITH und AS MATERIALIZED (
        |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) x
        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) y
        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
        |  GROUP BY 1, 2 HAVING count(*) >= $TriSupport),
-       |e0 AS (SELECT a u, b v FROM und UNION ALL SELECT b, a FROM und),
-       |s0 AS (SELECT DISTINCT u n FROM e0),
-       |d1 AS (SELECT s0.n, CAST(count(e0.u) AS BIGINT) deg
+       |e0 AS MATERIALIZED (SELECT a u, b v FROM und UNION ALL SELECT b, a FROM und),
+       |s0 AS MATERIALIZED (SELECT DISTINCT u n FROM e0),
+       |d1 AS MATERIALIZED (SELECT s0.n, CAST(count(e0.u) AS BIGINT) deg
        |       FROM s0 LEFT JOIN e0 ON s0.n = e0.u GROUP BY 1),
        |r1 AS (SELECT n FROM d1 WHERE deg < $CoreK),
-       |s1 AS (SELECT n FROM d1 WHERE deg >= $CoreK),
-       |e1 AS (SELECT u, v FROM e0
+       |s1 AS MATERIALIZED (SELECT n FROM d1 WHERE deg >= $CoreK),
+       |e1 AS MATERIALIZED (SELECT u, v FROM e0
        |       WHERE u IN (SELECT n FROM s1) AND v IN (SELECT n FROM s1)),
-       |d2 AS (SELECT s1.n, CAST(count(e1.u) AS BIGINT) deg
+       |d2 AS MATERIALIZED (SELECT s1.n, CAST(count(e1.u) AS BIGINT) deg
        |       FROM s1 LEFT JOIN e1 ON s1.n = e1.u GROUP BY 1),
        |r2 AS (SELECT n FROM d2 WHERE deg < $CoreK),
-       |s2 AS (SELECT n FROM d2 WHERE deg >= $CoreK),
-       |e2 AS (SELECT u, v FROM e1
+       |s2 AS MATERIALIZED (SELECT n FROM d2 WHERE deg >= $CoreK),
+       |e2 AS MATERIALIZED (SELECT u, v FROM e1
        |       WHERE u IN (SELECT n FROM s2) AND v IN (SELECT n FROM s2)),
-       |d3 AS (SELECT s2.n, CAST(count(e2.u) AS BIGINT) deg
+       |d3 AS MATERIALIZED (SELECT s2.n, CAST(count(e2.u) AS BIGINT) deg
        |       FROM s2 LEFT JOIN e2 ON s2.n = e2.u GROUP BY 1),
        |r3 AS (SELECT n FROM d3 WHERE deg < $CoreK)
        |SELECT s0.n AS suppkey,
@@ -782,7 +782,94 @@ object Graph {
        |       ELSE 0 END AS BIGINT) AS removed_round
        |FROM s0 ORDER BY suppkey""".stripMargin
 
+  /** `lpa_communities`: 3 synchronous rounds of label propagation over
+    * the shared support-pruned supplier co-occurrence graph — the
+    * community-detection member of the iterative family (CC merges
+    * components; LPA splits a connected hairball into dense
+    * neighborhoods, the "supplier cliques" readout). Deterministic
+    * where textbook LPA is not: every node updates simultaneously
+    * from the PREVIOUS round's labels (no visit-order dependence) and
+    * adopts its neighbors' most frequent label with ties to the
+    * SMALLEST label — so the fixed 3-round state is exact and the
+    * oracle replays it as unrolled CTEs.
+    *
+    * Plan shape per round: adjacency ⋈ broadcast(|V|-sized label
+    * table) → (node, label) count aggregate → per-node argmax via ONE
+    * min-of-struct aggregate (never a window over the pair table).
+    * Edges never shuffle — the pagerank iteration discipline.
+    */
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val und = coEdgesShared(spark, dir)
+    lpaOn(und, rounds = 3)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(25)
+  }
+
+  /** The propagation core over ANY undirected edge relation (a, b)
+    * with a < b, no duplicates: (node, label) after `rounds`
+    * synchronous rounds — also model-checked by `Wave6Spec` against a
+    * plain-Scala LPA on seeded random graphs.
+    *
+    * Per round: (u, label)-count aggregate + per-node argmax via ONE
+    * min-of-struct aggregate. Two codegen'd hash aggregates measured
+    * FASTER than the tempting one-exchange fusion (collect_list per
+    * node + in-row sorted-run-length mode, the repetition_stats
+    * idiom): 4.1s vs 8.5s at sf0.1 — the higher-order aggregate()
+    * evaluates interpreted and the degree-sized lists cost more than
+    * the second exchange saves. The count form is also the
+    * hub-degree-safe shape (state per (u, label), never per-neighbor
+    * lists).
+    */
+  def lpaOn(und: DataFrame, rounds: Int): DataFrame = {
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    var labels = adj.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(broadcast(labels), adj("v") === labels("node"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("best"))
+        .select(col("u").as("node"), col("best.l").as("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
+  def lpaCommunitiesOracle: String = {
+    def round(i: Int): String = {
+      val prev = s"l${i - 1}"
+      s"""cnt$i AS (
+         |  SELECT adj.u, l.lbl, CAST(count(*) AS BIGINT) c
+         |  FROM adj JOIN $prev l ON adj.v = l.node GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT u node, lbl FROM (
+         |    SELECT u, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) rn
+         |    FROM cnt$i) WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH und AS (
+       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) x
+       |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriSupport),
+       |adj AS (SELECT a u, b v FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT DISTINCT u node, u lbl FROM adj),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) n_members
+       |FROM l3 GROUP BY 1
+       |ORDER BY n_members DESC, community LIMIT 25""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "lpa_communities", lpaCommunities, Some(lpaCommunitiesOracle)),
     QueryDef("pagerank", pagerank, Some(pagerankOracle)),
     QueryDef("shortest_path", shortestPath, Some(shortestPathOracle)),
     QueryDef("weighted_paths", weightedPaths, Some(weightedPathsOracle)),

@@ -117,11 +117,19 @@ object Hierarchy {
   }
 
   def bomRollupOracle: String =
-    s"""WITH RECURSIVE anc AS (
+    s"""WITH RECURSIVE edges AS (
        |  SELECT p_partkey AS node, (p_partkey - 1) // 4 AS anc
-       |  FROM part WHERE p_partkey >= 1
+       |  FROM part WHERE p_partkey >= 1),
+       |anc AS (
+       |  -- recurse through the EDGE RELATION (ancestor must itself be
+       |  -- a part with an out-edge), matching the engine's closure of
+       |  -- the edge table: an arithmetic walk `(anc - 1) // 4` agrees
+       |  -- only on DENSE key spaces and silently tunnels through
+       |  -- non-part ancestor keys on sparse ones (caught by the
+       |  -- round-6 sf1 sweep, whose replica keys stride by 10M)
+       |  SELECT node, anc FROM edges
        |  UNION ALL
-       |  SELECT node, (anc - 1) // 4 FROM anc WHERE anc >= 1),
+       |  SELECT anc.node, e.anc FROM anc JOIN edges e ON anc.anc = e.node),
        |price AS (
        |  SELECT p_partkey, ${Quantize.centsSql("p_retailprice")} AS cents
        |  FROM part),

@@ -107,7 +107,59 @@ object MultimodalQueries {
       |WHERE length(text) > 0
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** `chunk_dedup_ratio`: content-addressable-store savings per feed —
+    * the blob chunks from [[blobChunks]]'s windowing (stride 512,
+    * width 1024) keyed by content hash, counted total vs distinct per
+    * source. This is the dedup economics of a chunk store: a 100 TB
+    * media corpus with repeated intros/headers/padding stores only
+    * distinct chunks, and savings_ppm per feed is the "which sources
+    * re-upload the same bytes" readout (the multimodal sibling of
+    * `dup_rate_by_source`).
+    *
+    * Plan shape: narrow window explode → ONE source-grain aggregate
+    * with a count-distinct on the chunk hash. At scale the distinct
+    * count is the cost center; swap in the suite's KMV/bitmap
+    * machinery if exactness-per-feed can relax — the panel's schema
+    * doesn't change.
+    */
+  def chunkDedupRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .where(length(col("text")) > 0)
+      .select(
+        col("source"), col("text"),
+        (lit(1L) + (length(col("text")) - 1).cast("long") / 512)
+          .cast("long").as("nw"))
+      .select(
+        col("source"), col("text"),
+        explode(sequence(lit(0L), col("nw") - 1)).as("w"))
+      .select(
+        col("source"),
+        md5(expr("substring(text, CAST(w * 512 + 1 AS INT), 1024)"))
+          .as("chunk_hash"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_hash")).as("n_distinct"))
+      .select(
+        col("source"), col("n_chunks"), col("n_distinct"),
+        expr("(n_chunks - n_distinct) * 1000000 div n_chunks")
+          .as("savings_ppm"))
+      .orderBy("source")
+
+  def chunkDedupRatioOracle: String =
+    """WITH ch AS (
+      |  SELECT source, md5(substring(text, w * 512 + 1, 1024)) chunk_hash
+      |  FROM documents,
+      |    unnest(range(0, 1 + (length(text) - 1) // 512)) t(w)
+      |  WHERE length(text) > 0)
+      |SELECT source, CAST(count(*) AS BIGINT) n_chunks,
+      |  CAST(count(DISTINCT chunk_hash) AS BIGINT) n_distinct,
+      |  (count(*) - count(DISTINCT chunk_hash)) * 1000000 // count(*) savings_ppm
+      |FROM ch GROUP BY 1 ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "chunk_dedup_ratio", chunkDedupRatio, Some(chunkDedupRatioOracle)),
     QueryDef(
       "multimodal_features",
       multimodalFeatures,

@@ -500,7 +500,53 @@ object Relational {
        |FROM bn JOIN br ON bn.r_name = br.r_name, t
        |ORDER BY bn.r_name, bn.n_name""".stripMargin
 
+  /** `q9_profit`: the TPC-H Q9 "product-type profit" shape adapted to
+    * this schema (no partsupp table: supply cost proxies as retail
+    * price × quantity) — profit per (supplier nation, ship year), the
+    * canonical star-join + multi-dim rollup every warehouse runs.
+    * Exact decimal arithmetic per the file's discipline: DECIMAL(18,2)
+    * products, summed exactly, surfaced as double once.
+    *
+    * Plan shape: lineitem joins THREE broadcast dimensions (part,
+    * supplier, nation) — zero shuffles of the fact side — then one
+    * (nation, year) aggregate. At 100 TB this is the plan you want: a
+    * single fact scan, dims ride task binaries, map-side partial
+    * aggregation collapses to a 175-row grid.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.read(spark, dir, "lineitem")
+    val part = Tables.read(spark, dir, "part")
+    val supp = Tables.read(spark, dir, "supplier")
+    val nation = Tables.read(spark, dir, "nation")
+    val one = lit(java.math.BigDecimal.ONE)
+    val profit =
+      col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (one - col("l_discount").cast(DecimalType(18, 2))) -
+        col("p_retailprice").cast(DecimalType(18, 2)) *
+        col("l_quantity").cast(DecimalType(18, 2))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(sum(profit).cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  def q9ProfitOracle: String =
+    """SELECT n_name AS nation,
+      |  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             (1 - CAST(l_discount AS DECIMAL(18,2))) -
+      |           CAST(p_retailprice AS DECIMAL(18,2)) *
+      |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q9_profit", q9Profit, Some(q9ProfitOracle)),
     QueryDef("share_of_parent", shareOfParent, Some(shareOfParentOracle)),
     QueryDef("sketch_distinct", sketchDistinct, Some(sketchDistinctOracle)),
     QueryDef("salted_agg", saltedAgg, Some(saltedAggOracle)),

@@ -771,6 +771,133 @@ object Similarity {
        |SELECT q_id, rnk, vec_id AS neighbor, ad2 FROM ranked
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  // --- IVF + PQ on residuals: the combined production index ---
+
+  /** `knn_ivf_pq`: the FAISS-style IVFPQ composition — coarse IVF
+    * cells bound the SEARCH (candidates = one cell, not the corpus)
+    * while product quantization on the RESIDUAL v − centroid(cell)
+    * bounds the MEMORY (4 codes instead of 64 longs per vector).
+    * Encoding residuals instead of raw vectors is the load-bearing
+    * detail: residuals of one cell cluster near the origin, so a
+    * shared codebook covers them far more tightly than raw-space
+    * codes — and the same deterministic integer pipeline makes the
+    * ADC ranking hash-exact here.
+    *
+    * Plan shape: cell assign + residual = narrow codegen'd scans with
+    * the |cells|-sized centroid table broadcast; per-subspace encode
+    * = the same broadcast-argmin kernel ×4; decode = 4 tiny broadcast
+    * joins; search = queries broadcast into their own cell with an
+    * integer ADC distance. The vector table never shuffles; at 100 TB
+    * the serving index is (cell, 4 codes) per vector + KB-scale
+    * codebooks — the memory story neither IVF nor PQ gives alone.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val M = 4
+    val SubDim = 16
+    def subv(c: Column, j: Int): Column = slice(c, j * SubDim + 1, SubDim)
+    val vecs = vectors(spark, dir)
+    val coarse = seedCentroids(vecs)
+    val assigned = assignCells(vecs, coarse)
+    val centsTbl = coarse
+      .select(explode(col("cents")).as("ct"))
+      .select(col("ct.c_id").as("cell"), col("ct.cv").as("ccv"))
+    val resid = assigned
+      .join(broadcast(centsTbl), "cell")
+      .select(
+        col("vec_id"), col("cell"),
+        zip_with(col("v"), col("ccv"), (a, b) => a - b).as("r"))
+      // three consumers (codebook seeds, encode scan, queries): one
+      // materialization instead of re-running assign+residual each
+      .localCheckpoint(eager = false)
+    val seeds = resid.where(col("vec_id") % 97 === 0)
+    var coded = resid
+    for (j <- 0 until M) {
+      val cb = seeds
+        .select(col("vec_id").as("c_id"), subv(col("r"), j).as("cv"))
+        .agg(collect_list(struct(col("c_id"), col("cv"))).as(s"cents$j"))
+      coded = coded.crossJoin(broadcast(cb))
+        .withColumn(
+          s"code$j",
+          graft.functions.VectorFunctions
+            .nearestCentroid(subv(col("r"), j), col(s"cents$j")))
+        .drop(s"cents$j")
+    }
+    var decoded = coded
+    for (j <- 0 until M) {
+      val sub = seeds.select(
+        col("vec_id").as(s"code$j"), subv(col("r"), j).as(s"cv$j"))
+      decoded = decoded.join(broadcast(sub), s"code$j")
+    }
+    val recon = decoded.select(
+      col("vec_id"), col("cell"),
+      concat((0 until M).map(j => col(s"cv$j")): _*).as("rr"))
+    val queries = resid.where(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("q_id"), col("cell").as("q_cell"), col("r").as("qr"))
+    val scored = recon
+      .join(
+        broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn(
+        "ad2",
+        graft.functions.VectorFunctions.l2sqLong(col("qr"), col("rr")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ad2"), col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor"), col("ad2"))
+      .orderBy("q_id", "rnk")
+  }
+
+  def knnIvfPqOracle: String =
+    s"""WITH $VectorsSql,
+       |cents AS (SELECT vec_id c_id, v cv FROM vn WHERE vec_id % 53 = 0),
+       |dists AS (
+       |  SELECT vn.vec_id, vn.v, vn.nrm, c_id,
+       |    CAST(list_sum(list_transform(range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS BIGINT) d2
+       |  FROM vn CROSS JOIN cents),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, c_id cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) arn
+       |    FROM dists) WHERE arn = 1),
+       |resid AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(1, len(a.v) + 1), i -> a.v[i] - c.cv[i]) r
+       |  FROM assigned a JOIN cents c ON a.cell = c.c_id),
+       |seeds AS (SELECT vec_id c_id, r FROM resid WHERE vec_id % 97 = 0),
+       |cb AS (
+       |  SELECT c_id, j, list_slice(r, j*16+1, (j+1)*16) cv
+       |  FROM seeds, unnest([0, 1, 2, 3]) t(j)),
+       |sv AS (
+       |  SELECT vec_id, cell, j, list_slice(r, j*16+1, (j+1)*16) sub
+       |  FROM resid, unnest([0, 1, 2, 3]) t(j)),
+       |d AS (
+       |  SELECT sv.vec_id, sv.j, cb.c_id,
+       |    list_sum(list_transform(range(1, 17), i -> (sub[i] - cv[i]) * (sub[i] - cv[i]))) d2
+       |  FROM sv JOIN cb ON sv.j = cb.j),
+       |codes AS (
+       |  SELECT vec_id, j, c_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c_id) rn
+       |    FROM d) WHERE rn = 1),
+       |recon AS (
+       |  SELECT codes.vec_id, flatten(list(cv ORDER BY codes.j)) rr
+       |  FROM codes JOIN cb ON codes.j = cb.j AND codes.c_id = cb.c_id
+       |  GROUP BY codes.vec_id),
+       |rc AS (
+       |  SELECT recon.vec_id, resid.cell, recon.rr
+       |  FROM recon JOIN resid ON recon.vec_id = resid.vec_id),
+       |q AS (SELECT vec_id q_id, cell q_cell, r qr FROM resid WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, rc.vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65), i -> (qr[i] - rr[i]) * (qr[i] - rr[i]))) AS BIGINT) ad2
+       |  FROM rc JOIN q ON rc.cell = q.q_cell AND rc.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, ad2,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad2, vec_id) rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, vec_id AS neighbor, ad2 FROM ranked
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   // --- ANN quality gate: recall@3 of every approximate method ---
 
   /** The answer-quality counterpart of the cost benchmarks: recall@3
@@ -797,6 +924,7 @@ object Similarity {
         scored("knn_ivf", knnIvf(spark, dir)),
         scored("knn_ivf_kmeans", knnIvfKmeans(spark, dir)),
         scored("knn_ivf_probe2", knnIvfProbe2(spark, dir)),
+        scored("knn_ivf_pq", knnIvfPq(spark, dir)),
         scored("knn_lsh", knnLsh(spark, dir)),
         scored("knn_pq", knnPq(spark, dir)))
       .reduce(_.unionByName(_))
@@ -820,6 +948,8 @@ object Similarity {
        |${m("knn_ivf_kmeans", knnIvfKmeansOracle)}
        |UNION ALL
        |${m("knn_ivf_probe2", knnIvfProbe2Oracle)}
+       |UNION ALL
+       |${m("knn_ivf_pq", knnIvfPqOracle)}
        |UNION ALL
        |${m("knn_lsh", knnLshOracle)}
        |UNION ALL
@@ -899,6 +1029,7 @@ object Similarity {
     QueryDef("knn_ivf_probe2", knnIvfProbe2, Some(knnIvfProbe2Oracle)),
     QueryDef("knn_lsh", knnLsh, Some(knnLshOracle)),
     QueryDef("knn_pq", knnPq, Some(knnPqOracle)),
+    QueryDef("knn_ivf_pq", knnIvfPq, Some(knnIvfPqOracle)),
     QueryDef("knn_recall", knnRecall, Some(knnRecallOracle)),
     QueryDef(
       "embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)))

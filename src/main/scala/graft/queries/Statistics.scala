@@ -766,7 +766,70 @@ object Statistics {
       |    concentrated
       |FROM ps GROUP BY part ORDER BY part""".stripMargin
 
+  /** Benford first-digit expected shares in ppm: floor(log10(1+1/d)
+    * · 10⁶), hard-coded as literals in BOTH engines so no log() ever
+    * crosses the engine boundary.
+    */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** `benford_test`: first-significant-digit distribution of order
+    * totals against Benford's law — the forensic-accounting /
+    * data-fabrication screen run over any financial fact table
+    * (fabricated or truncated data flattens the leading-digit curve).
+    * Observed shares and deviations are integer ppm; the expected
+    * shares are pinned literals, so the whole panel is hash-exact.
+    * TPC-H prices are uniform-ish, NOT Benford — the panel measures
+    * the deviation rather than asserting conformance; dev_ppm is the
+    * per-digit signal a monitor thresholds on.
+    *
+    * Plan shape: one narrow scan → 9-row digit aggregate → broadcast
+    * 1-row total; nothing downstream of the first aggregate is
+    * fact-sized. At 100 TB this is a map-side-combinable count per
+    * digit — the cheapest possible full-table screen.
+    */
+  def benfordTest(spark: SparkSession, dir: String): DataFrame = {
+    val expected = BenfordPpm
+      .map { case (d, p) => s"WHEN digit = $d THEN ${p}L" }
+      .mkString("CASE ", " ", " END")
+    val digits = Tables.read(spark, dir, "orders")
+      .select(Quantize.cents(col("o_totalprice")).as("cents"))
+      // cents > 0 for every order; the leading char of the decimal
+      // rendering IS the first significant digit
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("tot"))
+    digits.crossJoin(broadcast(tot))
+      .select(
+        col("digit"),
+        col("n_obs"),
+        expr("n_obs * 1000000 div tot").as("obs_ppm"),
+        expr(expected).as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy("digit")
+  }
+
+  def benfordTestOracle: String = {
+    val expected = BenfordPpm
+      .map { case (d, p) => s"WHEN digit = $d THEN $p" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(${Quantize.centsSql("o_totalprice")} AS VARCHAR), 1, 1) AS BIGINT) digit
+       |  FROM orders),
+       |g AS (SELECT digit, CAST(count(*) AS BIGINT) n_obs FROM d GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_obs) AS BIGINT) tot FROM g)
+       |SELECT digit, n_obs,
+       |  n_obs * 1000000 // tot obs_ppm,
+       |  CAST($expected AS BIGINT) exp_ppm,
+       |  n_obs * 1000000 // tot - CAST($expected AS BIGINT) dev_ppm
+       |FROM g, t ORDER BY digit""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("benford_test", benfordTest, Some(benfordTestOracle)),
     QueryDef(
       "hhi_concentration", hhiConcentration, Some(hhiConcentrationOracle)),
     QueryDef("ab_test", abTest, Some(abTestOracle)),

@@ -726,7 +726,208 @@ object TextAnalysis {
        |SELECT doc_id, n_bigrams, score_ppm
        |FROM ds ORDER BY score_ppm DESC, doc_id LIMIT 25""".stripMargin
 
+  /** `dup_spans`: cross-document repeated-span detection — the
+    * exact-substring dedup signal (the Lee et al. "Deduplicating
+    * Training Data" shape, at span-hash granularity): every 64-char
+    * window at stride 32 of the normalized text hashes with the same
+    * codegen'd Rabin–Karp polynomial as [[rollingFingerprint]], and a
+    * span seen in ≥ 2 DISTINCT documents is a cross-doc duplicate
+    * span — boilerplate, license headers, templated passages. Output:
+    * top spans by document spread.
+    *
+    * Plan shape: narrow window-hash explode (bounded ×len/32 per doc)
+    * → ONE posting-list aggregate keyed by span hash → top-k. Never
+    * doc×doc: the span hash is the posting key exactly like
+    * `decontaminate`'s shingle join; at 100 TB hot spans (ubiquitous
+    * boilerplate) are the skew to watch — the hot-shingle cap applies
+    * verbatim if a span's posting list needs bounding, and the
+    * aggregate itself is map-side-combinable so even a 10⁸-doc span
+    * costs one combiner cell per task.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RollingHashFunction.rollingHash
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val nw = greatest(
+      expr("(length(s) - 64) div 32").cast("long") + 1, lit(1L))
+    Tables.read(spark, dir, "documents")
+      // Generate barrier: normalize once per row, not per window
+      .select(col("doc_id"), explode(array(norm)).as("s"))
+      .withColumn("nw", nw)
+      .select(
+        col("doc_id"), col("s"),
+        explode(sequence(lit(0L), col("nw") - 1)).as("k"))
+      .select(
+        col("doc_id"),
+        rollingHash(
+          call_function(
+            "substring", col("s"), (col("k") * 32 + 1).cast("int"), lit(64)))
+          .as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span_hash"))
+      .limit(25)
+  }
+
+  def dupSpansOracle: String = {
+    val hashFold =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), %s), (x, y) -> (x * 31 + y) %% 1000000007)"
+    def chars(e: String) =
+      s"list_transform(range(1, length($e) + 1), i -> CAST(ord(substr($e, CAST(i AS INT), 1)) AS BIGINT))"
+    val win = "substr(s, CAST(k * 32 + 1 AS INT), 64)"
+    s"""WITH n AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) s
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, s, greatest((length(s) - 64) // 32 + 1, 1) nw
+       |  FROM n),
+       |spans AS (
+       |  SELECT doc_id, ${hashFold.format(chars(win))} span_hash
+       |  FROM w, unnest(range(0, nw)) t(k)),
+       |g AS (
+       |  SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) n_docs,
+       |    CAST(count(*) AS BIGINT) n_occ, min(doc_id) first_doc
+       |  FROM spans GROUP BY 1)
+       |SELECT span_hash, n_docs, n_occ, first_doc FROM g
+       |WHERE n_docs >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, span_hash LIMIT 25""".stripMargin
+  }
+
+  /** `rrf_fusion`: reciprocal-rank fusion of two retrieval rankings —
+    * the standard hybrid-search combiner (RAG stacks fuse BM25 with a
+    * vector ranker exactly this way; any pair of rankers fuses
+    * identically). Ranker A = the BM25 scorer over the fixed query
+    * terms; ranker B = term coverage (distinct query terms matched,
+    * then raw tf) — the boolean-retrieval baseline BM25 is usually
+    * fused against when no ANN index exists. RRF(d) = Σ_r 1/(60 +
+    * rank_r(d)), here in integer ppm (10⁶ div (60+rank)) so the fused
+    * scores are hash-exact.
+    *
+    * Plan shape: ONE tf relation (lazy-checkpointed) feeds both
+    * rankers; each top-20 list is a TakeOrderedAndProject; ranks
+    * derive from a 20×20 broadcast triangular join (never an
+    * unpartitioned window — the suite-wide rule); the fuse is a
+    * 20-row full outer join. At 100 TB only the tf build touches the
+    * corpus; everything after is top-k-sized.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+    val base = docs
+      .select(col("doc_id"), explode(array(toks(lower(col("text"))))).as("t"))
+      .select(
+        col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+    val tf = base.where(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // both rankers read it
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs
+      .select(size(toks(lower(col("text")))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val bm25 = tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "idf_q",
+        floor(lit(1e6) *
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .cast("long"))
+      .withColumn(
+        "tf_q",
+        floor(lit(1e6) * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl") / (col("sum_dl").cast("double") / col("n_docs")))))))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf_q") * col("tf_q")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .localCheckpoint(eager = false)
+    val cover = tf.groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_match"), sum(col("tf")).as("tf_sum"))
+      .orderBy(col("n_match").desc, col("tf_sum").desc, col("doc_id"))
+      .limit(20)
+      .localCheckpoint(eager = false)
+    // rank = 1 + |better rows|, from a 20x20 broadcast triangular
+    // join over the materialized top lists
+    val rankA = bm25.toDF("doc_id", "score")
+      .join(
+        broadcast(bm25.toDF("b_doc", "b_score")),
+        col("b_score") > col("score") ||
+          (col("b_score") === col("score") && col("b_doc") < col("doc_id")),
+        "left")
+      .groupBy(col("doc_id"))
+      .agg((count(col("b_doc")) + 1).as("rank_a"))
+    val rankB = cover.toDF("doc_id", "n_match", "tf_sum")
+      .join(
+        broadcast(cover.toDF("b_doc", "b_match", "b_tf")),
+        col("b_match") > col("n_match") ||
+          (col("b_match") === col("n_match") && col("b_tf") > col("tf_sum")) ||
+          (col("b_match") === col("n_match") && col("b_tf") === col("tf_sum")
+            && col("b_doc") < col("doc_id")),
+        "left")
+      .groupBy(col("doc_id"))
+      .agg((count(col("b_doc")) + 1).as("rank_b"))
+    rankA.join(rankB, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"), col("rank_a"), col("rank_b"),
+        (coalesce(expr("1000000 div (60 + rank_a)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_b)"), lit(0L))).as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  def rrfFusionOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${ToksSql.format("lower(text)")} t FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) dl FROM d),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) n_docs, CAST(SUM(dl) AS BIGINT) sum_dl
+       |  FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+       |  FROM (SELECT doc_id, unnest(t) term FROM d)
+       |  WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY 1, 2),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(1e6 * ((n_docs - df + 5e-1) / (df + 5e-1))) AS BIGINT) *
+       |    CAST(floor(1e6 * ((tf * 2.2e0) /
+       |      (tf + 1.2e0 * (2.5e-1 + 7.5e-1 *
+       |        (dl.dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))) AS BIGINT) comp
+       |  FROM tf
+       |  JOIN dft USING (term)
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN st),
+       |bm AS (
+       |  SELECT doc_id, CAST(SUM(comp) AS BIGINT) score
+       |  FROM scored GROUP BY doc_id),
+       |bmtop AS (
+       |  SELECT doc_id, CAST(rn AS BIGINT) rank_a FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) rn
+       |    FROM bm) WHERE rn <= 20),
+       |cov AS (
+       |  SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) n_match,
+       |    CAST(sum(tf) AS BIGINT) tf_sum
+       |  FROM tf GROUP BY 1),
+       |covtop AS (
+       |  SELECT doc_id, CAST(rn AS BIGINT) rank_b FROM (
+       |    SELECT doc_id,
+       |      ROW_NUMBER() OVER (ORDER BY n_match DESC, tf_sum DESC, doc_id) rn
+       |    FROM cov) WHERE rn <= 20)
+       |SELECT COALESCE(a.doc_id, b.doc_id) doc_id, a.rank_a, b.rank_b,
+       |  COALESCE(1000000 // (60 + a.rank_a), 0) +
+       |  COALESCE(1000000 // (60 + b.rank_b), 0) rrf_ppm
+       |FROM bmtop a FULL JOIN covtop b ON a.doc_id = b.doc_id
+       |ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("rrf_fusion", rrfFusion, Some(rrfFusionOracle)),
+    QueryDef("dup_spans", dupSpans, Some(dupSpansOracle)),
     QueryDef("text_normalize", textNormalize, Some(textNormalizeOracle)),
     QueryDef("ngram_lm", ngramLm, Some(ngramLmOracle)),
     QueryDef("lm_prune", lmPrune, Some(lmPruneOracle)),

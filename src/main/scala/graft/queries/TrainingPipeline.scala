@@ -604,7 +604,151 @@ object TrainingPipeline {
        |FROM rnk WHERE rn <= 5
        |ORDER BY source, rn""".stripMargin
 
+  /** `quality_classifier`: the fasttext-style linear quality scorer —
+    * the SECOND quality filter every corpus pipeline runs beside the
+    * LM-perplexity gate (`ngram_lm`/`lm_prune`): hand-derived integer
+    * features (stopword share, length saturation, mean word length,
+    * digit/punctuation shares) dotted with PINNED integer weights, a
+    * fixed keep threshold, and the per-source keep-rate panel that
+    * decides which feeds need re-crawling. A trained model would ship
+    * learned weights through the identical plan — the weights are the
+    * stub here (this container has no training libs), the scoring
+    * dataflow is the real thing.
+    *
+    * All features are integer ppm/milli with div-floor, so the scores
+    * (and the panel) are hash-exact. Plan shape: one narrow codegen'd
+    * scan computes every feature (no shuffle), then ONE source-grain
+    * aggregate. At 100 TB: map-side-combinable; the scorer adds zero
+    * exchanges to whatever pipeline hosts it.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val stopArr = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+    val feats = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(array(toksCol)).as("t")) // Generate barrier: tokenize once
+      .select(
+        col("source"),
+        size(col("t")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(filter(col("t"), x => array_contains(stopArr, x)))
+          .cast("long").as("n_stop"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .cast("long").as("n_punct"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_digit"))
+      .where(col("n_tok") > 0 && col("n_chars") > 0)
+    val score =
+      expr("(n_stop * 1000000 div n_tok) div 100") + // stopword share
+        expr("least(n_tok, 200) * 1000 div 200") + // length saturation
+        -expr("abs(n_chars * 1000 div n_tok - 5500) div 2") - // word-length shape
+        expr("(n_digit * 1000000 div n_chars) div 100") - // digit share
+        expr("(n_punct * 1000000 div n_chars) div 100") // punct share
+    feats
+      .withColumn("score", score)
+      .withColumn("keep", (col("score") >= 800).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_keep"),
+        sum(col("score")).as("ssum"))
+      .select(
+        col("source"), col("n_docs"), col("n_keep"),
+        expr("n_keep * 1000000 div n_docs").as("keep_ppm"),
+        // ssum can be negative: sign-split the floor division so both
+        // engines truncate toward zero identically
+        expr("CASE WHEN ssum < 0 THEN -((-ssum) div n_docs) ELSE ssum div n_docs END")
+          .as("avg_score"))
+      .orderBy("source")
+  }
+
+  def qualityClassifierOracle: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) n_tok,
+      |    length(text) n_chars,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |        x -> list_contains(['the','a','and','of','to','in'], x))) n_stop,
+      |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) n_punct,
+      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) n_digit
+      |  FROM documents),
+      |s AS (
+      |  SELECT source,
+      |    (n_stop * 1000000 // n_tok) // 100
+      |    + least(n_tok, 200) * 1000 // 200
+      |    - abs(n_chars * 1000 // n_tok - 5500) // 2
+      |    - (n_digit * 1000000 // n_chars) // 100
+      |    - (n_punct * 1000000 // n_chars) // 100 AS score
+      |  FROM t WHERE n_tok > 0 AND n_chars > 0)
+      |SELECT source, CAST(count(*) AS BIGINT) n_docs,
+      |  CAST(sum(CASE WHEN score >= 800 THEN 1 ELSE 0 END) AS BIGINT) n_keep,
+      |  CAST(sum(CASE WHEN score >= 800 THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) keep_ppm,
+      |  CAST(CASE WHEN sum(score) < 0 THEN -((-sum(score)) // count(*))
+      |    ELSE sum(score) // count(*) END AS BIGINT) avg_score
+      |FROM s GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** `mlm_mask`: deterministic masked-language-model span selection —
+    * the BERT/T5 data-prep step: ~15% of each document's token
+    * POSITIONS select for masking by content hash of (doc_id, pos),
+    * never RNG state, so the same document masks identically across
+    * engines, runs, partitionings and epochs (reshuffle the epoch,
+    * not the masks). Output per doc: token count, masked count, and
+    * an order-independent checksum of the selected positions' hashes
+    * — the artifact a training job verifies its masking against.
+    *
+    * Plan shape: narrow tokenize → bounded position explode (×n_tok)
+    * → ONE doc-grain aggregate. Masking depends only on (doc_id,
+    * pos), so the token VALUES never leave the first projection; at
+    * 100 TB this is a zero-join, map-side-combinable pass.
+    */
+  def mlmMask(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), size(toksCol).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .select(
+        col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_tokens") - 1)).as("pos"))
+      .withColumn(
+        "h",
+        conv(
+          substring(
+            md5(concat(
+              col("doc_id").cast("string"), lit(":"),
+              col("pos").cast("string"))), 1, 8),
+          16, 10).cast("long"))
+      .withColumn("m", col("h") % 100 < 15)
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        sum(col("m").cast("long")).as("n_masked"),
+        sum(when(col("m"), col("h"))).as("mask_checksum"))
+      .orderBy("doc_id")
+  }
+
+  def mlmMaskOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |      CAST(pos AS VARCHAR)), 1, 8))::BIGINT h
+      |  FROM w, unnest(range(0, n_tokens)) t(pos)
+      |  WHERE n_tokens > 0)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) n_tokens,
+      |  CAST(sum(CASE WHEN h % 100 < 15 THEN 1 ELSE 0 END) AS BIGINT) n_masked,
+      |  CAST(sum(CASE WHEN h % 100 < 15 THEN h END) AS BIGINT) mask_checksum
+      |FROM p GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mlm_mask", mlmMask, Some(mlmMaskOracle)),
+    QueryDef(
+      "quality_classifier", qualityClassifier,
+      Some(qualityClassifierOracle)),
     QueryDef("weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("zscore_normalize", zscoreNormalize, Some(zscoreNormalizeOracle)),
     QueryDef("winsorize", winsorize, Some(winsorizeOracle)),

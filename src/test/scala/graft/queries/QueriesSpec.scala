@@ -446,7 +446,8 @@ class QueriesSpec extends AnyFunSuite {
     val rows = Similarity.knnRecall(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(rows.keySet == Set(
-      "knn_ivf", "knn_ivf_kmeans", "knn_ivf_probe2", "knn_lsh", "knn_pq"))
+      "knn_ivf", "knn_ivf_kmeans", "knn_ivf_probe2", "knn_ivf_pq",
+      "knn_lsh", "knn_pq"))
     assert(rows.values.forall(v => v >= 0.0 && v <= 1.0), rows)
     // probe2 searches a STRICT superset of ivf's candidate cells
     assert(rows("knn_ivf_probe2") >= rows("knn_ivf"), rows)

@@ -45,12 +45,16 @@ for t in copy_as_is:
 for t, keys in keyed.items():
     cols = [c[0] for c in
             con.sql(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
-    def render(c, t=t):
-        # events.ts is physically INT64 TIMESTAMP(NANOS) in the source
-        # (the engine reads it via the nanosAsLong legacy conf and
-        # divides to micros itself) — keep that representation, a
-        # DuckDB TIMESTAMP rewrite would change the surfaced type
-        if t == "events" and c == "ts":
+    types = {c[0]: c[1] for c in
+             con.sql(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()}
+    def render(c, t=t, types=types):
+        # The driver's events.ts encoding VARIES by generation:
+        # INT64 TIMESTAMP(NANOS) (DuckDB surfaces TIMESTAMP_NS; the
+        # engine reads it via nanosAsLong) or TIMESTAMP(MICROS). The
+        # replica must MIRROR the source generation — rewriting the
+        # representation would shift which Tables.events branch the
+        # sf1 run exercises and break the oracles' ts arithmetic.
+        if t == "events" and c == "ts" and types[c] == "TIMESTAMP_NS":
             return "epoch_ns(ts) AS ts"
         if c in keys:
             return f"{c} + r.i * {STRIDE} AS {c}"
