@@ -316,7 +316,60 @@ object Advanced {
       |  TRUE p50_in_bounds
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** `tokenizer_fertility`: subword-per-word fertility and chars-per-
+    * subword by language — the tokenizer-efficiency readout that
+    * decides whether a tokenizer (or a language's representation in
+    * it) is wasting context budget: high fertility = more subwords
+    * per whitespace word = fewer effective words per sequence.
+    * Whitespace words vs the BPE-ish run tokenizer (`bpe_tokens`'
+    * letter/digit/punct runs), integer ppm/milli.
+    *
+    * Plan shape: one narrow scan computes both token counts per row
+    * (no explode — only the array SIZES leave the projection), then
+    * one language-grain aggregate. Map-side-combinable, zero joins.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val ws = size(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+      .cast("long")
+    val sub = size(
+      regexp_extract_all(
+        lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
+    Tables.read(spark, dir, "documents")
+      .select(
+        col("lang"), ws.as("n_ws"), sub.as("n_sub"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_sub")).as("sub_tokens"),
+        sum(col("n_chars")).as("chars"))
+      .select(
+        col("lang"), col("n_docs"), col("ws_tokens"), col("sub_tokens"),
+        expr("sub_tokens * 1000000 div ws_tokens").as("fertility_ppm"),
+        expr("chars * 1000 div sub_tokens").as("chars_per_sub_milli"))
+      .orderBy("lang")
+  }
+
+  def tokenizerFertilityOracle: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) n_ws,
+      |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) n_sub,
+      |    length(text) n_chars
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+      |  CAST(sum(n_ws) AS BIGINT) ws_tokens,
+      |  CAST(sum(n_sub) AS BIGINT) sub_tokens,
+      |  CAST(sum(n_sub) AS BIGINT) * 1000000 // CAST(sum(n_ws) AS BIGINT) fertility_ppm,
+      |  CAST(sum(n_chars) AS BIGINT) * 1000 // CAST(sum(n_sub) AS BIGINT) chars_per_sub_milli
+      |FROM t GROUP BY 1 ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "tokenizer_fertility", tokenizerFertility,
+      Some(tokenizerFertilityOracle)),
     QueryDef("asof_join", asofJoin, Some(asofJoinOracle)),
     QueryDef("range_join", rangeJoin, Some(rangeJoinOracle)),
     QueryDef("pivot_counts", pivotCounts, Some(pivotCountsOracle)),

@@ -1260,7 +1260,140 @@ object Analytics {
        |FROM gd JOIN p USING (dow, hr)
        |ORDER BY abs(dev_ppm) DESC, d, hr LIMIT 25""".stripMargin
 
+  /** `trend_decompose`: the classical-decomposition (STL-lite) split
+    * of the daily-revenue series into trend + seasonal + residual —
+    * trend = centered 7-day moving average, seasonal = per-weekday
+    * mean of the detrended series, residual = the anomaly signal left
+    * over (what `seasonal_anomaly` thresholds on, here derived from
+    * first principles). All integer with sign-split floor division.
+    *
+    * Plan shape: one fact scan → day-grain aggregate; the centered MA
+    * comes from an explode(−3..3) equi-join of the day grid with
+    * itself — NOT a window (the suite bans unpartitioned windows, and
+    * the join form states the edge rule explicitly: days without a
+    * full 7-day neighborhood drop). Everything after the first
+    * aggregate is calendar-sized.
+    */
+  def trendDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.read(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(Quantize.cents(col("o_totalprice"))).as("x"))
+      .localCheckpoint(eager = false) // grid: three consumers
+    val trend = daily
+      .select(col("d"), explode(sequence(lit(-3), lit(3))).as("off"))
+      .select(col("d"), expr("date_add(d, off)").as("nd"))
+      .join(daily.select(col("d").as("nd"), col("x").as("nx")), "nd")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("nn"), sum(col("nx")).as("s7"))
+      .where(col("nn") === 7) // full neighborhood only: the edge rule
+      .select(col("d"), expr("s7 div 7").as("trend"))
+    val detr = daily.join(trend, "d")
+      .select(
+        col("d"), col("x"), col("trend"),
+        (col("x") - col("trend")).as("detr"),
+        (weekday(col("d")) + 1).cast("long").as("dow"))
+      .localCheckpoint(eager = false) // grid: seasonal + join-back
+    val seasonal = detr.groupBy(col("dow"))
+      .agg(sum(col("detr")).as("sd"), count(lit(1)).as("nd"))
+      .select(
+        col("dow"),
+        expr("CASE WHEN sd >= 0 THEN sd div nd ELSE -((-sd) div nd) END")
+          .as("seasonal"))
+    detr.join(broadcast(seasonal), "dow")
+      .select(
+        col("d").as("day"), col("x").as("obs_cents"), col("trend"),
+        col("seasonal"), (col("detr") - col("seasonal")).as("residual"))
+      .orderBy("day")
+  }
+
+  def trendDecomposeOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    CAST(sum(${Quantize.centsSql("o_totalprice")}) AS BIGINT) x
+       |  FROM orders GROUP BY 1),
+       |tr AS (
+       |  SELECT a.d, CAST(count(*) AS BIGINT) nn,
+       |    CAST(sum(b.x) AS BIGINT) s7
+       |  FROM daily a, unnest(range(-3, 4)) t(off)
+       |  JOIN daily b ON b.d = a.d + CAST(off AS INT)
+       |  GROUP BY 1),
+       |tr7 AS (SELECT d, s7 // 7 trend FROM tr WHERE nn = 7),
+       |detr AS (
+       |  SELECT daily.d, x, trend, x - trend AS detr,
+       |    CAST(isodow(daily.d) AS BIGINT) dow
+       |  FROM daily JOIN tr7 ON daily.d = tr7.d),
+       |seasonal AS (
+       |  SELECT dow,
+       |    CAST(CASE WHEN sum(detr) >= 0 THEN sum(detr) // count(*)
+       |      ELSE -((-sum(detr)) // count(*)) END AS BIGINT) seasonal
+       |  FROM detr GROUP BY 1)
+       |SELECT d AS "day", x obs_cents, trend, seasonal,
+       |  detr - seasonal AS residual
+       |FROM detr JOIN seasonal USING (dow)
+       |ORDER BY "day"""".stripMargin
+
+  /** `whale_share`: revenue concentration in the top 1% of customers —
+    * the "whale" metric every subscription/commerce business tracks
+    * beside [[giniIndex]]'s full-curve summary: k = max(n/100, 1)
+    * top customers by lifetime cents, their exact revenue share in
+    * ppm, and the entry threshold. k derives from a driver-side count
+    * (the bom_rollup depth-bound rule: one scalar action fixes the
+    * plan, no per-row dependence), ties broken by customer key so the
+    * top set is exact.
+    *
+    * Plan shape: fact scan → customer-grain aggregate →
+    * TakeOrderedAndProject(k) — per-partition heap + driver merge of
+    * k rows, never a global sort — plus one 1-row total. At 100 TB k
+    * is still customers/100: the heap path is exactly how you'd
+    * compute it there.
+    */
+  def whaleShare(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(Quantize.cents(col("o_totalprice"))).as("monet"))
+      .localCheckpoint(eager = false) // count + top-k + total
+    val n = cust.count()
+    val k = math.max(n / 100, 1L).toInt
+    val top = cust.orderBy(col("monet").desc, col("o_custkey")).limit(k)
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("monet")).as("topk_cents"),
+        min(col("monet")).as("threshold_cents"))
+    val tot = cust.agg(
+      count(lit(1)).as("n_customers"), sum(col("monet")).as("total_cents"))
+    top.crossJoin(broadcast(tot))
+      .select(
+        col("n_customers"), col("k"), col("threshold_cents"),
+        col("topk_cents"), col("total_cents"),
+        expr("topk_cents * 1000000 div total_cents").as("share_ppm"))
+  }
+
+  def whaleShareOracle: String =
+    s"""WITH cust AS (
+       |  SELECT o_custkey, CAST(sum(${Quantize.centsSql("o_totalprice")}) AS BIGINT) monet
+       |  FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT monet,
+       |    ROW_NUMBER() OVER (ORDER BY monet DESC, o_custkey) rn
+       |  FROM cust),
+       |kk AS (SELECT greatest(count(*) // 100, 1) k FROM cust),
+       |top AS (
+       |  SELECT CAST(count(*) AS BIGINT) k,
+       |    CAST(sum(monet) AS BIGINT) topk_cents,
+       |    CAST(min(monet) AS BIGINT) threshold_cents
+       |  FROM r, kk WHERE rn <= kk.k),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) n_customers,
+       |    CAST(sum(monet) AS BIGINT) total_cents
+       |  FROM cust)
+       |SELECT n_customers, k, threshold_cents, topk_cents, total_cents,
+       |  topk_cents * 1000000 // total_cents share_ppm
+       |FROM top, tot""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("whale_share", whaleShare, Some(whaleShareOracle)),
+    QueryDef(
+      "trend_decompose", trendDecompose, Some(trendDecomposeOracle)),
     QueryDef("mom_growth", momGrowth, Some(momGrowthOracle)),
     QueryDef("seasonal_anomaly", seasonalAnomaly, Some(seasonalAnomalyOracle)),
     QueryDef("rfm_segments", rfmSegments, Some(rfmSegmentsOracle)),

@@ -828,7 +828,135 @@ object Statistics {
        |FROM g, t ORDER BY digit""".stripMargin
   }
 
+  /** `join_size_estimate`: the textbook equi-join cardinality
+    * estimate |A⋈B| ≈ |A|·|B| / max(d_A, d_B) computed from exact
+    * per-side statistics and compared against the true join size —
+    * the optimizer-diagnostics readout (a large err_ppm on a
+    * production join is the signal its key distribution violates the
+    * uniformity assumption and needs a histogram or a salt, exactly
+    * what `skew_report`/`salt_plan` then quantify). Two joins
+    * audited: orders⋈customer (FK, est exact by construction) and
+    * lineitem⋈orders.
+    *
+    * Plan shape: per join, two single-pass side aggregates (count +
+    * count-distinct) and one exact join count; outputs are 1-row per
+    * audited join. The estimate needs only per-side stats — at
+    * 100 TB that's the point: the est column costs two narrow scans
+    * while the actual column costs the join, and production uses the
+    * estimate precisely to decide whether to run such joins.
+    */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    def audit(
+        name: String, a: DataFrame, ka: String, b: DataFrame, kb: String)
+        : DataFrame = {
+      val sa = a.agg(
+        count(lit(1)).as("n_left"),
+        countDistinct(col(ka)).as("d_left"))
+      val sb = b.agg(
+        count(lit(1)).as("n_right"),
+        countDistinct(col(kb)).as("d_right"))
+      val actual = a.join(b, col(ka) === col(kb))
+        .agg(count(lit(1)).as("actual"))
+      sa.crossJoin(sb).crossJoin(actual)
+        .select(
+          lit(name).as("join_name"),
+          col("n_left"), col("d_left"), col("n_right"), col("d_right"),
+          expr("n_left * n_right div greatest(d_left, d_right)").as("est"),
+          col("actual"))
+        .withColumn(
+          "err_ppm",
+          expr("""CASE WHEN est >= actual
+                 |  THEN ((est - actual) * 1000000) div actual
+                 |  ELSE -(((actual - est) * 1000000) div actual)
+                 |END""".stripMargin))
+    }
+    val ord = Tables.read(spark, dir, "orders")
+    audit(
+      "orders_customer", ord.select(col("o_custkey")), "o_custkey",
+      Tables.read(spark, dir, "customer").select(col("c_custkey")),
+      "c_custkey")
+      .unionByName(audit(
+        "lineitem_orders",
+        Tables.read(spark, dir, "lineitem").select(col("l_orderkey")),
+        "l_orderkey", ord.select(col("o_orderkey")), "o_orderkey"))
+      .orderBy("join_name")
+  }
+
+  def joinSizeEstimateOracle: String = {
+    def audit(name: String, a: String, ka: String, b: String, kb: String) =
+      s"""SELECT '$name' join_name,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $a) n_left,
+         |  (SELECT CAST(count(DISTINCT $ka) AS BIGINT) FROM $a) d_left,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $b) n_right,
+         |  (SELECT CAST(count(DISTINCT $kb) AS BIGINT) FROM $b) d_right,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM $a JOIN $b ON $ka = $kb) actual""".stripMargin
+    s"""WITH s AS (
+       |${audit("orders_customer", "orders", "o_custkey", "customer", "c_custkey")}
+       |UNION ALL
+       |${audit("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")})
+       |SELECT join_name, n_left, d_left, n_right, d_right,
+       |  n_left * n_right // greatest(d_left, d_right) est, actual,
+       |  CAST(CASE WHEN n_left * n_right // greatest(d_left, d_right) >= actual
+       |    THEN ((n_left * n_right // greatest(d_left, d_right) - actual) * 1000000) // actual
+       |    ELSE -(((actual - n_left * n_right // greatest(d_left, d_right)) * 1000000) // actual)
+       |  END AS BIGINT) err_ppm
+       |FROM s ORDER BY join_name""".stripMargin
+  }
+
+  /** Target rows-per-reducer for [[saltPlan]] — the knob a real job
+    * sets from executor memory; pinned so the plan is hash-exact.
+    */
+  private val SaltTarget = 15L
+
+  /** `salt_plan`: the skew-mitigation PLANNING table — for the
+    * orders-per-customer key distribution, every hot key (group size
+    * > [[SaltTarget]]) with its computed salt factor
+    * ceil(cnt / target), plus the residual uniform keys folded to one
+    * summary row. This is the table the salted-join pattern
+    * (`skew_join`) consumes: replicate the dim side ×salt for hot
+    * keys only, leave the uniform mass alone — `skew_report` says
+    * WHETHER to salt, this says HOW MUCH, per key.
+    *
+    * Plan shape: one fact scan → key-grain count → threshold split;
+    * the hot-key table is by definition tiny (heavy hitters), the
+    * uniform remainder collapses to one aggregate row.
+    */
+  def saltPlan(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.read(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("join_key"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // both branches below
+    val hot = counts.where(col("cnt") > SaltTarget)
+      .select(
+        lit("hot").as("key_class"), col("join_key"), col("cnt"),
+        expr(s"(cnt + $SaltTarget - 1) div $SaltTarget").as("salt"))
+    val uniform = counts.where(col("cnt") <= SaltTarget)
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("cnt"))
+      .select(
+        lit("uniform").as("key_class"), lit(-1L).as("join_key"),
+        col("cnt"), lit(1L).as("salt"))
+    hot.unionByName(uniform)
+      .orderBy(col("key_class"), col("cnt").desc, col("join_key"))
+  }
+
+  def saltPlanOracle: String =
+    s"""WITH c AS (
+       |  SELECT o_custkey join_key, CAST(count(*) AS BIGINT) cnt
+       |  FROM orders GROUP BY 1)
+       |SELECT 'hot' key_class, join_key, cnt,
+       |  (cnt + $SaltTarget - 1) // $SaltTarget salt
+       |FROM c WHERE cnt > $SaltTarget
+       |UNION ALL
+       |SELECT 'uniform', CAST(-1 AS BIGINT),
+       |  CAST(COALESCE(sum(cnt), 0) AS BIGINT), CAST(1 AS BIGINT)
+       |FROM c WHERE cnt <= $SaltTarget
+       |ORDER BY key_class, cnt DESC, join_key""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "join_size_estimate", joinSizeEstimate, Some(joinSizeEstimateOracle)),
+    QueryDef("salt_plan", saltPlan, Some(saltPlanOracle)),
     QueryDef("benford_test", benfordTest, Some(benfordTestOracle)),
     QueryDef(
       "hhi_concentration", hhiConcentration, Some(hhiConcentrationOracle)),

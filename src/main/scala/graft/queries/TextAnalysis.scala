@@ -925,7 +925,96 @@ object TextAnalysis {
        |FROM bmtop a FULL JOIN covtop b ON a.doc_id = b.doc_id
        |ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin
 
+  /** `span_scrub`: the TRANSFORM half of [[dupSpans]] — per document,
+    * how much of it is cross-document boilerplate: every 64-char
+    * window whose span hash occurs in ≥ 2 distinct docs counts as a
+    * duplicated span, and the scrub estimate prices the removal
+    * (stride-width chars per duplicated span, capped at the doc
+    * length) with the per-doc keep share in ppm. This is the
+    * per-document readout a cleaning pipeline writes back (the Lee et
+    * al. exact-substring-dedup apply step, at span-hash granularity).
+    *
+    * Plan shape: the window-hash explode runs once; the dup-span set
+    * derives from ONE posting-list aggregate over it and joins back
+    * BY SPAN HASH (shuffle join on the hash — never doc×doc, and no
+    * broadcast assumption: the dup set is corpus-sized at 100 TB).
+    * Second aggregate is doc-grain.
+    */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RollingHashFunction.rollingHash
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val nw = greatest(
+      expr("(length(s) - 64) div 32").cast("long") + 1, lit(1L))
+    val spans = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), explode(array(norm)).as("s"))
+      .withColumn("len", length(col("s")).cast("long"))
+      // all-punctuation docs normalize to "": zero spans, and len=0
+      // would zero-divide keep_ppm — excluded explicitly on both sides
+      .where(col("len") > 0)
+      .withColumn("nw", nw)
+      .select(
+        col("doc_id"), col("len"), col("s"),
+        explode(sequence(lit(0L), col("nw") - 1)).as("k"))
+      .select(
+        col("doc_id"), col("len"),
+        rollingHash(
+          call_function(
+            "substring", col("s"), (col("k") * 32 + 1).cast("int"), lit(64)))
+          .as("span_hash"))
+      .localCheckpoint(eager = false) // dup-set build + join-back
+    val dupSet = spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("span_hash"))
+    spans
+      .join(dupSet.withColumn("dup", lit(1L)), Seq("span_hash"), "left")
+      .groupBy(col("doc_id"), col("len"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_spans"))
+      .select(
+        col("doc_id"), col("len").as("n_chars"), col("n_spans"),
+        col("n_dup_spans"),
+        least(col("n_dup_spans") * 32, col("len")).as("est_removed_chars"))
+      .withColumn(
+        "keep_ppm",
+        expr("(n_chars - est_removed_chars) * 1000000 div n_chars"))
+      .orderBy("doc_id")
+  }
+
+  def spanScrubOracle: String = {
+    val hashFold =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), %s), (x, y) -> (x * 31 + y) %% 1000000007)"
+    def chars(e: String) =
+      s"list_transform(range(1, length($e) + 1), i -> CAST(ord(substr($e, CAST(i AS INT), 1)) AS BIGINT))"
+    val win = "substr(s, CAST(k * 32 + 1 AS INT), 64)"
+    s"""WITH n AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) s
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, s, length(s) len,
+       |    greatest((length(s) - 64) // 32 + 1, 1) nw
+       |  FROM n WHERE length(s) > 0),
+       |spans AS MATERIALIZED (
+       |  SELECT doc_id, len, ${hashFold.format(chars(win))} span_hash
+       |  FROM w, unnest(range(0, nw)) t(k)),
+       |dup AS (
+       |  SELECT span_hash FROM spans
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |agg AS (
+       |  SELECT s.doc_id, s.len, CAST(count(*) AS BIGINT) n_spans,
+       |    CAST(sum(CASE WHEN d.span_hash IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) n_dup_spans
+       |  FROM spans s LEFT JOIN dup d ON s.span_hash = d.span_hash
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, CAST(len AS BIGINT) n_chars, n_spans, n_dup_spans,
+       |  least(n_dup_spans * 32, len) est_removed_chars,
+       |  (len - least(n_dup_spans * 32, len)) * 1000000 // len keep_ppm
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("span_scrub", spanScrub, Some(spanScrubOracle)),
     QueryDef("rrf_fusion", rrfFusion, Some(rrfFusionOracle)),
     QueryDef("dup_spans", dupSpans, Some(dupSpansOracle)),
     QueryDef("text_normalize", textNormalize, Some(textNormalizeOracle)),

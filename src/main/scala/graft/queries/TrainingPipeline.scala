@@ -744,7 +744,66 @@ object TrainingPipeline {
       |  CAST(sum(CASE WHEN h % 100 < 15 THEN h END) AS BIGINT) mask_checksum
       |FROM p GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
 
+  /** `negative_sampling`: reproducible hard-negative selection for
+    * contrastive training — per anchor document, the 4 out-of-source
+    * candidates with the smallest content hash of the (anchor,
+    * candidate) PAIR. Pair-hash ranking is the point: the same
+    * anchor draws the same negatives on every engine, run and epoch
+    * (no RNG state — the `epoch_shuffle`/`weighted_sample` rule), and
+    * different anchors draw independent-looking sets because the hash
+    * mixes both ids. Cross-source only, so negatives are never
+    * near-duplicates drawn from the anchor's own feed.
+    *
+    * Plan shape: the anchor set is query-sized and BROADCASTS against
+    * one candidate scan (anchors × candidates rows expand, but only
+    * ×|anchors|); per-anchor top-4 is an anchor-partitioned
+    * WindowGroupLimit-shape rank. At 100 TB anchors are batched: the
+    * expansion is |batch|×corpus, the standard in-batch-negatives
+    * mining pass.
+    */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val anchors = docs.where(col("doc_id") < 20)
+      .select(col("doc_id").as("anchor"), col("source").as("a_source"))
+    val pairs = docs
+      .join(broadcast(anchors), col("source") =!= col("a_source"))
+      .withColumn(
+        "h",
+        conv(
+          substring(
+            md5(concat(
+              col("anchor").cast("string"), lit("~"),
+              col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"))
+    val w = Window.partitionBy(col("anchor")).orderBy(col("h"), col("doc_id"))
+    pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 4)
+      .select(col("anchor"), col("rnk"), col("doc_id").as("negative"), col("h"))
+      .orderBy("anchor", "rnk")
+  }
+
+  def negativeSamplingOracle: String =
+    """WITH a AS (
+      |  SELECT doc_id anchor, source a_source FROM documents
+      |  WHERE doc_id < 20),
+      |p AS (
+      |  SELECT a.anchor, d.doc_id,
+      |    ('0x' || substr(md5(CAST(a.anchor AS VARCHAR) || '~' ||
+      |      CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT h
+      |  FROM a JOIN documents d ON d.source <> a.a_source),
+      |r AS (
+      |  SELECT anchor, doc_id, h,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY h, doc_id)
+      |      AS BIGINT) rnk
+      |  FROM p)
+      |SELECT anchor, rnk, doc_id negative, h FROM r
+      |WHERE rnk <= 4 ORDER BY anchor, rnk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "negative_sampling", negativeSampling, Some(negativeSamplingOracle)),
     QueryDef("mlm_mask", mlmMask, Some(mlmMaskOracle)),
     QueryDef(
       "quality_classifier", qualityClassifier,
