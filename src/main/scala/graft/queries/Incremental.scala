@@ -139,8 +139,55 @@ object Incremental {
       |FROM ranked WHERE rn = 1 AND NOT is_del
       |ORDER BY c_custkey""".stripMargin
 
+  /** `incremental_join`: delta-join view maintenance — the algebra
+    * that keeps a MATERIALIZED JOIN fresh under insertions to both
+    * sides without re-joining history:
+    * (R∪ΔR)⋈(S∪ΔS) = R⋈S ∪ ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS. Here R/S are the
+    * stored orders/lineitem slices and ΔR/ΔS the day's inserts (key-
+    * mod splits so all four terms are non-empty); the maintained
+    * result re-aggregates to the priority grid and the oracle is the
+    * PLAIN full join — equality proves the distribution law the
+    * incremental pipeline relies on.
+    *
+    * Why it matters at 100 TB: the R⋈S term is the STORED view (read
+    * back, not recomputed — it stands in here to close the algebra);
+    * the three delta terms are each driven by a day-sized side, so
+    * the daily refresh costs |Δ|-scaled joins (bloom/DPP prune the
+    * big probe side to delta keys) instead of the history×history
+    * join.
+    */
+  def incrementalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.read(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.read(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+    val oStored = o.where(col("o_orderkey") % 7 =!= 0)
+    val oDelta = o.where(col("o_orderkey") % 7 === 0)
+    val lStored = l.where(col("l_linenumber") % 2 === 1)
+    val lDelta = l.where(col("l_linenumber") % 2 === 0)
+    def join2(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+    join2(oStored, lStored)
+      .unionByName(join2(oDelta, lStored))
+      .unionByName(join2(oStored, lDelta))
+      .unionByName(join2(oDelta, lDelta))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  def incrementalJoinOracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) n_rows,
+      |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("incremental_agg", incrementalAgg, Some(incrementalAggOracle)),
+    QueryDef(
+      "incremental_join", incrementalJoin, Some(incrementalJoinOracle)),
     QueryDef("upsert_merge", upsertMerge, Some(upsertMergeOracle)),
     QueryDef("cdc_apply", cdcApply, Some(cdcApplyOracle)))
 }
