@@ -1390,7 +1390,68 @@ object Analytics {
        |  topk_cents * 1000000 // total_cents share_ppm
        |FROM top, tot""".stripMargin
 
+  /** `ohlc_bars`: daily open/high/low/close/volume bars over the event
+    * value stream — the candlestick resample every market-data and
+    * metrics pipeline runs. High/low/volume are one map-side-combinable
+    * day aggregate. Open/close need "value AT the boundary instant",
+    * which a naive arg_min is not deterministic about under timestamp
+    * ties — so the boundary is made tie-proof structurally: the day
+    * aggregate also yields min/max event-time, and two joins back onto
+    * the fact stream at exactly those instants take min(cents) at the
+    * open and max(cents) at the close (the stated tie rule). The
+    * join-back side is the ~365-row day grid, broadcast — the fact
+    * stream never shuffles, and each join-back probe prunes to rows at
+    * one instant per day.
+    */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(
+        to_date(col("ts")).as("d"), unix_micros(col("ts")).as("us"),
+        Quantize.cents(col("value")).as("vc"))
+    val g = ev.groupBy(col("d"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        min(col("us")).as("open_us"), max(col("us")).as("close_us"),
+        max(col("vc")).as("high_c"), min(col("vc")).as("low_c"),
+        sum(col("vc")).as("volume_c"))
+    val openV = ev
+      .join(broadcast(g.select(col("d"), col("open_us"))), Seq("d"))
+      .where(col("us") === col("open_us"))
+      .groupBy(col("d")).agg(min(col("vc")).as("open_c"))
+    val closeV = ev
+      .join(broadcast(g.select(col("d"), col("close_us"))), Seq("d"))
+      .where(col("us") === col("close_us"))
+      .groupBy(col("d")).agg(max(col("vc")).as("close_c"))
+    g.join(openV, Seq("d")).join(closeV, Seq("d"))
+      .select(
+        col("d"), col("n_trades"), col("open_c"), col("high_c"),
+        col("low_c"), col("close_c"), col("volume_c"))
+      .orderBy("d")
+  }
+
+  def ohlcBarsOracle: String =
+    s"""WITH ev AS (
+       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) d,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) us,
+       |    ${Quantize.centsSql("value")} vc
+       |  FROM events),
+       |g AS (
+       |  SELECT d, CAST(count(*) AS BIGINT) n_trades,
+       |    min(us) open_us, max(us) close_us,
+       |    max(vc) high_c, min(vc) low_c, CAST(sum(vc) AS BIGINT) volume_c
+       |  FROM ev GROUP BY d),
+       |o AS (
+       |  SELECT ev.d, min(vc) open_c FROM ev
+       |  JOIN g ON ev.d = g.d AND ev.us = g.open_us GROUP BY ev.d),
+       |c AS (
+       |  SELECT ev.d, max(vc) close_c FROM ev
+       |  JOIN g ON ev.d = g.d AND ev.us = g.close_us GROUP BY ev.d)
+       |SELECT g.d, n_trades, open_c, high_c, low_c, close_c, volume_c
+       |FROM g JOIN o ON g.d = o.d JOIN c ON g.d = c.d
+       |ORDER BY g.d""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ohlc_bars", ohlcBars, Some(ohlcBarsOracle)),
     QueryDef("whale_share", whaleShare, Some(whaleShareOracle)),
     QueryDef(
       "trend_decompose", trendDecompose, Some(trendDecomposeOracle)),

@@ -323,7 +323,49 @@ object DataQuality {
       |FROM r JOIN t ON r.c = t.c
       |WHERE r.rk <= 3 ORDER BY column_name, rk""".stripMargin
 
+  /** `k_anonymity`: the privacy-release audit (Sweeney) a dataset runs
+    * before sharing — group records by their quasi-identifier tuple
+    * (nation, market segment: the columns an adversary can link on) and
+    * flag equivalence classes smaller than k=10, whose members are
+    * re-identifiable. Beside it the l-diversity count (Machanavalli et
+    * al.): distinct sensitive values — account-balance $1000 bands —
+    * per class; a class can be k-anonymous yet leak if every member
+    * shares one sensitive value. One customer-table aggregate into the
+    * ≤125-cell QI grid (nations × segments) — the grid, not the table,
+    * is what's ever driver-side, so the audit is one map-side-
+    * combinable pass at any scale.
+    */
+  private val KAnonK = 10L
+
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "customer")
+      .select(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        // +$1000 shift keeps the band operand positive (acctbal goes to
+        // −$994), where Spark `div` (truncate) == DuckDB `//` (floor).
+        expr(s"(${Quantize.centsSql("c_acctbal")} + 100000) div 100000")
+          .as("bal_band"))
+      .groupBy(col("nation"), col("segment"))
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(col("bal_band")).as("l_distinct"))
+      .withColumn("at_risk", col("class_size") < KAnonK)
+      .orderBy("nation", "segment")
+
+  def kAnonymityOracle: String =
+    s"""WITH c AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) nation, c_mktsegment segment,
+       |    (${Quantize.centsSql("c_acctbal")} + 100000) // 100000 bal_band
+       |  FROM customer)
+       |SELECT nation, segment, CAST(count(*) AS BIGINT) class_size,
+       |  CAST(count(DISTINCT bal_band) AS BIGINT) l_distinct,
+       |  count(*) < $KAnonK at_risk
+       |FROM c GROUP BY nation, segment
+       |ORDER BY nation, segment""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("k_anonymity", kAnonymity, Some(kAnonymityOracle)),
     QueryDef("column_modes", columnModes, Some(columnModesOracle)),
     QueryDef("dq_audit", dqAudit, Some(dqAuditOracle)),
     QueryDef("column_profile", columnProfile, Some(columnProfileOracle)),

@@ -545,7 +545,55 @@ object Relational {
       |JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
 
+  /** `q18_large_orders`: the TPC-H Q18 "large volume customer" shape —
+    * orders whose total line quantity exceeds a threshold, joined out
+    * to the order header and customer. The HAVING-gate is computed
+    * FIRST on the fact table (one l_orderkey aggregate) so only the
+    * ~0.3% surviving keys join onward: the qualifying-key set is tiny
+    * and broadcasts into the orders probe, and customer broadcasts as a
+    * dimension — at 100 TB the only fact-sized shuffle is the initial
+    * orderkey aggregate (map-side combinable, co-partitioned with
+    * lineitem's natural key). Quantities route through Quantize.cents
+    * so the threshold compare is integer-exact on both engines. Final
+    * top-100 by (totalprice desc, orderkey) plans TakeOrderedAndProject.
+    */
+  private val Q18MinQtyCents = 250L * 100L
+
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qual = Tables.read(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Quantize.cents(col("l_quantity"))).as("sum_qty_c"))
+      .where(col("sum_qty_c") > Q18MinQtyCents)
+    Tables.read(spark, dir, "orders")
+      .join(broadcast(qual), col("o_orderkey") === col("l_orderkey"))
+      .join(
+        broadcast(Tables.read(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"),
+        Quantize.cents(col("o_totalprice")).as("price_c"),
+        col("sum_qty_c"))
+      .orderBy(col("price_c").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  def q18LargeOrdersOracle: String =
+    s"""WITH qual AS (
+       |  SELECT l_orderkey,
+       |    CAST(SUM(${Quantize.centsSql("l_quantity")}) AS BIGINT) sum_qty_c
+       |  FROM lineitem GROUP BY 1
+       |  HAVING CAST(SUM(${Quantize.centsSql("l_quantity")}) AS BIGINT)
+       |    > $Q18MinQtyCents)
+       |SELECT c_custkey, c_name, o_orderkey,
+       |  CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) o_date,
+       |  ${Quantize.centsSql("o_totalprice")} price_c, sum_qty_c
+       |FROM orders JOIN qual ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY price_c DESC, o_orderkey LIMIT 100""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersOracle)),
     QueryDef("q9_profit", q9Profit, Some(q9ProfitOracle)),
     QueryDef("share_of_parent", shareOfParent, Some(shareOfParentOracle)),
     QueryDef("sketch_distinct", sketchDistinct, Some(sketchDistinctOracle)),

@@ -1013,7 +1013,137 @@ object TextAnalysis {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** `phrase_search`: exact-phrase retrieval ("table part") through
+    * POSITIONAL posting lists — the inverted-index adjacency join every
+    * phrase/proximity query runs (Manning et al., IR ch. 2). Tokens
+    * explode once, postings are immediately filtered to the two query
+    * terms (2/|vocab| of the token stream survives the scan — at 100 TB
+    * the posting index is what you'd store, and this plan reads only
+    * the two term rows of it), then one equi-join on (doc_id, pos+1)
+    * pairs each `w1` occurrence with a `w2` immediately after it. The
+    * join key (doc, position) is unique per side, so the join output is
+    * bounded by true phrase hits — never a token×token blow-up. Per-doc
+    * hit counts, top 20 by (n desc, doc_id).
+    */
+  private val PhraseW1 = "table"
+  private val PhraseW2 = "part"
+
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val postings = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
+      .where(col("term").isin(PhraseW1, PhraseW2))
+    val w1 = postings.where(col("term") === PhraseW1)
+      .select(col("doc_id"), col("pos").as("p1"))
+    val w2 = postings.where(col("term") === PhraseW2)
+      .select(col("doc_id"), col("pos").as("p2"))
+    w1.join(w2, w1("doc_id") === w2("doc_id") && col("p2") === col("p1") + 1)
+      .groupBy(w1("doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  def phraseSearchOracle: String =
+    s"""WITH t AS (SELECT doc_id, ${ToksSql.format("text")} toks FROM documents),
+       |p AS (SELECT doc_id,
+       |    unnest(list_zip(toks, range(CAST(len(toks) AS BIGINT)))) z
+       |  FROM t),
+       |post AS (SELECT doc_id, CAST(z[1] AS VARCHAR) term,
+       |    CAST(z[2] AS BIGINT) pos FROM p
+       |  WHERE CAST(z[1] AS VARCHAR) IN ('$PhraseW1', '$PhraseW2'))
+       |SELECT a.doc_id, CAST(count(*) AS BIGINT) n_hits
+       |FROM post a JOIN post b
+       |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |WHERE a.term = '$PhraseW1' AND b.term = '$PhraseW2'
+       |GROUP BY a.doc_id ORDER BY n_hits DESC, a.doc_id LIMIT 20""".stripMargin
+
+  /** `lexical_diversity`: per-language type-token-ratio panel — the
+    * lexical-diversity quality signal (low TTR ⇒ repetitive/templated
+    * text, a standard corpus-curation filter beside repetition_stats'
+    * bigram view). Per doc: distinct-token count over token count in
+    * integer ppm; per language: floor-mean / min / max of the per-doc
+    * ppm. Zero joins — one narrow scan with per-row array ops, then a
+    * 5-row aggregate; embarrassingly parallel at any scale.
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .select(
+        col("lang"),
+        size(toks(col("text"))).cast("long").as("n_tok"),
+        size(array_distinct(toks(col("text")))).cast("long").as("n_type"))
+      .where(col("n_tok") > 0)
+      .withColumn("ttr_ppm", expr("n_type * 1000000 div n_tok"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("sum(ttr_ppm) div count(1)").as("mean_ttr_ppm"),
+        min(col("ttr_ppm")).as("min_ttr_ppm"),
+        max(col("ttr_ppm")).as("max_ttr_ppm"))
+      .orderBy("lang")
+
+  def lexicalDiversityOracle: String =
+    s"""WITH d AS (SELECT lang,
+       |    CAST(len(${ToksSql.format("text")}) AS BIGINT) n_tok,
+       |    CAST(len(list_distinct(${ToksSql.format("text")})) AS BIGINT) n_type
+       |  FROM documents),
+       |t AS (SELECT lang, n_type * 1000000 // n_tok ttr_ppm
+       |  FROM d WHERE n_tok > 0)
+       |SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+       |  CAST(sum(ttr_ppm) AS BIGINT) // count(*) mean_ttr_ppm,
+       |  min(ttr_ppm) min_ttr_ppm, max(ttr_ppm) max_ttr_ppm
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** `term_burstiness`: per-term dispersion index D = var/mean of the
+    * per-document count distribution (zeros included) — Church &
+    * Gale's burstiness: content words cluster (D >> 1), function words
+    * spread evenly (D ≈ 1). The topical-keyword vs boilerplate signal
+    * term-weighting schemes build on. Variance folds to the exact
+    * integer cross-term (N·Σc² − (Σc)²), so D lands in ppm with one
+    * floor division: D_ppm = (N·Σc² − T²)·10⁶ div (N·T). Plan: one
+    * token explode → (term, doc) count → term-sized aggregate, with the
+    * corpus doc count N broadcast from a 1-row aggregate. Output is
+    * vocab-sized (~35 rows) at any corpus size.
+    */
+  def termBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sq"))
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "disp_ppm",
+        expr("(n_docs * sq - total * total) * 1000000 div (n_docs * total)"))
+      .select(col("term"), col("df"), col("total"), col("disp_ppm"))
+      .orderBy(col("disp_ppm").desc, col("term"))
+  }
+
+  def termBurstinessOracle: String =
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+       |pd AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) c FROM (
+       |    SELECT doc_id, unnest(${ToksSql.format("text")}) term
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |t AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) df,
+       |    CAST(sum(c) AS BIGINT) total, CAST(sum(c * c) AS BIGINT) sq
+       |  FROM pd GROUP BY 1)
+       |SELECT term, df, total,
+       |  (n.n_docs * sq - total * total) * 1000000 // (n.n_docs * total)
+       |    disp_ppm
+       |FROM t, n ORDER BY disp_ppm DESC, term""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("phrase_search", phraseSearch, Some(phraseSearchOracle)),
+    QueryDef("lexical_diversity", lexicalDiversity, Some(lexicalDiversityOracle)),
+    QueryDef("term_burstiness", termBurstiness, Some(termBurstinessOracle)),
     QueryDef("span_scrub", spanScrub, Some(spanScrubOracle)),
     QueryDef("rrf_fusion", rrfFusion, Some(rrfFusionOracle)),
     QueryDef("dup_spans", dupSpans, Some(dupSpansOracle)),
