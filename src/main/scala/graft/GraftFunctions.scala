@@ -161,6 +161,10 @@ object GraftFunctions {
       require(args.length == 2, "bitmap_and(bitmap, bitmap)")
       graft.functions.BitmapAnd(args(0), args(1))
     },
+    "bitmap_andnot" -> { args =>
+      require(args.length == 2, "bitmap_andnot(bitmap, bitmap)")
+      graft.functions.BitmapAndNot(args(0), args(1))
+    },
     "ordered_pairs" -> { args =>
       require(
         args.length == 1 || args.length == 2,

@@ -118,6 +118,36 @@ object RoaringLite {
     serialize(out)
   }
 
+  /** Difference (a \ b) straight off the serialized forms — called
+    * from codegen. Containers of `a` survive with `b`'s bits cleared
+    * (a container absent from `b` passes through untouched), so the
+    * result is never larger than `a`. ANDNOT completes the algebra
+    * beside OR (merge) and AND (and2): "in the FIRST set only" —
+    * churn, new-user, and set-subtraction queries as pure container
+    * arithmetic.
+    */
+  def andNot2(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ca = deserialize(a)
+    val cb = deserialize(b)
+    val out = empty
+    ca.foreach { case (cid, wa) =>
+      cb.get(cid) match {
+        case None => out.update(cid, wa.clone())
+        case Some(wb) =>
+          val w = new Array[Long](ContainerWords)
+          var i = 0
+          var any = false
+          while (i < ContainerWords) {
+            w(i) = wa(i) & ~wb(i)
+            any ||= w(i) != 0L
+            i += 1
+          }
+          if (any) out.update(cid, w)
+      }
+    }
+    serialize(out)
+  }
+
   /** Popcount straight off the serialized form — called from codegen. */
   def popcount(b: Array[Byte]): Long = {
     val bb = java.nio.ByteBuffer.wrap(b)
@@ -351,6 +381,34 @@ case class BitmapAnd(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scalar difference (left \ right) of two serialized bitmaps —
+  * codegen'd; the ANDNOT third of the algebra (OR = merge aggregate,
+  * AND = BitmapAnd), enabling "in the first set ONLY" queries —
+  * churned/new users, segment subtraction — as pure bitmap arithmetic.
+  */
+case class BitmapAndNot(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def dataType: DataType = BinaryType
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    RoaringLite.andNot2(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(
+      ctx, ev, (a, b) => s"graft.functions.RoaringLite.andNot2($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndNot =
+    copy(left = newLeft, right = newRight)
+}
+
 object BitmapFunctions {
   /** Default key-domain sanity cap: 2^40 (container ids stay far from
     * Int overflow; a mis-typed column fails loudly).
@@ -382,4 +440,9 @@ object BitmapFunctions {
   def bitmapAnd(a: Column, b: Column): Column =
     ColumnBridge.column(
       BitmapAnd(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: difference (a \ b) of two serialized bitmaps. */
+  def bitmapAndNot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      BitmapAndNot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

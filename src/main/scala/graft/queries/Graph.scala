@@ -683,6 +683,62 @@ object Graph {
        |  CAST(sum(deg) AS BIGINT) sum_deg
        |FROM deg GROUP BY 1 ORDER BY bucket_bits""".stripMargin
 
+  /** `clustering_coeff`: per-node LOCAL clustering coefficient —
+    * Watts–Strogatz c(v) = triangles(v) / C(deg v, 2), the
+    * how-clique-like-is-this-neighborhood ratio that separates
+    * community cores (c→1) from brokers/hubs bridging otherwise
+    * unconnected partners (c→0); the per-node refinement of
+    * `triangle_count`'s raw counts. Integer-exact in ppm:
+    * n_tri·2·10⁶ div (deg·(deg−1)), nodes with deg < 2 excluded
+    * (undefined denominator), triangle-free nodes kept at 0 via the
+    * left join + coalesce. Plan: the SAME degeneracy-oriented
+    * enumeration core and the |V|-sized degree aggregate over the
+    * shared support-pruned edges — the coefficient costs one extra
+    * broadcast join over what triangle_count already pays. Top 25 by
+    * (cc_ppm desc, suppkey).
+    */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coEdgesShared(spark, dir)
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= 2)
+      .join(triangleCountOn(edges), Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("cc_ppm", expr("n_tri * 2000000 div (deg * (deg - 1))"))
+      .select(col("node").as("suppkey"), col("deg"), col("n_tri"), col("cc_ppm"))
+      .orderBy(col("cc_ppm").desc, col("suppkey"))
+      .limit(25)
+      .localCheckpoint() // 25-row panel; lineage-free of the shared edges
+  }
+
+  def clusteringCoeffOracle: String =
+    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (
+       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM os x JOIN os y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriSupport),
+       |deg AS (
+       |  SELECT n node, CAST(count(*) AS BIGINT) deg
+       |  FROM (SELECT a n FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY 1),
+       |tri AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |nt AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) n_tri FROM (
+       |    SELECT a node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY 1)
+       |SELECT deg.node suppkey, deg.deg, COALESCE(nt.n_tri, 0) n_tri,
+       |  COALESCE(nt.n_tri, 0) * 2000000 // (deg.deg * (deg.deg - 1)) cc_ppm
+       |FROM deg LEFT JOIN nt ON deg.node = nt.node
+       |WHERE deg.deg >= 2
+       |ORDER BY cc_ppm DESC, suppkey LIMIT 25""".stripMargin
+
   /** Degree threshold for the peeling rounds. */
   private val CoreK = 50
 
@@ -877,5 +933,7 @@ object Graph {
     QueryDef("triangle_count", triangleCount, Some(triangleCountOracle)),
     QueryDef("k_core_peel", kCorePeel, Some(kCorePeelOracle)),
     QueryDef("node_similarity", nodeSimilarity, Some(nodeSimilarityOracle)),
+    QueryDef(
+      "clustering_coeff", clusteringCoeff, Some(clusteringCoeffOracle)),
     QueryDef("degree_dist", degreeDist, Some(degreeDistOracle)))
 }

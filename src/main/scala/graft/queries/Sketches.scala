@@ -304,7 +304,75 @@ object Sketches {
     QueryDef(
       "bitmap_retention", bitmapRetention, Some(bitmapRetentionOracle)),
     QueryDef(
-      "audience_overlap", audienceOverlap, Some(audienceOverlapOracle)))
+      "audience_overlap", audienceOverlap, Some(audienceOverlapOracle)),
+    QueryDef("user_churn", userChurn, Some(userChurnOracle)))
+
+  /** `user_churn`: the day-over-day churn panel — retained, NEW
+    * (present tomorrow only) and LOST (present today only) users —
+    * through the ANDNOT third of the bitmap algebra
+    * (`bitmap_andnot`, `functions/BitmapExpressions.scala`), beside
+    * bitmap_retention's AND. Same scale shape: one fact-level
+    * aggregate builds a user bitmap per day, the day×(day+1) panel is
+    * pure 8-KiB-container arithmetic on the ~30-row daily relation —
+    * the three counts obey new = next − retained and lost = day −
+    * retained, and emitting them from the algebra itself (not that
+    * arithmetic) means the oracle's anti-join replay independently
+    * verifies the container difference kernel. Churn rate in ppm of
+    * the first day's users.
+    */
+  def userChurn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapFunctions._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(bitmapAgg(col("user_id")).as("bm"))
+    val next = daily.select(
+      date_sub(col("d"), 1).as("d"), col("bm").as("bm_next"))
+    daily.join(next, "d")
+      .select(
+        col("d"),
+        bitmapCount(col("bm")).as("day_users"),
+        bitmapCount(bitmapAnd(col("bm"), col("bm_next"))).as("retained"),
+        bitmapCount(bitmapAndNot(col("bm_next"), col("bm"))).as("n_new"),
+        bitmapCount(bitmapAndNot(col("bm"), col("bm_next"))).as("n_lost"))
+      .withColumn("churn_ppm", expr("n_lost * 1000000 div day_users"))
+      .orderBy("d")
+  }
+
+  def userChurnOracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) d, user_id
+      |  FROM events),
+      |daily AS (
+      |  SELECT d, CAST(count(*) AS BIGINT) day_users FROM ud GROUP BY 1),
+      |ret AS (
+      |  SELECT a.d, CAST(count(*) AS BIGINT) retained
+      |  FROM ud a JOIN ud b ON b.d = a.d + 1 AND a.user_id = b.user_id
+      |  GROUP BY 1),
+      |new_u AS (
+      |  SELECT a.d - 1 AS d, CAST(count(*) AS BIGINT) n_new
+      |  FROM ud a
+      |  WHERE NOT EXISTS (SELECT 1 FROM ud b
+      |      WHERE b.d = a.d - 1 AND b.user_id = a.user_id)
+      |    AND EXISTS (SELECT 1 FROM daily x WHERE x.d = a.d - 1)
+      |  GROUP BY 1),
+      |lost AS (
+      |  SELECT a.d, CAST(count(*) AS BIGINT) n_lost
+      |  FROM ud a
+      |  WHERE NOT EXISTS (SELECT 1 FROM ud b
+      |      WHERE b.d = a.d + 1 AND b.user_id = a.user_id)
+      |    AND EXISTS (SELECT 1 FROM daily y WHERE y.d = a.d + 1)
+      |  GROUP BY 1)
+      |SELECT a.d, a.day_users,
+      |  COALESCE(r.retained, 0) retained,
+      |  COALESCE(n.n_new, 0) n_new,
+      |  COALESCE(l.n_lost, 0) n_lost,
+      |  COALESCE(l.n_lost, 0) * 1000000 // a.day_users churn_ppm
+      |FROM daily a
+      |JOIN daily b ON b.d = a.d + 1
+      |LEFT JOIN ret r ON r.d = a.d
+      |LEFT JOIN new_u n ON n.d = a.d
+      |LEFT JOIN lost l ON l.d = a.d
+      |ORDER BY a.d""".stripMargin
 
   /** `bitmap_retention`: exact day-over-day retained users via the
     * AND half of the bitmap algebra — the canonical production use

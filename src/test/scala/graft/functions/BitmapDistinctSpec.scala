@@ -96,6 +96,28 @@ class BitmapDistinctSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap_andnot == set difference on random key sets (incl. cross-container)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val a = Set.fill(50 + rnd.nextInt(100))(rnd.nextLong(1L << 20))
+      val b = Set.fill(50 + rnd.nextInt(100))(rnd.nextLong(1L << 20)) ++
+        a.take(rnd.nextInt(20))
+      def ser(s: Set[Long]) = {
+        val c = RoaringLite.empty
+        s.foreach(RoaringLite.set(c, _))
+        RoaringLite.serialize(c)
+      }
+      val diff = RoaringLite.andNot2(ser(a), ser(b))
+      assert(RoaringLite.popcount(diff) == (a -- b).size.toLong)
+      assert(java.util.Arrays.equals(diff, ser(a -- b)))
+      // algebra identity: |a\b| + |a∩b| == |a|
+      assert(
+        RoaringLite.popcount(diff) +
+          RoaringLite.popcount(RoaringLite.and2(ser(a), ser(b))) ==
+          a.size.toLong)
+    }
+  }
+
   test("out-of-domain key fails loudly, naming the cap") {
     import spark.implicits._
     val df = Seq(5L, 2048L).toDF("k")
