@@ -252,27 +252,38 @@ object Dedup {
     * the array, the 4 band keys fold signature pairs, and the explode
     * is the only row expansion (4 rows per doc).
     */
-  private[queries] def minhashBands(docarr: DataFrame): DataFrame = {
+  /** (doc_id, mh0..mh7) minwise signature columns — shared by the
+    * production 2-row banding and the band-curve sweep.
+    */
+  private[queries] def minhashSigCols(docarr: DataFrame): DataFrame = {
     val sigCols = (0 until NumHashes).map(h =>
       element_at(col("sig"), h + 1).as(s"mh$h"))
-    val sig = docarr
+    docarr
       .select(
         col("doc_id"),
         explode(array(
           graft.functions.TextHashFunctions.minhashSig(col("arr"), NumHashes)))
           .as("sig"))
       .select(Seq(col("doc_id")) ++ sigCols: _*)
-    // 4 bands x 2 rows: band key = md5(mh_even || mh_odd), exploded to
-    // (doc, band, key) rows for the bucket join.
-    val bandCols = (0 until NumHashes / 2).map { b =>
+  }
+
+  /** (doc, band, bkey) rows for any rows-per-band r dividing the
+    * signature width: 8/r bands, key = md5 of the band's r hashes
+    * concatenated in h order.
+    */
+  private[queries] def bandsFor(sig: DataFrame, r: Int): DataFrame = {
+    val bandCols = (0 until NumHashes / r).map { b =>
       struct(
         lit(b).as("band"),
-        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey"))
+        md5(concat((0 until r).map(i => col(s"mh${r * b + i}")): _*)).as("bkey"))
     }
     sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
+
+  private[queries] def minhashBands(docarr: DataFrame): DataFrame =
+    bandsFor(minhashSigCols(docarr), 2)
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // Everything per-doc is narrow: the 8 minwise hashes are
@@ -677,6 +688,108 @@ object Dedup {
           "ELSE n_found * 1000000 div n_truth END").as("recall_ppm"))
   }
 
+  /** `lsh_band_curve`: the banding TUNING TABLE — recall AND
+    * candidate-pair cost for every rows-per-band choice the 8-hash
+    * signature admits (r = 1, 2, 4 ⇒ 8/4/2 bands), from ONE shared
+    * signature computation. The S-curve knob every MinHash deployment
+    * turns: fewer rows per band ⇒ more collisions ⇒ higher recall and
+    * more candidate pairs to verify; this emits both axes so the
+    * choice is a read, not a rerun (the corpus-adaptive embedding
+    * banding made the same trade self-tuning on the vector side —
+    * this is the text side's measured curve). Truth side is the
+    * audit-class all-pairs baseline lsh_recall already runs; the
+    * signature table and truth set are computed once and shared by
+    * all three configurations. Values in pinned ppm — answer quality
+    * is hash-checked, not eyeballed.
+    */
+  def lshBandCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docarr = docShingleArraysShared(spark, dir)
+    val sizes = docarr.select(col("doc_id"), size(col("arr")).cast("long").as("n"))
+    val truth = jaccardPairs(shingles(spark, dir), sizes)
+      .where(col("jacc") >= 0.5)
+      .select(col("a"), col("b"))
+      .localCheckpoint(eager = false) // 3 consumers (one per config)
+    val sig = minhashSigCols(docarr)
+      .localCheckpoint(eager = false) // 3 consumers
+    val rows = Seq(1, 2, 4).map { r =>
+      val bands = bandsFor(sig, r)
+      val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("a"))
+        .join(
+          bands.select(col("band"), col("bkey"), col("doc_id").as("b")),
+          Seq("band", "bkey"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+        .localCheckpoint(eager = false) // count + semi-join consumers
+      val found = cand.join(truth, Seq("a", "b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+        .select(
+          lit(r.toLong).as("rows_per_band"),
+          lit((NumHashes / r).toLong).as("n_bands"),
+          col("n_cand"), col("n_found"))
+    }.reduce(_ unionAll _)
+    rows
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .withColumn(
+        "recall_ppm",
+        expr("CASE WHEN n_truth = 0 THEN NULL " +
+          "ELSE n_found * 1000000 div n_truth END"))
+      .orderBy("rows_per_band")
+  }
+
+  def lshBandCurveOracle: String = {
+    def bandsCte(r: Int): String =
+      if (r == 1) "SELECT doc_id, h AS band, md5(mh) bkey FROM hashed"
+      else
+        s"""SELECT doc_id, h // $r AS band,
+           |    md5(string_agg(mh, '' ORDER BY h)) bkey
+           |  FROM hashed GROUP BY doc_id, h // $r""".stripMargin
+    def candCte(r: Int): String =
+      s"""SELECT DISTINCT x.doc_id a, y.doc_id b
+         |  FROM bands$r x JOIN bands$r y
+         |    ON x.band = y.band AND x.bkey = y.bkey
+         |  WHERE x.doc_id < y.doc_id""".stripMargin
+    def rowFor(r: Int): String =
+      s"""SELECT CAST($r AS BIGINT) rows_per_band,
+         |  CAST(${NumHashes / r} AS BIGINT) n_bands,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand$r) n_cand,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand$r c
+         |     WHERE EXISTS (SELECT 1 FROM truth t
+         |       WHERE t.a = c.a AND t.b = c.b)) n_found""".stripMargin
+    s"""WITH $ShinglesSql,
+       |hashed AS MATERIALIZED (
+       |  SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '|' || shingle)) mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) h)
+       |  GROUP BY doc_id, h),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
+       |allpairs AS (
+       |  SELECT a.doc_id a, b.doc_id b, CAST(count(*) AS BIGINT) inter
+       |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS MATERIALIZED (
+       |  SELECT p.a, p.b FROM allpairs p
+       |  JOIN sizes sa ON p.a = sa.doc_id
+       |  JOIN sizes sb ON p.b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) n_truth FROM truth),
+       |bands1 AS MATERIALIZED (${bandsCte(1)}),
+       |bands2 AS MATERIALIZED (${bandsCte(2)}),
+       |bands4 AS MATERIALIZED (${bandsCte(4)}),
+       |cand1 AS MATERIALIZED (${candCte(1)}),
+       |cand2 AS MATERIALIZED (${candCte(2)}),
+       |cand4 AS MATERIALIZED (${candCte(4)}),
+       |rows_ AS (
+       |${rowFor(1)}
+       |UNION ALL
+       |${rowFor(2)}
+       |UNION ALL
+       |${rowFor(4)})
+       |SELECT rows_per_band, n_bands, n_cand, n_found, nt.n_truth,
+       |  CASE WHEN nt.n_truth = 0 THEN NULL
+       |    ELSE n_found * 1000000 // nt.n_truth END recall_ppm
+       |FROM rows_, nt ORDER BY rows_per_band""".stripMargin
+  }
+
   def lshRecallOracle: String =
     s"""WITH $ShinglesSql,
        |$MinhashPairsCtes,
@@ -974,6 +1087,7 @@ object Dedup {
     QueryDef("dedup_keeper_map", dedupKeeperMap, Some(dedupKeeperMapOracle)),
     QueryDef("golden_record", goldenRecord, Some(goldenRecordOracle)),
     QueryDef("lsh_recall", lshRecall, Some(lshRecallOracle)),
+    QueryDef("lsh_band_curve", lshBandCurve, Some(lshBandCurveOracle)),
     QueryDef(
       "dup_rate_by_source", dupRateBySource, Some(dupRateBySourceOracle)),
     QueryDef("entity_matching", entityMatching, Some(entityMatchingOracle)),

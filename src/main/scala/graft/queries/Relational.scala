@@ -592,7 +592,39 @@ object Relational {
        |JOIN customer ON o_custkey = c_custkey
        |ORDER BY price_c DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** `q13_custdist`: the TPC-H Q13 "customer distribution" shape —
+    * how many customers placed exactly k orders, INCLUDING the
+    * zero-order customers only an outer join can see (the classic
+    * left-outer + double-aggregate: count(o_orderkey) skips the
+    * null-extended rows, so no-order customers land in the k=0
+    * bucket instead of vanishing). First aggregate is customer-grain
+    * (co-partitioned with the join's own shuffle); the second
+    * collapses to the ~40-row order-count histogram — nothing after
+    * the join is ever fact-sized. At 100 TB AQE picks
+    * broadcast-vs-shuffle for the dim side from true sizes.
+    */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "customer")
+      .join(
+        Tables.read(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  def q13CustdistOracle: String =
+    """WITH co AS (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT c_count, CAST(COUNT(*) AS BIGINT) custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q13_custdist", q13Custdist, Some(q13CustdistOracle)),
     QueryDef("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersOracle)),
     QueryDef("q9_profit", q9Profit, Some(q9ProfitOracle)),
     QueryDef("share_of_parent", shareOfParent, Some(shareOfParentOracle)),
