@@ -953,7 +953,165 @@ object Statistics {
        |FROM c WHERE cnt <= $SaltTarget
        |ORDER BY key_class, cnt DESC, join_key""".stripMargin
 
+  /** Equi-depth histogram machinery shared by `equidepth_hist` and
+    * `selectivity_estimate` — the optimizer-statistics structure
+    * (DB2/Spark CBO both keep equi-HEIGHT histograms precisely
+    * because equi-width lies under skew). Global ranks over the
+    * ~150k-distinct price domain WITHOUT a global window: the ks_test
+    * sharded-prefix-sum discipline — value-range shards ($20k wide),
+    * a shard-PARTITIONED running sum within each, and triangular
+    * cross-shard offsets over the ~25-row shard-total relation.
+    * Bucket id = ((lo − 1)·B) div n: a value row belongs to the
+    * bucket where its first rank falls, all integer.
+    */
+  private val EqDepthBuckets = 8
+  private val EqDepthShard = 2000000L // $20k shard width, cents
+
+  private def totalpriceRanked(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vh = Tables.read(spark, dir, "orders")
+      .select(Quantize.cents(col("o_totalprice")).as("vc"))
+      .groupBy(col("vc")).agg(count(lit(1)).as("cnt"))
+      .withColumn("shard", expr(s"vc div $EqDepthShard"))
+    val shardTot = vh.groupBy(col("shard")).agg(sum(col("cnt")).as("tot"))
+    val offsets = shardTot.toDF("shard", "tot")
+      .join(
+        broadcast(shardTot.toDF("s2", "t2")),
+        col("s2") < col("shard"), "left")
+      .groupBy(col("shard"))
+      .agg(coalesce(sum(col("t2")), lit(0L)).as("off"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vh.join(broadcast(offsets), "shard")
+      .withColumn("hi", sum(col("cnt")).over(w) + col("off"))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .crossJoin(broadcast(
+        Tables.read(spark, dir, "orders").agg(count(lit(1)).as("n"))))
+      .withColumn("bucket", expr(s"((lo - 1) * $EqDepthBuckets) div n"))
+  }
+
+  /** The identical rank chain as oracle CTE text ending in
+    * `ranked(vc, cnt, lo, hi, n, bucket)`.
+    */
+  private def rankedSql: String =
+    s"""vh AS (
+       |  SELECT ${Quantize.centsSql("o_totalprice")} vc,
+       |    CAST(count(*) AS BIGINT) cnt,
+       |    ${Quantize.centsSql("o_totalprice")} // $EqDepthShard shard
+       |  FROM orders GROUP BY 1, 3),
+       |st AS (SELECT shard, CAST(sum(cnt) AS BIGINT) tot FROM vh GROUP BY 1),
+       |offs AS (
+       |  SELECT a.shard, COALESCE(CAST(sum(b.tot) AS BIGINT), 0) cum_off
+       |  FROM st a LEFT JOIN st b ON b.shard < a.shard GROUP BY 1),
+       |rk AS (
+       |  SELECT vh.vc, vh.cnt,
+       |    SUM(vh.cnt) OVER (PARTITION BY vh.shard ORDER BY vh.vc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + offs.cum_off hi
+       |  FROM vh JOIN offs ON vh.shard = offs.shard),
+       |ranked AS (
+       |  SELECT vc, cnt, hi - cnt + 1 lo, hi,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders) n,
+       |    CAST(((hi - cnt) * $EqDepthBuckets)
+       |      // (SELECT count(*) FROM orders) AS BIGINT) bucket
+       |  FROM rk)""".stripMargin
+
+  /** `equidepth_hist`: the 8-bucket equi-depth histogram of order
+    * totals — per bucket: value bounds, row count, distinct values.
+    * Near-equal counts by construction (exact rank arithmetic, heavy
+    * values may straddle); THE statistics object a cost-based
+    * optimizer consults, built with one histogram shuffle + windows
+    * only over histogram rows.
+    */
+  def equidepthHist(spark: SparkSession, dir: String): DataFrame =
+    totalpriceRanked(spark, dir)
+      .groupBy(col("bucket"))
+      .agg(
+        min(col("vc")).as("lo_cents"),
+        max(col("vc")).as("hi_cents"),
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_values"))
+      .orderBy("bucket")
+
+  def equidepthHistOracle: String =
+    s"""WITH $rankedSql
+       |SELECT bucket, min(vc) lo_cents, max(vc) hi_cents,
+       |  CAST(sum(cnt) AS BIGINT) n_rows, CAST(count(*) AS BIGINT) n_values
+       |FROM ranked GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Range predicate audited by `selectivity_estimate`: cents bounds
+    * [A, B). */
+  private val SelLoC = 2500000L // $25k
+  private val SelHiC = 15000000L // $150k
+
+  /** `selectivity_estimate`: filter-selectivity estimation off the
+    * equi-depth histogram vs the true count — join_size_estimate's
+    * sibling (that row audits the join-cardinality formula; this one
+    * audits range-predicate selectivity, the other half of every
+    * cost model). Estimate = Σ_buckets n_rows·overlap div width
+    * (uniform-within-bucket, pure integer), truth = one counting
+    * scan, error sign-split ppm. The whole estimate runs on the
+    * 8-row histogram — at 100 TB the stats object answers without
+    * touching the table, which is the point.
+    */
+  def selectivityEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val b = equidepthHist(spark, dir)
+      .withColumn(
+        "overlap",
+        greatest(
+          lit(0L),
+          least(col("hi_cents"), lit(SelHiC - 1)) -
+            greatest(col("lo_cents"), lit(SelLoC)) + 1))
+      .withColumn("width", col("hi_cents") - col("lo_cents") + 1)
+    val est = b.agg(
+      sum(expr("n_rows * overlap div width")).as("est_rows"),
+      sum(when(col("overlap") > 0, 1L).otherwise(0L)).as("buckets_touched"))
+    val actual = Tables.read(spark, dir, "orders")
+      .where(
+        Quantize.cents(col("o_totalprice")) >= SelLoC &&
+          Quantize.cents(col("o_totalprice")) < SelHiC)
+      .agg(count(lit(1)).as("actual_rows"))
+    est.crossJoin(broadcast(actual))
+      .withColumn(
+        "err_ppm",
+        expr("""CASE WHEN est_rows >= actual_rows
+               |  THEN ((est_rows - actual_rows) * 1000000) div actual_rows
+               |  ELSE -(((actual_rows - est_rows) * 1000000) div actual_rows)
+               |END""".stripMargin))
+  }
+
+  def selectivityEstimateOracle: String =
+    s"""WITH $rankedSql,
+       |h AS (
+       |  SELECT bucket, min(vc) lo_cents, max(vc) hi_cents,
+       |    CAST(sum(cnt) AS BIGINT) n_rows
+       |  FROM ranked GROUP BY bucket),
+       |ov AS (
+       |  SELECT *,
+       |    greatest(0, least(hi_cents, ${SelHiC - 1})
+       |      - greatest(lo_cents, $SelLoC) + 1) overlap,
+       |    hi_cents - lo_cents + 1 width
+       |  FROM h),
+       |e AS (
+       |  SELECT CAST(sum(n_rows * overlap // width) AS BIGINT) est_rows,
+       |    CAST(sum(CASE WHEN overlap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      buckets_touched
+       |  FROM ov),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) actual_rows FROM orders
+       |  WHERE ${Quantize.centsSql("o_totalprice")} >= $SelLoC
+       |    AND ${Quantize.centsSql("o_totalprice")} < $SelHiC)
+       |SELECT est_rows, buckets_touched, actual_rows,
+       |  CAST(CASE WHEN est_rows >= actual_rows
+       |    THEN ((est_rows - actual_rows) * 1000000) // actual_rows
+       |    ELSE -(((actual_rows - est_rows) * 1000000) // actual_rows)
+       |  END AS BIGINT) err_ppm
+       |FROM e, a""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("equidepth_hist", equidepthHist, Some(equidepthHistOracle)),
+    QueryDef(
+      "selectivity_estimate", selectivityEstimate,
+      Some(selectivityEstimateOracle)),
     QueryDef(
       "join_size_estimate", joinSizeEstimate, Some(joinSizeEstimateOracle)),
     QueryDef("salt_plan", saltPlan, Some(saltPlanOracle)),
