@@ -65,6 +65,61 @@ object StreamingWindows {
       |  CAST(COUNT(*) AS BIGINT) n
       |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
 
+  /** `stream_ohlc`: per-window open/high/low/close/volume candles in
+    * a form a STREAMING aggregation can run — the market-data /
+    * metrics resample. Window functions don't exist in streaming
+    * aggregations, so the boundary values come from MIN/MAX over the
+    * ORDERABLE STRUCT (us, event_id, cents): lexicographic struct
+    * comparison makes "value at the earliest/latest instant" a plain
+    * mergeable aggregate (ties impossible — event_id is unique), the
+    * same trick min-of-struct survivorship uses in golden_record.
+    * Batch ohlc_bars resolves the identical boundary by grid
+    * join-back; this formulation trades two joins for two struct
+    * aggregates and gains streaming compatibility
+    * (StreamingPipelineSpec runs the plan live over a watermarked
+    * MemoryStream and asserts exact parity).
+    */
+  def streamOhlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("ts"), unix_micros(col("ts")).as("us"), col("event_id"),
+        Quantize.cents(col("value")).as("vc"))
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("vc")).as("high_c"),
+        min(col("vc")).as("low_c"),
+        min(struct(col("us"), col("event_id"), col("vc"))).as("o"),
+        max(struct(col("us"), col("event_id"), col("vc"))).as("c"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("n"), col("o.vc").as("open_c"), col("high_c"), col("low_c"),
+        col("c.vc").as("close_c"))
+      .orderBy("window_start")
+
+  def streamOhlcOracle: String =
+    s"""WITH ev AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) us, event_id,
+       |    ${Quantize.centsSql("value")} vc
+       |  FROM events),
+       |r AS (
+       |  SELECT us // 21600000000 wk, vc,
+       |    ROW_NUMBER() OVER (PARTITION BY us // 21600000000
+       |      ORDER BY us, event_id) rn,
+       |    ROW_NUMBER() OVER (PARTITION BY us // 21600000000
+       |      ORDER BY us DESC, event_id DESC) rn_last
+       |  FROM ev),
+       |g AS (
+       |  SELECT wk, CAST(count(*) AS BIGINT) n, max(vc) high_c,
+       |    min(vc) low_c
+       |  FROM r GROUP BY 1),
+       |o AS (SELECT wk, vc open_c FROM r WHERE rn = 1),
+       |c AS (SELECT wk, vc close_c FROM r WHERE rn_last = 1)
+       |SELECT g.wk * 21600 window_start, g.n, o.open_c, g.high_c,
+       |  g.low_c, c.close_c
+       |FROM g JOIN o ON g.wk = o.wk JOIN c ON g.wk = c.wk
+       |ORDER BY window_start""".stripMargin
+
   /** Sliding windows: 6-hour windows every 3 hours (each event lands
     * in exactly two windows).
     */
@@ -283,6 +338,7 @@ object StreamingWindows {
       |GROUP BY 1, 2 ORDER BY window_start, n_name""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_ohlc", streamOhlc, Some(streamOhlcOracle)),
     QueryDef("stream_distinct", streamDistinct, Some(streamDistinctOracle)),
     QueryDef("stream_enrich", streamEnrich, Some(streamEnrichOracle)),
     QueryDef("stream_dedup", streamDedup, Some(streamDedupOracle)),

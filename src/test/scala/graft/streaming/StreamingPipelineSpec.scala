@@ -258,6 +258,47 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("min/max-of-struct OHLC boundaries survive streaming state (stream_ohlc shape)") {
+    import spark.implicits._
+    // boundary events arrive in DIFFERENT micro-batches than the bulk
+    // of their window, so open/close are only right if the struct
+    // min/max merges through the state store across batches
+    val rows = (0 until 90).map { i =>
+      (java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 53L)),
+        i.toLong, ((i * 37) % 100 + 1).toLong)
+    }
+    def plan(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("vc")).as("high"), min(col("vc")).as("low"),
+        min(struct(unix_micros(col("ts")).as("us"), col("id"), col("vc"))).as("o"),
+        max(struct(unix_micros(col("ts")).as("us"), col("id"), col("vc"))).as("c"))
+      .select(
+        unix_timestamp(col("window.start")).as("ws"),
+        col("n"), col("o.vc").as("open"), col("high"), col("low"),
+        col("c.vc").as("close"))
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sorted.toSeq
+    val batch = snap(plan(rows.toDF("ts", "id", "vc")))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
+    val q = plan(mem.toDF().toDF("ts", "id", "vc").withWatermark("ts", "5 minutes"))
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("complete")
+      .start()
+    try {
+      // shuffled arrival order + 3 batches: every window's true open/
+      // close lands away from its other rows
+      val shuffled = new scala.util.Random(11).shuffle(rows)
+      mem.addData(shuffled.take(30)); q.processAllAvailable()
+      mem.addData(shuffled.slice(30, 60)); q.processAllAvailable()
+      mem.addData(shuffled.drop(60)); q.processAllAvailable()
+      assert(snap(spark.table("ohlc_out")) == batch)
+    } finally q.stop()
+  }
+
   test("bitmap distinct aggregate carries streaming state (stream_distinct shape)") {
     import spark.implicits._
     // users revisit across micro-batches, so the exact distinct per
