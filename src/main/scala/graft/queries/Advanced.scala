@@ -366,7 +366,69 @@ object Advanced {
       |  CAST(sum(n_chars) AS BIGINT) * 1000 // CAST(sum(n_sub) AS BIGINT) chars_per_sub_milli
       |FROM t GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** `weighted_median`: exact LOWER weighted median of extended price
+    * per return flag, weighted by quantity — the robust center a
+    * revenue distribution wants when a row's mass varies (the plain
+    * exact_median treats a 1-unit and 50-unit line identically).
+    * Stated rule: smallest value whose cumulative weight reaches half
+    * the total (2·cum ≥ W, pure integer — no float half). The flag
+    * partitions are fact-sized, so cumulative weights use the
+    * ks_test/equidepth SHARDED prefix sum — (flag, $5k-price-shard)
+    * partitioned running sums plus triangular cross-shard offsets
+    * over the per-flag shard-total grid — never a 3-partition window
+    * over a fact-sized histogram. One histogram shuffle; everything
+    * after is shard-grid-sized.
+    */
+  private val WMedShard = 500000L // $5k price shards, cents
+
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.read(spark, dir, "lineitem")
+      .select(
+        col("l_returnflag").as("flag"),
+        Quantize.cents(col("l_extendedprice")).as("vc"),
+        Quantize.cents(col("l_quantity")).as("wt"))
+      .groupBy(col("flag"), col("vc"))
+      .agg(sum(col("wt")).as("w"))
+      .withColumn("shard", expr(s"vc div $WMedShard"))
+    val shardTot = hist.groupBy(col("flag"), col("shard"))
+      .agg(sum(col("w")).as("tot"))
+    val offsets = shardTot
+      .join(
+        broadcast(shardTot.toDF("flag2", "s2", "t2")),
+        col("flag") === col("flag2") && col("s2") < col("shard"), "left")
+      .groupBy(col("flag"), col("shard"))
+      .agg(coalesce(sum(col("t2")), lit(0L)).as("cum_off"))
+    val wsh = Window.partitionBy(col("flag"), col("shard")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = hist.groupBy(col("flag")).agg(sum(col("w")).as("wtot"))
+    hist
+      .join(broadcast(offsets), Seq("flag", "shard"))
+      .withColumn("cum", sum(col("w")).over(wsh) + col("cum_off"))
+      .join(broadcast(totals), "flag")
+      .where(col("cum") * 2 >= col("wtot"))
+      .groupBy(col("flag"))
+      .agg(min(col("vc")).as("wmedian_cents"), max(col("wtot")).as("total_weight"))
+      .orderBy("flag")
+  }
+
+  def weightedMedianOracle: String =
+    s"""WITH h AS (
+       |  SELECT l_returnflag flag, ${Quantize.centsSql("l_extendedprice")} vc,
+       |    CAST(SUM(${Quantize.centsSql("l_quantity")}) AS BIGINT) w
+       |  FROM lineitem GROUP BY 1, 2),
+       |c AS (
+       |  SELECT flag, vc, w,
+       |    CAST(SUM(w) OVER (PARTITION BY flag ORDER BY vc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum,
+       |    CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) wtot
+       |  FROM h)
+       |SELECT flag, min(vc) wmedian_cents, max(wtot) total_weight
+       |FROM c WHERE cum * 2 >= wtot
+       |GROUP BY flag ORDER BY flag""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "weighted_median", weightedMedian, Some(weightedMedianOracle)),
     QueryDef(
       "tokenizer_fertility", tokenizerFertility,
       Some(tokenizerFertilityOracle)),

@@ -1013,6 +1013,65 @@ object TextAnalysis {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** `doc_keywords`: per-document top-3 distinctive terms by
+    * tf·idf — the keyword-extraction / document-tagging primitive
+    * (what "about" panels, related-doc features and weak labelers
+    * read). idf quantizes to integer micro-units exactly like
+    * bm25_topk (floor(1e6·(N−df+0.5)/(df+0.5)) of the identical IEEE
+    * expression both engines evaluate), so score = tf·idf_q is an
+    * exact BIGINT and the per-doc ranking is bit-stable. df comes
+    * from the FULL corpus; the output restricts to doc_id < 20 (the
+    * pos_tokens row-budget convention) with the filter on the window
+    * partition key, so the doc-partitioned row_number plans
+    * WindowGroupLimit over only the surviving docs.
+    */
+  def docKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.read(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("term"))
+    tf.where(col("doc_id") < 20)
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "idf_q",
+        floor(lit(1e6) *
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .cast("long"))
+      .withColumn("score_q", col("tf") * col("idf_q"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score_q"))
+      .orderBy("doc_id", "rk")
+  }
+
+  def docKeywordsOracle: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+       |  FROM (SELECT doc_id, unnest(${ToksSql.format("lower(text)")}) term
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |    tf.tf * CAST(floor(1e6 * ((n_docs - df + 5e-1) / (df + 5e-1)))
+       |      AS BIGINT) score_q
+       |  FROM tf JOIN dft ON tf.term = dft.term, n
+       |  WHERE tf.doc_id < 20),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score_q DESC, term) AS BIGINT) rk
+       |  FROM scored)
+       |SELECT doc_id, rk, term, tf, score_q FROM r
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   /** `phrase_search`: exact-phrase retrieval ("table part") through
     * POSITIONAL posting lists — the inverted-index adjacency join every
     * phrase/proximity query runs (Manning et al., IR ch. 2). Tokens
@@ -1141,6 +1200,7 @@ object TextAnalysis {
        |FROM t, n ORDER BY disp_ppm DESC, term""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("doc_keywords", docKeywords, Some(docKeywordsOracle)),
     QueryDef("phrase_search", phraseSearch, Some(phraseSearchOracle)),
     QueryDef("lexical_diversity", lexicalDiversity, Some(lexicalDiversityOracle)),
     QueryDef("term_burstiness", termBurstiness, Some(termBurstinessOracle)),
