@@ -1198,7 +1198,64 @@ object Extended {
        |WHERE pts.sz = run.msize AND (run.mprev IS NULL OR pts.sz > run.mprev)
        |ORDER BY p_brand, price_c, p_partkey""".stripMargin
 
+  /** `hof_battery`: the higher-order array-function surface —
+    * transform/filter/aggregate(fold)/zip_with/exists/forall/slice —
+    * exercised per order over its sorted quantity array and pinned
+    * against DuckDB's list-function family (list_transform /
+    * list_filter / list_sum / list_reverse / slicing). This is the
+    * "functions, not UDFs" discipline made checkable: every lambda
+    * here is a codegen'd Catalyst HigherOrderFunction, zero Scala
+    * closures. collect_list order is nondeterministic by contract, so
+    * the array is canonicalized with sort_array BEFORE any
+    * order-sensitive op (the zip_with pairs each element with its
+    * mirror, which only means something on a sorted array). Output
+    * capped to orderkey < 200 (the pos_tokens row-budget convention,
+    * filtered before the aggregate builds arrays).
+    */
+  def hofBattery(spark: SparkSession, dir: String): DataFrame = {
+    val arr = sort_array(collect_list(col("qc")))
+    Tables.read(spark, dir, "lineitem")
+      .where(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), Quantize.cents(col("l_quantity")).as("qc"))
+      .groupBy(col("l_orderkey"))
+      .agg(arr.as("arr"))
+      .select(
+        col("l_orderkey"),
+        size(col("arr")).cast("long").as("n_items"),
+        aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("total_q"),
+        size(filter(col("arr"), x => x > 2500L)).cast("long").as("n_big"),
+        aggregate(
+          zip_with(col("arr"), reverse(col("arr")), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("mirror_dot"),
+        exists(col("arr"), x => x >= 5000L).as("any_ge_50"),
+        forall(col("arr"), x => x > 0L).as("all_pos"),
+        concat_ws(",", transform(slice(col("arr"), 1, 3), x => x.cast("string")))
+          .as("first3"))
+      .orderBy("l_orderkey")
+  }
+
+  def hofBatteryOracle: String =
+    s"""WITH g AS (
+       |  SELECT l_orderkey,
+       |    list_sort(list(${Quantize.centsSql("l_quantity")})) arr
+       |  FROM lineitem WHERE l_orderkey < 200 GROUP BY 1),
+       |b AS (
+       |  SELECT l_orderkey, arr, list_reverse(arr) rev,
+       |    CAST(len(arr) AS BIGINT) n_items
+       |  FROM g)
+       |SELECT l_orderkey, n_items,
+       |  CAST(list_sum(arr) AS BIGINT) total_q,
+       |  CAST(len(list_filter(arr, x -> x > 2500)) AS BIGINT) n_big,
+       |  CAST(list_sum(list_transform(range(1, CAST(n_items AS INT) + 1),
+       |    i -> arr[i] * rev[i])) AS BIGINT) mirror_dot,
+       |  len(list_filter(arr, x -> x >= 5000)) > 0 any_ge_50,
+       |  len(list_filter(arr, x -> NOT x > 0)) = 0 all_pos,
+       |  array_to_string(list_transform(arr[1:3], x -> CAST(x AS VARCHAR)), ',')
+       |    first3
+       |FROM b ORDER BY l_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("hof_battery", hofBattery, Some(hofBatteryOracle)),
     QueryDef("pareto_skyline", paretoSkyline, Some(paretoSkylineOracle)),
     QueryDef("grouping_sets", groupingSets, Some(groupingSetsOracle)),
     QueryDef("window_dist", windowDist, Some(windowDistOracle)),
