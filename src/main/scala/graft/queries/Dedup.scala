@@ -688,6 +688,72 @@ object Dedup {
           "ELSE n_found * 1000000 div n_truth END").as("recall_ppm"))
   }
 
+  /** `minhash_estimate`: estimator-quality gate for the MinHash
+    * JACCARD ESTIMATE itself — for every verified near-dup pair, the
+    * unbiased estimator (matching signature components / 8, in ppm)
+    * beside the exact Jaccard from the shingle arrays, error signed.
+    * lsh_recall gates what banding LOSES (pairs that never collide);
+    * this gates what the signature CLAIMS about the pairs it keeps —
+    * the resolution floor of an 8-hash signature (steps of 125000
+    * ppm) is visible in the pinned errors, which is exactly the
+    * sizing argument for signature width. Per-pair work is a zip_with
+    * over two 8-element arrays plus the array-intersect verify
+    * already paid for; the pair set is the shared LSH output, never
+    * all-pairs.
+    */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val docarr = docShingleArraysShared(spark, dir)
+    val sig = docarr.select(
+      col("doc_id"),
+      graft.functions.TextHashFunctions.minhashSig(col("arr"), NumHashes)
+        .as("sig"))
+    minhashLshShared(spark, dir).select(col("a"), col("b"))
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .join(
+        docarr.select(col("doc_id").as("a"), col("arr").as("arr_a")), "a")
+      .join(
+        docarr.select(col("doc_id").as("b"), col("arr").as("arr_b")), "b")
+      .select(
+        col("a"), col("b"),
+        size(filter(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("long").as("matching"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .as("inter"),
+        size(col("arr_a")).cast("long").as("na"),
+        size(col("arr_b")).cast("long").as("nb"))
+      .withColumn("est_ppm", expr(s"matching * 1000000 div $NumHashes"))
+      .withColumn("exact_ppm", expr("inter * 1000000 div (na + nb - inter)"))
+      .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+      .select(
+        col("a"), col("b"), col("matching"), col("est_ppm"),
+        col("exact_ppm"), col("err_ppm"))
+      .orderBy("a", "b")
+  }
+
+  def minhashEstimateOracle: String =
+    s"""WITH $ShinglesSql,
+       |$MinhashPairsCtes,
+       |m AS (
+       |  SELECT l.a, l.b,
+       |    CAST(sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |      matching
+       |  FROM lshpairs l
+       |  JOIN hashed ha ON ha.doc_id = l.a
+       |  JOIN hashed hb ON hb.doc_id = l.b AND hb.h = ha.h
+       |  GROUP BY 1, 2)
+       |SELECT m.a, m.b, m.matching,
+       |  m.matching * 1000000 // $NumHashes est_ppm,
+       |  i.inter * 1000000 // (sa.n + sb.n - i.inter) exact_ppm,
+       |  m.matching * 1000000 // $NumHashes
+       |    - i.inter * 1000000 // (sa.n + sb.n - i.inter) err_ppm
+       |FROM m
+       |JOIN inter i ON m.a = i.a AND m.b = i.b
+       |JOIN sizes sa ON m.a = sa.doc_id
+       |JOIN sizes sb ON m.b = sb.doc_id
+       |ORDER BY m.a, m.b""".stripMargin
+
   /** `lsh_band_curve`: the banding TUNING TABLE — recall AND
     * candidate-pair cost for every rows-per-band choice the 8-hash
     * signature admits (r = 1, 2, 4 ⇒ 8/4/2 bands), from ONE shared
@@ -1088,6 +1154,8 @@ object Dedup {
     QueryDef("golden_record", goldenRecord, Some(goldenRecordOracle)),
     QueryDef("lsh_recall", lshRecall, Some(lshRecallOracle)),
     QueryDef("lsh_band_curve", lshBandCurve, Some(lshBandCurveOracle)),
+    QueryDef(
+      "minhash_estimate", minhashEstimate, Some(minhashEstimateOracle)),
     QueryDef(
       "dup_rate_by_source", dupRateBySource, Some(dupRateBySourceOracle)),
     QueryDef("entity_matching", entityMatching, Some(entityMatchingOracle)),

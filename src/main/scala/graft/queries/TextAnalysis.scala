@@ -1072,6 +1072,60 @@ object TextAnalysis {
        |SELECT doc_id, rk, term, tf, score_q FROM r
        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** `vocab_drift`: term-share drift between two corpus cohorts — the
+    * vocabulary-distribution monitor (a term whose share moves between
+    * crawls signals topic/source drift before any model metric does;
+    * drift_cusum watches values, this watches TEXT). Cohorts come
+    * from the suite's single content-hash split rule
+    * ([[ContentHash]], never doc ordering), per-cohort term shares in
+    * integer ppm against broadcast cohort totals, top 15 movers by
+    * absolute drift. Everything after the one wordcount shuffle is
+    * vocab-sized.
+    */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.read(spark, dir, "documents")
+      .select(
+        ContentHash.bucket(col("doc_id"), 2).as("p"),
+        explode(toks(lower(col("text")))).as("term"))
+    val cnt = tok.groupBy(col("p"), col("term")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("p")).agg(sum(col("n")).as("tot"))
+    cnt.join(broadcast(tot), "p")
+      .withColumn("share_ppm", expr("n * 1000000 div tot"))
+      .groupBy(col("term"))
+      .agg(
+        coalesce(sum(when(col("p") === 0, col("share_ppm"))), lit(0L))
+          .as("share0_ppm"),
+        coalesce(sum(when(col("p") === 1, col("share_ppm"))), lit(0L))
+          .as("share1_ppm"))
+      .withColumn("drift_ppm", col("share1_ppm") - col("share0_ppm"))
+      .orderBy(
+        greatest(col("drift_ppm"), -col("drift_ppm")).desc, col("term"))
+      .limit(15)
+  }
+
+  def vocabDriftOracle: String =
+    s"""WITH tok AS (
+       |  SELECT ${ContentHash.bucketSql("doc_id", 2)} p,
+       |    unnest(${ToksSql.format("lower(text)")}) term
+       |  FROM documents),
+       |cnt AS (SELECT p, term, CAST(count(*) AS BIGINT) n
+       |  FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT p, CAST(sum(n) AS BIGINT) tot FROM cnt GROUP BY 1),
+       |sh2 AS (
+       |  SELECT cnt.term, cnt.p, cnt.n * 1000000 // tot.tot share_ppm
+       |  FROM cnt JOIN tot ON cnt.p = tot.p),
+       |g AS (
+       |  SELECT term,
+       |    CAST(COALESCE(sum(CASE WHEN p = 0 THEN share_ppm END), 0)
+       |      AS BIGINT) share0_ppm,
+       |    CAST(COALESCE(sum(CASE WHEN p = 1 THEN share_ppm END), 0)
+       |      AS BIGINT) share1_ppm
+       |  FROM sh2 GROUP BY 1)
+       |SELECT term, share0_ppm, share1_ppm,
+       |  share1_ppm - share0_ppm drift_ppm
+       |FROM g
+       |ORDER BY greatest(drift_ppm, -drift_ppm) DESC, term LIMIT 15""".stripMargin
+
   /** `phrase_search`: exact-phrase retrieval ("table part") through
     * POSITIONAL posting lists — the inverted-index adjacency join every
     * phrase/proximity query runs (Manning et al., IR ch. 2). Tokens
@@ -1200,6 +1254,7 @@ object TextAnalysis {
        |FROM t, n ORDER BY disp_ppm DESC, term""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("vocab_drift", vocabDrift, Some(vocabDriftOracle)),
     QueryDef("doc_keywords", docKeywords, Some(docKeywordsOracle)),
     QueryDef("phrase_search", phraseSearch, Some(phraseSearchOracle)),
     QueryDef("lexical_diversity", lexicalDiversity, Some(lexicalDiversityOracle)),
