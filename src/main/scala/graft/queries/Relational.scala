@@ -623,7 +623,95 @@ object Relational {
       |FROM co GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** `q4_priority`: the TPC-H Q4 "order priority checking" shape —
+    * orders with at least one LATE line (shipped > 30 days after the
+    * order date), counted per priority. The correlated EXISTS states
+    * as a left-semi join whose condition spans both sides
+    * (l_orderkey match AND the lateness comparison) — Spark plans the
+    * non-equi part as the semi join's residual, so the probe stays an
+    * equi hash join on orderkey, co-partitioned with lineitem's
+    * natural key; output collapses to the 5-row priority grid.
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.read(spark, dir, "orders")
+    val li = Tables.read(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord
+      .join(
+        li,
+        col("o_orderkey") === col("l_orderkey") &&
+          to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 30),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  def q4PriorityOracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) order_count
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE)
+      |      > CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) + 30)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** `q22_idle_customers`: the TPC-H Q22 "global sales opportunity"
+    * shape — customers richer than the positive-balance average with
+    * no RECENT order (nothing since 2001-06-01; the dataset's every
+    * customer has ordered at some point, so the literal never-ordered
+    * form is empty — the recency window keeps the anti join earning
+    * its place), rolled up per nation. Two classic sub-shapes in one
+    * plan: a SCALAR SUBQUERY (the global average, one broadcast row)
+    * and an ANTI JOIN. The above-average compare cross-multiplies in
+    * integer cents (bal·n > Σbal) instead of comparing against a
+    * float average — the suite's exact-compare discipline — and the
+    * recency filter pushes to the orders scan before the anti probe.
+    */
+  private val Q22Cutoff = "2001-06-01"
+
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "customer")
+      .withColumn("bal_c", Quantize.cents(col("c_acctbal")))
+    val stats = cust.where(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("s"), count(lit(1)).as("n"))
+    cust
+      .crossJoin(broadcast(stats))
+      .where(col("bal_c") * col("n") > col("s"))
+      .join(
+        Tables.read(spark, dir, "orders")
+          .where(to_date(col("o_orderdate")) >= lit(Q22Cutoff).cast("date"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        sum(col("bal_c")).as("totacctbal_c"))
+      .orderBy("nation")
+  }
+
+  def q22IdleCustomersOracle: String =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_nationkey, ${Quantize.centsSql("c_acctbal")} bal_c
+       |  FROM customer),
+       |s AS (
+       |  SELECT CAST(sum(bal_c) AS BIGINT) s, CAST(count(*) AS BIGINT) n
+       |  FROM c WHERE bal_c > 0)
+       |SELECT CAST(c_nationkey AS BIGINT) nation,
+       |  CAST(count(*) AS BIGINT) numcust,
+       |  CAST(sum(bal_c) AS BIGINT) totacctbal_c
+       |FROM c, s
+       |WHERE bal_c * n > s
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |    AND CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)
+       |      >= DATE '$Q22Cutoff')
+       |GROUP BY 1 ORDER BY nation""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q4_priority", q4Priority, Some(q4PriorityOracle)),
+    QueryDef(
+      "q22_idle_customers", q22IdleCustomers, Some(q22IdleCustomersOracle)),
     QueryDef("q13_custdist", q13Custdist, Some(q13CustdistOracle)),
     QueryDef("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersOracle)),
     QueryDef("q9_profit", q9Profit, Some(q9ProfitOracle)),
