@@ -125,6 +125,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(limits.size >= 2, phys.toString.take(2000))
   }
 
+  test("doc_keywords plans WindowGroupLimit (map-side partial top-3)") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val phys = physicalPlanNoAqe(TextAnalysis.docKeywords(spark, dir))
+    val limits = phys.collect { case w: WindowGroupLimitExec => w }
+    assert(limits.size >= 2, phys.toString.take(2000))
+  }
+
+  test("q18 top-100 plans TakeOrderedAndProject; qualifying keys broadcast") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val phys = physicalPlanNoAqe(Relational.q18LargeOrders(spark, dir))
+    assert(
+      phys.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      phys.toString.take(2000))
+    // survivors + customer both ride as broadcast builds — the orders
+    // probe never shuffles
+    assert(
+      phys.collect { case b: BroadcastHashJoinExec => b }.size >= 2,
+      phys.toString.take(2000))
+  }
+
+  test("phrase_search postings filter to the two terms below the adjacency join") {
+    val plan = TextAnalysis.phraseSearch(spark, dir)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // each join input carries the term filter — the token stream
+    // never reaches the join unfiltered
+    val filteredBelow = joins.head.children.forall(_.collectFirst {
+      case f: Filter if f.condition.toString.contains("term") => f
+    }.nonEmpty)
+    assert(filteredBelow, plan.toString.take(2000))
+  }
+
+  test("ohlc_bars boundary join-backs broadcast the day grid") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val phys = physicalPlanNoAqe(Analytics.ohlcBars(spark, dir))
+    // two boundary join-backs + the final grid joins — all broadcast,
+    // the event stream itself never shuffles for a join
+    assert(
+      phys.collect { case b: BroadcastHashJoinExec => b }.size >= 2,
+      phys.toString.take(2000))
+  }
+
   test("countmin_freq and geo_radius_join probe broadcasts (no cartesian)") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     for (plan <- Seq(
