@@ -739,6 +739,64 @@ object Graph {
        |WHERE deg.deg >= 2
        |ORDER BY cc_ppm DESC, suppkey LIMIT 25""".stripMargin
 
+  /** `random_walks`: 2-hop "random" walks from every node of the
+    * co-occurrence graph with DETERMINISTIC hash-driven choice — the
+    * node2vec/DeepWalk corpus-generation primitive made reproducible:
+    * at step s from node cur on walk w, the next hop is the neighbor
+    * minimizing md5(start|s|neighbor) — a content-hash uniform pick
+    * (the ContentHash/priority-sampling discipline applied to graph
+    * traversal), identical across engines, runs, and partitionings
+    * where a seeded RNG would depend on iteration order. Each step is
+    * one equi-join of the frontier against the adjacency relation +
+    * an argmin via min-of-struct (hash, neighbor) — no window; the
+    * frontier stays node-sized, edges never shuffle (adjacency is the
+    * shared persisted relation). Walk count = |V| per step by
+    * construction.
+    */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coEdgesShared(spark, dir)
+    val adj = edges.select(col("a").as("x"), col("b").as("m"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("m")))
+    def hop(frontier: DataFrame, step: Int): DataFrame =
+      frontier
+        .join(adj, frontier("cur") === adj("x"))
+        .groupBy(col("start"))
+        .agg(min(struct(
+          md5(concat_ws("|", col("start"), lit(step), col("m"))).as("h"),
+          col("m").as("m"))).as("pick"))
+        .select(col("start"), col("pick.m").as("cur"))
+    val w0 = adj.select(col("x").as("start")).distinct()
+      .withColumn("cur", col("start"))
+    val w1 = hop(w0, 1)
+    val w2 = hop(w1, 2)
+    w1.select(col("start"), col("cur").as("hop1"))
+      .join(w2.select(col("start"), col("cur").as("hop2")), "start")
+      .orderBy("start")
+  }
+
+  def randomWalksOracle: String =
+    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (
+       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM os x JOIN os y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriSupport),
+       |adj AS (SELECT a x, b m FROM e UNION ALL SELECT b, a FROM e),
+       |w0 AS (SELECT DISTINCT x AS start FROM adj),
+       |w1 AS (
+       |  SELECT w0.start,
+       |    min_by(adj.m, md5(CAST(w0.start AS VARCHAR) || '|1|'
+       |      || CAST(adj.m AS VARCHAR))) hop1
+       |  FROM w0 JOIN adj ON adj.x = w0.start GROUP BY 1),
+       |w2 AS (
+       |  SELECT w1.start,
+       |    min_by(adj.m, md5(CAST(w1.start AS VARCHAR) || '|2|'
+       |      || CAST(adj.m AS VARCHAR))) hop2
+       |  FROM w1 JOIN adj ON adj.x = w1.hop1 GROUP BY 1)
+       |SELECT w1.start, w1.hop1, w2.hop2
+       |FROM w1 JOIN w2 ON w1.start = w2.start
+       |ORDER BY w1.start""".stripMargin
+
   /** Degree threshold for the peeling rounds. */
   private val CoreK = 50
 
@@ -935,5 +993,6 @@ object Graph {
     QueryDef("node_similarity", nodeSimilarity, Some(nodeSimilarityOracle)),
     QueryDef(
       "clustering_coeff", clusteringCoeff, Some(clusteringCoeffOracle)),
+    QueryDef("random_walks", randomWalks, Some(randomWalksOracle)),
     QueryDef("degree_dist", degreeDist, Some(degreeDistOracle)))
 }

@@ -801,7 +801,79 @@ object TrainingPipeline {
       |SELECT anchor, rnk, doc_id negative, h FROM r
       |WHERE rnk <= 4 ORDER BY anchor, rnk""".stripMargin
 
+  /** `dataset_card`: the one-row corpus summary a dataset release
+    * ships — size (docs/tokens), composition (languages/sources),
+    * shape (floor-mean tokens per doc, short-doc share), and hygiene
+    * (near-dup share off the SHARED converged CC label table — the
+    * same propagation dedup_clusters/golden_record already paid for,
+    * never re-run here). Everything integer/ppm; one token-counting
+    * scan + one label join, then two 1-row aggregates cross-joined.
+    * The card is what the curation loop watches release-over-release
+    * (vocab_drift watches terms, this watches the corpus envelope).
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+      .cast("long")
+    val docs = Tables.read(spark, dir, "documents")
+    val stats = docs
+      .select(col("lang"), col("source"), nTok.as("n_tok"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("n_tok") < 20, 1L).otherwise(0L)).as("n_short"))
+    val dups = docs
+      .join(
+        Dedup.ccLabelsShared(spark, dir).withColumnRenamed("doc", "doc_id"),
+        Seq("doc_id"), "left")
+      .agg(
+        sum(when(col("root").isNotNull && col("root") =!= col("doc_id"), 1L)
+          .otherwise(0L)).as("n_dups"))
+    stats.crossJoin(broadcast(dups))
+      .select(
+        col("n_docs"), col("total_tokens"), col("n_langs"),
+        col("n_sources"),
+        expr("total_tokens div n_docs").as("mean_doc_tokens"),
+        expr("n_short * 1000000 div n_docs").as("short_ppm"),
+        col("n_dups"),
+        expr("n_dups * 1000000 div n_docs").as("dup_ppm"))
+  }
+
+  def datasetCardOracle: String =
+    s"""WITH RECURSIVE ${Dedup.ShinglesSql},
+       |${Dedup.MinhashPairsCtes},
+       |e AS (SELECT a src, b dst FROM lshpairs UNION SELECT b, a FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS doc, dst AS r FROM e
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN e ON reach.r = e.src),
+       |comp AS (
+       |  SELECT doc, least(doc, MIN(r)) AS root FROM reach GROUP BY doc),
+       |t AS (
+       |  SELECT lang, source,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> x <> '')) AS BIGINT) n_tok
+       |  FROM documents),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) total_tokens,
+       |    CAST(count(DISTINCT lang) AS BIGINT) n_langs,
+       |    CAST(count(DISTINCT source) AS BIGINT) n_sources,
+       |    CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT) n_short
+       |  FROM t),
+       |du AS (
+       |  SELECT CAST(sum(CASE WHEN c.root IS NOT NULL
+       |      AND c.root <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT) n_dups
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc)
+       |SELECT n_docs, total_tokens, n_langs, n_sources,
+       |  total_tokens // n_docs mean_doc_tokens,
+       |  n_short * 1000000 // n_docs short_ppm,
+       |  n_dups, n_dups * 1000000 // n_docs dup_ppm
+       |FROM s, du""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dataset_card", datasetCard, Some(datasetCardOracle)),
     QueryDef(
       "negative_sampling", negativeSampling, Some(negativeSamplingOracle)),
     QueryDef("mlm_mask", mlmMask, Some(mlmMaskOracle)),
