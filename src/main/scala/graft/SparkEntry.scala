@@ -16,7 +16,8 @@ object SparkEntry {
       TrainingPipeline.defs ++ Statistics.defs ++ Analytics.defs ++
       RuntimeFilters.defs ++ Incremental.defs ++ DataQuality.defs ++
       NativePlans.defs ++ Layout.defs ++ Graph.defs ++ Association.defs ++
-      Hierarchy.defs ++ Sketches.defs ++ Geo.defs ++ SetSimilarity.defs
+      Hierarchy.defs ++ Sketches.defs ++ Geo.defs ++ SetSimilarity.defs ++
+      SqlSurface.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

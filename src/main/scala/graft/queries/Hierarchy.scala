@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Recursive-hierarchy operators (BOM explosion, org charts, category
-  * trees) — the workload class SQL serves with `WITH RECURSIVE`,
-  * which Spark has no native node for. The scalable Spark answer is
-  * PATH DOUBLING: each round self-joins the ancestor relation, so
-  * reachable-ancestor distance doubles per round and a depth-d tree
-  * closes in ⌈log₂ d⌉ joins — not d level-walk joins (the naive
-  * translation a recursive CTE would make, one shuffle per LEVEL).
+  * trees) — the workload class SQL serves with `WITH RECURSIVE`.
+  * Spark 4 grew a native recursion node (UnionLoop — exercised and
+  * oracle-checked by `rcte_levels` in [[SqlSurface]]), but the
+  * SCALABLE Spark answer is still PATH DOUBLING: each round
+  * self-joins the ancestor relation, so reachable-ancestor distance
+  * doubles per round and a depth-d tree closes in ⌈log₂ d⌉ joins —
+  * not d level-walk joins (the recursive node runs one pass per
+  * LEVEL and materializes the whole closure through its loop; the
+  * sf1 replica already trips its 1M-row recursion guard).
   */
 object Hierarchy {
 

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pure-SQL entry points — queries stated through `spark.sql` rather
+  * than the DataFrame API, exercising surface Spark 4 only recently
+  * grew and that a reference user would reach for first:
+  *
+  *  - `WITH RECURSIVE` (Spark 4's UnionLoop): the level-walk
+  *    recursion the engine's own `bom_rollup` replaces with
+  *    distributed path doubling at scale. Keeping BOTH is the point:
+  *    this row proves semantic parity of the native node against
+  *    DuckDB's recursion on the identical key-derived tree, while
+  *    bom_rollup remains the ⌈log₂ d⌉-shuffle scale path (a recursive
+  *    CTE shuffles once per LEVEL).
+  *  - correlated `LATERAL` subqueries with ORDER BY + LIMIT — the
+  *    top-N-per-group idiom stated relationally (the planner
+  *    decorrelates it; the DataFrame twin `group_topk` states the
+  *    same contract through a window and plans WindowGroupLimit).
+  *
+  * Temp views are registered under query-unique names so parallel
+  * suite runs can't collide.
+  */
+object SqlSurface {
+
+  /** `rcte_levels`: ancestor-chain enumeration over the key-derived
+    * 4-ary part tree (parent(k) = (k−1) div 4 — bom_rollup's domain)
+    * through a NATIVE recursive CTE, collapsed per depth to count +
+    * key checksum (order-independent integer sums, so the recursion's
+    * row set is pinned exactly).
+    */
+  def rcteLevels(spark: SparkSession, dir: String): DataFrame = {
+    // The ancestor closure is n·depth rows (~20M at the sf1 replica's
+    // 2M parts), which trips the engine's 1M-row recursion guard —
+    // raise it explicitly. That guard IS the bom_rollup scale
+    // argument in miniature: level-walk recursion materializes the
+    // whole closure through the loop node, while path doubling closes
+    // the same tree in ⌈log₂ d⌉ self-joins of shuffle-partitioned
+    // relations.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 200000000)
+    Tables.read(spark, dir, "part").createOrReplaceTempView("part_rcte")
+    spark.sql(
+      """WITH RECURSIVE anc(node, a, depth) AS (
+        |  SELECT p_partkey, (p_partkey - 1) div 4, 1L
+        |  FROM part_rcte WHERE p_partkey >= 1
+        |  UNION ALL
+        |  SELECT node, (a - 1) div 4, depth + 1L FROM anc WHERE a >= 1
+        |)
+        |SELECT depth, count(*) AS n, sum(node) AS checksum
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  def rcteLevelsOracle: String =
+    """WITH RECURSIVE anc(node, a, depth) AS (
+      |  SELECT p_partkey, (p_partkey - 1) // 4, CAST(1 AS BIGINT)
+      |  FROM part WHERE p_partkey >= 1
+      |  UNION ALL
+      |  SELECT node, (a - 1) // 4, depth + 1 FROM anc WHERE a >= 1
+      |)
+      |SELECT depth, CAST(count(*) AS BIGINT) n,
+      |  CAST(sum(node) AS BIGINT) checksum
+      |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
+
+  /** `lateral_topk`: richest 2 customers per nation through a
+    * correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+    * statement of top-N-per-group. Balance compares in exact cents
+    * with the custkey tie-break, per the suite's determinism
+    * discipline.
+    */
+  def lateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.read(spark, dir, "customer").createOrReplaceTempView("cust_lat")
+    // HAZARD (pinned in SqlSurfaceSpec): casting the OUTER correlation
+    // column inside the driving subquery (DISTINCT CAST(c_nationkey AS
+    // BIGINT)) makes Spark 4.1 silently mis-decorrelate this lateral —
+    // the plan degrades to a GLOBAL limit-2 with the correlation
+    // applied as a post-filter (2 rows total instead of 2 per nation,
+    // no error). Keeping the correlation key at its native type and
+    // casting AFTER the join is both correct and what a production
+    // query should do anyway.
+    spark.sql(
+      s"""SELECT CAST(n.nation AS BIGINT) AS nation, l.c_custkey,
+         |  CAST(round(l.c_acctbal * 100) AS BIGINT) AS bal_c FROM
+         |  (SELECT DISTINCT c_nationkey AS nation FROM cust_lat) n,
+         |  LATERAL (
+         |    SELECT c_custkey, c_acctbal
+         |    FROM cust_lat c
+         |    WHERE c.c_nationkey = n.nation
+         |    ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+         |ORDER BY nation, bal_c DESC, l.c_custkey""".stripMargin)
+  }
+
+  def lateralTopkOracle: String =
+    s"""SELECT n.nation, l.c_custkey, l.bal_c FROM
+       |  (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nation
+       |   FROM customer) n,
+       |  LATERAL (
+       |    SELECT c_custkey, ${Quantize.centsSql("c_acctbal")} bal_c
+       |    FROM customer c
+       |    WHERE c.c_nationkey = n.nation
+       |    ORDER BY bal_c DESC, c_custkey LIMIT 2) l
+       |ORDER BY n.nation, l.bal_c DESC, l.c_custkey""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("rcte_levels", rcteLevels, Some(rcteLevelsOracle)),
+    QueryDef("lateral_topk", lateralTopk, Some(lateralTopkOracle)))
+}

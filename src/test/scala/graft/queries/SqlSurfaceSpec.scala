@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards for the pure-SQL entry points — most importantly the
+  * lateral-decorrelation hazard: Spark 4.1 silently returns a GLOBAL
+  * top-2 (correlation dropped, no error) when the outer correlation
+  * column is cast inside the driving subquery. The shipped form keeps
+  * the key at native type; this spec fails loudly if any future edit
+  * (or Spark upgrade) reintroduces the silent wrong-answer plan.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("lateral_topk returns exactly 2 rows per nation (correlation intact)") {
+    val rows = SqlSurface.lateralTopk(spark, dir).collect()
+    val nations = Tables.read(spark, dir, "customer")
+      .select("c_nationkey").distinct().count()
+    assert(rows.length == 2 * nations, s"got ${rows.length} rows")
+    val perNation = rows.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perNation == Set(2))
+    // within each nation the two rows are in descending balance order
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g(0).getLong(2) >= g(1).getLong(2))
+    }
+  }
+
+  test("rcte_levels matches driver-side arithmetic on the key-derived tree") {
+    // plain-Scala model: walk each key's ancestor chain
+    val maxKey = Tables.read(spark, dir, "part")
+      .agg(org.apache.spark.sql.functions.max("p_partkey"))
+      .head().getLong(0)
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for (k <- 1L to maxKey) {
+      var a = (k - 1) / 4
+      var d = 1L
+      var cont = true
+      while (cont) {
+        val (n, s) = want.getOrElse(d, (0L, 0L))
+        want(d) = (n + 1, s + k)
+        if (a >= 1) { a = (a - 1) / 4; d += 1 } else cont = false
+      }
+    }
+    val got = SqlSurface.rcteLevels(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want.toMap)
+  }
+}
