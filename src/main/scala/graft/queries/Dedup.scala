@@ -98,6 +98,35 @@ object Dedup {
     if (p != null) p.unpersist()
     val l = ccLabelsCache.remove((spark, dir))
     if (l != null) l.unpersist()
+    val t = truthCache.remove((spark, dir))
+    if (t != null) t.unpersist()
+  }
+
+  /** The exact ≥0.5-Jaccard truth pair set (the audit-class all-pairs
+    * baseline), persisted and shared by its answer-quality consumers
+    * (`lsh_recall`, `lsh_band_curve`) — the truth side is the
+    * expensive half of both gates and is identical between them; one
+    * materialization per (session, dir), same registry discipline as
+    * the other shared relations.
+    */
+  private val truthCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[queries] def exactTruthShared(
+      spark: SparkSession, dir: String): DataFrame = {
+    val stale =
+      truthCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(truthCache.remove)
+    truthCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        val sizes = docShingleArraysShared(s, d)
+          .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
+        jaccardPairs(shingles(s, d), sizes)
+          .where(col("jacc") >= 0.5)
+          .select(col("a"), col("b"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
   }
 
   /** The verified LSH near-dup pair relation, persisted and shared by
@@ -671,11 +700,7 @@ object Dedup {
     * claim structurally rather than assuming it.
     */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val sizes = docShingleArraysShared(spark, dir)
-      .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
-    val truth = jaccardPairs(shingles(spark, dir), sizes)
-      .where(col("jacc") >= 0.5)
-      .select(col("a"), col("b"))
+    val truth = exactTruthShared(spark, dir)
     val found = minhashLshShared(spark, dir).select(col("a"), col("b"))
       .join(truth, Seq("a", "b"), "left_semi")
     truth.agg(count(lit(1)).as("n_truth"))
@@ -770,11 +795,7 @@ object Dedup {
     */
   def lshBandCurve(spark: SparkSession, dir: String): DataFrame = {
     val docarr = docShingleArraysShared(spark, dir)
-    val sizes = docarr.select(col("doc_id"), size(col("arr")).cast("long").as("n"))
-    val truth = jaccardPairs(shingles(spark, dir), sizes)
-      .where(col("jacc") >= 0.5)
-      .select(col("a"), col("b"))
-      .localCheckpoint(eager = false) // 3 consumers (one per config)
+    val truth = exactTruthShared(spark, dir) // persisted; 3 consumers here
     val sig = minhashSigCols(docarr)
       .localCheckpoint(eager = false) // 3 consumers
     val rows = Seq(1, 2, 4).map { r =>

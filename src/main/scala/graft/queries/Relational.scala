@@ -708,7 +708,63 @@ object Relational {
        |      >= DATE '$Q22Cutoff')
        |GROUP BY 1 ORDER BY nation""".stripMargin
 
+  /** `q14_type_share`: the TPC-H Q14 "promotion effect" shape — the
+    * share of revenue coming from one part type (ECONOMY stands in
+    * for PROMO%) per ship month, as a CONDITIONAL aggregate: both the
+    * numerator (gated by the joined dimension attribute) and the
+    * denominator come from the SAME fact pass over lineitem ⋈
+    * broadcast(part). Revenue is exact DECIMAL(18,2)
+    * price·(1−discount) per the q9 discipline; the share surfaces in
+    * integer ppm via cents cross-division so no float ratio is ever
+    * compared. One fact scan, zero fact shuffles, month-grid output.
+    */
+  def q14TypeShare(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(java.math.BigDecimal.ONE)
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (one - col("l_discount").cast(DecimalType(18, 2))))
+    Tables.read(spark, dir, "lineitem")
+      .join(
+        broadcast(Tables.read(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(
+        year(col("l_shipdate")).cast("long").as("yr"),
+        month(col("l_shipdate")).cast("long").as("mo"))
+      .agg(
+        sum(when(col("p_type") === "ECONOMY", rev)
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
+          .as("economy_rev"),
+        sum(rev).as("total_rev"))
+      .select(
+        col("yr"), col("mo"),
+        // the 4-decimal revenue sum x100 still has cents fractions;
+        // floor is pinned on BOTH engines (Spark decimal->long truncates,
+        // DuckDB rounds - the fifo_match cast lesson)
+        floor(col("economy_rev") * 100).cast("long").as("economy_c"),
+        floor(col("total_rev") * 100).cast("long").as("total_c"))
+      .withColumn(
+        "economy_ppm", expr("economy_c * 1000000 div total_c"))
+      .orderBy("yr", "mo")
+  }
+
+  def q14TypeShareOracle: String =
+    """WITH m AS (
+      |  SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) yr,
+      |    CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) mo,
+      |    CAST(floor(SUM(CASE WHEN p_type = 'ECONOMY'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 100) AS BIGINT) economy_c,
+      |    CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100) AS BIGINT)
+      |      total_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2)
+      |SELECT yr, mo, economy_c, total_c,
+      |  economy_c * 1000000 // total_c economy_ppm
+      |FROM m ORDER BY yr, mo""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q14_type_share", q14TypeShare, Some(q14TypeShareOracle)),
     QueryDef("q4_priority", q4Priority, Some(q4PriorityOracle)),
     QueryDef(
       "q22_idle_customers", q22IdleCustomers, Some(q22IdleCustomersOracle)),
