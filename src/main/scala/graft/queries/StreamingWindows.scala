@@ -178,6 +178,58 @@ object StreamingWindows {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** `dynamic_sessions`: session windows whose inactivity gap depends
+    * on the EVENT — clicks hold a session open 10 minutes, views 30,
+    * everything else 20 (engagement-weighted sessionization; the
+    * fixed-gap form is `stream_sessions`). Uses Spark's dynamic-gap
+    * `session_window(ts, gapExpr)`: each event spans [ts, ts+gap) and
+    * overlapping spans merge, so a session ends only when the NEXT
+    * event starts at-or-after the running max of all previous spans'
+    * ends — which is exactly how the oracle replays it (running max
+    * over the prior rows' ts+gap, new session on ts >= that max). The
+    * same aggregate runs under a watermark as a stream; user_id < 40
+    * bounds oracle rows per the session_stats convention.
+    */
+  def dynamicSessions(spark: SparkSession, dir: String): DataFrame = {
+    val gap = when(col("event_type") === "click", lit("10 minutes"))
+      .when(col("event_type") === "view", lit("30 minutes"))
+      .otherwise(lit("20 minutes"))
+    Tables.events(spark, dir)
+      .where(col("user_id") < 40)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  def dynamicSessionsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) ts,
+      |    CASE event_type WHEN 'click' THEN INTERVAL 10 MINUTE
+      |      WHEN 'view' THEN INTERVAL 30 MINUTE
+      |      ELSE INTERVAL 20 MINUTE END gap
+      |  FROM events WHERE user_id < 40),
+      |m AS (
+      |  SELECT user_id, ts, ts + gap AS sp_end,
+      |    MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_end
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ts, sp_end,
+      |    SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) sid
+      |  FROM m)
+      |SELECT user_id, epoch_us(MIN(ts)) session_start_us,
+      |  epoch_us(MAX(sp_end)) session_end_us,
+      |  CAST(COUNT(*) AS BIGINT) n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   /** Stream-stream interval join semantics (click -> purchase by the
     * same user within 30 minutes AFTER the click), stated as the
     * banded equi-join: both sides bucket to 30-minute slots and join
@@ -346,5 +398,7 @@ object StreamingWindows {
     QueryDef("stream_tumbling", streamTumbling, Some(streamTumblingOracle)),
     QueryDef("stream_sliding", streamSliding, Some(streamSlidingOracle)),
     QueryDef("stream_sessions", streamSessions, Some(streamSessionsOracle)),
+    QueryDef(
+      "dynamic_sessions", dynamicSessions, Some(dynamicSessionsOracle)),
     QueryDef("stream_join", streamJoin, Some(streamJoinOracle)))
 }
