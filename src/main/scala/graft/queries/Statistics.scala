@@ -1073,7 +1073,10 @@ object Statistics {
     est.crossJoin(broadcast(actual))
       .withColumn(
         "err_ppm",
-        expr("""CASE WHEN est_rows >= actual_rows
+        // empty-selection edge → NULL, not ANSI DIVIDE_BY_ZERO (the
+        // lsh_recall zero-guard convention)
+        expr("""CASE WHEN actual_rows = 0 THEN NULL
+               |  WHEN est_rows >= actual_rows
                |  THEN ((est_rows - actual_rows) * 1000000) div actual_rows
                |  ELSE -(((actual_rows - est_rows) * 1000000) div actual_rows)
                |END""".stripMargin))
@@ -1101,7 +1104,8 @@ object Statistics {
        |  WHERE ${Quantize.centsSql("o_totalprice")} >= $SelLoC
        |    AND ${Quantize.centsSql("o_totalprice")} < $SelHiC)
        |SELECT est_rows, buckets_touched, actual_rows,
-       |  CAST(CASE WHEN est_rows >= actual_rows
+       |  CAST(CASE WHEN actual_rows = 0 THEN NULL
+       |    WHEN est_rows >= actual_rows
        |    THEN ((est_rows - actual_rows) * 1000000) // actual_rows
        |    ELSE -(((actual_rows - est_rows) * 1000000) // actual_rows)
        |  END AS BIGINT) err_ppm
