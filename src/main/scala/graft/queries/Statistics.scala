@@ -1111,7 +1111,62 @@ object Statistics {
        |  END AS BIGINT) err_ppm
        |FROM e, a""".stripMargin
 
+  /** `diff_in_diff`: the difference-in-differences readout — the
+    * quasi-experimental estimator beside ab_test's randomized one
+    * (when assignment isn't randomized, DiD subtracts each group's
+    * OWN pre-period baseline, removing time-invariant group effects
+    * and the common time trend). Cells: content-hash group × a
+    * pinned period cutoff (2024-01-16). All four cell means are
+    * integer micro-cents (sum·10⁶ div n — floor division pinned, so
+    * the estimate is bit-stable), DiD = (T_post − T_pre) − (C_post −
+    * C_pre). One 4-cell conditional aggregate over the fact scan;
+    * nothing downstream is ever row-sized.
+    */
+  private val DidCutoff = "2024-01-16"
+
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(
+        ContentHash.bucket(col("user_id"), 2).as("grp"),
+        (to_date(col("ts")) >= lit(DidCutoff).cast("date")).as("post"),
+        Quantize.cents(col("value")).as("vc"))
+      .groupBy(col("grp"), col("post"))
+      .agg(sum(col("vc")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_uc", expr("s * 1000000 div n"))
+    def cell(g: Int, p: Boolean) =
+      sum(when(col("grp") === g && col("post") === p, col("mean_uc")))
+    cells.agg(
+        cell(1, false).as("t_pre_uc"), cell(1, true).as("t_post_uc"),
+        cell(0, false).as("c_pre_uc"), cell(0, true).as("c_post_uc"))
+      .withColumn(
+        "did_uc",
+        (col("t_post_uc") - col("t_pre_uc")) -
+          (col("c_post_uc") - col("c_pre_uc")))
+  }
+
+  def diffInDiffOracle: String =
+    s"""WITH e AS (
+       |  SELECT ${ContentHash.bucketSql("user_id", 2)} grp,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '$DidCutoff' post,
+       |    ${Quantize.centsSql("value")} vc
+       |  FROM events),
+       |c AS (
+       |  SELECT grp, post, CAST(sum(vc) AS BIGINT) * 1000000
+       |      // CAST(count(*) AS BIGINT) mean_uc
+       |  FROM e GROUP BY 1, 2),
+       |w AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN grp = 1 AND NOT post THEN mean_uc END) AS BIGINT) t_pre_uc,
+       |    CAST(sum(CASE WHEN grp = 1 AND post THEN mean_uc END) AS BIGINT) t_post_uc,
+       |    CAST(sum(CASE WHEN grp = 0 AND NOT post THEN mean_uc END) AS BIGINT) c_pre_uc,
+       |    CAST(sum(CASE WHEN grp = 0 AND post THEN mean_uc END) AS BIGINT) c_post_uc
+       |  FROM c)
+       |SELECT t_pre_uc, t_post_uc, c_pre_uc, c_post_uc,
+       |  (t_post_uc - t_pre_uc) - (c_post_uc - c_pre_uc) did_uc
+       |FROM w""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("diff_in_diff", diffInDiff, Some(diffInDiffOracle)),
     QueryDef("equidepth_hist", equidepthHist, Some(equidepthHistOracle)),
     QueryDef(
       "selectivity_estimate", selectivityEstimate,
