@@ -364,7 +364,114 @@ object DataQuality {
        |FROM c GROUP BY nation, segment
        |ORDER BY nation, segment""".stripMargin
 
+  /** `totals_reconcile`: financial header-vs-lines reconciliation —
+    * for every order, the header total against the sum of its lines'
+    * discounted revenue, mismatches bucketed by relative-error band
+    * (exact match / <1% / <10% / ≥10%). The close-the-books audit
+    * every billing pipeline runs; on this synthetic data the header
+    * is NOT derived from the lines, so the banding exercises real
+    * spread rather than asserting zero. One orders⋈lineitem
+    * co-partitioned join-aggregate on the natural key (the join
+    * AQE-plans; the per-order compare is integer cents, band by
+    * cross-multiplication — |diff|·100 vs header — so no float
+    * ratios), then a 4-row band rollup.
+    */
+  def totalsReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.read(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(
+        Quantize.cents(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("line_c"))
+    Tables.read(spark, dir, "orders")
+      .select(
+        col("o_orderkey"), Quantize.cents(col("o_totalprice")).as("hdr_c"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("line_c", coalesce(col("line_c"), lit(0L)))
+      .withColumn(
+        "adiff",
+        when(col("hdr_c") >= col("line_c"), col("hdr_c") - col("line_c"))
+          .otherwise(col("line_c") - col("hdr_c")))
+      .withColumn(
+        "band",
+        when(col("adiff") === 0, "exact")
+          .when(col("adiff") * 100 < col("hdr_c"), "lt_1pct")
+          .when(col("adiff") * 10 < col("hdr_c"), "lt_10pct")
+          .otherwise("ge_10pct"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("adiff")).as("total_gap_c"))
+      .orderBy("band")
+  }
+
+  def totalsReconcileOracle: String =
+    s"""WITH l AS (
+       |  SELECT l_orderkey,
+       |    CAST(SUM(${Quantize.centsSql("l_extendedprice * (1.0 - l_discount)")})
+       |      AS BIGINT) line_c
+       |  FROM lineitem GROUP BY 1),
+       |j AS (
+       |  SELECT o_orderkey, ${Quantize.centsSql("o_totalprice")} hdr_c,
+       |    COALESCE(l.line_c, 0) line_c
+       |  FROM orders LEFT JOIN l ON o_orderkey = l_orderkey),
+       |b AS (
+       |  SELECT hdr_c,
+       |    CASE WHEN hdr_c >= line_c THEN hdr_c - line_c
+       |      ELSE line_c - hdr_c END adiff
+       |  FROM j),
+       |c AS (
+       |  SELECT CASE WHEN adiff = 0 THEN 'exact'
+       |    WHEN adiff * 100 < hdr_c THEN 'lt_1pct'
+       |    WHEN adiff * 10 < hdr_c THEN 'lt_10pct'
+       |    ELSE 'ge_10pct' END band, adiff
+       |  FROM b)
+       |SELECT band, CAST(count(*) AS BIGINT) n_orders,
+       |  CAST(sum(adiff) AS BIGINT) total_gap_c
+       |FROM c GROUP BY band ORDER BY band""".stripMargin
+
+  /** `task_completion`: unordered multi-event completion — users who
+    * performed ALL THREE of view/click/purchase on the same day (any
+    * order — window_funnel is the ORDERED form), per day, with the
+    * active-user base for a completion share in ppm. distinct
+    * (user, day, type) first, then one countDistinct-per-(user, day)
+    * aggregate — never a per-user sort or window.
+    */
+  def taskCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(
+        col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct()
+    ud.groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n_types"))
+      .groupBy(col("d"))
+      .agg(
+        count(lit(1)).as("active_users"),
+        sum(when(col("n_types") === 3, 1L).otherwise(0L)).as("completed"))
+      .withColumn(
+        "completion_ppm", expr("completed * 1000000 div active_users"))
+      .orderBy("d")
+  }
+
+  def taskCompletionOracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) d,
+      |    event_type
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |g AS (
+      |  SELECT user_id, d, CAST(count(*) AS BIGINT) n_types
+      |  FROM ud GROUP BY 1, 2)
+      |SELECT d, CAST(count(*) AS BIGINT) active_users,
+      |  CAST(sum(CASE WHEN n_types = 3 THEN 1 ELSE 0 END) AS BIGINT) completed,
+      |  CAST(sum(CASE WHEN n_types = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // count(*) completion_ppm
+      |FROM g GROUP BY d ORDER BY d""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "totals_reconcile", totalsReconcile, Some(totalsReconcileOracle)),
+    QueryDef("task_completion", taskCompletion, Some(taskCompletionOracle)),
     QueryDef("k_anonymity", kAnonymity, Some(kAnonymityOracle)),
     QueryDef("column_modes", columnModes, Some(columnModesOracle)),
     QueryDef("dq_audit", dqAudit, Some(dqAuditOracle)),
