@@ -1015,7 +1015,78 @@ object Similarity {
        |FROM vn JOIN cents ON vn.label = cents.label
        |ORDER BY dist2 DESC, vec_id LIMIT 25""".stripMargin
 
+  /** `centroid_similarity`: the label×label centroid cosine matrix —
+    * the class-geometry diagnostic read before trusting labels for
+    * blocking/contrastive sampling (two classes whose centroids are
+    * near-parallel will cross-contaminate negative_sampling and
+    * label-blocked dedup). Centroids are the shared integer M-step
+    * (vecSum + floor-mean, exactly embedding_outliers' build); dot
+    * and squared norms are exact int64 (zip_with/transform folds over
+    * the 64-dim arrays); only the final cosine divides in double —
+    * the suite's closed-form-once discipline, bit-identical in DuckDB
+    * because both engines evaluate the textually identical IEEE
+    * expression over identical integers. Label-count² output (~45
+    * rows), triangular broadcast join.
+    */
+  def centroidSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val cents = vectors(spark, dir).groupBy(col("label"))
+      .agg(
+        graft.functions.VectorFunctions.vecSum(col("v")).as("s"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("label"),
+        transform(
+          col("s"),
+          x => floor(x.cast("double") / col("cnt") + 0.5).cast("long"))
+          .as("cv"))
+    val a = cents.select(col("label").as("la"), col("cv").as("ca"))
+    val b = cents.select(col("label").as("lb"), col("cv").as("cb"))
+    a.join(broadcast(b), col("la") < col("lb"))
+      .select(
+        col("la"), col("lb"),
+        aggregate(
+          zip_with(col("ca"), col("cb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("dot"),
+        aggregate(
+          transform(col("ca"), x => x * x), lit(0L), (acc, x) => acc + x)
+          .as("n2a"),
+        aggregate(
+          transform(col("cb"), x => x * x), lit(0L), (acc, x) => acc + x)
+          .as("n2b"))
+      .withColumn(
+        "cos",
+        col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+      .orderBy("la", "lb")
+  }
+
+  def centroidSimilarityOracle: String =
+    s"""WITH $VectorsSql,
+       |m AS (
+       |  SELECT label, i,
+       |    CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) mu
+       |  FROM vn, unnest(range(1, 65)) t(i)
+       |  GROUP BY label, i),
+       |cents AS (
+       |  SELECT label, list(mu ORDER BY i) cv FROM m GROUP BY label),
+       |p AS (
+       |  SELECT a.label la, b.label lb,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> a.cv[i] * b.cv[i])) AS BIGINT) dot,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> a.cv[i] * a.cv[i])) AS BIGINT) n2a,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> b.cv[i] * b.cv[i])) AS BIGINT) n2b
+       |  FROM cents a JOIN cents b ON a.label < b.label)
+       |SELECT la, lb, dot, n2a, n2b,
+       |  CAST(dot AS DOUBLE) /
+       |    (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) cos
+       |FROM p ORDER BY la, lb""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "centroid_similarity", centroidSimilarity,
+      Some(centroidSimilarityOracle)),
     QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
     QueryDef("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
