@@ -1254,7 +1254,76 @@ object Extended {
        |    first3
        |FROM b ORDER BY l_orderkey""".stripMargin
 
+  /** `null_ordering`: explicit NULLS FIRST/LAST pinned across both
+    * sort directions — the portability battery for a semantic the
+    * engines DISAGREE on by default (Spark: nulls smallest, so FIRST
+    * asc / LAST desc; DuckDB: NULLS LAST everywhere) and that any
+    * cross-engine ORDER BY silently gets wrong unless stated. The
+    * nullable column is real (left-join-produced last-order date for
+    * customers with no recent orders); output interleaves both
+    * placements: desc NULLS LAST rank and asc NULLS FIRST rank per
+    * row for the 10 top/bottom customers of a nation slice, plus the
+    * null count. Every ORDER BY in this suite that can see a null
+    * states its placement — this row is the discipline itself made
+    * hash-checked.
+    */
+  def nullOrdering(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lastOrder = Tables.read(spark, dir, "orders")
+      .where(to_date(col("o_orderdate")) >= lit("2001-01-01").cast("date"))
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"))
+    val base = Tables.read(spark, dir, "customer")
+      .where(col("c_nationkey") === 3)
+      .join(lastOrder, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("last_d"))
+    // the input is one nation's customers (a dimension slice), but the
+    // suite-wide unpartitioned-window ban is LITERAL (PlanShapeSpec
+    // checks every optimized plan), so the global ranking states its
+    // partition as an explicit 1-bucket key rather than relying on a
+    // small-input argument
+    base
+      .withColumn("b", lit(0))
+      .withColumn(
+        "rk_desc_nl",
+        row_number().over(
+          Window.partitionBy(col("b"))
+            .orderBy(col("last_d").desc_nulls_last, col("c_custkey")))
+          .cast("long"))
+      .withColumn(
+        "rk_asc_nf",
+        row_number().over(
+          Window.partitionBy(col("b"))
+            .orderBy(col("last_d").asc_nulls_first, col("c_custkey")))
+          .cast("long"))
+      .where(col("rk_desc_nl") <= 10 || col("rk_asc_nf") <= 10)
+      .select(col("c_custkey"), col("last_d"), col("rk_desc_nl"), col("rk_asc_nf"))
+      .orderBy("rk_desc_nl")
+  }
+
+  def nullOrderingOracle: String =
+    """WITH lo AS (
+      |  SELECT o_custkey, MAX(CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) last_d
+      |  FROM orders
+      |  WHERE CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) >= DATE '2001-01-01'
+      |  GROUP BY 1),
+      |b AS (
+      |  SELECT c_custkey, last_d
+      |  FROM customer LEFT JOIN lo ON c_custkey = o_custkey
+      |  WHERE c_nationkey = 3),
+      |r AS (
+      |  SELECT c_custkey, last_d,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY last_d DESC NULLS LAST,
+      |      c_custkey) AS BIGINT) rk_desc_nl,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY last_d ASC NULLS FIRST,
+      |      c_custkey) AS BIGINT) rk_asc_nf
+      |  FROM b)
+      |SELECT c_custkey, last_d, rk_desc_nl, rk_asc_nf FROM r
+      |WHERE rk_desc_nl <= 10 OR rk_asc_nf <= 10
+      |ORDER BY rk_desc_nl""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("null_ordering", nullOrdering, Some(nullOrderingOracle)),
     QueryDef("hof_battery", hofBattery, Some(hofBatteryOracle)),
     QueryDef("pareto_skyline", paretoSkyline, Some(paretoSkylineOracle)),
     QueryDef("grouping_sets", groupingSets, Some(groupingSetsOracle)),
