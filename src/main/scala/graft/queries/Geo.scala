@@ -24,7 +24,14 @@ object Geo {
 
   private val R = 20000L // radius in micro-degrees; also the cell size
   private val Box = 1000000L // 1°×1° box, micro-degrees
-  private val PackBase = 1000000L // packs (dist2, suppkey): key < 1e6
+  /** Packs (dist2, suppkey) into one int64 for the argmin: headroom is
+    * dist2 ≤ R² = 4×10⁸ (post-residual) × base 10⁹ + key < 10⁹ ⇒
+    * ≤ 4×10¹⁷, inside int64. 10⁹ admits the sf1 replica's offset keys
+    * (10⁷) with margin; the loud guard below still fails past it
+    * rather than silently corrupting the argmin (it caught the 10⁶
+    * base at the sf1 sweep exactly as designed).
+    */
+  private val PackBase = 1000000000L
 
   /** Two independent 24-bit hex chunks of the key's md5 → (lat, lon)
     * inside the box.
