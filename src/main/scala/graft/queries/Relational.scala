@@ -763,7 +763,55 @@ object Relational {
       |  economy_c * 1000000 // total_c economy_ppm
       |FROM m ORDER BY yr, mo""".stripMargin
 
+  /** `q10_returned`: the TPC-H Q10 "returned item reporting" shape —
+    * revenue lost to returns (l_returnflag = 'R') per customer over a
+    * quarter, top 20 by lost revenue. The return-flag and date
+    * filters push to the lineitem scan, orders shuffles once on the
+    * natural key, customer + nation broadcast; revenue follows the
+    * q9 exact-decimal discipline floored to cents (the q14 lesson),
+    * and the top 20 by (revenue desc, custkey) plans
+    * TakeOrderedAndProject.
+    */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(java.math.BigDecimal.ONE)
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (one - col("l_discount").cast(DecimalType(18, 2))))
+    val li = Tables.read(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+    val ord = Tables.read(spark, dir, "orders")
+      .where(
+        col("o_orderdate") >= ts("2000-01-01 00:00:00") &&
+          col("o_orderdate") < ts("2000-07-01 00:00:00"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(Tables.read(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(Tables.read(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(floor(sum(rev) * 100).cast("long").as("lost_c"))
+      .orderBy(col("lost_c").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  def q10ReturnedOracle: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100) AS BIGINT)
+      |    lost_c
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY lost_c DESC, c_custkey LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q10_returned", q10Returned, Some(q10ReturnedOracle)),
     QueryDef("q14_type_share", q14TypeShare, Some(q14TypeShareOracle)),
     QueryDef("q4_priority", q4Priority, Some(q4PriorityOracle)),
     QueryDef(
