@@ -742,7 +742,13 @@ object Relational {
         floor(col("economy_rev") * 100).cast("long").as("economy_c"),
         floor(col("total_rev") * 100).cast("long").as("total_c"))
       .withColumn(
-        "economy_ppm", expr("economy_c * 1000000 div total_c"))
+        // NULL-guard per the suite convention (lsh_recall,
+        // selectivity_estimate): group rows can't be empty on this
+        // data, but an empty month bucket must yield NULL, not an
+        // ANSI DIVIDE_BY_ZERO.
+        "economy_ppm",
+        expr("CASE WHEN total_c = 0 THEN NULL " +
+          "ELSE economy_c * 1000000 div total_c END"))
       .orderBy("yr", "mo")
   }
 
@@ -760,7 +766,8 @@ object Relational {
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  GROUP BY 1, 2)
       |SELECT yr, mo, economy_c, total_c,
-      |  economy_c * 1000000 // total_c economy_ppm
+      |  CASE WHEN total_c = 0 THEN NULL
+      |    ELSE economy_c * 1000000 // total_c END economy_ppm
       |FROM m ORDER BY yr, mo""".stripMargin
 
   /** `q10_returned`: the TPC-H Q10 "returned item reporting" shape —

@@ -37,17 +37,31 @@ object SqlSurface {
     // whole closure through the loop node, while path doubling closes
     // the same tree in ⌈log₂ d⌉ self-joins of shuffle-partitioned
     // relations.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", 200000000)
-    Tables.read(spark, dir, "part").createOrReplaceTempView("part_rcte")
-    spark.sql(
-      """WITH RECURSIVE anc(node, a, depth) AS (
-        |  SELECT p_partkey, (p_partkey - 1) div 4, 1L
-        |  FROM part_rcte WHERE p_partkey >= 1
-        |  UNION ALL
-        |  SELECT node, (a - 1) div 4, depth + 1L FROM anc WHERE a >= 1
-        |)
-        |SELECT depth, count(*) AS n, sum(node) AS checksum
-        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+    // The raised guard must not outlive this query: a recursive CTE a
+    // user runs later in the same session deserves the default runaway
+    // protection back. conf reads are lazy at execution, so force the
+    // result inside the raised window, then restore unconditionally.
+    val key = "spark.sql.cteRecursionRowLimit"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, 200000000)
+    try {
+      Tables.read(spark, dir, "part").createOrReplaceTempView("part_rcte")
+      spark.sql(
+        """WITH RECURSIVE anc(node, a, depth) AS (
+          |  SELECT p_partkey, (p_partkey - 1) div 4, 1L
+          |  FROM part_rcte WHERE p_partkey >= 1
+          |  UNION ALL
+          |  SELECT node, (a - 1) div 4, depth + 1L FROM anc WHERE a >= 1
+          |)
+          |SELECT depth, count(*) AS n, sum(node) AS checksum
+          |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+        .localCheckpoint(eager = true)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 
   def rcteLevelsOracle: String =
@@ -85,7 +99,8 @@ object SqlSurface {
          |    SELECT c_custkey, c_acctbal
          |    FROM cust_lat c
          |    WHERE c.c_nationkey = n.nation
-         |    ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+         |    ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+         |      c_custkey LIMIT 2) l
          |ORDER BY nation, bal_c DESC, l.c_custkey""".stripMargin)
   }
 

@@ -47,4 +47,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == want.toMap)
   }
+
+  test("rcte_levels restores cteRecursionRowLimit after running") {
+    val key = "spark.sql.cteRecursionRowLimit"
+    val before = spark.conf.get(key)
+    SqlSurface.rcteLevels(spark, dir).collect()
+    assert(spark.conf.get(key) == before,
+      s"recursion guard leaked: $before -> ${spark.conf.get(key)}")
+    assert(before.toLong < 200000000L,
+      "default guard should be far below the raised query-scoped limit")
+  }
 }
