@@ -817,7 +817,128 @@ object Relational {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY lost_c DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** `q21_waiting`: the TPC-H Q21 "suppliers who kept orders waiting"
+    * shape — the planner's classic EXISTS + NOT EXISTS stressor,
+    * chained on the SAME fact. A supplier's late line (shipped > 30
+    * days after the order date, the suite's q4 lateness contract, on
+    * finished orders) counts iff the order is multi-supplier (EXISTS
+    * a line from another supplier) and this supplier is the SOLE
+    * late one (NOT EXISTS a late line from another supplier).
+    * Stated as residual-condition left-semi and left-anti joins: all
+    * three legs are equi joins on l_orderkey — co-partitioned with
+    * lineitem's natural key, so one shuffle family, no fact-sized
+    * rework — with the `l_suppkey <>` inequality planned as the
+    * join residual (never a CartesianProduct; PlanShapeSpec pins
+    * this). Supplier names broadcast at the 100-row tail.
+    */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val ordF = Tables.read(spark, dir, "orders")
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.read(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    // late lines of finished orders, the l1 side of the chain
+    val late = li
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .where(
+        to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 30))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(
+      col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = late.select(
+      col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    late
+      .join(
+        l2,
+        col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(
+        l3,
+        col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(
+        broadcast(Tables.read(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(100)
+  }
+
+  def q21WaitingOracle: String =
+    """WITH late AS (
+      |  SELECT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |    AND CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE)
+      |      > CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) + 30)
+      |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) numwait
+      |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY 1, 2
+      |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin
+
+  /** `q17_small_qty`: the TPC-H Q17 "small-quantity-order revenue"
+    * shape — revenue from lines whose quantity is below 20% of the
+    * part's average quantity, for two brands. The correlated scalar
+    * subquery (`avg(l_quantity)` per part) decorrelates into a
+    * part-grain aggregate BROADCAST back onto the probe — never a
+    * per-row subquery. The below-average compare cross-multiplies in
+    * integer centi-units (5·n·q < Σq ⟺ q < 0.2·avg), so no float
+    * average is ever compared; revenue follows the q9/q14 exact
+    * decimal-cents discipline, and the yearly average is integer
+    * division of cents by 7 on both engines. The brand filter prunes
+    * via the broadcast part join before either aggregate, so the
+    * part-grain stats relation is filtered-parts-sized — tiny — and
+    * broadcastable at any SF.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Seq("Brand#23", "Brand#31")
+    val parts = Tables.read(spark, dir, "part")
+      .where(col("p_brand").isin(brands: _*))
+      .select(col("p_partkey"), col("p_brand"))
+    val li2 = Tables.read(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(
+        col("p_brand"), col("p_partkey"),
+        Quantize.cents(col("l_quantity")).as("ql"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("px"))
+    val stats = li2.groupBy(col("p_partkey").as("sk"))
+      .agg(sum(col("ql")).as("sq"), count(lit(1)).as("n"))
+    li2
+      .join(broadcast(stats), col("p_partkey") === col("sk"))
+      .where(col("ql") * col("n") * 5 < col("sq"))
+      .groupBy(col("p_brand"))
+      .agg(floor(sum(col("px")) * 100).cast("long").as("lost_c"))
+      .withColumn("avg_yearly_c", expr("lost_c div 7"))
+      .orderBy("p_brand")
+  }
+
+  def q17SmallQtyOracle: String =
+    s"""WITH li2 AS (
+       |  SELECT p_brand, p_partkey, ${Quantize.centsSql("l_quantity")} ql,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) px
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand IN ('Brand#23', 'Brand#31')),
+       |st AS (
+       |  SELECT p_partkey, CAST(sum(ql) AS BIGINT) sq,
+       |    CAST(count(*) AS BIGINT) n
+       |  FROM li2 GROUP BY 1)
+       |SELECT p_brand, CAST(floor(sum(px) * 100) AS BIGINT) lost_c,
+       |  CAST(floor(sum(px) * 100) AS BIGINT) // 7 avg_yearly_c
+       |FROM li2 JOIN st USING (p_partkey)
+       |WHERE ql * n * 5 < sq
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q21_waiting", q21Waiting, Some(q21WaitingOracle)),
+    QueryDef("q17_small_qty", q17SmallQty, Some(q17SmallQtyOracle)),
     QueryDef("q10_returned", q10Returned, Some(q10ReturnedOracle)),
     QueryDef("q14_type_share", q14TypeShare, Some(q14TypeShareOracle)),
     QueryDef("q4_priority", q4Priority, Some(q4PriorityOracle)),

@@ -236,6 +236,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(phys.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
   }
 
+  test("q21_waiting chains residual semi+anti equi-joins on orderkey") {
+    val plan = Relational.q21Waiting(spark, dir).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val semi = plan.collect { case j: Join if j.joinType == LeftSemi => j }
+    val anti = plan.collect { case j: Join if j.joinType == LeftAnti => j }
+    assert(semi.size == 1 && anti.size == 1)
+    // both legs must keep the orderkey equality (equi probe, never a
+    // nested-loop over the inequality alone) AND carry the suppkey
+    // inequality as the residual
+    (semi ++ anti).foreach { j =>
+      val c = j.condition.get.toString
+      assert(c.contains("l_orderkey"), s"no equi key: $c")
+      assert(c.contains("NOT") && c.contains("l_suppkey"), s"no residual: $c")
+    }
+  }
+
+  test("q17_small_qty broadcasts the part-grain stats back on the probe") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val phys = physicalPlanNoAqe(Relational.q17SmallQty(spark, dir))
+    // the decorrelated avg-per-part relation joins back as a broadcast
+    // hash join whose residual is the cross-multiplied below-average
+    // compare — the probe side never shuffles for it
+    val withResidual = phys.collect {
+      case j: BroadcastHashJoinExec
+        if j.condition.exists(_.toString.contains("* 5")) => j
+    }
+    assert(withResidual.nonEmpty, "stats join-back not broadcast+residual")
+  }
+
   test("scd2_history second window runs over compacted islands") {
     val plan = Analytics.scd2History(spark, dir).queryExecution.optimizedPlan
     // all windows partition on user_id (Spark plans lag flags, the
