@@ -884,6 +884,57 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin
 
+  /** `q19_disjunctive`: the TPC-H Q19 "discounted revenue" shape —
+    * an OR-of-ANDs predicate spanning BOTH join sides (brand × size
+    * band × quantity band), stated whole ABOVE the join, the way a
+    * user writes it. The plan question this row exists to pin: what
+    * does Catalyst push? Conjunctive pushdown is proven elsewhere in
+    * the suite; here the optimizer must CNF-extract the per-table
+    * weakening of the disjunction — `(brand₁∧size₁) ∨ (brand₂∧size₂)
+    * ∨ …` onto the part scan and the quantity-band union onto the
+    * lineitem scan — while the full cross-table disjunction
+    * evaluates as the join filter. PlanShapeSpec asserts exactly
+    * that: Or-shaped PushedFilters on BOTH parquet scans, full
+    * predicate residual at the join. At 100 TB the scan-level
+    * weakenings are what keep the probe from reading every row
+    * group: parquet min/max prunes on quantity and brand/size before
+    * the join ever sees a row.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(java.math.BigDecimal.ONE)
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (one - col("l_discount").cast(DecimalType(18, 2))))
+    val band = (
+      col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 20) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" &&
+        col("p_size").between(1, 30) && col("l_quantity").between(20, 30))
+    Tables.read(spark, dir, "lineitem")
+      .join(
+        broadcast(Tables.read(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .where(band)
+      .groupBy(col("p_brand"))
+      .agg(floor(sum(rev) * 100).cast("long").as("revenue_c"))
+      .orderBy("p_brand")
+  }
+
+  def q19DisjunctiveOracle: String =
+    """SELECT p_brand,
+      |  CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100) AS BIGINT)
+      |    revenue_c
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+      |    AND l_quantity BETWEEN 1 AND 11)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+      |    AND l_quantity BETWEEN 10 AND 20)
+      |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+      |    AND l_quantity BETWEEN 20 AND 30)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** `q17_small_qty`: the TPC-H Q17 "small-quantity-order revenue"
     * shape — revenue from lines whose quantity is below 20% of the
     * part's average quantity, for two brands. The correlated scalar
@@ -938,6 +989,7 @@ object Relational {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q21_waiting", q21Waiting, Some(q21WaitingOracle)),
+    QueryDef("q19_disjunctive", q19Disjunctive, Some(q19DisjunctiveOracle)),
     QueryDef("q17_small_qty", q17SmallQty, Some(q17SmallQtyOracle)),
     QueryDef("q10_returned", q10Returned, Some(q10ReturnedOracle)),
     QueryDef("q14_type_share", q14TypeShare, Some(q14TypeShareOracle)),

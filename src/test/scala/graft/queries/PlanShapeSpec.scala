@@ -265,6 +265,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(withResidual.nonEmpty, "stats join-back not broadcast+residual")
   }
 
+  test("q19_disjunctive pushes per-table OR weakenings to both scans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val phys = physicalPlanNoAqe(Relational.q19Disjunctive(spark, dir))
+    val pushed = phys.collect { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("Location", "") ->
+        s.metadata.getOrElse("PushedFilters", "")
+    }.toMap
+    val li = pushed.collectFirst { case (k, v) if k.contains("lineitem") => v }
+    val pt = pushed.collectFirst { case (k, v) if k.contains("part.") => v }
+    // WHAT PUSHES (pinned): the optimizer CNF-extracts each table's
+    // weakening of the cross-table OR-of-ANDs — the quantity-band
+    // union reaches the lineitem scan, the brand×size disjunction the
+    // part scan — so parquet row-group min/max pruning works on both
+    // sides. WHAT DOESN'T: the cross-table disjunction itself, which
+    // evaluates post-scan as the join filter (it references both
+    // sides, so no scan can host it).
+    assert(li.exists(f => f.contains("Or(") && f.contains("l_quantity")),
+      s"lineitem scan lost the quantity-band union: $li")
+    assert(pt.exists(f => f.contains("Or(") && f.contains("p_brand")),
+      s"part scan lost the brand/size disjunction: $pt")
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val joinResidual = phys.collect {
+      case j: BroadcastHashJoinExec => j.condition.map(_.toString)
+    }.flatten
+    assert(joinResidual.exists(c => c.contains("p_brand")
+      && c.contains("l_quantity")),
+      s"full cross-table disjunction not at the join: $joinResidual")
+  }
+
   test("scd2_history second window runs over compacted islands") {
     val plan = Analytics.scd2History(spark, dir).queryExecution.optimizedPlan
     // all windows partition on user_id (Spark plans lag flags, the
