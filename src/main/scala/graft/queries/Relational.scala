@@ -987,7 +987,177 @@ object Relational {
        |WHERE ql * n * 5 < sq
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** `q2_min_cost_supplier`: the TPC-H Q2 "minimum cost supplier"
+    * shape — for each qualifying part, the supplier(s) achieving the
+    * part's minimum supply cost within one region. The schema has no
+    * partsupp, so the supply relation derives from the fact: cost of
+    * (part, supplier) := min observed line price in cents — ONE fact
+    * shuffle on (partkey, suppkey), which is lineitem's natural
+    * locality. The correlated `min(cost) per part` decorrelates the
+    * q17 way: a part-grain aggregate over the already-filtered
+    * candidate set, broadcast back; all dimension joins (supplier ⋈
+    * nation ⋈ region, part attributes) broadcast. Ties all surface,
+    * ordered by richest supplier (exact cents) with full key
+    * tie-breaks, top 100 via TakeOrderedAndProject.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.read(spark, dir, "supplier")
+      .join(
+        broadcast(
+          Tables.read(spark, dir, "nation").join(
+            broadcast(Tables.read(spark, dir, "region")
+              .where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(
+        col("s_suppkey"), col("s_name"), col("n_name"),
+        Quantize.cents(col("s_acctbal")).as("bal_c"))
+    val parts = Tables.read(spark, dir, "part")
+      .where(col("p_size") <= 10 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val supply = Tables.read(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg(min(Quantize.cents(col("l_extendedprice"))).as("cost_c"))
+    val cand = supply.join(
+      broadcast(asia), col("l_suppkey") === col("s_suppkey"))
+    val minc = cand.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("cost_c")).as("min_c"))
+    cand
+      .join(
+        broadcast(minc),
+        col("p_partkey") === col("mk") && col("cost_c") === col("min_c"))
+      .select(
+        col("bal_c"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("cost_c"))
+      .orderBy(
+        col("bal_c").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  def q2MinCostSupplierOracle: String =
+    s"""WITH asia AS (
+       |  SELECT s_suppkey, s_name, n_name,
+       |    ${Quantize.centsSql("s_acctbal")} bal_c
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'ASIA'),
+       |cand AS (
+       |  SELECT l.l_partkey p_partkey, a.s_name, a.n_name, a.bal_c,
+       |    CAST(min(${Quantize.centsSql("l_extendedprice")}) AS BIGINT)
+       |      cost_c
+       |  FROM lineitem l
+       |  JOIN part p ON l.l_partkey = p.p_partkey
+       |  JOIN asia a ON l.l_suppkey = a.s_suppkey
+       |  WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT bal_c, s_name, n_name, p_partkey, cost_c
+       |FROM cand c
+       |WHERE cost_c = (SELECT min(cost_c) FROM cand c2
+       |  WHERE c2.p_partkey = c.p_partkey)
+       |ORDER BY bal_c DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** `q15_top_supplier`: the TPC-H Q15 "top supplier" shape — the
+    * revenue view (per-supplier quarter revenue in exact decimal
+    * cents) consumed twice: once for its global max (a 1-row
+    * broadcast aggregate, the q22 scalar-subquery pattern) and once
+    * as the probe that keeps every supplier achieving it. One fact
+    * scan with the quarter filter pushed, one shuffle on suppkey;
+    * everything after is supplier-grain.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(java.math.BigDecimal.ONE)
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (one - col("l_discount").cast(DecimalType(18, 2))))
+    val view = Tables.read(spark, dir, "lineitem")
+      .where(
+        col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(floor(sum(rev) * 100).cast("long").as("total_c"))
+    val mx = view.agg(max(col("total_c")).as("mx"))
+    view
+      .crossJoin(broadcast(mx))
+      .where(col("total_c") === col("mx"))
+      .join(
+        broadcast(Tables.read(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_c"))
+      .orderBy("s_suppkey")
+  }
+
+  def q15TopSupplierOracle: String =
+    """WITH rv AS (
+      |  SELECT l_suppkey,
+      |    CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100) AS BIGINT)
+      |      total_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_c
+      |FROM rv JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_c = (SELECT max(total_c) FROM rv)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** `q20_dominant_supplier`: the TPC-H Q20 two-level nested-IN
+    * shape — suppliers IN (the set supplying a part IN (the
+    * name-filtered part set) with a correlated-aggregate condition:
+    * their 1997 shipped quantity for that part exceeds HALF the
+    * part's total 1997 shipped quantity across all suppliers — the
+    * availqty>½·shipped analog this schema supports). Decorrelation:
+    * (part, supplier)-grain sums — one fact shuffle, name filter
+    * pre-joined broadcast — then the part-grain total broadcast back
+    * (the dominance compare cross-multiplies: 2·q > tot, integer
+    * centi-units); the outer IN becomes a left-semi join of supplier
+    * against the distinct dominant suppkeys.
+    */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.read(spark, dir, "part")
+      .where(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val ship = Tables.read(spark, dir, "lineitem")
+      .where(year(col("l_shipdate")) === 1997)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg(sum(Quantize.cents(col("l_quantity"))).as("q"))
+    val tot = ship.groupBy(col("p_partkey").as("tk"))
+      .agg(sum(col("q")).as("tq"))
+    val dominant = ship
+      .join(
+        broadcast(tot),
+        col("p_partkey") === col("tk") && col("q") * 2 > col("tq"))
+      .select(col("l_suppkey")).distinct()
+    Tables.read(spark, dir, "supplier")
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  def q20DominantSupplierOracle: String =
+    s"""WITH ship AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(sum(${Quantize.centsSql("l_quantity")}) AS BIGINT) q
+       |  FROM lineitem
+       |  WHERE year(CAST(l_shipdate AS TIMESTAMP)) = 1997
+       |    AND l_partkey IN (SELECT p_partkey FROM part
+       |      WHERE p_name LIKE 'small%')
+       |  GROUP BY 1, 2)
+       |SELECT s_suppkey, s_name FROM supplier
+       |WHERE s_suppkey IN (
+       |  SELECT l_suppkey FROM ship s1
+       |  WHERE 2 * q > (SELECT sum(q) FROM ship s2
+       |    WHERE s2.l_partkey = s1.l_partkey))
+       |ORDER BY s_suppkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q2_min_cost_supplier", q2MinCostSupplier, Some(q2MinCostSupplierOracle)),
+    QueryDef("q15_top_supplier", q15TopSupplier, Some(q15TopSupplierOracle)),
+    QueryDef(
+      "q20_dominant_supplier", q20DominantSupplier,
+      Some(q20DominantSupplierOracle)),
     QueryDef("q21_waiting", q21Waiting, Some(q21WaitingOracle)),
     QueryDef("q19_disjunctive", q19Disjunctive, Some(q19DisjunctiveOracle)),
     QueryDef("q17_small_qty", q17SmallQty, Some(q17SmallQtyOracle)),
