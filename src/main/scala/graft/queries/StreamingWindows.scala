@@ -277,6 +277,94 @@ object StreamingWindows {
       |  AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 1800000000
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
+  /** `stream_outer_join`: the LEFT-OUTER stream-stream interval join
+    * — every click, attributed to a same-user purchase within 30
+    * minutes after it, or null-extended when none arrives. This is
+    * the streaming semantics users get wrong most: in a live stream
+    * the unmatched left row can only emit AFTER the watermark passes
+    * its match window (state must expire before "no match" is a
+    * fact), which StreamingPipelineSpec pins over a 3-phase
+    * MemoryStream; here the batch-stated twin is oracle-checked. The
+    * interval predicate lives INSIDE the join condition — on an
+    * outer join a post-filter would silently drop the null-extended
+    * rows (the classic bug). Banded equi-join per stream_join: the
+    * purchase side explodes to {slot, slot−1}, so each qualifying
+    * pair matches exactly once, the key stays hashable, and an
+    * unmatched click emits exactly one null row.
+    */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 1800000000L // 30 minutes in micros
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(
+        col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_us"))
+      .withColumn("slot", expr(s"c_us div $W"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("pslot", expr(s"p_us div $W"))
+      .select(
+        col("p_user"), col("purchase_id"), col("p_us"),
+        explode(array(col("pslot"), col("pslot") - 1)).as("pslot"))
+    clicks
+      .join(
+        purchases,
+        col("user_id") === col("p_user") && col("slot") === col("pslot") &&
+          col("p_us") >= col("c_us") && col("p_us") - col("c_us") <= W,
+        "left_outer")
+      .select(
+        col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_us") - col("c_us")).as("dt_us"))
+      .orderBy(
+        col("user_id"), col("click_id"), col("purchase_id").asc_nulls_first)
+  }
+
+  def streamOuterJoinOracle: String =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id,
+      |  p.event_id AS purchase_id,
+      |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS dt_us
+      |FROM events c LEFT JOIN events p
+      |  ON c.user_id = p.user_id
+      |  AND p.event_type = 'purchase'
+      |  AND epoch_us(CAST(p.ts AS TIMESTAMP)) >= epoch_us(CAST(c.ts AS TIMESTAMP))
+      |  AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 1800000000
+      |WHERE c.event_type = 'click'
+      |ORDER BY user_id, click_id, purchase_id NULLS FIRST""".stripMargin
+
+  /** `debounce_agg`: CHAINED stateful operators — semantic dedup
+    * (one event per user × type × 30-minute slot, the debounce every
+    * telemetry pipeline wants) feeding a windowed aggregate, in one
+    * query. Spark 4 runs this live as dropDuplicatesWithinWatermark →
+    * windowed count (two stateful operators in one stream —
+    * StreamingPipelineSpec pins the live parity); the batch twin is
+    * deterministic because the aggregate depends only on WHICH
+    * (user, type, slot) groups survive, never on which row
+    * represents them — 30-minute slots nest exactly in the 6-hour
+    * windows, so every survivor of a slot lands in the same window.
+    */
+  def debounceAgg(spark: SparkSession, dir: String): DataFrame = {
+    val W = 1800000000L // 30-minute slot in micros
+    Tables.events(spark, dir)
+      .withColumn("slot", expr(s"unix_micros(ts) div $W"))
+      .dropDuplicates("user_id", "event_type", "slot")
+      .groupBy(
+        expr("slot * 1800 div 21600 * 21600").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_debounced"))
+      .orderBy("window_start", "event_type")
+  }
+
+  def debounceAggOracle: String =
+    """WITH s AS (
+      |  SELECT DISTINCT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000 slot
+      |  FROM events)
+      |SELECT (slot * 1800 // 21600) * 21600 AS window_start, event_type,
+      |  CAST(count(*) AS BIGINT) n_debounced
+      |FROM s GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   /** Windowed top-k: the per-window leaderboard every streaming
     * dashboard runs — rank inside each tumbling window. The rank
     * window partitions on window_start (high cardinality over time),
@@ -400,5 +488,8 @@ object StreamingWindows {
     QueryDef("stream_sessions", streamSessions, Some(streamSessionsOracle)),
     QueryDef(
       "dynamic_sessions", dynamicSessions, Some(dynamicSessionsOracle)),
-    QueryDef("stream_join", streamJoin, Some(streamJoinOracle)))
+    QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
+    QueryDef(
+      "stream_outer_join", streamOuterJoin, Some(streamOuterJoinOracle)),
+    QueryDef("debounce_agg", debounceAgg, Some(debounceAggOracle)))
 }

@@ -146,6 +146,136 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join null-extends ONLY after watermark passes") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def t(s: Long) = java.sql.Timestamp.from(base.plusSeconds(s))
+    // clicks every 10s; a purchase follows every third click within 20s
+    val clicks = (0 until 30).map(i => (t(i * 10L), s"u${i % 4}", s"clk-$i"))
+    val purch = (0 until 30).filter(_ % 3 == 0)
+      .map(i => (t(i * 10L + 20), s"u${i % 4}", s"pur-$i"))
+    // far-future pair: advances the watermark past every real click's
+    // match window AND (matching each other) proves matches still
+    // emit immediately at the frontier
+    val sentinelL = Seq((t(7200), "zz", "clk-zz"))
+    val sentinelR = Seq((t(7200), "zz", "pur-zz"))
+
+    def plan(
+        l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame) = {
+      val c = l.toDF("cts", "cuser", "click_id")
+        .withWatermark("cts", "10 minutes")
+      val p = r.toDF("pts", "puser", "purchase_id")
+        .withWatermark("pts", "10 minutes")
+      // interval condition INSIDE the join: on an outer join a
+      // post-filter would drop the null-extended rows
+      c.join(
+        p,
+        col("cuser") === col("puser") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("interval 30 seconds"),
+        "left_outer")
+        .select(col("click_id"), col("purchase_id"))
+    }
+
+    val batchOut = plan(
+      (clicks ++ sentinelL).toDF(), (purch ++ sentinelR).toDF())
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).sorted
+
+    val mc = MemoryStream[(java.sql.Timestamp, String, String)](spark)
+    val mp = MemoryStream[(java.sql.Timestamp, String, String)](spark)
+    val q = plan(mc.toDF(), mp.toDF())
+      .writeStream.format("memory").queryName("ssoj_out")
+      .outputMode("append")
+      .start()
+    try {
+      // phase 1+2: all real rows; watermark (10 min behind a 5-min
+      // tail) has passed NO click's match window yet
+      mc.addData(clicks.take(15)); mp.addData(purch.take(5))
+      q.processAllAvailable()
+      mc.addData(clicks.drop(15)); mp.addData(purch.drop(5))
+      q.processAllAvailable()
+      val mid = spark.table("ssoj_out").collect()
+        .map(r => (r.getString(0), Option(r.getString(1))))
+      assert(mid.nonEmpty, "matched pairs must emit before any watermark")
+      assert(mid.forall(_._2.isDefined),
+        s"null-extension before watermark passed: ${mid.filter(_._2.isEmpty)}")
+      // phase 3: sentinel advances the watermark -> every unmatched
+      // click's state expires and emits its single null row
+      mc.addData(sentinelL); mp.addData(sentinelR)
+      q.processAllAvailable()
+      val fin = spark.table("ssoj_out").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).sorted
+      assert(fin.exists(_._2.isEmpty), "expired clicks never null-extended")
+      assert(fin.toSeq == batchOut.toSeq)
+    } finally q.stop()
+  }
+
+  test("chained stateful operators: dedup-within-watermark feeds windowed agg") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def t(s: Long) = java.sql.Timestamp.from(base.plusSeconds(s))
+    // 3 users x 2 types over 10 minutes, every event sent TWICE a few
+    // seconds apart (the at-least-once delivery the debounce absorbs)
+    val raw = for {
+      i <- 0 until 40
+      d <- Seq(0, 3)
+    } yield (t(i * 15L + d), s"u${i % 3}", if (i % 2 == 0) "click" else "view")
+    val sentinel = Seq((t(7200), "zz", "click"))
+
+    def plan(df: org.apache.spark.sql.DataFrame, streaming: Boolean) = {
+      val slotted = df.toDF("ts", "user", "etype")
+        .withWatermark("ts", "10 minutes")
+        .withColumn("slot", expr("unix_micros(ts) div 60000000"))
+      // batch has no dropDuplicatesWithinWatermark; plain
+      // dropDuplicates is its batch-mode statement (the aggregate
+      // depends only on which (user,type,slot) groups survive)
+      val dedup =
+        if (streaming) slotted.dropDuplicatesWithinWatermark("user", "etype", "slot")
+        else slotted.dropDuplicates("user", "etype", "slot")
+      dedup
+        .groupBy(window(col("ts"), "5 minutes"), col("etype"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          unix_timestamp(col("window.start")).as("ws"), col("etype"),
+          col("n"))
+    }
+
+    val batchOut = plan((raw ++ sentinel).toDF(), streaming = false)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted
+
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)](spark)
+    val q = plan(mem.toDF(), streaming = true)
+      .writeStream.format("memory").queryName("dedup_agg_out")
+      .outputMode("append")
+      .start()
+    try {
+      // duplicates of an event may straddle the batch boundary: the
+      // within-watermark dedup state absorbs them anyway
+      mem.addData(raw.take(45))
+      q.processAllAvailable()
+      mem.addData(raw.drop(45))
+      q.processAllAvailable()
+      mem.addData(sentinel) // flush: watermark passes every real window
+      q.processAllAvailable()
+      // in a chained-stateful pipeline each stateful operator applies
+      // the watermark one batch late — the aggregate needs TWO more
+      // batches after the advance before it can close windows
+      mem.addData(Seq((t(7300), "zz", "view")))
+      q.processAllAvailable()
+      mem.addData(Seq((t(7400), "zz", "view")))
+      q.processAllAvailable()
+      val got = spark.table("dedup_agg_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      assert(got.nonEmpty)
+      // the sentinel's own window can't close (watermark sits at its
+      // heel) — compare the closed set
+      val want = batchOut.filter(_._1 < base.getEpochSecond + 7200)
+      assert(got.toSeq == want.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming windowed aggregation with watermark runs and matches batch") {
     import spark.implicits._
     val ts = (0 until 120).map(i =>
