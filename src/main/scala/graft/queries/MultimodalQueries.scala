@@ -107,6 +107,68 @@ object MultimodalQueries {
       |WHERE length(text) > 0
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** `image_features`: REAL image decode in the feature pipeline —
+    * the one multimodal family where a true codec exists offline
+    * (JDK ImageIO). Each document row becomes a deterministic gray
+    * PNG (pixel(x,y) = (7x + 13y + 31·doc_id) mod 256, dimensions
+    * keyed by doc_id), which the typed
+    * [[graft.operators.Multimodal.decodeImages]] pipeline decodes
+    * back to pixels and reduces to integer features: dimensions, a
+    * 16-bin luminance histogram, corner luminances. PNG is lossless
+    * and every feature is integer arithmetic, so DuckDB pins the
+    * real decode bit-for-bit by recomputing the closed-form pixel
+    * function — an engine bug anywhere in encode, decode, sampling
+    * or binning hash-mismatches. Encode+decode run partition-local
+    * (mapPartitions, codec init amortized); nothing shuffles until
+    * the final order.
+    */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val ids = Tables.read(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    val pngs = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = 16 + (id % 16).toInt
+        val h = 16 + (id % 8).toInt
+        Multimodal.MediaRecord(
+          id, "image/png",
+          Multimodal.ImageCodec.encodeGrayPng(
+            w, h, (x, y) => ((7L * x + 13L * y + 31L * id) % 256L).toInt))
+      }
+    }
+    Multimodal.decodeImages(pngs).toDF().orderBy("doc_id")
+  }
+
+  def imageFeaturesOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, (7 * x + 13 * y + 31 * doc_id) % 256 AS v
+      |  FROM d, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)),
+      |bins AS (
+      |  SELECT doc_id, v // 16 AS b, CAST(count(*) AS BIGINT) cnt
+      |  FROM px GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT doc_id, bb.b
+      |  FROM d CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
+      |hist AS (
+      |  SELECT grid.doc_id,
+      |    list(CAST(COALESCE(bins.cnt, 0) AS BIGINT) ORDER BY grid.b) AS hist
+      |  FROM grid
+      |  LEFT JOIN bins ON bins.doc_id = grid.doc_id AND bins.b = grid.b
+      |  GROUP BY grid.doc_id)
+      |SELECT d.doc_id, CAST(d.w AS BIGINT) width, CAST(d.h AS BIGINT) height,
+      |  hist.hist,
+      |  (31 * d.doc_id) % 256 AS c00,
+      |  (7 * (d.w - 1) + 31 * d.doc_id) % 256 AS cw0,
+      |  (13 * (d.h - 1) + 31 * d.doc_id) % 256 AS c0h,
+      |  (7 * (d.w - 1) + 13 * (d.h - 1) + 31 * d.doc_id) % 256 AS cwh
+      |FROM d JOIN hist ON d.doc_id = hist.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** `chunk_dedup_ratio`: content-addressable-store savings per feed —
     * the blob chunks from [[blobChunks]]'s windowing (stride 512,
     * width 1024) keyed by content hash, counted total vs distinct per
@@ -165,5 +227,6 @@ object MultimodalQueries {
       multimodalFeatures,
       Some(multimodalFeaturesOracle)),
     QueryDef("frame_sample", frameSample, Some(frameSampleOracle)),
+    QueryDef("image_features", imageFeatures, Some(imageFeaturesOracle)),
     QueryDef("blob_chunks", blobChunks, Some(blobChunksOracle)))
 }

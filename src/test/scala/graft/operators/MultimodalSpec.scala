@@ -67,4 +67,82 @@ class MultimodalSpec extends AnyFunSuite {
     assert(typed.nonEmpty)
     assert(typed.toSeq == query.toSeq)
   }
+
+  // --- real ImageIO codec ---
+
+  private def pngRecords = {
+    import spark.implicits._
+    spark.range(0, 64).map { i =>
+      val id = i
+      MediaRecord(
+        id, "image/png",
+        Multimodal.ImageCodec.encodeGrayPng(
+          16 + (id % 16).toInt, 16 + (id % 8).toInt,
+          (x, y) => ((7L * x + 13L * y + 31L * id) % 256L).toInt))
+    }
+  }
+
+  test("PNG encode->decode round-trips pixels exactly (real ImageIO)") {
+    val png = Multimodal.ImageCodec.encodeGrayPng(
+      20, 17, (x, y) => (x * 7 + y * 13 + 5) % 256)
+    val img = Multimodal.ImageCodec.decode(png)
+    assert(img.getWidth == 20 && img.getHeight == 17)
+    for (y <- 0 until 17; x <- 0 until 20)
+      assert(Multimodal.ImageCodec.luminance(img, x, y)
+        == (x * 7 + y * 13 + 5) % 256)
+  }
+
+  test("decodeImages features match the generating pixel function") {
+    val got = Multimodal.decodeImages(pngRecords).collect().sortBy(_.doc_id)
+    assert(got.length == 64)
+    got.foreach { f =>
+      val (w, h) = (16 + (f.doc_id % 16).toInt, 16 + (f.doc_id % 8).toInt)
+      assert(f.width == w && f.height == h)
+      assert(f.hist.sum == w.toLong * h, "histogram must cover every pixel")
+      val wantHist = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w)
+        wantHist(((7L * x + 13L * y + 31L * f.doc_id) % 256L).toInt >> 4) += 1
+      assert(f.hist.toSeq == wantHist.toSeq)
+      assert(f.c00 == (31L * f.doc_id) % 256)
+      assert(f.cwh == (7L * (w - 1) + 13L * (h - 1) + 31L * f.doc_id) % 256)
+    }
+  }
+
+  test("resizeImages is an exact nearest-neighbor downsample") {
+    val out = Multimodal.resizeImages(pngRecords, 4, 4)
+      .collect().sortBy(_.doc_id)
+    assert(out.length == 64)
+    out.foreach { r =>
+      val (w, h) = (16 + (r.doc_id % 16).toInt, 16 + (r.doc_id % 8).toInt)
+      val img = Multimodal.ImageCodec.decode(r.content)
+      assert(img.getWidth == 4 && img.getHeight == 4)
+      for (j <- 0 until 4; i <- 0 until 4) {
+        val (sx, sy) = (i * w / 4, j * h / 4)
+        assert(Multimodal.ImageCodec.luminance(img, i, j)
+          == ((7L * sx + 13L * sy + 31L * r.doc_id) % 256L).toInt)
+      }
+    }
+    // partitioning invariance, per the stub-path discipline
+    val again = Multimodal.resizeImages(pngRecords.repartition(5), 4, 4)
+      .collect().sortBy(_.doc_id)
+    assert(out.map(_.content.toSeq).toSeq == again.map(_.content.toSeq).toSeq)
+  }
+
+  test("JPEG decodes through the same pipeline (lossy: shape checks only)") {
+    import spark.implicits._
+    val jpegs = spark.range(0, 8).map { i =>
+      val img = Multimodal.ImageCodec.decode(
+        Multimodal.ImageCodec.encodeGrayPng(
+          32, 24, (x, y) => (x * 3 + y * 5 + i.toInt) % 256))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      MediaRecord(i, "image/jpeg", bos.toByteArray)
+    }
+    val got = Multimodal.decodeImages(jpegs).collect()
+    assert(got.length == 8)
+    got.foreach { f =>
+      assert(f.width == 32 && f.height == 24)
+      assert(f.hist.sum == 32L * 24)
+    }
+  }
 }
