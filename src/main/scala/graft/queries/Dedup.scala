@@ -546,6 +546,51 @@ object Dedup {
     * on LARGE-diameter graphs (grid mosaics, chains); the near-dup
     * pair graphs have tiny diameters, so the dedup callers skip it.
     */
+  /** Connected components for a SUMMARY-GRAIN edge relation: one
+    * union-find pass in a single task, emitting (doc, root = min
+    * node of its component) — semantically identical to [[ccOn]].
+    * The legitimate regime is an edge set whose size is bounded by a
+    * STRUCTURAL constant rather than the data (dbscan_grid's
+    * dense-cell adjacency: the grid has ≤(span/cell)² cells no
+    * matter how many points land in them) — there the distributed
+    * fixpoint's per-round job/broadcast/convergence-count overhead
+    * (~8 driver rounds) is pure floor. Million-edge summaries are
+    * still a few MB in one task; data-sized graphs (doc dedup,
+    * supplier co-occurrence) keep [[ccOn]].
+    */
+  private[queries] def ccSummaryGraph(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          // path compression
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        val nodes = scala.collection.mutable.LongMap.empty[Unit]
+        it.foreach { case (a, b) =>
+          nodes(a) = (); nodes(b) = ()
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN root so the final find IS the oracle's
+          // min-label component id
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        nodes.keysIterator.map(n => (n, find(n)))
+      }
+      .toDF("doc", "root")
+  }
+
   private[queries] def ccOn(
       pairs: DataFrame, pointerJump: Boolean = false): DataFrame = {
     val edges = pairs

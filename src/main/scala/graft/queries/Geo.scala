@@ -171,10 +171,11 @@ object Geo {
         .join(cells.select(col("cid").as("nid")), "nid")
         .where(col("cid") < col("nid"))
         .select(col("cid").as("a"), col("nid").as("b"))
-      // pointer jumping: the saturated-grid regime has diameter ~19
-      // (20×20 Chebyshev grid), so plain propagation needs ~19 driver
-      // rounds; the jump collapses it to ~log
-      val labels = Dedup.ccOn(edges, pointerJump = true)
+      // the dense-cell graph is bounded by the GRID (≤400 cells at
+      // this packing), not the data — single-task union-find beats
+      // ~log₂(diameter) driver rounds of the distributed fixpoint
+      // (which remains the path for data-sized graphs)
+      val labels = Dedup.ccSummaryGraph(edges)
         .withColumnRenamed("doc", "cid")
       cells.join(labels, Seq("cid"), "left")
         .select(

@@ -819,8 +819,12 @@ object Graph {
     */
   def kCorePeel(spark: SparkSession, dir: String): DataFrame = {
     val und = coEdgesShared(spark, dir)
+    // doubled adjacency at a handful of partitions (dimension-sized
+    // relation): per-round degree/semi-join task counts track the
+    // data, not the 32-partition cluster default
     val edges0 = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .coalesce(4)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val allNodes = edges0.select(col("u").as("n")).distinct()
@@ -830,15 +834,17 @@ object Graph {
       for (rnd <- 1 to 3) {
         // degree over SURVIVORS (left join): a node orphaned by its
         // neighbors' removal has deg 0 and peels next round. Each
-        // round materializes ONCE into a lineage-free table
-        // (localCheckpoint) — leaving the cascade lazy re-executes
-        // every prior round per consumer (the deg/edges subtrees
-        // appear in several branches of the final DAG, compounding
-        // 2^rounds), measured 15s vs ~5s at sf0.1.
+        // round's deg feeds TWO consumers (drop + keep) and the next
+        // round's edge prune — left lazy AND uncached, the cascade
+        // re-executes every prior round per consumer (compounding
+        // 2^rounds, measured 15s vs ~5s at sf0.1). A node-sized
+        // single-partition checkpoint shares it lineage-free without
+        // paying a 32-task materialization per round.
         val deg = survivors.join(
           edges.groupBy(col("u").as("n")).agg(count(lit(1)).as("d")),
           Seq("n"), "left")
           .select(col("n"), coalesce(col("d"), lit(0L)).as("deg"))
+          .coalesce(1)
           .localCheckpoint()
         val drop = deg.where(col("deg") < CoreK)
           .select(col("n"), lit(rnd.toLong).as("rnd"))
@@ -937,8 +943,13 @@ object Graph {
     * lists).
     */
   def lpaOn(und: DataFrame, rounds: Int): DataFrame = {
+    // the doubled adjacency is consumed once per round: a handful of
+    // partitions keeps per-round task counts proportional to the
+    // dimension-sized data instead of the cluster default
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .coalesce(4)
+      .localCheckpoint(eager = false)
     var labels = adj.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(eager = false)
@@ -950,9 +961,12 @@ object Graph {
         .groupBy(col("u"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("best"))
         .select(col("u").as("node"), col("best.l").as("label"))
-        .localCheckpoint(eager = false)
     }
-    labels
+    // the chain is LINEAR (each round consumed exactly once by the
+    // next) and bounded at 3 rounds, so one deep plan beats three
+    // per-round checkpoint materializations; the single terminal
+    // checkpoint keeps downstream consumers lineage-free
+    labels.localCheckpoint(eager = false)
   }
 
   def lpaCommunitiesOracle: String = {
