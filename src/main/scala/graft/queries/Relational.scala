@@ -1151,7 +1151,349 @@ object Relational {
        |    WHERE s2.l_partkey = s1.l_partkey))
        |ORDER BY s_suppkey""".stripMargin
 
+  /** `q6_forecast`: the TPC-H Q6 "forecasting revenue change" shape —
+    * the pure scan-side query: three conjunctive single-column
+    * predicates (ship year, discount band, quantity cap) and one
+    * exact-decimal product sum, no joins at all. Its whole value is
+    * the PLAN: every filter must reach the parquet scan's
+    * PushedFilters and the aggregate must collapse map-side to one
+    * row per task — at 100 TB this query is a single pruned
+    * column-scan (3 of 11 lineitem columns) and nothing else.
+    * The discount band compares on round(d*100) integers, not raw
+    * doubles: the generator's 0.05 is a binary fraction neither
+    * engine should be trusted to compare with `BETWEEN 0.05 AND 0.07`.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.read(spark, dir, "lineitem")
+    li.where(
+        col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+          Quantize.cents(col("l_discount")).between(5, 7) &&
+          col("l_quantity") < 24)
+      .agg(
+        sum(
+          col("l_extendedprice").cast(DecimalType(18, 2)) *
+            col("l_discount").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def q6ForecastOracle: String =
+    s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |             CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) revenue,
+       |  CAST(COUNT(*) AS BIGINT) n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND ${Quantize.centsSql("l_discount")} BETWEEN 5 AND 7
+       |  AND l_quantity < 24""".stripMargin
+
+  /** `q7_volume_shipping`: the TPC-H Q7 "volume shipping" shape —
+    * bilateral trade between two nations: revenue per (supplier
+    * nation, customer nation, ship year) for the two directed pairs
+    * (N1→N2, N2→N1) over a two-year window. Decorrelation of the
+    * pair predicate: supplier and customer each pre-join their
+    * nation BROADCAST and pre-filter to the two nations — the pair
+    * disjunction then reduces to `supp_nation <> cust_nation` on the
+    * surviving rows (both sides are in {N1,N2}), evaluated as the
+    * fact join's residual. One fact-fact shuffle (lineitem⋈orders on
+    * orderkey, lineitem's natural key); both dim joins broadcast; at
+    * 100 TB the ship-date window prunes the scan and the 2-nation
+    * dim filters make the broadcast sides tiny.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Set("NATION_1", "NATION_2")
+    val nation = Tables.read(spark, dir, "nation")
+      .where(col("n_name").isin(nations.toSeq: _*))
+    val supp = Tables.read(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.read(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val one = lit(java.math.BigDecimal.ONE)
+    val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (one - col("l_discount").cast(DecimalType(18, 2)))
+    Tables.read(spark, dir, "lineitem")
+      .where(
+        col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        Tables.read(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(
+        col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  def q7VolumeShippingOracle: String =
+    """SELECT sn.n_name supp_nation, cn.n_name cust_nation,
+      |  CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** `q8_market_share`: the TPC-H Q8 "national market share" shape —
+    * of all STANDARD-type revenue sold into the ASIA customer market
+    * per order year, the share supplied by NATION_2, in integer ppm
+    * (exact-cents numerator/denominator, zero-guarded per the suite's
+    * convention). The conditional share states as one aggregate with
+    * a CASE'd numerator — never two scans. Joins: part (type filter,
+    * broadcast) prunes the fact first; orders⋈lineitem is the one
+    * fact-fact shuffle; customer→nation→region collapses to an
+    * ASIA custkey dimension broadcast; the supplier nation arrives
+    * as a broadcast (suppkey → name) map. 100 TB: one lineitem scan,
+    * one orderkey shuffle, 2-row output.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaCust = Tables.read(spark, dir, "customer")
+      .join(
+        broadcast(
+          Tables.read(spark, dir, "nation").join(
+            broadcast(Tables.read(spark, dir, "region")
+              .where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.read(spark, dir, "supplier")
+      .join(
+        broadcast(Tables.read(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val parts = Tables.read(spark, dir, "part")
+      .where(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val one = lit(java.math.BigDecimal.ONE)
+    val revC = floor(
+      col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (one - col("l_discount").cast(DecimalType(18, 2))) * 100)
+      .cast("long")
+    Tables.read(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        Tables.read(spark, dir, "orders")
+          .where(
+            col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1998-01-01 00:00:00"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .select(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        revC.as("rev_c"),
+        when(col("supp_nation") === "NATION_2", lit(1L)).otherwise(lit(0L))
+          .as("is_target"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(col("rev_c") * col("is_target")).as("target_c"),
+        sum(col("rev_c")).as("total_c"))
+      .withColumn(
+        // NULL-guard + integer ppm per the q14 convention.
+        "share_ppm",
+        expr("CASE WHEN total_c = 0 THEN NULL " +
+          "ELSE target_c * 1000000 div total_c END"))
+      .select(col("o_year"), col("share_ppm"), col("total_c"))
+      .orderBy("o_year")
+  }
+
+  def q8MarketShareOracle: String =
+    """WITH rv AS (
+      |  SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) o_year,
+      |    CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(18,2))) * 100) AS BIGINT) rev_c,
+      |    sn.n_name supp_nation
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |, agg AS (
+      |  SELECT o_year,
+      |    CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+      |                  THEN rev_c ELSE 0 END) AS BIGINT) target_c,
+      |    CAST(SUM(rev_c) AS BIGINT) total_c
+      |  FROM rv GROUP BY o_year)
+      |SELECT o_year,
+      |  CASE WHEN total_c = 0 THEN NULL
+      |    ELSE target_c * 1000000 // total_c END share_ppm,
+      |  total_c
+      |FROM agg ORDER BY o_year""".stripMargin
+
+  /** `q11_important_stock`: the TPC-H Q11 "important stock
+    * identification" shape adapted to this schema (no partsupp:
+    * inventory value of a part := exact-cents sum of price×quantity
+    * shipped by NATION_3 suppliers). Keep parts whose value exceeds
+    * 1/1000 of the nation's total — the global scalar threshold is a
+    * 1-row broadcast aggregate consumed by a cross-multiplied compare
+    * (value·1000 > total, integer-exact; never a float fraction).
+    * One fact shuffle on partkey; the supplier filter broadcasts.
+    * 100 TB: the threshold side is one extra reduction over the
+    * already-aggregated part-grain relation — no second fact scan.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.read(spark, dir, "supplier")
+      .join(
+        broadcast(Tables.read(spark, dir, "nation")
+          .where(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.read(spark, dir, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(
+          floor(
+            col("l_extendedprice").cast(DecimalType(18, 2)) *
+              col("l_quantity").cast(DecimalType(18, 2)) * 100)
+            .cast("long"))
+          .as("value_c"))
+    val tot = value.agg(sum(col("value_c")).as("tot_c"))
+    value.crossJoin(broadcast(tot))
+      .where(col("value_c") * 1000 > col("tot_c"))
+      .select(col("l_partkey"), col("value_c"))
+      .orderBy(col("value_c").desc, col("l_partkey"))
+  }
+
+  def q11ImportantStockOracle: String =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT))
+      |      AS BIGINT) value_c
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3'
+      |  GROUP BY 1)
+      |SELECT l_partkey, value_c FROM v
+      |WHERE value_c * 1000 > (SELECT SUM(value_c) FROM v)
+      |ORDER BY value_c DESC, l_partkey""".stripMargin
+
+  /** `q12_shipmode`: the TPC-H Q12 "shipping modes and order
+    * priority" shape adapted to this schema (no l_shipmode: the mode
+    * is the ship-latency band — FAST ≤ 30 days after the order,
+    * SLOW otherwise, the suite's q4 lateness contract). Per band,
+    * over 1997 shipments: how many lines belong to high-priority
+    * orders (1-URGENT/2-HIGH) vs not — the classic pivoted
+    * conditional count stated as one aggregate with CASE'd sums.
+    * orders⋈lineitem is the single fact-fact shuffle on orderkey;
+    * output is the 2-row band grid.
+    */
+  def q12Shipmode(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.read(spark, dir, "lineitem")
+      .where(
+        col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(
+        Tables.read(spark, dir, "orders")
+          .select(
+            col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(
+          to_date(col("l_shipdate")) <=
+            date_add(to_date(col("o_orderdate")), 30),
+          lit("FAST")).otherwise(lit("SLOW")).as("ship_band"),
+        when(high, lit(1L)).otherwise(lit(0L)).as("is_high"))
+      .groupBy(col("ship_band"))
+      .agg(
+        sum(col("is_high")).as("high_line_count"),
+        sum(lit(1L) - col("is_high")).as("low_line_count"))
+      .orderBy("ship_band")
+  }
+
+  def q12ShipmodeOracle: String =
+    """SELECT
+      |  CASE WHEN CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE)
+      |         <= CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) + 30
+      |       THEN 'FAST' ELSE 'SLOW' END ship_band,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** `q16_supplier_cnt`: the TPC-H Q16 "parts/supplier relationship"
+    * shape — distinct suppliers per (brand, type, size) for a size
+    * set, excluding one brand/type family and excluding flagged
+    * suppliers (the "customer complaints" NOT IN, adapted to the
+    * schema's negative-balance suppliers). The supply relation
+    * derives from the fact: (part, supplier) pairs observed in
+    * lineitem. NOT IN states as a broadcast left-anti join BEFORE
+    * aggregation; the distinct rides the aggregate
+    * (countDistinct), which Spark plans as the two-phase
+    * partial-distinct expand — no separate dedup pass. One fact
+    * shuffle on the grouping key; part attributes broadcast.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.read(spark, dir, "part")
+      .where(
+        col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val flagged = Tables.read(spark, dir, "supplier")
+      .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.read(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(
+        broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(
+        col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  def q16SupplierCntOracle: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q6_forecast", q6Forecast, Some(q6ForecastOracle)),
+    QueryDef(
+      "q7_volume_shipping", q7VolumeShipping, Some(q7VolumeShippingOracle)),
+    QueryDef("q8_market_share", q8MarketShare, Some(q8MarketShareOracle)),
+    QueryDef(
+      "q11_important_stock", q11ImportantStock,
+      Some(q11ImportantStockOracle)),
+    QueryDef("q12_shipmode", q12Shipmode, Some(q12ShipmodeOracle)),
+    QueryDef("q16_supplier_cnt", q16SupplierCnt, Some(q16SupplierCntOracle)),
     QueryDef(
       "q2_min_cost_supplier", q2MinCostSupplier, Some(q2MinCostSupplierOracle)),
     QueryDef("q15_top_supplier", q15TopSupplier, Some(q15TopSupplierOracle)),
