@@ -1083,7 +1083,78 @@ object Similarity {
        |    (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) cos
        |FROM p ORDER BY la, lb""".stripMargin
 
+  /** `embedding_quantize`: int8-style scalar quantization of the
+    * embedding table — the 4-8× memory lever that decides whether an
+    * ANN index fits executor RAM at 100 TB — with its reconstruction
+    * error surfaced per dimension so the precision cost is a measured
+    * number, not a hope (the `knn_recall`/`lsh_recall` gate
+    * discipline applied to compression). All integer-exact: vectors
+    * are already milli-unit longs; code = (v−min)·254 div range
+    * (0..254), recon = min + code·range div 254, error = |v−recon|,
+    * every step the same closed-form integer arithmetic in both
+    * engines. A constant dimension (range 0) quantizes to code 0 and
+    * reconstructs exactly — the guard is structural, not data-hoped.
+    *
+    * Plan shape: posexplode to (vec, dim) once; the per-dim min/max
+    * is a 64-row aggregate BROADCAST back (never a window over the
+    * fact); output is dimension-grain. At 100 TB the calibration
+    * pass is one map-side-combinable aggregate and the encode is a
+    * scan.
+    */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.read(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(quant(col("embedding"))))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("v_mu"))
+    val cal = dims.groupBy(col("dim").as("cdim"))
+      .agg(min(col("v_mu")).as("min_mu"), max(col("v_mu")).as("max_mu"))
+    dims
+      .join(broadcast(cal), col("dim") === col("cdim"))
+      .withColumn(
+        "code",
+        expr("CASE WHEN max_mu = min_mu THEN 0 " +
+          "ELSE ((v_mu - min_mu) * 254) div (max_mu - min_mu) END"))
+      .withColumn(
+        "recon",
+        expr("min_mu + (code * (max_mu - min_mu)) div 254"))
+      .withColumn("err", abs(col("v_mu") - col("recon")))
+      .groupBy(col("dim"))
+      .agg(
+        min(col("min_mu")).as("min_mu"), min(col("max_mu")).as("max_mu"),
+        max(col("err")).as("max_err_mu"), sum(col("err")).as("sum_err_mu"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("dim")
+  }
+
+  def embeddingQuantizeOracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    unnest(list_zip($QuantSql,
+       |      range(CAST(len(embedding) AS BIGINT)))) z
+       |  FROM embeddings),
+       |d AS (SELECT vec_id, CAST(z[2] AS BIGINT) dim,
+       |    CAST(z[1] AS BIGINT) v_mu FROM q),
+       |cal AS (SELECT dim, MIN(v_mu) min_mu, MAX(v_mu) max_mu
+       |  FROM d GROUP BY dim),
+       |enc AS (
+       |  SELECT d.dim, min_mu, max_mu, v_mu,
+       |    CASE WHEN max_mu = min_mu THEN 0
+       |      ELSE ((v_mu - min_mu) * 254) // (max_mu - min_mu) END code
+       |  FROM d JOIN cal ON d.dim = cal.dim),
+       |rec AS (
+       |  SELECT dim, min_mu, max_mu,
+       |    abs(v_mu - (min_mu + (code * (max_mu - min_mu)) // 254)) err
+       |  FROM enc)
+       |SELECT dim, MIN(min_mu) min_mu, MIN(max_mu) max_mu,
+       |  CAST(MAX(err) AS BIGINT) max_err_mu,
+       |  CAST(SUM(err) AS BIGINT) sum_err_mu,
+       |  CAST(COUNT(*) AS BIGINT) n_vecs
+       |FROM rec GROUP BY dim ORDER BY dim""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "embedding_quantize", embeddingQuantize,
+      Some(embeddingQuantizeOracle)),
     QueryDef(
       "centroid_similarity", centroidSimilarity,
       Some(centroidSimilarityOracle)),

@@ -296,7 +296,153 @@ object Sketches {
        |  CAST(count(*) AS BIGINT) n_events
        |FROM wx GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** `minhash_merge`: the map-side-combinability identity of the
+    * minwise sketch — the property that makes MinHash usable at
+    * 100 TB at all. Each source shard computes its own 4-slot token
+    * signature (min of md5(h|token) per hash, lexicographic on the
+    * hex — the engine-portable minwise family `minhash_lsh` uses);
+    * the corpus signature then arrives TWO ways: (a) elementwise min
+    * over the 20 per-shard signatures — a 20-row merge that never
+    * re-reads a document — and (b) recomputed directly from the
+    * global token relation. Both rows surface, so the oracle pins
+    * merge ≡ recompute rather than trusting it. `agree_k` (slots
+    * where a shard's signature equals the merged corpus signature,
+    * the Broder resemblance estimator's vote count) rides along per
+    * shard from a broadcast join against the 1-row merged signature.
+    *
+    * Plan shape: ONE distinct shuffle over (source, token); the
+    * per-shard signature is a 20-row aggregate, and every path after
+    * operates on signature-sized relations. At 100 TB new shards
+    * extend the corpus signature by merging 32-byte rows.
+    */
+  def minhashMerge(spark: SparkSession, dir: String): DataFrame = {
+    val H = 4
+    val toks = Tables.read(spark, dir, "documents")
+      .select(
+        col("source"),
+        explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .as("tok"))
+      .distinct()
+    def mh(h: Int) = min(md5(concat(lit(s"$h|"), col("tok")))).as(s"mh$h")
+    def mergeMin(h: Int) = min(col(s"mh$h")).as(s"mh$h")
+    val per = toks.groupBy(col("source")).agg(mh(0), (1 until H).map(mh): _*)
+    val merged = per.groupBy()
+      .agg(mergeMin(0), (1 until H).map(mergeMin): _*)
+      .select(lit("corpus_merged").as("scope"), col("mh0"), col("mh1"),
+        col("mh2"), col("mh3"))
+    val direct = toks.groupBy()
+      .agg(mh(0), (1 until H).map(mh): _*)
+      .select(lit("corpus_direct").as("scope"), col("mh0"), col("mh1"),
+        col("mh2"), col("mh3"))
+    val mergedSig = merged.select(
+      (0 until H).map(h => col(s"mh$h").as(s"c$h")): _*)
+    val shardRows = per.crossJoin(broadcast(mergedSig))
+      .select(
+        col("source").as("scope"), col("mh0"), col("mh1"), col("mh2"),
+        col("mh3"),
+        (0 until H).map(h =>
+          (col(s"mh$h") === col(s"c$h")).cast("long"))
+          .reduce(_ + _).as("agree_k"))
+    shardRows
+      .unionByName(merged.withColumn("agree_k", lit(4L)))
+      .unionByName(direct.withColumn("agree_k", lit(4L)))
+      .orderBy("scope")
+  }
+
+  def minhashMergeOracle: String = {
+    val slots = (0 until 4).map(h =>
+      s"min(md5('$h|' || tok)) mh$h").mkString(", ")
+    val mins = (0 until 4).map(h => s"min(mh$h) mh$h").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT source,
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> x <> '')) tok
+       |  FROM documents),
+       |per AS (SELECT source, $slots FROM toks GROUP BY source),
+       |merged AS (SELECT $mins FROM per),
+       |direct AS (SELECT $slots FROM toks)
+       |SELECT p.source AS scope, p.mh0, p.mh1, p.mh2, p.mh3,
+       |  CAST((p.mh0 = m.mh0)::INT + (p.mh1 = m.mh1)::INT +
+       |       (p.mh2 = m.mh2)::INT + (p.mh3 = m.mh3)::INT AS BIGINT) agree_k
+       |FROM per p, merged m
+       |UNION ALL SELECT 'corpus_merged', mh0, mh1, mh2, mh3,
+       |  CAST(4 AS BIGINT) FROM merged
+       |UNION ALL SELECT 'corpus_direct', mh0, mh1, mh2, mh3,
+       |  CAST(4 AS BIGINT) FROM direct
+       |ORDER BY scope""".stripMargin
+  }
+
+  /** `bitmap_rollup_merge`: distinct-count ROLLUP along the geography
+    * hierarchy (nation → region → corpus) where only the LEAF level
+    * ever touches the fact table — the upper levels re-merge the 25
+    * serialized nation bitmaps (`BitmapOrAgg`), the warehouse pattern
+    * for materialized distinct sketches: build per fine slice once,
+    * answer every coarser rollup from the stored sketch. The oracle
+    * replays all three levels as independent COUNT(DISTINCT) passes,
+    * so the rollup path (bitmap OR then popcount) is pinned against
+    * the flat recompute at every level, not just the leaves.
+    *
+    * Plan shape: one fact aggregate to nation bitmaps (map-side
+    * combinable containers; customer/nation/region dims broadcast),
+    * then region and corpus levels are container arithmetic on a
+    * 25-row relation. At 100 TB the rollup cost is bitmap bytes,
+    * not events — and the same stored bitmaps answer any other
+    * grouping of nations for free.
+    */
+  def bitmapRollupMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapFunctions._
+    val custGeo = Tables.read(spark, dir, "customer")
+      .join(
+        broadcast(Tables.read(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(Tables.read(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val nations = Tables.read(spark, dir, "orders")
+      .join(broadcast(custGeo), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(bitmapAgg(col("o_custkey")).as("bm"))
+    val nationRows = nations.select(
+      lit("1_nation").as("lvl"), col("n_name").as("grp"),
+      bitmapCount(col("bm")).as("n_customers"))
+    val regions = nations.groupBy(col("r_name"))
+      .agg(bitmapOr(col("bm")).as("bm"))
+    val regionRows = regions.select(
+      lit("2_region").as("lvl"), col("r_name").as("grp"),
+      bitmapCount(col("bm")).as("n_customers"))
+    val corpusRow = regions.groupBy()
+      .agg(bitmapCount(bitmapOr(col("bm"))).as("n_customers"))
+      .select(lit("3_corpus").as("lvl"), lit("ALL").as("grp"),
+        col("n_customers"))
+    nationRows.unionByName(regionRows).unionByName(corpusRow)
+      .orderBy("lvl", "grp")
+  }
+
+  def bitmapRollupMergeOracle: String =
+    """WITH base AS (
+      |  SELECT r_name, n_name, o_custkey
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey)
+      |SELECT '1_nation' lvl, n_name grp,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) n_customers
+      |FROM base GROUP BY n_name
+      |UNION ALL
+      |SELECT '2_region', r_name,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT)
+      |FROM base GROUP BY r_name
+      |UNION ALL
+      |SELECT '3_corpus', 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT)
+      |FROM base
+      |ORDER BY lvl, grp""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("minhash_merge", minhashMerge, Some(minhashMergeOracle)),
+    QueryDef(
+      "bitmap_rollup_merge", bitmapRollupMerge,
+      Some(bitmapRollupMergeOracle)),
     QueryDef("kmv_distinct", kmvDistinct, Some(kmvDistinctOracle)),
     QueryDef("countmin_freq", countminFreq, Some(countminFreqOracle)),
     QueryDef("bitmap_distinct", bitmapDistinctQ, Some(bitmapDistinctOracle)),
