@@ -1345,12 +1345,17 @@ object Relational {
     * identification" shape adapted to this schema (no partsupp:
     * inventory value of a part := exact-cents sum of price×quantity
     * shipped by NATION_3 suppliers). Keep parts whose value exceeds
-    * 1/1000 of the nation's total — the global scalar threshold is a
-    * 1-row broadcast aggregate consumed by a cross-multiplied compare
-    * (value·1000 > total, integer-exact; never a float fraction).
-    * One fact shuffle on partkey; the supplier filter broadcasts.
-    * 100 TB: the threshold side is one extra reduction over the
-    * already-aggregated part-grain relation — no second fact scan.
+    * TWICE the mean part value — TPC-H's own fraction scales as
+    * 0.0001/SF precisely because a fixed share of the total empties
+    * at scale (a fixed 1/1000 cut kept 394 parts at sf0.01 and ZERO
+    * at sf1); a mean-relative cut keeps the survivor share stable at
+    * any corpus size. The global scalar (total, part count) is a
+    * 1-row broadcast aggregate consumed by a cross-multiplied
+    * integer compare (value·n_parts > 2·total — never a float
+    * fraction). One fact shuffle on partkey; the supplier filter
+    * broadcasts. 100 TB: the threshold side is one extra reduction
+    * over the already-aggregated part-grain relation — no second
+    * fact scan.
     */
   def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
     val natSupp = Tables.read(spark, dir, "supplier")
@@ -1369,9 +1374,10 @@ object Relational {
               col("l_quantity").cast(DecimalType(18, 2)) * 100)
             .cast("long"))
           .as("value_c"))
-    val tot = value.agg(sum(col("value_c")).as("tot_c"))
+    val tot = value.agg(
+      sum(col("value_c")).as("tot_c"), count(lit(1)).as("n_parts"))
     value.crossJoin(broadcast(tot))
-      .where(col("value_c") * 1000 > col("tot_c"))
+      .where(col("value_c") * col("n_parts") > col("tot_c") * 2)
       .select(col("l_partkey"), col("value_c"))
       .orderBy(col("value_c").desc, col("l_partkey"))
   }
@@ -1387,8 +1393,9 @@ object Relational {
       |  JOIN nation ON s_nationkey = n_nationkey
       |  WHERE n_name = 'NATION_3'
       |  GROUP BY 1)
-      |SELECT l_partkey, value_c FROM v
-      |WHERE value_c * 1000 > (SELECT SUM(value_c) FROM v)
+      |, t AS (SELECT SUM(value_c) tot_c, COUNT(*) n_parts FROM v)
+      |SELECT l_partkey, value_c FROM v, t
+      |WHERE value_c * n_parts > tot_c * 2
       |ORDER BY value_c DESC, l_partkey""".stripMargin
 
   /** `q12_shipmode`: the TPC-H Q12 "shipping modes and order
