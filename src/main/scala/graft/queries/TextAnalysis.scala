@@ -1253,7 +1253,190 @@ object TextAnalysis {
        |    disp_ppm
        |FROM t, n ORDER BY disp_ppm DESC, term""".stripMargin
 
+  /** Trigram array over a token column named `tk`, empty when the doc
+    * is shorter than 3 tokens (Spark's `sequence(1, 0)` DESCENDS —
+    * the guard is load-bearing, not cosmetic).
+    */
+  private val TrigramsExpr =
+    "CASE WHEN size(tk) < 3 THEN array() ELSE " +
+      "transform(sequence(1, size(tk) - 2), i -> " +
+      "concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ', " +
+      "element_at(tk, i + 2))) END"
+
+  /** The trigram posting relation `(doc_id, g)` with multiplicity —
+    * shared by repetition_score and ngram_novelty.
+    */
+  private def trigramPostings(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(TrigramsExpr)).as("g"))
+
+  // single-line ON PURPOSE: this fragment interpolates into oracles
+  // that call .stripMargin AFTER interpolation — an embedded line
+  // starting with `||` would lose one pipe to the outer margin strip
+  private val TrigramsSql =
+    "SELECT doc_id, unnest(tk[1:len(tk)-2]) || ' ' || " +
+      "unnest(tk[2:len(tk)-1]) || ' ' || unnest(tk[3:len(tk)]) g " +
+      "FROM t WHERE len(tk) >= 3"
+
+  /** `repetition_score`: within-document repetition — the share of
+    * trigram occurrences that are duplicates of an earlier identical
+    * trigram in the SAME document (the Gopher-rules "duplicate
+    * n-gram fraction" quality gate: high values mark boilerplate,
+    * keyboard-mash and template spam that survives length/stopword
+    * filters). Integer ppm; `max_gram_n` (the hottest trigram's
+    * count) rides along to show WHY a doc scored. Top-100 most
+    * repetitive, full tie-break on doc_id.
+    *
+    * Plan shape: one explode + (doc, gram) aggregate — map-side
+    * combinable, co-partitioned with the doc-grain second aggregate.
+    * At 100 TB this is the cheapest of the quality gates: no joins,
+    * postings never leave their doc's partition.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    trigramPostings(spark, dir)
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cg")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cg")).as("max_gram_n"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct"), col("max_gram_n"),
+        expr("(n_grams - n_distinct) * 1000000 div n_grams").as("dup_ppm"))
+      .orderBy(col("dup_ppm").desc, col("doc_id"))
+      .limit(100)
+
+  def repetitionScoreOracle: String =
+    s"""WITH t AS (SELECT doc_id, ${ToksSql.format("text")} tk
+       |  FROM documents),
+       |g AS ($TrigramsSql),
+       |gc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) cg
+       |  FROM g GROUP BY 1, 2),
+       |d AS (SELECT doc_id, CAST(SUM(cg) AS BIGINT) n_grams,
+       |    CAST(COUNT(*) AS BIGINT) n_distinct,
+       |    CAST(MAX(cg) AS BIGINT) max_gram_n
+       |  FROM gc GROUP BY 1)
+       |SELECT doc_id, n_grams, n_distinct, max_gram_n,
+       |  (n_grams - n_distinct) * 1000000 // n_grams dup_ppm
+       |FROM d ORDER BY dup_ppm DESC, doc_id LIMIT 100""".stripMargin
+
+  /** `ngram_novelty`: first-occurrence attribution — per document,
+    * the share of its distinct trigrams whose corpus-wide FIRST
+    * occurrence (min doc_id, the ingest-order proxy) is this
+    * document. The curation signal behind "is this shard adding
+    * anything": near-zero novelty marks a shard that only re-treads
+    * earlier data. Integer ppm over distinct trigrams.
+    *
+    * Plan shape: distinct postings once; the gram-grain min(doc_id)
+    * aggregates on the SAME gram key the join-back probes, so the
+    * exchange is reused rather than repeated; doc-grain final agg.
+    * At 100 TB gram postings shuffle once — novelty is priced like
+    * one wordcount, not a self-join.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val g = trigramPostings(spark, dir).distinct()
+    val first = g.groupBy(col("g").as("fg"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    g.join(first, col("g") === col("fg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_new"))
+      .select(
+        col("doc_id"), col("n_distinct"), col("n_new"),
+        expr("n_new * 1000000 div n_distinct").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def ngramNoveltyOracle: String =
+    s"""WITH t AS (SELECT doc_id, ${ToksSql.format("text")} tk
+       |  FROM documents),
+       |g0 AS ($TrigramsSql),
+       |g AS (SELECT DISTINCT doc_id, g FROM g0),
+       |f AS (SELECT g, MIN(doc_id) first_doc FROM g GROUP BY 1)
+       |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) n_distinct,
+       |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) n_new,
+       |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000000
+       |    // CAST(COUNT(*) AS BIGINT) novelty_ppm
+       |FROM g JOIN f USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** `source_overlap_matrix`: cross-shard boilerplate share — for
+    * every source pair, how many distinct 5-gram shingles they have
+    * in common, with the shingle-set Jaccard in ppm. The inter-shard
+    * twin of `dup_spans`: exact doc-level dedup finds nothing here
+    * (zero identical documents), but shards still share template
+    * spans, and THIS is the measure that says which pairs to point
+    * the span-scrubber at. Joined BY SHINGLE (each shingle in k
+    * sources yields k(k−1)/2 pair rows, k ≤ 20) — never doc×doc,
+    * never source×source over raw text.
+    *
+    * Plan shape: one distinct over (source, shingle), the bounded
+    * shingle self-join, a pair-grain aggregate, set sizes broadcast
+    * back twice. At 100 TB the matrix costs one shingle shuffle; the
+    * k(k−1)/2 fan-out is bounded by the shard count, not the corpus.
+    */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.read(spark, dir, "documents")
+      .select(col("source"), toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 5)
+      .select(
+        col("source"),
+        explode(expr(
+          "transform(sequence(1, size(tk) - 4), i -> " +
+            "concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), " +
+            "element_at(tk, i + 2), element_at(tk, i + 3), " +
+            "element_at(tk, i + 4)))")).as("sh"))
+      .distinct()
+    val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = g.select(col("source").as("src_a"), col("sh"))
+      .join(
+        g.select(col("source").as("src_b"), col("sh")),
+        Seq("sh"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))),
+        "src_a")
+      .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))),
+        "src_b")
+      .select(
+        col("src_a"), col("src_b"), col("shared"), col("na"), col("nb"),
+        expr("shared * 1000000 div (na + nb - shared)").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("src_a"), col("src_b"))
+  }
+
+  def sourceOverlapMatrixOracle: String =
+    s"""WITH t AS (SELECT source, ${ToksSql.format("text")} tk
+       |  FROM documents),
+       |g AS (SELECT DISTINCT source,
+       |    unnest(tk[1:len(tk)-4]) || ' ' || unnest(tk[2:len(tk)-3])
+       |      || ' ' || unnest(tk[3:len(tk)-2]) || ' ' ||
+       |      unnest(tk[4:len(tk)-1]) || ' ' || unnest(tk[5:len(tk)]) sh
+       |  FROM t WHERE len(tk) >= 5),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) n FROM g GROUP BY 1),
+       |pr AS (SELECT a.source src_a, b.source src_b,
+       |    CAST(count(*) AS BIGINT) shared
+       |  FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, shared, sa.n na, sb.n nb,
+       |  shared * 1000000 // (sa.n + sb.n - shared) jaccard_ppm
+       |FROM pr JOIN sz sa ON pr.src_a = sa.source
+       |JOIN sz sb ON pr.src_b = sb.source
+       |ORDER BY jaccard_ppm DESC, src_a, src_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "repetition_score", repetitionScore, Some(repetitionScoreOracle)),
+    QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltyOracle)),
+    QueryDef(
+      "source_overlap_matrix", sourceOverlapMatrix,
+      Some(sourceOverlapMatrixOracle)),
     QueryDef("vocab_drift", vocabDrift, Some(vocabDriftOracle)),
     QueryDef("doc_keywords", docKeywords, Some(docKeywordsOracle)),
     QueryDef("phrase_search", phraseSearch, Some(phraseSearchOracle)),
