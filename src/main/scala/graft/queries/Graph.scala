@@ -174,7 +174,7 @@ object Graph {
   }
 
   def pagerankOracle: String =
-    """WITH eraw AS (
+    """WITH eraw AS MATERIALIZED (
       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
       |         CAST(count(*) AS BIGINT) AS w
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -289,7 +289,7 @@ object Graph {
          |        UNION ALL SELECT node, dist FROM s$i) u
          |  GROUP BY node)""".stripMargin
     }
-    s"""WITH eraw AS (
+    s"""WITH eraw AS MATERIALIZED (
        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  GROUP BY 1, 2),
@@ -343,7 +343,7 @@ object Graph {
          |        UNION ALL SELECT node, dist FROM s$i) u
          |  GROUP BY node)""".stripMargin
     }
-    s"""WITH eraw AS (
+    s"""WITH eraw AS MATERIALIZED (
        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
        |    CAST(count(*) AS BIGINT) w
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -418,28 +418,28 @@ object Graph {
   }
 
   def hitsOracle: String =
-    """WITH eraw AS (
+    """WITH eraw AS MATERIALIZED (
       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
       |         CAST(count(*) AS BIGINT) AS w
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2),
-      |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS x
+      |h0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS x
       |       FROM eraw),
-      |a1r AS (SELECT dst AS node, CAST(sum(h0.x * eraw.w) AS BIGINT) AS x
+      |a1r AS MATERIALIZED (SELECT dst AS node, CAST(sum(h0.x * eraw.w) AS BIGINT) AS x
       |        FROM eraw JOIN h0 ON eraw.src = h0.node GROUP BY dst),
-      |a1 AS (SELECT node, x * 1000000 // (SELECT max(x) FROM a1r) AS x
+      |a1 AS MATERIALIZED (SELECT node, x * 1000000 // (SELECT max(x) FROM a1r) AS x
       |       FROM a1r),
-      |h1r AS (SELECT src AS node, CAST(sum(a1.x * eraw.w) AS BIGINT) AS x
+      |h1r AS MATERIALIZED (SELECT src AS node, CAST(sum(a1.x * eraw.w) AS BIGINT) AS x
       |        FROM eraw JOIN a1 ON eraw.dst = a1.node GROUP BY src),
-      |h1 AS (SELECT node, x * 1000000 // (SELECT max(x) FROM h1r) AS x
+      |h1 AS MATERIALIZED (SELECT node, x * 1000000 // (SELECT max(x) FROM h1r) AS x
       |       FROM h1r),
-      |a2r AS (SELECT dst AS node, CAST(sum(h1.x * eraw.w) AS BIGINT) AS x
+      |a2r AS MATERIALIZED (SELECT dst AS node, CAST(sum(h1.x * eraw.w) AS BIGINT) AS x
       |        FROM eraw JOIN h1 ON eraw.src = h1.node GROUP BY dst),
-      |a2 AS (SELECT node, x * 1000000 // (SELECT max(x) FROM a2r) AS x
+      |a2 AS MATERIALIZED (SELECT node, x * 1000000 // (SELECT max(x) FROM a2r) AS x
       |       FROM a2r),
-      |h2r AS (SELECT src AS node, CAST(sum(a2.x * eraw.w) AS BIGINT) AS x
+      |h2r AS MATERIALIZED (SELECT src AS node, CAST(sum(a2.x * eraw.w) AS BIGINT) AS x
       |        FROM eraw JOIN a2 ON eraw.dst = a2.node GROUP BY src),
-      |h2 AS (SELECT node, x * 1000000 // (SELECT max(x) FROM h2r) AS x
+      |h2 AS MATERIALIZED (SELECT node, x * 1000000 // (SELECT max(x) FROM h2r) AS x
       |       FROM h2r),
       |th AS (SELECT 'hub' AS kind, node // 2 AS entity, x
       |       FROM h2 ORDER BY x DESC, entity LIMIT 15),
