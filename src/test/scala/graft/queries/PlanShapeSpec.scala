@@ -294,6 +294,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"full cross-table disjunction not at the join: $joinResidual")
   }
 
+  test("q6_forecast is a pure pruned scan: filters pushed, 4 of 11 columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val phys = physicalPlanNoAqe(Relational.q6Forecast(spark, dir))
+    val scans = phys.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"q6 must be a single scan, got ${scans.size}")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    // the date window and quantity cap push; the discount-band
+    // predicate is a function of the column (round(d*100)) so it
+    // CANNOT push — it evaluates post-scan, which is the documented
+    // trade for an exact integer band compare
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      s"q6 scan lost its pushed filters: $pushed")
+    val readSchema = scans.head.metadata.getOrElse("ReadSchema", "")
+    val cols = Seq(
+      "l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+    assert(cols.forall(readSchema.contains), s"q6 ReadSchema: $readSchema")
+    assert(!readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_returnflag"),
+      s"q6 reads columns it never uses: $readSchema")
+  }
+
   test("scd2_history second window runs over compacted islands") {
     val plan = Analytics.scd2History(spark, dir).queryExecution.optimizedPlan
     // all windows partition on user_id (Spark plans lag flags, the
