@@ -317,12 +317,16 @@ object Sketches {
     */
   def minhashMerge(spark: SparkSession, dir: String): DataFrame = {
     val H = 4
+    // materialized ONCE: the per-shard and direct-corpus signature
+    // paths both consume it — without the checkpoint each would
+    // re-run the scan+explode+distinct
     val toks = Tables.read(spark, dir, "documents")
       .select(
         col("source"),
         explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
           .as("tok"))
       .distinct()
+      .localCheckpoint()
     def mh(h: Int) = min(md5(concat(lit(s"$h|"), col("tok")))).as(s"mh$h")
     def mergeMin(h: Int) = min(col(s"mh$h")).as(s"mh$h")
     val per = toks.groupBy(col("source")).agg(mh(0), (1 until H).map(mh): _*)

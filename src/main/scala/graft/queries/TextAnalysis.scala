@@ -1330,24 +1330,32 @@ object TextAnalysis {
     * anything": near-zero novelty marks a shard that only re-treads
     * earlier data. Integer ppm over distinct trigrams.
     *
-    * Plan shape: distinct postings once; the gram-grain min(doc_id)
-    * aggregates on the SAME gram key the join-back probes, so the
-    * exchange is reused rather than repeated; doc-grain final agg.
-    * At 100 TB gram postings shuffle once — novelty is priced like
-    * one wordcount, not a self-join.
+    * Plan shape: the distinct posting relation materializes ONCE
+    * (localCheckpoint — two consumers would otherwise re-run the
+    * scan+explode+distinct each, and the first draft did); then the
+    * question decomposes into two AGGREGATES instead of a join back
+    * to the postings: n_distinct per doc directly, and n_new per doc
+    * by aggregating the gram-grain (g, first_doc) relation a second
+    * time BY first_doc — first-occurrence counts are attribution,
+    * so they collapse to doc grain without ever joining doc-sized
+    * against gram-sized (the first draft broadcast the gram-grain
+    * table, which is fact-sized at scale — exactly the hazard this
+    * shape removes). Final join is doc-grain × doc-grain.
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val g = trigramPostings(spark, dir).distinct()
-    val first = g.groupBy(col("g").as("fg"))
+    val g = trigramPostings(spark, dir).distinct().localCheckpoint()
+    val perDoc = g.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val nNew = g.groupBy(col("g"))
       .agg(min(col("doc_id")).as("first_doc"))
-    g.join(first, col("g") === col("fg"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_distinct"),
-        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_new"))
+      .groupBy(col("first_doc"))
+      .agg(count(lit(1)).as("n_new_raw"))
+    perDoc
+      .join(nNew, col("doc_id") === col("first_doc"), "left")
       .select(
-        col("doc_id"), col("n_distinct"), col("n_new"),
-        expr("n_new * 1000000 div n_distinct").as("novelty_ppm"))
+        col("doc_id"), col("n_distinct"),
+        coalesce(col("n_new_raw"), lit(0L)).as("n_new"))
+      .withColumn("novelty_ppm", expr("n_new * 1000000 div n_distinct"))
       .orderBy("doc_id")
   }
 
@@ -1381,6 +1389,8 @@ object TextAnalysis {
     * k(k−1)/2 fan-out is bounded by the shard count, not the corpus.
     */
   def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    // materialized ONCE: three consumers (sizes + both join sides)
+    // would otherwise re-run the scan+explode+distinct three times
     val g = Tables.read(spark, dir, "documents")
       .select(col("source"), toks(col("text")).as("tk"))
       .where(size(col("tk")) >= 5)
@@ -1392,6 +1402,7 @@ object TextAnalysis {
             "element_at(tk, i + 2), element_at(tk, i + 3), " +
             "element_at(tk, i + 4)))")).as("sh"))
       .distinct()
+      .localCheckpoint()
     val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairs = g.select(col("source").as("src_a"), col("sh"))
       .join(
