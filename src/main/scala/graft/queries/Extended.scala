@@ -958,6 +958,67 @@ object Extended {
       |  FROM events)
       |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin
 
+  /** `generate_outer`: explode vs explode_outer over a
+    * frequently-EMPTY array — the Generate null-extension semantics
+    * that silently loses parent rows in real pipelines (an order
+    * whose filtered line array is empty vanishes under explode; under
+    * explode_outer it survives as one null-extended row). Both
+    * variants run as REAL Generate nodes and report their own row
+    * accounting, plus the lost-parent count that is the whole
+    * difference; the oracle replays the identities
+    * rows(explode)=Σlen, rows(outer)=Σmax(len,1), null=Σ(len=0).
+    *
+    * Scale shape: one orderkey aggregate builds the arrays (map-side
+    * combinable), the Generates are narrow; the final numbers are
+    * 2 rows.
+    */
+  def generateOuter(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.read(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(Quantize.cents(col("l_quantity"))).as("qs"))
+      .select(
+        col("l_orderkey"),
+        filter(col("qs"), q => q > 4900).as("big"))
+    val inner = base.select(col("l_orderkey"), explode(col("big")).as("q"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("q").isNull.cast("long")).as("n_null"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .select(
+        lit("explode").as("variant"), col("n_rows"),
+        coalesce(col("n_null"), lit(0L)).as("n_null"), col("n_orders"))
+    val outer = base
+      .select(col("l_orderkey"), explode_outer(col("big")).as("q"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("q").isNull.cast("long")).as("n_null"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .select(
+        lit("explode_outer").as("variant"), col("n_rows"), col("n_null"),
+        col("n_orders"))
+    inner.unionByName(outer).orderBy("variant")
+  }
+
+  def generateOuterOracle: String =
+    s"""WITH t AS (
+       |  SELECT l_orderkey,
+       |    list_filter(list(${Quantize.centsSql("l_quantity")}),
+       |      q -> q > 4900) big
+       |  FROM lineitem GROUP BY 1)
+       |SELECT 'explode' variant,
+       |  CAST(SUM(len(big)) AS BIGINT) n_rows,
+       |  CAST(0 AS BIGINT) n_null,
+       |  CAST(SUM(CASE WHEN len(big) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    n_orders
+       |FROM t
+       |UNION ALL
+       |SELECT 'explode_outer',
+       |  CAST(SUM(greatest(len(big), 1)) AS BIGINT),
+       |  CAST(SUM(CASE WHEN len(big) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(COUNT(*) AS BIGINT)
+       |FROM t
+       |ORDER BY variant""".stripMargin
+
   /** Null-safe join semantics: standard equality drops null keys, the
     * null-safe operator (`<=>` / IS NOT DISTINCT FROM) matches them —
     * the divergence that silently loses rows in real pipelines. Both
@@ -1324,6 +1385,7 @@ object Extended {
       |ORDER BY rk_desc_nl""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("generate_outer", generateOuter, Some(generateOuterOracle)),
     QueryDef("null_ordering", nullOrdering, Some(nullOrderingOracle)),
     QueryDef("hof_battery", hofBattery, Some(hofBatteryOracle)),
     QueryDef("pareto_skyline", paretoSkyline, Some(paretoSkylineOracle)),

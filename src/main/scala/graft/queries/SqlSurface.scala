@@ -115,7 +115,50 @@ object SqlSurface {
        |    ORDER BY bal_c DESC, c_custkey LIMIT 2) l
        |ORDER BY n.nation, l.bal_c DESC, l.c_custkey""".stripMargin
 
+  /** `existence_join`: an IN-subquery that is one branch of an OR —
+    * the shape the planner CANNOT turn into a semi join (a semi join
+    * would also drop rows the other branch keeps), so it plans
+    * Spark's fourth join variant, ExistenceJoin: the subquery joins
+    * in as a boolean `exists` flag and the disjunction evaluates in
+    * the Filter above. Completes the suite's join-type inventory
+    * (inner/outer/semi/anti/null-safe/existence); the node is pinned
+    * in PlanShapeSpec. Big-spender customers OR rich-balance
+    * customers, counted per segment with the branch overlap split
+    * out so the disjunction's row-keeping is visible in data.
+    *
+    * Scale shape: the flag join is a plain equi hash join on custkey
+    * (the subquery side pre-aggregates to distinct keys); nothing
+    * about the existence variant changes the exchange layout.
+    */
+  def existenceJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.read(spark, dir, "customer")
+      .createOrReplaceTempView("customer_ej")
+    Tables.read(spark, dir, "orders").createOrReplaceTempView("orders_ej")
+    spark.sql(
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_qualifying,
+        |  CAST(sum(CASE WHEN c_acctbal > 9000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_rich
+        |FROM customer_ej
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders_ej
+        |                    WHERE o_totalprice > 450000)
+        |   OR c_acctbal > 9000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  def existenceJoinOracle: String =
+    """SELECT c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_qualifying,
+      |  CAST(sum(CASE WHEN c_acctbal > 9000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_rich
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_totalprice > 450000)
+      |   OR c_acctbal > 9000
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("rcte_levels", rcteLevels, Some(rcteLevelsOracle)),
-    QueryDef("lateral_topk", lateralTopk, Some(lateralTopkOracle)))
+    QueryDef("lateral_topk", lateralTopk, Some(lateralTopkOracle)),
+    QueryDef("existence_join", existenceJoin, Some(existenceJoinOracle)))
 }

@@ -294,6 +294,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"full cross-table disjunction not at the join: $joinResidual")
   }
 
+  test("existence_join plans Spark's ExistenceJoin variant (IN-or-predicate)") {
+    import org.apache.spark.sql.catalyst.plans.ExistenceJoin
+    val plan = SqlSurface.existenceJoin(spark, dir)
+      .queryExecution.optimizedPlan
+    val existence = plan.collect {
+      case j: Join if j.joinType.isInstanceOf[ExistenceJoin] => j
+    }
+    // the OR branch forbids a semi-join rewrite: the IN must join in
+    // as a boolean flag, not filter rows — if this ever plans as
+    // LeftSemi the other branch's rows are being dropped
+    assert(existence.nonEmpty, s"no ExistenceJoin in:\n$plan")
+    val semis = plan.collect {
+      case j: Join if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semis.isEmpty, "IN-or-predicate must not rewrite to semi join")
+  }
+
   test("q6_forecast is a pure pruned scan: filters pushed, 4 of 11 columns") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val phys = physicalPlanNoAqe(Relational.q6Forecast(spark, dir))
