@@ -958,6 +958,57 @@ object Extended {
       |  FROM events)
       |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin
 
+  /** `datetime_battery`: the calendar-function portability surface
+    * pinned value-by-value over every distinct order date — week
+    * truncation (both engines start Monday, but only by convention:
+    * pin it), ISO day-of-week (Spark's `dayofweek` is 1=Sunday,
+    * DuckDB's `isodow` is 1=Monday — the query normalizes Spark to
+    * ISO explicitly, documenting the divergence instead of tripping
+    * on it), ISO week number, quarter, end-of-month, the add-month
+    * END-OF-MONTH CLAMP (Jan 31 + 1 month = Feb 28 — both engines
+    * clamp, neither overflows, but a hand-rolled day-arithmetic
+    * version wouldn't), days-in-month, and the epoch-day linearization
+    * joins/windows use as an integer time axis.
+    *
+    * Scale shape: one distinct over dates (calendar-bounded — ~2.4k
+    * rows per decade regardless of fact volume), then a narrow
+    * projection. The battery costs nothing and fails loudly on any
+    * engine upgrade that shifts a calendar convention.
+    */
+  def datetimeBattery(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"))
+      .distinct()
+      .select(
+        col("d"),
+        to_date(date_trunc("week", col("d"))).as("week_start"),
+        to_date(date_trunc("month", col("d"))).as("month_start"),
+        quarter(col("d")).cast("long").as("qtr"),
+        (pmod(dayofweek(col("d")) + lit(5), lit(7)) + lit(1))
+          .cast("long").as("iso_dow"),
+        weekofyear(col("d")).cast("long").as("iso_week"),
+        last_day(col("d")).as("eom"),
+        add_months(col("d"), 1).as("plus_month"),
+        dayofmonth(last_day(col("d"))).cast("long").as("days_in_month"),
+        datediff(col("d"), to_date(lit("1970-01-01"))).cast("long")
+          .as("epoch_day"))
+      .orderBy("d")
+
+  def datetimeBatteryOracle: String =
+    """SELECT d,
+      |  CAST(date_trunc('week', d) AS DATE) week_start,
+      |  CAST(date_trunc('month', d) AS DATE) month_start,
+      |  CAST(quarter(d) AS BIGINT) qtr,
+      |  CAST(isodow(d) AS BIGINT) iso_dow,
+      |  CAST(weekofyear(d) AS BIGINT) iso_week,
+      |  last_day(d) eom,
+      |  CAST(d + INTERVAL 1 MONTH AS DATE) plus_month,
+      |  CAST(day(last_day(d)) AS BIGINT) days_in_month,
+      |  CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) epoch_day
+      |FROM (SELECT DISTINCT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) d
+      |      FROM orders)
+      |ORDER BY d""".stripMargin
+
   /** `generate_outer`: explode vs explode_outer over a
     * frequently-EMPTY array — the Generate null-extension semantics
     * that silently loses parent rows in real pipelines (an order
@@ -1386,6 +1437,8 @@ object Extended {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("generate_outer", generateOuter, Some(generateOuterOracle)),
+    QueryDef(
+      "datetime_battery", datetimeBattery, Some(datetimeBatteryOracle)),
     QueryDef("null_ordering", nullOrdering, Some(nullOrderingOracle)),
     QueryDef("hof_battery", hofBattery, Some(hofBatteryOracle)),
     QueryDef("pareto_skyline", paretoSkyline, Some(paretoSkylineOracle)),
