@@ -958,6 +958,55 @@ object Extended {
       |  FROM events)
       |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin
 
+  /** `string_battery`: the string-function portability surface over
+    * the corpus vocabulary (distinct tokens — vocab-bounded, so the
+    * battery costs one wordcount regardless of corpus size): padding,
+    * character translation, 1-based substring search with the 0 =
+    * absent convention, repetition, reversal, edit distance against
+    * a fixed probe, leading code point, negative-index suffix slice,
+    * zero-padded formatting, hex, and popcount. Functions only ONE
+    * engine has (initcap, overlay, soundex) are deliberately out —
+    * the battery pins the shared surface a query can port across.
+    */
+  def stringBattery(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .select(explode(TextAnalysis.toks(col("text"))).as("tok"))
+      .distinct()
+      .select(
+        col("tok"),
+        lpad(col("tok"), 6, "*").as("padded"),
+        translate(col("tok"), "ae", "xy").as("translated"),
+        locate("a", col("tok")).cast("long").as("pos_a"),
+        repeat(col("tok"), 2).as("doubled"),
+        reverse(col("tok")).as("reversed"),
+        levenshtein(col("tok"), lit("table")).cast("long").as("lev_table"),
+        ascii(col("tok")).cast("long").as("lead_cp"),
+        expr("CASE WHEN length(tok) <= 3 THEN tok " +
+          "ELSE substring(tok, -3) END").as("suffix3"),
+        format_string("%05d", length(col("tok"))).as("len_padded"),
+        hex(length(col("tok")).cast("long")).as("len_hex"),
+        bit_count(length(col("tok")).cast("long")).cast("long")
+          .as("len_bits"))
+      .orderBy("tok")
+
+  def stringBatteryOracle: String =
+    s"""SELECT tok,
+       |  lpad(tok, 6, '*') padded,
+       |  translate(tok, 'ae', 'xy') translated,
+       |  CAST(strpos(tok, 'a') AS BIGINT) pos_a,
+       |  repeat(tok, 2) doubled,
+       |  reverse(tok) reversed,
+       |  CAST(levenshtein(tok, 'table') AS BIGINT) lev_table,
+       |  CAST(ascii(tok) AS BIGINT) lead_cp,
+       |  CASE WHEN length(tok) <= 3 THEN tok ELSE substr(tok, -3) END
+       |    suffix3,
+       |  printf('%05d', length(tok)) len_padded,
+       |  to_hex(CAST(length(tok) AS BIGINT)) len_hex,
+       |  CAST(bit_count(CAST(length(tok) AS BIGINT)) AS BIGINT) len_bits
+       |FROM (SELECT DISTINCT unnest(${TextAnalysis.ToksSql.format("text")}) tok
+       |      FROM documents)
+       |ORDER BY tok""".stripMargin
+
   /** `datetime_battery`: the calendar-function portability surface
     * pinned value-by-value over every distinct order date — week
     * truncation (both engines start Monday, but only by convention:
@@ -1437,6 +1486,7 @@ object Extended {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("generate_outer", generateOuter, Some(generateOuterOracle)),
+    QueryDef("string_battery", stringBattery, Some(stringBatteryOracle)),
     QueryDef(
       "datetime_battery", datetimeBattery, Some(datetimeBatteryOracle)),
     QueryDef("null_ordering", nullOrdering, Some(nullOrderingOracle)),

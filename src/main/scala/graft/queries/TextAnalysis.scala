@@ -19,9 +19,9 @@ object TextAnalysis {
   /** Whitespace tokens, empties dropped (mirrors the DuckDB side's
     * `list_filter(regexp_split_to_array(...))`).
     */
-  private def toks(c: Column): Column =
+  private[queries] def toks(c: Column): Column =
     filter(split(c, "\\s+"), x => x =!= "")
-  private val ToksSql =
+  private[queries] val ToksSql =
     "list_filter(regexp_split_to_array(%s, '\\s+'), x -> x <> '')"
 
   def textTokens(spark: SparkSession, dir: String): DataFrame =
