@@ -101,6 +101,47 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late rows behind the watermark are dropped AND accounted") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def t(s: Long) = java.sql.Timestamp.from(base.plusSeconds(s))
+    val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val q = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("update")
+      .start()
+    try {
+      // batch 1 reaches t=360s → watermark after the batch = 350s;
+      // every window ending at or before 350 is then final
+      mem.addData((0 until 37).map(i => (t(i * 10L), s"u$i")))
+      q.processAllAvailable()
+      val before = spark.table("late_out")
+        .where(col("window.start") === t(0)).agg(max("n"))
+        .collect()(0).getLong(0)
+      // batch 2: two rows into the SAME final window [0,60) and one
+      // row each into two other final windows. The accounting metric
+      // counts rows dropped AT THE STATE OPERATOR — after the
+      // map-side partial aggregate — so the two same-window rows
+      // collapse to ONE dropped state row: 3 windows → 3, not 4.
+      // Pinning that is the point: a monitor reading this metric
+      // sees late WINDOWS-worth of state rows, not late input rows.
+      mem.addData(Seq(
+        (t(0), "late0"), (t(1), "late1"),
+        (t(61), "late2"), (t(121), "late3")))
+      q.processAllAvailable()
+      val after = spark.table("late_out")
+        .where(col("window.start") === t(0)).agg(max("n"))
+        .collect()(0).getLong(0)
+      assert(after == before, "late rows must not mutate a final window")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped == 3L, s"expected 3 accounted drops, got $dropped")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks matches batch") {
     import spark.implicits._
     val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
