@@ -958,6 +958,60 @@ object Extended {
       |  FROM events)
       |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin
 
+  /** `map_surface`: the MapType function surface — the one container
+    * type the suite had not yet exercised — routed through REAL map
+    * values end to end: map_from_entries builds a priority→count map
+    * per order status, then map_keys / map_values / element_at /
+    * map_filter / transform_values each produce a pinned column. The
+    * oracle replays every answer from the FLAT (status, priority,
+    * count) relation — maps are Spark-side representation, the
+    * semantics must be representation-free. Keys sort before any
+    * order-sensitive emission (map iteration order is not a
+    * contract, the collect_list lesson applied to maps).
+    *
+    * Scale shape: one 25-cell aggregate then narrow map ops; maps at
+    * scale live INSIDE rows (per-entity attribute bags), so the cost
+    * model is the row width, never a shuffle.
+    */
+  def mapSurface(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("status"))
+      .agg(
+        map_from_entries(
+          sort_array(collect_list(struct(col("pri"), col("cnt")))))
+          .as("m"))
+      .select(
+        col("status"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v)
+          .as("total"),
+        coalesce(element_at(col("m"), "1-URGENT"), lit(0L))
+          .as("urgent_n"),
+        sort_array(map_keys(map_filter(col("m"), (_, v) => v > 100)))
+          .as("big_keys"),
+        aggregate(
+          map_values(transform_values(col("m"), (_, v) => v * 2)),
+          lit(0L), (acc, v) => acc + v).as("doubled_total"))
+      .orderBy("status")
+
+  def mapSurfaceOracle: String =
+    """WITH f AS (
+      |  SELECT o_orderstatus status, o_orderpriority pri,
+      |    CAST(count(*) AS BIGINT) cnt
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT status,
+      |  CAST(count(*) AS BIGINT) n_keys,
+      |  CAST(sum(cnt) AS BIGINT) total,
+      |  CAST(coalesce(max(CASE WHEN pri = '1-URGENT' THEN cnt END), 0)
+      |    AS BIGINT) urgent_n,
+      |  coalesce(list_sort(list(pri) FILTER (WHERE cnt > 100)),
+      |           []) big_keys,
+      |  CAST(2 * sum(cnt) AS BIGINT) doubled_total
+      |FROM f GROUP BY status ORDER BY status""".stripMargin
+
   /** `string_battery`: the string-function portability surface over
     * the corpus vocabulary (distinct tokens — vocab-bounded, so the
     * battery costs one wordcount regardless of corpus size): padding,
@@ -1487,6 +1541,7 @@ object Extended {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("generate_outer", generateOuter, Some(generateOuterOracle)),
     QueryDef("string_battery", stringBattery, Some(stringBatteryOracle)),
+    QueryDef("map_surface", mapSurface, Some(mapSurfaceOracle)),
     QueryDef(
       "datetime_battery", datetimeBattery, Some(datetimeBatteryOracle)),
     QueryDef("null_ordering", nullOrdering, Some(nullOrderingOracle)),
