@@ -1330,20 +1330,24 @@ object TextAnalysis {
     * anything": near-zero novelty marks a shard that only re-treads
     * earlier data. Integer ppm over distinct trigrams.
     *
-    * Plan shape: the distinct posting relation materializes ONCE
-    * (localCheckpoint — two consumers would otherwise re-run the
-    * scan+explode+distinct each, and the first draft did); then the
-    * question decomposes into two AGGREGATES instead of a join back
-    * to the postings: n_distinct per doc directly, and n_new per doc
-    * by aggregating the gram-grain (g, first_doc) relation a second
-    * time BY first_doc — first-occurrence counts are attribution,
-    * so they collapse to doc grain without ever joining doc-sized
-    * against gram-sized (the first draft broadcast the gram-grain
-    * table, which is fact-sized at scale — exactly the hazard this
-    * shape removes). Final join is doc-grain × doc-grain.
+    * Plan shape: the distinct trigram relation IS the dedup
+    * pipeline's session-shared shingle table
+    * (`Dedup.docShingleArraysShared` — same definition: case-folded,
+    * per-doc-distinct trigrams, persisted DISK_ONLY), so novelty
+    * costs two aggregates over a relation the suite has already
+    * paid for; then the question decomposes into two AGGREGATES
+    * instead of a join back to the postings: n_distinct per doc
+    * directly, and n_new per doc by aggregating the gram-grain
+    * (g, first_doc) relation a second time BY first_doc —
+    * first-occurrence counts are attribution, so they collapse to
+    * doc grain without ever joining doc-sized against gram-sized
+    * (the first draft broadcast the gram-grain table, which is
+    * fact-sized at scale — exactly the hazard this shape removes).
+    * Final join is doc-grain × doc-grain.
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val g = trigramPostings(spark, dir).distinct().localCheckpoint()
+    val g = Dedup.docShingleArraysShared(spark, dir)
+      .select(col("doc_id"), explode(col("arr")).as("g"))
     val perDoc = g.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_distinct"))
     val nNew = g.groupBy(col("g"))
@@ -1360,7 +1364,7 @@ object TextAnalysis {
   }
 
   def ngramNoveltyOracle: String =
-    s"""WITH t AS (SELECT doc_id, ${ToksSql.format("text")} tk
+    s"""WITH t AS (SELECT doc_id, ${ToksSql.format("lower(text)")} tk
        |  FROM documents),
        |g0 AS ($TrigramsSql),
        |g AS (SELECT DISTINCT doc_id, g FROM g0),
