@@ -872,7 +872,113 @@ object TrainingPipeline {
        |  n_dups, n_dups * 1000000 // n_docs dup_ppm
        |FROM s, du""".stripMargin
 
+  /** Number of BPE merge rounds `bpe_train` learns. */
+  private val BpeRounds = 5
+
+  /** `bpe_train`: byte-pair-encoding VOCABULARY TRAINING — not just
+    * applying a tokenizer (`bpe_tokens`) but LEARNING the merge table,
+    * the step every LLM data pipeline runs before tokenizing anything.
+    * Each round: count adjacent symbol pairs across the vocabulary
+    * (occurrence-weighted by word frequency), pick the most frequent
+    * pair (ties: lexicographically smallest — deterministic), merge it
+    * in every word, repeat. Output = the learned merge table (step,
+    * pair, merged, weighted count) plus a final row proving the merges
+    * were APPLIED (distinct symbol count after all rounds).
+    *
+    * THE scale property of real BPE training, made structural: the
+    * corpus contributes exactly ONE map-side-combinable wordcount
+    * shuffle; every round after operates on the VOCABULARY relation
+    * (distinct words × symbol strings), which is bounded by language,
+    * not data volume. At 100 TB the rounds cost the same as at 100 MB.
+    *
+    * Merge application is boundary-guarded string replacement on the
+    * space-joined symbol string (`' a b ' → ' ab '` inside a padded
+    * string) — both engines' `replace` is left-to-right and
+    * non-overlapping, so immediately-repeated pairs ('a a a') merge
+    * alternately rather than greedily; the rule is replayed
+    * IDENTICALLY in the oracle, and the corpus has no such words.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.read(spark, dir, "documents")
+      .select(explode(TextAnalysis.toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var sym = wc.select(
+      expr("array_join(transform(sequence(1, length(w)), " +
+        "i -> substring(w, i, 1)), ' ')").as("s"),
+      col("cnt"))
+    val pairsOf =
+      "CASE WHEN size(split(s, ' ')) < 2 THEN array() ELSE " +
+        "transform(sequence(1, size(split(s, ' ')) - 1), i -> " +
+        "concat(element_at(split(s, ' '), i), ' ', " +
+        "element_at(split(s, ' '), i + 1))) END"
+    var merges: Option[DataFrame] = None
+    for (step <- 1 to BpeRounds) {
+      val best = sym
+        .select(explode(expr(pairsOf)).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .select(
+          col("pair").as("bp"),
+          expr("replace(pair, ' ', '')").as("bm"),
+          col("n"))
+      val row = best.select(
+        lit(step.toLong).as("step"), col("bp").as("pair"),
+        col("bm").as("merged"), col("n"))
+      merges = Some(merges.fold(row)(_.unionByName(row)))
+      sym = sym.crossJoin(broadcast(best))
+        .select(
+          expr("trim(replace(' ' || s || ' ', ' ' || bp || ' ', " +
+            "' ' || bm || ' '))").as("s"),
+          col("cnt"))
+    }
+    val vocabRow = sym
+      .select(explode(split(col("s"), " ")).as("v"))
+      .agg(countDistinct(col("v")).as("n"))
+      .select(
+        lit(99L).as("step"), lit("<vocab>").as("pair"),
+        lit("<vocab>").as("merged"), col("n"))
+    merges.get.unionByName(vocabRow).orderBy("step")
+  }
+
+  def bpeTrainOracle: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT t[i] || ' ' || t[i+1] pair, CAST(SUM(cnt) AS BIGINT) n
+         |  FROM (SELECT string_split(s, ' ') t, cnt FROM sym${r - 1}),
+         |    unnest(range(1, len(t))) u(i)
+         |  GROUP BY 1),
+         |b$r AS (SELECT pair, replace(pair, ' ', '') merged, n
+         |  FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |sym$r AS (
+         |  SELECT trim(replace(' ' || s || ' ',
+         |    ' ' || (SELECT pair FROM b$r) || ' ',
+         |    ' ' || (SELECT merged FROM b$r) || ' ')) s, cnt
+         |  FROM sym${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val mergeRows = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) step, pair, merged, n FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(${TextAnalysis.ToksSql.format("text")}) w
+       |  FROM documents),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) cnt FROM toks GROUP BY 1),
+       |sym0 AS (
+       |  SELECT array_to_string(
+       |    list_transform(range(1, length(w) + 1), i -> w[i:i]), ' ') s,
+       |    cnt
+       |  FROM wc),
+       |$rounds
+       |$mergeRows
+       |UNION ALL
+       |SELECT CAST(99 AS BIGINT), '<vocab>', '<vocab>',
+       |  (SELECT CAST(count(DISTINCT v) AS BIGINT)
+       |   FROM (SELECT unnest(string_split(s, ' ')) v FROM sym$BpeRounds))
+       |ORDER BY step""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("bpe_train", bpeTrain, Some(bpeTrainOracle)),
     QueryDef("dataset_card", datasetCard, Some(datasetCardOracle)),
     QueryDef(
       "negative_sampling", negativeSampling, Some(negativeSamplingOracle)),
