@@ -69,6 +69,50 @@ class Wave8Spec extends AnyFunSuite {
     assert(rows.count(_._1._1 == "1_nation") >= rows.count(_._1._1 == "2_region"))
   }
 
+  test("bpe_train learns the same merge table as a plain-Scala BPE model") {
+    val words = Tables.read(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), "\\s+")).as("w"))
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+    val wc = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var sym: Map[Seq[String], Long] =
+      wc.toSeq.groupBy(_._1.map(_.toString).toSeq).view
+        .mapValues(_.map(_._2).sum).toMap
+    val learned = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    for (_ <- 1 to 5) {
+      val counts = scala.collection.mutable.Map[String, Long]()
+      for ((s, c) <- sym; i <- 0 until s.length - 1) {
+        val p = s(i) + " " + s(i + 1)
+        counts(p) = counts.getOrElse(p, 0L) + c
+      }
+      val (bp, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      learned += ((bp, n))
+      val Array(a, b) = bp.split(" ", 2)
+      // the query's boundary-guarded string replace is left-to-right
+      // NON-OVERLAPPING with the shared boundary space consumed —
+      // replay exactly that rule, not greedy BPE
+      sym = sym.toSeq.map { case (s, c) =>
+        val merged = ("," + s.mkString(",") + ",")
+          .replace("," + a + "," + b + ",", "," + a + b + ",")
+          .stripPrefix(",").stripSuffix(",")
+        merged.split(",").toSeq -> c
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    val got = TrainingPipeline.bpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val merges = got.filter(_._1 <= 5)
+    assert(merges.length == 5)
+    for ((m, i) <- merges.sortBy(_._1).zipWithIndex) {
+      assert(m._2 == learned(i)._1, s"round ${i + 1} pair")
+      assert(m._4 == learned(i)._2, s"round ${i + 1} count")
+      assert(m._3 == learned(i)._1.replace(" ", ""))
+    }
+    val vocabRow = got.find(_._1 == 99L).get
+    assert(vocabRow._4 == sym.keySet.flatten.size.toLong,
+      "post-merge distinct symbol count")
+  }
+
   test("embedding_quantize: 8-bit reconstruction error is bounded by range/254") {
     val rows = Similarity.embeddingQuantize(spark, dir).collect()
     assert(rows.length == 64) // one row per dimension
