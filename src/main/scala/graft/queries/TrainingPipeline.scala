@@ -977,8 +977,112 @@ object TrainingPipeline {
        |ORDER BY step""".stripMargin
   }
 
+  /** The (word → BPE segmentation) vocabulary table after
+    * [[BpeRounds]] learned merges — bpe_train's `sym` evolution kept
+    * keyed by the original word. Vocabulary-sized at any corpus size.
+    */
+  private def bpeSegmentations(
+      spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.read(spark, dir, "documents")
+      .select(explode(TextAnalysis.toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var sym = wc.select(
+      col("w"),
+      expr("array_join(transform(sequence(1, length(w)), " +
+        "i -> substring(w, i, 1)), ' ')").as("s"),
+      col("cnt"))
+    val pairsOf =
+      "CASE WHEN size(split(s, ' ')) < 2 THEN array() ELSE " +
+        "transform(sequence(1, size(split(s, ' ')) - 1), i -> " +
+        "concat(element_at(split(s, ' '), i), ' ', " +
+        "element_at(split(s, ' '), i + 1))) END"
+    for (_ <- 1 to BpeRounds) {
+      val best = sym
+        .select(explode(expr(pairsOf)).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .select(
+          col("pair").as("bp"), expr("replace(pair, ' ', '')").as("bm"))
+      sym = sym.crossJoin(broadcast(best))
+        .select(
+          col("w"),
+          expr("trim(replace(' ' || s || ' ', ' ' || bp || ' ', " +
+            "' ' || bm || ' '))").as("s"),
+          col("cnt"))
+    }
+    sym.select(col("w"), col("s"))
+  }
+
+  /** `bpe_apply`: tokenize the corpus WITH the vocabulary bpe_train
+    * just learned — the second half of the tokenizer lifecycle, and
+    * the half that touches the data: the learned (word →
+    * segmentation) table is vocabulary-sized, so it BROADCASTS, and
+    * corpus application is a narrow scan + map-side join — the
+    * production shape where training costs one wordcount and
+    * tokenization costs zero shuffles of the corpus. Per (lang):
+    * words, subwords, and the fertility (subwords per word, ppm) the
+    * learned merges achieve — the metric that says whether 5 merges
+    * were worth anything (cf. `tokenizer_fertility`, which measures a
+    * FIXED segmenter).
+    */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val seg = bpeSegmentations(spark, dir)
+      .select(col("w").as("sw"), size(split(col("s"), " ")).as("n_sub"))
+    Tables.read(spark, dir, "documents")
+      .select(col("lang"), explode(TextAnalysis.toks(col("text"))).as("w"))
+      .join(broadcast(seg), col("w") === col("sw"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"))
+      .withColumn(
+        "fertility_ppm", expr("n_subwords * 1000000 div n_words"))
+      .orderBy("lang")
+  }
+
+  def bpeApplyOracle: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT t[i] || ' ' || t[i+1] pair, CAST(SUM(cnt) AS BIGINT) n
+         |  FROM (SELECT string_split(s, ' ') t, cnt FROM sym${r - 1}),
+         |    unnest(range(1, len(t))) u(i)
+         |  GROUP BY 1),
+         |b$r AS (SELECT pair, replace(pair, ' ', '') merged
+         |  FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |sym$r AS (
+         |  SELECT w, trim(replace(' ' || s || ' ',
+         |    ' ' || (SELECT pair FROM b$r) || ' ',
+         |    ' ' || (SELECT merged FROM b$r) || ' ')) s, cnt
+         |  FROM sym${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(${TextAnalysis.ToksSql.format("text")}) w
+       |  FROM documents),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) cnt FROM toks GROUP BY 1),
+       |sym0 AS (
+       |  SELECT w, array_to_string(
+       |    list_transform(range(1, length(w) + 1), i -> w[i:i]), ' ') s,
+       |    cnt
+       |  FROM wc),
+       |$rounds,
+       |seg AS (SELECT w sw, CAST(len(string_split(s, ' ')) AS BIGINT)
+       |    n_sub FROM sym$BpeRounds),
+       |corpus AS (
+       |  SELECT lang, unnest(${TextAnalysis.ToksSql.format("text")}) w
+       |  FROM documents),
+       |agg AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) n_words,
+       |    CAST(SUM(n_sub) AS BIGINT) n_subwords
+       |  FROM corpus JOIN seg ON w = sw GROUP BY lang)
+       |SELECT lang, n_words, n_subwords,
+       |  n_subwords * 1000000 // n_words fertility_ppm
+       |FROM agg ORDER BY lang""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("bpe_train", bpeTrain, Some(bpeTrainOracle)),
+    QueryDef("bpe_apply", bpeApply, Some(bpeApplyOracle)),
     QueryDef("dataset_card", datasetCard, Some(datasetCardOracle)),
     QueryDef(
       "negative_sampling", negativeSampling, Some(negativeSamplingOracle)),
