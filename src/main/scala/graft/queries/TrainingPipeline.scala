@@ -899,9 +899,13 @@ object TrainingPipeline {
     * IDENTICALLY in the oracle, and the corpus has no such words.
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    // materialized ONCE: the claim "the corpus contributes exactly
+    // one wordcount shuffle" must hold in LINEAGE terms too — every
+    // merge round's pair-count subtree re-derives from here
     val wc = Tables.read(spark, dir, "documents")
       .select(explode(TextAnalysis.toks(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     var sym = wc.select(
       expr("array_join(transform(sequence(1, length(w)), " +
         "i -> substring(w, i, 1)), ' ')").as("s"),
@@ -983,9 +987,13 @@ object TrainingPipeline {
     */
   private def bpeSegmentations(
       spark: SparkSession, dir: String): DataFrame = {
+    // materialized ONCE: the claim "the corpus contributes exactly
+    // one wordcount shuffle" must hold in LINEAGE terms too — every
+    // merge round's pair-count subtree re-derives from here
     val wc = Tables.read(spark, dir, "documents")
       .select(explode(TextAnalysis.toks(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     var sym = wc.select(
       col("w"),
       expr("array_join(transform(sequence(1, length(w)), " +
