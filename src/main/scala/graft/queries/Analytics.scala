@@ -1450,7 +1450,116 @@ object Analytics {
        |FROM g JOIN o ON g.d = o.d JOIN c ON g.d = c.d
        |ORDER BY g.d""".stripMargin
 
+  /** 24h attribution lookback in micros (shared with `attribution`'s
+    * last-touch tolerance) — also the band width of the range join.
+    */
+  private val TouchWindowUs = 86400000000L
+
+  /** `multi_touch`: LINEAR multi-touch attribution — every purchase
+    * splits its revenue EQUALLY across all click/view touches by the
+    * same user in the 24h before it (last-touch `attribution`'s
+    * sibling; the two bracket the credit-assignment space). Exactness
+    * is the design: credit = val div k cents per touch with the
+    * remainder assigned to the MOST RECENT touch (ties by touch id),
+    * so per-channel credits + the unattributed bucket sum to total
+    * purchase revenue TO THE CENT — and the emitted `zz_total` row
+    * computes that total INDEPENDENTLY from the purchase relation, so
+    * the conservation law is hash-checked, not asserted.
+    *
+    * Plan shape: the purchase×touch pairing is the `range_join`
+    * banding discipline — equi-join on (user, 24h slot) with the
+    * purchase side exploded ×2, time residual inside the band; never
+    * a theta join. k and the remainder rank are windows over
+    * purchase event_id (high cardinality, even spread). Unattributed
+    * purchases arrive via left-anti against the credited ids (a left
+    * join on the exploded band side would double-count its
+    * null-extensions).
+    */
+  def multiTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        Quantize.cents(col("value")).as("val_c"))
+    val touches = ev.where(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id").as("tu"), unix_micros(col("ts")).as("tus"))
+      .agg(max(col("event_id")).as("tid"), max(col("event_type")).as("ttype"))
+      .withColumn("tslot", expr(s"tus div $TouchWindowUs"))
+    val banded = purchases
+      .select(
+        col("*"),
+        explode(array(
+          expr(s"us div $TouchWindowUs"),
+          expr(s"us div $TouchWindowUs - 1"))).as("slot"))
+      .join(
+        touches,
+        col("user_id") === col("tu") && col("slot") === col("tslot") &&
+          col("tus") <= col("us") &&
+          col("us") - col("tus") <= TouchWindowUs)
+    val wk = Window.partitionBy(col("event_id"))
+    val wr = Window.partitionBy(col("event_id"))
+      .orderBy(col("tus").desc, col("tid").desc)
+    val credits = banded
+      .withColumn("k", count(lit(1)).over(wk))
+      .withColumn("rn", row_number().over(wr))
+      .select(
+        col("ttype").as("channel"),
+        (expr("val_c div k") +
+          when(col("rn") === 1, expr("val_c % k")).otherwise(lit(0L)))
+          .as("credit_c"),
+        col("event_id"))
+    val channelRows = credits.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit_c")).as("credit_c"))
+    val unattributed = purchases
+      .join(
+        credits.select(col("event_id")).distinct(),
+        Seq("event_id"), "left_anti")
+      .agg(count(lit(1)).as("n_credits"), sum(col("val_c")).as("credit_c"))
+      .select(lit("unattributed").as("channel"), col("n_credits"),
+        coalesce(col("credit_c"), lit(0L)).as("credit_c"))
+    val total = purchases
+      .agg(count(lit(1)).as("n_credits"), sum(col("val_c")).as("credit_c"))
+      .select(lit("zz_total").as("channel"), col("n_credits"),
+        col("credit_c"))
+    channelRows.unionByName(unattributed).unionByName(total)
+      .orderBy("channel")
+  }
+
+  def multiTouchOracle: String =
+    s"""WITH p AS (
+       |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) us,
+       |         CAST(round(value * 100) AS BIGINT) val_c
+       |  FROM events WHERE event_type = 'purchase'),
+       |t AS (
+       |  SELECT user_id tu, epoch_us(CAST(ts AS TIMESTAMP)) tus,
+       |         max(event_id) tid, max(event_type) ttype
+       |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+       |b AS (
+       |  SELECT p.event_id, p.val_c, t.ttype, t.tus, t.tid
+       |  FROM p JOIN t ON p.user_id = t.tu AND t.tus <= p.us
+       |    AND p.us - t.tus <= $TouchWindowUs),
+       |c AS (
+       |  SELECT ttype channel, event_id,
+       |    val_c // (COUNT(*) OVER (PARTITION BY event_id)) +
+       |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_id
+       |        ORDER BY tus DESC, tid DESC) = 1
+       |      THEN val_c % (COUNT(*) OVER (PARTITION BY event_id))
+       |      ELSE 0 END credit_c
+       |  FROM b)
+       |SELECT channel, CAST(count(*) AS BIGINT) n_credits,
+       |  CAST(sum(credit_c) AS BIGINT) credit_c
+       |FROM c GROUP BY 1
+       |UNION ALL
+       |SELECT 'unattributed', CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(val_c), 0) AS BIGINT)
+       |FROM p WHERE event_id NOT IN (SELECT DISTINCT event_id FROM c)
+       |UNION ALL
+       |SELECT 'zz_total', CAST(count(*) AS BIGINT),
+       |  CAST(sum(val_c) AS BIGINT) FROM p
+       |ORDER BY channel""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("multi_touch", multiTouch, Some(multiTouchOracle)),
     QueryDef("ohlc_bars", ohlcBars, Some(ohlcBarsOracle)),
     QueryDef("whale_share", whaleShare, Some(whaleShareOracle)),
     QueryDef(
