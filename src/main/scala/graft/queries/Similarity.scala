@@ -1151,7 +1151,92 @@ object Similarity {
        |  CAST(COUNT(*) AS BIGINT) n_vecs
        |FROM rec GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** `embedding_robust_stats`: per-dimension EXACT median/quartiles/
+    * IQR + Tukey-fence outlier counts over the embedding table — the
+    * robust-scaler calibration (`embedding_quantize`'s min/max is
+    * outlier-fragile; median/IQR is what production feature scalers
+    * use) plus the per-dim outlier census that says WHICH dimensions
+    * carry heavy tails. Order statistics via the percentile_report
+    * histogram-rank discipline — (dim, value) counts, cumulative
+    * ranks inside each dim's partition, order statistics at the
+    * (k·(n+1)) div 4 ranks — never a global sort; the outlier test
+    * cross-multiplies (2·|v−med| > 3·IQR ⟺ |v−med| > 1.5·IQR) so
+    * everything stays integer milli-units.
+    *
+    * Plan shape: one (dim, value) aggregate, windows over 64
+    * dim-partitions of ≤|distinct values| rows each, then one
+    * broadcast join back for the outlier count. At 100 TB the
+    * histogram is bounded by dims × value cardinality, not rows.
+    */
+  def embeddingRobustStats(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.read(spark, dir, "embeddings")
+      .select(posexplode(quant(col("embedding"))))
+      .select(col("pos").cast("long").as("dim"), col("col").as("v_mu"))
+    val hist = dims.groupBy(col("dim"), col("v_mu"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("dim")).orderBy(col("v_mu"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("hi", sum(col("cnt")).over(w))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .withColumn(
+        "n", sum(col("cnt")).over(Window.partitionBy(col("dim"))))
+    def atRank(r: org.apache.spark.sql.Column) =
+      max(when(r >= col("lo") && r <= col("hi"), col("v_mu")))
+    val stats = ranked.groupBy(col("dim"))
+      .agg(
+        max(col("n")).as("n"),
+        atRank(expr("(n + 1) div 4")).as("q1_mu"),
+        atRank(expr("(n + 1) div 2")).as("med_mu"),
+        atRank(expr("(3 * (n + 1)) div 4")).as("q3_mu"))
+      .withColumn("iqr_mu", col("q3_mu") - col("q1_mu"))
+    dims
+      .join(broadcast(stats.withColumnRenamed("dim", "sdim")),
+        col("dim") === col("sdim"))
+      .groupBy(col("dim"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("q1_mu")).as("q1_mu"), max(col("med_mu")).as("med_mu"),
+        max(col("q3_mu")).as("q3_mu"), max(col("iqr_mu")).as("iqr_mu"),
+        sum(
+          (abs(col("v_mu") - col("med_mu")) * 2 > col("iqr_mu") * 3)
+            .cast("long")).as("n_outliers"))
+      .orderBy("dim")
+  }
+
+  def embeddingRobustStatsOracle: String =
+    s"""WITH d AS (
+       |  SELECT CAST(z[2] AS BIGINT) dim, CAST(z[1] AS BIGINT) v_mu
+       |  FROM (SELECT unnest(list_zip($QuantSql,
+       |      range(CAST(len(embedding) AS BIGINT)))) z FROM embeddings)),
+       |h AS (SELECT dim, v_mu, CAST(COUNT(*) AS BIGINT) cnt
+       |  FROM d GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, SUM(cnt) OVER (PARTITION BY dim ORDER BY v_mu
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) hi,
+       |    SUM(cnt) OVER (PARTITION BY dim) n
+       |  FROM h),
+       |i AS (SELECT *, hi - cnt + 1 lo FROM r),
+       |s AS (
+       |  SELECT dim, CAST(MAX(n) AS BIGINT) n,
+       |    MAX(CASE WHEN (n + 1) // 4 BETWEEN lo AND hi
+       |        THEN v_mu END) q1_mu,
+       |    MAX(CASE WHEN (n + 1) // 2 BETWEEN lo AND hi
+       |        THEN v_mu END) med_mu,
+       |    MAX(CASE WHEN (3 * (n + 1)) // 4 BETWEEN lo AND hi
+       |        THEN v_mu END) q3_mu
+       |  FROM i GROUP BY dim)
+       |SELECT d.dim, MAX(s.n) n, MAX(q1_mu) q1_mu, MAX(med_mu) med_mu,
+       |  MAX(q3_mu) q3_mu, MAX(q3_mu - q1_mu) iqr_mu,
+       |  CAST(SUM(CASE WHEN abs(v_mu - med_mu) * 2 > (q3_mu - q1_mu) * 3
+       |    THEN 1 ELSE 0 END) AS BIGINT) n_outliers
+       |FROM d JOIN s ON d.dim = s.dim
+       |GROUP BY d.dim ORDER BY d.dim""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "embedding_robust_stats", embeddingRobustStats,
+      Some(embeddingRobustStatsOracle)),
     QueryDef(
       "embedding_quantize", embeddingQuantize,
       Some(embeddingQuantizeOracle)),
