@@ -100,6 +100,102 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec on JDK `javax.sound.sampled` (the WAV/PCM
+    * reader+writer ships in java.desktop, available offline — the
+    * audio sibling of [[ImageCodec]]'s ImageIO). 16-bit signed PCM
+    * mono throughout: WAV is lossless, so encode→decode round-trips
+    * samples EXACTLY, and every feature below is integer arithmetic —
+    * which is what makes the `audio_features` query DuckDB-oracle-
+    * checkable against the closed-form sample function of its
+    * synthetic inputs.
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    val SampleRate = 8000f
+
+    /** Deterministic 16-bit mono WAV: sample(i) = f(i) clamped to
+      * short range, little-endian PCM.
+      */
+    def encodePcm16Wav(n: Int, f: Int => Int): Array[Byte] = {
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = math.max(Short.MinValue.toInt, math.min(Short.MaxValue.toInt, f(i)))
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED, SampleRate, 16, 1, 2, SampleRate,
+        /* bigEndian = */ false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** WAV bytes -> signed 16-bit samples. Fails loudly on anything
+      * that isn't the 16-bit mono PCM this pipeline carries — a
+      * silent format coercion would corrupt every downstream feature.
+      */
+    def decodePcm16(bytes: Array[Byte]): Array[Int] = {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(
+        fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono signed PCM, got $fmt")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      if (fmt.isBigEndian)
+        while (i < n) { out(i) = (pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff); i += 1 }
+      else
+        while (i < n) { out(i) = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff); i += 1 }
+      out
+    }
+  }
+
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_samples: Long,
+      peak: Long,
+      sum_abs: Long,
+      energy: Long,
+      zero_crossings: Long)
+
+  implicit private val audioFeatEnc: Encoder[AudioFeatures] =
+    Encoders.product[AudioFeatures]
+
+  /** Real WAV byte column -> decoded integer features: sample count,
+    * peak |amplitude|, Σ|s|, Σs² (energy; int64 headroom: 32767² ×
+    * 10⁹ samples < 2⁶³), and zero crossings (sign(s[i]) flips vs
+    * s[i-1], zero counted as non-negative). One decode per row,
+    * partition-local; nothing shuffles.
+    */
+  def decodeAudio(records: Dataset[MediaRecord]): Dataset[AudioFeatures] =
+    records.mapPartitions { it =>
+      it.map { rec =>
+        val s = AudioCodec.decodePcm16(rec.content)
+        var peak = 0L; var sumAbs = 0L; var energy = 0L; var zc = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumAbs += a
+          energy += v * v
+          if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+          i += 1
+        }
+        AudioFeatures(rec.doc_id, s.length.toLong, peak, sumAbs, energy, zc)
+      }
+    }
+
   final case class ImageFeatures(
       doc_id: Long,
       width: Long,

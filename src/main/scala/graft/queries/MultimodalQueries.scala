@@ -169,6 +169,56 @@ object MultimodalQueries {
       |FROM d JOIN hist ON d.doc_id = hist.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** `audio_features`: REAL audio decode in the feature pipeline —
+    * the audio sibling of [[imageFeatures]], on the other true codec
+    * that exists offline (JDK `javax.sound.sampled`, WAV/PCM). Each
+    * document row becomes a deterministic 16-bit mono PCM WAV
+    * (sample(i) = ((37·i + 11·doc_id) mod 2001) − 1000, length keyed
+    * by doc_id), which the typed
+    * [[graft.operators.Multimodal.decodeAudio]] pipeline decodes back
+    * to samples and reduces to integer features: sample count, peak
+    * amplitude, Σ|s|, energy Σs², zero crossings. WAV is lossless and
+    * every feature is integer arithmetic, so DuckDB pins the real
+    * decode bit-for-bit from the closed-form sample function — a bug
+    * anywhere in the WAV header, byte order, encode or decode
+    * hash-mismatches (n_samples itself checks the round-trip length).
+    * Encode+decode run partition-local; nothing shuffles until the
+    * final order.
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val ids = Tables.read(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    val wavs = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = 64 + (id % 64).toInt
+        Multimodal.MediaRecord(
+          id, "audio/wav",
+          Multimodal.AudioCodec.encodePcm16Wav(
+            n, i => (((37L * i + 11L * id) % 2001L) - 1000L).toInt))
+      }
+    }
+    Multimodal.decodeAudio(wavs).toDF().orderBy("doc_id")
+  }
+
+  def audioFeaturesOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, i,
+      |    (37 * i + 11 * doc_id) % 2001 - 1000 AS v,
+      |    CASE WHEN i > 0
+      |      THEN (37 * (i - 1) + 11 * doc_id) % 2001 - 1000 END AS vp
+      |  FROM d, unnest(range(0, n)) t(i))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) n_samples,
+      |  CAST(max(abs(v)) AS BIGINT) peak,
+      |  CAST(sum(abs(v)) AS BIGINT) sum_abs,
+      |  CAST(sum(v * v) AS BIGINT) energy,
+      |  CAST(sum(CASE WHEN (vp < 0) <> (v < 0) THEN 1 ELSE 0 END)
+      |    AS BIGINT) zero_crossings
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** `chunk_dedup_ratio`: content-addressable-store savings per feed —
     * the blob chunks from [[blobChunks]]'s windowing (stride 512,
     * width 1024) keyed by content hash, counted total vs distinct per
@@ -228,5 +278,6 @@ object MultimodalQueries {
       Some(multimodalFeaturesOracle)),
     QueryDef("frame_sample", frameSample, Some(frameSampleOracle)),
     QueryDef("image_features", imageFeatures, Some(imageFeaturesOracle)),
+    QueryDef("audio_features", audioFeatures, Some(audioFeaturesOracle)),
     QueryDef("blob_chunks", blobChunks, Some(blobChunksOracle)))
 }

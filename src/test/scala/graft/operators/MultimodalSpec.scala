@@ -128,6 +128,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_.content.toSeq).toSeq == again.map(_.content.toSeq).toSeq)
   }
 
+  test("WAV encode->decode round-trips samples exactly (real javax.sound)") {
+    val want = Array.tabulate(300)(i => ((i * 91) % 40000) - 20000)
+    val wav = Multimodal.AudioCodec.encodePcm16Wav(300, want(_))
+    val got = Multimodal.AudioCodec.decodePcm16(wav)
+    assert(got.length == 300)
+    assert(got.toSeq == want.toSeq)
+    // boundary values survive (no off-by-one in the clamp or byte order)
+    val edge = Multimodal.AudioCodec.decodePcm16(
+      Multimodal.AudioCodec.encodePcm16Wav(
+        4, Array(Short.MinValue.toInt, -1, 0, Short.MaxValue.toInt)(_)))
+    assert(edge.toSeq == Seq(Short.MinValue.toInt, -1, 0, Short.MaxValue.toInt))
+  }
+
+  test("decodeAudio features match the generating sample function") {
+    import spark.implicits._
+    val wavs = spark.range(0, 64).map { id =>
+      val n = 64 + (id % 64).toInt
+      MediaRecord(
+        id, "audio/wav",
+        Multimodal.AudioCodec.encodePcm16Wav(
+          n, i => (((37L * i + 11L * id) % 2001L) - 1000L).toInt))
+    }
+    val got = Multimodal.decodeAudio(wavs).collect().sortBy(_.doc_id)
+    assert(got.length == 64)
+    got.foreach { f =>
+      val id = f.doc_id
+      val n = 64 + (id % 64).toInt
+      val s = Array.tabulate(n)(i => (((37L * i + 11L * id) % 2001L) - 1000L).toInt)
+      assert(f.n_samples == n)
+      assert(f.peak == s.map(v => math.abs(v.toLong)).max)
+      assert(f.sum_abs == s.map(v => math.abs(v.toLong)).sum)
+      assert(f.energy == s.map(v => v.toLong * v).sum)
+      val zc = (1 until n).count(i => (s(i - 1) < 0) != (s(i) < 0))
+      assert(f.zero_crossings == zc)
+    }
+    // partitioning invariance, per the decode-path discipline
+    val again = Multimodal.decodeAudio(wavs.repartition(7))
+      .collect().sortBy(_.doc_id)
+    assert(got.map(f => (f.doc_id, f.energy, f.zero_crossings)).toSeq ==
+      again.map(f => (f.doc_id, f.energy, f.zero_crossings)).toSeq)
+  }
+
   test("JPEG decodes through the same pipeline (lossy: shape checks only)") {
     import spark.implicits._
     val jpegs = spark.range(0, 8).map { i =>
