@@ -477,7 +477,96 @@ object StreamingWindows {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1, 2 ORDER BY window_start, n_name""".stripMargin
 
+  final case class UserEvent(
+      user_id: Long, us: Long, event_id: Long, vc: Long)
+
+  /** The per-key running state [[streamLatestState]] maintains; also
+    * the emitted row, so update-mode streaming output IS the state
+    * table (last emission per key = final state).
+    */
+  final case class UserLatest(
+      user_id: Long,
+      n_events: Long,
+      sum_c: Long,
+      last_us: Long,
+      last_event_id: Long,
+      last_value_c: Long)
+
+  /** The state transition: fold a batch of events into the running
+    * per-user state. Commutative across arrival order — "latest" is
+    * max by (us, event_id), never "last seen" — so any micro-batch
+    * split of the stream converges to the same state (the spec
+    * shuffles arrival across 3 batches and asserts exactly that).
+    */
+  private def foldUserState(
+      key: Long,
+      rows: Iterator[UserEvent],
+      prior: Option[UserLatest]): UserLatest =
+    rows.foldLeft(
+      prior.getOrElse(UserLatest(key, 0L, 0L, Long.MinValue, Long.MinValue, 0L))
+    ) { (s, e) =>
+      val later = e.us > s.last_us ||
+        (e.us == s.last_us && e.event_id > s.last_event_id)
+      UserLatest(
+        key, s.n_events + 1, s.sum_c + e.vc,
+        if (later) e.us else s.last_us,
+        if (later) e.event_id else s.last_event_id,
+        if (later) e.vc else s.last_value_c)
+    }
+
+  /** `stream_latest_state`: arbitrary keyed state via
+    * `mapGroupsWithState` — the CDC-style "latest record + running
+    * totals per key" state machine that windowed aggregates can't
+    * express (the state is a whole struct chosen by an ordering, not
+    * a mergeable scalar... except it IS designed mergeable here, see
+    * [[foldUserState]]). The SAME typed function runs three ways:
+    * batch (this entry — Spark executes mapGroupsWithState over each
+    * full group, oracle-checked), live update-mode streaming
+    * (StreamingPipelineSpec: 3-batch MemoryStream, last emission per
+    * key equals this result), and incrementally (state carried
+    * between batches via GroupState). At 100 TB the state store is
+    * user-grain — each micro-batch shuffles only ITS rows to the
+    * key's state partition; the batch twin is one hash shuffle.
+    */
+  def streamLatestState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), Quantize.cents(col("value")).as("vc"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[UserEvent],
+         state: org.apache.spark.sql.streaming.GroupState[UserLatest]) =>
+          val out = foldUserState(key, rows, state.getOption)
+          state.update(out)
+          out
+      }
+      .toDF()
+      .orderBy("user_id")
+  }
+
+  def streamLatestStateOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) us, event_id,
+       |    ${Quantize.centsSql("value")} vc
+       |  FROM events),
+       |r AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY user_id ORDER BY us DESC, event_id DESC) rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) n_events,
+       |    CAST(SUM(vc) OVER (PARTITION BY user_id) AS BIGINT) sum_c
+       |  FROM e)
+       |SELECT user_id, n_events, sum_c, us AS last_us,
+       |  event_id AS last_event_id, vc AS last_value_c
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "stream_latest_state", streamLatestState, Some(streamLatestStateOracle)),
     QueryDef("stream_ohlc", streamOhlc, Some(streamOhlcOracle)),
     QueryDef("stream_distinct", streamDistinct, Some(streamDistinctOracle)),
     QueryDef("stream_enrich", streamEnrich, Some(streamEnrichOracle)),

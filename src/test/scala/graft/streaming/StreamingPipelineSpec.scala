@@ -317,6 +317,74 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState latest-state: 3-batch stream equals batch fold") {
+    import spark.implicits._
+    import graft.queries.StreamingWindows.{UserEvent, UserLatest}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    // 60 events over 5 users, VALUES chosen so latest != largest
+    val events = (0 until 60).map { i =>
+      UserEvent(
+        user_id = i % 5, us = ((i * 37) % 60) * 1000000L + i,
+        event_id = 1000L + i, vc = (i * 13) % 200 - 50)
+    }
+    def fold(
+        key: Long, rows: Iterator[UserEvent],
+        state: GroupState[UserLatest]): UserLatest = {
+      // the SAME transition the stream_latest_state query uses,
+      // restated via its public contract: max-by-(us,event_id) +
+      // running sums, merged with prior state
+      val init = state.getOption.getOrElse(
+        UserLatest(key, 0L, 0L, Long.MinValue, Long.MinValue, 0L))
+      val out = rows.foldLeft(init) { (s, e) =>
+        val later = e.us > s.last_us ||
+          (e.us == s.last_us && e.event_id > s.last_event_id)
+        UserLatest(
+          key, s.n_events + 1, s.sum_c + e.vc,
+          if (later) e.us else s.last_us,
+          if (later) e.event_id else s.last_event_id,
+          if (later) e.vc else s.last_value_c)
+      }
+      state.update(out)
+      out
+    }
+    val batchOut = events.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
+      .collect().sortBy(_.user_id)
+
+    val mem = MemoryStream[UserEvent](spark)
+    val q = mem.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
+      .writeStream.format("memory").queryName("latest_state_out")
+      .outputMode("update")
+      .start()
+    try {
+      // arrival order deliberately NOT time order: shuffled thirds —
+      // the commutative transition must converge to the batch answer
+      val shuffled = events.sortBy(e => (e.event_id * 2654435761L) % 97)
+      mem.addData(shuffled.take(20))
+      q.processAllAvailable()
+      mem.addData(shuffled.slice(20, 40))
+      q.processAllAvailable()
+      mem.addData(shuffled.drop(40))
+      q.processAllAvailable()
+      // update mode re-emits a key's state each batch it changes in;
+      // the LAST emission per key (memory sink appends batches in
+      // order, one row per changed key per batch) is the final state
+      val rows = spark.table("latest_state_out").collect()
+      val last = rows.zipWithIndex
+        .groupBy(_._1.getLong(0))
+        .map { case (_, g) => g.maxBy(_._2)._1 }
+        .toSeq
+        .map(r => UserLatest(
+          r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .sortBy(_.user_id)
+      assert(last == batchOut.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming windowed aggregation with watermark runs and matches batch") {
     import spark.implicits._
     val ts = (0 until 120).map(i =>
