@@ -1445,7 +1445,111 @@ object TextAnalysis {
        |JOIN sz sb ON pr.src_b = sb.source
        |ORDER BY jaccard_ppm DESC, src_a, src_b""".stripMargin
 
+  /** `fuzzy_term_join`: the typo-correction similarity join — dirty
+    * strings matched back to a reference vocabulary within edit
+    * distance 1 (the spell-normalization / entity-cleanup shape).
+    * Each document contributes one deterministically-corrupted query
+    * string (its first qualifying term with a delete / substitute /
+    * insert at a doc_id-keyed position — the synthesize-from-the-row
+    * discipline image_features uses for pixels), and the reference
+    * side is the corpus vocabulary bounded mean-relative (df·50 ≥
+    * n_docs — language-bounded at any corpus size).
+    *
+    * The naive shape is all-pairs levenshtein (|dirty|·|V|); the
+    * scale path here is SYMMETRIC-DELETE BLOCKING (the SymSpell
+    * identity): ed(a,b) ≤ 1 ⟹ ({a} ∪ del1(a)) ∩ ({b} ∪ del1(b)) ≠ ∅
+    * with del1 the single-character-deletion neighborhood — so both
+    * sides explode to len+1 keys, candidates meet on a hash EQUI-join
+    * against the broadcast vocab keys (never a quadratic stage; the
+    * dirty side stays linear in the corpus), and exact `levenshtein`
+    * verifies survivors (blocking over-generates a few ed=2
+    * candidates, e.g. transpositions — sound, never incomplete for
+    * ed ≤ 1). The oracle states the SEMANTICS — all-pairs levenshtein
+    * over the same dirty/vocab relations — so a blocking bug that
+    * loses a pair hash-mismatches.
+    */
+  def fuzzyTermJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+    val tok = docs
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("t"))
+      .where(col("t").rlike("^[a-z]{3,}$"))
+    val df = tok.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val vocab = df.crossJoin(broadcast(nDocs))
+      .where(col("df") * 50 >= col("n_docs"))
+      .select(col("t"), col("df"))
+    // one corrupted query string per doc: first qualifying term,
+    // surgery (delete / substitute / insert) at a doc_id-keyed spot
+    val dirty = docs
+      .select(
+        col("doc_id"),
+        // try_: a doc with NO qualifying token yields NULL (DuckDB's
+        // list[1] on empty), not an ANSI out-of-bounds throw
+        expr("try_element_at(filter(split(lower(text), '\\\\s+'), " +
+          "x -> x rlike '^[a-z]{3,}$'), 1)").as("t"))
+      .where(col("t").isNotNull)
+      .select(
+        col("doc_id"), col("t"),
+        expr("1 + doc_id % length(t)").as("p"),
+        expr("chr(97 + doc_id % 26)").as("c"))
+      .select(
+        col("doc_id"),
+        expr(
+          """CASE CAST(doc_id % 3 AS INT)
+            |  WHEN 0 THEN concat(substr(t, 1, p - 1), substr(t, p + 1))
+            |  WHEN 1 THEN concat(substr(t, 1, p - 1), c, substr(t, p + 1))
+            |  ELSE concat(substr(t, 1, p - 1), c, substr(t, p))
+            |END""".stripMargin).as("dirty"))
+    def delKeys(src: Column): Column = explode(expr(
+      s"array_append(transform(sequence(1, length(${src.toString})), " +
+        s"i -> concat(substr(${src.toString}, 1, i - 1), " +
+        s"substr(${src.toString}, i + 1))), ${src.toString})"))
+    val dirtyKeyed = dirty.select(
+      col("doc_id"), col("dirty"), delKeys(col("dirty")).as("k"))
+    val vocabKeyed = vocab.select(
+      col("t").as("term"), col("df"), delKeys(col("t")).as("k"))
+    dirtyKeyed
+      .join(broadcast(vocabKeyed), Seq("k"))
+      .select(col("doc_id"), col("dirty"), col("term"), col("df"))
+      .distinct()
+      .where(levenshtein(col("dirty"), col("term")) <= 1)
+      .withColumn(
+        "ed", levenshtein(col("dirty"), col("term")).cast("long"))
+      .orderBy("doc_id", "term")
+  }
+
+  def fuzzyTermJoinOracle: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, t.tok AS t
+       |  FROM documents, unnest(${ToksSql.format("lower(text)")}) AS t(tok)
+       |  WHERE regexp_matches(t.tok, '^[a-z]{3,}$$')),
+       |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) df FROM tok GROUP BY t),
+       |nd AS (SELECT COUNT(*) n FROM documents),
+       |v AS (SELECT t, df FROM df, nd WHERE df * 50 >= n),
+       |fw AS (
+       |  SELECT doc_id,
+       |    (list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> regexp_matches(x, '^[a-z]{3,}$$')))[1] AS t
+       |  FROM documents),
+       |dirty AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INT)
+       |      WHEN 0 THEN substr(t, 1, p - 1) || substr(t, p + 1)
+       |      WHEN 1 THEN substr(t, 1, p - 1) || c || substr(t, p + 1)
+       |      ELSE substr(t, 1, p - 1) || c || substr(t, p)
+       |    END AS dirty
+       |  FROM (SELECT doc_id, t,
+       |      CAST(1 + doc_id % length(t) AS INT) p,
+       |      chr(CAST(97 + doc_id % 26 AS INT)) c
+       |    FROM fw WHERE t IS NOT NULL) s)
+       |SELECT d.doc_id, d.dirty, v.t AS term, v.df,
+       |  CAST(levenshtein(d.dirty, v.t) AS BIGINT) ed
+       |FROM dirty d JOIN v ON levenshtein(d.dirty, v.t) <= 1
+       |ORDER BY doc_id, term""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fuzzy_term_join", fuzzyTermJoin, Some(fuzzyTermJoinOracle)),
     QueryDef(
       "repetition_score", repetitionScore, Some(repetitionScoreOracle)),
     QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltyOracle)),
