@@ -1165,7 +1165,111 @@ object Statistics {
        |  (t_post_uc - t_pre_uc) - (c_post_uc - c_pre_uc) did_uc
        |FROM w""".stripMargin
 
+  /** `theil_sen`: robust trend — the Theil–Sen estimator (median of
+    * all pairwise slopes) over the weekly revenue series, reported
+    * beside the OLS slope it robustifies (outlier weeks move OLS,
+    * not the pairwise median). Scale shape: the only corpus-sized
+    * work is the one week-grain aggregate; the pair stage is the
+    * CALENDAR GRID squared (~340 weeks → ~57k pairs at ANY corpus
+    * size — a broadcast inequality join over a grid relation, the
+    * range_join discipline), and the median over pair slopes runs
+    * the weighted_median shard pattern: slope-value shards, shard
+    * totals broadcast as cumulative offsets, the rank window
+    * partitioned (shard, never global). Slopes quantized to
+    * millicents/week via an identical floor(double) on both engines
+    * (truncating integer div would diverge on negative slopes);
+    * the OLS closed form evaluates the textually-identical IEEE
+    * expression over exact integer moments.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.read(spark, dir, "orders")
+      .select(
+        // axis based at the dataset's own epoch (orders start 1992):
+        // small x values keep the integer OLS moments in int64 —
+        // n·Σ(wk·y) overflowed at sf1 on the unix-epoch axis
+        expr("datediff(to_date(o_orderdate), DATE '1992-01-01') div 7")
+          .cast("long").as("wk"),
+        Quantize.cents(col("o_totalprice")).as("yc"))
+      .groupBy(col("wk"))
+      .agg(sum(col("yc")).as("y"))
+    val a = weekly.select(col("wk").as("w1"), col("y").as("y1"))
+    val b = weekly.select(col("wk").as("w2"), col("y").as("y2"))
+    // try_divide: the nested-loop codegen can evaluate the slope for a
+    // CANDIDATE row before the w1 < w2 condition drops it — ANSI would
+    // throw on the w1 = w2 diagonal; try_ yields a NULL the condition
+    // then discards (no real pair ever has w2 = w1)
+    val slopes = a.join(broadcast(b), col("w1") < col("w2"))
+      .select(
+        expr("CAST(floor(try_divide(CAST((y2 - y1) * 1000 AS DOUBLE), " +
+          "CAST(w2 - w1 AS DOUBLE))) AS BIGINT)")
+          .as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      .withColumn("shard", expr("s div 1000000"))
+    val shardTot = slopes.groupBy(col("shard")).agg(sum(col("cnt")).as("tot"))
+    val offsets = shardTot
+      .join(
+        broadcast(shardTot.toDF("s2", "t2")),
+        col("s2") < col("shard"), "left")
+      .groupBy(col("shard"))
+      .agg(coalesce(sum(col("t2")), lit(0L)).as("cum_off"))
+    val wsh = Window.partitionBy(col("shard")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = slopes.agg(sum(col("cnt")).as("n_pairs"))
+    val tsSlope = slopes
+      .join(broadcast(offsets), Seq("shard"))
+      .withColumn("cum", sum(col("cnt")).over(wsh) + col("cum_off"))
+      .crossJoin(broadcast(totals))
+      .where(col("cum") * 2 >= col("n_pairs"))
+      .agg(min(col("s")).as("ts_slope_mc"), max(col("n_pairs")).as("n_pairs"))
+    // OLS moments in whole DOLLARS (y div 100): cents would push
+    // n·Σxy past int64 by sf10; ×100000.0 restores millicents at the
+    // final (identical-IEEE) closed form
+    val ols = weekly.agg(
+      count(lit(1)).as("n_weeks"),
+      sum(col("wk")).as("sx"),
+      sum(expr("y div 100")).as("sy"),
+      sum(col("wk") * expr("y div 100")).as("sxy"),
+      sum(col("wk") * col("wk")).as("sxx"))
+      .select(
+        col("n_weeks"),
+        expr("CAST(floor(100000.0 * (n_weeks * sxy - sx * sy) / " +
+          "(n_weeks * sxx - sx * sx)) AS BIGINT)").as("ols_slope_mc"))
+    tsSlope.crossJoin(broadcast(ols))
+      .select(
+        col("n_weeks"), col("n_pairs"), col("ts_slope_mc"),
+        col("ols_slope_mc"))
+  }
+
+  def theilSenOracle: String =
+    s"""WITH weekly AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) // 7 wk,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) y
+       |  FROM orders GROUP BY 1),
+       |pairs AS (
+       |  SELECT CAST(floor(CAST((b.y - a.y) * 1000 AS DOUBLE) / (b.wk - a.wk)) AS BIGINT) s
+       |  FROM weekly a JOIN weekly b ON a.wk < b.wk),
+       |r AS (
+       |  SELECT s,
+       |    CAST(SUM(1) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum,
+       |    CAST(COUNT(*) OVER () AS BIGINT) n_pairs
+       |  FROM pairs),
+       |ts AS (
+       |  SELECT min(s) ts_slope_mc, max(n_pairs) n_pairs
+       |  FROM r WHERE cum * 2 >= n_pairs),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) n_weeks, CAST(SUM(wk) AS BIGINT) sx,
+       |    CAST(SUM(y // 100) AS BIGINT) sy, CAST(SUM(wk * (y // 100)) AS BIGINT) sxy,
+       |    CAST(SUM(wk * wk) AS BIGINT) sxx
+       |  FROM weekly)
+       |SELECT m.n_weeks, ts.n_pairs, ts.ts_slope_mc,
+       |  CAST(floor(100000.0 * (m.n_weeks * m.sxy - m.sx * m.sy) /
+       |    (m.n_weeks * m.sxx - m.sx * m.sx)) AS BIGINT) ols_slope_mc
+       |FROM ts, m""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("theil_sen", theilSen, Some(theilSenOracle)),
     QueryDef("diff_in_diff", diffInDiff, Some(diffInDiffOracle)),
     QueryDef("equidepth_hist", equidepthHist, Some(equidepthHistOracle)),
     QueryDef(
