@@ -1268,7 +1268,93 @@ object Statistics {
        |    (m.n_weeks * m.sxx - m.sx * m.sx)) AS BIGINT) ols_slope_mc
        |FROM ts, m""".stripMargin
 
+  /** `bootstrap_ci`: a percentile-bootstrap confidence interval for
+    * the mean order value — the resampling machinery every
+    * experimentation platform runs, made DETERMINISTIC and
+    * engine-portable: instead of sampling rows (irreproducible and
+    * not distributable without coordination), each of B=32 replicates
+    * weights every row by an integer w ∈ {0,1,2} with P(0)=¼, P(1)=½,
+    * P(2)=¼ (mean 1 — the two-bit multiplier bootstrap, a bounded
+    * stand-in for Poisson(1) weights) derived from
+    * md5(orderkey:replica) — the suite's ContentHash discipline, so
+    * any engine, run, partitioning and cluster size draws the same
+    * resamples. Plan shape: ONE scan exploded ×32 with map-side
+    * combine into 32 (Σw, Σw·y) integer pairs — the shuffle carries
+    * 32 rows per partition regardless of corpus size; replicate
+    * means divide identical integers (identical IEEE result), and
+    * the 2nd/31st order statistics (the ~94% percentile interval)
+    * come from a 32×32 broadcast rank join, never a global window.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.read(spark, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        Quantize.cents(col("o_totalprice")).as("yc"))
+    val w = o
+      .select(col("k"), col("yc"), explode(sequence(lit(0), lit(31))).as("r"))
+      .withColumn(
+        "v",
+        conv(
+          substring(
+            md5(concat(col("k").cast("string"), lit(":"),
+              col("r").cast("string"))), 1, 1),
+          16, 10).cast("long") % 4)
+      .withColumn("wt", expr("v div 2 + v % 2"))
+    val rep = w.groupBy(col("r"))
+      .agg(sum(col("wt")).as("n_r"), sum(expr("wt * yc")).as("s_r"))
+    val m = rep.select(
+      col("r"),
+      expr("CASE WHEN n_r = 0 THEN NULL ELSE CAST(s_r AS DOUBLE) / n_r END")
+        .as("mean_r"))
+    val rk = m.toDF("r1", "m1")
+      .join(
+        broadcast(m.toDF("r2", "m2")),
+        expr("m2 < m1 OR (m2 = m1 AND r2 <= r1)"))
+      .groupBy(col("r1"), col("m1"))
+      .agg(count(lit(1)).as("rnk"))
+    val lo = rk.where(col("rnk") === 2).select(col("m1").as("boot_lo"))
+    val hi = rk.where(col("rnk") === 31).select(col("m1").as("boot_hi"))
+    val full = o.agg(
+      count(lit(1)).as("n_orders"),
+      expr("CAST(SUM(yc) AS DOUBLE) / COUNT(*)").as("mean_c"))
+    full.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(
+        col("n_orders"), col("mean_c"), col("boot_lo"), col("boot_hi"))
+  }
+
+  def bootstrapCiOracle: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey k, ${Quantize.centsSql("o_totalprice")} yc
+       |  FROM orders),
+       |w AS (
+       |  SELECT k, yc, r,
+       |    ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||
+       |      CAST(r AS VARCHAR)), 1, 1))::BIGINT % 4 AS v
+       |  FROM o, unnest(range(0, 32)) t(r)),
+       |rep AS (
+       |  SELECT r, CAST(SUM(v // 2 + v % 2) AS BIGINT) n_r,
+       |    CAST(SUM((v // 2 + v % 2) * yc) AS BIGINT) s_r
+       |  FROM w GROUP BY r),
+       |m AS (
+       |  SELECT r, CASE WHEN n_r = 0 THEN NULL
+       |    ELSE CAST(s_r AS DOUBLE) / n_r END AS mean_r
+       |  FROM rep),
+       |rk AS (
+       |  SELECT a.r, a.mean_r, CAST(COUNT(*) AS BIGINT) rnk
+       |  FROM m a JOIN m b
+       |    ON (b.mean_r < a.mean_r OR (b.mean_r = a.mean_r AND b.r <= a.r))
+       |  GROUP BY a.r, a.mean_r),
+       |f AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) n_orders,
+       |    CAST(SUM(yc) AS DOUBLE) / COUNT(*) AS mean_c
+       |  FROM o)
+       |SELECT f.n_orders, f.mean_c,
+       |  (SELECT mean_r FROM rk WHERE rnk = 2) AS boot_lo,
+       |  (SELECT mean_r FROM rk WHERE rnk = 31) AS boot_hi
+       |FROM f""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("bootstrap_ci", bootstrapCi, Some(bootstrapCiOracle)),
     QueryDef("theil_sen", theilSen, Some(theilSenOracle)),
     QueryDef("diff_in_diff", diffInDiff, Some(diffInDiffOracle)),
     QueryDef("equidepth_hist", equidepthHist, Some(equidepthHistOracle)),
