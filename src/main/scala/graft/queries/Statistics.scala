@@ -1353,7 +1353,107 @@ object Statistics {
        |  (SELECT mean_r FROM rk WHERE rnk = 31) AS boot_hi
        |FROM f""".stripMargin
 
+  /** `cuped_adjust`: CUPED variance reduction (Deng et al.'s
+    * controlled-experiment estimator, the industry-standard A/B
+    * power-up): each user's experiment-period metric y is adjusted by
+    * their PRE-period covariate x — y′ = y − θ(x − x̄), θ =
+    * cov(x,y)/var(x) pooled — which cancels the between-user variance
+    * that x already explains without biasing the arm difference
+    * (E[x] is treatment-independent by randomization). Everything
+    * reduces to per-arm and pooled INTEGER moment sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²) — the adjusted arm mean needs no second per-row
+    * pass: ȳ′_arm = ȳ_arm − θ(x̄_arm − x̄). One user-grain aggregate
+    * (map-side combinable), a 2-row arm rollup, a 1-row broadcast of
+    * pooled moments; θ and the realized variance-reduction ratio
+    * (= corr²·10⁶ ppm) evaluate the textually-identical IEEE
+    * expression over identical int64 operands on both engines.
+    */
+  def cupedAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val boundary = lit("2024-01-16").cast("timestamp")
+    val pu = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < boundary, Quantize.cents(col("value")))
+          .otherwise(lit(0L))).as("x"),
+        sum(when(col("ts") >= boundary, Quantize.cents(col("value")))
+          .otherwise(lit(0L))).as("y"))
+      .withColumn("variant", ContentHash.bucket(col("user_id"), 2))
+    val pooled = pu.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val arms = pu.groupBy(col("variant")).agg(
+      count(lit(1)).as("n_a"),
+      sum(col("x")).as("sx_a"),
+      sum(col("y")).as("sy_a"))
+    val nD = "CAST(n AS DOUBLE)"
+    val cov = s"($nD * sxy - CAST(sx AS DOUBLE) * sy)"
+    val varx = s"($nD * sxx - CAST(sx AS DOUBLE) * sx)"
+    val vary = s"($nD * syy - CAST(sy AS DOUBLE) * sy)"
+    arms.crossJoin(broadcast(pooled))
+      .select(
+        col("variant"),
+        col("n_a").as("n_users"),
+        expr("CAST(sy_a AS DOUBLE) / n_a").as("mean_y_c"),
+        expr(
+          s"""CASE WHEN $varx = 0 THEN NULL
+             |ELSE CAST(sy_a AS DOUBLE) / n_a - ($cov / $varx) *
+             |  (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n)
+             |END""".stripMargin.replaceAll("\n", " ")).as("mean_y_adj_c"),
+        expr(
+          s"""CASE WHEN $varx = 0 THEN NULL
+             |ELSE CAST(floor(1000000.0 * $cov / $varx) AS BIGINT)
+             |END""".stripMargin.replaceAll("\n", " ")).as("theta_ppm"),
+        expr(
+          s"""CASE WHEN $varx = 0 OR $vary = 0 THEN NULL
+             |ELSE CAST(floor(1000000.0 * $cov * $cov / ($varx * $vary))
+             |  AS BIGINT) END""".stripMargin.replaceAll("\n", " "))
+          .as("var_reduction_ppm"))
+      .orderBy("variant")
+  }
+
+  def cupedAdjustOracle: String = {
+    val c = Quantize.centsSql("value")
+    val cov = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    val varx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    val vary = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CAST(COALESCE(SUM($c) FILTER (CAST(ts AS TIMESTAMP) <
+       |      TIMESTAMP '2024-01-16'), 0) AS BIGINT) x,
+       |    CAST(COALESCE(SUM($c) FILTER (CAST(ts AS TIMESTAMP) >=
+       |      TIMESTAMP '2024-01-16'), 0) AS BIGINT) y,
+       |    ${ContentHash.bucketSql("user_id", 2)} variant
+       |  FROM events GROUP BY user_id),
+       |p AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(x) AS BIGINT) sx,
+       |    CAST(SUM(y) AS BIGINT) sy, CAST(SUM(x * y) AS BIGINT) sxy,
+       |    CAST(SUM(x * x) AS BIGINT) sxx, CAST(SUM(y * y) AS BIGINT) syy
+       |  FROM pu),
+       |a AS (
+       |  SELECT variant, CAST(COUNT(*) AS BIGINT) n_users,
+       |    CAST(SUM(x) AS BIGINT) sx_a, CAST(SUM(y) AS BIGINT) sy_a
+       |  FROM pu GROUP BY variant)
+       |SELECT a.variant, a.n_users,
+       |  CAST(sy_a AS DOUBLE) / n_users AS mean_y_c,
+       |  CASE WHEN $varx = 0 THEN NULL
+       |    ELSE CAST(sy_a AS DOUBLE) / n_users - ($cov / $varx) *
+       |      (CAST(sx_a AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n)
+       |  END AS mean_y_adj_c,
+       |  CASE WHEN $varx = 0 THEN NULL
+       |    ELSE CAST(floor(1000000.0 * $cov / $varx) AS BIGINT)
+       |  END AS theta_ppm,
+       |  CASE WHEN $varx = 0 OR $vary = 0 THEN NULL
+       |    ELSE CAST(floor(1000000.0 * $cov * $cov / ($varx * $vary))
+       |      AS BIGINT) END AS var_reduction_ppm
+       |FROM a, p ORDER BY variant""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cuped_adjust", cupedAdjust, Some(cupedAdjustOracle)),
     QueryDef("bootstrap_ci", bootstrapCi, Some(bootstrapCiOracle)),
     QueryDef("theil_sen", theilSen, Some(theilSenOracle)),
     QueryDef("diff_in_diff", diffInDiff, Some(diffInDiffOracle)),
