@@ -125,7 +125,85 @@ object Layout {
        |  MIN(fday) day_min, MAX(fday) day_max
        |FROM m GROUP BY 1, 2 ORDER BY month, bin""".stripMargin
 
+  /** `posting_compression`: the storage economics of an inverted
+    * index — per-term posting lists delta-encoded, the gap cost
+    * priced under Elias-γ (2·⌊log₂ g⌋ + 1 bits) and LEB128 varint
+    * (⌈bits/7⌉ bytes) against fixed 64-bit ids, rolled up by
+    * document-frequency octave (rare terms have large sparse gaps,
+    * common terms tiny dense ones — the df band IS the compression
+    * story). ⌊log₂⌋ is computed EXACTLY as length(bin(g)) − 1 — an
+    * integer in both engines, never a transcendental whose last ulp
+    * could disagree. Plan: one distinct (term, doc) projection, the
+    * gap from a lag window PARTITIONED BY TERM (high-cardinality —
+    * each posting list is one partition, the same order a real index
+    * writer needs anyway), then a map-side-combinable band rollup.
+    * At 100 TB the posting relation shards by term hash and nothing
+    * else shuffles.
+    */
+  def postingCompression(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = Tables.read(spark, dir, "documents")
+      .select(
+        explode(graft.queries.TextAnalysis.toks(lower(col("text"))))
+          .as("t"),
+        col("doc_id"))
+      .where(col("t").rlike("^[a-z]{3,}$"))
+      .distinct()
+    val w = Window.partitionBy(col("t")).orderBy(col("doc_id"))
+    val gaps = post
+      .withColumn(
+        "gap",
+        coalesce(
+          col("doc_id") - lag(col("doc_id"), 1).over(w),
+          col("doc_id") + 1))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("t"))))
+      .withColumn("lg", (length(bin(col("gap"))) - 1).cast("long"))
+      .withColumn("band", (length(bin(col("df"))) - 1).cast("long"))
+    gaps
+      .groupBy(col("band"))
+      .agg(
+        countDistinct(col("t")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(lit(2L) * col("lg") + 1L).as("gamma_bits"),
+        sum(expr("(lg + 7) div 7")).as("varint_bytes"),
+        (count(lit(1)) * 64L).as("fixed_bits"))
+      .withColumn(
+        "gamma_savings_ppm",
+        expr("(fixed_bits - gamma_bits) * 1000000 div fixed_bits"))
+      .orderBy("band")
+  }
+
+  def postingCompressionOracle: String = {
+    val toks =
+      "list_filter(regexp_split_to_array(lower(text), '\\s+'), " +
+        "x -> regexp_matches(x, '^[a-z]{3,}$'))"
+    s"""WITH post AS (
+       |  SELECT DISTINCT t.tok AS t, doc_id
+       |  FROM documents, unnest($toks) AS t(tok)),
+       |g AS (
+       |  SELECT t, doc_id,
+       |    COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY t ORDER BY doc_id),
+       |      doc_id + 1) AS gap,
+       |    CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) df
+       |  FROM post),
+       |b AS (
+       |  SELECT t, length(bin(df)) - 1 AS band, length(bin(gap)) - 1 AS lg
+       |  FROM g)
+       |SELECT CAST(band AS BIGINT) band,
+       |  CAST(COUNT(DISTINCT t) AS BIGINT) n_terms,
+       |  CAST(COUNT(*) AS BIGINT) n_postings,
+       |  CAST(SUM(2 * lg + 1) AS BIGINT) gamma_bits,
+       |  CAST(SUM((lg + 7) // 7) AS BIGINT) varint_bytes,
+       |  CAST(COUNT(*) * 64 AS BIGINT) fixed_bits,
+       |  CAST((COUNT(*) * 64 - SUM(2 * lg + 1)) * 1000000 //
+       |    (COUNT(*) * 64) AS BIGINT) AS gamma_savings_ppm
+       |FROM b GROUP BY band ORDER BY band""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "posting_compression", postingCompression,
+      Some(postingCompressionOracle)),
     QueryDef("zorder_layout", zorderLayout, Some(zorderLayoutOracle)),
     QueryDef("compaction_plan", compactionPlan, Some(compactionPlanOracle)))
 }
