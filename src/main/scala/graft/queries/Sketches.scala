@@ -442,7 +442,72 @@ object Sketches {
       |FROM base
       |ORDER BY lvl, grp""".stripMargin
 
+  /** `countmin_merge`: the third mergeable-sketch identity (after
+    * minhash_merge's elementwise-min and bitmap_rollup_merge's OR) —
+    * Count-Min merge is CELL-WISE ADDITION, so a corpus CMS equals
+    * the sum of per-day shard CMSes. Both paths are emitted as rows
+    * (scope = 'sharded_merge' vs 'direct') with the full counter
+    * array pinched into exact integer invariants per hash row —
+    * occupied cells, Σcnt, Σcell·cnt, Σcnt² — so ANY cell-level
+    * divergence between merge and recompute lands in the hash check
+    * (Σcnt² in particular breaks if mass moves between cells even
+    * when totals agree). This is the property that makes CMS a
+    * DISTRIBUTED sketch: map tasks build local arrays, the shuffle
+    * carries D·W counters per task, and daily sketches roll up into
+    * monthlies without touching raw events again. Plan: one
+    * (day, d, cell) aggregate → one (d, cell) re-aggregate, both
+    * map-side combinable; `direct` shares the exploded scan.
+    */
+  def countminMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ds = array((0 until D).map(lit): _*)
+    val base = Tables.events(spark, dir)
+      .select(
+        to_date(col("ts")).cast("string").as("day"),
+        explode(ds).as("d"), col("user_id"))
+      .withColumn("cell", cmCell(col("d"), col("user_id")))
+    val shardCells = base.groupBy(col("day"), col("d"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = shardCells.groupBy(col("d"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("scope", lit("sharded_merge"))
+    val direct = base.groupBy(col("d"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("scope", lit("direct"))
+    merged.unionByName(direct)
+      .groupBy(col("scope"), col("d"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("cnt")).as("total"),
+        sum(col("cell") * col("cnt")).as("chk_cell"),
+        sum(col("cnt") * col("cnt")).as("chk_sq"))
+      .orderBy("scope", "d")
+  }
+
+  def countminMergeOracle: String =
+    s"""WITH base AS (
+       |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, d, user_id,
+       |    ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+       |      CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % $W cell
+       |  FROM events, (SELECT UNNEST([0, 1, 2]) d)),
+       |shard AS (
+       |  SELECT dt, d, cell, CAST(COUNT(*) AS BIGINT) cnt
+       |  FROM base GROUP BY 1, 2, 3),
+       |merged AS (
+       |  SELECT 'sharded_merge' AS scope, d, cell,
+       |    CAST(SUM(cnt) AS BIGINT) cnt
+       |  FROM shard GROUP BY 2, 3),
+       |direct AS (
+       |  SELECT 'direct' AS scope, d, cell, CAST(COUNT(*) AS BIGINT) cnt
+       |  FROM base GROUP BY 2, 3),
+       |u AS (SELECT * FROM merged UNION ALL SELECT * FROM direct)
+       |SELECT scope, d, CAST(COUNT(*) AS BIGINT) n_cells,
+       |  CAST(SUM(cnt) AS BIGINT) total,
+       |  CAST(SUM(cell * cnt) AS BIGINT) chk_cell,
+       |  CAST(SUM(cnt * cnt) AS BIGINT) chk_sq
+       |FROM u GROUP BY scope, d ORDER BY scope, d""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("countmin_merge", countminMerge, Some(countminMergeOracle)),
     QueryDef("minhash_merge", minhashMerge, Some(minhashMergeOracle)),
     QueryDef(
       "bitmap_rollup_merge", bitmapRollupMerge,
