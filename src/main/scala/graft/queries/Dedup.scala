@@ -1125,6 +1125,145 @@ object Dedup {
       |WHERE levenshtein(x.c_name, y.c_name) <= 1
       |ORDER BY nat, a, b""".stripMargin
 
+  /** `er_blocking_curve`: BLOCKING QUALITY for entity resolution —
+    * Christen's two numbers for every candidate-generation scheme:
+    * pair completeness (what fraction of true matches the blocks
+    * keep) and reduction ratio (what fraction of the all-pairs
+    * quadratic the blocks avoid). The sibling of `lsh_band_curve`
+    * for the record-linkage family: recall AND cost per scheme from
+    * one shared truth relation.
+    *
+    * Truth = name pairs within edit distance 1 on the nation-0
+    * entity slice. The ENGINE computes it with symmetric-delete
+    * blocking (complete for ed ≤ 1, the fuzzy_term_join identity —
+    * never an all-pairs stage); the ORACLE states it as the
+    * all-pairs levenshtein it semantically is, so a hole in the
+    * engine's candidate generation is a hash mismatch, exactly like
+    * lsh_recall's design. Audit-class bound: the slice is
+    * dimension-grain (customers of ONE nation) and the oracle side
+    * is the quadratic — the production path at 100 TB is the
+    * delete-key equi-join, which is what this query measures the
+    * cheaper schemes against.
+    *
+    * Schemes: digit-prefix blocks of width 7 and 8 (candidates
+    * shrink, recall drops as the differing digit moves left),
+    * last-2-chars block (the complement), and the symmetric-delete
+    * candidates themselves (completeness 10⁶ ppm BY IDENTITY — the
+    * oracle recomputes it rather than assuming it).
+    */
+  def erBlockingCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ents = Tables.read(spark, dir, "customer")
+      .where(col("c_nationkey") === 0)
+      .groupBy(col("c_name")).agg(min(col("c_custkey")).as("id"))
+    val delk = ents.select(
+      col("id"), col("c_name"),
+      explode(expr(
+        "array_append(transform(sequence(1, length(c_name)), " +
+          "i -> concat(substr(c_name, 1, i - 1), substr(c_name, i + 1))), " +
+          "c_name)")).as("k"))
+    val candSd = delk
+      .select(col("k"), col("id").as("ia"), col("c_name").as("na"))
+      .join(
+        delk.select(col("k"), col("id").as("ib"), col("c_name").as("nb")),
+        Seq("k"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("na"), col("nb"))
+      .distinct()
+    val truth = candSd
+      .where(levenshtein(col("na"), col("nb")) <= 1)
+      .persist()
+    val base = ents.agg(
+      count(lit(1)).as("n_entities"),
+      expr("count(1) * (count(1) - 1) div 2").as("all_pairs"))
+    val truthAgg = truth.agg(count(lit(1)).as("truth_pairs"))
+
+    def schemeRow(name: String, key: String => String): DataFrame = {
+      val cands = ents
+        .groupBy(expr(key("c_name")).as("key"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("candidates"))
+      val caught = truth
+        .where(expr(key("na")) === expr(key("nb")))
+        .agg(count(lit(1)).as("caught"))
+      cands.crossJoin(broadcast(caught)).withColumn("scheme", lit(name))
+    }
+
+    val sdRow = candSd.agg(count(lit(1)).as("candidates"))
+      .crossJoin(broadcast(
+        truth.agg(count(lit(1)).as("caught"))))
+      .withColumn("scheme", lit("symdelete"))
+    val rows = Seq(
+      schemeRow("prefix7", c => s"substr($c, 10, 7)"),
+      schemeRow("prefix8", c => s"substr($c, 10, 8)"),
+      schemeRow("suffix2", c => s"substr($c, length($c) - 1, 2)"),
+      sdRow).reduce(_.unionByName(_))
+    rows
+      .crossJoin(broadcast(base))
+      .crossJoin(broadcast(truthAgg))
+      .select(
+        col("scheme"), col("n_entities"), col("truth_pairs"),
+        col("candidates"), col("caught"),
+        expr("CASE WHEN truth_pairs = 0 THEN NULL " +
+          "ELSE caught * 1000000 div truth_pairs END").as("pc_ppm"),
+        expr("CASE WHEN all_pairs = 0 THEN NULL " +
+          "ELSE (all_pairs - candidates) * 1000000 div all_pairs END")
+          .as("rr_ppm"))
+      .orderBy("scheme")
+  }
+
+  def erBlockingCurveOracle: String =
+    """WITH e AS (
+      |  SELECT c_name, MIN(c_custkey) id FROM customer
+      |  WHERE c_nationkey = 0 GROUP BY 1),
+      |t AS (
+      |  SELECT a.id ia, b.id ib, a.c_name na, b.c_name nb
+      |  FROM e a JOIN e b ON a.id < b.id
+      |    AND levenshtein(a.c_name, b.c_name) <= 1),
+      |k AS (
+      |  SELECT id, c_name,
+      |    CASE WHEN i = 0 THEN c_name
+      |      ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END AS blk
+      |  FROM e, unnest(range(0, length(c_name) + 1)) u(i)),
+      |cand_sd AS (
+      |  SELECT DISTINCT a.id ia, b.id ib
+      |  FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id),
+      |base AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n_entities,
+      |    CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) all_pairs
+      |  FROM e),
+      |ta AS (SELECT CAST(COUNT(*) AS BIGINT) truth_pairs FROM t),
+      |rows AS (
+      |  SELECT 'prefix7' scheme,
+      |    (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) FROM
+      |      (SELECT substr(c_name, 10, 7) AS blk, COUNT(*) c FROM e GROUP BY 1)) candidates,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+      |      WHERE substr(na, 10, 7) = substr(nb, 10, 7)) caught
+      |  UNION ALL
+      |  SELECT 'prefix8',
+      |    (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) FROM
+      |      (SELECT substr(c_name, 10, 8) AS blk, COUNT(*) c FROM e GROUP BY 1)),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+      |      WHERE substr(na, 10, 8) = substr(nb, 10, 8))
+      |  UNION ALL
+      |  SELECT 'suffix2',
+      |    (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) FROM
+      |      (SELECT substr(c_name, length(c_name) - 1, 2) AS blk, COUNT(*) c
+      |       FROM e GROUP BY 1)),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+      |      WHERE substr(na, length(na) - 1, 2) = substr(nb, length(nb) - 1, 2))
+      |  UNION ALL
+      |  SELECT 'symdelete',
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_sd),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM t JOIN cand_sd
+      |      ON t.ia = cand_sd.ia AND t.ib = cand_sd.ib))
+      |SELECT scheme, n_entities, truth_pairs, candidates, caught,
+      |  CASE WHEN truth_pairs = 0 THEN NULL
+      |    ELSE caught * 1000000 // truth_pairs END pc_ppm,
+      |  CASE WHEN all_pairs = 0 THEN NULL
+      |    ELSE (all_pairs - candidates) * 1000000 // all_pairs END rr_ppm
+      |FROM rows, base, ta ORDER BY scheme""".stripMargin
+
   // --- SimHash fingerprints (32-bit, md5-hexchar-parity bits) ---
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
@@ -1206,6 +1345,8 @@ object Dedup {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "er_blocking_curve", erBlockingCurve, Some(erBlockingCurveOracle)),
     QueryDef("cc_incremental", ccIncremental, Some(dedupClustersOracle)),
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactDocsOracle)),
     QueryDef("ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
