@@ -385,6 +385,70 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (Spark 4 API): RocksDB ValueState equals batch fold") {
+    import spark.implicits._
+    import graft.queries.StreamingWindows.{UserEvent, UserLatest}
+    import org.apache.spark.sql.streaming.{
+      GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode,
+      TimerValues, TTLConfig}
+    val events = (0 until 60).map { i =>
+      UserEvent(
+        user_id = i % 5, us = ((i * 41) % 60) * 1000000L + i,
+        event_id = 2000L + i, vc = (i * 17) % 300 - 80)
+    }
+    val batchOut = events.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[UserEvent],
+         st: org.apache.spark.sql.streaming.GroupState[UserLatest]) =>
+          rows.foldLeft(
+            UserLatest(key, 0L, 0L, Long.MinValue, Long.MinValue, 0L))(
+            TwsLatestProcessor.step)
+      }
+      .collect().sortBy(_.user_id)
+
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[UserEvent](spark)
+    val q = mem.toDS()
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TwsLatestProcessor, TimeMode.None(), OutputMode.Update())
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update")
+      .start()
+    try {
+      val shuffled = events.sortBy(e => (e.event_id * 48271L) % 101)
+      mem.addData(shuffled.take(20))
+      q.processAllAvailable()
+      mem.addData(shuffled.slice(20, 40))
+      q.processAllAvailable()
+      mem.addData(shuffled.drop(40))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out").collect()
+      val last = rows.zipWithIndex
+        .groupBy(_._1.getLong(0))
+        .map { case (_, g) => g.maxBy(_._2)._1 }
+        .toSeq
+        .map(r => UserLatest(
+          r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .sortBy(_.user_id)
+      assert(last == batchOut.toSeq)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming windowed aggregation with watermark runs and matches batch") {
     import spark.implicits._
     val ts = (0 until 120).map(i =>
@@ -574,5 +638,51 @@ class StreamingPipelineSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
       assert(got.toSeq == batch.toSeq)
     } finally q.stop()
+  }
+}
+
+/** Top-level (NOT an inner class — a spec-nested processor would
+  * capture the scalatest engine into the task closure): the Spark-4
+  * `StatefulProcessor` carrying the stream_latest_state transition in
+  * an explicit RocksDB-backed ValueState.
+  */
+class TwsLatestProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long,
+      graft.queries.StreamingWindows.UserEvent,
+      graft.queries.StreamingWindows.UserLatest] {
+  import graft.queries.StreamingWindows.{UserEvent, UserLatest}
+  @transient private var state
+      : org.apache.spark.sql.streaming.ValueState[UserLatest] = _
+  override def init(
+      out: org.apache.spark.sql.streaming.OutputMode,
+      time: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[UserLatest](
+      "latest",
+      org.apache.spark.sql.Encoders.product[UserLatest],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(
+      key: Long, rows: Iterator[UserEvent],
+      tv: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserLatest] = {
+    val init =
+      if (state.exists()) state.get()
+      else UserLatest(key, 0L, 0L, Long.MinValue, Long.MinValue, 0L)
+    val out = rows.foldLeft(init)(TwsLatestProcessor.step)
+    state.update(out)
+    Iterator.single(out)
+  }
+}
+
+object TwsLatestProcessor {
+  import graft.queries.StreamingWindows.{UserEvent, UserLatest}
+  def step(s: UserLatest, e: UserEvent): UserLatest = {
+    val later = e.us > s.last_us ||
+      (e.us == s.last_us && e.event_id > s.last_event_id)
+    UserLatest(
+      s.user_id, s.n_events + 1, s.sum_c + e.vc,
+      if (later) e.us else s.last_us,
+      if (later) e.event_id else s.last_event_id,
+      if (later) e.vc else s.last_value_c)
   }
 }
