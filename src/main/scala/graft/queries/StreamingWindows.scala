@@ -333,6 +333,78 @@ object StreamingWindows {
       |WHERE c.event_type = 'click'
       |ORDER BY user_id, click_id, purchase_id NULLS FIRST""".stripMargin
 
+  /** `stream_full_outer_join`: the FULL-outer stream-stream interval
+    * join — every click with its attributed purchase, every
+    * unattributed click null-extended right, and every orphan
+    * purchase (no qualifying click) null-extended left. Spark runs
+    * this natively as a watermarked full_outer interval join (both
+    * sides' state expires before either "no match" is a fact —
+    * StreamingPipelineSpec pins the phased emission); the BATCH twin
+    * here cannot reuse the banded explode naively — an unmatched
+    * purchase appears once per slot replica under a full join, the
+    * double-null-extension bug — so it states the standard
+    * decomposition instead: left-outer (clicks side, interval
+    * predicate inside the join condition) ∪ right-anti (purchases
+    * whose id never matched, null-extended). The anti probe runs on
+    * matched purchase IDS (distinct, bounded by the match volume),
+    * never re-exploded.
+    */
+  def streamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 1800000000L // 30 minutes in micros
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_us"))
+      .withColumn("slot", expr(s"c_us div $W"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val purchasesExpl = purchases
+      .select(
+        col("p_user"), col("purchase_id"), col("p_us"),
+        explode(array(expr(s"p_us div $W"), expr(s"p_us div $W - 1")))
+          .as("pslot"))
+    val lo = clicks
+      .join(
+        purchasesExpl,
+        col("c_user") === col("p_user") && col("slot") === col("pslot") &&
+          col("p_us") >= col("c_us") && col("p_us") - col("c_us") <= W,
+        "left_outer")
+      .select(
+        col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_us") - col("c_us")).as("dt_us"))
+    val matchedIds = lo.where(col("purchase_id").isNotNull)
+      .select(col("purchase_id")).distinct()
+    val rightOnly = purchases
+      .join(matchedIds, Seq("purchase_id"), "left_anti")
+      .select(
+        col("p_user").as("user_id"),
+        lit(null).cast("long").as("click_id"),
+        col("purchase_id"),
+        lit(null).cast("long").as("dt_us"))
+    lo.unionByName(rightOnly)
+      .orderBy(
+        col("user_id"), col("click_id").asc_nulls_first,
+        col("purchase_id").asc_nulls_first)
+  }
+
+  def streamFullOuterJoinOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) us
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      |  c.event_id AS click_id, p.event_id AS purchase_id,
+      |  p.us - c.us AS dt_us
+      |FROM c FULL JOIN p
+      |  ON c.user_id = p.user_id AND p.us >= c.us
+      |  AND p.us - c.us <= 1800000000
+      |ORDER BY user_id, click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+
   /** `debounce_agg`: CHAINED stateful operators — semantic dedup
     * (one event per user × type × 30-minute slot, the debounce every
     * telemetry pipeline wants) feeding a windowed aggregate, in one
@@ -580,5 +652,8 @@ object StreamingWindows {
     QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
     QueryDef(
       "stream_outer_join", streamOuterJoin, Some(streamOuterJoinOracle)),
+    QueryDef(
+      "stream_full_outer_join", streamFullOuterJoin,
+      Some(streamFullOuterJoinOracle)),
     QueryDef("debounce_agg", debounceAgg, Some(debounceAggOracle)))
 }

@@ -146,6 +146,106 @@ object TextAnalysis {
        |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
   }
 
+  /** `classifier_eval`: the standard multi-class evaluation readout
+    * over the langid confusion matrix — per-class TP/FP/FN,
+    * precision, recall and F1, plus a `zz_overall` accuracy row (the
+    * multi_touch zz_total convention: the summary lives INSIDE the
+    * hash check). Every metric is exact integer arithmetic: F1
+    * avoids the float composition entirely via its count identity
+    * f1 = 2·tp / (2·tp + fp + fn), and the 0-denominator edges
+    * (a class never predicted / never present) yield NULL per the
+    * suite convention rather than throwing under ANSI. Plan: the
+    * confusion matrix is |langs|²-sized after textLangid's one
+    * corpus aggregate — everything here is arithmetic over ≤25 rows
+    * (two grid-grain aggregates joined back), free at any corpus
+    * size.
+    */
+  def classifierEval(spark: SparkSession, dir: String): DataFrame = {
+    val cm = textLangid(spark, dir)
+    val byTrue = cm.groupBy(col("lang"))
+      .agg(
+        sum(col("n")).as("n_true"),
+        sum(when(col("predicted") === col("lang"), col("n"))
+          .otherwise(lit(0L))).as("tp"))
+    val byPred = cm.groupBy(col("predicted").as("lang"))
+      .agg(sum(col("n")).as("n_pred"))
+    val perClass = byTrue
+      .join(byPred, Seq("lang"), "full_outer")
+      .select(
+        col("lang"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+    val overall = cm.agg(
+      sum(when(col("predicted") === col("lang"), col("n")).otherwise(lit(0L)))
+        .as("tp"),
+      sum(when(col("predicted") =!= col("lang"), col("n")).otherwise(lit(0L)))
+        .as("fp"))
+      .select(
+        lit("zz_overall").as("lang"), col("tp"), col("fp"),
+        col("fp").as("fn"))
+    perClass.unionByName(overall)
+      .select(
+        col("lang"), col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN NULL " +
+          "ELSE tp * 1000000 div (tp + fp) END").as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN NULL " +
+          "ELSE tp * 1000000 div (tp + fn) END").as("recall_ppm"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN NULL " +
+          "ELSE 2 * tp * 1000000 div (2 * tp + fp + fn) END").as("f1_ppm"))
+      .orderBy("lang")
+  }
+
+  def classifierEvalOracle: String = {
+    val scores = Markers.map { case (l, ms) =>
+      val list = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(t, x -> list_contains($list, x))) AS BIGINT) s_$l"
+    }
+    val langs = Markers.map(_._1)
+    val predicted = langs.init.reverse
+      .foldLeft(s"'${langs.last}'") { (rest, l) =>
+        val beats =
+          langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN $beats THEN '$l' ELSE $rest END"
+      }
+    s"""WITH t AS (SELECT doc_id, lang, ${ToksSql.format("lower(text)")} t FROM documents),
+       |s AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM t),
+       |cm AS (
+       |  SELECT lang, $predicted AS predicted, CAST(COUNT(*) AS BIGINT) n
+       |  FROM s GROUP BY 1, 2),
+       |bt AS (
+       |  SELECT lang, CAST(SUM(n) AS BIGINT) n_true,
+       |    CAST(SUM(CASE WHEN predicted = lang THEN n ELSE 0 END) AS BIGINT) tp
+       |  FROM cm GROUP BY lang),
+       |bp AS (
+       |  SELECT predicted AS lang, CAST(SUM(n) AS BIGINT) n_pred
+       |  FROM cm GROUP BY predicted),
+       |pc AS (
+       |  SELECT COALESCE(bt.lang, bp.lang) lang,
+       |    COALESCE(tp, 0) tp,
+       |    COALESCE(n_pred, 0) - COALESCE(tp, 0) fp,
+       |    COALESCE(n_true, 0) - COALESCE(tp, 0) fn
+       |  FROM bt FULL OUTER JOIN bp ON bt.lang = bp.lang),
+       |ov AS (
+       |  SELECT 'zz_overall' lang,
+       |    CAST(SUM(CASE WHEN predicted = lang THEN n ELSE 0 END) AS BIGINT) tp,
+       |    CAST(SUM(CASE WHEN predicted <> lang THEN n ELSE 0 END) AS BIGINT) fp,
+       |    CAST(SUM(CASE WHEN predicted <> lang THEN n ELSE 0 END) AS BIGINT) fn
+       |  FROM cm),
+       |u AS (SELECT * FROM pc UNION ALL SELECT * FROM ov)
+       |SELECT lang, CAST(tp AS BIGINT) tp, CAST(fp AS BIGINT) fp,
+       |  CAST(fn AS BIGINT) fn,
+       |  CASE WHEN tp + fp = 0 THEN NULL
+       |    ELSE tp * 1000000 // (tp + fp) END precision_ppm,
+       |  CASE WHEN tp + fn = 0 THEN NULL
+       |    ELSE tp * 1000000 // (tp + fn) END recall_ppm,
+       |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+       |    ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END f1_ppm
+       |FROM u ORDER BY lang""".stripMargin
+  }
+
   /** Normalized-content fingerprint (rolling-hash analog): md5 over
     * lowercased, punctuation-collapsed text; 8-hex-char prefix as the
     * dedup bucket key.
@@ -1549,6 +1649,7 @@ object TextAnalysis {
        |ORDER BY doc_id, term""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("classifier_eval", classifierEval, Some(classifierEvalOracle)),
     QueryDef("fuzzy_term_join", fuzzyTermJoin, Some(fuzzyTermJoinOracle)),
     QueryDef(
       "repetition_score", repetitionScore, Some(repetitionScoreOracle)),

@@ -252,6 +252,72 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer interval join null-extends BOTH sides after watermark") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def t(s: Long) = java.sql.Timestamp.from(base.plusSeconds(s))
+    // clicks every 10s; every third click gets a purchase within 20s;
+    // plus ORPHAN purchases (user u9 never clicks) that only a
+    // full-outer join surfaces
+    val clicks = (0 until 30).map(i => (t(i * 10L), s"u${i % 4}", s"clk-$i"))
+    val purch = (0 until 30).filter(_ % 3 == 0)
+      .map(i => (t(i * 10L + 20), s"u${i % 4}", s"pur-$i")) ++
+      (0 until 3).map(i => (t(50L + i * 60), "u9", s"orphan-$i"))
+    val sentinelL = Seq((t(7200), "zz", "clk-zz"))
+    val sentinelR = Seq((t(7200), "zz", "pur-zz"))
+
+    def plan(
+        l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame) = {
+      val c = l.toDF("cts", "cuser", "click_id")
+        .withWatermark("cts", "10 minutes")
+      val p = r.toDF("pts", "puser", "purchase_id")
+        .withWatermark("pts", "10 minutes")
+      c.join(
+        p,
+        col("cuser") === col("puser") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("interval 30 seconds"),
+        "full_outer")
+        .select(col("click_id"), col("purchase_id"))
+    }
+
+    val batchOut = plan(
+      (clicks ++ sentinelL).toDF(), (purch ++ sentinelR).toDF())
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)))).sorted
+
+    val mc = MemoryStream[(java.sql.Timestamp, String, String)](spark)
+    val mp = MemoryStream[(java.sql.Timestamp, String, String)](spark)
+    val q = plan(mc.toDF(), mp.toDF())
+      .writeStream.format("memory").queryName("ssfo_out")
+      .outputMode("append")
+      .start()
+    try {
+      mc.addData(clicks.take(15)); mp.addData(purch.take(5))
+      q.processAllAvailable()
+      mc.addData(clicks.drop(15)); mp.addData(purch.drop(5))
+      q.processAllAvailable()
+      val mid = spark.table("ssfo_out").collect()
+        .map(r => (Option(r.getString(0)), Option(r.getString(1))))
+      assert(mid.nonEmpty, "matched pairs must emit before any watermark")
+      assert(mid.forall(p => p._1.isDefined && p._2.isDefined),
+        "null-extension on either side before the watermark passed")
+      // the sentinel advances the watermark: unmatched CLICK state
+      // expires (null right) AND orphan PURCHASE state expires
+      // (null left) — full outer means both directions emit
+      mc.addData(sentinelL); mp.addData(sentinelR)
+      q.processAllAvailable()
+      val fin = spark.table("ssfo_out").collect()
+        .map(r => (Option(r.getString(0)), Option(r.getString(1)))).sorted
+      assert(fin.exists(p => p._1.isDefined && p._2.isEmpty),
+        "expired clicks never null-extended")
+      assert(fin.exists(p => p._1.isEmpty && p._2.isDefined),
+        "orphan purchases never null-extended")
+      assert(fin.toSeq == batchOut.toSeq)
+    } finally q.stop()
+  }
+
   test("chained stateful operators: dedup-within-watermark feeds windowed agg") {
     import spark.implicits._
     val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
