@@ -1198,15 +1198,30 @@ object Statistics {
     // try_divide: the nested-loop codegen can evaluate the slope for a
     // CANDIDATE row before the w1 < w2 condition drops it — ANSI would
     // throw on the w1 = w2 diagonal; try_ yields a NULL the condition
-    // then discards (no real pair ever has w2 = w1)
+    // then discards (no real pair ever has w2 = w1).
+    // persist: the slope histogram feeds FOUR consumers (shard totals,
+    // offsets, the ranked cum path, n_pairs) — unpersisted, each one
+    // re-ran the grid² nested loop and the week aggregate beneath it
+    // (19s at sf0.1; 1.4s persisted)
     val slopes = a.join(broadcast(b), col("w1") < col("w2"))
       .select(
         expr("CAST(floor(try_divide(CAST((y2 - y1) * 1000 AS DOUBLE), " +
           "CAST(w2 - w1 AS DOUBLE))) AS BIGINT)")
           .as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("cnt"))
-      .withColumn("shard", expr("s div 1000000"))
-    val shardTot = slopes.groupBy(col("shard")).agg(sum(col("cnt")).as("tot"))
+      .persist()
+    // shard width ADAPTS to the slope range (1-row broadcast): a fixed
+    // width put every distinct slope in its own shard (34k shards at
+    // sf0.1) and the cumulative-offset self-join went quadratic in
+    // shard count — 25s for what is a 65-shard, sub-second panel.
+    // (s - mn) ≥ 0, so truncating div IS floor and shard order follows
+    // value order.
+    val mm = slopes.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    val sharded = slopes.crossJoin(broadcast(mm))
+      .withColumn(
+        "shard", expr("(s - mn) div greatest(1L, (mx - mn) div 64 + 1)"))
+      .select(col("s"), col("cnt"), col("shard"))
+    val shardTot = sharded.groupBy(col("shard")).agg(sum(col("cnt")).as("tot"))
     val offsets = shardTot
       .join(
         broadcast(shardTot.toDF("s2", "t2")),
@@ -1216,7 +1231,7 @@ object Statistics {
     val wsh = Window.partitionBy(col("shard")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = slopes.agg(sum(col("cnt")).as("n_pairs"))
-    val tsSlope = slopes
+    val tsSlope = sharded
       .join(broadcast(offsets), Seq("shard"))
       .withColumn("cum", sum(col("cnt")).over(wsh) + col("cum_off"))
       .crossJoin(broadcast(totals))
@@ -1300,8 +1315,12 @@ object Statistics {
               col("r").cast("string"))), 1, 1),
           16, 10).cast("long") % 4)
       .withColumn("wt", expr("v div 2 + v % 2"))
+    // persist: 32 rows, but derived from the ×32-exploded md5 scan —
+    // the rank self-join and the lo/hi probes would otherwise re-run
+    // that scan per consumer
     val rep = w.groupBy(col("r"))
       .agg(sum(col("wt")).as("n_r"), sum(expr("wt * yc")).as("s_r"))
+      .persist()
     val m = rep.select(
       col("r"),
       expr("CASE WHEN n_r = 0 THEN NULL ELSE CAST(s_r AS DOUBLE) / n_r END")
