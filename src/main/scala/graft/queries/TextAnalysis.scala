@@ -1648,7 +1648,68 @@ object TextAnalysis {
        |FROM dirty d JOIN v ON levenshtein(d.dirty, v.t) <= 1
        |ORDER BY doc_id, term""".stripMargin
 
+  /** `boundary_chunks`: the RAG-ingest chunker — documents packed
+    * into ~400-char retrieval chunks WITHOUT ever cutting a token
+    * (the quality difference between this and blob_chunks'
+    * fixed-stride windows is why retrieval pipelines chunk on
+    * boundaries; this corpus carries no sentence punctuation, so the
+    * realized boundary is the token — the packing math is
+    * boundary-kind-agnostic). Assignment is closed-form, not
+    * greedy-sequential: a token belongs to chunk (cum_end − 1) div
+    * 400 of its doc, where cum_end is the per-doc prefix sum of
+    * token lengths — order-independent arithmetic both engines
+    * replay exactly, and the per-chunk content hash (ordered
+    * string_agg) pins that every token landed whole in the right
+    * chunk. Plan: one posexplode, one per-doc prefix-sum window
+    * (doc_id partitions — high cardinality), one chunk-grain
+    * aggregate; nothing corpus-wide ever sorts.
+    */
+  def boundaryChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sent = Tables.read(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("si", "s")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("si"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sent
+      .withColumn("cum", sum(length(col("s")).cast("long")).over(w))
+      .withColumn("chunk_id", expr("(cum - 1) div 400"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("s")).cast("long")).as("n_chars"),
+        min(col("si")).cast("long").as("first_ti"),
+        max(col("si")).cast("long").as("last_ti"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("si"), col("s")))),
+            x => x.getField("s")),
+          "|")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def boundaryChunksOracle: String =
+    s"""WITH sent AS (
+      |  SELECT doc_id, i - 1 AS si, arr[i] AS s
+      |  FROM (SELECT doc_id, ${ToksSql.format("text")} arr
+      |        FROM documents),
+      |    unnest(range(1, len(arr) + 1)) t(i)),
+      |c AS (
+      |  SELECT doc_id, si, s,
+      |    CAST(SUM(length(s)) OVER (PARTITION BY doc_id ORDER BY si
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum
+      |  FROM sent)
+      |SELECT doc_id, (cum - 1) // 400 AS chunk_id,
+      |  CAST(COUNT(*) AS BIGINT) n_tokens,
+      |  CAST(SUM(length(s)) AS BIGINT) n_chars,
+      |  CAST(MIN(si) AS BIGINT) first_ti,
+      |  CAST(MAX(si) AS BIGINT) last_ti,
+      |  md5(string_agg(s, '|' ORDER BY si)) chunk_hash
+      |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("boundary_chunks", boundaryChunks, Some(boundaryChunksOracle)),
     QueryDef("classifier_eval", classifierEval, Some(classifierEvalOracle)),
     QueryDef("fuzzy_term_join", fuzzyTermJoin, Some(fuzzyTermJoinOracle)),
     QueryDef(
