@@ -157,7 +157,96 @@ object SqlSurface {
       |   OR c_acctbal > 9000
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** `sql_udf_surface`: Spark 4 SQL UDFs (`CREATE FUNCTION … RETURN
+    * expr`) — the catalog-level reuse surface a warehouse user
+    * reaches for before ever writing Scala. Two scalar functions
+    * (cents quantization; a price band over it) are defined and
+    * COMPOSED (`graft_band(graft_cents(x))`); the analyzer inlines
+    * the bodies into the plan — no ScalaUDF black box, whole-stage
+    * codegen intact, pushdown/pruning see through the call
+    * (SqlSurfaceSpec pins the no-ScalaUDF property). The oracle
+    * states the inlined expression, so the hash check IS the
+    * inlining-correctness check.
+    */
+  def sqlUdfSurface(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql(
+      "CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE) " +
+        "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)")
+    spark.sql(
+      "CREATE OR REPLACE TEMPORARY FUNCTION graft_band(c BIGINT) " +
+        "RETURNS STRING RETURN CASE WHEN c < 10000000 THEN 'low' " +
+        "WHEN c < 25000000 THEN 'mid' ELSE 'high' END")
+    Tables.read(spark, dir, "orders")
+      .createOrReplaceTempView("orders_sqludf")
+    spark.sql(
+      """SELECT graft_band(graft_cents(o_totalprice)) AS band,
+        |  count(*) AS n,
+        |  sum(graft_cents(o_totalprice)) AS total_c
+        |FROM orders_sqludf GROUP BY 1 ORDER BY band""".stripMargin)
+  }
+
+  def sqlUdfSurfaceOracle: String =
+    s"""WITH c AS (
+       |  SELECT ${Quantize.centsSql("o_totalprice")} vc FROM orders)
+       |SELECT CASE WHEN vc < 10000000 THEN 'low'
+       |    WHEN vc < 25000000 THEN 'mid' ELSE 'high' END AS band,
+       |  CAST(count(*) AS BIGINT) n,
+       |  CAST(sum(vc) AS BIGINT) total_c
+       |FROM c GROUP BY 1 ORDER BY band""".stripMargin
+
+  /** `sql_script`: Spark 4 SQL scripting (`BEGIN … END`, session
+    * variables) — the parameterized-report shape: DECLARE a
+    * threshold, SET it from an aggregate of the data, use it in the
+    * final SELECT. The scripting runtime executes statements
+    * sequentially and returns the last result; the oracle states the
+    * same computation with the variable re-expressed as a scalar
+    * subquery. The scripting conf is scoped try/finally per the
+    * rcte_levels discipline — a raised feature flag must not outlive
+    * its query.
+    */
+  def sqlScript(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.scripting.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      Tables.read(spark, dir, "orders")
+        .createOrReplaceTempView("orders_script")
+      spark.sql(
+        """BEGIN
+          |  DECLARE big_c BIGINT DEFAULT 0;
+          |  SET big_c = (SELECT 6 * sum(CAST(round(o_totalprice * 100)
+          |    AS BIGINT)) div (5 * count(*)) FROM orders_script);
+          |  SELECT o_orderpriority AS priority,
+          |    CAST(count(*) AS BIGINT) AS n_big,
+          |    CAST(min(big_c) AS BIGINT) AS threshold_c
+          |  FROM orders_script
+          |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > big_c
+          |  GROUP BY 1 ORDER BY priority;
+          |END""".stripMargin)
+        .localCheckpoint(eager = true)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  def sqlScriptOracle: String =
+    s"""WITH t AS (
+       |  SELECT 6 * sum(${Quantize.centsSql("o_totalprice")}) //
+       |    (5 * count(*)) AS big_c
+       |  FROM orders)
+       |SELECT o_orderpriority AS priority,
+       |  CAST(count(*) AS BIGINT) n_big,
+       |  CAST(min(big_c) AS BIGINT) threshold_c
+       |FROM orders, t
+       |WHERE ${Quantize.centsSql("o_totalprice")} > big_c
+       |GROUP BY 1, big_c ORDER BY priority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sql_udf_surface", sqlUdfSurface, Some(sqlUdfSurfaceOracle)),
+    QueryDef("sql_script", sqlScript, Some(sqlScriptOracle)),
     QueryDef("rcte_levels", rcteLevels, Some(rcteLevelsOracle)),
     QueryDef("lateral_topk", lateralTopk, Some(lateralTopkOracle)),
     QueryDef("existence_join", existenceJoin, Some(existenceJoinOracle)))

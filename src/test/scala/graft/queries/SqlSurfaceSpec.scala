@@ -57,4 +57,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(before.toLong < 200000000L,
       "default guard should be far below the raised query-scoped limit")
   }
+
+  test("sql_udf_surface inlines SQL UDFs: no ScalaUDF, codegen intact") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val df = SqlSurface.sqlUdfSurface(spark, dir)
+    val udfs = df.queryExecution.optimizedPlan.expressions.flatMap(
+      _.collect { case u: ScalaUDF => u })
+    // the analyzer must have macro-expanded the function bodies into
+    // plain expressions (pushdown and whole-stage codegen see through)
+    assert(udfs.isEmpty, s"SQL UDF left a black-box ScalaUDF: $udfs")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("high", "low", "mid"))
+  }
+
+  test("sql_script restores the scripting flag after running") {
+    val key = "spark.sql.scripting.enabled"
+    val before = spark.conf.getOption(key)
+    val out = SqlSurface.sqlScript(spark, dir).collect()
+    assert(out.length == 5, "one row per order priority")
+    assert(spark.conf.getOption(key) == before,
+      s"scripting flag leaked: $before -> ${spark.conf.getOption(key)}")
+  }
 }
