@@ -1264,6 +1264,75 @@ object Dedup {
       |    ELSE (all_pairs - candidates) * 1000000 // all_pairs END rr_ppm
       |FROM rows, base, ta ORDER BY scheme""".stripMargin
 
+  /** `simhash_recall`: the recall gate for SimHash banding —
+    * completing the answer-quality triad's fourth face (lsh_recall
+    * pins MinHash banding, knn_recall pins ANN, minhash_estimate
+    * pins the signature resolution; this pins the Hamming-LSH used
+    * for near-dup FINGERPRINTS). The identity is the PIGEONHOLE
+    * bound: splitting the 32-bit fingerprint into 4 bands, any pair
+    * within Hamming distance ≤ 3 has at least one band untouched —
+    * so the band equi-join is COMPLETE for ham ≤ 3, never a heuristic
+    * (unlike MinHash banding, whose recall is probabilistic — which
+    * is exactly why the two gates differ in kind and both exist).
+    * The engine joins on (band_idx, band_bits) and verifies with
+    * bit_count(xor); the ORACLE states the all-pairs Hamming
+    * semantics, so a banding hole hash-mismatches. Audit-class
+    * bound: the doc_id % 10 slice (the all-pairs truth side is the
+    * quadratic; the banded join is the production path it certifies).
+    */
+  def simhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val fp = Tables.read(spark, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(array(toksCol)).as("t"))
+      .where(size(col("t")) > 0)
+      .select(
+        col("doc_id"),
+        graft.functions.TextHashFunctions.simhash32(col("t")).as("sh"))
+      .withColumn("v", conv(col("sh"), 2, 10).cast("long"))
+    val bands = fp.select(
+      col("doc_id"), col("v"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> substring(sh, 1 + 8 * b, 8))"))
+        .as(Seq("bidx", "bits")))
+    val a = bands.select(
+      col("bidx"), col("bits"), col("doc_id").as("doc_a"), col("v").as("va"))
+    val b = bands.select(
+      col("bidx"), col("bits"), col("doc_id").as("doc_b"), col("v").as("vb"))
+    a.join(b, Seq("bidx", "bits"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("va"), col("vb"))
+      .distinct()
+      .withColumn(
+        "hamming", bit_count(col("va").bitwiseXOR(col("vb"))).cast("long"))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def simhashRecallOracle: String =
+    """WITH tokc AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) w FROM (
+      |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) tok
+      |    FROM documents WHERE doc_id % 10 = 0)
+      |  GROUP BY doc_id, tok),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    SUM(w * ((ascii(substr(md5(tok), CAST(j AS INT), 1)) % 2) * 2 - 1)) s
+      |  FROM tokc CROSS JOIN (SELECT unnest(range(1, 33)) j)
+      |  GROUP BY doc_id, j),
+      |v AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0
+      |      THEN CAST(1 AS BIGINT) << CAST(32 - j AS INT) ELSE 0 END)
+      |      AS BIGINT) val
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id doc_a, b.doc_id doc_b,
+      |  CAST(bit_count(xor(a.val, b.val)) AS BIGINT) hamming
+      |FROM v a JOIN v b
+      |  ON a.doc_id < b.doc_id AND bit_count(xor(a.val, b.val)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- SimHash fingerprints (32-bit, md5-hexchar-parity bits) ---
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
@@ -1347,6 +1416,7 @@ object Dedup {
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "er_blocking_curve", erBlockingCurve, Some(erBlockingCurveOracle)),
+    QueryDef("simhash_recall", simhashRecall, Some(simhashRecallOracle)),
     QueryDef("cc_incremental", ccIncremental, Some(dedupClustersOracle)),
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactDocsOracle)),
     QueryDef("ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
