@@ -244,7 +244,62 @@ object SqlSurface {
        |WHERE ${Quantize.centsSql("o_totalprice")} > big_c
        |GROUP BY 1, big_c ORDER BY priority""".stripMargin
 
+  /** `not_in_null_trap`: the most-reported SQL wrong-answer class —
+    * `NOT IN` against a subquery that CAN yield NULL returns zero
+    * rows under three-valued logic (x <> NULL is UNKNOWN, so no row
+    * ever satisfies the conjunction), while the `NOT EXISTS` twin is
+    * null-blind and returns the real anti set. All three statements
+    * run against the same deterministically null-injected subquery
+    * and land as one 3-row panel, so the 0 IS in the hash check —
+    * an engine that "helpfully" treats NOT IN as anti join would
+    * mismatch. Plan note: Spark plans the nullable NOT IN as a
+    * null-aware anti join (BroadcastNestedLoopJoin with a one-sided
+    * null check), which is why the subquery side must stay
+    * broadcast-sized in production — stated here over the orders
+    * key domain, where it is.
+    */
+  def notInNullTrap(spark: SparkSession, dir: String): DataFrame = {
+    Tables.read(spark, dir, "customer")
+      .createOrReplaceTempView("cust_nint")
+    Tables.read(spark, dir, "orders").createOrReplaceTempView("ord_nint")
+    spark.sql(
+      """WITH sub AS (
+        |  SELECT CASE WHEN o_orderkey % 1000 = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE o_custkey END AS k
+        |  FROM ord_nint WHERE o_totalprice > 300000)
+        |SELECT 'not_in_clean' AS mode, CAST(count(*) AS BIGINT) AS n
+        |FROM cust_nint
+        |WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL)
+        |UNION ALL
+        |SELECT 'not_in_null', CAST(count(*) AS BIGINT)
+        |FROM cust_nint WHERE c_custkey NOT IN (SELECT k FROM sub)
+        |UNION ALL
+        |SELECT 'not_exists', CAST(count(*) AS BIGINT)
+        |FROM cust_nint c
+        |WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey)
+        |ORDER BY mode""".stripMargin)
+  }
+
+  def notInNullTrapOracle: String =
+    """WITH sub AS (
+      |  SELECT CASE WHEN o_orderkey % 1000 = 0 THEN CAST(NULL AS BIGINT)
+      |    ELSE o_custkey END AS k
+      |  FROM orders WHERE o_totalprice > 300000)
+      |SELECT 'not_in_clean' AS mode, CAST(count(*) AS BIGINT) AS n
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL)
+      |UNION ALL
+      |SELECT 'not_in_null', CAST(count(*) AS BIGINT)
+      |FROM customer WHERE c_custkey NOT IN (SELECT k FROM sub)
+      |UNION ALL
+      |SELECT 'not_exists', CAST(count(*) AS BIGINT)
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey)
+      |ORDER BY mode""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "not_in_null_trap", notInNullTrap, Some(notInNullTrapOracle)),
     QueryDef("sql_udf_surface", sqlUdfSurface, Some(sqlUdfSurfaceOracle)),
     QueryDef("sql_script", sqlScript, Some(sqlScriptOracle)),
     QueryDef("rcte_levels", rcteLevels, Some(rcteLevelsOracle)),
