@@ -401,7 +401,42 @@ object RefSurface {
     """SELECT event_type, CAST(COUNT(*) AS BIGINT) n, MAX(event_id) max_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** `gen_source_agg`: the custom batch DataSourceV2
+    * ([[graft.sources.GraftGenSource]]) under the ORACLE gate — a
+    * filtered aggregate over the generated table, with the id-range
+    * predicate pushed INTO the V2 scan (the ScanBuilder narrows the
+    * generated range — GraftGenSourceSpec pins delivery) and DuckDB
+    * replaying the same closed-form columns from `range()`. A custom
+    * connector whose pushdown mangles boundary arithmetic (the
+    * off-by-one in >= vs > is the classic) hash-mismatches here.
+    */
+  def genSourceAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.GraftGenSource")
+      .option("rows", "100000").option("slices", "8").load()
+      .where(col("id") >= 2500 && col("id") < 97500)
+      .groupBy(col("tag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        sum(col("bucket")).as("sum_bucket"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy("tag")
+
+  def genSourceAggOracle: String =
+    """WITH g AS (
+      |  SELECT i AS id, i % 97 AS bucket,
+      |    (i * 2654435761) % 1000000 AS v,
+      |    'T' || CAST(i % 10 AS VARCHAR) AS tag
+      |  FROM range(2500, 97500) t(i))
+      |SELECT tag, CAST(count(*) AS BIGINT) n,
+      |  CAST(sum(v) AS BIGINT) sum_value,
+      |  CAST(sum(bucket) AS BIGINT) sum_bucket,
+      |  CAST(min(id) AS BIGINT) min_id, CAST(max(id) AS BIGINT) max_id
+      |FROM g GROUP BY tag ORDER BY tag""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("gen_source_agg", genSourceAgg, Some(genSourceAggOracle)),
     QueryDef("csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle)),
     QueryDef("json_roundtrip", jsonRoundtrip, Some(jsonRoundtripOracle)),
     QueryDef("fanout", fanout, Some(fanoutOracle)),
