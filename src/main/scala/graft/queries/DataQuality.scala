@@ -468,7 +468,97 @@ object DataQuality {
       |    * 1000000 // count(*) completion_ppm
       |FROM g GROUP BY d ORDER BY d""".stripMargin
 
+  /** `table_digest`: order-independent anti-entropy checksums — the
+    * cross-system reconciliation primitive (is the replica's `orders`
+    * THE SAME table?) every migration/validation tool needs. Each row
+    * canonicalizes to a string over engine-stable fields only
+    * (integer keys, cents-quantized money, ISO date text — raw
+    * doubles never enter a digest), hashes through md5, and the
+    * table digest is the SUM of two differently-salted residues —
+    * commutative, so any partitioning, any engine, any row order
+    * yields the identical pair, and two sums make silent collisions
+    * across a row swap astronomically unlikely where one might
+    * cancel. Plan: one narrow scan + one map-side-combinable
+    * aggregate per table; at 100 TB each side computes its digest
+    * locally and ships 3 numbers, never rows.
+    */
+  def tableDigest(spark: SparkSession, dir: String): DataFrame = {
+    def digest(name: String, df: DataFrame, canon: org.apache.spark.sql.Column) = {
+      val h = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(pmod(h, lit(1000003L))).as("digest_a"),
+        sum(pmod(h, lit(999983L))).as("digest_b"))
+        .select(
+          lit(name).as("table_name"), col("n_rows"),
+          col("digest_a"), col("digest_b"))
+    }
+    val orders = digest(
+      "orders", Tables.read(spark, dir, "orders"),
+      concat_ws(
+        "|",
+        col("o_orderkey"), col("o_custkey"),
+        Quantize.cents(col("o_totalprice")),
+        col("o_orderstatus"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).cast("string")))
+    val customer = digest(
+      "customer", Tables.read(spark, dir, "customer"),
+      concat_ws(
+        "|",
+        col("c_custkey"), col("c_nationkey"),
+        Quantize.cents(col("c_acctbal")), col("c_mktsegment"),
+        col("c_name")))
+    val supplier = digest(
+      "supplier", Tables.read(spark, dir, "supplier"),
+      concat_ws(
+        "|", col("s_suppkey"), col("s_nationkey"), col("s_name")))
+    val part = digest(
+      "part", Tables.read(spark, dir, "part"),
+      concat_ws(
+        "|", col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"),
+        Quantize.cents(col("p_retailprice"))))
+    orders.unionByName(customer).unionByName(supplier).unionByName(part)
+      .orderBy("table_name")
+  }
+
+  def tableDigestOracle: String = {
+    def d(name: String, table: String, canon: String) =
+      s"""SELECT '$name' AS table_name, CAST(count(*) AS BIGINT) n_rows,
+         |  CAST(SUM(('0x' || substr(md5($canon), 1, 15))::BIGINT % 1000003)
+         |    AS BIGINT) digest_a,
+         |  CAST(SUM(('0x' || substr(md5($canon), 1, 15))::BIGINT % 999983)
+         |    AS BIGINT) digest_b
+         |FROM $table""".stripMargin
+    val orders = d(
+      "orders", "orders",
+      "concat_ws('|', o_orderkey, o_custkey, " +
+        Quantize.centsSql("o_totalprice") +
+        ", o_orderstatus, o_orderpriority, " +
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR))")
+    val customer = d(
+      "customer", "customer",
+      "concat_ws('|', c_custkey, c_nationkey, " +
+        Quantize.centsSql("c_acctbal") + ", c_mktsegment, c_name)")
+    val supplier = d(
+      "supplier", "supplier",
+      "concat_ws('|', s_suppkey, s_nationkey, s_name)")
+    val part = d(
+      "part", "part",
+      "concat_ws('|', p_partkey, p_name, p_brand, p_type, p_size, " +
+        Quantize.centsSql("p_retailprice") + ")")
+    s"""$orders
+       |UNION ALL
+       |$customer
+       |UNION ALL
+       |$supplier
+       |UNION ALL
+       |$part
+       |ORDER BY table_name""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("table_digest", tableDigest, Some(tableDigestOracle)),
     QueryDef(
       "totals_reconcile", totalsReconcile, Some(totalsReconcileOracle)),
     QueryDef("task_completion", taskCompletion, Some(taskCompletionOracle)),
