@@ -142,8 +142,68 @@ object Association {
       |FROM cnts JOIN tot ON cnts.prev = tot.prev
       |ORDER BY cnts.prev, next""".stripMargin
 
+  /** `seq_support`: sequential-pattern SUPPORT mining — for every
+    * ordered event-type pair (a, b), the number of users whose stream
+    * contains some `a` strictly before some `b` (a subsequence match,
+    * any gap). The order-sensitive mining complement to
+    * [[assocRules]] (unordered co-occurrence) and the support-counting
+    * step under [[markovTransitions]] (which only sees ADJACENT
+    * steps): this is the PrefixSpan length-2 support table, the
+    * candidate generator every sequence miner prunes from. a = b rows
+    * count users who repeated the type. Exists-before reduces exactly
+    * to per-user extrema: ∃ tsₐ < ts_b  ⇔  min(tsₐ) < max(ts_b) —
+    * so support needs only the (user, type, min_ts, max_ts) relation,
+    * never a row-level self-join.
+    *
+    * Plan shape: ONE hash shuffle (user, type) builds the extrema
+    * relation; the per-user pair join is a self-join on user_id of
+    * that SAME aggregated relation (co-partitioned — Spark reuses the
+    * exchange), output bounded by |users|·|types|², then a tiny
+    * (types²) aggregate. At 100 TB: event volume only touches the
+    * first aggregate (map-side combinable extrema); everything after
+    * is domain-bounded. support_ppm = users(a≺b)·10⁶ div users.
+    */
+  def seqSupport(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .localCheckpoint(eager = false) // both sides of the self-join
+    val nu = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("nu"))
+    ut.as("x")
+      .join(ut.as("y"), "user_id")
+      .where(col("x.mn") < col("y.mx"))
+      .groupBy(
+        col("x.event_type").as("a"), col("y.event_type").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nu))
+      .select(
+        col("a"), col("b"), col("support"),
+        expr("support * 1000000 div nu").as("support_ppm"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  def seqSupportOracle: String =
+    """WITH ut AS (
+      |  SELECT user_id, event_type,
+      |         MIN(CAST(ts AS TIMESTAMP)) AS mn,
+      |         MAX(CAST(ts AS TIMESTAMP)) AS mx
+      |  FROM events GROUP BY 1, 2),
+      |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+      |       FROM events),
+      |pairs AS (
+      |  SELECT x.event_type AS a, y.event_type AS b,
+      |         CAST(count(*) AS BIGINT) AS support
+      |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+      |  WHERE x.mn < y.mx
+      |  GROUP BY 1, 2)
+      |SELECT a, b, support, support * 1000000 // nu AS support_ppm
+      |FROM pairs CROSS JOIN nu
+      |ORDER BY a, b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("assoc_rules", assocRules, Some(assocRulesOracle)),
     QueryDef(
-      "markov_transitions", markovTransitions, Some(markovTransitionsOracle)))
+      "markov_transitions", markovTransitions, Some(markovTransitionsOracle)),
+    QueryDef("seq_support", seqSupport, Some(seqSupportOracle)))
 }

@@ -1413,9 +1413,69 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** `keeper_quality`: QUALITY-AWARE survivorship — per near-dup
+    * cluster, the keeper a production pipeline actually keeps: the
+    * member maximizing a quality key (here content length `n_chars`
+    * DESC, doc_id ASC tie-break), not the min-id convenience keeper
+    * `dedup_keeper_map` publishes. The two diverge exactly when the
+    * canonical-id member is a truncated or boilerplate-stripped copy
+    * of a richer duplicate — the case "keep the first crawl" gets
+    * wrong. Emits the cluster roster size and the chosen keeper with
+    * its quality so the swap is auditable.
+    *
+    * Plan shape: the SHARED converged CC label table (one fixpoint
+    * per session, [[ccLabelsShared]]) joins doc-grain metadata on
+    * doc_id — corpus side shuffles once — then a single
+    * cluster-partitioned window picks argmax(quality) while counting
+    * the roster in the same exchange. At 100 TB: clusters are tiny
+    * (near-dup groups), so the window sort is per-group constant;
+    * the only big moves are the label/metadata co-partition.
+    */
+  def keeperQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = ccLabelsShared(spark, dir)
+      .join(
+        Tables.read(spark, dir, "documents")
+          .select(col("doc_id").as("doc"), col("n_chars").cast("long")
+            .as("chars")),
+        "doc")
+    val byRoot = Window.partitionBy(col("root"))
+    val pick = byRoot.orderBy(col("chars").desc, col("doc"))
+    members
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("n_members", count(lit(1)).over(byRoot))
+      .where(col("rn") === 1)
+      .select(
+        col("root").as("cluster_id"), col("n_members"),
+        col("doc").as("keeper_q"), col("chars").as("keeper_chars"))
+      .orderBy("cluster_id")
+  }
+
+  def keeperQualityOracle: String =
+    s"""WITH RECURSIVE $ShinglesSql,
+       |$MinhashPairsCtes,
+       |e AS (SELECT a src, b dst FROM lshpairs UNION SELECT b, a FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS doc, dst AS r FROM e
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN e ON reach.r = e.src),
+       |comp AS (
+       |  SELECT doc, least(doc, MIN(r)) AS root FROM reach GROUP BY doc),
+       |m AS (SELECT c.root, c.doc, CAST(d.n_chars AS BIGINT) chars
+       |  FROM comp c JOIN documents d ON c.doc = d.doc_id),
+       |r AS (SELECT root, doc, chars,
+       |    row_number() OVER (
+       |      PARTITION BY root ORDER BY chars DESC, doc) rn,
+       |    CAST(count(*) OVER (PARTITION BY root) AS BIGINT) n_members
+       |  FROM m)
+       |SELECT root AS cluster_id, n_members, doc AS keeper_q,
+       |  chars AS keeper_chars
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "er_blocking_curve", erBlockingCurve, Some(erBlockingCurveOracle)),
+    QueryDef("keeper_quality", keeperQuality, Some(keeperQualityOracle)),
     QueryDef("simhash_recall", simhashRecall, Some(simhashRecallOracle)),
     QueryDef("cc_incremental", ccIncremental, Some(dedupClustersOracle)),
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactDocsOracle)),

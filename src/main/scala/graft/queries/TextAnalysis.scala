@@ -1423,6 +1423,62 @@ object TextAnalysis {
        |  (n_grams - n_distinct) * 1000000 // n_grams dup_ppm
        |FROM d ORDER BY dup_ppm DESC, doc_id LIMIT 100""".stripMargin
 
+  /** `collision_entropy`: token-distribution CONCENTRATION per
+    * document — the collision probability (Simpson index)
+    * Σ cᵢ² / n², the chance two independently drawn token positions
+    * hold the SAME token. This is the exact integer-rational form of
+    * Rényi-2 entropy (H₂ = −log₂ collision), i.e. an entropy-family
+    * quality gate with NO logarithm anywhere: the suite's
+    * integer-exact convention extended to the perplexity-proxy
+    * filters (CCNet/Gopher-style) that usually need an LM. It
+    * complements `repetition_score` (distinct RATIO, which treats a
+    * token seen twice and a token dominating half the doc alike):
+    * collision weights by frequency MASS, so template spam with one
+    * hot token scores high even when most grams are unique.
+    * coll_ppm = (Σcᵢ²·10⁶ div n) div n — the nested floor equals
+    * floor(Σcᵢ²·10⁶ / n²) for positive integers while keeping the
+    * intermediate ≤ n·10⁶ per term (overflow-safe to n ≈ 3·10⁶
+    * tokens/doc). Case-folded whitespace tokens; top-100 most
+    * concentrated docs, doc_id tie-break.
+    *
+    * Plan shape: one explode + two doc-co-partitioned aggregates —
+    * the `repetition_score` shape: map-side combinable, no joins,
+    * postings never leave their doc's partition. At 100 TB this is
+    * scan-bound.
+    */
+  def collisionEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .select(
+        col("doc_id"), explode(toks(lower(col("text")))).as("tk"))
+      .groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("cg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cg")).as("n_tok"),
+        sum(col("cg") * col("cg")).as("sum_sq"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cg")).as("top_n"))
+      .select(
+        col("doc_id"), col("n_tok"), col("n_distinct"), col("top_n"),
+        expr("(sum_sq * 1000000 div n_tok) div n_tok").as("coll_ppm"))
+      .orderBy(col("coll_ppm").desc, col("doc_id"))
+      .limit(100)
+
+  def collisionEntropyOracle: String =
+    s"""WITH tk AS (SELECT doc_id,
+       |    unnest(${ToksSql.format("lower(text)")}) tk
+       |  FROM documents),
+       |gc AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) cg
+       |  FROM tk GROUP BY 1, 2),
+       |d AS (SELECT doc_id, CAST(SUM(cg) AS BIGINT) n_tok,
+       |    CAST(SUM(cg * cg) AS BIGINT) sum_sq,
+       |    CAST(COUNT(*) AS BIGINT) n_distinct,
+       |    CAST(MAX(cg) AS BIGINT) top_n
+       |  FROM gc GROUP BY 1)
+       |SELECT doc_id, n_tok, n_distinct, top_n,
+       |  (sum_sq * 1000000 // n_tok) // n_tok coll_ppm
+       |FROM d ORDER BY coll_ppm DESC, doc_id LIMIT 100""".stripMargin
+
   /** `ngram_novelty`: first-occurrence attribution — per document,
     * the share of its distinct trigrams whose corpus-wide FIRST
     * occurrence (min doc_id, the ingest-order proxy) is this
@@ -1715,6 +1771,8 @@ object TextAnalysis {
     QueryDef(
       "repetition_score", repetitionScore, Some(repetitionScoreOracle)),
     QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltyOracle)),
+    QueryDef(
+      "collision_entropy", collisionEntropy, Some(collisionEntropyOracle)),
     QueryDef(
       "source_overlap_matrix", sourceOverlapMatrix,
       Some(sourceOverlapMatrixOracle)),

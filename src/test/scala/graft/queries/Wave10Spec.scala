@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model checks for the round-7 mining/curation additions:
+  * seq_support and collision_entropy replayed in plain Scala from the
+  * raw tables, keeper_quality cross-checked against the cluster
+  * roster invariants it must share with dedup_clusters. All on
+  * sf0.001.
+  */
+class Wave10Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("seq_support equals a brute-force subsequence-exists model") {
+    val events = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type", "cast(ts as long) tsl")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = events.map(_._1).distinct
+    val types = events.map(_._2).distinct.sorted
+    val byUser = events.groupBy(_._1)
+    val model = (for {
+      a <- types; b <- types
+      support = users.count { u =>
+        val es = byUser(u)
+        val as = es.filter(_._2 == a)
+        val bs = es.filter(_._2 == b)
+        as.nonEmpty && bs.nonEmpty && as.map(_._3).min < bs.map(_._3).max
+      }
+      if support > 0
+    } yield ((a, b), (support.toLong,
+      support.toLong * 1000000L / users.length))).toMap
+
+    val got = Association.seqSupport(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got === model)
+  }
+
+  test("collision_entropy equals a plain-Scala Simpson-index replay") {
+    val docs = Tables.read(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val scored = docs.map { case (id, text) =>
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val counts = tk.groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val sumSq = counts.map(c => c * c).sum
+      (id, n, counts.size.toLong, counts.max,
+        sumSq * 1000000L / n / n)
+    }
+    val model = scored
+      .sortBy { case (id, _, _, _, ppm) => (-ppm, id) }
+      .take(100).toSeq
+
+    val got = TextAnalysis.collisionEntropy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === model)
+  }
+
+  test("keeper_quality: rosters match dedup_clusters; keeper is argmax") {
+    val clusters = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val chars = Tables.read(spark, dir, "documents")
+      .selectExpr("doc_id", "cast(n_chars as long)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val members = Dedup.ccLabelsShared(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+
+    val got = Dedup.keeperQuality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.map(_._1).toSeq === clusters.keys.toSeq.sorted)
+    got.foreach { case (root, n, keeper, kChars) =>
+      assert(n === clusters(root))
+      val roster = members(root)
+      assert(roster.contains(keeper))
+      assert(kChars === chars(keeper))
+      // argmax(n_chars), min doc_id on ties — no member beats it
+      val best = roster.map(d => (-chars(d), d)).min
+      assert((keeper, -kChars) === (best._2, best._1))
+    }
+  }
+}
