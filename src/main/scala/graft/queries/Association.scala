@@ -201,9 +201,90 @@ object Association {
       |FROM pairs CROSS JOIN nu
       |ORDER BY a, b""".stripMargin
 
+  /** `seq_support3`: length-3 sequential-pattern support — users
+    * whose stream contains a ≺ b ≺ c as a subsequence (strict
+    * timestamp order, any gaps). The extrema identity behind
+    * [[seqSupport]] no longer suffices (the middle element needs a
+    * WITNESS between the endpoints); the exact reduction is GREEDY
+    * matching, the same left-most-match argument every subsequence
+    * algorithm rests on: a ≺ b ≺ c exists  ⇔  taking e₁ = min(tsₐ),
+    * then e₂ = min(ts_b > e₁), some c has ts_c > e₂. (⇐ is a witness
+    * directly; ⇒ because any witness tsₐ<ts_b<ts_c has e₁ ≤ tsₐ,
+    * hence e₂ ≤ ts_b < ts_c ≤ max(ts_c).) So support needs one
+    * event-level pass to find each user's earliest-b-after-first-a,
+    * never an |E|³ pattern join.
+    *
+    * Plan shape: the (user, type) extrema relation (one shuffle);
+    * the e₂ pass joins raw events against the per-user first-a table
+    * CO-PARTITIONED on user_id — row expansion bounded by the type
+    * DOMAIN (|E|·|types|, the assoc-rules basket bound), aggregated
+    * straight back to (user, a, b) grain in the same exchange; the
+    * final c-side join is again user-co-partitioned against extrema,
+    * output bounded by |users|·|types|³, then a tiny (types³)
+    * aggregate. At 100 TB event volume touches exactly two map-side-
+    * combinable aggregates; everything else is domain-bounded.
+    * support_ppm = users(a≺b≺c)·10⁶ div users.
+    */
+  def seqSupport3(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val ut = ev
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .localCheckpoint(eager = false) // firstA + c-side + user count
+    val nu = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("nu"))
+    val firstA = ut.select(
+      col("user_id"), col("event_type").as("a"), col("mn").as("e1"))
+    val e2 = ev
+      .join(firstA, "user_id")
+      .where(col("ts") > col("e1"))
+      .groupBy(col("user_id"), col("a"), col("event_type").as("b"))
+      .agg(min(col("ts")).as("e2"))
+    e2
+      .join(
+        ut.select(
+          col("user_id"), col("event_type").as("c"), col("mx")),
+        "user_id")
+      .where(col("mx") > col("e2"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nu))
+      .select(
+        col("a"), col("b"), col("c"), col("support"),
+        expr("support * 1000000 div nu").as("support_ppm"))
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+
+  def seqSupport3Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) ts
+      |  FROM events),
+      |ut AS (
+      |  SELECT user_id, event_type, MIN(ts) AS mn, MAX(ts) AS mx
+      |  FROM ev GROUP BY 1, 2),
+      |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+      |       FROM ev),
+      |e2 AS (
+      |  SELECT ev.user_id, f.a, ev.event_type AS b, MIN(ev.ts) AS e2
+      |  FROM ev JOIN (SELECT user_id, event_type AS a, mn AS e1
+      |                FROM ut) f
+      |    ON ev.user_id = f.user_id AND ev.ts > f.e1
+      |  GROUP BY 1, 2, 3),
+      |trip AS (
+      |  SELECT e2.a, e2.b, u.event_type AS c,
+      |         CAST(count(*) AS BIGINT) AS support
+      |  FROM e2 JOIN ut u
+      |    ON e2.user_id = u.user_id AND u.mx > e2.e2
+      |  GROUP BY 1, 2, 3)
+      |SELECT a, b, c, support, support * 1000000 // nu AS support_ppm
+      |FROM trip CROSS JOIN nu
+      |ORDER BY a, b, c""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("assoc_rules", assocRules, Some(assocRulesOracle)),
     QueryDef(
       "markov_transitions", markovTransitions, Some(markovTransitionsOracle)),
-    QueryDef("seq_support", seqSupport, Some(seqSupportOracle)))
+    QueryDef("seq_support", seqSupport, Some(seqSupportOracle)),
+    QueryDef("seq_support3", seqSupport3, Some(seqSupport3Oracle)))
 }

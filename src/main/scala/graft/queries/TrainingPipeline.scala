@@ -329,6 +329,82 @@ object TrainingPipeline {
        |  CAST(tot_tokens * 1000000 // (n_sources * src_tokens) AS BIGINT) weight_ppm
        |FROM s, tot ORDER BY source""".stripMargin
 
+  /** `mix_allocate`: the allocation step [[domainMix]] stops short
+    * of — apportion a FIXED token budget (10⁶ tokens) across sources
+    * proportionally to their token mass, with quotas that are
+    * integers AND sum to the budget EXACTLY. Plain floor division
+    * under-allocates by up to n_sources−1; largest-remainder
+    * (Hamilton) apportionment fixes it deterministically: every
+    * source gets `floor(B·srcᵢ/T)`, and the B − Σfloor leftover goes
+    * one token each to the sources with the largest remainders
+    * (source-name tie-break). This is what a real mixture recipe
+    * ships to the sampler — "2.3× upweight" is a weight, a quota is a
+    * CONTRACT. `Σ quota = B` is asserted in Wave10Spec.
+    *
+    * Plan shape: one scan + 20-row source aggregate; totals and the
+    * floor-sum deficit return as 1-row broadcasts; the remainder
+    * RANK is a triangular broadcast self-join over the source
+    * relation (the ntile cumulative-rank trick) — no window, nothing
+    * bigger than |sources|² ever materializes. Overflow bound:
+    * `src_tokens · 10⁶` must fit int64 ⇒ valid to ~9·10¹² tokens per
+    * source; past that, pre-scale T and srcᵢ by a common power of two
+    * (the ratio, hence the apportionment, is invariant).
+    */
+  def mixAllocate(spark: SparkSession, dir: String): DataFrame = {
+    val B = 1000000L
+    val nTok = size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+      .cast("long")
+    val perSrc = Tables.read(spark, dir, "documents")
+      .select(col("source"), nTok.as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("src_tokens"))
+    val tot = perSrc.agg(sum(col("src_tokens")).as("t"))
+    val base = perSrc.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("src_tokens"),
+        expr(s"src_tokens * ${B}L div t").as("floor_q"),
+        expr(s"(src_tokens * ${B}L) % t").as("rem"))
+      .localCheckpoint(eager = false) // rank join + deficit below
+    val deficit = base.agg((lit(B) - sum(col("floor_q"))).as("d"))
+    val rhs = broadcast(
+      base.select(col("rem").as("rem2"), col("source").as("s2")))
+    base
+      .join(
+        rhs,
+        col("rem2") > col("rem") ||
+          (col("rem2") === col("rem") && col("s2") < col("source")),
+        "left")
+      .groupBy(col("source"), col("src_tokens"), col("floor_q"), col("rem"))
+      .agg(count(col("s2")).as("n_above"))
+      .crossJoin(broadcast(deficit))
+      .select(
+        col("source"), col("src_tokens"), col("floor_q"), col("rem"),
+        when(col("n_above") < col("d"), lit(1L)).otherwise(lit(0L))
+          .as("extra"))
+      .withColumn("quota", col("floor_q") + col("extra"))
+      .orderBy("source")
+  }
+
+  def mixAllocateOracle: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) n_tok
+       |  FROM documents),
+       |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) src_tokens
+       |  FROM t GROUP BY source),
+       |tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) t FROM s),
+       |base AS (SELECT source, src_tokens,
+       |    src_tokens * 1000000 // t floor_q,
+       |    (src_tokens * 1000000) % t rem
+       |  FROM s, tot),
+       |d AS (SELECT 1000000 - CAST(SUM(floor_q) AS BIGINT) d FROM base),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |    ORDER BY rem DESC, source) AS BIGINT) rk FROM base)
+       |SELECT source, src_tokens, floor_q, rem,
+       |  CAST(CASE WHEN rk <= d THEN 1 ELSE 0 END AS BIGINT) extra,
+       |  floor_q + CAST(CASE WHEN rk <= d THEN 1 ELSE 0 END AS BIGINT) quota
+       |FROM r, d ORDER BY source""".stripMargin
+
   /** PII scrubbing: redact phone-shaped `NN-NNN-NNN-NNNN` numbers and
     * then any remaining ≥5-digit ID runs from a free-text column,
     * reporting the redacted text plus exact per-kind match counts.
@@ -1107,6 +1183,7 @@ object TrainingPipeline {
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("corpus_clean", corpusClean, Some(corpusCleanOracle)),
     QueryDef("domain_mix", domainMix, Some(domainMixOracle)),
+    QueryDef("mix_allocate", mixAllocate, Some(mixAllocateOracle)),
     QueryDef("pii_scrub", piiScrub, Some(piiScrubOracle)),
     QueryDef("epoch_shuffle", epochShuffle, Some(epochShuffleOracle)))
 }

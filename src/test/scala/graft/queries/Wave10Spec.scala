@@ -61,6 +61,61 @@ class Wave10Spec extends AnyFunSuite {
     assert(got === model)
   }
 
+  test("seq_support3 equals a brute-force three-level witness model") {
+    val events = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type", "cast(ts as long) tsl")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = events.map(_._1).distinct
+    val types = events.map(_._2).distinct.sorted
+    val byUser = events.groupBy(_._1)
+    def hasTriple(u: Long, a: String, b: String, c: String): Boolean = {
+      val es = byUser(u)
+      // literal witness search, no greedy shortcut: the model must be
+      // independent of the identity the engine relies on
+      es.exists { case (_, ta, tsa) =>
+        ta == a && es.exists { case (_, tb, tsb) =>
+          tb == b && tsb > tsa && es.exists { case (_, tc, tsc) =>
+            tc == c && tsc > tsb
+          }
+        }
+      }
+    }
+    val model = (for {
+      a <- types; b <- types; c <- types
+      support = users.count(hasTriple(_, a, b, c))
+      if support > 0
+    } yield ((a, b, c),
+      (support.toLong, support.toLong * 1000000L / users.length))).toMap
+    val got = Association.seqSupport3(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(got === model)
+  }
+
+  test("mix_allocate: quotas sum EXACTLY to the budget; Hamilton replay") {
+    val B = 1000000L
+    val rows = TrainingPipeline.mixAllocate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._6).sum === B)
+    val t = rows.map(_._2).sum
+    // plain-Scala largest-remainder apportionment from the raw masses
+    val floorQ = rows.map { case (s, tok, _, _, _, _) =>
+      (s, tok, tok * B / t, (tok * B) % t)
+    }
+    val deficit = B - floorQ.map(_._3).sum
+    val winners = floorQ.sortBy { case (s, _, _, rem) => (-rem, s) }
+      .take(deficit.toInt).map(_._1).toSet
+    floorQ.foreach { case (s, _, fq, rem) =>
+      val r = rows.find(_._1 == s).get
+      assert(r._3 === fq)
+      assert(r._4 === rem)
+      assert(r._5 === (if (winners(s)) 1L else 0L))
+      assert(r._6 === fq + r._5)
+    }
+  }
+
   test("keeper_quality: rosters match dedup_clusters; keeper is argmax") {
     val clusters = Dedup.dedupClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
