@@ -405,6 +405,124 @@ object TrainingPipeline {
        |  floor_q + CAST(CASE WHEN rk <= d THEN 1 ELSE 0 END AS BIGINT) quota
        |FROM r, d ORDER BY source""".stripMargin
 
+  /** `curation_funnel`: the END-TO-END curation pipeline as ONE
+    * declarative query — the funnel every training-data run reports:
+    * raw → quality gate (≥30 tokens AND token-collision ≤ 10%, the
+    * `collision_entropy` statistic as a FILTER) → exact dedup
+    * (min-doc_id keeper per md5) → near-dup dedup (min surviving
+    * member per converged CC cluster), with per-source survivor
+    * counts at every stage and the token mass that remains. Stages
+    * compose on SURVIVORS (a doc cut by quality can't shield its
+    * duplicate), which is why this is a funnel and not four
+    * independent counts.
+    *
+    * Plan shape: per-doc token stats are the `collision_entropy`
+    * explode + two doc-co-partitioned aggregates; every later move is
+    * doc-grain or smaller — hash-keeper and cluster-keeper are
+    * (hash)/(cluster) aggregates joined back on their own keys, the
+    * near-dup labels are the session-shared converged CC table
+    * ([[Dedup.ccLabelsShared]], one fixpoint per session), and the
+    * final per-source rollup is a 20-row aggregate with conditional
+    * sums. At 100 TB nothing in the funnel shuffles more than
+    * doc-grain rows, and the quality cut prunes BEFORE both dedup
+    * joins — filter-first is the economics of every real pipeline.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toksL = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val ds = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), explode(toksL).as("tk"))
+      .groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("cg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cg")).as("n_tok"), sum(col("cg") * col("cg")).as("ss"))
+      .select(
+        col("doc_id"), col("n_tok"),
+        expr("(ss * 1000000 div n_tok) div n_tok").as("cp"))
+    val base = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .join(ds, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"), col("h"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("cp"), lit(1000000L)).as("cp"))
+      .withColumn("q", col("n_tok") >= 30 && col("cp") <= 100000)
+      .localCheckpoint(eager = false) // keeper agg + final rollup
+    val exactKeeper = base.where(col("q"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("ek"))
+    val withE = base
+      .join(exactKeeper, Seq("h"), "left")
+      .withColumn("e", col("q") && col("doc_id") === col("ek"))
+      .localCheckpoint(eager = false) // cluster stage + final rollup
+    val cl = withE.where(col("e"))
+      .select(col("doc_id"))
+      .join(
+        Dedup.ccLabelsShared(spark, dir)
+          .withColumnRenamed("doc", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), coalesce(col("root"), col("doc_id")).as("ck"))
+    val nearKeeper = cl.groupBy(col("ck")).agg(min(col("doc_id")).as("nk"))
+    val s3 = cl.join(nearKeeper, Seq("ck"))
+      .where(col("doc_id") === col("nk"))
+      .select(col("doc_id"), lit(true).as("nr"))
+    withE
+      .join(s3, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("e"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("nr").isNotNull, 1L).otherwise(0L)).as("n_near"),
+        sum(when(col("nr").isNotNull, col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  def curationFunnelOracle: String =
+    s"""WITH RECURSIVE ${Dedup.ShinglesSql},
+       |${Dedup.MinhashPairsCtes},
+       |ed AS (SELECT a src, b dst FROM lshpairs
+       |       UNION SELECT b, a FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS doc, dst AS r FROM ed
+       |  UNION
+       |  SELECT reach.doc, ed.dst FROM reach JOIN ed ON reach.r = ed.src),
+       |comp AS (
+       |  SELECT doc, least(doc, MIN(r)) AS root FROM reach GROUP BY doc),
+       |tkn AS (SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x <> '')) tk
+       |  FROM documents),
+       |gc AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) cg
+       |  FROM tkn GROUP BY 1, 2),
+       |dstat AS (SELECT doc_id, CAST(SUM(cg) AS BIGINT) n_tok,
+       |    (CAST(SUM(cg * cg) AS BIGINT) * 1000000 // SUM(cg)) // SUM(cg) cp
+       |  FROM gc GROUP BY 1),
+       |base AS (SELECT d.doc_id, d.source, md5(d.text) h,
+       |    COALESCE(ds.n_tok, 0) n_tok, COALESCE(ds.cp, 1000000) cp,
+       |    (COALESCE(ds.n_tok, 0) >= 30 AND COALESCE(ds.cp, 1000000)
+       |      <= 100000) q
+       |  FROM documents d LEFT JOIN dstat ds ON d.doc_id = ds.doc_id),
+       |exk AS (SELECT h, MIN(doc_id) ek FROM base WHERE q GROUP BY h),
+       |withe AS (SELECT b.*, (b.q AND b.doc_id = exk.ek) e
+       |  FROM base b LEFT JOIN exk ON b.h = exk.h),
+       |cl AS (SELECT w.doc_id, COALESCE(comp.root, w.doc_id) ck
+       |  FROM withe w LEFT JOIN comp ON w.doc_id = comp.doc
+       |  WHERE w.e),
+       |nk AS (SELECT ck, MIN(doc_id) nk FROM cl GROUP BY ck),
+       |s3 AS (SELECT cl.doc_id FROM cl JOIN nk
+       |  ON cl.ck = nk.ck AND cl.doc_id = nk.nk)
+       |SELECT w.source,
+       |  CAST(count(*) AS BIGINT) n_raw,
+       |  CAST(SUM(CASE WHEN w.q THEN 1 ELSE 0 END) AS BIGINT) n_quality,
+       |  CAST(SUM(CASE WHEN w.e THEN 1 ELSE 0 END) AS BIGINT) n_exact,
+       |  CAST(SUM(CASE WHEN s3.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) n_near,
+       |  CAST(SUM(CASE WHEN s3.doc_id IS NOT NULL THEN w.n_tok ELSE 0 END)
+       |    AS BIGINT) tokens_kept
+       |FROM withe w LEFT JOIN s3 ON w.doc_id = s3.doc_id
+       |GROUP BY w.source ORDER BY w.source""".stripMargin
+
   /** PII scrubbing: redact phone-shaped `NN-NNN-NNN-NNNN` numbers and
     * then any remaining ≥5-digit ID runs from a free-text column,
     * reporting the redacted text plus exact per-kind match counts.
@@ -1184,6 +1302,7 @@ object TrainingPipeline {
     QueryDef("corpus_clean", corpusClean, Some(corpusCleanOracle)),
     QueryDef("domain_mix", domainMix, Some(domainMixOracle)),
     QueryDef("mix_allocate", mixAllocate, Some(mixAllocateOracle)),
+    QueryDef("curation_funnel", curationFunnel, Some(curationFunnelOracle)),
     QueryDef("pii_scrub", piiScrub, Some(piiScrubOracle)),
     QueryDef("epoch_shuffle", epochShuffle, Some(epochShuffleOracle)))
 }

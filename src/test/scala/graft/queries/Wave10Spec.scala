@@ -116,6 +116,49 @@ class Wave10Spec extends AnyFunSuite {
     }
   }
 
+  test("curation_funnel: stage monotonicity + quality/exact stage replay") {
+    val rows = TrainingPipeline.curationFunnel(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    rows.foreach { case (s, raw, q, e, nr, tok) =>
+      assert(raw >= q && q >= e && e >= nr, s"funnel not monotone for $s")
+      assert(nr > 0 ==> (tok > 0))
+    }
+    // replay stages 1–2 in plain Scala from the raw table
+    val docs = Tables.read(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def collPpm(text: String): (Long, Long) = {
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.isEmpty) (0L, 1000000L)
+      else {
+        val counts = tk.groupBy(identity).map(_._2.length.toLong)
+        val n = counts.sum
+        (n, counts.map(c => c * c).sum * 1000000L / n / n)
+      }
+    }
+    val qualified = docs.filter { case (_, _, t) =>
+      val (n, cp) = collPpm(t); n >= 30 && cp <= 100000
+    }
+    val bySrcQ = qualified.groupBy(_._2).view.mapValues(_.length.toLong)
+    rows.foreach { case (s, _, q, _, _, _) =>
+      assert(q === bySrcQ.getOrElse(s, 0L), s"n_quality mismatch for $s")
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hexOf(t: String): String =
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keepers = qualified.groupBy { case (_, _, t) => md5hexOf(t) }
+      .map(_._2.minBy(_._1))
+    val bySrcE = keepers.groupBy(_._2).view.mapValues(_.size.toLong)
+    rows.foreach { case (s, _, _, e, _, _) =>
+      assert(e === bySrcE.getOrElse(s, 0L), s"n_exact mismatch for $s")
+    }
+  }
+
+  private implicit class Implies(private val p: Boolean) {
+    def ==>(q: => Boolean): Boolean = !p || q
+  }
+
   test("keeper_quality: rosters match dedup_clusters; keeper is argmax") {
     val clusters = Dedup.dedupClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
