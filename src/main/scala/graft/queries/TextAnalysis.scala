@@ -1479,6 +1479,129 @@ object TextAnalysis {
        |  (sum_sq * 1000000 // n_tok) // n_tok coll_ppm
        |FROM d ORDER BY coll_ppm DESC, doc_id LIMIT 100""".stripMargin
 
+  /** `mrr_eval`: ranking-quality gate for LEXICAL retrieval — the
+    * missing quarter of the suite's answer-quality battery
+    * (`lsh_recall` pins banding loss, `knn_recall` ANN loss,
+    * `minhash_estimate` signature resolution; nothing pinned whether
+    * a retrieval RANKING puts the right document first). Queries are
+    * the near-dup cluster ROOTS; the relevance judgment is the rest
+    * of their cluster (labels the pipeline already trusts for
+    * dedup); the ranker is shared-distinct-trigram count (integer
+    * overlap, doc_id ASC tie-break — the exact-arithmetic stand-in
+    * for BM25's float score). Per query: the best-ranked relevant
+    * doc's rank, reciprocal rank in ppm (10⁶ div rank — exact), and
+    * hit@10. A cluster whose members share no trigram with the root
+    * surfaces as NULL rank / hit10 = 0, not a silent drop.
+    *
+    * Plan shape: postings are the session-shared distinct-trigram
+    * relation; query postings are a root-semi-join slice of it;
+    * scoring is ONE posting-list join on the gram key (candidates =
+    * docs sharing ≥1 gram — never all-pairs), and rank is a COUNT of
+    * strictly-better docs against the best relevant (no global sort,
+    * no per-query top-k materialization). At 100 TB the gram join is
+    * the only fact-sized move and it prunes through the query-side
+    * semi-join first; hot grams would ride the same support-pruned
+    * backbone the dedup family documents.
+    */
+  def mrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.ccLabelsShared(spark, dir)
+    val qdocs = labels.select(col("root")).distinct()
+    val rel = labels.where(col("doc") =!= col("root"))
+      .select(col("root").as("qdoc"), col("doc").as("rdoc"))
+    val post = Dedup.shingles(spark, dir)
+    val qpost = post
+      .join(qdocs.withColumnRenamed("root", "doc_id"), "doc_id")
+      .select(col("doc_id").as("qdoc"), col("shingle"))
+    val scores = qpost
+      .join(post.withColumnRenamed("doc_id", "doc"), "shingle")
+      .where(col("doc") =!= col("qdoc"))
+      .groupBy(col("qdoc"), col("doc"))
+      .agg(count(lit(1)).as("score"))
+      .localCheckpoint(eager = false) // best-relevant + rank count
+    val best = scores
+      .join(
+        rel,
+        scores("qdoc") === rel("qdoc") && scores("doc") === rel("rdoc"))
+      .groupBy(scores("qdoc"))
+      .agg(min(struct(negate(col("score")).as("ns"), col("doc").as("d")))
+        .as("b"))
+      .select(
+        col("qdoc"), negate(col("b.ns")).as("s_rel"),
+        col("b.d").as("d_rel"))
+    val rank = scores
+      .join(best, "qdoc")
+      .where(
+        col("score") > col("s_rel") ||
+          (col("score") === col("s_rel") && col("doc") < col("d_rel")))
+      .groupBy(col("qdoc"))
+      .agg(count(lit(1)).as("n_better"))
+    val nrel = rel.groupBy(col("qdoc")).agg(count(lit(1)).as("n_relevant"))
+    qdocs.select(col("root").as("qdoc"))
+      .join(nrel, Seq("qdoc"))
+      .join(best.select(col("qdoc"), lit(true).as("scored")), Seq("qdoc"),
+        "left")
+      .join(rank, Seq("qdoc"), "left")
+      .select(
+        col("qdoc").as("query_doc"), col("n_relevant"),
+        when(col("scored").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("n_better"), lit(0L)) + 1L)
+          .as("best_rank"))
+      .withColumn(
+        "rr_ppm",
+        when(col("best_rank").isNull, lit(null).cast("long"))
+          .otherwise(expr("1000000 div best_rank")))
+      .withColumn(
+        "hit10",
+        when(col("best_rank").isNotNull && col("best_rank") <= 10, 1L)
+          .otherwise(0L))
+      .orderBy("query_doc")
+  }
+
+  def mrrEvalOracle: String =
+    s"""WITH RECURSIVE ${Dedup.ShinglesSql},
+       |${Dedup.MinhashPairsCtes},
+       |ed AS (SELECT a src, b dst FROM lshpairs
+       |       UNION SELECT b, a FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS doc, dst AS r FROM ed
+       |  UNION
+       |  SELECT reach.doc, ed.dst FROM reach JOIN ed ON reach.r = ed.src),
+       |comp AS (
+       |  SELECT doc, least(doc, MIN(r)) AS root FROM reach GROUP BY doc),
+       |rel AS (SELECT root qdoc, doc rdoc FROM comp WHERE doc <> root),
+       |qd AS (SELECT DISTINCT root qdoc FROM comp),
+       |qpost AS (SELECT qd.qdoc, sh.shingle
+       |  FROM sh JOIN qd ON sh.doc_id = qd.qdoc),
+       |scores AS (SELECT q.qdoc, s.doc_id doc, CAST(count(*) AS BIGINT) score
+       |  FROM qpost q JOIN sh s
+       |    ON q.shingle = s.shingle AND s.doc_id <> q.qdoc
+       |  GROUP BY 1, 2),
+       |best AS (SELECT qdoc, doc d_rel, score s_rel FROM (
+       |    SELECT sc.qdoc, sc.doc, sc.score, row_number() OVER (
+       |        PARTITION BY sc.qdoc ORDER BY sc.score DESC, sc.doc) rn
+       |    FROM scores sc
+       |    JOIN rel ON sc.qdoc = rel.qdoc AND sc.doc = rel.rdoc)
+       |  WHERE rn = 1),
+       |rk AS (SELECT s.qdoc, CAST(count(*) AS BIGINT) n_better
+       |  FROM scores s JOIN best b ON s.qdoc = b.qdoc
+       |  WHERE s.score > b.s_rel OR (s.score = b.s_rel AND s.doc < b.d_rel)
+       |  GROUP BY 1),
+       |nrel AS (SELECT qdoc, CAST(count(*) AS BIGINT) n_relevant
+       |  FROM rel GROUP BY 1)
+       |SELECT qd.qdoc AS query_doc, nrel.n_relevant,
+       |  CASE WHEN b.qdoc IS NULL THEN NULL
+       |    ELSE COALESCE(rk.n_better, 0) + 1 END best_rank,
+       |  CASE WHEN b.qdoc IS NULL THEN NULL
+       |    ELSE 1000000 // (COALESCE(rk.n_better, 0) + 1) END rr_ppm,
+       |  CAST(CASE WHEN b.qdoc IS NOT NULL
+       |      AND COALESCE(rk.n_better, 0) + 1 <= 10
+       |    THEN 1 ELSE 0 END AS BIGINT) hit10
+       |FROM qd
+       |JOIN nrel ON qd.qdoc = nrel.qdoc
+       |LEFT JOIN best b ON qd.qdoc = b.qdoc
+       |LEFT JOIN rk ON qd.qdoc = rk.qdoc
+       |ORDER BY query_doc""".stripMargin
+
   /** `ngram_novelty`: first-occurrence attribution — per document,
     * the share of its distinct trigrams whose corpus-wide FIRST
     * occurrence (min doc_id, the ingest-order proxy) is this
@@ -1773,6 +1896,7 @@ object TextAnalysis {
     QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltyOracle)),
     QueryDef(
       "collision_entropy", collisionEntropy, Some(collisionEntropyOracle)),
+    QueryDef("mrr_eval", mrrEval, Some(mrrEvalOracle)),
     QueryDef(
       "source_overlap_matrix", sourceOverlapMatrix,
       Some(sourceOverlapMatrixOracle)),

@@ -155,6 +155,44 @@ class Wave10Spec extends AnyFunSuite {
     }
   }
 
+  test("mrr_eval equals a plain-Scala overlap-ranking replay") {
+    val docs = Tables.read(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Set[String] = {
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val gmap = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val labels = Dedup.ccLabelsShared(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byRoot = labels.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val model = byRoot.toSeq.sortBy(_._1).map { case (root, members) =>
+      val relSet = members.filter(_ != root).toSet
+      val scores = docs.map(_._1).filter(_ != root)
+        .map(d => (d, (gmap(root) & gmap(d)).size))
+        .filter(_._2 > 0)
+      val scoredRel = scores.filter(p => relSet(p._1))
+      if (scoredRel.isEmpty)
+        (root, relSet.size.toLong, None, None, 0L)
+      else {
+        val bestRel = scoredRel.minBy { case (d, s) => (-s, d) }
+        val nBetter = scores.count { case (d, s) =>
+          s > bestRel._2 || (s == bestRel._2 && d < bestRel._1)
+        }
+        val rank = nBetter + 1L
+        (root, relSet.size.toLong, Some(rank), Some(1000000L / rank),
+          if (rank <= 10) 1L else 0L)
+      }
+    }
+    val got = TextAnalysis.mrrEval(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))
+    }.toSeq
+    assert(got === model)
+  }
+
   private implicit class Implies(private val p: Boolean) {
     def ==>(q: => Boolean): Boolean = !p || q
   }
