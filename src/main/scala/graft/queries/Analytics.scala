@@ -1558,7 +1558,81 @@ object Analytics {
        |  CAST(sum(val_c) AS BIGINT) FROM p
        |ORDER BY channel""".stripMargin
 
+  /** `cusum_shift`: changepoint LOCALIZATION over the daily revenue
+    * series — the max-|CUSUM| estimator: with per-day cents xᵢ
+    * (1-based day rank t, n days, T = Σx), Sₜ = n·prefixₜ − t·T is
+    * n·Σᵢ≤ₜ(xᵢ − x̄) kept EXACT by cross-multiplying the mean away;
+    * the day maximizing |Sₜ| is the classic single-shift estimate,
+    * and the top-10 days by |Sₜ| show the plateau around it (a sharp
+    * peak ⇒ one clean level shift, a flat top ⇒ drift). The
+    * time-series sibling of `ks_test`'s max-gap statistic, on the
+    * calendar axis. Integer bound: n·T must fit int64 — at 10⁴ days
+    * that is T ≲ 9·10¹⁴ cents; past that, rescale x by a common
+    * power of two (argmax is invariant).
+    *
+    * Plan shape: one fact aggregate to day grain (the only
+    * fact-sized step), then the gini/ks sharded prefix sum over the
+    * ~2.4k-day relation — day-bucket shards, shard-partitioned
+    * windows for in-shard prefix sum AND rank, triangular broadcast
+    * cross-shard offsets; never a global window. Top-10 via
+    * TakeOrderedAndProject.
+    */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.read(spark, dir, "orders")
+      .select(
+        to_date(col("o_orderdate")).as("d"),
+        Quantize.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("d"))
+      .agg(sum(col("cents")).as("x"))
+    val totals = days.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("t_sum"))
+    val sharded = days
+      .withColumn("shard", expr("(year(d) * 12 + month(d)) div 4"))
+      .localCheckpoint(eager = false) // in-shard window + shard totals
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inShard = sharded
+      .withColumn("pre_in", sum(col("x")).over(wIn))
+      .withColumn("rk_in", count(lit(1)).over(wIn))
+    val shardTotals = sharded.groupBy(col("shard"))
+      .agg(sum(col("x")).as("tx"), count(lit(1)).as("tc"))
+    val offsets = shardTotals.as("a")
+      .join(
+        broadcast(shardTotals.as("b")), col("b.shard") < col("a.shard"),
+        "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(
+        coalesce(sum(col("b.tx")), lit(0L)).as("offx"),
+        coalesce(sum(col("b.tc")), lit(0L)).as("offc"))
+    inShard
+      .join(broadcast(offsets), "shard")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("d"), col("x").as("x_cents"),
+        (col("n") * (col("offx") + col("pre_in")) -
+          (col("offc") + col("rk_in")) * col("t_sum")).as("s_scaled"))
+      .orderBy(abs(col("s_scaled")).desc, col("d"))
+      .limit(10)
+  }
+
+  def cusumShiftOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) x
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+       |    CAST(SUM(x) AS BIGINT) t_sum FROM days),
+       |pre AS (SELECT d, x,
+       |    CAST(SUM(x) OVER (ORDER BY d) AS BIGINT) pr,
+       |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) rk
+       |  FROM days)
+       |SELECT d, x AS x_cents, n * pr - rk * t_sum AS s_scaled
+       |FROM pre, tot
+       |ORDER BY abs(n * pr - rk * t_sum) DESC, d LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("cusum_shift", cusumShift, Some(cusumShiftOracle)),
     QueryDef("multi_touch", multiTouch, Some(multiTouchOracle)),
     QueryDef("ohlc_bars", ohlcBars, Some(ohlcBarsOracle)),
     QueryDef("whale_share", whaleShare, Some(whaleShareOracle)),

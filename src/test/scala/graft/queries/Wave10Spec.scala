@@ -193,6 +193,29 @@ class Wave10Spec extends AnyFunSuite {
     assert(got === model)
   }
 
+  test("cusum_shift equals a plain-Scala exact-CUSUM replay") {
+    val days = Tables.read(spark, dir, "orders")
+      .selectExpr(
+        "cast(o_orderdate as date) d",
+        "cast(round(o_totalprice * 100) as long) cents")
+      .groupBy("d").agg(org.apache.spark.sql.functions.sum("cents").as("x"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val n = days.length.toLong
+    val t = days.map(_._2).sum
+    var pre = 0L
+    val s = days.zipWithIndex.map { case ((d, x), i) =>
+      pre += x
+      (d, x, n * pre - (i + 1L) * t)
+    }
+    val model = s.sortBy { case (d, _, sc) => (-math.abs(sc), d) }.take(10)
+      .toSeq
+    val got = Analytics.cusumShift(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got === model)
+  }
+
   private implicit class Implies(private val p: Boolean) {
     def ==>(q: => Boolean): Boolean = !p || q
   }
