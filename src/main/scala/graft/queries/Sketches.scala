@@ -506,7 +506,105 @@ object Sketches {
        |  CAST(SUM(cnt * cnt) AS BIGINT) chk_sq
        |FROM u GROUP BY scope, d ORDER BY scope, d""".stripMargin
 
+  /** `bloom_fpp`: the MEASURED false-positive gate for the Bloom
+    * family — `bloom_prune_join` uses Spark's built-in filter for
+    * pruning, but its error rate there is a hope, not a number. This
+    * query builds a PORTABLE Bloom filter (k=3 salted-md5 hashes into
+    * m = 8·n bits — the countmin_freq hash discipline, so DuckDB
+    * replays it bit-for-bit), probes it with KNOWN NON-MEMBERS
+    * (every customer key shifted past the key domain's max — a
+    * deterministic negative set the same size as the dimension),
+    * and reports the measured false-positive rate beside the
+    * occupancy-based expectation. Both in integer ppm: fp_ppm is
+    * exact; theory_ppm is the deterministic nested-floor form of
+    * (set_bits/m)³ — both engines compute the identical expression,
+    * so even the approximation is hash-pinned. The filter is
+    * represented as its SET of occupied bit positions (≤ k·n rows) —
+    * semantically identical to the bitmap, and the membership test
+    * (all k positions occupied) becomes a positions join.
+    *
+    * Plan shape: one distinct over members, a 1-row max broadcast
+    * manufactures the negative set (dim-sized), positions explode ×k, and ONE
+    * position-keyed join probe-side; the per-probe all-k test is a
+    * count==k aggregate co-partitioned with the join. At 100 TB the
+    * filter side is k·|members| positions — the same order as the
+    * bloom blob the built-in broadcasts, but queryable and mergeable
+    * as a relation (shard filters union by... union).
+    */
+  def bloomFpp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val seeds = Seq(1, 2, 3)
+    def posOf(key: Column, seed: Int): Column =
+      conv(
+        substring(
+          md5(concat(lit(seed.toString), lit(":"), key.cast("string"))),
+          1, 15),
+        16, 10).cast("long")
+    val members = Tables.read(spark, dir, "orders")
+      .select(col("o_custkey").as("k")).distinct()
+      .localCheckpoint(eager = false) // count + positions + anti join
+    val maxK = members.agg(max(col("k")).as("mx"))
+    val probes = Tables.read(spark, dir, "customer")
+      .crossJoin(broadcast(maxK))
+      .select((col("c_custkey") + col("mx")).as("k"))
+      .localCheckpoint(eager = false) // count + probe positions
+    val nM = members.agg(count(lit(1)).as("n_members"))
+    val withM = nM.withColumn("m_bits", col("n_members") * 8L)
+    def positions(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(withM))
+        .select(
+          col("k"), col("m_bits"),
+          explode(array(seeds.map(s =>
+            pmod(posOf(col("k"), s), col("m_bits"))): _*)).as("pos"))
+    val occupied = positions(members).select(col("pos")).distinct()
+      .localCheckpoint(eager = false) // set-bit count + probe join
+    val setBits = occupied.agg(count(lit(1)).as("set_bits"))
+    val fp = positions(probes)
+      .join(occupied, Seq("pos"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits") === seeds.length)
+      .agg(count(lit(1)).as("fp_count"))
+    val nP = probes.agg(count(lit(1)).as("n_probes"))
+    withM.crossJoin(broadcast(nP))
+      .crossJoin(broadcast(setBits))
+      .crossJoin(broadcast(fp))
+      .select(
+        col("n_members"), col("n_probes"), col("m_bits"), col("set_bits"),
+        col("fp_count"),
+        expr("fp_count * 1000000 div n_probes").as("fp_ppm"),
+        expr("((set_bits * 1000000 div m_bits) * set_bits div m_bits)" +
+          " * set_bits div m_bits").as("theory_ppm"))
+  }
+
+  def bloomFppOracle: String =
+    """WITH members AS (SELECT DISTINCT o_custkey k FROM orders),
+      |nm AS (SELECT CAST(COUNT(*) AS BIGINT) n_members,
+      |    CAST(COUNT(*) AS BIGINT) * 8 m_bits FROM members),
+      |mk AS (SELECT MAX(k) mx FROM members),
+      |probes AS (SELECT c_custkey + mx k FROM customer, mk),
+      |seeds AS (SELECT unnest([1, 2, 3]) s),
+      |mpos AS (SELECT DISTINCT
+      |    ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' ||
+      |      CAST(k AS VARCHAR)), 1, 15))::BIGINT % m_bits pos
+      |  FROM members, seeds, nm),
+      |sb AS (SELECT CAST(COUNT(*) AS BIGINT) set_bits FROM mpos),
+      |ppos AS (SELECT k,
+      |    ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' ||
+      |      CAST(k AS VARCHAR)), 1, 15))::BIGINT % m_bits pos
+      |  FROM probes, seeds, nm),
+      |fp AS (SELECT CAST(COUNT(*) AS BIGINT) fp_count FROM (
+      |    SELECT p.k FROM ppos p JOIN mpos ON p.pos = mpos.pos
+      |    GROUP BY p.k HAVING COUNT(*) = 3)),
+      |np AS (SELECT CAST(COUNT(*) AS BIGINT) n_probes FROM probes)
+      |SELECT n_members, n_probes, m_bits, set_bits, fp_count,
+      |  fp_count * 1000000 // n_probes fp_ppm,
+      |  ((set_bits * 1000000 // m_bits) * set_bits // m_bits)
+      |    * set_bits // m_bits theory_ppm
+      |FROM nm, np, sb, fp""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("bloom_fpp", bloomFpp, Some(bloomFppOracle)),
     QueryDef("countmin_merge", countminMerge, Some(countminMergeOracle)),
     QueryDef("minhash_merge", minhashMerge, Some(minhashMergeOracle)),
     QueryDef(

@@ -216,6 +216,41 @@ class Wave10Spec extends AnyFunSuite {
     assert(got === model)
   }
 
+  test("bloom_fpp equals a plain-Scala portable-Bloom replay") {
+    val members = Tables.read(spark, dir, "orders")
+      .select("o_custkey").distinct().collect().map(_.getLong(0))
+    val custs = Tables.read(spark, dir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val mx = members.max
+    val probes = custs.map(_ + mx)
+    val n = members.length.toLong
+    val m = n * 8
+    def pos(seed: Int, k: Long): Long = {
+      val hex = md5hex(s"$seed:$k").take(15)
+      java.lang.Long.parseLong(hex, 16) % m
+    }
+    val occupied = members.flatMap(k => Seq(1, 2, 3).map(pos(_, k))).toSet
+    val fpCount = probes.count { k =>
+      Seq(1, 2, 3).forall(s => occupied(pos(s, k)))
+    }.toLong
+    // soundness: every member must pass its own filter
+    members.take(200).foreach { k =>
+      assert(Seq(1, 2, 3).forall(s => occupied(pos(s, k))))
+    }
+    val sb = occupied.size.toLong
+    val expected = (n, probes.length.toLong, m, sb, fpCount,
+      fpCount * 1000000L / probes.length,
+      sb * 1000000L / m * sb / m * sb / m)
+    val got = Sketches.bloomFpp(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).head
+    assert(got === expected)
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private implicit class Implies(private val p: Boolean) {
     def ==>(q: => Boolean): Boolean = !p || q
   }
