@@ -390,8 +390,13 @@ object Advanced {
       .groupBy(col("flag"), col("vc"))
       .agg(sum(col("wt")).as("w"))
       .withColumn("shard", expr(s"vc div $WMedShard"))
+      // three consumers below (shard totals, per-flag totals, the
+      // ranked join) — without the pin each re-ran the fact scan +
+      // (flag, vc) aggregate
+      .localCheckpoint(eager = false)
     val shardTot = hist.groupBy(col("flag"), col("shard"))
       .agg(sum(col("w")).as("tot"))
+      .localCheckpoint(eager = false) // both sides of the offsets join
     val offsets = shardTot
       .join(
         broadcast(shardTot.toDF("flag2", "s2", "t2")),
