@@ -1631,7 +1631,102 @@ object Analytics {
        |FROM pre, tot
        |ORDER BY abs(n * pr - rk * t_sum) DESC, d LIMIT 10""".stripMargin
 
+  /** `conversion_latency`: the signup→purchase time-to-convert
+    * distribution — the product metric funnels stop short of: per
+    * user, the gap from FIRST signup to the EARLIEST purchase after
+    * it (greedy first-conversion, the seq_support3 matching rule),
+    * floored to whole minutes; reported as the EXACT p50 / p90 of
+    * that latency plus the conversion rate in ppm. Percentiles are
+    * order statistics over a minute-grain value HISTOGRAM (the
+    * exact_median discipline: rank arithmetic, never a global sort),
+    * with cumulative ranks from the gini/cusum sharded prefix sum —
+    * shard-partitioned windows + triangular broadcast offsets, no
+    * global window. p-th percentile = smallest minute whose
+    * cumulative count satisfies cum·100 ≥ n·p (pure integer).
+    *
+    * Plan shape: two fact-grain aggregates (per-user first signup;
+    * per-user earliest later purchase — co-partitioned on user), then
+    * everything is histogram-sized. At 100 TB the histogram is
+    * bounded by the latency DOMAIN (distinct minutes), not users.
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val su = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      .localCheckpoint(eager = false) // join + signup count
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(su, "user_id")
+      .where(col("ts") > col("s_ts"))
+      .groupBy(col("user_id"), col("s_ts"))
+      .agg(min(col("ts")).as("p_ts"))
+      .select(expr(
+        "(unix_micros(p_ts) - unix_micros(s_ts)) div 60000000")
+        .as("lat_min"))
+    val hist = conv.groupBy(col("lat_min")).agg(count(lit(1)).as("c"))
+      .withColumn("shard", expr("lat_min div 1024"))
+      .localCheckpoint(eager = false) // window + shard totals
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("lat_min"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shardTot = hist.groupBy(col("shard")).agg(sum(col("c")).as("tc"))
+    val offsets = shardTot.as("a")
+      .join(
+        broadcast(shardTot.as("b")), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.tc")), lit(0L)).as("off"))
+    val ranked = hist
+      .withColumn("cum_in", sum(col("c")).over(wIn))
+      .join(broadcast(offsets), "shard")
+      .select(col("lat_min"), (col("off") + col("cum_in")).as("cum"))
+    val nConv = conv.agg(count(lit(1)).as("n_conv"))
+    val nSign = su.agg(count(lit(1)).as("n_signups"))
+    ranked
+      .crossJoin(broadcast(nConv))
+      .agg(
+        min(when(col("cum") * 100 >= col("n_conv") * 50, col("lat_min")))
+          .as("p50_min"),
+        min(when(col("cum") * 100 >= col("n_conv") * 90, col("lat_min")))
+          .as("p90_min"))
+      .crossJoin(broadcast(nConv))
+      .crossJoin(broadcast(nSign))
+      .select(
+        col("n_signups"), col("n_conv"),
+        expr("n_conv * 1000000 div n_signups").as("conversion_ppm"),
+        col("p50_min"), col("p90_min"))
+  }
+
+  def conversionLatencyOracle: String =
+    """WITH su AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) s_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |conv AS (
+      |  SELECT e.user_id,
+      |    (epoch_us(MIN(CAST(e.ts AS TIMESTAMP))) - epoch_us(su.s_ts))
+      |      // 60000000 lat_min
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > su.s_ts
+      |  GROUP BY e.user_id, su.s_ts),
+      |hist AS (
+      |  SELECT lat_min, CAST(count(*) AS BIGINT) c FROM conv GROUP BY 1),
+      |ranked AS (
+      |  SELECT lat_min,
+      |    CAST(SUM(c) OVER (ORDER BY lat_min) AS BIGINT) cum FROM hist),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) n_conv FROM conv),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) n_signups FROM su),
+      |pct AS (
+      |  SELECT
+      |    MIN(CASE WHEN cum * 100 >= n_conv * 50 THEN lat_min END) p50_min,
+      |    MIN(CASE WHEN cum * 100 >= n_conv * 90 THEN lat_min END) p90_min
+      |  FROM ranked, nc)
+      |SELECT n_signups, n_conv, n_conv * 1000000 // n_signups
+      |    conversion_ppm, p50_min, p90_min
+      |FROM ns, nc, pct""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "conversion_latency", conversionLatency,
+      Some(conversionLatencyOracle)),
     QueryDef("cusum_shift", cusumShift, Some(cusumShiftOracle)),
     QueryDef("multi_touch", multiTouch, Some(multiTouchOracle)),
     QueryDef("ohlc_bars", ohlcBars, Some(ohlcBarsOracle)),

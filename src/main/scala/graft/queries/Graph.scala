@@ -995,7 +995,86 @@ object Graph {
        |ORDER BY n_members DESC, community LIMIT 25""".stripMargin
   }
 
+  /** `degree_assortativity`: Newman's degree-correlation coefficient
+    * over the support-pruned co-occurrence graph — do hubs link to
+    * hubs (r>0, social shape) or to leaves (r<0, hub-and-spoke
+    * infrastructure shape)? Pearson over the (deg(u), deg(v)) pairs
+    * of BOTH orientations of every edge (the symmetric form: 2m
+    * pairs, so Σx=Σy and the two variances coincide). All moments are
+    * exact int64 aggregates; like `corr_stats`, the ONLY float is the
+    * final closed-form ratio both engines evaluate over identical
+    * integers — hash-safe. Degenerate graphs (all degrees equal ⇒
+    * zero variance) yield NULL, not a crash.
+    *
+    * Plan shape: the session-shared pruned edge relation (one
+    * fact-level self-join per session, amortized with
+    * triangle_count/k_core_peel); degrees are a |V|-sized aggregate
+    * BROADCAST back onto the edges; one 1-row moment aggregate. At
+    * 100 TB nothing beyond the shared edge build touches fact-sized
+    * data.
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = coEdgesShared(spark, dir)
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val pairs = e
+      .join(broadcast(deg.select(col("n").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("n").as("b"), col("d").as("db"))), "b")
+      .select(col("da"), col("db"))
+    // both orientations: x = da⊕db, y = db⊕da
+    val both = pairs.select(col("da").as("x"), col("db").as("y"))
+      .unionAll(pairs.select(col("db").as("x"), col("da").as("y")))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    both
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        expr("n div 2").as("n_edges"),
+        when(
+          nD * d("sxx") - d("sx") * d("sx") === 0d,
+          lit(null).cast("double"))
+          .otherwise(
+            (nD * d("sxy") - d("sx") * d("sx")) /
+              (nD * d("sxx") - d("sx") * d("sx")))
+          .as("assortativity"))
+  }
+
+  def degreeAssortativityOracle: String =
+    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (
+       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM os x JOIN os y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriSupport),
+       |deg AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) d FROM (
+       |    SELECT a n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+       |pairs AS (
+       |  SELECT dda.d da, ddb.d db FROM e
+       |  JOIN deg dda ON e.a = dda.n JOIN deg ddb ON e.b = ddb.n),
+       |bo AS (
+       |  SELECT da x, db y FROM pairs
+       |  UNION ALL SELECT db, da FROM pairs),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) n, CAST(SUM(x) AS BIGINT) sx,
+       |    CAST(SUM(x * x) AS BIGINT) sxx, CAST(SUM(x * y) AS BIGINT) sxy
+       |  FROM bo)
+       |SELECT n // 2 n_edges,
+       |  CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+       |    THEN NULL
+       |    ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) /
+       |      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) END
+       |    assortativity
+       |FROM m""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "degree_assortativity", degreeAssortativity,
+      Some(degreeAssortativityOracle)),
     QueryDef(
       "lpa_communities", lpaCommunities, Some(lpaCommunitiesOracle)),
     QueryDef("pagerank", pagerank, Some(pagerankOracle)),

@@ -247,6 +247,57 @@ class Wave10Spec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("degree_assortativity equals a plain-Scala Pearson replay") {
+    val os = Tables.read(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = os.groupBy(_._1).values.flatMap { g =>
+      val ss = g.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length)
+        yield (ss(i), ss(j))
+    }.groupBy(identity).filter(_._2.size >= 5).keys.toSeq
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val pts = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a)))
+    }
+    val n = pts.size.toLong
+    val sx = pts.map(_._1).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val denom = n.toDouble * sxx - sx.toDouble * sx
+    val expected =
+      if (denom == 0) None
+      else Some((n.toDouble * sxy - sx.toDouble * sx) / denom)
+    val r = Graph.degreeAssortativity(spark, dir).collect().head
+    assert(r.getLong(0) === n / 2)
+    val got = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+    assert(got === expected)
+  }
+
+  test("conversion_latency equals a per-user greedy replay") {
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val signups = ev.filter(_._2 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val lat = signups.toSeq.flatMap { case (u, s) =>
+      val ps = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 > s)
+      if (ps.isEmpty) None else Some((ps.map(_._3).min - s) / 60000000L)
+    }
+    val sorted = lat.sorted
+    def pct(p: Int): Long =
+      sorted.zipWithIndex
+        .find { case (_, i) => (i + 1L) * 100 >= lat.size.toLong * p }
+        .get._1
+    val r = Analytics.conversionLatency(spark, dir).collect().head
+    assert(r.getLong(0) === signups.size.toLong)
+    assert(r.getLong(1) === lat.size.toLong)
+    assert(r.getLong(2) === lat.size.toLong * 1000000L / signups.size)
+    assert(r.getLong(3) === pct(50))
+    assert(r.getLong(4) === pct(90))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
