@@ -1565,8 +1565,12 @@ object Analytics {
     * the day maximizing |Sₜ| is the classic single-shift estimate,
     * and the top-10 days by |Sₜ| show the plateau around it (a sharp
     * peak ⇒ one clean level shift, a flat top ⇒ drift). The
-    * time-series sibling of `ks_test`'s max-gap statistic, on the
-    * calendar axis. Integer bound: n·T must fit int64 — at 10⁴ days
+    * retrospective LOCALIZER beside [[driftCusum]]'s sequential
+    * Page's-test monitor — drift_cusum answers "is this metric
+    * drifting NOW" with a reset-at-zero accumulator, this answers
+    * "WHERE did the level shift" with a global max; the same pairing
+    * as `ks_test`'s max-gap statistic, on the calendar axis.
+    * Integer bound: n·T must fit int64 — at 10⁴ days
     * that is T ≲ 9·10¹⁴ cents; past that, rescale x by a common
     * power of two (argmax is invariant).
     *
