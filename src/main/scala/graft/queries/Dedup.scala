@@ -1472,10 +1472,100 @@ object Dedup {
        |  chars AS keeper_chars
        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  /** `jaccard_threshold_curve`: the OPERATING-POINT calibration the
+    * band-tuning curves stop short of — `lsh_recall` pins recall at
+    * one threshold, `lsh_band_curve` varies the BANDING at a fixed
+    * threshold; this varies the THRESHOLD at the production banding:
+    * for each Jaccard cutoff t ∈ {0.20 … 0.80} (integer percent,
+    * cross-multiplied test inter·100 ≥ t·(|A∪B|) — no float in the
+    * decision), the number of true pairs at/above t, how many of
+    * them the LSH candidate set reaches (recall_ppm), and what share
+    * of the candidate budget they are (precision_ppm). Reading the
+    * two columns together picks the threshold where banding stops
+    * paying — the knob every dedup rollout tunes first.
+    *
+    * Plan shape: the exact pair relation is the suite's shared-
+    * shingle posting expansion (the truth baseline the recall gates
+    * already pay for, under the same all-pairs guard); candidates are
+    * the band bucket self-join (bounded buckets); the curve itself is
+    * one grid explode + a 7-row conditional aggregate. At 100 TB the
+    * truth side caps (hot-shingle guard) exactly like `lsh_recall`'s.
+    */
+  def jaccardThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docarr = docShingleArraysShared(spark, dir)
+    val sizes = docarr.select(col("doc_id"), size(col("arr")).cast("long")
+      .as("n"))
+    val exact = jaccardPairs(shingles(spark, dir), sizes)
+    val bands = minhashBands(docarr)
+    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(
+        bands.select(col("band"), col("bkey"), col("doc_id").as("b")),
+        Seq("band", "bkey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+      .localCheckpoint(eager = false) // candidate count + truth join
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val grid = (20L to 80L by 10L).map(lit(_))
+    exact
+      .join(cand.withColumn("ic", lit(true)), Seq("a", "b"), "left")
+      .select(
+        col("inter"), col("na"), col("nb"), col("ic"),
+        explode(array(grid: _*)).as("t"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(
+          col("inter") * 100 >= col("t") * (col("na") + col("nb") -
+            col("inter")), 1L).otherwise(0L)).as("n_true"),
+        sum(when(
+          col("ic").isNotNull &&
+            col("inter") * 100 >= col("t") * (col("na") + col("nb") -
+              col("inter")), 1L).otherwise(0L)).as("n_cand_true"))
+      .crossJoin(broadcast(nc))
+      .select(
+        col("t"), col("n_true"), col("n_cand_true"), col("n_candidates"),
+        expr("CASE WHEN n_true = 0 THEN NULL" +
+          " ELSE n_cand_true * 1000000 div n_true END").as("recall_ppm"),
+        expr("CASE WHEN n_candidates = 0 THEN NULL" +
+          " ELSE n_cand_true * 1000000 div n_candidates END")
+          .as("precision_ppm"))
+      .orderBy("t")
+  }
+
+  def jaccardThresholdCurveOracle: String =
+    s"""WITH $ShinglesSql,
+       |$BandsCtes,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id a, y.doc_id b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id < y.doc_id),
+       |${jaccSql()},
+       |grid AS (SELECT CAST(unnest([20, 30, 40, 50, 60, 70, 80]) AS BIGINT) t),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) n_candidates FROM cand),
+       |jj AS (
+       |  SELECT j.a, j.b, j.inter, j.na, j.nb, (c.a IS NOT NULL) ic
+       |  FROM jacc j LEFT JOIN cand c ON j.a = c.a AND j.b = c.b),
+       |per AS (
+       |  SELECT t,
+       |    CAST(SUM(CASE WHEN inter * 100 >= t * (na + nb - inter)
+       |      THEN 1 ELSE 0 END) AS BIGINT) n_true,
+       |    CAST(SUM(CASE WHEN ic AND inter * 100 >= t * (na + nb - inter)
+       |      THEN 1 ELSE 0 END) AS BIGINT) n_cand_true
+       |  FROM jj, grid GROUP BY t)
+       |SELECT t, n_true, n_cand_true, n_candidates,
+       |  CASE WHEN n_true = 0 THEN NULL
+       |    ELSE n_cand_true * 1000000 // n_true END recall_ppm,
+       |  CASE WHEN n_candidates = 0 THEN NULL
+       |    ELSE n_cand_true * 1000000 // n_candidates END precision_ppm
+       |FROM per, nc ORDER BY t""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "er_blocking_curve", erBlockingCurve, Some(erBlockingCurveOracle)),
     QueryDef("keeper_quality", keeperQuality, Some(keeperQualityOracle)),
+    QueryDef(
+      "jaccard_threshold_curve", jaccardThresholdCurve,
+      Some(jaccardThresholdCurveOracle)),
     QueryDef("simhash_recall", simhashRecall, Some(simhashRecallOracle)),
     QueryDef("cc_incremental", ccIncremental, Some(dedupClustersOracle)),
     QueryDef("dedup_exact_docs", dedupExactDocs, Some(dedupExactDocsOracle)),

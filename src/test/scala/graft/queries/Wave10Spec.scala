@@ -298,6 +298,27 @@ class Wave10Spec extends AnyFunSuite {
     assert(r.getLong(4) === pct(90))
   }
 
+  test("jaccard_threshold_curve: monotone in t; recall consistent") {
+    val rows = Dedup.jaccardThresholdCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (20L to 80L by 10L))
+    // true pairs and candidate-true pairs both shrink as t rises;
+    // candidates never exceed truth at any threshold
+    rows.sliding(2).foreach { case Array((_, t1, c1, _), (_, t2, c2, _)) =>
+      assert(t2 <= t1 && c2 <= c1)
+    }
+    rows.foreach { case (_, nTrue, nCandTrue, nCand) =>
+      assert(nCandTrue <= nTrue)
+      assert(nCandTrue <= nCand)
+    }
+    // LSH recall at 0.5 must agree with the lsh_recall gate's
+    // numerator/denominator relation: every verified lshpair IS a
+    // true pair at 0.5 reached by a candidate
+    val lshAt50 = Dedup.minhashLshShared(spark, dir).count()
+    val row50 = rows.find(_._1 == 50L).get
+    assert(row50._3 === lshAt50)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
