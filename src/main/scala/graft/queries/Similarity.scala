@@ -1233,7 +1233,69 @@ object Similarity {
        |FROM d JOIN s ON d.dim = s.dim
        |GROUP BY d.dim ORDER BY d.dim""".stripMargin
 
+  /** `embedding_norm_audit`: the ingest gate for the vector column —
+    * the three defects that silently poison cosine similarity
+    * downstream (zero vectors: division by zero or NaN; NaN
+    * components: every comparison false; degenerate near-zero or
+    * exploding norms: similarity saturates) counted PER LABEL with
+    * the exact quantized-norm envelope (min/max/mean of Σvᵢ² in
+    * milli-unit² — the same integer milli quantization every
+    * similarity query computes on, so this audit measures exactly
+    * what the engine will see, not the raw floats). A label whose
+    * max/min norm ratio explodes is the first place `knn_recall`
+    * degradation hides.
+    *
+    * Plan shape: one narrow scan (quantize + per-row array
+    * aggregates), one 4-row label aggregate. Nothing shuffles but
+    * label-grain rows.
+    */
+  def embeddingNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    val v = quant(col("embedding"))
+    val norm2 = aggregate(v, lit(0L), (acc, x) => acc + x * x)
+    val nNan = size(filter(col("embedding"), x => isnan(x.cast("double"))))
+      .cast("long")
+    Tables.read(spark, dir, "embeddings")
+      .select(
+        col("label"),
+        norm2.as("n2"),
+        nNan.as("nan_c"),
+        size(col("embedding")).cast("long").as("dim"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("nan_c") > 0, 1L).otherwise(0L)).as("n_nan"),
+        min(col("dim")).as("min_dim"),
+        max(col("dim")).as("max_dim"),
+        min(col("n2")).as("min_norm2"),
+        max(col("n2")).as("max_norm2"),
+        expr("sum(n2) div count(1)").as("avg_norm2"))
+      .orderBy("label")
+  }
+
+  def embeddingNormAuditOracle: String =
+    s"""WITH v AS (
+       |  SELECT label, $QuantSql q,
+       |    len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) nan_c,
+       |    len(embedding) dim
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT label,
+       |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) n2,
+       |    nan_c, dim
+       |  FROM v)
+       |SELECT label, CAST(count(*) AS BIGINT) n_vecs,
+       |  CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) n_zero,
+       |  CAST(SUM(CASE WHEN nan_c > 0 THEN 1 ELSE 0 END) AS BIGINT) n_nan,
+       |  CAST(MIN(dim) AS BIGINT) min_dim, CAST(MAX(dim) AS BIGINT) max_dim,
+       |  CAST(MIN(n2) AS BIGINT) min_norm2, CAST(MAX(n2) AS BIGINT) max_norm2,
+       |  CAST(SUM(n2) AS BIGINT) // count(*) avg_norm2
+       |FROM n GROUP BY label ORDER BY label""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "embedding_norm_audit", embeddingNormAudit,
+      Some(embeddingNormAuditOracle)),
     QueryDef(
       "embedding_robust_stats", embeddingRobustStats,
       Some(embeddingRobustStatsOracle)),
