@@ -269,7 +269,131 @@ object MultimodalQueries {
       |  (count(*) - count(DISTINCT chunk_hash)) * 1000000 // count(*) savings_ppm
       |FROM ch GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** `image_phash_dedup`: the multimodal×dedup composition — a
+    * perceptual AVERAGE-HASH (aHash) near-dup join over REALLY
+    * decoded images. Same deterministic synthetic PNGs as
+    * [[imageFeatures]] (pixel formula known to both engines, PNG
+    * lossless), but the engine path exercises the full production
+    * pipeline: encode → ImageIO decode → 8×8 block-mean downsample
+    * (pixel→block by (8x) div w, block mean and the global
+    * threshold both FLOOR — integer-exact) → 64-bit hash as two
+    * 32-bit halves (hi/lo, sign-safe in both engines) → banded
+    * candidate join (4×16-bit bands: the simhash_recall PIGEONHOLE
+    * identity — any pair within Hamming 3 shares a clean band, so
+    * the ≤3 output is COMPLETE without an all-pairs join) → verify
+    * `bit_count(xor)`. DuckDB replays hash construction from the
+    * closed-form pixels and verifies via brute-force pairs — engine
+    * banding vs oracle exhaustion agreeing IS the completeness
+    * proof, re-proven at every scale the gate runs.
+    *
+    * Plan shape: codec work partition-local (mapPartitions, the
+    * legitimate use); hashes are 1 row/doc; candidates bounded by
+    * band buckets; verify is integer bit math. At 100 TB the image
+    * bytes never shuffle — only the 16-byte hash relation does.
+    * Output volume note: the pair LISTING is bounded by the corpus's
+    * hash-identical class sizes (on the salted sf1 replica the
+    * doc_id-mod-256 congruences make ~200-member identical-image
+    * classes ⇒ ~15M pairs, and both engines agree on all of them);
+    * a production rollout past that density keeps the same bands but
+    * emits CC clusters (the `dedup_clusters` composition) instead of
+    * pairs.
+    */
+  def imagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val ids = Tables.read(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    val hashes = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = 16 + (id % 16).toInt
+        val h = 16 + (id % 8).toInt
+        val png = Multimodal.ImageCodec.encodeGrayPng(
+          w, h, (x, y) => ((7L * x + 13L * y + 31L * id) % 256L).toInt)
+        val img = Multimodal.ImageCodec.decode(png)
+        val sums = Array.ofDim[Long](8, 8)
+        val cnts = Array.ofDim[Long](8, 8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bi = 8 * x / w; val bj = 8 * y / h
+            sums(bj)(bi) += Multimodal.ImageCodec.luminance(img, x, y)
+            cnts(bj)(bi) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = for (j <- 0 until 8; i <- 0 until 8)
+          yield sums(j)(i) / cnts(j)(i)
+        val thr = means.sum / 64
+        var hi = 0L; var lo = 0L
+        means.zipWithIndex.foreach { case (m, b) =>
+          if (m >= thr) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+        }
+        (id, hi, lo)
+      }
+    }.toDF("doc_id", "hi", "lo")
+      .localCheckpoint(eager = false) // both sides of the band join
+    val bands = hashes.select(
+      col("doc_id"), col("hi"), col("lo"),
+      explode(array(
+        concat_ws(":", lit(0), expr("hi div 65536")),
+        concat_ws(":", lit(1), expr("hi % 65536")),
+        concat_ws(":", lit(2), expr("lo div 65536")),
+        concat_ws(":", lit(3), expr("lo % 65536")))).as("bkey"))
+    bands.select(
+        col("bkey"), col("doc_id").as("a"),
+        col("hi").as("ha"), col("lo").as("la"))
+      .join(
+        bands.select(
+          col("bkey"), col("doc_id").as("b"),
+          col("hi").as("hb"), col("lo").as("lb")),
+        Seq("bkey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)"))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  def imagePhashDedupOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, (8 * x) // w bi, (8 * y) // h bj,
+      |    (7 * x + 13 * y + 31 * doc_id) % 256 AS v
+      |  FROM d, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)),
+      |blocks AS (
+      |  SELECT doc_id, bj * 8 + bi AS b,
+      |    CAST(SUM(v) AS BIGINT) // CAST(count(*) AS BIGINT) m
+      |  FROM px GROUP BY 1, 2),
+      |thr AS (
+      |  SELECT doc_id, CAST(SUM(m) AS BIGINT) // 64 t
+      |  FROM blocks GROUP BY 1),
+      |hash AS (
+      |  SELECT blocks.doc_id,
+      |    CAST(SUM(CASE WHEN m >= t AND b >= 32
+      |      THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) hi,
+      |    CAST(SUM(CASE WHEN m >= t AND b < 32
+      |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) lo
+      |  FROM blocks JOIN thr ON blocks.doc_id = thr.doc_id
+      |  GROUP BY 1)
+      |SELECT x.doc_id a, y.doc_id b,
+      |  CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+      |    AS BIGINT) hamming
+      |FROM hash x JOIN hash y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+      |ORDER BY a, b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "image_phash_dedup", imagePhashDedup, Some(imagePhashDedupOracle)),
     QueryDef(
       "chunk_dedup_ratio", chunkDedupRatio, Some(chunkDedupRatioOracle)),
     QueryDef(

@@ -319,6 +319,41 @@ class Wave10Spec extends AnyFunSuite {
     assert(row50._3 === lshAt50)
   }
 
+  test("image_phash_dedup equals a plain-Scala aHash + brute-force replay") {
+    val ids = Tables.read(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    def hashOf(id: Long): (Long, Long) = {
+      val w = 16 + (id % 16).toInt
+      val h = 16 + (id % 8).toInt
+      val sums = Array.ofDim[Long](8, 8)
+      val cnts = Array.ofDim[Long](8, 8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (7L * x + 13L * y + 31L * id) % 256L
+        sums(8 * y / h)(8 * x / w) += v
+        cnts(8 * y / h)(8 * x / w) += 1
+      }
+      val means = for (j <- 0 until 8; i <- 0 until 8)
+        yield sums(j)(i) / cnts(j)(i)
+      val thr = means.sum / 64
+      var hi = 0L; var lo = 0L
+      means.zipWithIndex.foreach { case (m, b) =>
+        if (m >= thr) { if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32) }
+      }
+      (hi, lo)
+    }
+    val hs = ids.map(id => id -> hashOf(id)).toMap
+    val model = (for {
+      i <- ids.indices; j <- i + 1 until ids.length
+      a = math.min(ids(i), ids(j)); b = math.max(ids(i), ids(j))
+      ham = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
+        java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      if ham <= 3
+    } yield (a, b, ham.toLong)).sorted
+    val got = MultimodalQueries.imagePhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === model)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
