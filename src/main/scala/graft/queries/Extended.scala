@@ -1538,7 +1538,70 @@ object Extended {
       |WHERE rk_desc_nl <= 10 OR rk_asc_nf <= 10
       |ORDER BY rk_desc_nl""".stripMargin
 
+  /** `range_frame_battery`: ROWS- vs RANGE-frame semantics pinned as
+    * data — the window wrong-answer class beside NULL placement: with
+    * DUPLICATE order keys, `RANGE ... AND CURRENT ROW` aggregates the
+    * WHOLE peer group (every row of the current day shows the same
+    * day-closing total) while `ROWS` splits peers by physical order —
+    * deterministic only because the ROWS sort key here is made UNIQUE
+    * (day, orderkey); and a value-bounded `RANGE 3 PRECEDING` is a
+    * 4-DAY window that skips absent days, where the naive
+    * `ROWS 3 PRECEDING` would reach back across gaps. One query, all
+    * three frames on the same rows, hash-compared against DuckDB's
+    * implementations of the same frames.
+    *
+    * Plan shape: one shuffle(priority) feeds all three frames (two
+    * window specs share the sort); per-order output. High-cardinality
+    * tie-broken sort keys keep partitions balanced at scale.
+    */
+  def rangeFrameBattery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.read(spark, dir, "orders")
+      .select(
+        col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("day"),
+        col("o_orderkey").as("okey"),
+        Quantize.cents(col("o_totalprice")).as("cents"))
+    val byRows = Window.partitionBy(col("priority"))
+      .orderBy(col("day"), col("okey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byRange = Window.partitionBy(col("priority"))
+      .orderBy(col("day"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val range3 = Window.partitionBy(col("priority"))
+      .orderBy(col("day"))
+      .rangeBetween(-3, 0)
+    base.select(
+        col("priority"), col("day"), col("okey"), col("cents"),
+        sum(col("cents")).over(byRows).as("rows_cum"),
+        sum(col("cents")).over(byRange).as("range_cum"),
+        sum(col("cents")).over(range3).as("range_3d"))
+      .orderBy("priority", "day", "okey")
+  }
+
+  def rangeFrameBatteryOracle: String =
+    s"""WITH base AS (
+       |  SELECT o_orderpriority priority,
+       |    CAST(date_diff('day', DATE '1992-01-01',
+       |      CAST(o_orderdate AS DATE)) AS BIGINT) d,
+       |    o_orderkey okey, ${Quantize.centsSql("o_totalprice")} cents
+       |  FROM orders)
+       |SELECT priority, d AS day, okey, cents,
+       |  CAST(SUM(cents) OVER (PARTITION BY priority ORDER BY d, okey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) rows_cum,
+       |  CAST(SUM(cents) OVER (PARTITION BY priority ORDER BY d
+       |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) range_cum,
+       |  CAST(SUM(cents) OVER (PARTITION BY priority ORDER BY d
+       |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) range_3d
+       |FROM base ORDER BY priority, d, okey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "range_frame_battery", rangeFrameBattery,
+      Some(rangeFrameBatteryOracle)),
     QueryDef("generate_outer", generateOuter, Some(generateOuterOracle)),
     QueryDef("string_battery", stringBattery, Some(stringBatteryOracle)),
     QueryDef("map_surface", mapSurface, Some(mapSurfaceOracle)),
