@@ -287,16 +287,18 @@ object MultimodalQueries {
     * proof, re-proven at every scale the gate runs.
     *
     * Plan shape: codec work partition-local (mapPartitions, the
-    * legitimate use); hashes are 1 row/doc; candidates bounded by
-    * band buckets; verify is integer bit math. At 100 TB the image
-    * bytes never shuffle — only the 16-byte hash relation does.
-    * Output volume note: the pair LISTING is bounded by the corpus's
-    * hash-identical class sizes (on the salted sf1 replica the
-    * doc_id-mod-256 congruences make ~200-member identical-image
-    * classes ⇒ ~15M pairs, and both engines agree on all of them);
-    * a production rollout past that density keeps the same bands but
-    * emits CC clusters (the `dedup_clusters` composition) instead of
-    * pairs.
+    * legitimate use); hashes are 1 row/doc; the near-dup relation is
+    * emitted at HASH-CLASS grain, not doc-pair grain — docs collapse
+    * to their (hi, lo) class first (rep = min doc_id, size n), the
+    * banded join runs over DISTINCT hashes only, and each row
+    * carries the doc-pair MASS (nₐ·n_b, or n·(n−1)/2 within a class
+    * at Hamming 0) instead of enumerating it. The first cut listed
+    * doc pairs and went quadratic on the salted sf1 replica
+    * (~200-member identical-image classes ⇒ 15M pairs, 46× cost at
+    * 10× — measured, then fixed); class grain is what a production
+    * dedup ships: output bounded by distinct image CONTENT,
+    * invariant to copy count. At 100 TB the image bytes never
+    * shuffle — only the 16-byte hash relation does.
     */
   def imagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -336,29 +338,37 @@ object MultimodalQueries {
         (id, hi, lo)
       }
     }.toDF("doc_id", "hi", "lo")
-      .localCheckpoint(eager = false) // both sides of the band join
-    val bands = hashes.select(
-      col("doc_id"), col("hi"), col("lo"),
+    val classes = hashes.groupBy(col("hi"), col("lo"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // within rows + both join sides
+    val within = classes.where(col("n") >= 2)
+      .select(
+        col("rep").as("rep_a"), col("rep").as("rep_b"),
+        lit(0L).as("hamming"),
+        expr("n * (n - 1) div 2").as("n_pairs"))
+    val bands = classes.select(
+      col("rep"), col("n"), col("hi"), col("lo"),
       explode(array(
         concat_ws(":", lit(0), expr("hi div 65536")),
         concat_ws(":", lit(1), expr("hi % 65536")),
         concat_ws(":", lit(2), expr("lo div 65536")),
         concat_ws(":", lit(3), expr("lo % 65536")))).as("bkey"))
-    bands.select(
-        col("bkey"), col("doc_id").as("a"),
+    val cross = bands.select(
+        col("bkey"), col("rep").as("rep_a"), col("n").as("na"),
         col("hi").as("ha"), col("lo").as("la"))
       .join(
         bands.select(
-          col("bkey"), col("doc_id").as("b"),
+          col("bkey"), col("rep").as("rep_b"), col("n").as("nb"),
           col("hi").as("hb"), col("lo").as("lb")),
         Seq("bkey"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"),
+      .where(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b"),
         (expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)"))
-          .cast("long").as("hamming"))
+          .cast("long").as("hamming"),
+        (col("na") * col("nb")).as("n_pairs"))
       .where(col("hamming") <= 3)
       .distinct()
-      .orderBy("a", "b")
+    within.unionByName(cross).orderBy("rep_a", "rep_b")
   }
 
   def imagePhashDedupOracle: String =
@@ -383,13 +393,23 @@ object MultimodalQueries {
       |    CAST(SUM(CASE WHEN m >= t AND b < 32
       |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) lo
       |  FROM blocks JOIN thr ON blocks.doc_id = thr.doc_id
-      |  GROUP BY 1)
-      |SELECT x.doc_id a, y.doc_id b,
-      |  CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
-      |    AS BIGINT) hamming
-      |FROM hash x JOIN hash y ON x.doc_id < y.doc_id
-      |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
-      |ORDER BY a, b""".stripMargin
+      |  GROUP BY 1),
+      |cls AS (
+      |  SELECT hi, lo, MIN(doc_id) rep, CAST(count(*) AS BIGINT) n
+      |  FROM hash GROUP BY hi, lo),
+      |within AS (
+      |  SELECT rep rep_a, rep rep_b, CAST(0 AS BIGINT) hamming,
+      |    n * (n - 1) // 2 n_pairs
+      |  FROM cls WHERE n >= 2),
+      |crossp AS (
+      |  SELECT x.rep rep_a, y.rep rep_b,
+      |    CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+      |      AS BIGINT) hamming,
+      |    x.n * y.n n_pairs
+      |  FROM cls x JOIN cls y ON x.rep < y.rep
+      |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3)
+      |SELECT * FROM within UNION ALL SELECT * FROM crossp
+      |ORDER BY rep_a, rep_b""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef(

@@ -342,15 +342,23 @@ class Wave10Spec extends AnyFunSuite {
       (hi, lo)
     }
     val hs = ids.map(id => id -> hashOf(id)).toMap
-    val model = (for {
-      i <- ids.indices; j <- i + 1 until ids.length
-      a = math.min(ids(i), ids(j)); b = math.max(ids(i), ids(j))
-      ham = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
-        java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+    val classes = ids.groupBy(hs).map { case (h, ds) =>
+      (ds.min, ds.length.toLong, h)
+    }.toSeq
+    val within = classes.collect { case (rep, n, _) if n >= 2 =>
+      (rep, rep, 0L, n * (n - 1) / 2)
+    }
+    val cross = for {
+      (ra, na, ha) <- classes; (rb, nb, hb) <- classes
+      if ra < rb
+      ham = java.lang.Long.bitCount(ha._1 ^ hb._1) +
+        java.lang.Long.bitCount(ha._2 ^ hb._2)
       if ham <= 3
-    } yield (a, b, ham.toLong)).sorted
+    } yield (ra, rb, ham.toLong, na * nb)
+    val model = (within ++ cross).sortBy(t => (t._1, t._2))
     val got = MultimodalQueries.imagePhashDedup(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
     assert(got === model)
   }
 
