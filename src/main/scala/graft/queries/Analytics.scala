@@ -1727,7 +1727,90 @@ object Analytics {
       |    conversion_ppm, p50_min, p90_min
       |FROM ns, nc, pct""".stripMargin
 
+  /** `abc_classification`: Pareto inventory classes — parts ranked by
+    * revenue, class A = the head up to 80% of cumulative revenue,
+    * B to 95%, C the tail (the warehouse 80/15/5 rule `whale_share`
+    * states for customers, here as the stocking-policy CLASSIFIER).
+    * Boundaries are cross-multiplied (cum·5 ≤ tot·4, cum·20 ≤ tot·19)
+    * so no float touches the decision; the output is the 3-row class
+    * summary (count, revenue, share ppm) — scale-invariant.
+    *
+    * Plan shape: one fact shuffle to part grain, then the DESCENDING
+    * variant of the sharded prefix sum: revenue-bucket shards,
+    * in-shard windows ordered rev DESC, and the triangular offsets
+    * join reversed (higher-revenue shards accumulate first) — never
+    * a global window. At 100 TB only the part-grain aggregate moves
+    * fact data.
+    */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.read(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(Quantize.cents(col("l_extendedprice"))).as("r"))
+    val tot = rev.agg(sum(col("r")).as("t"))
+    val sharded = rev
+      .crossJoin(broadcast(rev.agg(expr("max(r) div 64 + 1").as("wd"))))
+      .withColumn("shard", expr("r div wd"))
+      .localCheckpoint(eager = false) // window + shard totals
+    val wIn = Window.partitionBy(col("shard"))
+      .orderBy(col("r").desc, col("pk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shardTot = sharded.groupBy(col("shard")).agg(sum(col("r")).as("tr"))
+    val offsets = shardTot.as("a")
+      .join(
+        broadcast(shardTot.as("b")), col("b.shard") > col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.tr")), lit(0L)).as("off"))
+    sharded
+      .withColumn("cum_in", sum(col("r")).over(wIn))
+      .join(broadcast(offsets), "shard")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", col("off") + col("cum_in"))
+      .withColumn(
+        "abc_class",
+        when(col("cum") * 5 <= col("t") * 4, "A")
+          .when(col("cum") * 20 <= col("t") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("r")).as("revenue_cents"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("abc_class"), col("n_parts"), col("revenue_cents"),
+        // revenue·10⁶ crosses 2^63 past ~9·10¹² cents — DECIMAL(38,0)
+        // for the cross-multiplied term (the gini/linreg discipline)
+        expr("CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000" +
+          " div t AS BIGINT)").as("share_ppm"))
+      .orderBy("abc_class")
+  }
+
+  def abcClassificationOracle: String =
+    s"""WITH rev AS (
+       |  SELECT l_partkey pk,
+       |    CAST(SUM(${Quantize.centsSql("l_extendedprice")}) AS BIGINT) r
+       |  FROM lineitem GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(r) AS BIGINT) t FROM rev),
+       |c AS (
+       |  SELECT r,
+       |    CAST(SUM(r) OVER (ORDER BY r DESC, pk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) cum
+       |  FROM rev),
+       |cls AS (
+       |  SELECT r, CASE WHEN cum * 5 <= t * 4 THEN 'A'
+       |    WHEN cum * 20 <= t * 19 THEN 'B' ELSE 'C' END abc_class
+       |  FROM c, tot)
+       |SELECT abc_class, CAST(count(*) AS BIGINT) n_parts,
+       |  CAST(SUM(r) AS BIGINT) revenue_cents,
+       |  CAST(CAST(SUM(r) AS HUGEINT) * 1000000 // t AS BIGINT) share_ppm
+       |FROM cls, tot GROUP BY abc_class, t
+       |ORDER BY abc_class""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "abc_classification", abcClassification,
+      Some(abcClassificationOracle)),
     QueryDef(
       "conversion_latency", conversionLatency,
       Some(conversionLatencyOracle)),

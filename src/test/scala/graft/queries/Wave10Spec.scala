@@ -362,6 +362,29 @@ class Wave10Spec extends AnyFunSuite {
     assert(got === model)
   }
 
+  test("abc_classification equals a plain-Scala Pareto replay") {
+    val rev = Tables.read(spark, dir, "lineitem")
+      .selectExpr("l_partkey", "cast(round(l_extendedprice * 100) as long) c")
+      .groupBy("l_partkey").agg(org.apache.spark.sql.functions.sum("c")
+        .as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val t = rev.map(_._2).sum
+    var cum = 0L
+    val classed = rev.sortBy { case (pk, r) => (-r, pk) }.map { case (_, r) =>
+      cum += r
+      (r, if (cum * 5 <= t * 4) "A" else if (cum * 20 <= t * 19) "B"
+        else "C")
+    }
+    val model = classed.groupBy(_._2).map { case (cl, xs) =>
+      (cl, xs.length.toLong, xs.map(_._1).sum,
+        (BigInt(xs.map(_._1).sum) * 1000000 / t).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Analytics.abcClassification(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === model)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
