@@ -1598,7 +1598,81 @@ object Extended {
        |    AS BIGINT) range_3d
        |FROM base ORDER BY priority, d, okey""".stripMargin
 
+  /** `topk_tie_battery`: the three top-k cutoffs pinned side by side —
+    * `row_number ≤ k` (exactly k rows, ties broken arbitrarily unless
+    * the key is unique), `rank ≤ k` (ties at the boundary ALL come
+    * back — more than k rows), `dense_rank ≤ k` (k distinct VALUES —
+    * possibly many more rows) — the top-k wrong-answer class: a
+    * report that switches function silently changes its row count on
+    * tied data. Counted per order priority over the tie-rich
+    * day-grain revenue (many days share a total at cents grain? no —
+    * ties are manufactured honestly by ranking on the DAY of the
+    * month, which has massive ties), k = 3. Output per (priority,
+    * method): n_rows and revenue sum — the discrepancy IS the data.
+    * row_number's arbitrary-tie hazard is removed the only correct
+    * way: a unique tie-break key in ITS ordering only, so the three
+    * methods differ exactly where their semantics differ, not where
+    * physical order leaks.
+    *
+    * Plan shape: one shuffle(priority); three windows share the sort;
+    * 15-row output.
+    */
+  def topkTieBattery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.read(spark, dir, "orders")
+      .select(
+        col("o_orderpriority").as("priority"),
+        dayofmonth(to_date(col("o_orderdate"))).cast("long").as("dom"),
+        col("o_orderkey").as("okey"),
+        Quantize.cents(col("o_totalprice")).as("cents"))
+    val byTie = Window.partitionBy(col("priority"))
+      .orderBy(col("dom").desc)
+    val byUnique = Window.partitionBy(col("priority"))
+      .orderBy(col("dom").desc, col("okey"))
+    val ranked = base.select(
+      col("priority"), col("cents"),
+      row_number().over(byUnique).as("rn"),
+      rank().over(byTie).as("rk"),
+      dense_rank().over(byTie).as("dr"))
+    def side(m: String, keep: org.apache.spark.sql.Column) =
+      ranked.where(keep)
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("revenue"))
+        .select(col("priority"), lit(m).as("method"), col("n_rows"),
+          col("revenue"))
+    side("dense_rank", col("dr") <= 3)
+      .unionByName(side("rank", col("rk") <= 3))
+      .unionByName(side("row_number", col("rn") <= 3))
+      .orderBy("priority", "method")
+  }
+
+  def topkTieBatteryOracle: String =
+    s"""WITH base AS (
+       |  SELECT o_orderpriority priority,
+       |    CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) dom,
+       |    o_orderkey okey, ${Quantize.centsSql("o_totalprice")} cents
+       |  FROM orders),
+       |r AS (
+       |  SELECT priority, cents,
+       |    row_number() OVER (PARTITION BY priority
+       |      ORDER BY dom DESC, okey) rn,
+       |    rank() OVER (PARTITION BY priority ORDER BY dom DESC) rk,
+       |    dense_rank() OVER (PARTITION BY priority ORDER BY dom DESC) dr
+       |  FROM base)
+       |SELECT priority, m AS method, CAST(n_rows AS BIGINT) n_rows,
+       |  CAST(revenue AS BIGINT) revenue FROM (
+       |  SELECT priority, 'dense_rank' m, count(*) n_rows,
+       |    SUM(cents) revenue FROM r WHERE dr <= 3 GROUP BY 1
+       |  UNION ALL
+       |  SELECT priority, 'rank', count(*), SUM(cents)
+       |  FROM r WHERE rk <= 3 GROUP BY 1
+       |  UNION ALL
+       |  SELECT priority, 'row_number', count(*), SUM(cents)
+       |  FROM r WHERE rn <= 3 GROUP BY 1)
+       |ORDER BY priority, method""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "topk_tie_battery", topkTieBattery, Some(topkTieBatteryOracle)),
     QueryDef(
       "range_frame_battery", rangeFrameBattery,
       Some(rangeFrameBatteryOracle)),
