@@ -1807,7 +1807,93 @@ object Analytics {
        |FROM cls, tot GROUP BY abc_class, t
        |ORDER BY abc_class""".stripMargin
 
+  /** `lorenz_deciles`: the CURVE behind [[giniIndex]]'s scalar — at
+    * each population decile (users ordered by purchase value
+    * ascending), the share of total value the bottom d/10 of users
+    * hold, both axes in exact ppm. The readable form of inequality:
+    * gini says 0.62, Lorenz says "the bottom half holds 9%". Decile
+    * row d = the last VALUE row where cumulative population ≤ d·n/10
+    * (cross-multiplied), so the 10-row output is scale-invariant and
+    * exact — no interpolation, no float.
+    *
+    * Plan shape: per-user aggregate (the one fact-sized step), value
+    * HISTOGRAM, then the gini sharded prefix sum for cumulative
+    * population AND value per distinct value — shard-partitioned
+    * windows + triangular offsets, never a global window; decile
+    * selection is a 10-way conditional aggregate over the
+    * histogram-sized relation.
+    */
+  def lorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(Quantize.cents(col("value"))).as("x"))
+    val hist = perUser.groupBy(col("x"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // width + shards + totals
+    val tot = hist.agg(
+      sum(col("c")).as("n"), sum(col("x") * col("c")).as("tv"))
+    val sharded = hist
+      .crossJoin(broadcast(hist.agg(expr("max(x) div 64 + 1").as("wd"))))
+      .withColumn("shard", expr("x div wd"))
+      .localCheckpoint(eager = false) // window + shard totals
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shardTot = sharded.groupBy(col("shard"))
+      .agg(sum(col("c")).as("tc"), sum(col("x") * col("c")).as("txv"))
+    val offsets = shardTot.as("a")
+      .join(
+        broadcast(shardTot.as("b")), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(
+        coalesce(sum(col("b.tc")), lit(0L)).as("offc"),
+        coalesce(sum(col("b.txv")), lit(0L)).as("offv"))
+    val cum = sharded
+      .withColumn("cin", sum(col("c")).over(wIn))
+      .withColumn("vin", sum(col("x") * col("c")).over(wIn))
+      .join(broadcast(offsets), "shard")
+      .select(
+        (col("offc") + col("cin")).as("cpop"),
+        (col("offv") + col("vin")).as("cval"))
+      .crossJoin(broadcast(tot))
+    val decile = explode(array((1L to 10L).map(lit(_)): _*)).as("decile")
+    cum
+      .select(col("cpop"), col("cval"), col("n"), col("tv"), decile)
+      .where(col("cpop") * 10 <= col("n") * col("decile"))
+      .groupBy(col("decile"))
+      .agg(
+        max(col("cpop")).as("mp"),
+        max(col("cval")).as("mv"),
+        max(col("n")).as("n"), max(col("tv")).as("tv"))
+      .select(
+        col("decile"),
+        expr("mp * 1000000 div n").as("cum_pop_ppm"),
+        expr("mv * 1000000 div tv").as("cum_value_ppm"))
+      .orderBy("decile")
+  }
+
+  def lorenzDecilesOracle: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, CAST(SUM(${Quantize.centsSql("value")}) AS BIGINT) x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |h AS (SELECT x, CAST(count(*) AS BIGINT) c FROM pu GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) n,
+       |    CAST(SUM(x * c) AS BIGINT) tv FROM h),
+       |cum AS (
+       |  SELECT CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) cpop,
+       |    CAST(SUM(x * c) OVER (ORDER BY x) AS BIGINT) cval
+       |  FROM h),
+       |d AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) decile)
+       |SELECT decile,
+       |  CAST(MAX(cpop) AS BIGINT) * 1000000 // n cum_pop_ppm,
+       |  CAST(MAX(cval) AS BIGINT) * 1000000 // tv cum_value_ppm
+       |FROM cum, d, tot
+       |WHERE cpop * 10 <= n * decile
+       |GROUP BY decile, n, tv ORDER BY decile""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("lorenz_deciles", lorenzDeciles, Some(lorenzDecilesOracle)),
     QueryDef(
       "abc_classification", abcClassification,
       Some(abcClassificationOracle)),

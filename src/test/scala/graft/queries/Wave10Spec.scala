@@ -385,6 +385,39 @@ class Wave10Spec extends AnyFunSuite {
     assert(got === model)
   }
 
+  test("lorenz_deciles equals a plain-Scala cumulative replay") {
+    val xs = Tables.events(spark, dir)
+      .where("event_type = 'purchase'")
+      .selectExpr("user_id", "cast(round(value * 100) as long) c")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.sum("c")
+        .as("x"))
+      .collect().map(_.getLong(1)).sorted
+    val n = xs.length.toLong
+    val tv = xs.sum
+    // histogram (distinct-value) grain, matching the stated
+    // semantics: cumulative rows are tie-group ENDS, not per-user
+    // positions (diverges on ties otherwise)
+    val hist = xs.groupBy(identity).toSeq
+      .map { case (v, g) => (v, g.length.toLong) }.sortBy(_._1)
+    val cums = hist
+      .scanLeft((0L, 0L)) { case ((cp, cv), (v, c)) =>
+        (cp + c, cv + v * c)
+      }.tail
+    val model = (1L to 10L).flatMap { d =>
+      val qual = cums.filter { case (cpop, _) => cpop * 10 <= n * d }
+      if (qual.isEmpty) None
+      else {
+        val (mp, mv) = (qual.map(_._1).max, qual.map(_._2).max)
+        Some((d, mp * 1000000L / n, mv * 1000000L / tv))
+      }
+    }
+    val got = Analytics.lorenzDeciles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === model)
+    // the curve is convex-monotone: value share never exceeds pop share
+    got.foreach { case (_, p, v) => assert(v <= p) }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
