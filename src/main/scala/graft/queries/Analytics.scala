@@ -401,6 +401,78 @@ object Analytics {
       |WHERE t.dom > 23
       |GROUP BY t.dow ORDER BY dow""".stripMargin
 
+  /** Pinned ppm EWMA kernel — floor(10⁶·α·(1−α)^l) for α=¼ and lags
+    * 0..13, quantized ONCE as integer literals consumed by both
+    * engines (the ndcg_eval discount-table discipline: an irrational
+    * intermediate can never diverge a hash). The bounded-lag form IS
+    * the production streaming form — an unbounded EWMA needs the full
+    * history; 14 taps of a ¼-decay carry >98% of the mass.
+    */
+  private val EwmaW: Seq[Long] = Seq(250000L, 187500L, 140625L, 105468L,
+    79101L, 59326L, 44494L, 33370L, 25028L, 18771L, 14078L, 10558L,
+    7919L, 5939L)
+  private val EwmaWSql = EwmaW.zipWithIndex
+    .map { case (w, l) => s"WHEN lag = $l THEN $w" }
+    .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** `ewma_smooth`: exponentially-weighted moving average of daily
+    * event revenue — the smoothing a monitoring dashboard layers on
+    * the raw series before alerting (the suite's cusum_shift and
+    * seasonal_anomaly detect; this is the smoother they read).
+    * Weights are the pinned integer kernel above; the average is
+    * SELF-NORMALIZING over the days actually present (Σw·rev div Σw
+    * of present lags), so sparse edges and calendar gaps degrade
+    * gracefully instead of reading absent days as zero revenue.
+    *
+    * Plan shape: one fact scan → day-grain aggregate (the calendar
+    * grid is dimension-sized at any corpus size) → banded broadcast
+    * self-join (14 lags per day, grid×14 rows) → day-grain aggregate.
+    * The fact table is touched exactly once; at 100 TB the smoother
+    * costs one day-grain shuffle and nothing else.
+    */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), Quantize.cents(col("value")).as("vc"))
+      .groupBy(col("d"))
+      .agg(sum(col("vc")).as("day_cents"))
+      .localCheckpoint(eager = false) // both sides of the lag self-join
+    daily
+      .join(
+        broadcast(daily.toDF("pd", "p_cents")),
+        col("pd") <= col("d") && col("pd") >= date_sub(col("d"), 13))
+      .withColumn("lag", datediff(col("d"), col("pd")))
+      .withColumn("w", expr(EwmaWSql).cast("long"))
+      .groupBy(col("d"))
+      .agg(
+        max(col("day_cents")).as("day_cents"),
+        sum(col("w") * col("p_cents")).as("num"),
+        sum(col("w")).as("den"))
+      .select(
+        col("d"), col("day_cents"),
+        // num can be negative if a day's value sum is (events values
+        // are non-negative here, but the convention is structural):
+        // sign-split the floor division per the suite rule
+        expr("CASE WHEN num < 0 THEN -((-num) div den) " +
+          "ELSE num div den END").as("ewma_cents"))
+      .orderBy("d")
+  }
+
+  def ewmaSmoothOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) d, SUM(${Quantize.centsSql("value")}) day_cents
+       |  FROM events GROUP BY 1),
+       |j AS (
+       |  SELECT c.d, c.day_cents, date_diff('day', p.d, c.d) lag,
+       |    p.day_cents p_cents
+       |  FROM daily c JOIN daily p
+       |    ON p.d <= c.d AND p.d >= c.d - 13),
+       |wj AS (SELECT d, day_cents, CAST($EwmaWSql AS BIGINT) w, p_cents FROM j)
+       |SELECT d, CAST(MAX(day_cents) AS BIGINT) day_cents,
+       |  CAST(CASE WHEN SUM(w * p_cents) < 0
+       |    THEN -((-SUM(w * p_cents)) // SUM(w))
+       |    ELSE SUM(w * p_cents) // SUM(w) END AS BIGINT) ewma_cents
+       |FROM wj GROUP BY d ORDER BY d""".stripMargin
+
   /** Recency-decayed per-user activity leaderboard: every event's
     * weight is 2^(30 − age_days) relative to a fixed as-of date —
     * half-life of one day expressed in EXACT integer powers of two
@@ -1935,5 +2007,6 @@ object Analytics {
     QueryDef("scd2_history", scd2History, Some(scd2HistoryOracle)),
     QueryDef("pit_join", pitJoin, Some(pitJoinOracle)),
     QueryDef("rolling_revenue", rollingRevenue, Some(rollingRevenueOracle)),
-    QueryDef("rolling_median", rollingMedian, Some(rollingMedianOracle)))
+    QueryDef("rolling_median", rollingMedian, Some(rollingMedianOracle)),
+    QueryDef("ewma_smooth", ewmaSmooth, Some(ewmaSmoothOracle)))
 }

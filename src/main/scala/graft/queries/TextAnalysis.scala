@@ -1602,6 +1602,138 @@ object TextAnalysis {
        |LEFT JOIN rk ON qd.qdoc = rk.qdoc
        |ORDER BY query_doc""".stripMargin
 
+  /** Pinned ppm DCG discount table — floor(10⁶ / log2(1+r)) for ranks
+    * 1..10, quantized ONCE here as integer literals (both engines
+    * consume the same table, so the irrational log2 values can never
+    * diverge a hash by one ulp), exactly as quality_classifier pins
+    * its feature weights. `NdcgCumSql` is the running sum — the ideal
+    * DCG of k relevant documents.
+    */
+  private val NdcgW: Seq[Long] = Seq(1000000L, 630929L, 500000L, 430676L,
+    386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+  private val NdcgCum: Seq[Long] = NdcgW.scanLeft(0L)(_ + _).tail
+
+  private def caseOver(arms: Seq[(Int, Long)], key: String): String =
+    arms.map { case (r, w) => s"WHEN $key = $r THEN $w" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  private val NdcgWSql = caseOver(NdcgW.zipWithIndex.map {
+    case (w, i) => (i + 1, w) }, "rnk")
+  private val NdcgCumSql = caseOver(NdcgCum.zipWithIndex.map {
+    case (w, i) => (i + 1, w) }, "k")
+
+  /** `ndcg_eval`: NDCG@10 for the trigram-overlap ranker on the
+    * near-dup relevance labels — the GRADED companion of `mrr_eval`
+    * (MRR sees only the best hit; NDCG charges every relevant doc the
+    * ranker buried below rank 10). Binary gains with the pinned ppm
+    * log2 discount table above: dcg = Σ_{rel, rank≤10} w(rank),
+    * idcg = cumw(min(n_relevant, 10)), ndcg_ppm = dcg·10⁶ div idcg.
+    * A relevant doc sharing no trigram with its query is unranked —
+    * it contributes 0 to DCG but still counts in IDCG, so unreachable
+    * relevance DEGRADES the score rather than silently vanishing.
+    *
+    * Plan shape: ranks come from counting strictly-better candidates
+    * per (query, relevant) pair — the scores relation joined to its
+    * relevant slice on qdoc (co-partitioned equi join with a residual
+    * comparison), never a global sort or per-query top-k
+    * materialization; everything downstream is query-grain. At 100 TB
+    * the gram join inherits mrr_eval's pruning story.
+    */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.ccLabelsShared(spark, dir)
+    val qdocs = labels.select(col("root")).distinct()
+    val rel = labels.where(col("doc") =!= col("root"))
+      .select(col("root").as("qdoc"), col("doc").as("rdoc"))
+    val post = Dedup.shingles(spark, dir)
+    val qpost = post
+      .join(qdocs.withColumnRenamed("root", "doc_id"), "doc_id")
+      .select(col("doc_id").as("qdoc"), col("shingle"))
+    val scores = qpost
+      .join(post.withColumnRenamed("doc_id", "doc"), "shingle")
+      .where(col("doc") =!= col("qdoc"))
+      .groupBy(col("qdoc"), col("doc"))
+      .agg(count(lit(1)).as("score"))
+      .localCheckpoint(eager = false) // relevant slice + rank counting
+    val relScored = scores
+      .join(
+        rel,
+        scores("qdoc") === rel("qdoc") && scores("doc") === rel("rdoc"))
+      .select(scores("qdoc"), col("doc").as("rdoc"), col("score").as("s_rel"))
+    val ranks = relScored
+      .join(scores.toDF("qdoc", "cdoc", "cscore"), Seq("qdoc"))
+      .where(
+        col("cscore") > col("s_rel") ||
+          (col("cscore") === col("s_rel") && col("cdoc") < col("rdoc")))
+      .groupBy(col("qdoc"), col("rdoc"))
+      .agg(count(lit(1)).as("n_better"))
+    val dcg = relScored
+      .join(ranks, Seq("qdoc", "rdoc"), "left")
+      .withColumn("rnk", coalesce(col("n_better"), lit(0L)) + 1L)
+      .where(col("rnk") <= 10)
+      .groupBy(col("qdoc"))
+      .agg(
+        count(lit(1)).as("n_top10"),
+        sum(expr(NdcgWSql)).as("dcg_wppm"))
+    val nrel = rel.groupBy(col("qdoc")).agg(count(lit(1)).as("n_relevant"))
+    nrel
+      .join(dcg, Seq("qdoc"), "left")
+      .select(
+        col("qdoc").as("query_doc"), col("n_relevant"),
+        coalesce(col("n_top10"), lit(0L)).as("n_top10"),
+        coalesce(col("dcg_wppm"), lit(0L)).as("dcg_wppm"),
+        expr(s"least(n_relevant, 10)").as("k"))
+      .withColumn("idcg_wppm", expr(NdcgCumSql).cast("long"))
+      .select(
+        col("query_doc"), col("n_relevant"), col("n_top10"),
+        col("dcg_wppm"), col("idcg_wppm"),
+        expr("dcg_wppm * 1000000 div idcg_wppm").as("ndcg_ppm"))
+      .orderBy("query_doc")
+  }
+
+  def ndcgEvalOracle: String =
+    s"""WITH RECURSIVE ${Dedup.ShinglesSql},
+       |${Dedup.MinhashPairsCtes},
+       |ed AS (SELECT a src, b dst FROM lshpairs
+       |       UNION SELECT b, a FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS doc, dst AS r FROM ed
+       |  UNION
+       |  SELECT reach.doc, ed.dst FROM reach JOIN ed ON reach.r = ed.src),
+       |comp AS (
+       |  SELECT doc, least(doc, MIN(r)) AS root FROM reach GROUP BY doc),
+       |rel AS (SELECT root qdoc, doc rdoc FROM comp WHERE doc <> root),
+       |qd AS (SELECT DISTINCT root qdoc FROM comp),
+       |qpost AS (SELECT qd.qdoc, sh.shingle
+       |  FROM sh JOIN qd ON sh.doc_id = qd.qdoc),
+       |scores AS (SELECT q.qdoc, s.doc_id doc, CAST(count(*) AS BIGINT) score
+       |  FROM qpost q JOIN sh s
+       |    ON q.shingle = s.shingle AND s.doc_id <> q.qdoc
+       |  GROUP BY 1, 2),
+       |rs AS (SELECT sc.qdoc, sc.doc rdoc, sc.score s_rel
+       |  FROM scores sc JOIN rel ON sc.qdoc = rel.qdoc AND sc.doc = rel.rdoc),
+       |rk AS (SELECT rs.qdoc, rs.rdoc,
+       |    CAST(count(*) AS BIGINT) + 1 AS rnk
+       |  FROM rs JOIN scores s ON rs.qdoc = s.qdoc
+       |  WHERE s.score > rs.s_rel
+       |    OR (s.score = rs.s_rel AND s.doc < rs.rdoc)
+       |  GROUP BY 1, 2),
+       |rked AS (SELECT rs.qdoc, COALESCE(rk.rnk, 1) rnk
+       |  FROM rs LEFT JOIN rk ON rs.qdoc = rk.qdoc AND rs.rdoc = rk.rdoc),
+       |dcg AS (SELECT qdoc, CAST(count(*) AS BIGINT) n_top10,
+       |    CAST(SUM($NdcgWSql) AS BIGINT) dcg_wppm
+       |  FROM rked WHERE rnk <= 10 GROUP BY 1),
+       |nrel AS (SELECT qdoc, CAST(count(*) AS BIGINT) n_relevant
+       |  FROM rel GROUP BY 1),
+       |fin AS (SELECT nrel.qdoc query_doc, nrel.n_relevant,
+       |    COALESCE(dcg.n_top10, 0) n_top10,
+       |    COALESCE(dcg.dcg_wppm, 0) dcg_wppm,
+       |    least(nrel.n_relevant, 10) k
+       |  FROM nrel LEFT JOIN dcg ON nrel.qdoc = dcg.qdoc)
+       |SELECT query_doc, n_relevant, n_top10, dcg_wppm,
+       |  CAST(($NdcgCumSql) AS BIGINT) idcg_wppm,
+       |  dcg_wppm * 1000000 // ($NdcgCumSql) ndcg_ppm
+       |FROM fin ORDER BY query_doc""".stripMargin
+
   /** `ngram_novelty`: first-occurrence attribution — per document,
     * the share of its distinct trigrams whose corpus-wide FIRST
     * occurrence (min doc_id, the ingest-order proxy) is this
@@ -1897,6 +2029,7 @@ object TextAnalysis {
     QueryDef(
       "collision_entropy", collisionEntropy, Some(collisionEntropyOracle)),
     QueryDef("mrr_eval", mrrEval, Some(mrrEvalOracle)),
+    QueryDef("ndcg_eval", ndcgEval, Some(ndcgEvalOracle)),
     QueryDef(
       "source_overlap_matrix", sourceOverlapMatrix,
       Some(sourceOverlapMatrixOracle)),

@@ -815,14 +815,30 @@ object TrainingPipeline {
     * aggregate. At 100 TB: map-side-combinable; the scorer adds zero
     * exchanges to whatever pipeline hosts it.
     */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  /** Doc-grain (doc_id, source, lang, score) quality-score relation —
+    * single-sourced so [[qualityClassifier]] and the evaluation
+    * battery ([[Evaluation]]: auc_roc / calibration_bins / pr_curve)
+    * can never diverge on the score definition. Same pinned integer
+    * weights and div-floor features as always; `lang` rides along as
+    * the binary ground-truth label the eval gates grade against
+    * (the stopword feature is English-biased by construction, so
+    * lang='en' is the positive class a real quality scorer would be
+    * audited on).
+    */
+  def qualityScoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val toksCol = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
     val stopArr = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
-    val feats = Tables.read(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("text"),
+    val score =
+      expr("(n_stop * 1000000 div n_tok) div 100") + // stopword share
+        expr("least(n_tok, 200) * 1000 div 200") + // length saturation
+        -expr("abs(n_chars * 1000 div n_tok - 5500) div 2") - // word-length shape
+        expr("(n_digit * 1000000 div n_chars) div 100") - // digit share
+        expr("(n_punct * 1000000 div n_chars) div 100") // punct share
+    Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
         explode(array(toksCol)).as("t")) // Generate barrier: tokenize once
       .select(
-        col("source"),
+        col("doc_id"), col("source"), col("lang"),
         size(col("t")).cast("long").as("n_tok"),
         length(col("text")).cast("long").as("n_chars"),
         size(filter(col("t"), x => array_contains(stopArr, x)))
@@ -834,14 +850,36 @@ object TrainingPipeline {
           length(regexp_replace(col("text"), "[0-9]", "")))
           .cast("long").as("n_digit"))
       .where(col("n_tok") > 0 && col("n_chars") > 0)
-    val score =
-      expr("(n_stop * 1000000 div n_tok) div 100") + // stopword share
-        expr("least(n_tok, 200) * 1000 div 200") + // length saturation
-        -expr("abs(n_chars * 1000 div n_tok - 5500) div 2") - // word-length shape
-        expr("(n_digit * 1000000 div n_chars) div 100") - // digit share
-        expr("(n_punct * 1000000 div n_chars) div 100") // punct share
-    feats
       .withColumn("score", score)
+      .select(col("doc_id"), col("source"), col("lang"), col("score"))
+  }
+
+  /** The DuckDB twin of [[qualityScoredDocs]]: CTEs `qt` (features)
+    * and `qscore` (doc_id, source, lang, score) — splice with
+    * `WITH $QualityScoreCtes, ...`. Kept beside the Spark definition
+    * so a weight change edits one file, both engines.
+    */
+  val QualityScoreCtes: String =
+    """qt AS (
+      |  SELECT doc_id, source, lang,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) n_tok,
+      |    length(text) n_chars,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |        x -> list_contains(['the','a','and','of','to','in'], x))) n_stop,
+      |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) n_punct,
+      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) n_digit
+      |  FROM documents),
+      |qscore AS (
+      |  SELECT doc_id, source, lang,
+      |    (n_stop * 1000000 // n_tok) // 100
+      |    + least(n_tok, 200) * 1000 // 200
+      |    - abs(n_chars * 1000 // n_tok - 5500) // 2
+      |    - (n_digit * 1000000 // n_chars) // 100
+      |    - (n_punct * 1000000 // n_chars) // 100 AS score
+      |  FROM qt WHERE n_tok > 0 AND n_chars > 0)""".stripMargin
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    qualityScoredDocs(spark, dir)
       .withColumn("keep", (col("score") >= 800).cast("long"))
       .groupBy(col("source"))
       .agg(
@@ -859,23 +897,8 @@ object TrainingPipeline {
   }
 
   def qualityClassifierOracle: String =
-    """WITH t AS (
-      |  SELECT source,
-      |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) n_tok,
-      |    length(text) n_chars,
-      |    len(list_filter(string_split_regex(lower(text), '\s+'),
-      |        x -> list_contains(['the','a','and','of','to','in'], x))) n_stop,
-      |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) n_punct,
-      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) n_digit
-      |  FROM documents),
-      |s AS (
-      |  SELECT source,
-      |    (n_stop * 1000000 // n_tok) // 100
-      |    + least(n_tok, 200) * 1000 // 200
-      |    - abs(n_chars * 1000 // n_tok - 5500) // 2
-      |    - (n_digit * 1000000 // n_chars) // 100
-      |    - (n_punct * 1000000 // n_chars) // 100 AS score
-      |  FROM t WHERE n_tok > 0 AND n_chars > 0)
+    s"""WITH $QualityScoreCtes,
+      |s AS (SELECT source, score FROM qscore)
       |SELECT source, CAST(count(*) AS BIGINT) n_docs,
       |  CAST(sum(CASE WHEN score >= 800 THEN 1 ELSE 0 END) AS BIGINT) n_keep,
       |  CAST(sum(CASE WHEN score >= 800 THEN 1 ELSE 0 END) * 1000000
