@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Pure-SQL entry points — queries stated through `spark.sql` rather
   * than the DataFrame API, exercising surface Spark 4 only recently
@@ -297,7 +298,251 @@ object SqlSurface {
       |WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey)
       |ORDER BY mode""".stripMargin
 
+  /** `survival_km`: the Kaplan-Meier time-to-conversion curve over
+    * the events table — per duration hour t: at-risk count n_at,
+    * conversions d, right-censorings c, and the KM survival estimate
+    * S(t) in ppm ("share not yet purchased t hours after first
+    * contact"). Each user enters at their first event and is followed
+    * for a fixed 48-hour horizon, truncated at the data window's end
+    * for late entrants: first purchase inside the follow-up = event
+    * at t = hours(purchase − entry); otherwise right-censored at the
+    * follow-up's end. That mix of fixed-horizon and data-end
+    * censoring is exactly what makes the naive "share converted by
+    * hour t" curve wrong (truncated users can't have converted late)
+    * and KM the estimator a conversion dashboard actually needs —
+    * the curve form of the suite's signup-to-purchase latency
+    * percentiles. The product Π(1 − d_i/n_i) is stated through the
+    * NATIVE recursive CTE over the hour grid, ppm-floored at each
+    * step identically in both engines (every operand is
+    * non-negative, so Spark's truncating `div` and DuckDB's flooring
+    * `//` agree) — hash-exact with zero floats. Hours with d=0
+    * multiply by n/n and leave S unchanged, so iterating the full
+    * grid adds no rounding drift.
+    *
+    * Plan: one fact shuffle (user-grain min/conditional-min), then
+    * an hour-grain aggregate — the time axis is BOUNDED (≤ horizon
+    * hours rows regardless of user count), so rn and the at-risk
+    * prefix come from the triangular broadcast self-join on the
+    * hour grid (no unpartitioned window) and the recursion walks
+    * grid rows only: depth ≤ 49 here, ~10³ at a multi-week horizon,
+    * whatever the corpus size. The recursion level limit is raised
+    * try/finally per the rcte_levels discipline (a long-horizon
+    * variant would trip the default 100), with the result forced
+    * inside the raised window.
+    */
+  /** 48-hour follow-up horizon in micros, shared by the Spark plan
+    * and (as a literal) the oracle SQL. Declared before
+    * [[SurvivalLabelCtes]] — a val forward reference would splice 0.
+    */
+  private val HorizonUs: Long = 48L * 3600000000L
+
+  /** User-grain conversion-survival labels (user_id, t hours, ev
+    * 0/1): entry at first event, first purchase inside the 48-hour
+    * follow-up (truncated at the data window's end) = event at
+    * t = hours(purchase − entry), otherwise right-censored at the
+    * follow-up's end. Single-sourced so [[survivalKm]] and the
+    * two-cohort comparison ([[Evaluation]]'s `log_rank_test`) can
+    * never diverge on the censoring rule.
+    */
+  private[queries] def survivalLabels(
+      spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val usr = ev.groupBy(col("user_id"))
+      .agg(
+        min(unix_micros(col("ts"))).as("fu"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("pu"))
+    val endRel = ev.agg(max(unix_micros(col("ts"))).as("endu"))
+    usr
+      .crossJoin(broadcast(endRel)) // 1-row total: documented exception
+      .withColumn("fup", least(col("fu") + lit(HorizonUs), col("endu")))
+      .select(
+        col("user_id"),
+        when(
+          col("pu").isNotNull && col("pu") < col("fup"),
+          expr("(pu - fu) div 3600000000"))
+          .otherwise(expr("(fup - fu) div 3600000000")).as("t"),
+        (col("pu").isNotNull && col("pu") < col("fup"))
+          .cast("long").as("ev"))
+  }
+
+  /** The DuckDB twin of [[survivalLabels]]: CTEs `svu`/`sve`/`svlab`
+    * (user_id, t, ev) — splice with `WITH [RECURSIVE] $..., ...`.
+    */
+  private[queries] val SurvivalLabelCtes: String =
+    s"""svu AS (
+      |  SELECT user_id,
+      |    min(epoch_us(CAST(ts AS TIMESTAMP))) fu,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) pu
+      |  FROM events GROUP BY 1),
+      |sve AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) endu FROM events),
+      |svlab AS (
+      |  SELECT user_id,
+      |    CASE WHEN pu IS NOT NULL AND pu < fup
+      |      THEN (pu - fu) // 3600000000
+      |      ELSE (fup - fu) // 3600000000 END t,
+      |    CASE WHEN pu IS NOT NULL AND pu < fup THEN 1 ELSE 0 END ev
+      |  FROM (SELECT user_id, fu, pu, least(fu + $HorizonUs, endu) fup
+      |        FROM svu CROSS JOIN sve))""".stripMargin
+
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val lab = survivalLabels(spark, dir)
+    val dg = lab.groupBy(col("t"))
+      .agg(
+        sum(col("ev")).as("d"),
+        (count(lit(1)) - sum(col("ev"))).as("c"))
+      .localCheckpoint(eager = false) // totals + triangular join reuse
+    val tot = dg.agg(sum(col("d") + col("c")).as("ntot"))
+    val km = dg.as("a")
+      .join(
+        broadcast(dg.select(
+          col("t").as("t2"), (col("d") + col("c")).as("rm2"))),
+        col("t2") < col("a.t"), "left")
+      .groupBy(col("a.t").as("t"), col("a.d").as("d"), col("a.c").as("c"))
+      .agg(
+        (count(col("t2")) + 1).as("rn"),
+        coalesce(sum(col("rm2")), lit(0L)).as("rm_below"))
+      .crossJoin(broadcast(tot)) // 1-row total: documented exception
+      .select(
+        col("rn"), col("t"), (col("ntot") - col("rm_below")).as("n_at"),
+        col("d"), col("c"))
+    km.createOrReplaceTempView("km_days_surv")
+    val key = "spark.sql.cteRecursionLevelLimit"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, 100000)
+    try {
+      spark.sql(
+        """WITH RECURSIVE s(rn, t, n_at, d, c, s_ppm) AS (
+          |  SELECT rn, t, n_at, d, c, (n_at - d) * 1000000L div n_at
+          |  FROM km_days_surv WHERE rn = 1
+          |  UNION ALL
+          |  SELECT k.rn, k.t, k.n_at, k.d, k.c,
+          |    s.s_ppm * (k.n_at - k.d) div k.n_at
+          |  FROM s JOIN km_days_surv k ON k.rn = s.rn + 1
+          |)
+          |SELECT t, n_at, d, c, s_ppm FROM s ORDER BY t""".stripMargin)
+        .localCheckpoint(eager = true)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  def survivalKmOracle: String =
+    s"""WITH RECURSIVE $SurvivalLabelCtes,
+      |lab AS (SELECT t, ev FROM svlab),
+      |dg AS (
+      |  SELECT CAST(t AS BIGINT) t, CAST(SUM(ev) AS BIGINT) d,
+      |    CAST(SUM(1 - ev) AS BIGINT) c
+      |  FROM lab GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) ntot FROM dg),
+      |km AS (
+      |  SELECT a.t, a.d, a.c, CAST(1 + COUNT(b.t) AS BIGINT) rn,
+      |    CAST(ntot - COALESCE(SUM(b.d + b.c), 0) AS BIGINT) n_at
+      |  FROM dg a CROSS JOIN tot LEFT JOIN dg b ON b.t < a.t
+      |  GROUP BY a.t, a.d, a.c, ntot),
+      |s AS (
+      |  SELECT rn, t, n_at, d, c,
+      |    CAST((n_at - d) * 1000000 // n_at AS BIGINT) s_ppm
+      |  FROM km WHERE rn = 1
+      |  UNION ALL
+      |  SELECT k.rn, k.t, k.n_at, k.d, k.c,
+      |    CAST(s.s_ppm * (k.n_at - k.d) // k.n_at AS BIGINT)
+      |  FROM s JOIN km k ON k.rn = s.rn + 1)
+      |SELECT t, n_at, d, c, s_ppm FROM s ORDER BY t""".stripMargin
+
+  /** `holt_linear`: Holt's double-exponential smoothing of the daily
+    * purchase-revenue series — level + trend with α = β = 1/4, the
+    * forecasting step up from `ewma_smooth` (a level-only smoother
+    * lags every ramp; the trend term is what tracks one), emitting
+    * per day the observed cents, smoothed level, trend, and the
+    * 7-step-ahead linear forecast l + 7b that a capacity plan reads.
+    * The recurrence l_t = (y_t + 3(l+b))/4, b_t = (l_t − l + 3b)/4 is
+    * inherently sequential — exactly what the NATIVE recursive CTE
+    * states — and every step quantizes to integer cents IDENTICALLY
+    * in both engines: the trend term goes NEGATIVE on a dip, and
+    * integer `div` (Spark) and integer `//` (DuckDB) BOTH truncate
+    * toward zero there (verified: -9846//4 = -2461 in DuckDB — its
+    * `//` floors only on doubles), so the plain quotient is already
+    * engine-identical and no sign-split is needed. Zero floats,
+    * hash-exact.
+    *
+    * Plan: one fact aggregate to the BOUNDED day grid, rn via the
+    * triangular broadcast self-join (no unpartitioned window), then
+    * a recursion of depth = days over grid rows only — ~10³ rows at
+    * a multi-year window, whatever the corpus size. The smoother
+    * runs over days PRESENT (rn-indexed, like ewma_smooth's
+    * self-normalization): a calendar gap advances one step, it does
+    * not inject a phantom zero-revenue day. Level limit raised
+    * try/finally per the rcte_levels discipline.
+    */
+  def holtLinear(spark: SparkSession, dir: String): DataFrame = {
+    val day = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(Quantize.cents(col("value"))).as("y_c"))
+      .localCheckpoint(eager = false) // both sides of the rn join
+    val rn = day.as("a")
+      .join(
+        broadcast(day.select(col("day").as("d2"))),
+        col("d2") < col("a.day"), "left")
+      .groupBy(col("a.day").as("day"), col("a.y_c").as("y_c"))
+      .agg((count(col("d2")) + 1).as("rn"))
+    rn.createOrReplaceTempView("holt_days")
+    // The two update equations; lNew is spliced into bNew because SQL
+    // cannot reference a select-list alias in the same select list.
+    val lNew = "(d.y_c + 3 * (h.l_c + h.b_c)) div 4"
+    val bNew = s"(($lNew) - h.l_c + 3 * h.b_c) div 4"
+    val key = "spark.sql.cteRecursionLevelLimit"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, 100000)
+    try {
+      spark.sql(
+        s"""WITH RECURSIVE h(rn, day, y_c, l_c, b_c) AS (
+          |  SELECT rn, day, y_c, y_c, 0L FROM holt_days WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.rn, d.day, d.y_c, $lNew, $bNew
+          |  FROM h JOIN holt_days d ON d.rn = h.rn + 1
+          |)
+          |SELECT day, y_c, l_c AS level_c, b_c AS trend_c,
+          |  l_c + 7 * b_c AS forecast7_c
+          |FROM h ORDER BY day""".stripMargin)
+        .localCheckpoint(eager = true)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  def holtLinearOracle: String =
+    s"""WITH RECURSIVE dg AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(SUM(${Quantize.centsSql("value")}) AS BIGINT) y_c
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |rnd AS (
+      |  SELECT a.day AS day, a.y_c, CAST(1 + COUNT(b.day) AS BIGINT) rn
+      |  FROM dg a LEFT JOIN dg b ON b.day < a.day
+      |  GROUP BY a.day, a.y_c),
+      |h AS (
+      |  SELECT rn, day, y_c, y_c l_c, CAST(0 AS BIGINT) b_c
+      |  FROM rnd WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.rn, d.day, d.y_c,
+      |    (d.y_c + 3 * (h.l_c + h.b_c)) // 4,
+      |    (((d.y_c + 3 * (h.l_c + h.b_c)) // 4) - h.l_c + 3 * h.b_c) // 4
+      |  FROM h JOIN rnd d ON d.rn = h.rn + 1)
+      |SELECT day, y_c, l_c AS level_c, b_c AS trend_c,
+      |  l_c + 7 * b_c AS forecast7_c
+      |FROM h ORDER BY day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("survival_km", survivalKm, Some(survivalKmOracle)),
+    QueryDef("holt_linear", holtLinear, Some(holtLinearOracle)),
     QueryDef(
       "not_in_null_trap", notInNullTrap, Some(notInNullTrapOracle)),
     QueryDef("sql_udf_surface", sqlUdfSurface, Some(sqlUdfSurfaceOracle)),

@@ -104,7 +104,14 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et"),
     "zh" -> Seq("de", "shi", "le"))
 
-  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+  /** Doc-grain langid predictions (doc_id, lang, predicted) — the
+    * relation BEHIND [[textLangid]]'s confusion matrix, exposed so the
+    * paired-comparison gates ([[graft.queries.Evaluation]]'s
+    * `mcnemar_test`) can line this detector up against another one on
+    * the same documents. Single-sourced: textLangid is exactly this
+    * aggregated, so the two can never disagree on the argmax rule.
+    */
+  def langidPredictions(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.read(spark, dir, "documents")
     val t = toks(lower(col("text")))
     val scored = Markers.foldLeft(
@@ -123,10 +130,37 @@ object TextAnalysis {
       }
     scored
       .withColumn("predicted", predicted)
+      .select(col("doc_id"), col("lang"), col("predicted"))
+  }
+
+  /** The DuckDB twin of [[langidPredictions]]: CTEs `lt` (tokens),
+    * `ls` (marker scores) and `lpred` (doc_id, lang, predicted) —
+    * splice with `WITH $LangidPredCtes, ...`. CTE names are prefixed
+    * so they can coexist with [[TrainingPipeline.QualityScoreCtes]]
+    * (qt/qscore) in one oracle statement.
+    */
+  val LangidPredCtes: String = {
+    val scores = Markers.map { case (l, ms) =>
+      val list = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(t, x -> list_contains($list, x))) AS BIGINT) s_$l"
+    }
+    val langs = Markers.map(_._1)
+    val predicted = langs.init.reverse
+      .foldLeft(s"'${langs.last}'") { (rest, l) =>
+        val beats =
+          langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN $beats THEN '$l' ELSE $rest END"
+      }
+    s"""lt AS (SELECT doc_id, lang, ${ToksSql.format("lower(text)")} t FROM documents),
+       |ls AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM lt),
+       |lpred AS (SELECT doc_id, lang, $predicted AS predicted FROM ls)""".stripMargin
+  }
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    langidPredictions(spark, dir)
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
-  }
 
   def textLangidOracle: String = {
     val scores = Markers.map { case (l, ms) =>

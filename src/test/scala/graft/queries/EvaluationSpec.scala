@@ -122,6 +122,187 @@ class EvaluationSpec extends AnyFunSuite {
       356207L, 333333L, 315464L, 301029L, 289064L))
   }
 
+  test("cohens_kappa equals a brute confusion-matrix replay") {
+    val preds = TextAnalysis.langidPredictions(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val n = preds.length.toLong
+    val diag = preds.count { case (y, p) => y == p }.toLong
+    val byTrue = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byPred = preds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val peNum = (byTrue.keySet ++ byPred.keySet).toSeq.map { l =>
+      byTrue.getOrElse(l, 0L) * byPred.getOrElse(l, 0L)
+    }.sum
+    val row = Evaluation.cohensKappa(spark, dir).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === diag * 1000000L / n)
+    assert(row.getLong(2) === peNum * 1000000L / (n * n))
+    val num = diag * n - peNum
+    val den = n * n - peNum
+    val expect =
+      if (num < 0) -((-num) * 1000000L / den) else num * 1000000L / den
+    assert(row.getLong(3) === expect)
+  }
+
+  test("mcnemar_test equals a doc-by-doc paired replay") {
+    val langid = TextAnalysis.langidPredictions(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == "en",
+        r.getString(2) == "en")).toMap
+    val pairs = scored.flatMap { case (id, _, s) =>
+      langid.get(id).map { case (y, pa) => (pa == y, (s >= 800L) == y) }
+    }
+    val n11 = pairs.count(p => p._1 && p._2).toLong
+    val n10 = pairs.count(p => p._1 && !p._2).toLong
+    val n01 = pairs.count(p => !p._1 && p._2).toLong
+    val n00 = pairs.count(p => !p._1 && !p._2).toLong
+    val row = Evaluation.mcnemarTest(spark, dir).collect().head
+    assert(row.getLong(0) === pairs.size.toLong)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      === ((n11, n10, n01, n00)))
+    if (n10 + n01 == 0) assert(row.isNullAt(5))
+    else assert(row.getLong(5) ===
+      (n10 - n01) * (n10 - n01) * 1000L / (n10 + n01))
+    // the pairing must be the quality side's domain (empty docs drop)
+    assert(pairs.size === scored.size)
+  }
+
+  test("brier_score equals a doc-by-doc replay incl. skill sign-split") {
+    val docs = scored.map { case (_, lang, s) =>
+      (pPpm(s), if (lang == "en") 1000000L else 0L)
+    }
+    val n = docs.size.toLong
+    val nPos = docs.count(_._2 == 1000000L).toLong
+    val sq = docs.map { case (p, y) => (p - y) * (p - y) }.sum
+    val brier = sq / (n * 1000000L)
+    val base = nPos * (n - nPos) * 1000000L / (n * n)
+    val row = Evaluation.brierScore(spark, dir).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === nPos)
+    assert(row.getLong(2) === brier)
+    assert(row.getLong(3) === base)
+    if (base == 0) assert(row.isNullAt(4))
+    else {
+      val d = base - brier
+      val expect = if (d < 0) -((-d) * 1000000L / base) else d * 1000000L / base
+      assert(row.getLong(4) === expect)
+    }
+  }
+
+  test("cumulative_gains equals a score-histogram replay") {
+    val byScore = scored.groupBy(_._3).toSeq.sortBy(-_._1).map {
+      case (s, xs) =>
+        (s, xs.size.toLong, xs.count(_._2 == "en").toLong)
+    }
+    val n = byScore.map(_._2).sum
+    val totPos = byScore.map(_._3).sum
+    val cum = byScore.scanLeft((0L, 0L)) { case ((cp, cs), (_, c, p)) =>
+      (cp + c, cs + p)
+    }.tail
+    val rows = Evaluation.cumulativeGains(spark, dir).collect()
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val hits = cum.filter { case (cpop, _) => cpop * 10 <= n * d }
+      assert(hits.nonEmpty) // a decile row only exists when selectable
+      val (mp, mpos) = hits.last
+      assert(r.getLong(1) === mp * 1000000L / n)
+      assert(r.getLong(2) === mpos * 1000000L / totPos)
+      assert(r.getLong(3) === mpos * n * 1000000L / (mp * totPos))
+    }
+    // capture and population shares are cumulative: both end at 100%
+    assert(rows.last.getLong(1) === 1000000L)
+    assert(rows.last.getLong(2) === 1000000L)
+  }
+
+  test("survival_km equals an iterative KM replay over user durations") {
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS u", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val endu = ev.map(_._2).max
+    val horizon = 48L * 3600000000L
+    val lab = ev.groupBy(_._1).values.map { es =>
+      val fu = es.map(_._2).min
+      val pu = es.filter(_._3 == "purchase").map(_._2).minOption
+      val fup = math.min(fu + horizon, endu)
+      pu match {
+        case Some(p) if p < fup => ((p - fu) / 3600000000L, true)
+        case _                  => ((fup - fu) / 3600000000L, false)
+      }
+    }.toSeq
+    val grid = lab.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      (t, xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }
+    var atRisk = lab.size.toLong
+    var s = 1000000L
+    val model = grid.map { case (t, d, c) =>
+      s = s * (atRisk - d) / atRisk
+      val row = (t, atRisk, d, c, s)
+      atRisk -= d + c
+      row
+    }
+    val rows = SqlSurface.survivalKm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows === model)
+    // the curve must actually move: real events AND real censoring
+    assert(model.map(_._3).sum > 0 && model.map(_._4).sum > 0)
+  }
+
+  test("log_rank_test equals an hour-by-hour observed-vs-expected replay") {
+    val lab = SqlSurface.survivalLabels(spark, dir)
+      .withColumn("arm", ContentHash.bucket(org.apache.spark.sql.functions.col("user_id"), 2))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byT = lab.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      val a1 = xs.filter(_._3 == 0L)
+      val a2 = xs.filter(_._3 == 1L)
+      (t, a1.map(_._2).sum, a1.count(_._2 == 0L).toLong,
+        a2.map(_._2).sum, a2.count(_._2 == 0L).toLong)
+    }
+    var n1 = lab.count(_._3 == 0L).toLong
+    var n2 = lab.count(_._3 == 1L).toLong
+    var (o1, o2, e1, e2) = (0L, 0L, 0L, 0L)
+    byT.foreach { case (_, d1, c1, d2, c2) =>
+      if (d1 + d2 > 0) {
+        o1 += d1; o2 += d2
+        e1 += (d1 + d2) * n1 * 1000L / (n1 + n2)
+        e2 += (d1 + d2) * n2 * 1000L / (n1 + n2)
+      }
+      n1 -= d1 + c1; n2 -= d2 + c2
+    }
+    val row = Evaluation.logRankTest(spark, dir).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      === ((o1, e1, o2, e2)))
+    val chi = (o1 * 1000 - e1) * (o1 * 1000 - e1) / e1 +
+      (o2 * 1000 - e2) * (o2 * 1000 - e2) / e2
+    assert(row.getLong(4) === chi)
+    // both arms must be populated for the test to mean anything
+    assert(o1 > 0 && o2 > 0)
+  }
+
+  test("holt_linear equals an iterative level/trend replay") {
+    val days = Tables.events(spark, dir)
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("to_date(ts) AS day", "CAST(round(value * 100) AS LONG) c")
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (d, xs) =>
+        (d, xs.map(_._2).sum)
+      }
+    var l = days.head._2
+    var b = 0L
+    val model = days.zipWithIndex.map { case ((d, y), i) =>
+      if (i > 0) {
+        val lNew = (y + 3 * (l + b)) / 4
+        b = (lNew - l + 3 * b) / 4
+        l = lNew
+      }
+      (d, y, l, b, l + 7 * b)
+    }
+    val rows = SqlSurface.holtLinear(spark, dir).collect().map(r =>
+      (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows === model)
+    // the trend term must actually engage (a dip exists in the series)
+    assert(model.exists(_._4 < 0) || model.exists(_._4 > 0))
+  }
+
   test("ndcg_eval is consistent with mrr_eval on the shared labels") {
     val mrr = TextAnalysis.mrrEval(spark, dir).collect()
       .map(r => (r.getLong(0),
