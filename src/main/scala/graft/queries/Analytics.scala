@@ -118,6 +118,83 @@ object Analytics {
       |WHERE date_diff('day', f.cohort_day, ev.d) <= 7
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** `cohort_ltv`: the lifetime-value TRIANGLE — cumulative purchase
+    * revenue per signup cohort × age day (offset ≤ 14), with cohort
+    * size and per-user LTV in milli-cents: [[cohortRetention]] counts
+    * who came back, this prices what they spent, and the diagonal
+    * (all cohorts at equal age) is how a growth team compares
+    * acquisition quality without waiting for old cohorts to finish.
+    * Cohort = first event date over ALL event types (same rule as
+    * retention); exact cents per cell, cumulative along age.
+    *
+    * Plan: one user-grain first-date aggregate, one fact join
+    * co-partitioned on user_id (retention's shape), then the
+    * cohort×age grid is BOUNDED (≤ window-days², ~10⁵ rows at a year)
+    * — the cumulative window partitions by cohort over that
+    * grid-sized relation, never over facts; cohort sizes broadcast
+    * back. Sparse cells (a cohort-day with no purchases) are simply
+    * absent — the cumulative carries over them identically in both
+    * engines because both window the same present rows.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+      .localCheckpoint(eager = false) // cohort sizes + the fact join
+    val sizes = first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val grid = ev.where(col("event_type") === "purchase")
+      .select(
+        col("user_id"), to_date(col("ts")).as("d"),
+        Quantize.cents(col("value")).as("c"))
+      .join(first, "user_id")
+      .select(
+        col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"),
+        col("c"))
+      .where(col("day_offset") <= 14)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(sum(col("c")).as("rev_c"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_rev_c", sum(col("rev_c")).over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .select(
+        col("cohort_day"), col("day_offset"), col("n_cohort"),
+        col("rev_c"), col("cum_rev_c"),
+        expr("cum_rev_c * 1000 div n_cohort").as("ltv_milli"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  def cohortLtvOracle: String =
+    s"""WITH f AS (
+      |  SELECT user_id,
+      |    MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) cohort_day
+      |  FROM events GROUP BY 1),
+      |sz AS (
+      |  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) n_cohort
+      |  FROM f GROUP BY 1),
+      |g AS (
+      |  SELECT f.cohort_day,
+      |    CAST(date_diff('day', f.cohort_day,
+      |      CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS BIGINT) day_offset,
+      |    CAST(SUM(${Quantize.centsSql("e.value")}) AS BIGINT) rev_c
+      |  FROM events e JOIN f ON e.user_id = f.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND date_diff('day', f.cohort_day,
+      |      CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) <= 14
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT cohort_day, day_offset, rev_c,
+      |    CAST(SUM(rev_c) OVER (
+      |      PARTITION BY cohort_day ORDER BY day_offset) AS BIGINT) cum_rev_c
+      |  FROM g)
+      |SELECT c.cohort_day, c.day_offset, n_cohort, rev_c, cum_rev_c,
+      |  cum_rev_c * 1000 // n_cohort AS ltv_milli
+      |FROM c JOIN sz USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** SCD2 change-history compaction (gaps-and-islands): each user's
     * event stream collapses to runs of consecutive equal event_type,
     * emitted as validity intervals [valid_from, valid_to) with the run
@@ -2004,6 +2081,7 @@ object Analytics {
     QueryDef("forecast_baseline", forecastBaseline, Some(forecastBaselineOracle)),
     QueryDef("funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
+    QueryDef("cohort_ltv", cohortLtv, Some(cohortLtvOracle)),
     QueryDef("scd2_history", scd2History, Some(scd2HistoryOracle)),
     QueryDef("pit_join", pitJoin, Some(pitJoinOracle)),
     QueryDef("rolling_revenue", rollingRevenue, Some(rollingRevenueOracle)),

@@ -192,8 +192,13 @@ object Sketches {
       .orderBy("user_id")
   }
 
-  def countminFreqOracle: String =
-    s"""WITH ds AS (SELECT UNNEST([0, 1, 2]) d),
+  /** The Count-Min relation's DuckDB CTEs (ds/cells/keys/probes/est),
+    * shared by [[countminFreq]]'s oracle and the error-economics gate
+    * [[countminError]]'s, so the two can never probe different
+    * sketches.
+    */
+  private def cmCtes: String =
+    s"""ds AS (SELECT UNNEST([0, 1, 2]) d),
       |cells AS (
       |  SELECT d,
       |    ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % $W cell,
@@ -208,9 +213,66 @@ object Sketches {
       |  FROM keys, ds),
       |est AS (
       |  SELECT user_id, MIN(cnt) cm_est FROM probes JOIN cells USING (d, cell)
-      |  GROUP BY 1)
+      |  GROUP BY 1)""".stripMargin
+
+  def countminFreqOracle: String =
+    s"""WITH $cmCtes
       |SELECT user_id, exact_cnt, cm_est, cm_est >= exact_cnt AS is_overestimate
       |FROM keys JOIN est USING (user_id) ORDER BY user_id""".stripMargin
+
+  /** `countmin_error`: the error ECONOMICS of the Count-Min sketch —
+    * the sketch member of the measured answer-quality battery
+    * (`bloom_fpp` = what the Bloom bits cost, `minhash_estimate` =
+    * what the 8-hash signature costs, this = what the w=$W-cell width
+    * costs): over the sampled probe keys, the overestimate
+    * distribution (CM never underestimates — pinned per key by
+    * countmin_freq) summarized as exact-hit count, max and mean
+    * additive error, the classic e·N/w Markov bound in whole counts,
+    * and how many keys landed within it (the ≥ 1−1/e^d guarantee made
+    * a measured number). e is spliced as the pinned micro literal
+    * 2718282 — both engines floor the same integers, no transcendental
+    * at eval time.
+    *
+    * Plan: [[countminFreq]]'s relation (probe-keys-sized) + a 1-row
+    * event count, ONE fold. int64: e_micro·N caps at ~3.4·10¹²
+    * events — beyond the 100 TB event-table row count only if rows
+    * shrink below ~30 bytes; overflow fails loudly under ANSI.
+    */
+  def countminError(spark: SparkSession, dir: String): DataFrame = {
+    val tot = Tables.events(spark, dir).agg(count(lit(1)).as("n_ev"))
+    countminFreq(spark, dir)
+      .crossJoin(broadcast(tot)) // 1-row total: documented exception
+      .select((col("cm_est") - col("exact_cnt")).as("err"), col("n_ev"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("err") === 0, 1L).otherwise(0L)).as("n_exact"),
+        max(col("err")).as("max_err"),
+        sum(col("err")).as("sum_err"),
+        sum(when(expr(s"err * 1000000 * $W <= 2718282 * n_ev"), 1L)
+          .otherwise(0L)).as("n_within"),
+        max(col("n_ev")).as("n_ev"))
+      .select(
+        col("n_keys"), col("n_exact"), col("max_err"),
+        expr("sum_err * 1000 div n_keys").as("avg_err_milli"),
+        expr(s"2718282 * n_ev div (1000000 * $W)").as("bound"),
+        col("n_within"))
+  }
+
+  def countminErrorOracle: String =
+    s"""WITH $cmCtes,
+      |pk AS (
+      |  SELECT cm_est - exact_cnt err
+      |  FROM keys JOIN est USING (user_id)),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) n_ev FROM events)
+      |SELECT CAST(COUNT(*) AS BIGINT) n_keys,
+      |  CAST(SUM(CASE WHEN err = 0 THEN 1 ELSE 0 END) AS BIGINT) n_exact,
+      |  CAST(MAX(err) AS BIGINT) max_err,
+      |  CAST(SUM(err) AS BIGINT) * 1000 // COUNT(*) avg_err_milli,
+      |  2718282 * n_ev // (1000000 * $W) bound,
+      |  CAST(SUM(CASE WHEN err * 1000000 * $W <= 2718282 * n_ev
+      |    THEN 1 ELSE 0 END) AS BIGINT) n_within
+      |FROM pk CROSS JOIN tot
+      |GROUP BY n_ev""".stripMargin
 
   /** `bitmap_distinct`: EXACT distinct customers per order priority
     * through the mergeable bitmap aggregate
@@ -612,6 +674,7 @@ object Sketches {
       Some(bitmapRollupMergeOracle)),
     QueryDef("kmv_distinct", kmvDistinct, Some(kmvDistinctOracle)),
     QueryDef("countmin_freq", countminFreq, Some(countminFreqOracle)),
+    QueryDef("countmin_error", countminError, Some(countminErrorOracle)),
     QueryDef("bitmap_distinct", bitmapDistinctQ, Some(bitmapDistinctOracle)),
     QueryDef("sliding_distinct", slidingDistinct, Some(slidingDistinctOracle)),
     QueryDef(

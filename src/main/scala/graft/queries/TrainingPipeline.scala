@@ -1305,7 +1305,80 @@ object TrainingPipeline {
        |FROM agg ORDER BY lang""".stripMargin
   }
 
+  /** `time_split_cv`: expanding-window time-series cross-validation
+    * folds over the events table with a one-day EMBARGO — the split
+    * discipline for anything trained on temporal data, where
+    * [[trainSplit]]'s content-hash rule would leak the future into
+    * the past (a random split puts tomorrow in train and today in
+    * test). The window divides into 6 equal day-spans; fold k
+    * (1..5) tests on span k+1, trains on everything before it MINUS
+    * the single embargo day at the boundary (the label-horizon gap
+    * that keeps boundary-straddling targets out of both sides).
+    * Emits per fold the span and train/embargo/test event counts —
+    * all derived from the data's own bounds, so the split is
+    * reproducible across engines, runs and partitionings with no
+    * RNG and no configuration.
+    *
+    * Plan: one fact aggregate to the bounded day grid, a 5-row fold
+    * grid broadcast-joined onto it, one grid-grain rollup. Degenerate
+    * windows (< 6 days) yield span 0 and are filtered — an empty
+    * report, not a misleading one.
+    */
+  def timeSplitCv(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // bounds + the fold classify
+    val bounds = days.agg(min(col("d")).as("d0"))
+      .crossJoin(broadcast(
+        days.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+          .select(expr("(datediff(dmax, dmin) + 1) div 6")
+            .cast("long").as("span"))))
+    val folds = spark.range(1, 6).select(col("id").as("fold"))
+    days
+      .crossJoin(broadcast(bounds)) // 1-row bounds: documented exception
+      .where(col("span") > 0)
+      .select(
+        datediff(col("d"), col("d0")).cast("long").as("off"),
+        col("n"), col("span"))
+      .join(broadcast(folds), expr("off < (fold + 1) * span"))
+      .groupBy(col("fold"))
+      .agg(
+        max(col("span")).as("span_days"),
+        sum(when(expr("off < fold * span - 1"), col("n")).otherwise(lit(0L)))
+          .as("n_train"),
+        sum(when(expr("off = fold * span - 1"), col("n")).otherwise(lit(0L)))
+          .as("n_embargo"),
+        sum(when(expr("off >= fold * span"), col("n")).otherwise(lit(0L)))
+          .as("n_test"))
+      .orderBy("fold")
+  }
+
+  def timeSplitCvOracle: String =
+    """WITH dg AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) n
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT MIN(d) d0,
+      |    CAST((date_diff('day', MIN(d), MAX(d)) + 1) // 6 AS BIGINT) span
+      |  FROM dg),
+      |o AS (
+      |  SELECT CAST(date_diff('day', d0, d) AS BIGINT) doff, n, span
+      |  FROM dg CROSS JOIN b WHERE span > 0),
+      |fl AS (SELECT CAST(unnest(range(1, 6)) AS BIGINT) fold)
+      |SELECT fold, CAST(MAX(span) AS BIGINT) span_days,
+      |  CAST(SUM(CASE WHEN doff < fold * span - 1 THEN n ELSE 0 END)
+      |    AS BIGINT) n_train,
+      |  CAST(SUM(CASE WHEN doff = fold * span - 1 THEN n ELSE 0 END)
+      |    AS BIGINT) n_embargo,
+      |  CAST(SUM(CASE WHEN doff >= fold * span THEN n ELSE 0 END)
+      |    AS BIGINT) n_test
+      |FROM o JOIN fl ON doff < (fold + 1) * span
+      |GROUP BY fold ORDER BY fold""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("time_split_cv", timeSplitCv, Some(timeSplitCvOracle)),
     QueryDef("bpe_train", bpeTrain, Some(bpeTrainOracle)),
     QueryDef("bpe_apply", bpeApply, Some(bpeApplyOracle)),
     QueryDef("dataset_card", datasetCard, Some(datasetCardOracle)),

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model checks for the round-7 sixth-wave additions: countmin_error's
+  * summary replayed from countmin_freq's own per-key rows (plus the
+  * never-underestimates soundness), cohort_ltv rebuilt doc-by-doc as a
+  * cumulative triangle, and time_split_cv's fold accounting re-derived
+  * from raw event days (train+embargo+test must tile each fold's
+  * visible window, folds must nest). All on sf0.001.
+  */
+class Wave11Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("countmin_error equals a replay over countmin_freq's rows") {
+    val perKey = Sketches.countminFreq(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // soundness: CM never underestimates, on every probed key
+    assert(perKey.forall(_._3))
+    val errs = perKey.map { case (exact, est, _) => est - exact }
+    assert(errs.forall(_ >= 0))
+    val nEv = Tables.events(spark, dir).count()
+    val w = 64L
+    val bound = 2718282L * nEv / (1000000L * w)
+    val row = Sketches.countminError(spark, dir).collect().head
+    assert(row.getLong(0) === errs.length.toLong)
+    assert(row.getLong(1) === errs.count(_ == 0L).toLong)
+    assert(row.getLong(2) === errs.max)
+    assert(row.getLong(3) === errs.sum * 1000L / errs.length)
+    assert(row.getLong(4) === bound)
+    assert(row.getLong(5) ===
+      errs.count(e => e * 1000000L * w <= 2718282L * nEv).toLong)
+  }
+
+  test("cohort_ltv equals a per-user cumulative replay") {
+    val ev = Tables.events(spark, dir)
+      .selectExpr(
+        "user_id", "to_date(ts) AS d", "event_type",
+        "CAST(round(value * 100) AS LONG) c")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2),
+        r.getLong(3)))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val cells = ev.filter(_._3 == "purchase")
+      .map { case (u, d, _, c) =>
+        ((cohort(u), java.time.temporal.ChronoUnit.DAYS
+          .between(cohort(u), d)), c)
+      }
+      .filter(_._1._2 <= 14)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val model = cells.keySet.toSeq.sorted.map { case (cd, off) =>
+      val cum = cells.collect {
+        case ((c2, o2), v) if c2 == cd && o2 <= off => v
+      }.sum
+      (cd, off, sizes(cd), cells((cd, off)), cum, cum * 1000L / sizes(cd))
+    }
+    val rows = Analytics.cohortLtv(spark, dir).collect().map(r =>
+      (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows === model)
+  }
+
+  test("time_split_cv folds tile and nest") {
+    val days = Tables.events(spark, dir)
+      .selectExpr("to_date(ts) AS d").collect()
+      .map(_.getDate(0).toLocalDate)
+    val d0 = days.min
+    val span = (java.time.temporal.ChronoUnit.DAYS
+      .between(d0, days.max) + 1) / 6
+    val rows = TrainingPipeline.timeSplitCv(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (1L to 5L))
+    rows.foreach { case (fold, s, tr, em, te) =>
+      assert(s === span)
+      // the three roles tile the fold's visible prefix exactly
+      val visible = days.count(d =>
+        java.time.temporal.ChronoUnit.DAYS.between(d0, d) <
+          (fold + 1) * span).toLong
+      assert(tr + em + te === visible)
+      // a later fold's train set contains this fold's train AND test
+      assert(te > 0L)
+    }
+    // expanding window: train counts strictly grow with the fold
+    val trains = rows.map(_._3).toSeq
+    assert(trains === trains.sorted)
+  }
+}
