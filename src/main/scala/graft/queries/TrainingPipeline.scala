@@ -1377,8 +1377,217 @@ object TrainingPipeline {
       |FROM o JOIN fl ON doff < (fold + 1) * span
       |GROUP BY fold ORDER BY fold""".stripMargin
 
+  /** `target_encoding`: leakage-safe OUT-OF-FOLD target encoding of a
+    * categorical — the feature-engineering step that replaces a
+    * category with the mean response its OTHER folds observed, so a
+    * row never sees a statistic its own label contributed to (naive
+    * whole-table means leak the target and inflate every offline
+    * metric). Category = order priority, response = order price in
+    * cents, folds = the content-hash rule on orderkey (train_split's
+    * discipline — reproducible, engine-identical, never rand()).
+    * oof_mean_c(cat, fold) = (sum_cat − sum_cat_fold) div
+    * (n_cat − n_cat_fold), NULL when a category exists only inside
+    * the fold (the honest cold-start answer; a production encoder
+    * would back off to the global prior).
+    *
+    * Plan: ONE fact scan → (category × fold) grid aggregate (25
+    * rows); category totals are a rollup OF THE GRID, broadcast
+    * back — the fact table is never touched twice. At 100 TB the
+    * encoder table ships as a broadcast dim to the training join.
+    */
+  def targetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.read(spark, dir, "orders")
+      .select(
+        col("o_orderpriority").as("category"),
+        ContentHash.bucket(col("o_orderkey"), 5).as("fold"),
+        Quantize.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("category"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      .localCheckpoint(eager = false) // category rollup + the join
+    val catTot = grid.groupBy(col("category"))
+      .agg(sum(col("n")).as("n_cat"), sum(col("s")).as("s_cat"))
+    grid
+      .join(broadcast(catTot), "category")
+      .select(
+        col("category"), col("fold"), col("n"),
+        expr("""CASE WHEN n_cat - n = 0 THEN NULL
+          ELSE (s_cat - s) div (n_cat - n) END""").as("oof_mean_c"))
+      .orderBy("category", "fold")
+  }
+
+  def targetEncodingOracle: String =
+    s"""WITH g AS (
+       |  SELECT o_orderpriority category,
+       |    ${ContentHash.bucketSql("o_orderkey", 5)} fold,
+       |    CAST(COUNT(*) AS BIGINT) n,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) s
+       |  FROM orders GROUP BY 1, 2),
+       |ct AS (
+       |  SELECT category, CAST(SUM(n) AS BIGINT) n_cat,
+       |    CAST(SUM(s) AS BIGINT) s_cat
+       |  FROM g GROUP BY 1)
+       |SELECT category, fold, n,
+       |  CASE WHEN n_cat - n = 0 THEN NULL
+       |    ELSE (s_cat - s) // (n_cat - n) END oof_mean_c
+       |FROM g JOIN ct USING (category)
+       |ORDER BY category, fold""".stripMargin
+
+  /** `feature_hash_collisions`: the measured cost of the HASHING
+    * TRICK — vocabulary hashed into B = 1024 buckets by the
+    * content-hash rule, and the aliasing it causes read off as data:
+    * distinct tokens, occupied buckets, collided tokens (tokens
+    * sharing a bucket with a different token), the share of token
+    * OCCURRENCES carrying aliased features (the number a model
+    * actually pays — df-weighted, not vocab-weighted), and the max
+    * bucket load. The hashing-trick member of the measured
+    * answer-quality battery (bloom_fpp / minhash_estimate /
+    * countmin_error): "1024 buckets" is a memory choice, this is its
+    * price tag.
+    *
+    * Plan: tokenize once (bounded per-row explode), ONE vocab
+    * aggregate (token → df), bucket rollup of the VOCAB relation
+    * (≤1024 rows), two 1-row folds. Nothing past the vocab aggregate
+    * scales with the corpus.
+    */
+  def featureHashCollisions(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.read(spark, dir, "documents")
+      .select(explode(
+        filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+        .as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .select(ContentHash.bucket(col("tok"), 1024).as("bucket"), col("df"))
+    val buckets = vocab.groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(col("df")).as("occ"))
+      .localCheckpoint(eager = false) // the two folds below share it
+    buckets.agg(
+      sum(col("n_tok")).as("n_tokens"),
+      count(lit(1)).as("n_occupied"),
+      sum(when(col("n_tok") >= 2, col("n_tok")).otherwise(lit(0L)))
+        .as("n_collided"),
+      sum(col("occ")).as("t_occ"),
+      sum(when(col("n_tok") >= 2, col("occ")).otherwise(lit(0L)))
+        .as("a_occ"),
+      max(col("n_tok")).as("max_load"))
+      .select(
+        col("n_tokens"), col("n_occupied"), col("n_collided"),
+        expr("n_collided * 1000000 div n_tokens").as("collided_ppm"),
+        expr("CASE WHEN t_occ = 0 THEN NULL " +
+          "ELSE a_occ * 1000000 div t_occ END").as("aliased_occ_ppm"),
+        col("max_load"))
+  }
+
+  def featureHashCollisionsOracle: String =
+    s"""WITH tk AS (
+       |  SELECT unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) tok
+       |  FROM documents),
+       |v AS (
+       |  SELECT ${ContentHash.bucketSql("tok", 1024)} bucket,
+       |    CAST(c AS BIGINT) df
+       |  FROM (SELECT tok, COUNT(*) c FROM tk GROUP BY tok) g),
+       |b AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) n_tok,
+       |    CAST(SUM(df) AS BIGINT) occ
+       |  FROM v GROUP BY 1)
+       |SELECT CAST(SUM(n_tok) AS BIGINT) n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) n_occupied,
+       |  CAST(SUM(CASE WHEN n_tok >= 2 THEN n_tok ELSE 0 END) AS BIGINT)
+       |    n_collided,
+       |  CAST(SUM(CASE WHEN n_tok >= 2 THEN n_tok ELSE 0 END) AS BIGINT)
+       |    * 1000000 // CAST(SUM(n_tok) AS BIGINT) collided_ppm,
+       |  CASE WHEN SUM(occ) = 0 THEN NULL
+       |    ELSE CAST(SUM(CASE WHEN n_tok >= 2 THEN occ ELSE 0 END)
+       |      AS BIGINT) * 1000000 // CAST(SUM(occ) AS BIGINT)
+       |  END aliased_occ_ppm,
+       |  CAST(MAX(n_tok) AS BIGINT) max_load
+       |FROM b""".stripMargin
+
+  /** `quota_sample`: EXECUTE a mixing recipe — downsample every
+    * source to an equal share of a half-corpus budget by the
+    * content-hash gate (keep a doc iff its md5 bucket < the source's
+    * keep rate), the sampler-side counterpart of [[mixAllocate]]'s
+    * quota arithmetic: a quota is a contract, this is the operator
+    * that delivers it, reproducibly (same doc kept on every engine,
+    * run and partitioning — resampling a source re-keeps a superset,
+    * never reshuffles). Emits per source the population, target,
+    * gate rate, docs actually kept, and the achieved-vs-target error
+    * in ppm of target — the hash gate is binomial around the rate,
+    * and publishing the realized gap is the honest form of that
+    * (the same measured-vs-nominal stance as countmin_error).
+    *
+    * Plan: one doc scan with the gate evaluated per row against the
+    * broadcast per-source rate (a 20-row dim), ONE source rollup.
+    * At 100 TB: zero extra shuffles — the gate rides whatever scan
+    * the pipeline already runs.
+    */
+  def quotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val perSrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(eager = false) // budget fold + the gate join
+    val target = perSrc
+      .crossJoin(broadcast(perSrc.agg(
+        (sum(col("n_docs")) / 2).cast("long").as("budget"),
+        count(lit(1)).as("n_src")))) // 1-row totals: documented exception
+      .select(
+        col("source"), col("n_docs"),
+        expr("budget div n_src").as("target"),
+        least(lit(1000000L), expr("(budget div n_src) * 1000000 div n_docs"))
+          .as("keep_ppm"))
+    docs
+      .join(broadcast(target), "source")
+      .select(
+        col("source"), col("n_docs"), col("target"), col("keep_ppm"),
+        (ContentHash.bucket(col("doc_id"), 1000000) < col("keep_ppm"))
+          .cast("long").as("kept"))
+      .groupBy(col("source"), col("n_docs"), col("target"), col("keep_ppm"))
+      .agg(sum(col("kept")).as("n_kept"))
+      .select(
+        col("source"), col("n_docs"), col("target"), col("keep_ppm"),
+        col("n_kept"),
+        expr("""CASE WHEN target = 0 THEN NULL
+          WHEN n_kept - target < 0
+            THEN -((target - n_kept) * 1000000 div target)
+          ELSE (n_kept - target) * 1000000 div target
+          END""").as("err_ppm"))
+      .orderBy("source")
+  }
+
+  def quotaSampleOracle: String =
+    s"""WITH d AS (SELECT doc_id, source FROM documents),
+       |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs
+       |  FROM d GROUP BY 1),
+       |b AS (SELECT CAST(SUM(n_docs) // 2 AS BIGINT) budget,
+       |  CAST(COUNT(*) AS BIGINT) n_src FROM ps),
+       |tg AS (
+       |  SELECT source, n_docs, budget // n_src target,
+       |    least(1000000, (budget // n_src) * 1000000 // n_docs) keep_ppm
+       |  FROM ps CROSS JOIN b),
+       |k AS (
+       |  SELECT tg.source, n_docs, target, keep_ppm,
+       |    CAST(SUM(CASE WHEN ${ContentHash.bucketSql("doc_id", 1000000)}
+       |      < keep_ppm THEN 1 ELSE 0 END) AS BIGINT) n_kept
+       |  FROM d JOIN tg ON d.source = tg.source
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT source, n_docs, target, keep_ppm, n_kept,
+       |  CASE WHEN target = 0 THEN NULL
+       |    WHEN n_kept - target < 0
+       |      THEN -((target - n_kept) * 1000000 // target)
+       |    ELSE (n_kept - target) * 1000000 // target
+       |  END err_ppm
+       |FROM k ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("time_split_cv", timeSplitCv, Some(timeSplitCvOracle)),
+    QueryDef("target_encoding", targetEncoding, Some(targetEncodingOracle)),
+    QueryDef(
+      "feature_hash_collisions", featureHashCollisions,
+      Some(featureHashCollisionsOracle)),
+    QueryDef("quota_sample", quotaSample, Some(quotaSampleOracle)),
     QueryDef("bpe_train", bpeTrain, Some(bpeTrainOracle)),
     QueryDef("bpe_apply", bpeApply, Some(bpeApplyOracle)),
     QueryDef("dataset_card", datasetCard, Some(datasetCardOracle)),

@@ -63,6 +63,79 @@ class Wave11Spec extends AnyFunSuite {
     assert(rows === model)
   }
 
+  test("target_encoding never sees its own fold (leakage check)") {
+    val rows = Tables.read(spark, dir, "orders")
+      .selectExpr(
+        "o_orderpriority cat",
+        "o_orderkey k",
+        "CAST(round(o_totalprice * 100) AS LONG) c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def fold(k: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5, 16) % 5
+    }
+    val tagged = rows.map { case (cat, k, c) => (cat, fold(k), c) }
+    val enc = TrainingPipeline.targetEncoding(spark, dir).collect()
+    enc.foreach { r =>
+      val (cat, f) = (r.getString(0), r.getLong(1))
+      val oof = tagged.filter(x => x._1 == cat && x._2 != f)
+      assert(r.getLong(2) === tagged.count(x => x._1 == cat && x._2 == f))
+      if (oof.isEmpty) assert(r.isNullAt(3))
+      else assert(r.getLong(3) === oof.map(_._3).sum / oof.length)
+    }
+  }
+
+  test("feature_hash_collisions equals a vocab-hash replay") {
+    val toks = Tables.read(spark, dir, "documents")
+      .selectExpr("explode(filter(split(lower(text), '\\\\s+'), x -> x != '')) tok")
+      .collect().map(_.getString(0))
+    def bucket(t: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5, 16) % 1024
+    }
+    val vocab = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byBucket = vocab.toSeq.map { case (t, df) => (bucket(t), df) }
+      .groupBy(_._1).view
+      .mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+    val nTokens = vocab.size.toLong
+    val nColl = byBucket.values.collect {
+      case (n, _) if n >= 2 => n
+    }.sum
+    val tOcc = vocab.values.sum
+    val aOcc = byBucket.values.collect {
+      case (n, occ) if n >= 2 => occ
+    }.sum
+    val row = TrainingPipeline.featureHashCollisions(spark, dir)
+      .collect().head
+    assert(row.getLong(0) === nTokens)
+    assert(row.getLong(1) === byBucket.size.toLong)
+    assert(row.getLong(2) === nColl)
+    assert(row.getLong(3) === nColl * 1000000L / nTokens)
+    assert(row.getLong(4) === aOcc * 1000000L / tOcc)
+    assert(row.getLong(5) === byBucket.values.map(_._1).max)
+  }
+
+  test("quota_sample keeps a deterministic subset within its gate") {
+    val rows = TrainingPipeline.quotaSample(spark, dir).collect()
+    val totalDocs = rows.map(_.getLong(1)).sum
+    val budget = totalDocs / 2
+    val nSrc = rows.length.toLong
+    rows.foreach { r =>
+      assert(r.getLong(2) === budget / nSrc)
+      assert(r.getLong(3) ===
+        math.min(1000000L, (budget / nSrc) * 1000000L / r.getLong(1)))
+      // the gate can't keep more than the population
+      assert(r.getLong(4) <= r.getLong(1))
+    }
+    // re-running yields the identical kept counts (hash, not RNG)
+    val again = TrainingPipeline.quotaSample(spark, dir).collect()
+    assert(rows.map(_.getLong(4)).toSeq === again.map(_.getLong(4)).toSeq)
+  }
+
   test("time_split_cv folds tile and nest") {
     val days = Tables.events(spark, dir)
       .selectExpr("to_date(ts) AS d").collect()
