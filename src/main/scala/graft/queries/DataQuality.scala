@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality audit (SURVEY §2.6 gap-fill): the validation gate a
@@ -364,6 +365,102 @@ object DataQuality {
        |FROM c GROUP BY nation, segment
        |ORDER BY nation, segment""".stripMargin
 
+  /** `t_closeness`: the third privacy audit (Li et al.), completing
+    * [[kAnonymity]]'s k/l pair — a class can be k-anonymous AND
+    * l-diverse yet still leak when its sensitive-value DISTRIBUTION
+    * skews far from the table's (all its l distinct balance bands
+    * clustered at the rich end says plenty). Distance = 1-D earth
+    * mover's over the ordered $1000 balance bands, which for
+    * histograms is just Σ|cumulative difference| — stated in exact
+    * integers by cross-multiplying the two denominators:
+    * cumdiff_b in units of (class count·N − global count·m), and
+    * emd_ppm = Σ|cumdiff| · 10⁶ div (m·N·(B−1)) where B is the band
+    * count (the (B−1) normalizer makes 10⁶ = "all mass moved end to
+    * end"). at_risk pins the t = 0.2 cut the paper suggests.
+    *
+    * Plan: ONE customer aggregate to the class×band grid (≤125·~20
+    * rows), global band totals rolled up FROM THE GRID and broadcast
+    * back; the cumulative runs per class over grid rows (never
+    * facts). int64: count_class·N caps at ~3·10⁹ customers — loud
+    * under ANSI past it.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.read(spark, dir, "customer")
+      .select(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr(s"(${Quantize.centsSql("c_acctbal")} + 100000) div 100000")
+          .as("bal_band"))
+      .groupBy(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // global rollup + band spine
+    val glob = grid.groupBy(col("bal_band")).agg(sum(col("cnt")).as("g"))
+      .localCheckpoint(eager = false) // band spine + totals
+    val tot = glob.agg(
+      sum(col("g")).as("n_all"), count(lit(1)).as("n_bands"))
+    // every class needs every band on its cumulative spine (a class
+    // missing a band still accumulates the global mass there)
+    val classes = grid.groupBy(col("nation"), col("segment"))
+      .agg(sum(col("cnt")).as("m"))
+    val spine = classes.crossJoin(broadcast(glob)) // grid×bands, bounded
+      .join(grid, Seq("nation", "segment", "bal_band"), "left")
+      .select(
+        col("nation"), col("segment"), col("m"), col("bal_band"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"), col("g"))
+    val w = Window.partitionBy(col("nation"), col("segment"))
+      .orderBy(col("bal_band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .crossJoin(broadcast(tot)) // 1-row totals: documented exception
+      .withColumn(
+        "cumdiff", sum(col("cnt") * col("n_all") - col("g") * col("m"))
+          .over(w))
+      .groupBy(col("nation"), col("segment"), col("m"))
+      .agg(
+        sum(abs(col("cumdiff"))).as("s"),
+        max(col("n_all")).as("n_all"), max(col("n_bands")).as("n_bands"))
+      .select(
+        col("nation"), col("segment"), col("m").as("class_size"),
+        expr("s * 1000000 div (m * n_all * (n_bands - 1))").as("emd_ppm"))
+      .withColumn("at_risk", col("emd_ppm") > 200000L)
+      .orderBy("nation", "segment")
+  }
+
+  def tClosenessOracle: String =
+    s"""WITH c AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) nation, c_mktsegment segment,
+       |    (${Quantize.centsSql("c_acctbal")} + 100000) // 100000 bal_band
+       |  FROM customer),
+       |g AS (
+       |  SELECT nation, segment, bal_band, CAST(count(*) AS BIGINT) cnt
+       |  FROM c GROUP BY 1, 2, 3),
+       |gl AS (SELECT bal_band, CAST(SUM(cnt) AS BIGINT) gcnt
+       |  FROM g GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(gcnt) AS BIGINT) n_all,
+       |  CAST(COUNT(*) AS BIGINT) n_bands FROM gl),
+       |cl AS (SELECT nation, segment, CAST(SUM(cnt) AS BIGINT) m
+       |  FROM g GROUP BY 1, 2),
+       |sp AS (
+       |  SELECT cl.nation, cl.segment, cl.m, gl.bal_band,
+       |    COALESCE(g.cnt, 0) cnt, gl.gcnt
+       |  FROM cl CROSS JOIN gl
+       |  LEFT JOIN g ON g.nation = cl.nation AND g.segment = cl.segment
+       |    AND g.bal_band = gl.bal_band),
+       |cm AS (
+       |  SELECT nation, segment, m,
+       |    CAST(SUM(cnt * n_all - gcnt * m) OVER (
+       |      PARTITION BY nation, segment ORDER BY bal_band) AS BIGINT)
+       |      cumdiff,
+       |    n_all, n_bands
+       |  FROM sp CROSS JOIN tt)
+       |SELECT nation, segment, m class_size,
+       |  CAST(SUM(abs(cumdiff)) AS BIGINT) * 1000000
+       |    // (m * MAX(n_all) * (MAX(n_bands) - 1)) emd_ppm,
+       |  CAST(SUM(abs(cumdiff)) AS BIGINT) * 1000000
+       |    // (m * MAX(n_all) * (MAX(n_bands) - 1)) > 200000 at_risk
+       |FROM cm GROUP BY nation, segment, m
+       |ORDER BY nation, segment""".stripMargin
+
   /** `totals_reconcile`: financial header-vs-lines reconciliation —
     * for every order, the header total against the sum of its lines'
     * discounted revenue, mismatches bucketed by relative-error band
@@ -557,12 +654,93 @@ object DataQuality {
        |ORDER BY table_name""".stripMargin
   }
 
+  /** `id_gap_audit`: sequence-loss detection over a monotonically
+    * assigned id — count of missing ids, number of maximal gap RUNS,
+    * and the largest run, between the observed min and max. The
+    * ingest audit that distinguishes "we lost 500 scattered rows"
+    * from "we lost one 500-row batch" — the gap-run shape IS the
+    * diagnosis. Audited stream: event_ids excluding the 'error'
+    * rows, which play the lost records on this synthetic data (the
+    * raw sequence is dense, so auditing it would pin only zeros).
+    *
+    * Neighbor diffs over a fact-sized sorted id set never run under
+    * one global window: ids shard by value range (the lorenz/gini
+    * width rule, (hi−lo) div 64 + 1), within-shard gaps come from a
+    * shard-partitioned lead, and cross-shard gaps from the bounded
+    * shard-grain relation (next non-empty shard's min vs this
+    * shard's max, triangular broadcast join — an entirely-missing
+    * shard lands in the boundary term automatically). At 100 TB:
+    * one distinct shuffle, one partitioned window, grid-sized
+    * stitching.
+    */
+  def idGapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.events(spark, dir)
+      .where(col("event_type") =!= "error")
+      .select(col("event_id").as("id")).distinct()
+      .localCheckpoint(eager = false) // bounds + sharded window share it
+    val b = ids.agg(
+      min(col("id")).as("lo"), max(col("id")).as("hi"),
+      count(lit(1)).as("n"))
+    val sharded = ids
+      .crossJoin(broadcast(
+        b.select(expr("(hi - lo) div 64 + 1").as("wd"), col("lo"))))
+      .withColumn("shard", expr("(id - lo) div wd"))
+      .localCheckpoint(eager = false) // window + shard-grain rollup
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+    val within = sharded
+      .withColumn("nxt", lead(col("id"), 1).over(w))
+      .where(col("nxt") > col("id") + 1)
+      .agg(
+        count(lit(1)).as("gw"),
+        max(col("nxt") - col("id") - 1).as("mw"))
+      .select(col("gw"), coalesce(col("mw"), lit(0L)).as("mw"))
+    val shardGrain = sharded.groupBy(col("shard"))
+      .agg(min(col("id")).as("smin"), max(col("id")).as("smax"))
+      .localCheckpoint(eager = false) // both sides of the stitch join
+    val boundary = shardGrain.as("a")
+      .join(
+        broadcast(shardGrain.select(
+          col("shard").as("s2"), col("smin").as("smin2"))),
+        col("s2") > col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"), col("a.smax").as("smax"))
+      .agg(min(col("smin2")).as("next_min"))
+      .where(col("next_min") > col("smax") + 1)
+      .agg(
+        count(lit(1)).as("gb"),
+        max(col("next_min") - col("smax") - 1).as("mb"))
+      .select(col("gb"), coalesce(col("mb"), lit(0L)).as("mb"))
+    b.crossJoin(broadcast(within)) // 1-row folds: documented exception
+      .crossJoin(broadcast(boundary))
+      .select(
+        col("n").as("n_ids"), col("lo").as("id_min"), col("hi").as("id_max"),
+        (col("hi") - col("lo") + 1 - col("n")).as("n_missing"),
+        (col("gw") + col("gb")).as("n_gaps"),
+        greatest(col("mw"), col("mb")).as("max_gap"))
+  }
+
+  def idGapAuditOracle: String =
+    """WITH ids AS (
+      |  SELECT DISTINCT event_id id FROM events
+      |  WHERE event_type <> 'error'),
+      |b AS (SELECT CAST(min(id) AS BIGINT) lo, CAST(max(id) AS BIGINT) hi,
+      |  CAST(count(*) AS BIGINT) n FROM ids),
+      |d AS (SELECT id, lead(id) OVER (ORDER BY id) nxt FROM ids),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) n_gaps,
+      |    CAST(COALESCE(max(nxt - id - 1), 0) AS BIGINT) max_gap
+      |  FROM d WHERE nxt > id + 1)
+      |SELECT n n_ids, lo id_min, hi id_max,
+      |  hi - lo + 1 - n AS n_missing, n_gaps, max_gap
+      |FROM b CROSS JOIN g""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("id_gap_audit", idGapAudit, Some(idGapAuditOracle)),
     QueryDef("table_digest", tableDigest, Some(tableDigestOracle)),
     QueryDef(
       "totals_reconcile", totalsReconcile, Some(totalsReconcileOracle)),
     QueryDef("task_completion", taskCompletion, Some(taskCompletionOracle)),
     QueryDef("k_anonymity", kAnonymity, Some(kAnonymityOracle)),
+    QueryDef("t_closeness", tCloseness, Some(tClosenessOracle)),
     QueryDef("column_modes", columnModes, Some(columnModesOracle)),
     QueryDef("dq_audit", dqAudit, Some(dqAuditOracle)),
     QueryDef("column_profile", columnProfile, Some(columnProfileOracle)),

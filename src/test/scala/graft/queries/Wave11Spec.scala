@@ -136,6 +136,55 @@ class Wave11Spec extends AnyFunSuite {
     assert(rows.map(_.getLong(4)).toSeq === again.map(_.getLong(4)).toSeq)
   }
 
+  test("t_closeness equals a per-class cumulative-EMD replay") {
+    val rows = Tables.read(spark, dir, "customer")
+      .selectExpr(
+        "CAST(c_nationkey AS LONG) nation", "c_mktsegment segment",
+        "(CAST(round(c_acctbal * 100) AS LONG) + 100000) div 100000 band")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bands = rows.map(_._3).distinct.sorted
+    val nAll = rows.length.toLong
+    val global = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val out = DataQuality.tCloseness(spark, dir).collect()
+    out.foreach { r =>
+      val cls = rows.filter(x => x._1 == r.getLong(0) && x._2 == r.getString(1))
+      val m = cls.length.toLong
+      assert(r.getLong(2) === m)
+      val byBand = cls.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      var cum = 0L
+      var s = 0L
+      bands.foreach { b =>
+        cum += byBand.getOrElse(b, 0L) * nAll - global(b) * m
+        s += math.abs(cum)
+      }
+      val emd = s * 1000000L / (m * nAll * (bands.length - 1))
+      assert(r.getLong(3) === emd)
+      assert(r.getBoolean(4) === (emd > 200000L))
+      // EMD is a normalized distance: inside [0, 1e6]
+      assert(emd >= 0L && emd <= 1000000L)
+    }
+  }
+
+  test("id_gap_audit equals a sorted-neighbor replay") {
+    val ids = Tables.events(spark, dir)
+      .where(org.apache.spark.sql.functions.col("event_type") =!= "error")
+      .select("event_id").distinct().collect().map(_.getLong(0)).sorted
+    val gaps = ids.sliding(2).collect {
+      case Array(a, b) if b > a + 1 => b - a - 1
+    }.toSeq
+    val row = DataQuality.idGapAudit(spark, dir).collect().head
+    assert(row.getLong(0) === ids.length.toLong)
+    assert(row.getLong(1) === ids.head)
+    assert(row.getLong(2) === ids.last)
+    assert(row.getLong(3) === ids.last - ids.head + 1 - ids.length)
+    assert(row.getLong(4) === gaps.size.toLong)
+    assert(row.getLong(5) === (if (gaps.isEmpty) 0L else gaps.max))
+    // missing mass must equal the sum of the gap runs
+    assert(row.getLong(3) === gaps.sum)
+    // the audit must actually see gaps on this stream
+    assert(row.getLong(4) > 0L)
+  }
+
   test("time_split_cv folds tile and nest") {
     val days = Tables.events(spark, dir)
       .selectExpr("to_date(ts) AS d").collect()
