@@ -1471,7 +1471,202 @@ object Statistics {
        |FROM a, p ORDER BY variant""".stripMargin
   }
 
+  /** `tv_drift`: total-variation distance between the order-value
+    * distributions of the window's two calendar halves — the
+    * distribution-shift monitor beside the suite's mean-shift
+    * (`cusum_shift`) and vocabulary (`vocab_drift`) detectors: TVD
+    * sees a variance blowup or a reshaped mix that leaves the mean
+    * untouched. For $5000-band histograms TVD = ½ Σ|p_b − q_b|,
+    * cross-multiplied into exact integers (units of cntA·nB −
+    * cntB·nA) so tvd_ppm = Σ|…| · 10⁶ div (2·nA·nB); alongside it
+    * the worst band (max |diff|, low-band tie-break) and its own
+    * contribution — the "where did it move" readout. The halves
+    * derive from the data's own date bounds (day offset below
+    * ⌈span/2⌉), no configuration.
+    *
+    * Plan: one orders scan → (half × band) grid; everything after is
+    * grid arithmetic with 1-row broadcasts. int64: cnt·n caps at
+    * ~3·10⁹ orders per half — loud under ANSI past it.
+    */
+  def tvDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.read(spark, dir, "orders")
+      .select(
+        to_date(col("o_orderdate")).as("d"),
+        expr(s"${Quantize.centsSql("o_totalprice")} div 500000").as("band"))
+      .localCheckpoint(eager = false) // bounds + the grid share it
+    val bounds = ord.agg(
+      min(col("d")).as("d0"),
+      ((datediff(max(col("d")), min(col("d"))) + 1) + 1).as("sp2")) // 2*half
+    val grid = ord
+      .crossJoin(broadcast(bounds)) // 1-row bounds: documented exception
+      .select(
+        (datediff(col("d"), col("d0")) * 2 < col("sp2")).cast("long")
+          .as("ha"), // 1 = first half
+        col("band"))
+      .groupBy(col("band"))
+      .agg(
+        sum(col("ha")).as("ca"),
+        (count(lit(1)) - sum(col("ha"))).as("cb"))
+      .localCheckpoint(eager = false) // totals + diffs + argmax
+    val tot = grid.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val diffs = grid
+      .crossJoin(broadcast(tot)) // 1-row totals: documented exception
+      .select(
+        col("band"), col("na"), col("nb"),
+        abs(col("ca") * col("nb") - col("cb") * col("na")).as("ad"))
+      .localCheckpoint(eager = false) // sum fold + argmax fold
+    val s = diffs.agg(
+      max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+      count(lit(1)).as("n_bands"), sum(col("ad")).as("sad"),
+      max(col("ad")).as("mad"))
+    val top = diffs
+      .crossJoin(broadcast(diffs.agg(max(col("ad")).as("mx"))))
+      .where(col("ad") === col("mx"))
+      .agg(min(col("band")).as("top_band"))
+    s.crossJoin(broadcast(top)) // 1-row folds: documented exception
+      .select(
+        col("n_a"), col("n_b"), col("n_bands"),
+        expr("sad * 1000000 div (2 * n_a * n_b)").as("tvd_ppm"),
+        col("top_band"),
+        expr("mad * 1000000 div (2 * n_a * n_b)").as("top_band_ppm"))
+  }
+
+  def tvDriftOracle: String =
+    s"""WITH o AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    ${Quantize.centsSql("o_totalprice")} // 500000 band
+       |  FROM orders),
+       |b AS (
+       |  SELECT MIN(d) d0,
+       |    (date_diff('day', MIN(d), MAX(d)) + 1) + 1 sp2
+       |  FROM o),
+       |g AS (
+       |  SELECT band,
+       |    CAST(SUM(CASE WHEN date_diff('day', d0, d) * 2 < sp2
+       |      THEN 1 ELSE 0 END) AS BIGINT) ca,
+       |    CAST(SUM(CASE WHEN date_diff('day', d0, d) * 2 < sp2
+       |      THEN 0 ELSE 1 END) AS BIGINT) cb
+       |  FROM o CROSS JOIN b GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(ca) AS BIGINT) na,
+       |  CAST(SUM(cb) AS BIGINT) nb FROM g),
+       |df AS (
+       |  SELECT band, na, nb, abs(ca * nb - cb * na) ad
+       |  FROM g CROSS JOIN tt),
+       |s AS (
+       |  SELECT MAX(na) n_a, MAX(nb) n_b, CAST(COUNT(*) AS BIGINT) n_bands,
+       |    CAST(SUM(ad) AS BIGINT) sad, CAST(MAX(ad) AS BIGINT) mad
+       |  FROM df),
+       |tp AS (
+       |  SELECT CAST(MIN(band) AS BIGINT) top_band FROM df
+       |  WHERE ad = (SELECT MAX(ad) FROM df))
+       |SELECT n_a, n_b, n_bands,
+       |  sad * 1000000 // (2 * n_a * n_b) tvd_ppm,
+       |  top_band,
+       |  mad * 1000000 // (2 * n_a * n_b) top_band_ppm
+       |FROM s CROSS JOIN tp""".stripMargin
+
+  /** `gini_split_gain`: decision-stump feature ranking — for each
+    * candidate customer feature (market segment, nation, $2000
+    * balance band), the weighted Gini impurity of splitting on it
+    * and the gain over the root, predicting the big-spender label
+    * (any order over $400k — joinSemi's notion). "Which feature
+    * would a tree split on first" is the first readout of every
+    * feature-selection pass, and it is exact integer arithmetic
+    * here: group impurity 1 − (pos/n)² − (neg/n)² cross-multiplies
+    * to (n_g² − pos² − neg²), and the n-weighted sum floors per
+    * group to ppm — term_ppm = (n_g² − pos² − neg²)·10⁶ div (n·n_g)
+    * (the per-term floor is pinned semantics, as in log_rank_test).
+    * A `zz_root` row carries the unsplit impurity inside the hash.
+    *
+    * Plan: the label is one orders semi-join onto customers
+    * (broadcast key set), then each feature is a grid aggregate OF
+    * THE SAME labeled relation (localCheckpointed, scanned once per
+    * feature over cached rows); grids are ≤25 rows. int64:
+    * n_g²·10⁶ caps a group at ~3M rows — the eval-slice bound.
+    */
+  def giniSplitGain(spark: SparkSession, dir: String): DataFrame = {
+    val spenders = Tables.read(spark, dir, "orders")
+      .where(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey")).distinct()
+    val labeled = Tables.read(spark, dir, "customer")
+      .join(
+        spenders.withColumn("big", lit(1L)),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("string").as("nation"),
+        (expr(s"(${Quantize.centsSql("c_acctbal")} + 100000) div 200000"))
+          .cast("string").as("bal_band"),
+        coalesce(col("big"), lit(0L)).as("y"))
+      .localCheckpoint(eager = false) // one cached scan per feature
+    val tot = labeled.agg(
+      count(lit(1)).as("n"), sum(col("y")).as("p"))
+    def split(name: String, feat: String): DataFrame =
+      labeled.groupBy(col(feat).as("g"))
+        .agg(count(lit(1)).as("ng"), sum(col("y")).as("pg"))
+        .crossJoin(broadcast(tot)) // 1-row totals: documented exception
+        .select(expr(
+          "(ng * ng - pg * pg - (ng - pg) * (ng - pg)) * 1000000" +
+            " div (n * ng)").as("term"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("term")).as("gini_ppm"))
+        .select(lit(name).as("feature"), col("n_groups"), col("gini_ppm"))
+    val root = tot
+      .select(
+        lit("zz_root").as("feature"), lit(1L).as("n_groups"),
+        expr("(n * n - p * p - (n - p) * (n - p)) * 1000000 div (n * n)")
+          .as("gini_ppm"))
+    split("segment", "segment")
+      .unionByName(split("nation", "nation"))
+      .unionByName(split("bal_band", "bal_band"))
+      .unionByName(root)
+      .crossJoin(broadcast(root.select(col("gini_ppm").as("rg"))))
+      .select(
+        col("feature"), col("n_groups"), col("gini_ppm"),
+        (col("rg") - col("gini_ppm")).as("gain_ppm"))
+      .orderBy("feature")
+  }
+
+  def giniSplitGainOracle: String = {
+    def s(name: String, feat: String): String =
+      s"""SELECT '$name' feature, CAST(COUNT(*) AS BIGINT) n_groups,
+         |  CAST(SUM((ng * ng - pg * pg - (ng - pg) * (ng - pg)) * 1000000
+         |    // (n * ng)) AS BIGINT) gini_ppm
+         |FROM (
+         |  SELECT $feat g, CAST(COUNT(*) AS BIGINT) ng,
+         |    CAST(SUM(y) AS BIGINT) pg
+         |  FROM lab GROUP BY 1) q CROSS JOIN tt""".stripMargin
+    s"""WITH sp AS (
+       |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000.0),
+       |lab AS (
+       |  SELECT c_mktsegment segment,
+       |    CAST(c_nationkey AS VARCHAR) nation,
+       |    CAST((${Quantize.centsSql("c_acctbal")} + 100000) // 200000
+       |      AS VARCHAR) bal_band,
+       |    CASE WHEN sp.o_custkey IS NOT NULL THEN 1 ELSE 0 END y
+       |  FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(y) AS BIGINT) p
+       |  FROM lab),
+       |rt AS (
+       |  SELECT 'zz_root' feature, CAST(1 AS BIGINT) n_groups,
+       |    (n * n - p * p - (n - p) * (n - p)) * 1000000 // (n * n) gini_ppm
+       |  FROM tt),
+       |u AS (
+       |${s("segment", "segment")}
+       |UNION ALL
+       |${s("nation", "nation")}
+       |UNION ALL
+       |${s("bal_band", "bal_band")}
+       |UNION ALL
+       |SELECT feature, n_groups, gini_ppm FROM rt)
+       |SELECT u.feature, u.n_groups, u.gini_ppm,
+       |  rt.gini_ppm - u.gini_ppm AS gain_ppm
+       |FROM u CROSS JOIN rt
+       |ORDER BY u.feature""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("tv_drift", tvDrift, Some(tvDriftOracle)),
+    QueryDef("gini_split_gain", giniSplitGain, Some(giniSplitGainOracle)),
     QueryDef("cuped_adjust", cupedAdjust, Some(cupedAdjustOracle)),
     QueryDef("bootstrap_ci", bootstrapCi, Some(bootstrapCiOracle)),
     QueryDef("theil_sen", theilSen, Some(theilSenOracle)),

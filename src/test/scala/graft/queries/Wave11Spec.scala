@@ -185,6 +185,68 @@ class Wave11Spec extends AnyFunSuite {
     assert(row.getLong(4) > 0L)
   }
 
+  test("tv_drift equals a band-histogram replay") {
+    val rows = Tables.read(spark, dir, "orders")
+      .selectExpr(
+        "to_date(o_orderdate) d",
+        "CAST(round(o_totalprice * 100) AS LONG) div 500000 band")
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val d0 = rows.map(_._1).min
+    val sp2 = java.time.temporal.ChronoUnit.DAYS
+      .between(d0, rows.map(_._1).max) + 2
+    val (a, bHalf) = rows.partition(r =>
+      java.time.temporal.ChronoUnit.DAYS.between(d0, r._1) * 2 < sp2)
+    val (na, nb) = (a.length.toLong, bHalf.length.toLong)
+    val ha = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val hb = bHalf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bands = (ha.keySet ++ hb.keySet).toSeq.sorted
+    val ads = bands.map(b =>
+      b -> math.abs(ha.getOrElse(b, 0L) * nb - hb.getOrElse(b, 0L) * na))
+    val row = Statistics.tvDrift(spark, dir).collect().head
+    assert(row.getLong(0) === na)
+    assert(row.getLong(1) === nb)
+    assert(row.getLong(2) === bands.length.toLong)
+    assert(row.getLong(3) === ads.map(_._2).sum * 1000000L / (2 * na * nb))
+    val mx = ads.map(_._2).max
+    assert(row.getLong(4) === ads.filter(_._2 == mx).map(_._1).min)
+    assert(row.getLong(5) === mx * 1000000L / (2 * na * nb))
+    // TVD is a normalized distance
+    assert(row.getLong(3) >= 0L && row.getLong(3) <= 1000000L)
+  }
+
+  test("gini_split_gain equals a per-feature impurity replay") {
+    val spenders = Tables.read(spark, dir, "orders")
+      .where(org.apache.spark.sql.functions.col("o_totalprice") > 400000.0)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val cust = Tables.read(spark, dir, "customer")
+      .selectExpr(
+        "c_custkey", "c_mktsegment",
+        "CAST(c_nationkey AS STRING) nation",
+        "CAST((CAST(round(c_acctbal * 100) AS LONG) + 100000) div 200000 AS STRING) bb")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    val y = cust.map(c => (c, if (spenders(c._1)) 1L else 0L))
+    val n = y.length.toLong
+    val p = y.map(_._2).sum
+    def gini(sel: ((Long, String, String, String)) => String): Long =
+      y.groupBy(x => sel(x._1)).values.map { xs =>
+        val ng = xs.length.toLong
+        val pg = xs.map(_._2).sum
+        (ng * ng - pg * pg - (ng - pg) * (ng - pg)) * 1000000L / (n * ng)
+      }.sum
+    val root = (n * n - p * p - (n - p) * (n - p)) * 1000000L / (n * n)
+    val expect = Map(
+      "segment" -> gini(_._2), "nation" -> gini(_._3),
+      "bal_band" -> gini(_._4), "zz_root" -> root)
+    val rows = Statistics.giniSplitGain(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === expect(r.getString(0)))
+      assert(r.getLong(3) === root - expect(r.getString(0)))
+    }
+    // a split can never be worse than the root (up to per-group floors)
+    rows.foreach(r => assert(r.getLong(3) >= -4L))
+  }
+
   test("time_split_cv folds tile and nest") {
     val days = Tables.events(spark, dir)
       .selectExpr("to_date(ts) AS d").collect()
