@@ -200,7 +200,93 @@ object Layout {
        |FROM b GROUP BY band ORDER BY band""".stripMargin
   }
 
+  /** `zone_map_prune`: the data-skipping ECONOMICS of two physical
+    * layouts under the same predicate — what zorder_layout's span
+    * report stops short of pricing. Orders lay out as 2000-row
+    * "files" two ways: arrival order (orderkey ranges — the layout
+    * ingestion gives you for free) and date-partitioned (one file
+    * per order day — the layout a maintenance pass buys); each
+    * file's zone map is its min/max orderdate, the predicate is a
+    * pinned one-week slice derived from the data's own bounds, and
+    * the readout per layout is files hit, rows scanned vs rows
+    * actually matching, and the scan overhead in ppm of the scan —
+    * the number that justifies (or doesn't) the re-clustering job.
+    * Everything integer/date-exact; the hit rule is the standard
+    * zone-map overlap test (max ≥ lo AND min < hi).
+    *
+    * Plan: one narrow scan feeding two file-grain aggregates (file
+    * METADATA rows — thousands at 100 TB, the compaction_plan
+    * stance), predicate bounds as a 1-row broadcast, 2-row output.
+    */
+  def zoneMapPrune(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.read(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), to_date(col("o_orderdate")).as("d"))
+      .localCheckpoint(eager = false) // bounds + both layouts share it
+    val pred = ord.agg(
+      date_add(min(col("d")), 7).as("lo"),
+      date_add(min(col("d")), 14).as("hi"))
+    def layout(name: String, fileId: Column): DataFrame =
+      ord
+        .crossJoin(broadcast(pred)) // 1-row bounds: documented exception
+        .select(
+          fileId.as("f"), col("d"),
+          (col("d") >= col("lo") && col("d") < col("hi")).cast("long")
+            .as("m"),
+          col("lo"), col("hi"))
+        .groupBy(col("f"), col("lo"), col("hi"))
+        .agg(
+          count(lit(1)).as("n"), min(col("d")).as("fmin"),
+          max(col("d")).as("fmax"), sum(col("m")).as("nm"))
+        .select(
+          col("n"), col("nm"),
+          (col("fmax") >= col("lo") && col("fmin") < col("hi"))
+            .cast("long").as("hit"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(col("hit")).as("n_hit_files"),
+          sum(col("hit") * col("n")).as("rows_scanned"),
+          sum(col("nm")).as("rows_matching"))
+        .select(
+          lit(name).as("layout"), col("n_files"), col("n_hit_files"),
+          col("rows_scanned"), col("rows_matching"),
+          expr("""CASE WHEN rows_scanned = 0 THEN NULL
+            ELSE (rows_scanned - rows_matching) * 1000000 div rows_scanned
+            END""").as("overhead_ppm"))
+    layout("arrival", expr("k div 2000"))
+      .unionByName(layout("date_partitioned", col("d").cast("string")
+        .substr(1, 10).as("fd"))) // one file per day
+      .orderBy("layout")
+  }
+
+  def zoneMapPruneOracle: String = {
+    def lay(name: String, fileExpr: String): String =
+      s"""SELECT '$name' layout, CAST(COUNT(*) AS BIGINT) n_files,
+         |  CAST(SUM(hit) AS BIGINT) n_hit_files,
+         |  CAST(SUM(hit * n) AS BIGINT) rows_scanned,
+         |  CAST(SUM(nm) AS BIGINT) rows_matching,
+         |  CASE WHEN SUM(hit * n) = 0 THEN NULL
+         |    ELSE CAST((SUM(hit * n) - SUM(nm)) AS BIGINT) * 1000000
+         |      // CAST(SUM(hit * n) AS BIGINT)
+         |  END overhead_ppm
+         |FROM (
+         |  SELECT $fileExpr f, CAST(COUNT(*) AS BIGINT) n,
+         |    CAST(SUM(CASE WHEN d >= lo AND d < hi THEN 1 ELSE 0 END)
+         |      AS BIGINT) nm,
+         |    CASE WHEN MAX(d) >= MAX(lo) AND MIN(d) < MAX(hi)
+         |      THEN 1 ELSE 0 END hit
+         |  FROM o CROSS JOIN p GROUP BY 1)""".stripMargin
+    s"""WITH o AS (
+       |  SELECT o_orderkey k, CAST(o_orderdate AS DATE) d FROM orders),
+       |p AS (
+       |  SELECT MIN(d) + 7 lo, MIN(d) + 14 hi FROM o)
+       |${lay("arrival", "k // 2000")}
+       |UNION ALL
+       |${lay("date_partitioned", "CAST(d AS VARCHAR)")}
+       |ORDER BY layout""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("zone_map_prune", zoneMapPrune, Some(zoneMapPruneOracle)),
     QueryDef(
       "posting_compression", postingCompression,
       Some(postingCompressionOracle)),

@@ -1664,7 +1664,94 @@ object Statistics {
        |ORDER BY u.feature""".stripMargin
   }
 
+  /** `kendall_tau`: rank-stability of the nation revenue league table
+    * across two consecutive years — Kendall's τ_a by concordant/
+    * discordant PAIR COUNTING, the rank test that (unlike a
+    * correlation of the revenue values) only moves when positions
+    * actually swap. Pure integers end to end: exact-cent revenues,
+    * a broadcast triangular self-join over the ≤25-nation relation
+    * (i < j pairs once), C/D/T counted by sign agreement, and
+    * τ_a_ppm = (C − D)·10⁶ div (n(n−1)/2) with the suite's
+    * sign-split floor (τ < 0 = the table inverted). Ties count
+    * neither way and are reported — τ_b's tie correction needs a
+    * sqrt, and publishing T beside τ_a is the integer-honest form.
+    *
+    * Plan: one orders scan → (nation, year) grid → 25-row wide
+    * relation → triangular broadcast join (≤300 pairs) → 1-row fold.
+    */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.read(spark, dir, "orders")
+      .join(
+        broadcast(Tables.read(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey").as("nation"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        col("nation"), year(col("o_orderdate")).as("yr"),
+        Quantize.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("nation"))
+      .agg(
+        sum(when(col("yr") === 1996, col("c")).otherwise(lit(0L))).as("r1"),
+        sum(when(col("yr") === 1997, col("c")).otherwise(lit(0L))).as("r2"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val pairs = wide.as("a")
+      .join(
+        broadcast(wide.select(
+          col("nation").as("n2"), col("r1").as("s1"), col("r2").as("s2"))),
+        col("n2") > col("a.nation"))
+      .select(
+        (((col("r1") < col("s1")) && (col("r2") < col("s2"))) ||
+          ((col("r1") > col("s1")) && (col("r2") > col("s2"))))
+          .cast("long").as("conc"),
+        (((col("r1") < col("s1")) && (col("r2") > col("s2"))) ||
+          ((col("r1") > col("s1")) && (col("r2") < col("s2"))))
+          .cast("long").as("disc"))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("conc")).as("concordant"),
+      sum(col("disc")).as("discordant"))
+      .select(
+        col("n_pairs"), col("concordant"), col("discordant"),
+        (col("n_pairs") - col("concordant") - col("discordant")).as("tied"),
+        expr("""CASE WHEN concordant - discordant < 0
+          THEN -((discordant - concordant) * 1000000 div n_pairs)
+          ELSE (concordant - discordant) * 1000000 div n_pairs
+          END""").as("tau_a_ppm"))
+  }
+
+  def kendallTauOracle: String =
+    s"""WITH w AS (
+       |  SELECT c_nationkey nation,
+       |    CAST(SUM(CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 1996
+       |      THEN ${Quantize.centsSql("o_totalprice")} ELSE 0 END)
+       |      AS BIGINT) r1,
+       |    CAST(SUM(CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 1997
+       |      THEN ${Quantize.centsSql("o_totalprice")} ELSE 0 END)
+       |      AS BIGINT) r2
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT
+       |    CAST(CASE WHEN (a.r1 < b.r1 AND a.r2 < b.r2)
+       |      OR (a.r1 > b.r1 AND a.r2 > b.r2) THEN 1 ELSE 0 END
+       |      AS BIGINT) conc,
+       |    CAST(CASE WHEN (a.r1 < b.r1 AND a.r2 > b.r2)
+       |      OR (a.r1 > b.r1 AND a.r2 < b.r2) THEN 1 ELSE 0 END
+       |      AS BIGINT) disc
+       |  FROM w a JOIN w b ON b.nation > a.nation)
+       |SELECT CAST(COUNT(*) AS BIGINT) n_pairs,
+       |  CAST(SUM(conc) AS BIGINT) concordant,
+       |  CAST(SUM(disc) AS BIGINT) discordant,
+       |  CAST(COUNT(*) - SUM(conc) - SUM(disc) AS BIGINT) tied,
+       |  CASE WHEN SUM(conc) - SUM(disc) < 0
+       |    THEN -((CAST(SUM(disc) - SUM(conc) AS BIGINT)) * 1000000
+       |      // COUNT(*))
+       |    ELSE (CAST(SUM(conc) - SUM(disc) AS BIGINT)) * 1000000
+       |      // COUNT(*)
+       |  END tau_a_ppm
+       |FROM p""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("kendall_tau", kendallTau, Some(kendallTauOracle)),
     QueryDef("tv_drift", tvDrift, Some(tvDriftOracle)),
     QueryDef("gini_split_gain", giniSplitGain, Some(giniSplitGainOracle)),
     QueryDef("cuped_adjust", cupedAdjust, Some(cupedAdjustOracle)),

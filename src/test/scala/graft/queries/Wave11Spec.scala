@@ -247,6 +247,57 @@ class Wave11Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) >= -4L))
   }
 
+  test("zone_map_prune: date layout dominates arrival layout") {
+    val rows = Layout.zoneMapPrune(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val (afl, ahit, ascan, amatch) = rows("arrival")
+    val (dfl, dhit, dscan, dmatch) = rows("date_partitioned")
+    // both layouts must find the same matching rows
+    assert(amatch === dmatch)
+    // scanned can never be less than matched; hit files bounded by files
+    assert(ascan >= amatch && dscan >= dmatch)
+    assert(ahit <= afl && dhit <= dfl)
+    // the date-partitioned layout scans exactly the matching rows
+    // (each file is one day, the predicate is a date range)
+    assert(dscan === dmatch)
+    // arrival order scans strictly more unless the data is degenerate
+    assert(ascan >= dscan)
+  }
+
+  test("kendall_tau equals a brute pair count over the league table") {
+    val wide = Tables.read(spark, dir, "orders")
+      .join(
+        Tables.read(spark, dir, "customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .selectExpr(
+        "CAST(c_nationkey AS LONG) nation", "year(o_orderdate) yr",
+        "CAST(round(o_totalprice * 100) AS LONG) c")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byNation = wide.groupBy(_._1).view.mapValues { xs =>
+      (xs.filter(_._2 == 1996).map(_._3).sum,
+        xs.filter(_._2 == 1997).map(_._3).sum)
+    }.toMap
+    val ns = byNation.keys.toSeq.sorted
+    val pairs = for { i <- ns; j <- ns if j > i } yield (byNation(i), byNation(j))
+    val conc = pairs.count { case ((a1, a2), (b1, b2)) =>
+      (a1 < b1 && a2 < b2) || (a1 > b1 && a2 > b2)
+    }.toLong
+    val disc = pairs.count { case ((a1, a2), (b1, b2)) =>
+      (a1 < b1 && a2 > b2) || (a1 > b1 && a2 < b2)
+    }.toLong
+    val row = Statistics.kendallTau(spark, dir).collect().head
+    assert(row.getLong(0) === pairs.size.toLong)
+    assert(row.getLong(1) === conc)
+    assert(row.getLong(2) === disc)
+    assert(row.getLong(3) === pairs.size - conc - disc)
+    val d = conc - disc
+    val expect =
+      if (d < 0) -((-d) * 1000000L / pairs.size) else d * 1000000L / pairs.size
+    assert(row.getLong(4) === expect)
+  }
+
   test("time_split_cv folds tile and nest") {
     val days = Tables.events(spark, dir)
       .selectExpr("to_date(ts) AS d").collect()
