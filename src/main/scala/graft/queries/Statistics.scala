@@ -1750,7 +1750,125 @@ object Statistics {
        |  END tau_a_ppm
        |FROM p""".stripMargin
 
+  /** `srm_check`: the sample-ratio-mismatch gate — the FIRST validity
+    * check any experiment readout must pass (a biased assignment
+    * invalidates ab_test/cuped_adjust/log_rank_test before their
+    * statistics mean anything): arm sizes from the canonical
+    * content-hash split vs the designed 50/50, χ²₁ collapsing
+    * algebraically to (n_a−n_b)²/(n_a+n_b) exactly — pure integer,
+    * no expected-count fraction ever materializes. Emits the arms,
+    * the gap in ppm of total, χ² in milli, and the pinned 3.841
+    * (5%) verdict. The md5 split is deterministic, so this gate's
+    * value is itself reproducible — what it audits at 100 TB is the
+    * UPSTREAM pipeline (dropped logs, bot filters) distorting arms.
+    *
+    * Plan: one user-grain aggregate → one 1-row fold. (On the sf0.01
+    * set the gate genuinely fires — md5 buckets of its 150 regularly
+    * spaced user ids land 60/90, χ²=6.0 — a correct readout of a
+    * small, structured population, and exactly the kind of surprise
+    * the gate exists to surface before anyone trusts a lift number.)
+    */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .select(ContentHash.bucket(col("user_id"), 2).as("arm"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(
+        col("n_a"), col("n_b"),
+        expr("""CASE WHEN n_a - n_b < 0
+          THEN -((n_b - n_a) * 1000000 div (n_a + n_b))
+          ELSE (n_a - n_b) * 1000000 div (n_a + n_b)
+          END""").as("gap_ppm"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b)")
+          .as("chi2_milli"))
+      .withColumn("srm_detected", col("chi2_milli") > 3841L)
+
+  def srmCheckOracle: String =
+    s"""WITH u AS (
+       |  SELECT ${ContentHash.bucketSql("user_id", 2)} arm
+       |  FROM (SELECT DISTINCT user_id FROM events)),
+       |a AS (
+       |  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) n_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) n_b
+       |  FROM u)
+       |SELECT n_a, n_b,
+       |  CASE WHEN n_a - n_b < 0
+       |    THEN -((n_b - n_a) * 1000000 // (n_a + n_b))
+       |    ELSE (n_a - n_b) * 1000000 // (n_a + n_b)
+       |  END gap_ppm,
+       |  (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) chi2_milli,
+       |  (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) > 3841
+       |    srm_detected
+       |FROM a""".stripMargin
+
+  /** `ab_power`: the sample-size side of the experimentation battery
+    * — given the observed conversion base rate (ab_test's heavy-buyer
+    * cut), the per-arm n required to detect a 2-point absolute lift
+    * at α=5% two-sided, power 80%:
+    * n = (z_{α/2}+z_β)²·2·p̄(1−p̄)/δ², the formula every experiment
+    * sizing sheet runs. Integer moments end to end (p̄ in ppm, δ
+    * pinned at 20000 ppm, z constants pinned as micro literals
+    * 1959964 and 841621 — the ndcg discount-table discipline), and
+    * the one final division evaluates the textually-identical IEEE
+    * expression over identical int64 operands, then floors to a
+    * whole n (the suite's final-float convention). Also emits the
+    * achieved-n verdict: whether the current arms already clear it.
+    *
+    * Plan: one user-grain aggregate → 1-row fold. The readout a
+    * 100 TB pipeline computes BEFORE burning a quarter's traffic.
+    */
+  def abPower(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((count(when(col("event_type") === "purchase", 1)) >= 14)
+        .cast("long").as("conv"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .select(
+        col("n_users"), col("n_conv"),
+        expr("n_conv * 1000000 div n_users").as("p_ppm"))
+      .select(
+        col("n_users"), col("n_conv"), col("p_ppm"),
+        // (z_a + z_b)² · 2·p(1−p) / δ²; all operands exact ints, the
+        // division is one identical-IEEE double, floored to whole n.
+        expr("""CAST(floor(
+          (CAST(1959964 + 841621 AS DOUBLE) / 1000000) *
+          (CAST(1959964 + 841621 AS DOUBLE) / 1000000) *
+          (2.0 * p_ppm * (1000000 - p_ppm)) /
+          (CAST(20000 AS DOUBLE) * 20000)) AS BIGINT)""")
+          .as("n_required"),
+        lit(20000L).as("mde_ppm"))
+      .withColumn("powered", expr("n_users div 2 >= n_required"))
+
+  def abPowerOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      >= 14 THEN 1 ELSE 0 END conv
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) n_users,
+      |    CAST(SUM(conv) AS BIGINT) n_conv
+      |  FROM u),
+      |p AS (SELECT n_users, n_conv, n_conv * 1000000 // n_users p_ppm FROM a)
+      |SELECT n_users, n_conv, p_ppm,
+      |  CAST(floor(
+      |    (CAST(1959964 + 841621 AS DOUBLE) / 1000000) *
+      |    (CAST(1959964 + 841621 AS DOUBLE) / 1000000) *
+      |    (2.0 * p_ppm * (1000000 - p_ppm)) /
+      |    (CAST(20000 AS DOUBLE) * 20000)) AS BIGINT) n_required,
+      |  CAST(20000 AS BIGINT) mde_ppm,
+      |  n_users // 2 >= CAST(floor(
+      |    (CAST(1959964 + 841621 AS DOUBLE) / 1000000) *
+      |    (CAST(1959964 + 841621 AS DOUBLE) / 1000000) *
+      |    (2.0 * p_ppm * (1000000 - p_ppm)) /
+      |    (CAST(20000 AS DOUBLE) * 20000)) AS BIGINT) powered
+      |FROM p""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("srm_check", srmCheck, Some(srmCheckOracle)),
+    QueryDef("ab_power", abPower, Some(abPowerOracle)),
     QueryDef("kendall_tau", kendallTau, Some(kendallTauOracle)),
     QueryDef("tv_drift", tvDrift, Some(tvDriftOracle)),
     QueryDef("gini_split_gain", giniSplitGain, Some(giniSplitGainOracle)),

@@ -298,6 +298,33 @@ class Wave11Spec extends AnyFunSuite {
     assert(row.getLong(4) === expect)
   }
 
+  test("srm_check chi2 equals the algebraic identity (na-nb)^2/(na+nb)") {
+    val row = Statistics.srmCheck(spark, dir).collect().head
+    val (na, nb) = (row.getLong(0), row.getLong(1))
+    val d = na - nb
+    assert(row.getLong(3) === d * d * 1000L / (na + nb))
+    assert(row.getBoolean(4) === (row.getLong(3) > 3841L))
+    val gap = if (d < 0) -((-d) * 1000000L / (na + nb))
+      else d * 1000000L / (na + nb)
+    assert(row.getLong(2) === gap)
+    // arms partition the distinct-user population
+    val users = Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(na + nb === users)
+  }
+
+  test("ab_power matches the closed-form sizing formula") {
+    val row = Statistics.abPower(spark, dir).collect().head
+    val p = row.getLong(2)
+    val z = (1959964.0 + 841621.0) / 1000000.0
+    val expect = math.floor(z * z * (2.0 * p * (1000000 - p)) /
+      (20000.0 * 20000.0)).toLong
+    assert(row.getLong(3) === expect)
+    assert(row.getBoolean(5) === (row.getLong(0) / 2 >= expect))
+    // sanity: detecting a 2-point lift near p=0.5 needs thousands
+    if (p > 300000 && p < 700000) assert(expect > 5000L)
+  }
+
   test("time_split_cv folds tile and nest") {
     val days = Tables.events(spark, dir)
       .selectExpr("to_date(ts) AS d").collect()
