@@ -1730,6 +1730,80 @@ object Analytics {
     * cross-shard offsets; never a global window. Top-10 via
     * TakeOrderedAndProject.
     */
+  /** `p_chart`: the attribute control chart completing the SPC triad
+    * (cusum_shift LOCALIZES a mean shift, ewma_smooth SMOOTHS the
+    * series, this draws the Shewhart alarm limits an on-call actually
+    * watches): per day, the error-event share against 3σ binomial
+    * control limits around the overall rate — UCL/LCL = p̄ ±
+    * 3·√(p̄(1−p̄)/n_t), per-day limits because daily volume varies.
+    * Counts and p̄ are exact integers; the one √ evaluates the
+    * textually-identical IEEE expression over identical int64
+    * operands and floors to ppm (the corr_stats final-float
+    * convention), so the limits — and the out-of-control verdicts —
+    * hash-pin. LCL clamps at 0 (the binomial's truncation at small
+    * n), UCL at 10⁶.
+    *
+    * Plan: one events scan → day grid with n and errors in one
+    * aggregate, overall rate as a 1-row broadcast, per-day limit
+    * arithmetic. Zero joins past the grid.
+    */
+  def pChart(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(
+        to_date(col("ts")).as("d"),
+        (col("event_type") === "error").cast("long").as("e"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("n_err"))
+      .localCheckpoint(eager = false) // overall fold + per-day limits
+    val overall = days.agg(
+      sum(col("n")).as("nt"), sum(col("n_err")).as("et"))
+    val lim = "3.0 * sqrt((CAST(pbar AS DOUBLE) * (1000000 - pbar)) " +
+      "/ (1000000.0 * n))"
+    days
+      .crossJoin(broadcast(overall)) // 1-row totals: documented exception
+      .withColumn("pbar", expr("et * 1000000 div nt"))
+      .select(
+        col("d"), col("n"), col("n_err"),
+        expr("n_err * 1000000 div n").as("p_ppm"),
+        col("pbar").as("pbar_ppm"),
+        expr(s"least(CAST(1000000 AS BIGINT), pbar + CAST(floor($lim) AS BIGINT))")
+          .as("ucl_ppm"),
+        expr(s"greatest(CAST(0 AS BIGINT), pbar - CAST(floor($lim) AS BIGINT))")
+          .as("lcl_ppm"))
+      .withColumn(
+        "out_of_control",
+        col("p_ppm") > col("ucl_ppm") || col("p_ppm") < col("lcl_ppm"))
+      .orderBy("d")
+  }
+
+  def pChartOracle: String = {
+    val lim = "3.0 * sqrt((CAST(pbar AS DOUBLE) * (1000000 - pbar)) " +
+      "/ (1000000.0 * n))"
+    s"""WITH dg AS (
+       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+       |    CAST(COUNT(*) AS BIGINT) n,
+       |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) n_err
+       |  FROM events GROUP BY 1),
+       |ov AS (SELECT CAST(SUM(n) AS BIGINT) nt,
+       |  CAST(SUM(n_err) AS BIGINT) et FROM dg),
+       |pb AS (
+       |  SELECT d, n, n_err, et * 1000000 // nt pbar
+       |  FROM dg CROSS JOIN ov),
+       |lims AS (
+       |  SELECT d, n, n_err,
+       |    n_err * 1000000 // n p_ppm,
+       |    pbar pbar_ppm,
+       |    least(CAST(1000000 AS BIGINT),
+       |      pbar + CAST(floor($lim) AS BIGINT)) ucl_ppm,
+       |    greatest(CAST(0 AS BIGINT),
+       |      pbar - CAST(floor($lim) AS BIGINT)) lcl_ppm
+       |  FROM pb)
+       |SELECT d, n, n_err, p_ppm, pbar_ppm, ucl_ppm, lcl_ppm,
+       |  p_ppm > ucl_ppm OR p_ppm < lcl_ppm AS out_of_control
+       |FROM lims ORDER BY d""".stripMargin
+  }
+
   def cusumShift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val days = Tables.read(spark, dir, "orders")
@@ -2082,6 +2156,7 @@ object Analytics {
     QueryDef("funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     QueryDef("cohort_retention", cohortRetention, Some(cohortRetentionOracle)),
     QueryDef("cohort_ltv", cohortLtv, Some(cohortLtvOracle)),
+    QueryDef("p_chart", pChart, Some(pChartOracle)),
     QueryDef("scd2_history", scd2History, Some(scd2HistoryOracle)),
     QueryDef("pit_join", pitJoin, Some(pitJoinOracle)),
     QueryDef("rolling_revenue", rollingRevenue, Some(rollingRevenueOracle)),

@@ -48,11 +48,15 @@ object Evaluation {
       |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) n_neg
       |  FROM qscore GROUP BY score)""".stripMargin
 
-  /** Score shards of width 1000 for the prefix-sum discipline: the
-    * score domain spans a few tens of thousands of integer values, so
-    * the shard grid is ~40 rows at any corpus size.
+  /** Value shards for the prefix-sum discipline, sized from the DATA
+    * (the lorenz/gini width rule, (hi−lo) div 64 + 1, ≤65 shards on
+    * any domain). Round-7 lesson: a FIXED width-1000 shard was fine
+    * on the quality-score domain (~40 shards) but made ~50k shards
+    * of the cent-exact price domain, and the triangular offsets join
+    * priced mannwhitney_u at 18.7s — quadratic in shard count, the
+    * exact failure the rule exists to prevent.
     */
-  private val ScoreShard = 1000L
+  private val Shards = 64L
 
   /** Midrank pair-counting numerator shared by [[aucRoc]] and
     * [[mannwhitneyU]]: for a (value, n_pos, n_neg) histogram,
@@ -63,7 +67,14 @@ object Evaluation {
     * shape) — one histogram shuffle, everything after shard-grid-sized.
     */
   private def pairNumer2(hist: DataFrame): DataFrame = {
-    val h = hist.withColumn("shard", expr(s"score div $ScoreShard"))
+    val hist0 = hist.localCheckpoint(eager = false) // bounds + shards
+    val bounds = hist0.agg(
+      min(col("score")).as("lo"), max(col("score")).as("hi"))
+      .select(
+        col("lo"), expr(s"(hi - lo) div $Shards + 1").as("wd"))
+    val h = hist0
+      .crossJoin(broadcast(bounds)) // 1-row bounds: documented exception
+      .withColumn("shard", expr("(score - lo) div wd"))
       .localCheckpoint(eager = false) // shard totals + ranked join
     val shardTot = h.groupBy(col("shard"))
       .agg(sum(col("n_neg")).as("tot"))
@@ -529,9 +540,15 @@ object Evaluation {
     * EVAL SLICE bound again, loud under ANSI.
     */
   def cumulativeGains(spark: SparkSession, dir: String): DataFrame = {
-    val hist = scoreHist(spark, dir)
+    val hist0 = scoreHist(spark, dir)
       .withColumn("c", col("n_pos") + col("n_neg"))
-      .withColumn("shard", expr(s"score div $ScoreShard"))
+      .localCheckpoint(eager = false) // bounds + the sharded relation
+    val bounds = hist0.agg(
+      min(col("score")).as("lo"), max(col("score")).as("hi"))
+      .select(col("lo"), expr(s"(hi - lo) div $Shards + 1").as("wd"))
+    val hist = hist0
+      .crossJoin(broadcast(bounds)) // 1-row bounds: documented exception
+      .withColumn("shard", expr("(score - lo) div wd"))
       .localCheckpoint(eager = false) // totals + shard sums + window
     val tot = hist.agg(
       sum(col("c")).as("n"), sum(col("n_pos")).as("tot_pos"))

@@ -407,7 +407,15 @@ object SqlSurface {
       .select(
         col("rn"), col("t"), (col("ntot") - col("rm_below")).as("n_at"),
         col("d"), col("c"))
-    km.createOrReplaceTempView("km_days_surv")
+    // MATERIALIZE the probe side before the recursion: UnionLoop
+    // re-evaluates the joined relation once PER LEVEL, so an
+    // unmaterialized km re-runs the fact aggregate ~50 times
+    // (measured 8.8s at sf0.1 — and that cost would GROW with the
+    // corpus). Eager-checkpointed, each level probes a ~50-row local
+    // relation; the remaining ~0.1s/level is UnionLoop's scheduling
+    // floor — constant in data size (a LocalRelation probe measures
+    // identically), the k_core_peel per-round-floor class.
+    km.localCheckpoint(eager = true).createOrReplaceTempView("km_days_surv")
     val key = "spark.sql.cteRecursionLevelLimit"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, 100000)
@@ -491,7 +499,9 @@ object SqlSurface {
         col("d2") < col("a.day"), "left")
       .groupBy(col("a.day").as("day"), col("a.y_c").as("y_c"))
       .agg((count(col("d2")) + 1).as("rn"))
-    rn.createOrReplaceTempView("holt_days")
+    // materialized for the same per-level re-evaluation reason as
+    // survival_km's km_days_surv (see the comment there)
+    rn.localCheckpoint(eager = true).createOrReplaceTempView("holt_days")
     // The two update equations; lNew is spliced into bNew because SQL
     // cannot reference a select-list alias in the same select list.
     val lNew = "(d.y_c + 3 * (h.l_c + h.b_c)) div 4"

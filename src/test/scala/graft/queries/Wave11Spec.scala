@@ -325,6 +325,33 @@ class Wave11Spec extends AnyFunSuite {
     if (p > 300000 && p < 700000) assert(expect > 5000L)
   }
 
+  test("p_chart limits equal the 3-sigma binomial formula") {
+    val days = Tables.events(spark, dir)
+      .selectExpr("to_date(ts) d", "CAST(event_type = 'error' AS LONG) e")
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(xs =>
+        (xs.size.toLong, xs.map(_._2).sum)).toMap
+    val nt = days.values.map(_._1).sum
+    val et = days.values.map(_._2).sum
+    val pbar = et * 1000000L / nt
+    val rows = Analytics.pChart(spark, dir).collect()
+    assert(rows.length === days.size)
+    rows.foreach { r =>
+      val (n, ne) = days(r.getDate(0).toLocalDate)
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === ne)
+      assert(r.getLong(3) === ne * 1000000L / n)
+      assert(r.getLong(4) === pbar)
+      val lim = math.floor(
+        3.0 * math.sqrt(pbar.toDouble * (1000000 - pbar) /
+          (1000000.0 * n))).toLong
+      assert(r.getLong(5) === math.min(1000000L, pbar + lim))
+      assert(r.getLong(6) === math.max(0L, pbar - lim))
+      assert(r.getBoolean(7) ===
+        (r.getLong(3) > r.getLong(5) || r.getLong(3) < r.getLong(6)))
+    }
+  }
+
   test("time_split_cv folds tile and nest") {
     val days = Tables.events(spark, dir)
       .selectExpr("to_date(ts) AS d").collect()
