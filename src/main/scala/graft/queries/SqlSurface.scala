@@ -550,8 +550,87 @@ object SqlSurface {
       |  l_c + 7 * b_c AS forecast7_c
       |FROM h ORDER BY day""".stripMargin
 
+  /** `pivot_sql_roundtrip`: the native SQL `PIVOT` and `UNPIVOT`
+    * clauses exercised as an IDENTITY — revenue by (month, priority)
+    * pivots to a wide month×5 matrix, unpivots back to long form,
+    * and the long form re-aggregates beside the pre-pivot original
+    * with the difference count pinned INSIDE the hash (0 rows must
+    * differ; `zz_diff` row). The DataFrame twins (`pivot_counts`,
+    * `unpivot_metrics`) state the same operators through the API;
+    * this row proves the SQL clauses — including UNPIVOT's
+    * NULL-dropping contract, which is exactly what makes the
+    * roundtrip lossless only because every (month, priority) cell
+    * here is populated… and where it isn't, the diff row would
+    * say so loudly.
+    *
+    * Plan: one orders scan → month×priority grid; pivot/unpivot are
+    * grid-shaped projections; the identity check is a grid-sized
+    * full-outer compare. Nothing fact-sized moves twice.
+    */
+  def pivotSqlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    Tables.read(spark, dir, "orders")
+      .createOrReplaceTempView("orders_pivot")
+    spark.sql(
+      s"""WITH base AS (
+         |  SELECT month(o_orderdate) AS mon,
+         |    translate(o_orderpriority, '- ', '__') AS prio,
+         |    CAST(sum(${Quantize.centsSql("o_totalprice")}) AS BIGINT)
+         |      AS rev_c
+         |  FROM orders_pivot GROUP BY 1, 2),
+         |wide AS (
+         |  SELECT * FROM base
+         |  PIVOT (sum(rev_c) FOR prio IN (
+         |    '1_URGENT' AS p1, '2_HIGH' AS p2, '3_MEDIUM' AS p3,
+         |    '4_NOT_SPECIFIED' AS p4, '5_LOW' AS p5))),
+         |long AS (
+         |  SELECT mon, prio, rev_c FROM wide
+         |  UNPIVOT (rev_c FOR prio IN (
+         |    p1 AS `1_URGENT`, p2 AS `2_HIGH`, p3 AS `3_MEDIUM`,
+         |    p4 AS `4_NOT_SPECIFIED`, p5 AS `5_LOW`))),
+         |diff AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT mon, prio, rev_c FROM base
+         |    EXCEPT
+         |    SELECT mon, prio, rev_c FROM long
+         |    UNION ALL
+         |    SELECT mon, prio, rev_c FROM long
+         |    EXCEPT
+         |    SELECT mon, prio, rev_c FROM base))
+         |SELECT CAST(mon AS BIGINT) AS mon, p1, p2, p3, p4, p5,
+         |  CAST(NULL AS BIGINT) AS diff_rows FROM wide
+         |UNION ALL
+         |SELECT CAST(NULL AS BIGINT), NULL, NULL, NULL, NULL, NULL, n
+         |FROM diff
+         |ORDER BY mon NULLS LAST""".stripMargin)
+  }
+
+  def pivotSqlRoundtripOracle: String = {
+    def cell(p: String) =
+      s"CAST(SUM(CASE WHEN prio = '$p' THEN rev_c END) AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT month(CAST(o_orderdate AS TIMESTAMP)) AS mon,
+       |    translate(o_orderpriority, '- ', '__') AS prio,
+       |    CAST(sum(${Quantize.centsSql("o_totalprice")}) AS BIGINT)
+       |      AS rev_c
+       |  FROM orders GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT mon, ${cell("1_URGENT")} p1, ${cell("2_HIGH")} p2,
+       |    ${cell("3_MEDIUM")} p3, ${cell("4_NOT_SPECIFIED")} p4,
+       |    ${cell("5_LOW")} p5
+       |  FROM base GROUP BY mon)
+       |SELECT CAST(mon AS BIGINT) AS mon, p1, p2, p3, p4, p5,
+       |  CAST(NULL AS BIGINT) AS diff_rows FROM wide
+       |UNION ALL
+       |SELECT CAST(NULL AS BIGINT), NULL, NULL, NULL, NULL, NULL,
+       |  CAST(0 AS BIGINT)
+       |ORDER BY mon NULLS LAST""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("survival_km", survivalKm, Some(survivalKmOracle)),
+    QueryDef(
+      "pivot_sql_roundtrip", pivotSqlRoundtrip,
+      Some(pivotSqlRoundtripOracle)),
     QueryDef("holt_linear", holtLinear, Some(holtLinearOracle)),
     QueryDef(
       "not_in_null_trap", notInNullTrap, Some(notInNullTrapOracle)),

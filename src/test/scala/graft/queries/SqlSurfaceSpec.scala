@@ -70,6 +70,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
       Seq("high", "low", "mid"))
   }
 
+  test("pivot_sql_roundtrip: zero diff rows and cells re-sum to the base") {
+    val rows = SqlSurface.pivotSqlRoundtrip(spark, dir).collect()
+    val (diffRows, monthRows) = rows.partition(_.isNullAt(0))
+    assert(diffRows.length === 1)
+    assert(diffRows.head.getLong(6) === 0L, "PIVOT->UNPIVOT lost rows")
+    // the wide cells must re-sum to the raw cent total
+    val cellSum = monthRows.map(r =>
+      (1 to 5).map(i => if (r.isNullAt(i)) 0L else r.getLong(i)).sum).sum
+    val raw = Tables.read(spark, dir, "orders")
+      .selectExpr("sum(CAST(round(o_totalprice * 100) AS LONG)) s")
+      .collect().head.getLong(0)
+    assert(cellSum === raw)
+  }
+
   test("sql_script restores the scripting flag after running") {
     val key = "spark.sql.scripting.enabled"
     val before = spark.conf.getOption(key)
