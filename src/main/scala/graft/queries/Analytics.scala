@@ -1757,8 +1757,7 @@ object Analytics {
       .localCheckpoint(eager = false) // overall fold + per-day limits
     val overall = days.agg(
       sum(col("n")).as("nt"), sum(col("n_err")).as("et"))
-    val lim = "3.0 * sqrt((CAST(pbar AS DOUBLE) * (1000000 - pbar)) " +
-      "/ (1000000.0 * n))"
+    val lim = "3.0 * sqrt(CAST(pbar AS DOUBLE) * (1000000.0 - pbar) / n)"
     days
       .crossJoin(broadcast(overall)) // 1-row totals: documented exception
       .withColumn("pbar", expr("et * 1000000 div nt"))
@@ -1777,8 +1776,7 @@ object Analytics {
   }
 
   def pChartOracle: String = {
-    val lim = "3.0 * sqrt((CAST(pbar AS DOUBLE) * (1000000 - pbar)) " +
-      "/ (1000000.0 * n))"
+    val lim = "3.0 * sqrt(CAST(pbar AS DOUBLE) * (1000000.0 - pbar) / n)"
     s"""WITH dg AS (
        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
        |    CAST(COUNT(*) AS BIGINT) n,

@@ -151,9 +151,12 @@ object Evaluation {
     * weighted_median). Emits 2U (integer — ties count ½ pair) and the
     * rank-biserial effect size r = 2U/(n1·n2) − 1 in ppm (the
     * directional readout; the z-test adds nothing the suite's
-    * bootstrap_ci doesn't already pin). Sign-split floor division per
-    * the suite convention (Spark `div` truncates, DuckDB `//` floors
-    * — they only agree on non-negatives).
+    * bootstrap_ci doesn't already pin). Sign-split division per the
+    * suite convention — belt-and-suspenders here, not required:
+    * DuckDB's integer `//` truncates toward zero on int operands
+    * (verified: -9846//4 = -2461, matching Spark `div`; see
+    * holt_linear's note), so the split only guards against a future
+    * operand drifting to DOUBLE, where `//` floors.
     */
   def mannwhitneyU(spark: SparkSession, dir: String): DataFrame = {
     val seg = broadcast(
@@ -214,9 +217,9 @@ object Evaluation {
     * observed positive rate (ppm); plus a `zz_overall` ECE row
     * (Σ n_b·|conf_b − acc_b| div N — the standard weighted-absolute
     * gap, integer because both terms are ppm ints) following the
-    * classifier_eval summary-inside-the-hash convention (bin = -1
-    * marks it; the bin column is the sort key so it sorts last via
-    * bin 10).
+    * classifier_eval summary-inside-the-hash convention (bin = 10
+    * marks it — one past the 0..9 deciles, so the bin sort key puts
+    * the summary row last).
     *
     * Scale: doc-grain scan → 10-row bin grid. Zero joins.
     */

@@ -967,7 +967,11 @@ object Extended {
     * count) relation — maps are Spark-side representation, the
     * semantics must be representation-free. Keys sort before any
     * order-sensitive emission (map iteration order is not a
-    * contract, the collect_list lesson applied to maps).
+    * contract, the collect_list lesson applied to maps). `big_keys`
+    * emits as a comma-joined STRING, not an array — the driver
+    * comparator's sort step cannot hash top-level array cells (the
+    * no-ARRAY/MAP-output contract, SURVEY §5.2); the list semantics
+    * stay pinned element-wise in QueriesSpec.
     *
     * Scale shape: one 25-cell aggregate then narrow map ops; maps at
     * scale live INSIDE rows (per-entity attribute bags), so the cost
@@ -990,7 +994,8 @@ object Extended {
           .as("total"),
         coalesce(element_at(col("m"), "1-URGENT"), lit(0L))
           .as("urgent_n"),
-        sort_array(map_keys(map_filter(col("m"), (_, v) => v > 100)))
+        concat_ws(",",
+          sort_array(map_keys(map_filter(col("m"), (_, v) => v > 100))))
           .as("big_keys"),
         aggregate(
           map_values(transform_values(col("m"), (_, v) => v * 2)),
@@ -1007,8 +1012,8 @@ object Extended {
       |  CAST(sum(cnt) AS BIGINT) total,
       |  CAST(coalesce(max(CASE WHEN pri = '1-URGENT' THEN cnt END), 0)
       |    AS BIGINT) urgent_n,
-      |  coalesce(list_sort(list(pri) FILTER (WHERE cnt > 100)),
-      |           []) big_keys,
+      |  coalesce(string_agg(pri, ',' ORDER BY pri)
+      |             FILTER (WHERE cnt > 100), '') big_keys,
       |  CAST(2 * sum(cnt) AS BIGINT) doubled_total
       |FROM f GROUP BY status ORDER BY status""".stripMargin
 

@@ -138,7 +138,13 @@ object MultimodalQueries {
             w, h, (x, y) => ((7L * x + 13L * y + 31L * id) % 256L).toInt))
       }
     }
-    Multimodal.decodeImages(pngs).toDF().orderBy("doc_id")
+    // hist restates as a comma-joined string: the driver comparator's
+    // sort step cannot hash top-level array cells (no-ARRAY/MAP-output
+    // contract, SURVEY §5.2); the Array[Long] surface stays pinned in
+    // MultimodalSpec.
+    Multimodal.decodeImages(pngs).toDF()
+      .withColumn("hist", concat_ws(",", col("hist")))
+      .orderBy("doc_id")
   }
 
   def imageFeaturesOracle: String =
@@ -156,7 +162,8 @@ object MultimodalQueries {
       |  FROM d CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb),
       |hist AS (
       |  SELECT grid.doc_id,
-      |    list(CAST(COALESCE(bins.cnt, 0) AS BIGINT) ORDER BY grid.b) AS hist
+      |    string_agg(CAST(COALESCE(bins.cnt, 0) AS VARCHAR), ','
+      |      ORDER BY grid.b) AS hist
       |  FROM grid
       |  LEFT JOIN bins ON bins.doc_id = grid.doc_id AND bins.b = grid.b
       |  GROUP BY grid.doc_id)

@@ -589,13 +589,13 @@ object SqlSurface {
          |    p4 AS `4_NOT_SPECIFIED`, p5 AS `5_LOW`))),
          |diff AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
-         |    SELECT mon, prio, rev_c FROM base
-         |    EXCEPT
-         |    SELECT mon, prio, rev_c FROM long
+         |    (SELECT mon, prio, rev_c FROM base
+         |     EXCEPT
+         |     SELECT mon, prio, rev_c FROM long)
          |    UNION ALL
-         |    SELECT mon, prio, rev_c FROM long
-         |    EXCEPT
-         |    SELECT mon, prio, rev_c FROM base))
+         |    (SELECT mon, prio, rev_c FROM long
+         |     EXCEPT
+         |     SELECT mon, prio, rev_c FROM base)))
          |SELECT CAST(mon AS BIGINT) AS mon, p1, p2, p3, p4, p5,
          |  CAST(NULL AS BIGINT) AS diff_rows FROM wide
          |UNION ALL

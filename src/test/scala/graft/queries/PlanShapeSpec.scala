@@ -32,6 +32,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"global windows: $offenders")
   }
 
+  /** The driver's comparator sorts result rows with pandas before
+    * hashing; top-level ARRAY/MAP cells are unhashable there and kill
+    * the comparison before values are even looked at (round-7
+    * image_features/map_surface lesson — SURVEY §5.2). Arrays stay
+    * legal INSIDE the engine; at the registered-query boundary they
+    * must be stringified or exploded. Schema-only: no query executes.
+    */
+  test("no registered query emits a top-level ARRAY/MAP column") {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq
+      f <- fn(spark, dir).schema.fields
+      if f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType]
+    } yield s"$name.${f.name}: ${f.dataType.simpleString}"
+    assert(offenders.isEmpty, s"array/map output columns: $offenders")
+  }
+
   /** A CartesianProduct (shuffled all-pairs, BOTH sides big) is never
     * the plan a 100 TB operator should reach: every deliberate cross
     * join in the suite pairs a big side with a broadcast single-row

@@ -27,6 +27,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"missing oracle: $missing")
   }
 
+  /** map_surface's big_keys emits stringified (driver comparator
+    * contract); the LIST semantics — sorted keys of map_filter(v>100)
+    * — stay pinned here element-wise against the flat relation.
+    */
+  test("map_surface big_keys string round-trips the sorted key list") {
+    val flat = graft.queries.Tables.read(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = flat.groupBy(_._1).view.mapValues(
+      _.filter(_._3 > 100).map(_._2).sorted.toSeq).toMap
+    val got = Extended.mapSurface(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val keys = r.getAs[String]("big_keys") match {
+        case "" => Seq.empty[String]
+        case s => s.split(",").toSeq
+      }
+      assert(keys === want(r.getAs[String]("status")), r.getAs[String]("status"))
+    }
+  }
+
   test("HLL sketch estimates within bounds (and bounds-booleans true)") {
     import org.apache.spark.sql.functions._
     // raw estimates, tighter than the oracle-checked 3x-rsd booleans

@@ -343,8 +343,7 @@ class Wave11Spec extends AnyFunSuite {
       assert(r.getLong(3) === ne * 1000000L / n)
       assert(r.getLong(4) === pbar)
       val lim = math.floor(
-        3.0 * math.sqrt(pbar.toDouble * (1000000 - pbar) /
-          (1000000.0 * n))).toLong
+        3.0 * math.sqrt(pbar.toDouble * (1000000.0 - pbar) / n)).toLong
       assert(r.getLong(5) === math.min(1000000L, pbar + lim))
       assert(r.getLong(6) === math.max(0L, pbar - lim))
       assert(r.getBoolean(7) ===
