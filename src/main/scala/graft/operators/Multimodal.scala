@@ -12,11 +12,13 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   * available offline) — actual pixel decode, nearest-neighbor
   * downsample, integer luminance histograms, all integer-exact so the
   * `image_features` query is DuckDB-oracle-checkable against the
-  * closed-form pixel function of its synthetic inputs. AUDIO/VIDEO
-  * codecs are not in this container, so [[StubCodec]] still stands in
-  * for those media types with a deterministic fake; swapping it for a
-  * real codec changes no plumbing (same schema, batching,
-  * partitioning).
+  * closed-form pixel function of its synthetic inputs. AUDIO decodes
+  * for real too ([[AudioCodec]], JDK `javax.sound` WAV/PCM), and VIDEO
+  * via [[VideoCodec]] — YUV4MPEG2, the uncompressed interchange format
+  * whose demux is pure byte accounting, so no codec library is needed.
+  * [[StubCodec]] remains only for the generic any-media plumbing shape
+  * (extractFeatures/resize/sampleFrames), where a compressed-codec
+  * swap-in changes no schema, batching or partitioning.
   */
 object Multimodal {
 
@@ -193,6 +195,176 @@ object Multimodal {
           i += 1
         }
         AudioFeatures(rec.doc_id, s.length.toLong, peak, sumAbs, energy, zc)
+      }
+    }
+
+  /** Real video container on YUV4MPEG2 (Y4M): a plain-text header
+    * (`YUV4MPEG2 W.. H.. F.. C..`) followed by `FRAME`-delimited RAW
+    * planar YUV — the one video format that needs no codec library,
+    * only exact byte accounting, so it works offline and round-trips
+    * LOSSLESSLY (mplayer/ffmpeg's uncompressed interchange format).
+    * 4:2:0 chroma (C420: U and V at half resolution both ways, so W
+    * and H must be even). Parsing is real demux work: header
+    * tokenization, per-frame optional parameters, plane-size
+    * arithmetic, truncation detection — a wrong stride or a missed
+    * frame marker corrupts every downstream feature, which is exactly
+    * what the oracle pin catches.
+    */
+  object VideoCodec {
+    /** One parsed clip: planar frames, each (Y, U, V) with Y of
+      * width×height bytes and U/V of (width/2)×(height/2).
+      */
+    final case class VideoClip(
+        width: Int,
+        height: Int,
+        frames: Array[(Array[Byte], Array[Byte], Array[Byte])])
+
+    /** Deterministic Y4M writer: plane(f, x, y) functions evaluated on
+      * each plane's own grid (chroma on the quarter grid). C420 frame
+      * rate 25:1 progressive — header fields real, not decorative: the
+      * parser re-derives plane sizes from them.
+      */
+    def encodeY4m(
+        w: Int, h: Int, nFrames: Int,
+        yF: (Int, Int, Int) => Int,
+        uF: (Int, Int, Int) => Int,
+        vF: (Int, Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+        s"C420 needs positive even dimensions, got ${w}x$h")
+      require(nFrames > 0, s"clip needs at least one frame, got $nFrames")
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(
+        s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+      var f = 0
+      while (f < nFrames) {
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { bos.write(yF(f, x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        var cy = 0
+        while (cy < h / 2) {
+          var cx = 0
+          while (cx < w / 2) { bos.write(uF(f, cx, cy) & 0xff); cx += 1 }
+          cy += 1
+        }
+        cy = 0
+        while (cy < h / 2) {
+          var cx = 0
+          while (cx < w / 2) { bos.write(vF(f, cx, cy) & 0xff); cx += 1 }
+          cy += 1
+        }
+        f += 1
+      }
+      bos.toByteArray
+    }
+
+    /** Y4M bytes -> parsed clip. Fails loudly on a malformed magic,
+      * odd-dimension C420, an unsupported colorspace, or a truncated
+      * plane — silent partial frames would corrupt every feature.
+      */
+    def decodeY4m(bytes: Array[Byte]): VideoClip = {
+      var pos = 0
+      def readLine(): String = {
+        val start = pos
+        while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        require(pos < bytes.length, "truncated Y4M header line")
+        val s = new String(bytes, start, pos - start, "US-ASCII")
+        pos += 1
+        s
+      }
+      val header = readLine()
+      val toks = header.split(' ')
+      require(toks.head == "YUV4MPEG2", s"not a Y4M stream: ${toks.head}")
+      var w = -1; var h = -1; var cs = "420jpeg" // Y4M default colorspace
+      toks.tail.foreach { t =>
+        if (t.nonEmpty) t.charAt(0) match {
+          case 'W' => w = t.substring(1).toInt
+          case 'H' => h = t.substring(1).toInt
+          case 'C' => cs = t.substring(1)
+          case _ => () // F/I/A/X params: legal, irrelevant to demux
+        }
+      }
+      require(w > 0 && h > 0, s"Y4M header missing dimensions: $header")
+      val (cw, ch) = cs match {
+        case s if s.startsWith("420") =>
+          require(w % 2 == 0 && h % 2 == 0,
+            s"C420 with odd dimensions ${w}x$h")
+          (w / 2, h / 2)
+        case "mono" => (0, 0)
+        case other => throw new IllegalArgumentException(
+          s"unsupported Y4M colorspace C$other")
+      }
+      val frames = Array.newBuilder[(Array[Byte], Array[Byte], Array[Byte])]
+      def readPlane(n: Int): Array[Byte] = {
+        require(pos + n <= bytes.length, "truncated Y4M plane")
+        val p = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+        pos += n
+        p
+      }
+      while (pos < bytes.length) {
+        val marker = readLine()
+        require(marker == "FRAME" || marker.startsWith("FRAME "),
+          s"expected FRAME marker, got: $marker")
+        frames += ((readPlane(w * h), readPlane(cw * ch), readPlane(cw * ch)))
+      }
+      val fs = frames.result()
+      require(fs.nonEmpty, "Y4M stream with zero frames")
+      VideoClip(w, h, fs)
+    }
+  }
+
+  final case class VideoFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      y_sum: Long,
+      u_sum: Long,
+      v_sum: Long,
+      max_frame_y: Long,
+      motion: Long)
+
+  implicit private val videoFeatEnc: Encoder[VideoFeatures] =
+    Encoders.product[VideoFeatures]
+
+  /** Real Y4M byte column -> decoded integer features: dimensions +
+    * frame count (pins header parse and frame accounting), per-plane
+    * byte sums (pins plane offsets/strides — a U/V swap or off-by-one
+    * mismatches), the max per-frame luma sum, and motion =
+    * Σ_{f>0}Σ|Y_f − Y_{f−1}| (pins inter-frame alignment). All int64:
+    * 255 × 2²⁴ px × 10⁴ frames < 2⁶³. One demux per row,
+    * partition-local; only the 9-long feature row ever shuffles.
+    */
+  def decodeVideos(records: Dataset[MediaRecord]): Dataset[VideoFeatures] =
+    records.mapPartitions { it =>
+      it.map { rec =>
+        val clip = VideoCodec.decodeY4m(rec.content)
+        var ySum = 0L; var uSum = 0L; var vSum = 0L
+        var maxFrameY = Long.MinValue; var motion = 0L
+        var prevY: Array[Byte] = null
+        clip.frames.foreach { case (yp, up, vp) =>
+          var fy = 0L
+          var i = 0
+          while (i < yp.length) {
+            val v = yp(i) & 0xff
+            fy += v
+            if (prevY != null) motion += math.abs(v - (prevY(i) & 0xff))
+            i += 1
+          }
+          ySum += fy
+          if (fy > maxFrameY) maxFrameY = fy
+          i = 0
+          while (i < up.length) { uSum += up(i) & 0xff; i += 1 }
+          i = 0
+          while (i < vp.length) { vSum += vp(i) & 0xff; i += 1 }
+          prevY = yp
+        }
+        VideoFeatures(
+          rec.doc_id, clip.width.toLong, clip.height.toLong,
+          clip.frames.length.toLong, ySum, uSum, vSum, maxFrameY, motion)
       }
     }
 

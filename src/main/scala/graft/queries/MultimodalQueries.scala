@@ -226,6 +226,83 @@ object MultimodalQueries {
       |    AS BIGINT) zero_crossings
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** `video_features`: REAL video demux in the feature pipeline —
+    * completing the multimodal triad (image: ImageIO, audio:
+    * javax.sound, video: this). No video codec ships offline, but
+    * YUV4MPEG2 needs none: text header + raw planar frames, and the
+    * demux — header tokenization, FRAME markers, C420 plane-size
+    * arithmetic — is the real work a production pipeline gets wrong.
+    * Each document row becomes a deterministic Y4M clip (Y(f,x,y) =
+    * (11f+7x+13y+31·doc_id) mod 256 and analogous chroma planes,
+    * dimensions/frame-count keyed by doc_id), which
+    * [[graft.operators.Multimodal.decodeVideos]] parses back and
+    * reduces to integer features: dimensions + frame count (header
+    * parse), per-plane sums (stride/offset accounting — a U/V swap
+    * mismatches), max per-frame luma, inter-frame motion. Y4M is
+    * lossless and every feature is integer, so DuckDB pins the whole
+    * encode→demux→reduce path bit-for-bit from the closed-form pixel
+    * functions. Encode+demux run partition-local; only the 9-column
+    * feature row shuffles to the final order.
+    */
+  def videoFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val ids = Tables.read(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    val clips = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 8 + (id % 4).toInt * 2
+        val h = 6 + (id % 3).toInt * 2
+        val nf = 2 + (id % 4).toInt
+        Multimodal.MediaRecord(
+          id, "video/x-yuv4mpeg2",
+          Multimodal.VideoCodec.encodeY4m(
+            w, h, nf,
+            (f, x, y) => ((11L * f + 7L * x + 13L * y + 31L * id) % 256L).toInt,
+            (f, x, y) => ((5L * f + 3L * x + y + 17L * id) % 256L).toInt,
+            (f, x, y) => ((3L * f + x + 2L * y + 23L * id) % 256L).toInt))
+      }
+    }
+    Multimodal.decodeVideos(clips).toDF().orderBy("doc_id")
+  }
+
+  def videoFeaturesOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + (doc_id % 4) * 2 AS w,
+      |    6 + (doc_id % 3) * 2 AS h, 2 + doc_id % 4 AS nf
+      |  FROM documents),
+      |py AS (
+      |  SELECT doc_id, f,
+      |    (11 * f + 7 * x + 13 * y + 31 * doc_id) % 256 AS v,
+      |    CASE WHEN f > 0
+      |      THEN (11 * (f - 1) + 7 * x + 13 * y + 31 * doc_id) % 256
+      |    END AS vp
+      |  FROM d, unnest(range(0, nf)) tf(f),
+      |    unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)),
+      |fy AS (
+      |  SELECT doc_id, f, SUM(v) fsum,
+      |    SUM(CASE WHEN vp IS NULL THEN 0 ELSE abs(v - vp) END) fdiff
+      |  FROM py GROUP BY 1, 2),
+      |yagg AS (
+      |  SELECT doc_id, CAST(SUM(fsum) AS BIGINT) y_sum,
+      |    CAST(MAX(fsum) AS BIGINT) max_frame_y,
+      |    CAST(SUM(fdiff) AS BIGINT) motion
+      |  FROM fy GROUP BY 1),
+      |cagg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM((5 * f + 3 * x + y + 17 * doc_id) % 256) AS BIGINT)
+      |      u_sum,
+      |    CAST(SUM((3 * f + x + 2 * y + 23 * doc_id) % 256) AS BIGINT)
+      |      v_sum
+      |  FROM d, unnest(range(0, nf)) tf(f),
+      |    unnest(range(0, w // 2)) tx(x), unnest(range(0, h // 2)) ty(y)
+      |  GROUP BY 1)
+      |SELECT d.doc_id, CAST(w AS BIGINT) width, CAST(h AS BIGINT) height,
+      |  CAST(nf AS BIGINT) n_frames, y_sum, u_sum, v_sum,
+      |  max_frame_y, motion
+      |FROM d JOIN yagg USING (doc_id) JOIN cagg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** `chunk_dedup_ratio`: content-addressable-store savings per feed —
     * the blob chunks from [[blobChunks]]'s windowing (stride 512,
     * width 1024) keyed by content hash, counted total vs distinct per
@@ -430,5 +507,6 @@ object MultimodalQueries {
     QueryDef("frame_sample", frameSample, Some(frameSampleOracle)),
     QueryDef("image_features", imageFeatures, Some(imageFeaturesOracle)),
     QueryDef("audio_features", audioFeatures, Some(audioFeaturesOracle)),
+    QueryDef("video_features", videoFeatures, Some(videoFeaturesOracle)),
     QueryDef("blob_chunks", blobChunks, Some(blobChunksOracle)))
 }

@@ -170,6 +170,86 @@ class MultimodalSpec extends AnyFunSuite {
       again.map(f => (f.doc_id, f.energy, f.zero_crossings)).toSeq)
   }
 
+  test("Y4M encode->decode round-trips planes exactly (real demux)") {
+    val y4m = Multimodal.VideoCodec.encodeY4m(
+      6, 4, 3,
+      (f, x, y) => f * 50 + x * 7 + y * 13,
+      (f, x, y) => f * 3 + x + y * 2,
+      (f, x, y) => 255 - f - x - y)
+    val clip = Multimodal.VideoCodec.decodeY4m(y4m)
+    assert(clip.width == 6 && clip.height == 4 && clip.frames.length == 3)
+    for (f <- 0 until 3) {
+      val (yp, up, vp) = clip.frames(f)
+      assert(yp.length == 24 && up.length == 6 && vp.length == 6)
+      for (y <- 0 until 4; x <- 0 until 6)
+        assert((yp(y * 6 + x) & 0xff) == (f * 50 + x * 7 + y * 13) % 256)
+      for (y <- 0 until 2; x <- 0 until 3) {
+        assert((up(y * 3 + x) & 0xff) == (f * 3 + x + y * 2) % 256)
+        assert((vp(y * 3 + x) & 0xff) == (255 - f - x - y) % 256)
+      }
+    }
+    // header variants a foreign muxer emits: FRAME params, X-comments
+    val withParams =
+      "YUV4MPEG2 W2 H2 Ip F30:1 A1:1 C420 XYSCSS=420\nFRAME Ixyz\n"
+        .getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    val c = Multimodal.VideoCodec.decodeY4m(withParams)
+    assert(c.width == 2 && c.frames.length == 1)
+    assert(c.frames(0)._1.toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(c.frames(0)._2.toSeq == Seq[Byte](5))
+    assert(c.frames(0)._3.toSeq == Seq[Byte](6))
+    // malformed streams fail loudly, never partially parse
+    intercept[IllegalArgumentException] {
+      Multimodal.VideoCodec.decodeY4m("MPEG W2 H2\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.VideoCodec.decodeY4m(
+        java.util.Arrays.copyOf(y4m, y4m.length - 1)) // truncated plane
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.VideoCodec.encodeY4m(5, 4, 1, (_, _, _) => 0,
+        (_, _, _) => 0, (_, _, _) => 0) // odd width under C420
+    }
+  }
+
+  test("decodeVideos features match the generating plane functions") {
+    import spark.implicits._
+    val clips = spark.range(0, 48).map { id =>
+      val w = 8 + (id % 4).toInt * 2
+      val h = 6 + (id % 3).toInt * 2
+      val nf = 2 + (id % 4).toInt
+      MediaRecord(
+        id, "video/x-yuv4mpeg2",
+        Multimodal.VideoCodec.encodeY4m(
+          w, h, nf,
+          (f, x, y) => ((11L * f + 7L * x + 13L * y + 31L * id) % 256L).toInt,
+          (f, x, y) => ((5L * f + 3L * x + y + 17L * id) % 256L).toInt,
+          (f, x, y) => ((3L * f + x + 2L * y + 23L * id) % 256L).toInt))
+    }
+    val got = Multimodal.decodeVideos(clips).collect().sortBy(_.doc_id)
+    assert(got.length == 48)
+    got.foreach { v =>
+      val id = v.doc_id
+      val w = 8 + (id % 4).toInt * 2
+      val h = 6 + (id % 3).toInt * 2
+      val nf = 2 + (id % 4).toInt
+      def yv(f: Int, x: Int, y: Int) = (11L * f + 7L * x + 13L * y + 31L * id) % 256L
+      assert(v.width == w && v.height == h && v.n_frames == nf)
+      val frameSums = (0 until nf).map(f =>
+        (for (y <- 0 until h; x <- 0 until w) yield yv(f, x, y)).sum)
+      assert(v.y_sum == frameSums.sum)
+      assert(v.max_frame_y == frameSums.max)
+      assert(v.u_sum == (for {
+        f <- 0 until nf; y <- 0 until h / 2; x <- 0 until w / 2
+      } yield (5L * f + 3L * x + y + 17L * id) % 256L).sum)
+      assert(v.v_sum == (for {
+        f <- 0 until nf; y <- 0 until h / 2; x <- 0 until w / 2
+      } yield (3L * f + x + 2L * y + 23L * id) % 256L).sum)
+      assert(v.motion == (for {
+        f <- 1 until nf; y <- 0 until h; x <- 0 until w
+      } yield math.abs(yv(f, x, y) - yv(f - 1, x, y))).sum)
+    }
+  }
+
   test("JPEG decodes through the same pipeline (lossy: shape checks only)") {
     import spark.implicits._
     val jpegs = spark.range(0, 8).map { i =>
