@@ -44,6 +44,29 @@ object Bench {
       // fast pass
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // Environment fingerprint + calibration: a fixed CPU-bound probe
+    // (sum/xor reduction over a 200M generated range — no I/O, plan
+    // identical every round) timed min-of-3 AFTER its own warmup. Round
+    // 7 burned a full investigation proving a 1.63x cross-round swing
+    // was machine drift, not regression; with calibration_s in the
+    // artifact, next time the drift is self-evident — per-query ratios
+    // normalize by it (SCALE.md cites normalized numbers).
+    def calibrate(): Double = {
+      def probe(): Unit = spark.range(0, 200000000L, 1, cpus.toInt)
+        .selectExpr("sum(id * 3 + 1) s", "sum(id ^ 2654435761) x")
+        .write.format("noop").mode("overwrite").save()
+      probe() // warmup: codegen + JIT
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        probe()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val calibration = calibrate()
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val procs = Runtime.getRuntime.availableProcessors
+
     val firstPass = names.map(n => n -> timed(n))
     // Re-run EVERY query and keep min-of-runs: this machine swings up
     // to +50% under concurrent load, and a one-off spike on a single
@@ -62,7 +85,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","calibration_s":$calibration,""" +
+        s""""loadavg":$loadAvg,"cpus":$procs}"""
     println(line)
     // The driver captures stdout with a bounded tail; a 191-query JSON
     // line can lose its head to truncation (round 5's BENCH artifact
