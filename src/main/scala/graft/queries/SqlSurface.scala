@@ -311,8 +311,7 @@ object SqlSurface {
     * hour t" curve wrong (truncated users can't have converted late)
     * and KM the estimator a conversion dashboard actually needs —
     * the curve form of the suite's signup-to-purchase latency
-    * percentiles. The product Π(1 − d_i/n_i) is stated through the
-    * NATIVE recursive CTE over the hour grid, ppm-floored at each
+    * percentiles. The product Π(1 − d_i/n_i) is ppm-floored at each
     * step identically in both engines (every operand is
     * non-negative, so Spark's truncating `div` and DuckDB's flooring
     * `//` agree) — hash-exact with zero floats. Hours with d=0
@@ -321,14 +320,15 @@ object SqlSurface {
     *
     * Plan: one fact shuffle (user-grain min/conditional-min), then
     * an hour-grain aggregate — the time axis is BOUNDED (≤ horizon
-    * hours rows regardless of user count), so rn and the at-risk
-    * prefix come from the triangular broadcast self-join on the
-    * hour grid (no unpartitioned window) and the recursion walks
-    * grid rows only: depth ≤ 49 here, ~10³ at a multi-week horizon,
-    * whatever the corpus size. The recursion level limit is raised
-    * try/finally per the rcte_levels discipline (a long-horizon
-    * variant would trip the default 100), with the result forced
-    * inside the raised window.
+    * hours rows regardless of user count: depth ≤ 49 here, ~10³ at a
+    * multi-week horizon, whatever the corpus size), so the
+    * sequential Π fold runs DRIVER-SIDE over the collected grid (the
+    * bom_rollup/whale_share bounded-driver-arithmetic exception —
+    * the per-level UnionLoop scheduling floor was ~5 s of pure
+    * constant overhead on a ≤49-row relation). The NATIVE recursive
+    * CTE form survives as [[survivalKmRcte]], pinned row-for-row
+    * against this fold in SqlSurfaceSpec so the two can never
+    * diverge.
     */
   /** 48-hour follow-up horizon in micros, shared by the Spark plan
     * and (as a literal) the oracle SQL. Declared before
@@ -387,6 +387,35 @@ object SqlSurface {
       |        FROM svu CROSS JOIN sve))""".stripMargin
 
   def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = survivalLabels(spark, dir)
+      .groupBy(col("t"))
+      .agg(
+        sum(col("ev")).as("d"),
+        (count(lit(1)) - sum(col("ev"))).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var nAt = grid.map(r => r._2 + r._3).sum
+    var s = 0L
+    var first = true
+    val out = grid.map { case (t, d, c) =>
+      s = if (first) { first = false; (nAt - d) * 1000000L / nAt }
+      else s * (nAt - d) / nAt
+      val row = (t, nAt, d, c, s)
+      nAt -= d + c
+      row
+    }
+    out.toSeq.toDF("t", "n_at", "d", "c", "s_ppm")
+  }
+
+  /** The native-recursive-CTE statement of [[survivalKm]] — kept as
+    * the spec-pinned twin (SqlSurfaceSpec compares it row-for-row to
+    * the driver fold), and as the suite's exemplar of a data-sized
+    * recursion whose probe side MUST be materialized first.
+    */
+  private[queries] def survivalKmRcte(
+      spark: SparkSession, dir: String): DataFrame = {
     val lab = survivalLabels(spark, dir)
     val dg = lab.groupBy(col("t"))
       .agg(
@@ -469,25 +498,52 @@ object SqlSurface {
     * per day the observed cents, smoothed level, trend, and the
     * 7-step-ahead linear forecast l + 7b that a capacity plan reads.
     * The recurrence l_t = (y_t + 3(l+b))/4, b_t = (l_t − l + 3b)/4 is
-    * inherently sequential — exactly what the NATIVE recursive CTE
-    * states — and every step quantizes to integer cents IDENTICALLY
-    * in both engines: the trend term goes NEGATIVE on a dip, and
-    * integer `div` (Spark) and integer `//` (DuckDB) BOTH truncate
-    * toward zero there (verified: -9846//4 = -2461 in DuckDB — its
-    * `//` floors only on doubles), so the plain quotient is already
-    * engine-identical and no sign-split is needed. Zero floats,
-    * hash-exact.
+    * inherently sequential, and every step quantizes to integer
+    * cents IDENTICALLY in both engines: the trend term goes NEGATIVE
+    * on a dip, and Scala/Spark integer division and DuckDB integer
+    * `//` ALL truncate toward zero there (verified: -9846//4 = -2461
+    * in DuckDB — its `//` floors only on doubles), so the plain
+    * quotient is already engine-identical and no sign-split is
+    * needed. Zero floats, hash-exact.
     *
-    * Plan: one fact aggregate to the BOUNDED day grid, rn via the
-    * triangular broadcast self-join (no unpartitioned window), then
-    * a recursion of depth = days over grid rows only — ~10³ rows at
-    * a multi-year window, whatever the corpus size. The smoother
-    * runs over days PRESENT (rn-indexed, like ewma_smooth's
+    * Plan: one fact aggregate to the BOUNDED day grid (~10³ rows at
+    * a multi-year window, whatever the corpus size), then the
+    * sequential smoother folds DRIVER-SIDE over the collected grid
+    * (the bounded-driver-arithmetic exception, as [[survivalKm]]).
+    * The smoother runs over days PRESENT (like ewma_smooth's
     * self-normalization): a calendar gap advances one step, it does
-    * not inject a phantom zero-revenue day. Level limit raised
-    * try/finally per the rcte_levels discipline.
+    * not inject a phantom zero-revenue day. The native recursive CTE
+    * form survives as [[holtLinearRcte]], spec-pinned to this fold.
     */
   def holtLinear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(Quantize.cents(col("value"))).as("y_c"))
+      .collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+      .sortBy(_._1.getTime)
+    var l = 0L
+    var b = 0L
+    var first = true
+    val out = grid.map { case (d, y) =>
+      if (first) { first = false; l = y; b = 0L }
+      else {
+        val ln = (y + 3 * (l + b)) / 4
+        val bn = (ln - l + 3 * b) / 4
+        l = ln; b = bn
+      }
+      (d, y, l, b, l + 7 * b)
+    }
+    out.toSeq.toDF("day", "y_c", "level_c", "trend_c", "forecast7_c")
+  }
+
+  /** The native-recursive-CTE statement of [[holtLinear]] — kept as
+    * the spec-pinned twin; see [[survivalKmRcte]].
+    */
+  private[queries] def holtLinearRcte(
+      spark: SparkSession, dir: String): DataFrame = {
     val day = Tables.events(spark, dir)
       .where(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))

@@ -27,6 +27,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  /** The shipped survival_km/holt_linear fold their bounded grids
+    * driver-side (the UnionLoop per-level floor was ~5 s of constant
+    * overhead); the native recursive-CTE twins are the semantic
+    * statement. Row-for-row equality here is what licenses the fold.
+    */
+  test("survival_km driver fold == the native recursive CTE") {
+    val fold = SqlSurface.survivalKm(spark, dir).collect().map(_.toSeq)
+    val rcte = SqlSurface.survivalKmRcte(spark, dir)
+      .select("t", "n_at", "d", "c", "s_ppm").collect().map(_.toSeq)
+    assert(fold.nonEmpty)
+    assert(fold.toSeq == rcte.toSeq)
+  }
+
+  test("holt_linear driver fold == the native recursive CTE") {
+    val fold = SqlSurface.holtLinear(spark, dir).collect().map(_.toSeq)
+    val rcte = SqlSurface.holtLinearRcte(spark, dir)
+      .select("day", "y_c", "level_c", "trend_c", "forecast7_c")
+      .collect().map(_.toSeq)
+    assert(fold.nonEmpty)
+    assert(fold.toSeq == rcte.toSeq)
+  }
+
   test("rcte_levels matches driver-side arithmetic on the key-derived tree") {
     // plain-Scala model: walk each key's ancestor chain
     val maxKey = Tables.read(spark, dir, "part")
