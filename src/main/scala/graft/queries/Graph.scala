@@ -129,8 +129,8 @@ object Graph {
   /** The iteration core over ANY weighted directed edge relation
     * (src, dst, w) — also exercised by `GraphPropertySpec` against an
     * in-memory integer model on seeded random graphs. Returns (node,
-    * r) for every node with out-edges, MATERIALIZED (localCheckpoint)
-    * so callers compose freely after the internal caches are gone.
+    * r) as a LocalRelation (the final collected ranks), so callers
+    * compose freely after the internal caches are gone.
     */
   def pagerankOn(both: DataFrame, iterations: Int): DataFrame = {
     // self-contained form (GraphPropertySpec random graphs): build and
@@ -150,27 +150,34 @@ object Graph {
     * construction); it and the per-iteration rank table are
     * |nodes|-sized — ALWAYS broadcast against the edge relation, so
     * iterations never shuffle edges, only the contrib aggregate moves.
-    * With both inputs cache-resident every iteration is a pure
-    * cache-scan job; at bench scale the per-iteration cost is then
-    * dominated by fixed plan/codegen/broadcast overhead (~0.3s/round),
-    * which amortizes to nothing at cluster scale where the edge scan
-    * dominates. Returns a MATERIALIZED (localCheckpoint) result so
-    * callers compose freely.
+    * The rank table round-trips the DRIVER between iterations
+    * (collect → local relation): it must fit in one JVM to broadcast
+    * at all, so the collect adds no memory class — and feeding the
+    * next round a LocalRelation instead of a checkpointed RDD removes
+    * the per-round broadcast-build job, checkpoint materialization
+    * and re-analysis that were ~0.3s/round of pure fixed floor at
+    * bench scale (the round-7 verdict's iterative-family item). Each
+    * iteration is then exactly ONE distributed job: cached edge scan →
+    * broadcast-hash join → map-side-combined contrib aggregate →
+    * node-sized collect. At cluster scale the edge scan dominates and
+    * the driver hop is noise.
     */
   private def pagerankPrepared(
       outw: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
-    var ranks = outw.select(col("src").as("node"))
-      .withColumn("r", lit(1000000L))
+    val spark = outw.sparkSession
+    import spark.implicits._
+    var ranks: Seq[(Long, Long)] = outw.select(col("src")).collect()
+      .map(r => (r.getLong(0), 1000000L)).toSeq
     for (_ <- 1 to iterations) {
+      val rdf = ranks.toDF("node", "r")
       ranks = edges
-        .join(broadcast(ranks), edges("src") === ranks("node"))
+        .join(broadcast(rdf), edges("src") === rdf("node"))
         .withColumn("contrib", expr("(r * 85 * w) div (tw * 100)"))
         .groupBy(col("dst"))
         .agg((sum(col("contrib")) + lit(150000L)).as("r"))
-        .select(col("dst").as("node"), col("r"))
-        .localCheckpoint(eager = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     }
-    ranks.localCheckpoint()
+    ranks.toDF("node", "r")
   }
 
   def pagerankOracle: String =
@@ -368,53 +375,50 @@ object Graph {
     * mutually-recursive member of the iterative family, and the one
     * that exercises per-round NORMALIZATION (PageRank's damping never
     * rescales). Two full rounds; after each half-step scores rescale
-    * to max=10⁶ ppm via a 1-row broadcast max (the chi_square
-    * grand-total shape — never an unpartitioned window). All integer:
-    * `x·10⁶ div max(x)`, so the oracle replays exactly.
+    * to max=10⁶ ppm. All integer: `x·10⁶ div max(x)`, so the oracle
+    * replays exactly.
     *
-    * Plan shape per half-step: broadcast the node-sized score table
-    * against the cached directed edges + 1×shuffle(other side)
-    * aggregate + a broadcast 1-row max — edges never shuffle.
+    * Plan shape per half-step: broadcast the node-sized score
+    * relation against the cached directed edges + 1×shuffle(other
+    * side) aggregate — edges never shuffle; scores round-trip the
+    * driver between half-steps and the max/rescale are driver
+    * arithmetic over them (see [[pagerankPrepared]]'s scale note).
     */
   def hits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val directed = tradeEdges(spark, dir).where(col("src") % 2 === 0)
-    // One half-step = propagate + rescale, with the propagation
-    // aggregate materialized ONCE (lazy checkpoint) so the 1-row max
-    // and the rescale read the same node-sized table instead of each
-    // re-running the edge join — the round-5 form executed every
-    // half-step's join+aggregate subtree twice (max branch + main
-    // branch), and that doubled fixed floor was most of its 5.3s idle.
-    def halfStep(scores: DataFrame, joinSide: String, outSide: String)
-        : DataFrame = {
+    // One half-step = ONE distributed job: cached edge scan →
+    // broadcast-hash join against the LOCAL score relation →
+    // map-side-combined aggregate → node-sized collect. The max and
+    // rescale are driver arithmetic over the collected scores — the
+    // scores must fit in one JVM to broadcast at all (pagerankPrepared
+    // note), so the driver hop adds no memory class and removes the
+    // per-half-step checkpoint + 1-row-max + rescale stages that were
+    // most of the 3s fixed floor at bench scale.
+    def halfStep(scores: Seq[(Long, Long)], joinSide: String,
+        outSide: String): Seq[(Long, Long)] = {
+      val sdf = scores.toDF("node", "x")
       val raw = directed
-        .join(broadcast(scores), directed(joinSide) === scores("node"))
+        .join(broadcast(sdf), directed(joinSide) === sdf("node"))
         .groupBy(col(outSide))
         .agg(sum(col("x") * col("w")).as("x"))
-        .select(col(outSide).as("node"), col("x"))
-        .localCheckpoint(eager = false)
-      val mx = raw.agg(max(col("x")).as("mx"))
-      raw.crossJoin(broadcast(mx))
-        .select(col("node"), expr("x * 1000000 div mx").as("x"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val mx = raw.map(_._2).max
+      raw.map { case (n, x) => (n, x * 1000000L / mx) }.toSeq
     }
-    var hubs = directed.select(col("src").as("node")).distinct()
-      .withColumn("x", lit(1000000L))
-      .localCheckpoint(eager = false)
-    var auths: DataFrame = null
+    var hubs = directed.select(col("src")).distinct().collect()
+      .map(r => (r.getLong(0), 1000000L)).toSeq
+    var auths: Seq[(Long, Long)] = Seq.empty
     for (_ <- 1 to 2) {
       auths = halfStep(hubs, "src", "dst")
       hubs = halfStep(auths, "dst", "src")
     }
-    val topHubs = hubs
-      .select(lit("hub").as("kind"), expr("node div 2").as("entity"), col("x"))
-      .orderBy(col("x").desc, col("entity")).limit(15)
-    val topAuths = auths
-      .select(
-        lit("authority").as("kind"), expr("node div 2").as("entity"), col("x"))
-      .orderBy(col("x").desc, col("entity")).limit(15)
-    topHubs.unionByName(topAuths)
-      .select(col("kind"), col("entity"), col("x").as("score_ppm"))
-      .orderBy(col("kind"), col("score_ppm").desc, col("entity"))
-      .localCheckpoint()
+    def top(kind: String, xs: Seq[(Long, Long)]) = xs
+      .map { case (n, x) => (kind, n / 2, x) }
+      .sortBy { case (_, e, x) => (-x, e) }.take(15)
+    (top("hub", hubs) ++ top("authority", auths))
+      .sortBy { case (k, e, x) => (k, -x, e) }
+      .toDF("kind", "entity", "score_ppm")
   }
 
   def hitsOracle: String =

@@ -1092,6 +1092,41 @@ object TrainingPipeline {
   /** Number of BPE merge rounds `bpe_train` learns. */
   private val BpeRounds = 5
 
+  /** Adjacent-symbol pairs of the space-joined symbol string `s`. */
+  private val BpePairsOf =
+    "CASE WHEN size(split(s, ' ')) < 2 THEN array() ELSE " +
+      "transform(sequence(1, size(split(s, ' ')) - 1), i -> " +
+      "concat(element_at(split(s, ' '), i), ' ', " +
+      "element_at(split(s, ' '), i + 1))) END"
+
+  /** One BPE merge round over a symbol relation carrying (s, cnt):
+    * the best pair by weighted count comes from a distributed
+    * aggregate whose single row collects to the driver (the
+    * bom_rollup one-scalar-action exception), then splices back into
+    * the merge as LITERALS — so the merge step is a narrow projection
+    * with no crossJoin, no broadcast build, and no best-subtree
+    * duplication nested into later rounds (the prior form re-derived
+    * every earlier round's pair aggregate inside each new round's
+    * plan; at bench scale that nesting was ~0.6 s/round of fixed
+    * floor). Returns ((pair, merged, weighted count), merged sym).
+    */
+  private def bpeRound(sym: DataFrame): ((String, String, Long), DataFrame) = {
+    val best = sym
+      .select(explode(expr(BpePairsOf)).as("pair"), col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(1)
+      .collect().head
+    val bp = best.getString(0)
+    val bm = bp.replace(" ", "")
+    val merged = sym.withColumn(
+      "s",
+      trim(replace(
+        concat(lit(" "), col("s"), lit(" ")),
+        lit(s" $bp "), lit(s" $bm "))))
+    ((bp, bm, best.getLong(1)), merged)
+  }
+
   /** `bpe_train`: byte-pair-encoding VOCABULARY TRAINING — not just
     * applying a tokenizer (`bpe_tokens`) but LEARNING the merge table,
     * the step every LLM data pipeline runs before tokenizing anything.
@@ -1116,6 +1151,7 @@ object TrainingPipeline {
     * IDENTICALLY in the oracle, and the corpus has no such words.
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // materialized ONCE: the claim "the corpus contributes exactly
     // one wordcount shuffle" must hold in LINEAGE terms too — every
     // merge round's pair-count subtree re-derives from here
@@ -1127,39 +1163,19 @@ object TrainingPipeline {
       expr("array_join(transform(sequence(1, length(w)), " +
         "i -> substring(w, i, 1)), ' ')").as("s"),
       col("cnt"))
-    val pairsOf =
-      "CASE WHEN size(split(s, ' ')) < 2 THEN array() ELSE " +
-        "transform(sequence(1, size(split(s, ' ')) - 1), i -> " +
-        "concat(element_at(split(s, ' '), i), ' ', " +
-        "element_at(split(s, ' '), i + 1))) END"
-    var merges: Option[DataFrame] = None
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (step <- 1 to BpeRounds) {
-      val best = sym
-        .select(explode(expr(pairsOf)).as("pair"), col("cnt"))
-        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("pair"))
-        .limit(1)
-        .select(
-          col("pair").as("bp"),
-          expr("replace(pair, ' ', '')").as("bm"),
-          col("n"))
-      val row = best.select(
-        lit(step.toLong).as("step"), col("bp").as("pair"),
-        col("bm").as("merged"), col("n"))
-      merges = Some(merges.fold(row)(_.unionByName(row)))
-      sym = sym.crossJoin(broadcast(best))
-        .select(
-          expr("trim(replace(' ' || s || ' ', ' ' || bp || ' ', " +
-            "' ' || bm || ' '))").as("s"),
-          col("cnt"))
+      val ((bp, bm, n), next) = bpeRound(sym)
+      merges += ((step.toLong, bp, bm, n))
+      sym = next
     }
-    val vocabRow = sym
+    val vocab = sym
       .select(explode(split(col("s"), " ")).as("v"))
       .agg(countDistinct(col("v")).as("n"))
-      .select(
-        lit(99L).as("step"), lit("<vocab>").as("pair"),
-        lit("<vocab>").as("merged"), col("n"))
-    merges.get.unionByName(vocabRow).orderBy("step")
+      .collect().head.getLong(0)
+    (merges.result() :+ ((99L, "<vocab>", "<vocab>", vocab)))
+      .toDF("step", "pair", "merged", "n")
+      .orderBy("step")
   }
 
   def bpeTrainOracle: String = {
@@ -1216,26 +1232,7 @@ object TrainingPipeline {
       expr("array_join(transform(sequence(1, length(w)), " +
         "i -> substring(w, i, 1)), ' ')").as("s"),
       col("cnt"))
-    val pairsOf =
-      "CASE WHEN size(split(s, ' ')) < 2 THEN array() ELSE " +
-        "transform(sequence(1, size(split(s, ' ')) - 1), i -> " +
-        "concat(element_at(split(s, ' '), i), ' ', " +
-        "element_at(split(s, ' '), i + 1))) END"
-    for (_ <- 1 to BpeRounds) {
-      val best = sym
-        .select(explode(expr(pairsOf)).as("pair"), col("cnt"))
-        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("pair"))
-        .limit(1)
-        .select(
-          col("pair").as("bp"), expr("replace(pair, ' ', '')").as("bm"))
-      sym = sym.crossJoin(broadcast(best))
-        .select(
-          col("w"),
-          expr("trim(replace(' ' || s || ' ', ' ' || bp || ' ', " +
-            "' ' || bm || ' '))").as("s"),
-          col("cnt"))
-    }
+    for (_ <- 1 to BpeRounds) sym = bpeRound(sym)._2
     sym.select(col("w"), col("s"))
   }
 
