@@ -33,9 +33,10 @@ final class EventStreamServer(
     socketOwner: Option[String] = None,
     socketGroup: Option[String] = None,
     tls: Option[(String, String)] = None,
-    partitionsPerBatch: Option[Int] = None) {
+    partitionsPerBatch: Option[Int] = None,
+    writeTimeoutMs: Long = 10_000L) {
 
-  val sse = new SseServer(httpPort, pingIntervalSec, auth, tls)
+  val sse = new SseServer(httpPort, pingIntervalSec, auth, tls, writeTimeoutMs)
 
   private val reader = spark.readStream.format("graft.sources.EvtStreamSource")
   socketPath.foreach(p => reader.option("path", p))

@@ -88,7 +88,8 @@ final class SseServer(
     auth: SseServer.AuthPlugin = SseServer.AllowAll,
     tls: Option[(String, String)] = None,
     writeTimeoutMs: Long = 10_000L,
-    bindHost: Option[String] = None) {
+    bindHost: Option[String] = None,
+    sendBufferBytes: Int = 256 * 1024) {
   import SseServer._
 
   /** With (certFile, keyFile) configured the accept socket is an
@@ -224,6 +225,16 @@ final class SseServer(
   }
 
   private def handleConnection(sock: Socket): Unit = {
+    // Bound the kernel send buffer per connection (disables wmem
+    // auto-tune, which grows to megabytes): a fan-out server must cap
+    // memory per slow consumer — 10k wedged subscribers × 4 MB of
+    // auto-tuned buffer is 40 GB of kernel memory — and a bounded
+    // buffer is what makes the write watchdog meaningful (an
+    // unbounded one hides a dead-slow consumer for minutes before any
+    // write blocks). SSE frames are KBs; 256 KiB absorbs every normal
+    // burst.
+    try sock.setSendBufferSize(sendBufferBytes)
+    catch { case _: Exception => () }
     val out = sock.getOutputStream
     try {
       val in = new BufferedReader(

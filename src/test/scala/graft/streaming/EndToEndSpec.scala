@@ -211,6 +211,83 @@ class EndToEndSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  /** The engine's whole streaming story vs the reference's serial
+    * dispatcher loop: a subscriber that STOPS READING (TCP buffers
+    * fill, the server's write blocks) must not head-of-line-block
+    * delivery — healthy listeners drain on their own shards while the
+    * wedged writer sits, and the write watchdog reaps it (abortive
+    * close → IOException → deregistration) so the stream keeps
+    * flowing. The reference's one-thread for-loop over listeners
+    * (evtstrd/dispatcher.py:93-95) blocks EVERYONE on the first full
+    * buffer, indefinitely.
+    */
+  test("a slow consumer is reaped by the write watchdog; healthy listeners drain") {
+    val sockPath = s"/tmp/graft-slow-${System.nanoTime()}.sock"
+    val server = new EventStreamServer(
+      spark, socketPath = Some(sockPath), pingIntervalSec = 3600,
+      writeTimeoutMs = 1200)
+    try {
+      // stalled: tiny receive window (set BEFORE connect — the TCP
+      // window scale is fixed at handshake), header never read, no
+      // reads ever: the server's writes to it must eventually block
+      val stalled = new Socket()
+      stalled.setReceiveBufferSize(8192)
+      stalled.connect(new java.net.InetSocketAddress(
+        "127.0.0.1", server.sse.actualPort))
+      val sw = new OutputStreamWriter(
+        stalled.getOutputStream, StandardCharsets.US_ASCII)
+      sw.write("GET /events?subsystem=jobs HTTP/1.1\r\nHost: l\r\n\r\n")
+      sw.flush()
+      val a = httpGet(server.sse.actualPort, "/events?subsystem=jobs")
+      val b = httpGet(server.sse.actualPort, "/events?subsystem=jobs")
+      readAvailable(a, "\r\n\r\n"); readAvailable(b, "\r\n\r\n")
+      val deadline0 = System.currentTimeMillis() + 15000
+      while (server.sse.allListeners.size < 3
+        && System.currentTimeMillis() < deadline0) Thread.sleep(20)
+      assert(server.sse.allListeners.size == 3)
+
+      // healthy listeners drain concurrently on their own threads
+      val n = 250
+      val pad = "x" * 2000
+      val drained = Seq(a, b).map { s =>
+        val sb = new StringBuilder
+        val t = new Thread(() => sb.append(readAvailable(s, s"id: s$n\r\n", 30000)))
+        t.setDaemon(true); t.start()
+        (t, sb)
+      }
+      val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+      ch.connect(UnixDomainSocketAddress.of(sockPath))
+      val pw = new OutputStreamWriter(
+        Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+      for (i <- 1 to n)
+        pw.write(s"""{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": $i, "pad": "$pad"}, "id": "s$i"}""" + "\n")
+      pw.flush()
+
+      // healthy listeners receive EVERYTHING (the wedged shard never
+      // blocks theirs), and the watchdog reaps the stalled connection
+      drained.foreach(_._1.join(30000))
+      for ((_, sb) <- drained) {
+        val body = sb.toString
+        assert(body.contains("id: s1\r\n") && body.contains(s"id: s$n\r\n"),
+          got(body))
+      }
+      val deadline1 = System.currentTimeMillis() + 15000
+      while (server.sse.allListeners.size > 2
+        && System.currentTimeMillis() < deadline1) Thread.sleep(50)
+      assert(server.sse.allListeners.size == 2,
+        "stalled listener not reaped by the write watchdog")
+      assert(server.query.isActive)
+
+      // the stream still flows end-to-end after the reap
+      pw.write("""{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": 0}, "id": "after"}""" + "\n")
+      pw.flush()
+      server.processAllAvailable()
+      val tail = readAvailable(a, "id: after")
+      assert(tail.contains("id: after"), got(tail))
+      a.close(); b.close(); stalled.close(); ch.close()
+    } finally server.close()
+  }
+
   test("partition-wise delivery preserves per-listener wire order") {
     // Delivery shuffles (listener, chunk) rows by listener id and
     // delivers shard-parallel via DeliveryBus — never a whole-batch
