@@ -17,7 +17,7 @@ object SparkEntry {
       RuntimeFilters.defs ++ Incremental.defs ++ DataQuality.defs ++
       NativePlans.defs ++ Layout.defs ++ Graph.defs ++ Association.defs ++
       Hierarchy.defs ++ Sketches.defs ++ Geo.defs ++ SetSimilarity.defs ++
-      SqlSurface.defs ++ Evaluation.defs
+      SqlSurface.defs ++ Evaluation.defs ++ DriftStats.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

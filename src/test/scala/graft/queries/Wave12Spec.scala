@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model checks for the round-8 drift/dependence wave: each DriftStats
+  * query replayed in plain Scala from the raw sf0.001 rows — integer
+  * moments in BigInt, the scalar double chains stated in the SAME
+  * fixed order as the engine expressions (correctly-rounded IEEE ops
+  * on identical inputs ⇒ identical doubles), floors via math.floor.
+  * Also pins the structural invariants (W1 dominates the mean gap,
+  * Hellinger summary = Σ per-bin, χ² non-negative).
+  */
+class Wave12Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def cents(v: Double): Long = math.round(v * 100)
+
+  test("wasserstein_1d equals a sorted-merge replay; dominates mean gap") {
+    val ev = Tables.events(spark, dir)
+      .selectExpr("CAST(round(value * 100) AS LONG) vc", "event_type g")
+      .where("g IN ('click','purchase')")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val a = ev.filter(_._2 == "click").map(_._1)
+    val b = ev.filter(_._2 == "purchase").map(_._1)
+    val n1 = a.length.toLong
+    val n2 = b.length.toLong
+    val hist = ev.groupBy(_._1).view
+      .mapValues(g => (g.count(_._2 == "click").toLong,
+        g.count(_._2 == "purchase").toLong)).toMap
+    val vs = hist.keySet.toSeq.sorted
+    var f1 = 0L; var f2 = 0L
+    var tot = BigInt(0)
+    vs.zipWithIndex.foreach { case (v, i) =>
+      val (c1, c2) = hist(v)
+      f1 += c1; f2 += c2
+      if (i + 1 < vs.length)
+        tot += BigInt((f1 * n2 - f2 * n1).abs) * (vs(i + 1) - v)
+    }
+    val w1Milli = (tot * 1000 / (BigInt(n1) * n2)).toLong
+    val meanGap = (BigInt((a.sum * n2 - b.sum * n1).abs) * 1000 /
+      (BigInt(n1) * n2)).toLong
+    val row = DriftStats.wasserstein1d(spark, dir).collect().head
+    assert(row.getLong(0) === n1)
+    assert(row.getLong(1) === n2)
+    assert(row.getLong(2) === w1Milli)
+    assert(row.getLong(3) === meanGap)
+    assert(row.getBoolean(4))
+    assert(w1Milli >= meanGap) // transport identity, model-side too
+  }
+
+  test("hellinger_drift equals a binned replay; summary row sums bins") {
+    val li = Tables.read(spark, dir, "lineitem")
+      .selectExpr("CAST(l_quantity AS LONG) q",
+        "year(l_shipdate) yr")
+      .where("yr IN (1996, 1997)")
+      .collect().map(r => ((r.getLong(0) - 1) / 5, r.getInt(1)))
+    val t1 = li.count(_._2 == 1996).toLong
+    val t2 = li.count(_._2 == 1997).toLong
+    val model = li.groupBy(_._1).toSeq.sortBy(_._1).map { case (bin, g) =>
+      val n1 = g.count(_._2 == 1996).toLong
+      val n2 = g.count(_._2 == 1997).toLong
+      val d = math.sqrt(n1.toDouble / t1.toDouble) -
+        math.sqrt(n2.toDouble / t2.toDouble)
+      (bin, n1, n2, n1 * 1000000 / t1, n2 * 1000000 / t2,
+        math.floor(d * d * 1000000000.0).toLong)
+    }
+    val rows = DriftStats.hellingerDrift(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows.init === model)
+    val s = rows.last
+    assert(s._1 === 10L)
+    assert(s._2 === t1 && s._3 === t2)
+    assert(s._6 === model.map(_._6).sum) // summary = Σ per-bin h_nano
+    assert(s._6 >= 0L && s._6 <= 2000000000L) // H² ∈ [0,1] ⇒ 2H²·1e9 ≤ 2e9
+  }
+
+  test("spearman_rho equals an average-rank Pearson replay") {
+    val rows = Tables.read(spark, dir, "part")
+      .selectExpr("CAST(p_size AS LONG) sz",
+        "CAST(round(p_retailprice * 100) AS LONG) vc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def rank2(vals: Seq[Long]): Map[Long, Long] = {
+      val cnt = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      cnt.map { case (v, c) =>
+        val lt = vals.count(_ < v).toLong
+        v -> (2 * lt + c + 1)
+      }
+    }
+    val rx = rank2(rows.map(_._1).toSeq)
+    val ry = rank2(rows.map(_._2).toSeq)
+    val n = rows.length.toLong
+    var sx = 0L; var sy = 0L
+    var sxx = BigInt(0); var syy = BigInt(0); var sxy = BigInt(0)
+    rows.foreach { case (s, v) =>
+      val x = rx(s); val y = ry(v)
+      sx += x; sy += y
+      sxx += BigInt(x) * x; syy += BigInt(y) * y; sxy += BigInt(x) * y
+    }
+    val num = BigInt(n) * sxy - BigInt(sx) * sy
+    val d1 = BigInt(n) * sxx - BigInt(sx) * sx
+    val d2 = BigInt(n) * syy - BigInt(sy) * sy
+    val expected =
+      if (d1 == 0 || d2 == 0) None
+      else {
+        val m = math.floor(1000000.0 * num.abs.toDouble /
+          (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble))).toLong
+        Some(if (num < 0) -m else m)
+      }
+    val row = DriftStats.spearmanRho(spark, dir).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === rx.size.toLong)
+    assert(row.getLong(2) === ry.size.toLong)
+    assert((if (row.isNullAt(3)) None else Some(row.getLong(3))) === expected)
+  }
+
+  test("cramers_v equals a full-grid chi-square replay") {
+    val cust = Tables.read(spark, dir, "customer")
+      .selectExpr("c_mktsegment seg", "CAST(c_nationkey AS LONG) nat")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = cust.length.toLong
+    val segs = cust.map(_._1).distinct
+    val nats = cust.map(_._2).distinct
+    val cellCnt = cust.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rMarg = cust.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cMarg = cust.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    var chi2Nano = 0L
+    for (s <- segs; t <- nats) {
+      val o = cellCnt.getOrElse((s, t), 0L)
+      val r = rMarg(s); val c = cMarg(t)
+      val numD = (n * o - r * c).toDouble
+      chi2Nano += math.floor(numD * numD /
+        (n.toDouble * r.toDouble * c.toDouble) * 1000000000.0).toLong
+    }
+    val k = math.min(segs.length - 1, nats.length - 1).toLong
+    val vPpm = math.floor(math.sqrt((chi2Nano.toDouble / 1000000000.0) /
+      (n.toDouble * k.toDouble)) * 1000000.0).toLong
+    val row = DriftStats.cramersV(spark, dir).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === segs.length.toLong)
+    assert(row.getLong(2) === nats.length.toLong)
+    assert(row.getLong(3) === chi2Nano / 1000000)
+    assert(row.getLong(4) === vPpm)
+    assert(chi2Nano >= 0L)
+  }
+
+  test("anova_f equals a fixed-order moment replay") {
+    val li = Tables.read(spark, dir, "lineitem")
+      .selectExpr("l_returnflag g",
+        "CAST(round(l_extendedprice * 100) AS LONG) c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def m(flag: String): (Long, Long, BigInt) = {
+      val g = li.filter(_._1 == flag).map(_._2)
+      (g.length.toLong, g.sum,
+        g.map(c => BigInt(c) * c).foldLeft(BigInt(0))(_ + _))
+    }
+    val (nn, s1n, s2n) = m("N")
+    val (na, s1a, s2a) = m("A")
+    val (nr, s1r, s2r) = m("R")
+    val n = nn + na + nr
+    // the engine's exact scalar chain, same association order
+    val sumTerm = s1n.toDouble * s1n.toDouble / nn.toDouble +
+      s1a.toDouble * s1a.toDouble / na.toDouble +
+      s1r.toDouble * s1r.toDouble / nr.toDouble
+    val s1 = s1n + s1a + s1r
+    val ssb = sumTerm - s1.toDouble * s1.toDouble / n.toDouble
+    val ssw = (s2n.toDouble - s1n.toDouble * s1n.toDouble / nn.toDouble) +
+      (s2a.toDouble - s1a.toDouble * s1a.toDouble / na.toDouble) +
+      (s2r.toDouble - s1r.toDouble * s1r.toDouble / nr.toDouble)
+    val fMilli = math.floor(1000.0 * (ssb / 2.0) /
+      (ssw / (n - 3).toDouble)).toLong
+    val eta2 = math.floor(1000000.0 * (ssb / (ssb + ssw))).toLong
+    val row = DriftStats.anovaF(spark, dir).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === nn)
+    assert(row.getLong(2) === na)
+    assert(row.getLong(3) === nr)
+    assert(row.getLong(4) === fMilli)
+    assert(row.getLong(5) === eta2)
+    assert(ssb >= 0.0 && ssw > 0.0)
+  }
+}
