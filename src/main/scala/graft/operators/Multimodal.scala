@@ -368,6 +368,42 @@ object Multimodal {
       }
     }
 
+  final case class VideoFrameStats(
+      doc_id: Long,
+      f: Long,
+      y_sum: Long,
+      diff_prev: Long)
+
+  implicit private val videoFrameEnc: Encoder[VideoFrameStats] =
+    Encoders.product[VideoFrameStats]
+
+  /** Real Y4M byte column -> PER-FRAME luma stats: frame index, luma
+    * sum, and Σ|Y_f − Y_{f−1}| against the previous frame (0 for the
+    * first). The per-frame grain is what shot-boundary detection
+    * consumes — [[decodeVideos]] folds the whole clip to one row and
+    * cannot say WHERE the motion spiked. Demux is partition-local;
+    * only the 4-long frame rows shuffle.
+    */
+  def decodeVideoFrameStats(
+      records: Dataset[MediaRecord]): Dataset[VideoFrameStats] =
+    records.flatMap { rec =>
+      val clip = VideoCodec.decodeY4m(rec.content)
+      var prevY: Array[Byte] = null
+      clip.frames.iterator.zipWithIndex.map { case ((yp, _, _), f) =>
+        var fy = 0L
+        var diff = 0L
+        var i = 0
+        while (i < yp.length) {
+          val v = yp(i) & 0xff
+          fy += v
+          if (prevY != null) diff += math.abs(v - (prevY(i) & 0xff))
+          i += 1
+        }
+        prevY = yp
+        VideoFrameStats(rec.doc_id, f.toLong, fy, diff)
+      }.toSeq
+    }
+
   final case class ImageFeatures(
       doc_id: Long,
       width: Long,

@@ -733,7 +733,107 @@ object DataQuality {
       |  hi - lo + 1 - n AS n_missing, n_gaps, max_gap
       |FROM b CROSS JOIN g""".stripMargin
 
+  /** `referential_integrity`: the FULL foreign-key audit — every FK
+    * edge of the star schema in one panel (dq_audit spot-checks the
+    * single orders→customer edge among its counters; a corpus ingest
+    * gate needs all seven, because a partial parent load orphans
+    * every child table downstream of it). Per edge: child row count,
+    * distinct child keys, orphan rows (no matching parent), orphan
+    * distinct keys, and the boolean verdict — all inside the hash.
+    * NULL child keys are not orphans (SQL FK semantics: a null FK is
+    * "no reference", caught by dq_audit's null counters instead);
+    * the testdata has none, and the anti-join convention here counts
+    * a null key as unmatched only if present.
+    *
+    * Scale shape: one LEFT ANTI join + one aggregate per edge.
+    * Dimension parents (region/nation/supplier) broadcast; the
+    * fact-sized parents (orders, part, customer) plan as shuffled
+    * anti joins under AQE — the join key is the child's FK so the
+    * shuffle is the minimal key-repartition, and the per-edge
+    * aggregates are map-side-combinable counts.
+    */
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(
+        name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String,
+        broadcastParent: Boolean): DataFrame = {
+      val keys = child.select(col(childKey).as("k"))
+      val par = parent.select(col(parentKey).as("pk")).distinct()
+      val orphans = keys.join(
+        if (broadcastParent) broadcast(par) else par,
+        col("k") === col("pk"), "left_anti")
+      val base = keys.agg(
+        count(lit(1)).as("child_rows"),
+        countDistinct(col("k")).as("child_keys"))
+      val orph = orphans.agg(
+        count(lit(1)).as("orphan_rows"),
+        countDistinct(col("k")).as("orphan_keys"))
+      base.crossJoin(orph).select(
+        lit(name).as("edge"),
+        col("child_rows"), col("child_keys"),
+        col("orphan_rows"), col("orphan_keys"),
+        (col("orphan_rows") === 0L).as("ok"))
+    }
+    val li = Tables.read(spark, dir, "lineitem")
+    val orders = Tables.read(spark, dir, "orders")
+    val cust = Tables.read(spark, dir, "customer")
+    val supp = Tables.read(spark, dir, "supplier")
+    val part = Tables.read(spark, dir, "part")
+    val nation = Tables.read(spark, dir, "nation")
+    val region = Tables.read(spark, dir, "region")
+    edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey",
+      broadcastParent = true)
+      .unionAll(edge("lineitem->orders", li, "l_orderkey", orders,
+        "o_orderkey", broadcastParent = false))
+      .unionAll(edge("lineitem->part", li, "l_partkey", part, "p_partkey",
+        broadcastParent = false))
+      .unionAll(edge("lineitem->supplier", li, "l_suppkey", supp,
+        "s_suppkey", broadcastParent = true))
+      .unionAll(edge("nation->region", nation, "n_regionkey", region,
+        "r_regionkey", broadcastParent = true))
+      .unionAll(edge("orders->customer", orders, "o_custkey", cust,
+        "c_custkey", broadcastParent = false))
+      .unionAll(edge("supplier->nation", supp, "s_nationkey", nation,
+        "n_nationkey", broadcastParent = true))
+      .orderBy("edge")
+  }
+
+  def referentialIntegrityOracle: String = {
+    def edgeSql(
+        name: String, child: String, childKey: String,
+        parent: String, parentKey: String): String =
+      s"""SELECT '$name' edge,
+         |  CAST(count(*) AS BIGINT) child_rows,
+         |  CAST(count(DISTINCT $childKey) AS BIGINT) child_keys,
+         |  CAST(count(*) FILTER (pk_ IS NULL) AS BIGINT) orphan_rows,
+         |  CAST(count(DISTINCT $childKey) FILTER (pk_ IS NULL)
+         |    AS BIGINT) orphan_keys,
+         |  count(*) FILTER (pk_ IS NULL) = 0 AS ok
+         |FROM $child LEFT JOIN (
+         |  SELECT DISTINCT $parentKey pk_ FROM $parent) par_
+         |  ON par_.pk_ = $childKey""".stripMargin
+    Seq(
+      edgeSql("customer->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      edgeSql("lineitem->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edgeSql("lineitem->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      edgeSql("lineitem->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      edgeSql("nation->region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      edgeSql("orders->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edgeSql("supplier->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "referential_integrity", referentialIntegrity,
+      Some(referentialIntegrityOracle)),
     QueryDef("id_gap_audit", idGapAudit, Some(idGapAuditOracle)),
     QueryDef("table_digest", tableDigest, Some(tableDigestOracle)),
     QueryDef(

@@ -495,7 +495,97 @@ object MultimodalQueries {
       |SELECT * FROM within UNION ALL SELECT * FROM crossp
       |ORDER BY rep_a, rep_b""".stripMargin
 
+  /** `video_scene_cuts`: shot-boundary detection over REALLY demuxed
+    * Y4M clips — the per-frame grain [[videoFeatures]] cannot express
+    * (its `motion` is the clip-total; a cut detector needs WHERE the
+    * spike is). Clips are synthesized with an explicit scene
+    * structure: the luma formula carries a 97·(f div 2) scene offset,
+    * so consecutive frames inside a scene differ by the small motion
+    * term while frames across a scene boundary jump by ~97 gray
+    * levels (mod-256 wraps keep both sides honest — the oracle
+    * replays the exact pixel arithmetic, not the intent). A frame is
+    * a cut when its Σ|Y_f − Y_{f−1}| exceeds 64 per pixel — between
+    * the ~21/pixel within-scene and ~100/pixel across-scene means at
+    * every doc geometry. Integer end to end.
+    *
+    * Plan shape: encode+demux partition-local via
+    * [[graft.operators.Multimodal.decodeVideoFrameStats]] (4-long
+    * frame rows are all that shuffles), ONE doc-grain aggregate.
+    */
+  def videoSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val ids = Tables.read(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    val clips = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 8 + (id % 4).toInt * 2
+        val h = 6 + (id % 3).toInt * 2
+        val nf = 4 + (id % 3).toInt * 2
+        Multimodal.MediaRecord(
+          id, "video/x-yuv4mpeg2",
+          Multimodal.VideoCodec.encodeY4m(
+            w, h, nf,
+            (f, x, y) =>
+              ((97L * (f / 2) + 11L * f + 7L * x + 13L * y + 31L * id)
+                % 256L).toInt,
+            (f, x, y) => ((5L * f + 3L * x + y + 17L * id) % 256L).toInt,
+            (f, x, y) => ((3L * f + x + 2L * y + 23L * id) % 256L).toInt))
+      }
+    }
+    Multimodal.decodeVideoFrameStats(clips).toDF()
+      .withColumn(
+        "npix",
+        (lit(8L) + (col("doc_id") % 4) * 2) *
+          (lit(6L) + (col("doc_id") % 3) * 2))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("f") > 0 && col("diff_prev") > lit(64L) * col("npix"), 1L)
+          .otherwise(0L)).as("n_cuts"),
+        min(when(col("f") > 0 && col("diff_prev") > lit(64L) * col("npix"),
+          col("f"))).as("first_cut"),
+        max(col("diff_prev")).as("max_diff"))
+      .select(
+        col("doc_id"), col("n_frames"), col("n_cuts"),
+        col("first_cut"), col("max_diff"),
+        (col("n_cuts") + 1).as("n_scenes"))
+      .orderBy("doc_id")
+  }
+
+  def videoSceneCutsOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + (doc_id % 4) * 2 AS w,
+      |    6 + (doc_id % 3) * 2 AS h, 4 + (doc_id % 3) * 2 AS nf
+      |  FROM documents),
+      |py AS (
+      |  SELECT doc_id, w, h, f,
+      |    (97 * (f // 2) + 11 * f + 7 * x + 13 * y + 31 * doc_id) % 256 AS v,
+      |    CASE WHEN f > 0
+      |      THEN (97 * ((f - 1) // 2) + 11 * (f - 1) + 7 * x + 13 * y
+      |        + 31 * doc_id) % 256
+      |    END AS vp
+      |  FROM d, unnest(range(0, nf)) tf(f),
+      |    unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)),
+      |fr AS (
+      |  SELECT doc_id, w, h, f,
+      |    SUM(CASE WHEN vp IS NULL THEN 0 ELSE abs(v - vp) END) fdiff
+      |  FROM py GROUP BY 1, 2, 3, 4),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) n_frames,
+      |    CAST(sum(CASE WHEN f > 0 AND fdiff > 64 * w * h THEN 1 ELSE 0 END)
+      |      AS BIGINT) n_cuts,
+      |    CAST(min(CASE WHEN f > 0 AND fdiff > 64 * w * h THEN f END)
+      |      AS BIGINT) first_cut,
+      |    CAST(max(fdiff) AS BIGINT) max_diff
+      |  FROM fr GROUP BY 1)
+      |SELECT doc_id, n_frames, n_cuts, first_cut, max_diff,
+      |  n_cuts + 1 AS n_scenes
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "video_scene_cuts", videoSceneCuts, Some(videoSceneCutsOracle)),
     QueryDef(
       "image_phash_dedup", imagePhashDedup, Some(imagePhashDedupOracle)),
     QueryDef(

@@ -1292,7 +1292,52 @@ object Similarity {
        |  CAST(SUM(n2) AS BIGINT) // count(*) avg_norm2
        |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  /** `knn_mips`: maximum-inner-product search — the RETRIEVAL scoring
+    * `knn_brute`'s cosine deliberately erases. Recommendation and
+    * reranking models emit vectors whose NORM is part of the score
+    * (a popular item embedding is long on purpose); normalizing
+    * reorders results whenever norms differ. On the quantized
+    * integer vectors the raw dot product is EXACT int64 — this is
+    * the only knn variant with zero floating point anywhere, ties
+    * broken by vec_id like the rest of the family. The classic
+    * reduction (augment candidates with √(M²−‖x‖²) and run cosine)
+    * shows MIPS is served by the same IVF/LSH infrastructure; the
+    * brute form here is its recall-1.0 baseline.
+    *
+    * Plan shape: identical to knn_brute — shared quantized relation,
+    * 10-query broadcast, per-partition partial top-k via the
+    * partitioned rank window. Nothing new moves at 100 TB.
+    */
+  def knnMips(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val queries = vecs.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = vecs
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("ip", dot(col("qv"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor"), col("ip"))
+      .orderBy("q_id", "rnk")
+  }
+
+  def knnMipsOracle: String =
+    s"""WITH $VectorsSql,
+       |q AS (SELECT vec_id q_id, v qv FROM vn WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, vec_id, ${dotSql("qv", "v")} ip
+       |  FROM vn CROSS JOIN q WHERE vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, ip,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id) rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, vec_id AS neighbor, ip FROM ranked
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("knn_mips", knnMips, Some(knnMipsOracle)),
     QueryDef(
       "embedding_norm_audit", embeddingNormAudit,
       Some(embeddingNormAuditOracle)),

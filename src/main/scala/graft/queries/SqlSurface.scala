@@ -606,6 +606,95 @@ object SqlSurface {
       |  l_c + 7 * b_c AS forecast7_c
       |FROM h ORDER BY day""".stripMargin
 
+  /** `holt_winters`: triple-exponential (additive Holt-Winters)
+    * smoothing of the daily purchase-revenue series — the seasonal
+    * step up from [[holtLinear]] (level+trend tracks a ramp but lags
+    * every weekly rhythm; the per-weekday seasonal term is what
+    * absorbs it). State: level, trend, and SEVEN weekday seasonal
+    * components (isodow-indexed), all integer cents with
+    * α = β = γ = 1/4 as the same div-4 recurrences:
+    * l_t = (y − s_wd + 3(l+b)) div 4, b_t = (l_t − l + 3b) div 4,
+    * s'_wd = (y − l_t + 3·s_wd) div 4; fitted_t = l + b + s_wd is the
+    * one-step-ahead forecast BEFORE the update (the honest backtest
+    * value). First day seeds l = y, b = 0, all s = 0. Negative
+    * intermediates truncate toward zero identically in Scala, Spark
+    * `div`, and DuckDB integer `//` (the holt_linear verification).
+    *
+    * Plan: one fact aggregate to the bounded day grid; the 9-state
+    * sequential smoother folds DRIVER-SIDE over the collected grid
+    * (the bounded-driver-arithmetic exception, as [[holtLinear]]);
+    * the oracle replays it as a DuckDB recursive CTE carrying the
+    * seven seasonal columns.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(Quantize.cents(col("value"))).as("y_c"))
+      .select(col("day"), col("y_c"), expr("weekday(day) + 1").as("wd"))
+      .collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._1.getTime)
+    var l = 0L
+    var b = 0L
+    val s = Array.fill(8)(0L) // isodow 1..7
+    var first = true
+    val out = grid.map { case (d, y, wd) =>
+      if (first) {
+        first = false; l = y; b = 0L
+        (d, y, l, b, 0L, y)
+      } else {
+        val sOld = s(wd)
+        val fitted = l + b + sOld
+        val lN = (y - sOld + 3 * (l + b)) / 4
+        val bN = (lN - l + 3 * b) / 4
+        val sN = (y - lN + 3 * sOld) / 4
+        l = lN; b = bN; s(wd) = sN
+        (d, y, l, b, sN, fitted)
+      }
+    }
+    out.toSeq
+      .toDF("day", "y_c", "level_c", "trend_c", "seas_c", "fitted_c")
+  }
+
+  def holtWintersOracle: String = {
+    val sOld = "(CASE d.wd WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 " +
+      "WHEN 3 THEN h.s3 WHEN 4 THEN h.s4 WHEN 5 THEN h.s5 " +
+      "WHEN 6 THEN h.s6 ELSE h.s7 END)"
+    val lN = s"((d.y_c - $sOld + 3 * (h.l_c + h.b_c)) // 4)"
+    val bN = s"(($lN - h.l_c + 3 * h.b_c) // 4)"
+    val sN = s"((d.y_c - $lN + 3 * $sOld) // 4)"
+    def sCol(k: Int): String =
+      s"CASE WHEN d.wd = $k THEN $sN ELSE h.s$k END"
+    s"""WITH RECURSIVE dg AS (
+       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    CAST(SUM(${Quantize.centsSql("value")}) AS BIGINT) y_c
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |rnd AS (
+       |  SELECT a.day AS day, a.y_c,
+       |    CAST(isodow(a.day) AS BIGINT) wd,
+       |    CAST(1 + COUNT(b.day) AS BIGINT) rn
+       |  FROM dg a LEFT JOIN dg b ON b.day < a.day
+       |  GROUP BY a.day, a.y_c),
+       |h AS (
+       |  SELECT rn, day, y_c, wd, y_c l_c, CAST(0 AS BIGINT) b_c,
+       |    CAST(0 AS BIGINT) seas_c, y_c fitted_c,
+       |    CAST(0 AS BIGINT) s1, CAST(0 AS BIGINT) s2,
+       |    CAST(0 AS BIGINT) s3, CAST(0 AS BIGINT) s4,
+       |    CAST(0 AS BIGINT) s5, CAST(0 AS BIGINT) s6,
+       |    CAST(0 AS BIGINT) s7
+       |  FROM rnd WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.rn, d.day, d.y_c, d.wd,
+       |    $lN, $bN, $sN, h.l_c + h.b_c + $sOld,
+       |    ${sCol(1)}, ${sCol(2)}, ${sCol(3)}, ${sCol(4)},
+       |    ${sCol(5)}, ${sCol(6)}, ${sCol(7)}
+       |  FROM h JOIN rnd d ON d.rn = h.rn + 1)
+       |SELECT day, y_c, l_c AS level_c, b_c AS trend_c, seas_c, fitted_c
+       |FROM h ORDER BY day""".stripMargin
+  }
+
   /** `pivot_sql_roundtrip`: the native SQL `PIVOT` and `UNPIVOT`
     * clauses exercised as an IDENTITY — revenue by (month, priority)
     * pivots to a wide month×5 matrix, unpivots back to long form,
@@ -688,6 +777,7 @@ object SqlSurface {
       "pivot_sql_roundtrip", pivotSqlRoundtrip,
       Some(pivotSqlRoundtripOracle)),
     QueryDef("holt_linear", holtLinear, Some(holtLinearOracle)),
+    QueryDef("holt_winters", holtWinters, Some(holtWintersOracle)),
     QueryDef(
       "not_in_null_trap", notInNullTrap, Some(notInNullTrapOracle)),
     QueryDef("sql_udf_surface", sqlUdfSurface, Some(sqlUdfSurfaceOracle)),

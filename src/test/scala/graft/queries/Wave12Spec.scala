@@ -146,6 +146,121 @@ class Wave12Spec extends AnyFunSuite {
     assert(chi2Nano >= 0L)
   }
 
+  test("video_scene_cuts: cuts sit exactly on the scene boundaries") {
+    // scene = f div 2 ⇒ boundaries at even f ≥ 2; the 64/pixel
+    // threshold must flag ALL of them and NONE of the odd frames
+    val rows = MultimodalQueries.videoSceneCuts(spark, dir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val nf = r.getLong(1)
+      assert(r.getLong(2) === nf / 2 - 1) // n_cuts
+      assert(r.getLong(3) === 2L) // first_cut
+      assert(r.getLong(5) === nf / 2) // n_scenes
+    }
+  }
+
+  test("knn_mips equals an integer brute-force replay") {
+    val vecs = Tables.read(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS LONG)) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val byId = vecs.toMap
+    val model = vecs.filter(_._1 < 10).sortBy(_._1).flatMap { case (q, qv) =>
+      vecs.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, qv.zip(v).map { case (a, b) => a * b }.sum)
+        }
+        .sortBy { case (id, ip) => (-ip, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, ip), i) => (q, (i + 1).toLong, id, ip) }
+    }.toSeq
+    val got = Similarity.knnMips(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === model)
+    assert(byId.size === vecs.length)
+  }
+
+  test("referential_integrity equals a set-membership replay") {
+    def keys(t: String, k: String): Array[Long] =
+      Tables.read(spark, dir, t).selectExpr(s"CAST($k AS LONG)")
+        .collect().map(_.getLong(0))
+    val edges = Seq(
+      ("customer->nation", keys("customer", "c_nationkey"),
+        keys("nation", "n_nationkey")),
+      ("lineitem->orders", keys("lineitem", "l_orderkey"),
+        keys("orders", "o_orderkey")),
+      ("lineitem->part", keys("lineitem", "l_partkey"),
+        keys("part", "p_partkey")),
+      ("lineitem->supplier", keys("lineitem", "l_suppkey"),
+        keys("supplier", "s_suppkey")),
+      ("nation->region", keys("nation", "n_regionkey"),
+        keys("region", "r_regionkey")),
+      ("orders->customer", keys("orders", "o_custkey"),
+        keys("customer", "c_custkey")),
+      ("supplier->nation", keys("supplier", "s_nationkey"),
+        keys("nation", "n_nationkey")))
+    val model = edges.map { case (name, child, parent) =>
+      val pset = parent.toSet
+      val orphans = child.filterNot(pset)
+      (name, child.length.toLong, child.distinct.length.toLong,
+        orphans.length.toLong, orphans.distinct.length.toLong,
+        orphans.isEmpty)
+    }.sortBy(_._1)
+    val got = DataQuality.referentialIntegrity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got === model)
+  }
+
+  test("tokenizer_fertility equals a per-word replay") {
+    val docs = Tables.read(spark, dir, "documents")
+      .selectExpr("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val model = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, g) =>
+      val words = g.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+      val nw = words.length.toLong
+      val np = words.map(w => (w.length + 3L) / 4L).sum
+      val nc = words.map(_.length.toLong).sum
+      (lang, g.length.toLong, nw, np, np * 1000 / nw, nc * 1000 / np)
+    }
+    val got = TextAnalysis.tokenizerFertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === model)
+  }
+
+  test("holt_winters equals a java.time weekday replay; seeds like holt") {
+    val grid = Tables.events(spark, dir)
+      .where("event_type = 'purchase'")
+      .selectExpr("to_date(ts) day", "CAST(round(value * 100) AS LONG) c")
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1.toEpochDay)
+    var l = 0L; var b = 0L
+    val s = Array.fill(8)(0L)
+    val model = grid.zipWithIndex.map { case ((d, y), i) =>
+      val wd = d.getDayOfWeek.getValue // ISO 1..7, independent mapping
+      if (i == 0) { l = y; b = 0L; (d, y, l, b, 0L, y) }
+      else {
+        val sOld = s(wd)
+        val fitted = l + b + sOld
+        val lN = (y - sOld + 3 * (l + b)) / 4
+        val bN = (lN - l + 3 * b) / 4
+        val sN = (y - lN + 3 * sOld) / 4
+        l = lN; b = bN; s(wd) = sN
+        (d, y, l, b, sN, fitted)
+      }
+    }
+    val got = SqlSurface.holtWinters(spark, dir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === model)
+    assert(got.head._6 === got.head._2) // day-1 fitted = observed
+  }
+
   test("anova_f equals a fixed-order moment replay") {
     val li = Tables.read(spark, dir, "lineitem")
       .selectExpr("l_returnflag g",
