@@ -23,6 +23,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RefSurface.fanout(spark, "/root/testdata/sf0.001")
 
+  /** Every registered name in registration order — exposed so the
+    * duplicate-shadowing guard (Wave12Spec) can see collisions the
+    * Map form hides.
+    */
+  private[graft] def allQueryNames: Seq[String] = allDefs.map(_.name)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map(d => d.name -> d.run).toMap

@@ -2053,70 +2053,7 @@ object TextAnalysis {
       |  md5(string_agg(s, '|' ORDER BY si)) chunk_hash
       |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin
 
-  /** `tokenizer_fertility`: tokens-per-word by language — the
-    * tokenizer-economics readout every multilingual corpus plan
-    * needs (a fertility-2.5 language pays 2.5× the context budget of
-    * a fertility-1.1 one for the same text; that asymmetry drives
-    * vocab allocation and per-language mixing weights). The
-    * subword model here is the fixed-width 4-char piece — the
-    * zero-merge BPE baseline (`bpe_train`'s starting state), exact
-    * and engine-replicable: pieces(word) = ⌈len/4⌉ = (len+3) div 4.
-    * Per language: docs, words, pieces, fertility (pieces per word,
-    * milli) and compression (word chars per piece, milli) — the two
-    * ratios a real tokenizer is judged by, over the identical corpus
-    * arithmetic.
-    *
-    * Plan shape: per-row bounded array arithmetic (no explode — the
-    * piece count folds inside the lambda), ONE 5-row language
-    * aggregate. Map-side combinable everywhere.
-    */
-  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
-    Tables.read(spark, dir, "documents")
-      .select(
-        col("lang"),
-        size(toks(col("text"))).cast("long").as("n_w"),
-        expr("""aggregate(
-          |  transform(filter(split(text, '\\s+'), x -> x != ''),
-          |    x -> (length(x) + 3) div 4),
-          |  0L, (a, x) -> a + x)""".stripMargin).as("n_p"),
-        expr("""aggregate(
-          |  transform(filter(split(text, '\\s+'), x -> x != ''),
-          |    x -> cast(length(x) as long)),
-          |  0L, (a, x) -> a + x)""".stripMargin).as("n_c"))
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_w")).as("n_words"),
-        sum(col("n_p")).as("n_pieces"),
-        sum(col("n_c")).as("n_word_chars"))
-      .select(
-        col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
-        expr("n_pieces * 1000 div n_words").as("fertility_milli"),
-        expr("n_word_chars * 1000 div n_pieces").as("chars_per_piece_milli"))
-      .orderBy("lang")
-
-  def tokenizerFertilityOracle: String =
-    s"""WITH t AS (
-       |  SELECT lang,
-       |    CAST(len(${ToksSql.format("text")}) AS BIGINT) n_w,
-       |    CAST(coalesce(list_sum(list_transform(${ToksSql.format("text")},
-       |      x -> (length(x) + 3) // 4)), 0) AS BIGINT) n_p,
-       |    CAST(coalesce(list_sum(list_transform(${ToksSql.format("text")},
-       |      x -> length(x))), 0) AS BIGINT) n_c
-       |  FROM documents)
-       |SELECT lang, CAST(count(*) AS BIGINT) n_docs,
-       |  CAST(sum(n_w) AS BIGINT) n_words,
-       |  CAST(sum(n_p) AS BIGINT) n_pieces,
-       |  CAST(sum(n_p) AS BIGINT) * 1000 // CAST(sum(n_w) AS BIGINT)
-       |    AS fertility_milli,
-       |  CAST(sum(n_c) AS BIGINT) * 1000 // CAST(sum(n_p) AS BIGINT)
-       |    AS chars_per_piece_milli
-       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
-
   def defs: Seq[QueryDef] = Seq(
-    QueryDef(
-      "tokenizer_fertility", tokenizerFertility,
-      Some(tokenizerFertilityOracle)),
     QueryDef("boundary_chunks", boundaryChunks, Some(boundaryChunksOracle)),
     QueryDef("classifier_eval", classifierEval, Some(classifierEvalOracle)),
     QueryDef("fuzzy_term_join", fuzzyTermJoin, Some(fuzzyTermJoinOracle)),

@@ -214,21 +214,14 @@ class Wave12Spec extends AnyFunSuite {
     assert(got === model)
   }
 
-  test("tokenizer_fertility equals a per-word replay") {
-    val docs = Tables.read(spark, dir, "documents")
-      .selectExpr("lang", "text").collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    val model = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, g) =>
-      val words = g.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
-      val nw = words.length.toLong
-      val np = words.map(w => (w.length + 3L) / 4L).sum
-      val nc = words.map(_.length.toLong).sum
-      (lang, g.length.toLong, nw, np, np * 1000 / nw, nc * 1000 / np)
-    }
-    val got = TextAnalysis.tokenizerFertility(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toSeq
-    assert(got === model)
+  test("query registry has no duplicate names (shadowing guard)") {
+    // SparkEntry.queries is a Map — a second QueryDef reusing an
+    // existing name would silently SHADOW one of the two (last in
+    // registration order wins), and every gate would keep passing
+    // against whichever survived. Pin uniqueness structurally.
+    val names = graft.SparkEntry.allQueryNames
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys.toSeq
+    assert(dupes.isEmpty, s"duplicate query names: $dupes")
   }
 
   test("holt_winters equals a java.time weekday replay; seeds like holt") {
