@@ -565,7 +565,469 @@ object DriftStats {
        |FROM w""".stripMargin
   }
 
+  /** `capture_recapture`: Lincoln–Petersen / Chapman population-size
+    * estimation from two overlapping incomplete observations — "how
+    * many users exist" when NEITHER log saw everyone (the question a
+    * coverage audit answers before trusting any per-user rate):
+    * capture A = users seen clicking, capture B = users seen
+    * purchasing, N̂_LP = n1·n2/m, Chapman's bias-corrected
+    * (n1+1)(n2+1)/(m+1) − 1. On this corpus the truth |A∪B| is
+    * computable, so the estimator error itself is hash-pinned —
+    * the measured-answer-quality stance (bloom_fpp/minhash_estimate/
+    * countmin_error) applied to population inference. Independence
+    * of captures is the assumption; the signed error ppm is exactly
+    * the readout that audits it. Pure integer (floor divisions).
+    *
+    * Plan shape: ONE user-grain conditional aggregate, then 1-row
+    * algebra. Nothing else moves at 100 TB.
+    */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max((col("event_type") === "click").cast("long")).as("a"),
+        max((col("event_type") === "purchase").cast("long")).as("b"))
+      .agg(
+        sum(col("a")).as("n1"),
+        sum(col("b")).as("n2"),
+        sum(col("a") * col("b")).as("overlap"),
+        sum(when(col("a") + col("b") > 0, 1L).otherwise(0L)).as("n_true"))
+      .select(
+        col("n1"), col("n2"), col("overlap"), col("n_true"),
+        expr("""CASE WHEN overlap = 0 THEN CAST(NULL AS BIGINT)
+          |ELSE n1 * n2 div overlap END""".stripMargin).as("lp_est"),
+        expr("(n1 + 1) * (n2 + 1) div (overlap + 1) - 1").as("chapman_est"))
+      .withColumn(
+        "err_ppm",
+        expr("""CASE WHEN chapman_est - n_true < 0
+          |THEN -((n_true - chapman_est) * 1000000 div n_true)
+          |ELSE (chapman_est - n_true) * 1000000 div n_true
+          |END""".stripMargin))
+
+  def captureRecaptureOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) a,
+      |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) b
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT CAST(sum(a) AS BIGINT) n1, CAST(sum(b) AS BIGINT) n2,
+      |    CAST(sum(a * b) AS BIGINT) overlap,
+      |    CAST(sum(CASE WHEN a + b > 0 THEN 1 ELSE 0 END) AS BIGINT) n_true
+      |  FROM u)
+      |SELECT n1, n2, overlap, n_true,
+      |  CASE WHEN overlap = 0 THEN CAST(NULL AS BIGINT)
+      |    ELSE n1 * n2 // overlap END lp_est,
+      |  (n1 + 1) * (n2 + 1) // (overlap + 1) - 1 chapman_est,
+      |  CASE WHEN (n1 + 1) * (n2 + 1) // (overlap + 1) - 1 - n_true < 0
+      |    THEN -((n_true - ((n1 + 1) * (n2 + 1) // (overlap + 1) - 1))
+      |      * 1000000 // n_true)
+      |    ELSE (((n1 + 1) * (n2 + 1) // (overlap + 1) - 1) - n_true)
+      |      * 1000000 // n_true
+      |  END err_ppm
+      |FROM w""".stripMargin
+
+  /** `mann_kendall`: the distribution-free monotone-trend test on the
+    * daily order-revenue series — linreg_trend fits a LINE (and its
+    * slope moves with one outlier day); Mann-Kendall asks only "do
+    * later days tend to exceed earlier days", S = Σ_{i<j}
+    * sign(x_j − x_i), the test a seasonal, heavy-tailed series wants.
+    * Tie-corrected variance 18·Var = n(n−1)(2n+5) − Σ_t c(c−1)(2c+5)
+    * kept as the INTEGER var18 (publishing the ÷18 rational as its
+    * numerator is the kendall_tau integer-honest form);
+    * z = (S − sign(S))/√(var18/18) sign-split-floored to milli, with
+    * the ±1.96 verdict derived FROM z_milli so the decision is
+    * integer-exact.
+    *
+    * Plan shape: one fact aggregate to the BOUNDED day grid, pairs
+    * via the triangular broadcast self-join over grid rows (the
+    * kendall_tau discipline — the grid is calendar-bounded at any
+    * corpus size), ties from a grid-sized value histogram, 1-row fold.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.read(spark, dir, "orders")
+      .select(
+        to_date(col("o_orderdate")).as("d"),
+        Quantize.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d"))
+      .agg(sum(col("c")).as("x"))
+      .localCheckpoint(eager = false) // pairs + ties + count
+    val n = days.agg(count(lit(1)).as("n_days"))
+    val s = days.as("a")
+      .join(
+        broadcast(days.select(col("d").as("d2"), col("x").as("x2"))),
+        col("d2") > col("a.d"))
+      .agg(
+        sum(
+          when(col("x2") > col("x"), 1L)
+            .when(col("x2") < col("x"), -1L)
+            .otherwise(0L)).as("s_stat"))
+    val ties = days.groupBy(col("x"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        coalesce(
+          sum(col("c") * (col("c") - 1) * (lit(2L) * col("c") + 5)),
+          lit(0L)).as("tie_term"))
+    n.crossJoin(broadcast(s)).crossJoin(broadcast(ties))
+      .select(
+        col("n_days"), col("s_stat"),
+        (col("n_days") * (col("n_days") - 1) *
+          (lit(2L) * col("n_days") + 5) - col("tie_term")).as("var18"))
+      .select(
+        col("n_days"), col("s_stat"), col("var18"),
+        expr("""CASE WHEN s_stat = 0 OR var18 <= 0 THEN 0L
+          |WHEN s_stat > 0 THEN cast(floor(1000.0
+          |  * cast(s_stat - 1 as double)
+          |  / sqrt(cast(var18 as double) / 18.0)) as bigint)
+          |ELSE -cast(floor(1000.0 * cast(-s_stat - 1 as double)
+          |  / sqrt(cast(var18 as double) / 18.0)) as bigint)
+          |END""".stripMargin).as("z_milli"))
+      .withColumn(
+        "trend",
+        when(col("z_milli") > 1960, lit("increasing"))
+          .when(col("z_milli") < -1960, lit("decreasing"))
+          .otherwise(lit("none")))
+  }
+
+  def mannKendallOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) x
+       |  FROM orders GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) n_days FROM days),
+       |s AS (
+       |  SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+       |    WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) s_stat
+       |  FROM days a JOIN days b ON b.d > a.d),
+       |t AS (
+       |  SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0)
+       |    AS BIGINT) tie_term
+       |  FROM (SELECT CAST(count(*) AS BIGINT) c FROM days GROUP BY x)),
+       |v AS (
+       |  SELECT n.n_days, s.s_stat,
+       |    n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term
+       |      AS var18
+       |  FROM n, s, t)
+       |SELECT n_days, s_stat, var18,
+       |  CASE WHEN s_stat = 0 OR var18 <= 0 THEN CAST(0 AS BIGINT)
+       |    WHEN s_stat > 0 THEN CAST(floor(1000.0
+       |      * CAST(s_stat - 1 AS DOUBLE)
+       |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT)
+       |    ELSE -CAST(floor(1000.0 * CAST(-s_stat - 1 AS DOUBLE)
+       |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT)
+       |  END z_milli,
+       |  CASE WHEN (CASE WHEN s_stat = 0 OR var18 <= 0 THEN 0
+       |      WHEN s_stat > 0 THEN CAST(floor(1000.0
+       |        * CAST(s_stat - 1 AS DOUBLE)
+       |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT)
+       |      ELSE -CAST(floor(1000.0 * CAST(-s_stat - 1 AS DOUBLE)
+       |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT) END) > 1960
+       |    THEN 'increasing'
+       |  WHEN (CASE WHEN s_stat = 0 OR var18 <= 0 THEN 0
+       |      WHEN s_stat > 0 THEN CAST(floor(1000.0
+       |        * CAST(s_stat - 1 AS DOUBLE)
+       |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT)
+       |      ELSE -CAST(floor(1000.0 * CAST(-s_stat - 1 AS DOUBLE)
+       |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT) END) < -1960
+       |    THEN 'decreasing'
+       |  ELSE 'none' END trend
+       |FROM v""".stripMargin
+
+  /** `levene_bf`: Brown–Forsythe equality-of-variances test across
+    * the three return flags — `anova_f` asks whether group MEANS
+    * differ; this asks whether group SPREADS do (and it gates
+    * anova_f itself: the F test assumes homoscedasticity). The
+    * Levene transform with the MEDIAN center (Brown–Forsythe — robust
+    * where the mean-centered original is outlier-led): per group the
+    * exact LOWER median of price cents (the weighted_median
+    * convention: smallest value with 2·cum ≥ n), then a one-way F on
+    * the absolute deviations |c − med_g| via the identical
+    * conditional-aggregation wide-row chain as anova_f.
+    *
+    * Plan shape: one histogram aggregate (flag × cent value) with
+    * cumulatives via the (flag, value-shard)-partitioned prefix sums
+    * + triangular broadcast offsets (never a 3-partition window over
+    * a fact-sized histogram), 3-row median broadcast back onto a
+    * second fact scan, ONE wide-row conditional aggregate.
+    */
+  def leveneBf(spark: SparkSession, dir: String): DataFrame = {
+    val c = Quantize.cents(col("l_extendedprice"))
+    val rows = Tables.read(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), c.as("c"))
+    val hist = rows.groupBy(col("g"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val width = hist.agg(expr("max(c) div 64 + 1").as("w"))
+    val sharded = hist.crossJoin(broadcast(width))
+      .withColumn("shard", expr("c div w"))
+      .localCheckpoint(eager = false)
+    val wIn = Window.partitionBy(col("g"), col("shard")).orderBy(col("c"))
+    val inShard = sharded.withColumn("cum_in", sum(col("cnt")).over(wIn))
+    val shardTotals = sharded.groupBy(col("g"), col("shard"))
+      .agg(sum(col("cnt")).as("t"))
+    val offsets = shardTotals.as("a")
+      .join(
+        broadcast(shardTotals.as("b")),
+        col("b.g") === col("a.g") && col("b.shard") < col("a.shard"),
+        "left")
+      .groupBy(col("a.g").as("g"), col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.t")), lit(0L)).as("off"))
+    val totals = hist.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
+    val medians = inShard
+      .join(broadcast(offsets), Seq("g", "shard"))
+      .join(broadcast(totals), "g")
+      .where((col("off") + col("cum_in")) * 2 >= col("n_g"))
+      .groupBy(col("g"))
+      .agg(min(col("c")).as("med"))
+    val dev = rows.join(broadcast(medians), "g")
+      .select(col("g"), abs(col("c") - col("med")).as("z"))
+    val wide = dev.agg(
+      count(when(col("g") === "N", 1)).as("n_n"),
+      count(when(col("g") === "A", 1)).as("n_a"),
+      count(when(col("g") === "R", 1)).as("n_r"),
+      sum(when(col("g") === "N", col("z")).otherwise(lit(0L))).as("s1n"),
+      sum(when(col("g") === "A", col("z")).otherwise(lit(0L))).as("s1a"),
+      sum(when(col("g") === "R", col("z")).otherwise(lit(0L))).as("s1r"),
+      sum(when(col("g") === "N", (col("z") * col("z")).cast("decimal(38,0)"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("s2n"),
+      sum(when(col("g") === "A", (col("z") * col("z")).cast("decimal(38,0)"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("s2a"),
+      sum(when(col("g") === "R", (col("z") * col("z")).cast("decimal(38,0)"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("s2r"))
+    val medWide = medians.groupBy().agg(
+      max(when(col("g") === "N", col("med"))).as("med_n_c"),
+      max(when(col("g") === "A", col("med"))).as("med_a_c"),
+      max(when(col("g") === "R", col("med"))).as("med_r_c"))
+    wide.crossJoin(broadcast(medWide)).select(
+      (col("n_n") + col("n_a") + col("n_r")).as("n"),
+      col("med_n_c"), col("med_a_c"), col("med_r_c"),
+      expr("""cast(floor(1000.0 * (
+        |  ((cast(s1n as double) * cast(s1n as double) / cast(n_n as double)
+        |    + cast(s1a as double) * cast(s1a as double) / cast(n_a as double)
+        |    + cast(s1r as double) * cast(s1r as double) / cast(n_r as double))
+        |   - (cast(s1n + s1a + s1r as double) * cast(s1n + s1a + s1r as double)
+        |      / cast(n_n + n_a + n_r as double))) / 2.0)
+        |  / (((cast(s2n as double)
+        |       - cast(s1n as double) * cast(s1n as double) / cast(n_n as double))
+        |      + (cast(s2a as double)
+        |       - cast(s1a as double) * cast(s1a as double) / cast(n_a as double))
+        |      + (cast(s2r as double)
+        |       - cast(s1r as double) * cast(s1r as double) / cast(n_r as double)))
+        |     / cast(n_n + n_a + n_r - 3 as double))) as bigint)"""
+        .stripMargin).as("w_milli"))
+  }
+
+  def leveneBfOracle: String = {
+    val cSql = Quantize.centsSql("l_extendedprice")
+    val ssb =
+      """((CAST(s1n AS DOUBLE) * CAST(s1n AS DOUBLE) / CAST(n_n AS DOUBLE)
+        |    + CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    + CAST(s1r AS DOUBLE) * CAST(s1r AS DOUBLE) / CAST(n_r AS DOUBLE))
+        |   - (CAST(s1n + s1a + s1r AS DOUBLE) * CAST(s1n + s1a + s1r AS DOUBLE)
+        |      / CAST(n_n + n_a + n_r AS DOUBLE)))""".stripMargin
+    val ssw =
+      """(((CAST(s2n AS DOUBLE)
+        |       - CAST(s1n AS DOUBLE) * CAST(s1n AS DOUBLE) / CAST(n_n AS DOUBLE))
+        |      + (CAST(s2a AS DOUBLE)
+        |       - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      + (CAST(s2r AS DOUBLE)
+        |       - CAST(s1r AS DOUBLE) * CAST(s1r AS DOUBLE) / CAST(n_r AS DOUBLE))))"""
+        .stripMargin
+    s"""WITH rows_ AS (
+       |  SELECT l_returnflag g, $cSql c FROM lineitem),
+       |hist AS (
+       |  SELECT g, c, CAST(count(*) AS BIGINT) cnt FROM rows_ GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g, c, sum(cnt) OVER (PARTITION BY g ORDER BY c) cum,
+       |    sum(cnt) OVER (PARTITION BY g) n_g
+       |  FROM hist),
+       |med AS (
+       |  SELECT g, CAST(min(c) AS BIGINT) med FROM cum
+       |  WHERE cum * 2 >= n_g GROUP BY 1),
+       |dev AS (
+       |  SELECT rows_.g, abs(c - med) z
+       |  FROM rows_ JOIN med ON med.g = rows_.g),
+       |w AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (g = 'N') AS BIGINT) n_n,
+       |    CAST(count(*) FILTER (g = 'A') AS BIGINT) n_a,
+       |    CAST(count(*) FILTER (g = 'R') AS BIGINT) n_r,
+       |    CAST(sum(CASE WHEN g = 'N' THEN z ELSE 0 END) AS BIGINT) s1n,
+       |    CAST(sum(CASE WHEN g = 'A' THEN z ELSE 0 END) AS BIGINT) s1a,
+       |    CAST(sum(CASE WHEN g = 'R' THEN z ELSE 0 END) AS BIGINT) s1r,
+       |    CAST(sum(CASE WHEN g = 'N'
+       |      THEN CAST(z AS HUGEINT) * z ELSE 0 END) AS HUGEINT) s2n,
+       |    CAST(sum(CASE WHEN g = 'A'
+       |      THEN CAST(z AS HUGEINT) * z ELSE 0 END) AS HUGEINT) s2a,
+       |    CAST(sum(CASE WHEN g = 'R'
+       |      THEN CAST(z AS HUGEINT) * z ELSE 0 END) AS HUGEINT) s2r
+       |  FROM dev),
+       |mw AS (
+       |  SELECT
+       |    CAST(max(CASE WHEN g = 'N' THEN med END) AS BIGINT) med_n_c,
+       |    CAST(max(CASE WHEN g = 'A' THEN med END) AS BIGINT) med_a_c,
+       |    CAST(max(CASE WHEN g = 'R' THEN med END) AS BIGINT) med_r_c
+       |  FROM med)
+       |SELECT CAST(n_n + n_a + n_r AS BIGINT) n,
+       |  med_n_c, med_a_c, med_r_c,
+       |  CAST(floor(1000.0 * ($ssb / 2.0)
+       |    / ($ssw / CAST(n_n + n_a + n_r - 3 AS DOUBLE))) AS BIGINT)
+       |    w_milli
+       |FROM w, mw""".stripMargin
+  }
+
+  /** `segmented_trend`: broken-stick trend readout — the cusum
+    * changepoint (`cusum_shift` top-1) made ACTIONABLE: split the
+    * daily revenue series at argmax |Sₜ| and fit exact integer
+    * least-squares slopes on each side, so "the series shifted"
+    * becomes "growth went from a to b cents/day at D". Slopes are
+    * fully rational: day index from the triangular rank join,
+    * slope_milli = 1000·(k·Σxy − ΣxΣy) div (k·Σx² − (Σx)²) in
+    * DECIMAL(38,0), sign-split floor; the cut day itself (min-day
+    * argmax tie-break) is inside the hash.
+    *
+    * Plan shape: one fact aggregate to the bounded day grid;
+    * prefix sums, ranks and pairs all run as triangular broadcast
+    * self-joins over grid rows (calendar-bounded at any corpus
+    * size); two conditional moment sums in ONE grid aggregate.
+    */
+  def segmentedTrend(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.read(spark, dir, "orders")
+      .select(
+        to_date(col("o_orderdate")).as("d"),
+        Quantize.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d"))
+      .agg(sum(col("c")).as("x"))
+      .localCheckpoint(eager = false) // rank join + totals + moments
+    val ranked = days.as("a")
+      .join(
+        broadcast(days.select(col("d").as("d2"), col("x").as("x2"))),
+        col("d2") <= col("a.d"))
+      .groupBy(col("a.d").as("d"), col("a.x").as("x"))
+      .agg(count(lit(1)).as("rn"), sum(col("x2")).as("pre"))
+      .localCheckpoint(eager = false)
+    val totals = days.agg(
+      count(lit(1)).as("n_days"), sum(col("x")).as("t_sum"))
+    val scored = ranked.crossJoin(broadcast(totals))
+      .select(
+        col("d"), col("x"), col("rn"), col("n_days"),
+        abs(col("n_days") * col("pre") - col("rn") * col("t_sum"))
+          .as("s_abs"))
+    val cut = scored
+      .orderBy(col("s_abs").desc, col("d"))
+      .limit(1)
+      .select(col("d").as("cut_day"), col("rn").as("cut_rn"))
+    val m = ranked.crossJoin(broadcast(cut))
+      .select(
+        col("cut_day"),
+        (col("rn") <= col("cut_rn")).as("left_side"),
+        col("rn"), col("x"))
+      .groupBy(col("cut_day"))
+      .agg(
+        sum(when(col("left_side"), 1L).otherwise(0L)).as("kl"),
+        sum(when(col("left_side"), col("rn")).otherwise(lit(0L))).as("sxl"),
+        sum(when(col("left_side"), col("x")).otherwise(lit(0L))).as("syl"),
+        sum(when(col("left_side"), col("rn") * col("rn"))
+          .otherwise(lit(0L))).as("sxxl"),
+        sum(when(col("left_side"),
+          (col("rn").cast("decimal(38,0)") * col("x")))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("sxyl"),
+        sum(when(!col("left_side"), 1L).otherwise(0L)).as("kr"),
+        sum(when(!col("left_side"), col("rn")).otherwise(lit(0L))).as("sxr"),
+        sum(when(!col("left_side"), col("x")).otherwise(lit(0L))).as("syr"),
+        sum(when(!col("left_side"), col("rn") * col("rn"))
+          .otherwise(lit(0L))).as("sxxr"),
+        sum(when(!col("left_side"),
+          (col("rn").cast("decimal(38,0)") * col("x")))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("sxyr"))
+    def slope(k: String, sx: String, sy: String, sxx: String, sxy: String) =
+      s"""CASE WHEN cast($k as decimal(38,0)) * $sxx
+         |    - cast($sx as decimal(38,0)) * $sx = 0 THEN CAST(NULL AS BIGINT)
+         |WHEN cast($k as decimal(38,0)) * $sxy
+         |    - cast($sx as decimal(38,0)) * $sy < 0
+         |  THEN -cast((-(cast($k as decimal(38,0)) * $sxy
+         |      - cast($sx as decimal(38,0)) * $sy) * 1000)
+         |    div (cast($k as decimal(38,0)) * $sxx
+         |      - cast($sx as decimal(38,0)) * $sx) as bigint)
+         |ELSE cast(((cast($k as decimal(38,0)) * $sxy
+         |      - cast($sx as decimal(38,0)) * $sy) * 1000)
+         |    div (cast($k as decimal(38,0)) * $sxx
+         |      - cast($sx as decimal(38,0)) * $sx) as bigint)
+         |END""".stripMargin
+    m.select(
+      (col("kl") + col("kr")).as("n_days"),
+      col("cut_day"),
+      col("kl").as("n_left"), col("kr").as("n_right"),
+      expr(slope("kl", "sxl", "syl", "sxxl", "sxyl"))
+        .as("slope_left_milli"),
+      expr(slope("kr", "sxr", "syr", "sxxr", "sxyr"))
+        .as("slope_right_milli"))
+      .withColumn(
+        "delta_milli", col("slope_right_milli") - col("slope_left_milli"))
+  }
+
+  def segmentedTrendOracle: String = {
+    def slope(k: String, sx: String, sy: String, sxx: String, sxy: String) =
+      s"""CASE WHEN CAST($k AS HUGEINT) * $sxx
+         |    - CAST($sx AS HUGEINT) * $sx = 0 THEN CAST(NULL AS BIGINT)
+         |WHEN CAST($k AS HUGEINT) * $sxy
+         |    - CAST($sx AS HUGEINT) * $sy < 0
+         |  THEN -CAST((-(CAST($k AS HUGEINT) * $sxy
+         |      - CAST($sx AS HUGEINT) * $sy) * 1000)
+         |    // (CAST($k AS HUGEINT) * $sxx
+         |      - CAST($sx AS HUGEINT) * $sx) AS BIGINT)
+         |ELSE CAST(((CAST($k AS HUGEINT) * $sxy
+         |      - CAST($sx AS HUGEINT) * $sy) * 1000)
+         |    // (CAST($k AS HUGEINT) * $sxx
+         |      - CAST($sx AS HUGEINT) * $sx) AS BIGINT)
+         |END""".stripMargin
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) x
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) n_days,
+       |  CAST(sum(x) AS BIGINT) t_sum FROM days),
+       |ranked AS (
+       |  SELECT d, x,
+       |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) rn,
+       |    CAST(sum(x) OVER (ORDER BY d) AS BIGINT) pre
+       |  FROM days),
+       |cut AS (
+       |  SELECT d cut_day, rn cut_rn
+       |  FROM ranked, tot
+       |  ORDER BY abs(n_days * pre - rn * t_sum) DESC, d LIMIT 1),
+       |m AS (
+       |  SELECT cut.cut_day,
+       |    CAST(count(*) FILTER (rn <= cut_rn) AS BIGINT) kl,
+       |    CAST(sum(rn) FILTER (rn <= cut_rn) AS BIGINT) sxl,
+       |    CAST(sum(x) FILTER (rn <= cut_rn) AS BIGINT) syl,
+       |    CAST(sum(rn * rn) FILTER (rn <= cut_rn) AS BIGINT) sxxl,
+       |    CAST(sum(CAST(rn AS HUGEINT) * x) FILTER (rn <= cut_rn)
+       |      AS HUGEINT) sxyl,
+       |    CAST(count(*) FILTER (rn > cut_rn) AS BIGINT) kr,
+       |    CAST(coalesce(sum(rn) FILTER (rn > cut_rn), 0) AS BIGINT) sxr,
+       |    CAST(coalesce(sum(x) FILTER (rn > cut_rn), 0) AS BIGINT) syr,
+       |    CAST(coalesce(sum(rn * rn) FILTER (rn > cut_rn), 0)
+       |      AS BIGINT) sxxr,
+       |    CAST(coalesce(sum(CAST(rn AS HUGEINT) * x) FILTER (rn > cut_rn),
+       |      0) AS HUGEINT) sxyr
+       |  FROM ranked, cut GROUP BY 1)
+       |SELECT CAST(kl + kr AS BIGINT) n_days, cut_day,
+       |  kl AS n_left, kr AS n_right,
+       |  ${slope("kl", "sxl", "syl", "sxxl", "sxyl")} AS slope_left_milli,
+       |  ${slope("kr", "sxr", "syr", "sxxr", "sxyr")} AS slope_right_milli,
+       |  (${slope("kr", "sxr", "syr", "sxxr", "sxyr")})
+       |    - (${slope("kl", "sxl", "syl", "sxxl", "sxyl")}) AS delta_milli
+       |FROM m""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "capture_recapture", captureRecapture, Some(captureRecaptureOracle)),
+    QueryDef("mann_kendall", mannKendall, Some(mannKendallOracle)),
+    QueryDef("levene_bf", leveneBf, Some(leveneBfOracle)),
+    QueryDef("segmented_trend", segmentedTrend, Some(segmentedTrendOracle)),
     QueryDef("wasserstein_1d", wasserstein1d, Some(wasserstein1dOracle)),
     QueryDef("hellinger_drift", hellingerDrift, Some(hellingerDriftOracle)),
     QueryDef("spearman_rho", spearmanRho, Some(spearmanRhoOracle)),

@@ -667,6 +667,7 @@ object Sketches {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("bloom_fpp", bloomFpp, Some(bloomFppOracle)),
+    QueryDef("ams_f2", amsF2, Some(amsF2Oracle)),
     QueryDef("countmin_merge", countminMerge, Some(countminMergeOracle)),
     QueryDef("minhash_merge", minhashMerge, Some(minhashMergeOracle)),
     QueryDef(
@@ -682,6 +683,99 @@ object Sketches {
     QueryDef(
       "audience_overlap", audienceOverlap, Some(audienceOverlapOracle)),
     QueryDef("user_churn", userChurn, Some(userChurnOracle)))
+
+  /** `ams_f2`: the AMS (Alon–Matias–Szegedy) tug-of-war sketch for
+    * the SECOND frequency moment F₂ = Σf² of the per-user event
+    * counts — the self-join-size / skewness statistic, and the fifth
+    * member of the measured answer-quality battery (bloom_fpp = bits,
+    * minhash_estimate = signature, countmin_error = width,
+    * feature_hash_collisions = buckets, this = moment estimation):
+    * eight independent ±1 hash estimators Z_j = Σ_x f_x·s_j(x), each
+    * Z_j² an unbiased F₂ estimate, averaged; every Z_j accumulates as
+    * an exact int64 conditional sum (md5-bit signs, the countmin hash
+    * discipline), so sketch AND truth are integer-exact and the
+    * SIGNED estimator error sits inside the hash check beside the
+    * per-estimator spread (z2_min/z2_max — the variance the 2F₂²/8
+    * bound prices).
+    *
+    * Plan shape: the eight sign sums ride ONE event-grain conditional
+    * aggregate (map-side combinable — this is why AMS works on
+    * streams); the exact F₂ is one user-grain count + one fold.
+    */
+  def amsF2(spark: SparkSession, dir: String): DataFrame = {
+    def sign(j: Int) =
+      when(
+        conv(
+          substring(md5(concat(lit(s"$j:"), col("user_id").cast("string"))),
+            1, 1), 16, 10).cast("long") % 2 === 0,
+        lit(1L)).otherwise(lit(-1L))
+    val zs = Tables.events(spark, dir)
+      .select(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (0 until 8).map(j => sum(sign(j)).as(s"z$j")): _*)
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("f"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum((col("f") * col("f")).cast("decimal(38,0)")).as("f2x"))
+      .select(col("n_users"), expr("cast(f2x as bigint)").as("f2_exact"))
+    zs.crossJoin(broadcast(exact))
+      .select(
+        col("n_events"), col("n_users"), col("f2_exact"),
+        expr("""(z0*z0 + z1*z1 + z2*z2 + z3*z3 + z4*z4 + z5*z5
+          |  + z6*z6 + z7*z7) div 8""".stripMargin).as("f2_est"),
+        expr("""least(z0*z0, z1*z1, z2*z2, z3*z3, z4*z4, z5*z5,
+          |  z6*z6, z7*z7)""".stripMargin).as("z2_min"),
+        expr("""greatest(z0*z0, z1*z1, z2*z2, z3*z3, z4*z4, z5*z5,
+          |  z6*z6, z7*z7)""".stripMargin).as("z2_max"))
+      .withColumn(
+        // deviation × 10⁶ can cross 2^63 when an estimator misses
+        // badly (Z² is bounded only by n_events²) ⇒ DECIMAL/HUGEINT
+        "err_ppm",
+        expr("""CASE WHEN f2_est - f2_exact < 0
+          |THEN -cast((cast(f2_exact - f2_est as decimal(38,0)) * 1000000)
+          |  div f2_exact as bigint)
+          |ELSE cast((cast(f2_est - f2_exact as decimal(38,0)) * 1000000)
+          |  div f2_exact as bigint)
+          |END""".stripMargin))
+  }
+
+  def amsF2Oracle: String = {
+    def sign(j: Int) =
+      s"""(CASE WHEN ('0x' || substr(md5('$j:' ||
+         | CAST(user_id AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+         | THEN 1 ELSE -1 END)""".stripMargin.replace("\n", "")
+    val zCols = (0 until 8)
+      .map(j => s"CAST(sum(${sign(j)}) AS BIGINT) z$j").mkString(",\n    ")
+    """WITH zs AS (
+      |  SELECT CAST(count(*) AS BIGINT) n_events,
+      |    ZCOLS
+      |  FROM events),
+      |ex AS (
+      |  SELECT CAST(count(*) AS BIGINT) n_users,
+      |    CAST(sum(CAST(f AS HUGEINT) * f) AS BIGINT) f2_exact
+      |  FROM (SELECT CAST(count(*) AS BIGINT) f FROM events GROUP BY user_id)),
+      |j AS (SELECT * FROM zs, ex)
+      |SELECT n_events, n_users, f2_exact,
+      |  (z0*z0 + z1*z1 + z2*z2 + z3*z3 + z4*z4 + z5*z5 + z6*z6 + z7*z7)
+      |    // 8 AS f2_est,
+      |  least(z0*z0, z1*z1, z2*z2, z3*z3, z4*z4, z5*z5, z6*z6, z7*z7)
+      |    AS z2_min,
+      |  greatest(z0*z0, z1*z1, z2*z2, z3*z3, z4*z4, z5*z5, z6*z6, z7*z7)
+      |    AS z2_max,
+      |  CASE WHEN (z0*z0 + z1*z1 + z2*z2 + z3*z3 + z4*z4 + z5*z5 + z6*z6
+      |      + z7*z7) // 8 - f2_exact < 0
+      |    THEN -CAST((CAST(f2_exact - (z0*z0 + z1*z1 + z2*z2 + z3*z3 + z4*z4
+      |      + z5*z5 + z6*z6 + z7*z7) // 8 AS HUGEINT) * 1000000 // f2_exact)
+      |      AS BIGINT)
+      |    ELSE CAST((CAST((z0*z0 + z1*z1 + z2*z2 + z3*z3 + z4*z4 + z5*z5
+      |      + z6*z6 + z7*z7) // 8 - f2_exact AS HUGEINT) * 1000000
+      |      // f2_exact) AS BIGINT)
+      |  END err_ppm
+      |FROM j""".stripMargin.replace("ZCOLS", zCols)
+  }
 
   /** `user_churn`: the day-over-day churn panel — retained, NEW
     * (present tomorrow only) and LOST (present today only) users —

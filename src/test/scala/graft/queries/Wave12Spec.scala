@@ -254,6 +254,189 @@ class Wave12Spec extends AnyFunSuite {
     assert(got.head._6 === got.head._2) // day-1 fitted = observed
   }
 
+  test("capture_recapture equals a set replay") {
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val a = ev.filter(_._2 == "click").map(_._1).toSet
+    val b = ev.filter(_._2 == "purchase").map(_._1).toSet
+    val n1 = a.size.toLong; val n2 = b.size.toLong
+    val m = (a & b).size.toLong
+    val nTrue = (a | b).size.toLong
+    val chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    val err = if (chapman >= nTrue) (chapman - nTrue) * 1000000 / nTrue
+    else -((nTrue - chapman) * 1000000 / nTrue)
+    val row = DriftStats.captureRecapture(spark, dir).collect().head
+    assert(row.getLong(0) === n1)
+    assert(row.getLong(1) === n2)
+    assert(row.getLong(2) === m)
+    assert(row.getLong(3) === nTrue)
+    if (m > 0) assert(row.getLong(4) === n1 * n2 / m)
+    else assert(row.isNullAt(4))
+    assert(row.getLong(5) === chapman)
+    assert(row.getLong(6) === err)
+  }
+
+  test("mann_kendall equals a brute-force pair replay") {
+    val days = Tables.read(spark, dir, "orders")
+      .selectExpr("to_date(o_orderdate) d",
+        "CAST(round(o_totalprice * 100) AS LONG) c")
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1.toEpochDay).map(_._2)
+    val n = days.length.toLong
+    var s = 0L
+    for (i <- days.indices; j <- i + 1 until days.length)
+      s += java.lang.Long.signum(days(j) - days(i))
+    val tie = days.groupBy(identity).values
+      .map(g => { val c = g.size.toLong; c * (c - 1) * (2 * c + 5) }).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - tie
+    val zMilli =
+      if (s == 0 || var18 <= 0) 0L
+      else {
+        val m = math.floor(1000.0 * (s.abs - 1).toDouble /
+          math.sqrt(var18.toDouble / 18.0)).toLong
+        if (s > 0) m else -m
+      }
+    val row = DriftStats.mannKendall(spark, dir).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === s)
+    assert(row.getLong(2) === var18)
+    assert(row.getLong(3) === zMilli)
+    assert(row.getString(4) ===
+      (if (zMilli > 1960) "increasing"
+      else if (zMilli < -1960) "decreasing" else "none"))
+  }
+
+  test("levene_bf equals a lower-median deviation replay") {
+    val li = Tables.read(spark, dir, "lineitem")
+      .selectExpr("l_returnflag g",
+        "CAST(round(l_extendedprice * 100) AS LONG) c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def med(flag: String): Long = {
+      val v = li.filter(_._1 == flag).map(_._2).sorted
+      // lower median: smallest value with 2*cum >= n
+      v((v.length - 1) / 2)
+    }
+    val medByG = Map("N" -> med("N"), "A" -> med("A"), "R" -> med("R"))
+    val dev = li.map { case (g, c) => (g, (c - medByG(g)).abs) }
+    def m(flag: String): (Long, Long, BigInt) = {
+      val g = dev.filter(_._1 == flag).map(_._2)
+      (g.length.toLong, g.sum,
+        g.map(z => BigInt(z) * z).foldLeft(BigInt(0))(_ + _))
+    }
+    val (nn, s1n, s2n) = m("N")
+    val (na, s1a, s2a) = m("A")
+    val (nr, s1r, s2r) = m("R")
+    val n = nn + na + nr
+    val sumTerm = s1n.toDouble * s1n.toDouble / nn.toDouble +
+      s1a.toDouble * s1a.toDouble / na.toDouble +
+      s1r.toDouble * s1r.toDouble / nr.toDouble
+    val s1 = s1n + s1a + s1r
+    val ssb = sumTerm - s1.toDouble * s1.toDouble / n.toDouble
+    val ssw = (s2n.toDouble - s1n.toDouble * s1n.toDouble / nn.toDouble) +
+      (s2a.toDouble - s1a.toDouble * s1a.toDouble / na.toDouble) +
+      (s2r.toDouble - s1r.toDouble * s1r.toDouble / nr.toDouble)
+    val wMilli = math.floor(1000.0 * (ssb / 2.0) /
+      (ssw / (n - 3).toDouble)).toLong
+    val row = DriftStats.leveneBf(spark, dir).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === medByG("N"))
+    assert(row.getLong(2) === medByG("A"))
+    assert(row.getLong(3) === medByG("R"))
+    assert(row.getLong(4) === wMilli)
+  }
+
+  test("segmented_trend equals a prefix/argmax/slope replay") {
+    val grid = Tables.read(spark, dir, "orders")
+      .selectExpr("to_date(o_orderdate) d",
+        "CAST(round(o_totalprice * 100) AS LONG) c")
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1.toEpochDay)
+    val n = grid.length.toLong
+    val tSum = grid.map(_._2).sum
+    var pre = 0L
+    val scored = grid.zipWithIndex.map { case ((d, x), i) =>
+      pre += x
+      (d, i + 1L, x, (BigInt(n) * pre - BigInt(i + 1L) * tSum).abs)
+    }
+    val cut = scored.maxBy(t => (t._4, -t._1.toEpochDay))
+    def slope(seg: Seq[(Long, Long)]): Option[Long] = {
+      val k = BigInt(seg.length)
+      val sx = seg.map(t => BigInt(t._1)).sum
+      val sy = seg.map(t => BigInt(t._2)).sum
+      val sxx = seg.map(t => BigInt(t._1) * t._1).sum
+      val sxy = seg.map(t => BigInt(t._1) * t._2).sum
+      val den = k * sxx - sx * sx
+      if (den == 0) None
+      else {
+        val num = k * sxy - sx * sy
+        val q = (num.abs * 1000) / den
+        Some(if (num < 0) (-q).toLong else q.toLong)
+      }
+    }
+    val left = scored.filter(_._2 <= cut._2).map(t => (t._2, t._3))
+    val right = scored.filter(_._2 > cut._2).map(t => (t._2, t._3))
+    val row = DriftStats.segmentedTrend(spark, dir).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getDate(1).toLocalDate === cut._1)
+    assert(row.getLong(2) === left.length.toLong)
+    assert(row.getLong(3) === right.length.toLong)
+    assert((if (row.isNullAt(4)) None else Some(row.getLong(4))) ===
+      slope(left))
+    assert((if (row.isNullAt(5)) None else Some(row.getLong(5))) ===
+      slope(right))
+  }
+
+  test("ams_f2 equals an md5-sign replay; estimators are unbiased-ish") {
+    val users = Tables.events(spark, dir)
+      .selectExpr("user_id").collect().map(_.getLong(0))
+    def sign(j: Int, u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$u".getBytes("UTF-8"))
+      val hex = "%02x".format(h(0)).charAt(0)
+      if (java.lang.Long.parseLong(hex.toString, 16) % 2 == 0) 1L else -1L
+    }
+    val zs = (0 until 8).map(j => users.map(u => sign(j, u)).sum)
+    val f2 = users.groupBy(identity).values
+      .map(g => g.size.toLong * g.size).sum
+    val est = zs.map(z => z * z).sum / 8
+    val row = Sketches.amsF2(spark, dir).collect().head
+    assert(row.getLong(0) === users.length.toLong)
+    assert(row.getLong(2) === f2)
+    assert(row.getLong(3) === est)
+    assert(row.getLong(4) === zs.map(z => z * z).min)
+    assert(row.getLong(5) === zs.map(z => z * z).max)
+  }
+
+  test("knn_rerank equals a two-stage replay; shortlist loss is real") {
+    val vecs = Tables.read(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS LONG)) v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val model = vecs.filter(_._1 < 10).sortBy(_._1).flatMap { case (q, qv) =>
+      val qn = dot(qv, qv)
+      val short = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, v, dot(qv.take(16), v.take(16))) }
+        .sortBy { case (id, _, p) => (-p, id) }
+        .take(20)
+      short
+        .map { case (id, v, _) =>
+          (id, dot(qv, v).toDouble / math.sqrt((qn * dot(v, v)).toDouble))
+        }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, c), i) => (q, (i + 1).toLong, id, c) }
+    }.toSeq
+    val got = Similarity.knnRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === model)
+  }
+
   test("anova_f equals a fixed-order moment replay") {
     val li = Tables.read(spark, dir, "lineitem")
       .selectExpr("l_returnflag g",
