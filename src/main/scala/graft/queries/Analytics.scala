@@ -2113,7 +2113,57 @@ object Analytics {
        |WHERE cpop * 10 <= n * decile
        |GROUP BY decile, n, tv ORDER BY decile""".stripMargin
 
+  /** `markov_next`: the first-order Markov transition matrix of the
+    * per-user event stream — P(next event type | current), the model
+    * behind next-action prediction, funnel simulation, and session
+    * generation. Transitions are counted along each user's total
+    * order ((ts micros, event_id) — the [[eventPattern]] ordering
+    * discipline, so both engines walk identical sequences), then
+    * normalized per source state in ppm; the full matrix with raw
+    * counts ships so downstream smoothing is a reader-side choice.
+    *
+    * Plan shape: one shuffle on user_id into partitioned lead
+    * windows, then a map-side-combinable count on the (prev, next)
+    * grid (|types|² rows — tiny at any scale) and a broadcast join
+    * for the per-row normalizer. At 100 TB this is the canonical
+    * sessionize-then-summarize shape: the heavy shuffle is the one
+    * you already paid for sessionization.
+    */
+  def markovNext(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val tr = Tables.events(spark, dir)
+      .select(
+        col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("prev"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy(col("prev")).agg(sum(col("n")).as("tn"))
+    tr.join(broadcast(tot), "prev")
+      .select(
+        col("prev"), col("nxt"), col("n"),
+        expr("n * 1000000 div tn").as("p_ppm"))
+      .orderBy("prev", "nxt")
+  }
+
+  def markovNextOracle: String =
+    """WITH seqd AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) nxt
+      |  FROM events),
+      |tr AS (
+      |  SELECT event_type prev, nxt, CAST(count(*) AS BIGINT) n
+      |  FROM seqd WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) tn FROM tr GROUP BY 1)
+      |SELECT prev, nxt, n, n * 1000000 // tn p_ppm
+      |FROM tr JOIN tot USING (prev) ORDER BY prev, nxt""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("markov_next", markovNext, Some(markovNextOracle)),
     QueryDef("lorenz_deciles", lorenzDeciles, Some(lorenzDecilesOracle)),
     QueryDef(
       "abc_classification", abcClassification,

@@ -1559,7 +1559,59 @@ object Dedup {
        |    ELSE n_cand_true * 1000000 // n_candidates END precision_ppm
        |FROM per, nc ORDER BY t""".stripMargin
 
+  /** `dedup_containment`: the ASYMMETRIC near-dup audit — shingle
+    * containment |A∩B| / min(|A|,|B|) ranks the pairs Jaccard is
+    * structurally blind to (a short document embedded in a long one:
+    * quotes, boilerplate, partial copies — containment → 1 while
+    * Jaccard → |A|/|B| → 0). Emitted as the top-20 sub-Jaccard
+    * (jacc < 0.5) pairs by containment, direction resolved (the
+    * smaller shingle set is the contained side), with both sizes,
+    * the intersection, and Jaccard in milli beside the containment
+    * ppm — on THIS corpus no pair crosses a 0.8-containment gap
+    * (measured; the corpus's duplicates are symmetric), so the
+    * ranked form keeps the audit non-vacuous while pinning exactly
+    * how far the asymmetric tail reaches.
+    *
+    * Plan shape: reuses [[jaccardPairs]]'s single-shuffle posting
+    * expansion; the rank is a TakeOrderedAndProject top-k, never a
+    * global window. At 100 TB this runs on the banded candidate set
+    * like every production dedup path.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = docShingleArraysShared(spark, dir)
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
+    jaccardPairs(shingles(spark, dir), sizes)
+      .where(col("jacc") < 0.5)
+      .select(
+        when(col("na") <= col("nb"), col("a")).otherwise(col("b"))
+          .as("contained"),
+        when(col("na") <= col("nb"), col("b")).otherwise(col("a"))
+          .as("container"),
+        col("inter"),
+        least(col("na"), col("nb")).as("n_contained"),
+        greatest(col("na"), col("nb")).as("n_container"),
+        expr("inter * 1000000 div least(na, nb)").as("cont_ppm"),
+        expr("inter * 1000 div (na + nb - inter)").as("jacc_milli"))
+      .orderBy(col("cont_ppm").desc, col("contained"), col("container"))
+      .limit(20)
+  }
+
+  def dedupContainmentOracle: String =
+    s"""WITH $ShinglesSql,
+       |${jaccSql()}
+       |SELECT CASE WHEN na <= nb THEN a ELSE b END contained,
+       |  CASE WHEN na <= nb THEN b ELSE a END container,
+       |  inter,
+       |  least(na, nb) n_contained,
+       |  greatest(na, nb) n_container,
+       |  inter * 1000000 // least(na, nb) cont_ppm,
+       |  inter * 1000 // (na + nb - inter) jacc_milli
+       |FROM jacc WHERE jacc < 0.5
+       |ORDER BY cont_ppm DESC, contained, container LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dedup_containment", dedupContainment, Some(dedupContainmentOracle)),
     QueryDef(
       "er_blocking_curve", erBlockingCurve, Some(erBlockingCurveOracle)),
     QueryDef("keeper_quality", keeperQuality, Some(keeperQualityOracle)),

@@ -1400,7 +1400,109 @@ object Similarity {
        |SELECT q_id, rnk, vec_id AS neighbor, cos FROM ranked
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  private val JlK = 16 // projected dimensions
+
+  /** Fixed ±1 projection matrix (JlK × 64), derived from md5 at class
+    * load — DATA-independent, so it is a shared literal: the Spark
+    * plan and the DuckDB oracle both receive the same inlined signs
+    * and no hash evaluates at query time. Achlioptas-style sign JL:
+    * E⟨Pa, Pb⟩ = k·⟨a, b⟩.
+    */
+  private lazy val JlSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until JlK).map { j =>
+      (1 to 64).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl:$j:$i".getBytes("UTF-8"))
+        if (((h(0) & 0xff) >>> 4) % 2 == 0) 1 else -1
+      }
+    }
+
+  private def jlTermSql(j: Int, elem: Int => String): String =
+    (1 to 64).map(i => s"(${JlSigns(j)(i - 1)}) * ${elem(i)}")
+      .mkString(" + ")
+
+  /** `jl_projection`: Johnson-Lindenstrauss sign projection of the
+    * 64-dim embeddings to $JlK dims — the dimensionality-reduction
+    * pass a 100 TB vector pipeline runs before indexing (¼ the bytes
+    * per vector here), with the distortion MEASURED instead of cited:
+    * over all 780 pairs of the 40-vector probe set, the projected
+    * dot estimate ⟨Pa,Pb⟩ div k sits against the exact ⟨a,b⟩ as mean
+    * magnitude vs mean absolute error, worst-pair error, and
+    * sign-agreement count (does the projection at least preserve
+    * same-direction-ness) — all exact integers, the err envelope the
+    * JL lemma prices at 1/√k. The companion to [[embeddingQuantize]]
+    * (precision cut) and the IVF/PQ family (candidate cut): this one
+    * cuts dimensions.
+    *
+    * Plan shape: the projection is 16 codegen'd integer dot products
+    * with LITERAL sign coefficients — one narrow map over the shared
+    * quantized relation, no shuffle; the pair audit is a bounded
+    * 40-row broadcast self-join (audit-class, like knn_recall's
+    * truth side).
+    */
+  def jlProjection(spark: SparkSession, dir: String): DataFrame = {
+    val projCols = (0 until JlK).map(j =>
+      expr(s"CAST(${jlTermSql(j, i => s"element_at(v, $i)")} AS BIGINT)")
+        .as(s"p$j"))
+    val proj = vectors(spark, dir)
+      .where(col("vec_id") < 40)
+      .select(
+        (col("vec_id") +: col("v") +: projCols): _*)
+      .select(
+        col("vec_id"), col("v"),
+        array((0 until JlK).map(j => col(s"p$j")): _*).as("p"))
+    val a = proj.select(
+      col("vec_id").as("a"), col("v").as("va"), col("p").as("pa"))
+    val b = proj.select(
+      col("vec_id").as("b"), col("v").as("vb"), col("p").as("pb"))
+    a.join(broadcast(b), col("a") < col("b"))
+      .select(
+        dot(col("va"), col("vb")).as("d"),
+        dot(col("pa"), col("pb")).as("dp"))
+      // integer div on both sides: Spark `div` and DuckDB `//` both
+      // truncate toward zero on int operands (the holt_linear note)
+      .select(col("d"), expr(s"dp div $JlK").as("est"))
+      .select(
+        col("d"), col("est"),
+        abs(col("est") - col("d")).as("err"),
+        ((col("est") >= 0) === (col("d") >= 0)).as("sgn"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(abs(col("d"))).as("sad"),
+        sum(col("err")).as("sae"),
+        max(col("err")).as("max_abs_err"),
+        sum(when(col("sgn"), 1L).otherwise(0L)).as("n_sign_match"))
+      .select(
+        col("n_pairs"),
+        expr("sad div n_pairs").as("mean_abs_d"),
+        expr("sae div n_pairs").as("mean_abs_err"),
+        col("max_abs_err"), col("n_sign_match"))
+  }
+
+  def jlProjectionOracle: String = {
+    val projList = (0 until JlK)
+      .map(j => s"CAST(${jlTermSql(j, i => s"v[$i]")} AS BIGINT)")
+      .mkString("[", ", ", "]")
+    s"""WITH $VectorsSql,
+       |pr AS (
+       |  SELECT vec_id, v, $projList p FROM vn WHERE vec_id < 40),
+       |pairs AS (
+       |  SELECT ${dotSql("a.v", "b.v")} d,
+       |    ${dotSql("a.p", "b.p")} // $JlK est
+       |  FROM pr a JOIN pr b ON a.vec_id < b.vec_id),
+       |e AS (
+       |  SELECT d, est, abs(est - d) err,
+       |    (est >= 0) = (d >= 0) sgn FROM pairs)
+       |SELECT CAST(count(*) AS BIGINT) n_pairs,
+       |  CAST(SUM(abs(d)) AS BIGINT) // count(*) mean_abs_d,
+       |  CAST(SUM(err) AS BIGINT) // count(*) mean_abs_err,
+       |  CAST(MAX(err) AS BIGINT) max_abs_err,
+       |  CAST(SUM(CASE WHEN sgn THEN 1 ELSE 0 END) AS BIGINT) n_sign_match
+       |FROM e""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("jl_projection", jlProjection, Some(jlProjectionOracle)),
     QueryDef("knn_rerank", knnRerank, Some(knnRerankOracle)),
     QueryDef("knn_mips", knnMips, Some(knnMipsOracle)),
     QueryDef(

@@ -665,9 +665,144 @@ object Sketches {
       |    * set_bits // m_bits theory_ppm
       |FROM nm, np, sb, fp""".stripMargin
 
+  /** `sample_extrapolate`: approximate query processing by
+    * content-hash Bernoulli sampling — the 100 TB "answer in one
+    * minute, not one hour" mode. A deterministic 1/16 sample (the
+    * [[ContentHash]] bucket rule on the lineitem primary key — never
+    * `rand()`, so the sample is identical across engines, runs, and
+    * cluster sizes) rides the SAME scan as the exact aggregate via
+    * conditional sums; the scaled estimates sit beside the exact
+    * per-flag revenue with their signed-magnitude error in ppm. The
+    * point of the query is the measured-error discipline applied to
+    * sampling: the estimate is only as good as the error column says,
+    * per group, and the hash pins both.
+    *
+    * Plan shape: ONE lineitem scan, one map-side-combinable hash
+    * aggregate (the sample adds two conditional sums, not a second
+    * scan); at 100 TB a real AQP deployment would PARTITION by the
+    * sample bucket and read 1/16 of the files — the estimator and its
+    * error surface are identical.
+    */
+  def sampleExtrapolate(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.read(spark, dir, "lineitem")
+      .select(
+        col("l_returnflag"),
+        Quantize.cents(col("l_extendedprice")).as("cents"),
+        (ContentHash.bucket(
+          concat(col("l_orderkey"), lit(":"), col("l_linenumber")), 16) === 0)
+          .as("s"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(col("cents")).as("rev_exact"),
+        (sum(when(col("s"), 1L).otherwise(0L)) * 16).as("n_est"),
+        (sum(when(col("s"), col("cents")).otherwise(0L)) * 16).as("rev_est"))
+      .select(
+        col("l_returnflag"), col("n_exact"), col("n_est"),
+        col("rev_exact"), col("rev_est"),
+        expr("abs(n_est - n_exact) * 1000000 div n_exact").as("n_err_ppm"),
+        expr("abs(rev_est - rev_exact) * 1000000 div rev_exact")
+          .as("rev_err_ppm"))
+      .orderBy("l_returnflag")
+  }
+
+  def sampleExtrapolateOracle: String = {
+    val bucket = ContentHash.bucketSql(
+      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+      16)
+    s"""WITH s AS (
+       |  SELECT l_returnflag, ${Quantize.centsSql("l_extendedprice")} cents,
+       |    $bucket = 0 s
+       |  FROM lineitem),
+       |g AS (
+       |  SELECT l_returnflag,
+       |    CAST(count(*) AS BIGINT) n_exact,
+       |    CAST(SUM(cents) AS BIGINT) rev_exact,
+       |    CAST(16 * SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) n_est,
+       |    CAST(16 * SUM(CASE WHEN s THEN cents ELSE 0 END) AS BIGINT) rev_est
+       |  FROM s GROUP BY 1)
+       |SELECT l_returnflag, n_exact, n_est, rev_exact, rev_est,
+       |  abs(n_est - n_exact) * 1000000 // n_exact n_err_ppm,
+       |  abs(rev_est - rev_exact) * 1000000 // rev_exact rev_err_ppm
+       |FROM g ORDER BY l_returnflag""".stripMargin
+  }
+
+  private val JsD = 4 // join-size sketch: independent hash rows
+  private val JsW = 512 // join-size sketch: cells per row
+
+  /** `join_size_est`: join-cardinality estimation from per-side
+    * Count-Min rows — the optimizer-statistics question ("how big is
+    * events ⋈ orders on the customer key?") answered WITHOUT running
+    * the join, by the sketch inner product Σ_b e[b]·o[b] (Alon-
+    * Matias-Szegedy / Count-Min join-size estimator: an overestimate
+    * for every hash row, tightest at the min over the $JsD rows). The
+    * exact join count sits beside the d=min estimate and the
+    * worst-row estimate, overshoot in ppm — the measured-error
+    * discipline applied to the planner statistic itself.
+    *
+    * Plan shape: each side folds to a ≤ $JsD·$JsW-row sketch in ONE
+    * map-side-combinable aggregate (never shuffling the fact rows by
+    * key), the sketches broadcast-join on (row, cell), and the exact
+    * side is one key-join count. At 100 TB the sketch pass reads each
+    * side once with a 2048-cell accumulator — this is how a planner
+    * would cost the join before committing to its shuffle.
+    */
+  def joinSizeEst(spark: SparkSession, dir: String): DataFrame = {
+    val ds = array((0 until JsD).map(lit): _*)
+    def cell(d: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+      conv(
+        substring(
+          md5(concat(d.cast("string"), lit(":"), k.cast("string"))), 1, 8),
+        16, 10).cast("long") % JsW
+    val e = Tables.events(spark, dir).select(col("user_id").as("k"))
+    val o = Tables.read(spark, dir, "orders").select(col("o_custkey").as("k"))
+    def sketch(df: DataFrame, cnt: String) = df
+      .select(explode(ds).as("d"), col("k"))
+      .groupBy(col("d"), cell(col("d"), col("k")).as("cell"))
+      .agg(count(lit(1)).as(cnt))
+    val ests = sketch(e, "ce")
+      .join(sketch(o, "co"), Seq("d", "cell"))
+      .groupBy(col("d")).agg(sum(col("ce") * col("co")).as("ip"))
+      .agg(min(col("ip")).as("est_min"), max(col("ip")).as("est_max"))
+    val exact = e.join(o, "k").agg(count(lit(1)).as("exact_sz"))
+    ests.crossJoin(broadcast(exact)) // 1-row exact: documented exception
+      .select(
+        col("exact_sz"), col("est_min"), col("est_max"),
+        expr("(est_min - exact_sz) * 1000000 div exact_sz").as("over_min_ppm"),
+        expr("(est_max - exact_sz) * 1000000 div exact_sz").as("over_max_ppm"))
+  }
+
+  def joinSizeEstOracle: String = {
+    def cellSql(k: String) =
+      s"('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST($k AS VARCHAR)), 1, 8))::BIGINT % $JsW"
+    s"""WITH ds AS (SELECT UNNEST([0, 1, 2, 3]) d),
+       |se AS (
+       |  SELECT d, ${cellSql("user_id")} cell, CAST(count(*) AS BIGINT) ce
+       |  FROM events, ds GROUP BY 1, 2),
+       |so AS (
+       |  SELECT d, ${cellSql("o_custkey")} cell, CAST(count(*) AS BIGINT) co
+       |  FROM orders, ds GROUP BY 1, 2),
+       |ip AS (
+       |  SELECT d, CAST(SUM(ce * co) AS BIGINT) ip
+       |  FROM se JOIN so USING (d, cell) GROUP BY 1),
+       |est AS (
+       |  SELECT CAST(MIN(ip) AS BIGINT) est_min,
+       |    CAST(MAX(ip) AS BIGINT) est_max FROM ip),
+       |ex AS (
+       |  SELECT CAST(count(*) AS BIGINT) exact_sz
+       |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+       |SELECT exact_sz, est_min, est_max,
+       |  (est_min - exact_sz) * 1000000 // exact_sz over_min_ppm,
+       |  (est_max - exact_sz) * 1000000 // exact_sz over_max_ppm
+       |FROM est CROSS JOIN ex""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("bloom_fpp", bloomFpp, Some(bloomFppOracle)),
     QueryDef("ams_f2", amsF2, Some(amsF2Oracle)),
+    QueryDef(
+      "sample_extrapolate", sampleExtrapolate, Some(sampleExtrapolateOracle)),
+    QueryDef("join_size_est", joinSizeEst, Some(joinSizeEstOracle)),
     QueryDef("countmin_merge", countminMerge, Some(countminMergeOracle)),
     QueryDef("minhash_merge", minhashMerge, Some(minhashMergeOracle)),
     QueryDef(

@@ -1866,7 +1866,98 @@ object Statistics {
       |    (CAST(20000 AS DOUBLE) * 20000)) AS BIGINT) powered
       |FROM p""".stripMargin
 
+  /** `median_merge`: the two-level mergeable median — each of 16
+    * content-hash shards reports its exact lower median (the k-th
+    * smallest value at k = (n_s+1) div 2, a VALUE-deterministic
+    * statistic under ties) with its row weight, and the merged
+    * estimate is the weighted lower median of the shard medians. This
+    * is the aggregation topology every distributed percentile runs
+    * (per-partition summary → small merge) with the approximation
+    * error MEASURED instead of assumed: the estimate's true rank
+    * position in the full multiset is computed in one conditional sum
+    * (rank_ppm, ideally 500000) and its displacement pinned in the
+    * hash beside the shard count. Exact medians stay shard-local; the
+    * merge sees 16 rows.
+    *
+    * Plan shape: one shuffle into shard-partitioned rank windows
+    * (never unpartitioned — shards bound every partition), a 16-row
+    * broadcast self-join for the weighted-median prefix (the lorenz
+    * offsets pattern), and one conditional-sum audit scan. At 100 TB
+    * the shard medians are partition summaries and the merge is
+    * driver-sized.
+    */
+  def medianMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val xs = Tables.read(spark, dir, "lineitem")
+      .select(
+        Quantize.cents(col("l_extendedprice")).as("x"),
+        ContentHash.bucket(
+          concat(col("l_orderkey"), lit(":"), col("l_linenumber")), 16)
+          .as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("x"))
+    val stats = xs.groupBy(col("shard")).agg(count(lit(1)).as("ns"))
+    val med = xs.withColumn("rk", row_number().over(w))
+      .join(broadcast(stats), "shard")
+      .where(col("rk") === expr("(ns + 1) div 2"))
+      .select(col("shard"), col("x").as("m"), col("ns"))
+    val tot = xs.agg(count(lit(1)).as("n"))
+    val cum = med.as("a")
+      .join(
+        broadcast(med.as("b")),
+        col("b.m") < col("a.m") ||
+          (col("b.m") === col("a.m") && col("b.shard") <= col("a.shard")))
+      .groupBy(col("a.shard").as("shard"), col("a.m").as("m"))
+      .agg(sum(col("b.ns")).as("cw"))
+    val est = cum.crossJoin(broadcast(tot)) // 1-row total: documented exception
+      .where(col("cw") >= expr("(n + 1) div 2"))
+      .agg(min(col("m")).as("est_median"))
+    xs.crossJoin(broadcast(est)) // 1-row estimate: documented exception
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("x") <= col("est_median"), 1L).otherwise(0L)).as("le"),
+        max(col("est_median")).as("est_median"))
+      .select(
+        col("n"), lit(16L).as("n_shards"), col("est_median"),
+        expr("le * 1000000 div n").as("rank_ppm"),
+        expr("abs(le * 1000000 div n - 500000)").as("err_ppm"))
+  }
+
+  def medianMergeOracle: String = {
+    val bucket = ContentHash.bucketSql(
+      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+      16)
+    s"""WITH xs AS (
+       |  SELECT ${Quantize.centsSql("l_extendedprice")} x, $bucket shard
+       |  FROM lineitem),
+       |st AS (SELECT shard, CAST(count(*) AS BIGINT) ns FROM xs GROUP BY 1),
+       |rk AS (
+       |  SELECT shard, x,
+       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY x) rk FROM xs),
+       |med AS (
+       |  SELECT r.shard, r.x m, s.ns
+       |  FROM rk r JOIN st s ON r.shard = s.shard AND r.rk = (s.ns + 1) // 2),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) n FROM xs),
+       |cum AS (
+       |  SELECT a.shard, a.m, CAST(SUM(b.ns) AS BIGINT) cw
+       |  FROM med a JOIN med b
+       |    ON b.m < a.m OR (b.m = a.m AND b.shard <= a.shard)
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT CAST(MIN(m) AS BIGINT) est_median
+       |  FROM cum CROSS JOIN tot WHERE cw >= (n + 1) // 2),
+       |fin AS (
+       |  SELECT CAST(count(*) AS BIGINT) n,
+       |    CAST(SUM(CASE WHEN x <= est_median THEN 1 ELSE 0 END) AS BIGINT) le,
+       |    CAST(MAX(est_median) AS BIGINT) est_median
+       |  FROM xs CROSS JOIN est)
+       |SELECT n, CAST(16 AS BIGINT) n_shards, est_median,
+       |  le * 1000000 // n rank_ppm,
+       |  abs(le * 1000000 // n - 500000) err_ppm
+       |FROM fin""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("median_merge", medianMerge, Some(medianMergeOracle)),
     QueryDef("srm_check", srmCheck, Some(srmCheckOracle)),
     QueryDef("ab_power", abPower, Some(abPowerOracle)),
     QueryDef("kendall_tau", kendallTau, Some(kendallTauOracle)),
