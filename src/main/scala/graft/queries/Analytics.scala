@@ -2162,8 +2162,60 @@ object Analytics {
       |SELECT prev, nxt, n, n * 1000000 // tn p_ppm
       |FROM tr JOIN tot USING (prev) ORDER BY prev, nxt""".stripMargin
 
+  /** `interarrival_hist`: the per-user inter-event gap distribution
+    * on a log₂ scale — the histogram a session-timeout is CALIBRATED
+    * from (the sessionize cut should sit in the valley between the
+    * within-session mode and the between-visit mode; this query IS
+    * that elbow plot). Gaps ride the [[markovNext]]/[[eventPattern]]
+    * total order ((ts micros, event_id)); the log₂ bucket is
+    * `length(bin(gap+1)) − 1` — integer floor-log₂ via the binary
+    * string, IDENTICAL in both engines (no floating log), gap 0 in
+    * bucket 0. Shares in ppm against the broadcast gap total.
+    *
+    * Plan shape: one shuffle on user_id into partitioned lag
+    * windows, then a ~60-row histogram aggregate (map-side
+    * combinable) — at 100 TB the same one-shuffle cost as
+    * sessionization itself.
+    */
+  def interarrivalHist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(
+        col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select((col("us") - col("prev")).as("gap"))
+    val hist = gaps
+      .groupBy(expr("CAST(length(bin(gap + 1)) - 1 AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hist.agg(sum(col("n")).as("t"))
+    hist.crossJoin(broadcast(tot)) // 1-row total: documented exception
+      .select(
+        col("bucket"), col("n"),
+        expr("n * 1000000 div t").as("share_ppm"))
+      .orderBy("bucket")
+  }
+
+  def interarrivalHistOracle: String =
+    """WITH g AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) -
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) gap
+      |  FROM events),
+      |h AS (
+      |  SELECT CAST(length(bin(gap + 1)) - 1 AS BIGINT) bucket,
+      |    CAST(count(*) AS BIGINT) n
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) t FROM h)
+      |SELECT bucket, n, n * 1000000 // t share_ppm
+      |FROM h CROSS JOIN tot ORDER BY bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("markov_next", markovNext, Some(markovNextOracle)),
+    QueryDef(
+      "interarrival_hist", interarrivalHist, Some(interarrivalHistOracle)),
     QueryDef("lorenz_deciles", lorenzDeciles, Some(lorenzDecilesOracle)),
     QueryDef(
       "abc_classification", abcClassification,

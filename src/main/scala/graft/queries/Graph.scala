@@ -520,6 +520,67 @@ object Graph {
       .limit(25)
       .localCheckpoint() // 25-row result; lineage-free of the shared edges
 
+  /** `clustering_coefficient`: the LOCAL clustering coefficient per
+    * node — 2·tri(v) / (deg(v)·(deg(v)−1)), how close each
+    * supplier's co-occurrence neighborhood is to a clique — the
+    * community-tightness readout on top of [[triangleCount]]'s exact
+    * enumeration (triangles say WHERE density is; the coefficient
+    * NORMALIZES it by the node's opportunity). Integer ppm (the
+    * suite's ratio discipline), nodes below degree 2 excluded
+    * (coefficient undefined), zero-triangle nodes retained at 0 via
+    * the left join so the ranking surfaces true 1.0-cliques over
+    * merely triangle-rich hubs. Top 25 by (cc_ppm, suppkey).
+    *
+    * Plan shape: reuses the shared support-pruned edge relation and
+    * [[triangleCountOn]]'s oriented enumeration (no new fact-level
+    * work); degrees are |V|-sized ⇒ broadcast; the rank is
+    * TakeOrderedAndProject, never a global window.
+    */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coEdgesShared(spark, dir)
+    val deg = edges.select(col("a").as("suppkey"))
+      .unionAll(edges.select(col("b").as("suppkey")))
+      .groupBy(col("suppkey")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCountOn(edges).withColumnRenamed("node", "suppkey")
+    deg.where(col("deg") >= 2)
+      .join(broadcast(tri), Seq("suppkey"), "left")
+      .select(
+        col("suppkey"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_ppm", expr("n_tri * 2000000 div (deg * (deg - 1))"))
+      .orderBy(col("cc_ppm").desc, col("suppkey"))
+      .limit(25)
+      .localCheckpoint() // 25-row result; lineage-free of the shared edges
+  }
+
+  def clusteringCoefficientOracle: String =
+    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (
+       |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM os x JOIN os y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriSupport),
+       |deg AS (
+       |  SELECT suppkey, CAST(count(*) AS BIGINT) deg
+       |  FROM (SELECT a suppkey FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY 1),
+       |tri AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tcnt AS (
+       |  SELECT suppkey, CAST(count(*) AS BIGINT) n_tri
+       |  FROM (
+       |    SELECT a AS suppkey FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY 1)
+       |SELECT d.suppkey, deg, COALESCE(n_tri, 0) n_tri,
+       |  COALESCE(n_tri, 0) * 2000000 // (deg * (deg - 1)) cc_ppm
+       |FROM deg d LEFT JOIN tcnt ON d.suppkey = tcnt.suppkey
+       |WHERE deg >= 2
+       |ORDER BY cc_ppm DESC, d.suppkey LIMIT 25""".stripMargin
+
   /** The enumeration core over ANY undirected edge relation (a, b)
     * with a < b, no duplicates: per-node triangle counts (node,
     * n_tri), nodes in no triangle absent — also model-checked by
@@ -1086,6 +1147,9 @@ object Graph {
     QueryDef("weighted_paths", weightedPaths, Some(weightedPathsOracle)),
     QueryDef("hits", hits, Some(hitsOracle)),
     QueryDef("triangle_count", triangleCount, Some(triangleCountOracle)),
+    QueryDef(
+      "clustering_coefficient", clusteringCoefficient,
+      Some(clusteringCoefficientOracle)),
     QueryDef("k_core_peel", kCorePeel, Some(kCorePeelOracle)),
     QueryDef("node_similarity", nodeSimilarity, Some(nodeSimilarityOracle)),
     QueryDef(

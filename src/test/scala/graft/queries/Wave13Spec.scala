@@ -159,6 +159,87 @@ class Wave13Spec extends AnyFunSuite {
     assert(row.getLong(4) === pairs.count(_._4).toLong)
   }
 
+  test("clustering_coefficient equals a brute triangle replay") {
+    val li = Tables.read(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val edgeCnt = byOrder.flatMap(s =>
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val edges = edgeCnt.filter(_._2 >= 5).keySet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val tri = adj.map { case (n, nb) =>
+      n -> nb.toSeq.combinations(2)
+        .count(p => edges.contains((p(0) min p(1), p(0) max p(1)))).toLong
+    }
+    val expect = deg.filter(_._2 >= 2).toSeq.map { case (n, d) =>
+      val t = tri.getOrElse(n, 0L)
+      (n, d, t, t * 2000000L / (d * (d - 1)))
+    }.sortBy(t => (-t._4, t._1)).take(25)
+    val rows = Graph.clusteringCoefficient(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === expect)
+  }
+
+  test("interarrival_hist equals a lag replay; shares sum to ~1") {
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._2, e._3)).map(_._2)
+      s.zip(s.drop(1)).map { case (a, b) => b - a }
+    }.toSeq
+    val hist = gaps.groupBy(g =>
+      java.lang.Long.toBinaryString(g + 1).length.toLong - 1)
+      .view.mapValues(_.size.toLong).toMap
+    val t = gaps.length.toLong
+    val rows = Analytics.interarrivalHist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet === hist.keySet)
+    rows.foreach { case (b, n, ppm) =>
+      assert(n === hist(b))
+      assert(ppm === n * 1000000L / t)
+    }
+    val s = rows.map(_._3).sum
+    assert(s <= 1000000L && s > 1000000L - rows.length)
+  }
+
+  test("dict_economics equals a distinct-payload replay") {
+    val part = Tables.read(spark, dir, "part")
+      .selectExpr("CAST(p_brand AS STRING) b", "CAST(p_name AS STRING) nm",
+        "CAST(p_size AS STRING) sz", "CAST(p_type AS STRING) tp")
+      .collect()
+    def replay(vs: Seq[String]): (Long, Long, Long, Long) = {
+      val n = vs.length.toLong
+      val grp = vs.groupBy(identity)
+      val d = grp.size.toLong
+      val plain = vs.map(_.length.toLong).sum
+      val width = if (d <= 256) 1L else if (d <= 65536) 2L else 4L
+      val dict = grp.keySet.toSeq.map(_.length.toLong).sum + n * width
+      (n, d, plain, dict)
+    }
+    val expect = Map(
+      "p_brand" -> replay(part.map(_.getString(0))),
+      "p_name" -> replay(part.map(_.getString(1))),
+      "p_size" -> replay(part.map(_.getString(2))),
+      "p_type" -> replay(part.map(_.getString(3))))
+    val rows = Layout.dictEconomics(spark, dir).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val (n, d, plain, dict) = expect(r.getString(0))
+      assert(r.getLong(1) === n); assert(r.getLong(2) === d)
+      assert(r.getLong(3) === plain); assert(r.getLong(4) === dict)
+      assert(r.getLong(5) === dict * 1000L / plain)
+      assert(r.getBoolean(6) === (dict < plain))
+    }
+    // the economics story holds on real data: enum wins, near-unique text loses
+    val byName = rows.map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    assert(byName("p_brand"), "low-cardinality column should dict-win")
+  }
+
   test("dedup_containment: containment dominates jaccard on every row") {
     val rows = Dedup.dedupContainment(spark, dir).collect()
     assert(rows.length === 20)
