@@ -1856,6 +1856,139 @@ object Analytics {
        |FROM pre, tot
        |ORDER BY abs(n * pr - rk * t_sum) DESC, d LIMIT 10""".stripMargin
 
+  /** `max_drawdown`: the peak-to-date decline of cumulative daily
+    * order revenue — the SPC family's magnitude counterpart
+    * ([[cusumShift]] LOCATES a mean shift; drawdown prices the worst
+    * sustained slump in the unit the business reads, cents off the
+    * running peak). Per day: S_t (cumulative cents), the running peak
+    * max_{s≤t} S_s, and dd_t = peak − S_t; top-10 days by drawdown
+    * (earliest day breaks ties). All integer cents.
+    *
+    * Both prefixes — the running SUM and the running MAX — use the
+    * gini/cusum sharded discipline (never a global window): in-shard
+    * windows partitioned by the month-quarter shard, plus triangular
+    * broadcast offsets. The prefix-max offset needs one extra rung:
+    * shard b's peak contribution is offx_b + maxpre_b (its start
+    * offset plus its in-shard max prefix), so offsets compose in two
+    * triangular steps (sum first, then max over the summed peaks).
+    * COALESCE(offmax, 0) is exact because revenue cents are positive:
+    * every in-shard prefix already exceeds 0.
+    *
+    * Plan shape: one orders scan → day grid; two grid-sized window
+    * passes + two broadcast triangular joins over ~shard-count rows;
+    * top-10 via TakeOrderedAndProject. At 100 TB only the first
+    * aggregate sees fact rows.
+    */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.read(spark, dir, "orders")
+      .select(
+        to_date(col("o_orderdate")).as("d"),
+        Quantize.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("d"))
+      .agg(sum(col("cents")).as("x"))
+      .withColumn("shard", expr("(year(d) * 12 + month(d)) div 4"))
+      .localCheckpoint(eager = false) // in-shard windows + shard totals
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inShard = days
+      .withColumn("pre_in", sum(col("x")).over(wIn))
+      .withColumn("mx_in", max(col("pre_in")).over(wIn))
+      .localCheckpoint(eager = false) // reused by shard peak fold
+    val shardAgg = inShard.groupBy(col("shard"))
+      .agg(sum(col("x")).as("tx"), max(col("pre_in")).as("maxpre"))
+    val offx = shardAgg.as("a")
+      .join(broadcast(shardAgg.as("b")), col("b.shard") < col("a.shard"),
+        "left")
+      .groupBy(col("a.shard").as("shard"), col("a.maxpre").as("maxpre"))
+      .agg(coalesce(sum(col("b.tx")), lit(0L)).as("offx"))
+    val offmax = offx.as("a")
+      .join(broadcast(offx.as("b")), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"), col("a.offx").as("offx"))
+      .agg(max(col("b.offx") + col("b.maxpre")).as("offmax"))
+    inShard
+      .join(broadcast(offmax), "shard")
+      .select(
+        col("d"), col("x").as("x_cents"),
+        (col("offx") + col("pre_in")).as("s_cents"),
+        greatest(coalesce(col("offmax"), lit(0L)),
+          col("offx") + col("mx_in")).as("peak_cents"))
+      .withColumn("dd_cents", col("peak_cents") - col("s_cents"))
+      .orderBy(col("dd_cents").desc, col("d"))
+      .limit(10)
+  }
+
+  def maxDrawdownOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) x
+       |  FROM orders GROUP BY 1),
+       |pre AS (SELECT d, x,
+       |    CAST(SUM(x) OVER (ORDER BY d) AS BIGINT) s_cents
+       |  FROM days),
+       |pk AS (SELECT d, x, s_cents,
+       |    CAST(MAX(s_cents) OVER (ORDER BY d) AS BIGINT) peak_cents
+       |  FROM pre)
+       |SELECT d, x AS x_cents, s_cents, peak_cents,
+       |  peak_cents - s_cents AS dd_cents
+       |FROM pk ORDER BY dd_cents DESC, d LIMIT 10""".stripMargin
+
+  /** `mase_eval`: MASE (mean absolute scaled error) of the naive
+    * last-value forecaster on daily order revenue, scaled by the
+    * seasonal-naive(7) baseline — the forecast-accuracy gate the
+    * smoothing family ([[SqlSurface.holtLinear]], holt_winters) emits
+    * predictions into but nothing graded: MASE < 1 ⇔ carrying
+    * yesterday beats carrying last week, the standard scale-free
+    * verdict (Hyndman & Koehler 2006). Errors are exact integer
+    * cents; day pairs come from DATE-ARITHMETIC JOINS (d−1, d−7) so
+    * calendar gaps drop out identically in both engines — no window,
+    * no gap-fill; the one float is the final scalar ratio
+    * (sae1·n7)/(sae7·n1), *,/ only.
+    *
+    * Plan shape: one orders scan → day grid; two broadcast self-joins
+    * of the bounded grid; single-row output. Scale-invariant past the
+    * first aggregate.
+    */
+  def maseEval(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.read(spark, dir, "orders")
+      .select(
+        to_date(col("o_orderdate")).as("d"),
+        Quantize.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("d"))
+      .agg(sum(col("cents")).as("x"))
+      .localCheckpoint(eager = false) // three readers below
+    def scaledErr(lagDays: Int) = days.as("a")
+      .join(
+        broadcast(days.as("b")),
+        col("b.d") === date_sub(col("a.d"), lagDays))
+      .agg(
+        count(lit(1)).as(s"n$lagDays"),
+        sum(abs(col("a.x") - col("b.x"))).as(s"sae$lagDays"))
+    scaledErr(1).crossJoin(broadcast(scaledErr(7)))
+      .select(
+        col("n1"), col("sae1").as("sae1_c"),
+        col("n7"), col("sae7").as("sae7_c"),
+        expr("CAST(sae1 AS DOUBLE) * n7 / (CAST(sae7 AS DOUBLE) * n1)")
+          .as("mase"))
+  }
+
+  def maseEvalOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) x
+       |  FROM orders GROUP BY 1),
+       |e1 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) n1,
+       |    CAST(SUM(abs(a.x - b.x)) AS BIGINT) sae1
+       |  FROM days a JOIN days b ON b.d = a.d - 1),
+       |e7 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) n7,
+       |    CAST(SUM(abs(a.x - b.x)) AS BIGINT) sae7
+       |  FROM days a JOIN days b ON b.d = a.d - 7)
+       |SELECT n1, sae1 AS sae1_c, n7, sae7 AS sae7_c,
+       |  CAST(sae1 AS DOUBLE) * n7 / (CAST(sae7 AS DOUBLE) * n1) AS mase
+       |FROM e1, e7""".stripMargin
+
   /** `conversion_latency`: the signup→purchase time-to-convert
     * distribution — the product metric funnels stop short of: per
     * user, the gap from FIRST signup to the EARLIEST purchase after
@@ -2224,6 +2357,8 @@ object Analytics {
       "conversion_latency", conversionLatency,
       Some(conversionLatencyOracle)),
     QueryDef("cusum_shift", cusumShift, Some(cusumShiftOracle)),
+    QueryDef("max_drawdown", maxDrawdown, Some(maxDrawdownOracle)),
+    QueryDef("mase_eval", maseEval, Some(maseEvalOracle)),
     QueryDef("multi_touch", multiTouch, Some(multiTouchOracle)),
     QueryDef("ohlc_bars", ohlcBars, Some(ohlcBarsOracle)),
     QueryDef("whale_share", whaleShare, Some(whaleShareOracle)),

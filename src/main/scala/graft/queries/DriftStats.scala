@@ -1022,9 +1022,90 @@ object DriftStats {
        |FROM m""".stripMargin
   }
 
+  /** `gk_lambda`: Goodman–Kruskal λ over the documents lang × source
+    * contingency grid — the PROPORTIONAL-REDUCTION-IN-ERROR
+    * association measure this panel was missing: `cramers_v` answers
+    * "are the columns dependent" in χ² effect-size units, λ answers
+    * the operational question "how many prediction mistakes does
+    * knowing the other column SAVE" (λ(lang|source) = the share of
+    * modal-guess errors eliminated by conditioning on source).
+    * Entirely integer — λ = (Σ_s max_l n_ls − max_l n_l) /
+    * (N − max_l n_l), numerator/denominator exact counts, quotient
+    * floored to ppm — i.e. the MI-shaped question answered with NO
+    * logarithm (the panel's no-libm discipline). Emits all three
+    * directions (λ(lang|source), λ(source|lang), symmetric) with the
+    * exact numerator/denominator beside each ppm.
+    *
+    * Plan shape: one documents scan → the bounded (lang, source)
+    * grid; margins, modes, and per-stratum maxima are re-aggregates
+    * OF THE GRID (≤ |langs|·|sources| rows), never of the fact. At
+    * 100 TB: scan-bound with a map-side-combinable count.
+    */
+  def gkLambda(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.read(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // margins + maxima re-aggregates
+    val tot = grid.agg(sum(col("n")).as("nt"))
+    // modal count of each variable (the "guess the mode" error base)
+    val mLang = grid.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+      .agg(max(col("nl")).as("m_lang"))
+    val mSrc = grid.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+      .agg(max(col("ns")).as("m_src"))
+    // Σ over strata of the within-stratum modal count
+    val smGivenSrc = grid.groupBy(col("source")).agg(max(col("n")).as("mx"))
+      .agg(sum(col("mx")).as("sm_ls"))
+    val smGivenLang = grid.groupBy(col("lang")).agg(max(col("n")).as("mx"))
+      .agg(sum(col("mx")).as("sm_sl"))
+    val one = tot.crossJoin(broadcast(mLang)).crossJoin(broadcast(mSrc))
+      .crossJoin(broadcast(smGivenSrc)).crossJoin(broadcast(smGivenLang))
+    // 1-row scalar algebra: documented driver-free bounded exception
+    one.select(
+      lit("lang|source").as("direction"),
+      (col("sm_ls") - col("m_lang")).as("saved"),
+      (col("nt") - col("m_lang")).as("base"))
+      .unionByName(one.select(
+        lit("source|lang").as("direction"),
+        (col("sm_sl") - col("m_src")).as("saved"),
+        (col("nt") - col("m_src")).as("base")))
+      .unionByName(one.select(
+        lit("symmetric").as("direction"),
+        (col("sm_ls") - col("m_lang") + col("sm_sl") - col("m_src"))
+          .as("saved"),
+        (col("nt") * 2 - col("m_lang") - col("m_src")).as("base")))
+      .withColumn("lambda_ppm", expr("saved * 1000000 div base"))
+      .orderBy("direction")
+  }
+
+  def gkLambdaOracle: String =
+    """WITH grid AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) n
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) nt FROM grid),
+      |ml AS (SELECT CAST(MAX(nl) AS BIGINT) m_lang FROM (
+      |  SELECT SUM(n) nl FROM grid GROUP BY lang)),
+      |ms AS (SELECT CAST(MAX(ns) AS BIGINT) m_src FROM (
+      |  SELECT SUM(n) ns FROM grid GROUP BY source)),
+      |sls AS (SELECT CAST(SUM(mx) AS BIGINT) sm_ls FROM (
+      |  SELECT MAX(n) mx FROM grid GROUP BY source)),
+      |ssl AS (SELECT CAST(SUM(mx) AS BIGINT) sm_sl FROM (
+      |  SELECT MAX(n) mx FROM grid GROUP BY lang)),
+      |one AS (SELECT * FROM tot, ml, ms, sls, ssl),
+      |rows3 AS (
+      |  SELECT 'lang|source' direction, sm_ls - m_lang saved,
+      |    nt - m_lang base FROM one
+      |  UNION ALL
+      |  SELECT 'source|lang', sm_sl - m_src, nt - m_src FROM one
+      |  UNION ALL
+      |  SELECT 'symmetric', sm_ls - m_lang + sm_sl - m_src,
+      |    nt * 2 - m_lang - m_src FROM one)
+      |SELECT direction, saved, base, saved * 1000000 // base lambda_ppm
+      |FROM rows3 ORDER BY direction""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "capture_recapture", captureRecapture, Some(captureRecaptureOracle)),
+    QueryDef("gk_lambda", gkLambda, Some(gkLambdaOracle)),
     QueryDef("mann_kendall", mannKendall, Some(mannKendallOracle)),
     QueryDef("levene_bf", leveneBf, Some(leveneBfOracle)),
     QueryDef("segmented_trend", segmentedTrend, Some(segmentedTrendOracle)),

@@ -1083,6 +1083,132 @@ object Similarity {
        |    (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) cos
        |FROM p ORDER BY la, lb""".stripMargin
 
+  /** Exact global DESCENDING rank (1 = best) of a UNIQUE integer sort
+    * key, without a global window: the gini/cusum sharded prefix
+    * discipline — in-shard counts partitioned by a value-range shard
+    * (bounded shard count by construction: key div shardDiv), plus
+    * triangular broadcast offsets; rank_desc = N − rank_asc + 1.
+    */
+  private def descRank(
+      df: DataFrame, skey: String, shardDiv: Long,
+      rankName: String): DataFrame = {
+    val sharded = df.withColumn("shard", expr(s"$skey div $shardDiv"))
+      .localCheckpoint(eager = false) // in-shard window + shard totals
+    val wIn = Window.partitionBy(col("shard")).orderBy(col(skey))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shardTot = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("tc"))
+    val offs = shardTot.as("a")
+      .join(
+        broadcast(shardTot.as("b")), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.tc")), lit(0L)).as("off"))
+    val tot = sharded.agg(count(lit(1)).as("n_all"))
+    sharded
+      .withColumn("rk_in", count(lit(1)).over(wIn))
+      .join(broadcast(offs), "shard")
+      .crossJoin(broadcast(tot)) // 1-row total: documented exception
+      .select(
+        col("doc_id"),
+        (col("n_all") - (col("off") + col("rk_in")) + 1).as(rankName))
+  }
+
+  /** `rrf_fusion`: reciprocal-rank fusion of a LEXICAL and a VECTOR
+    * ranking over the document corpus — the hybrid-search merge step
+    * every modern retrieval stack runs between BM25 and the ANN index
+    * (Cormack et al. 2009): fused(d) = Σ 1/(60+rank_i(d)), kept
+    * integer as micro-units 10⁶ div (60+r) so the fusion — not just
+    * the inputs — hash-pins. Ranker L: per-doc term frequency of
+    * 'join' (the corpus's hottest term; whitespace case-folded toks,
+    * the `top_term` convention). Ranker V: cosine-ppm to the vec_id-0
+    * probe over the shared quantized vectors (`knn_brute`'s scoring;
+    * zero-norm docs pinned to −2·10⁶ = rank last). Both ranks are
+    * EXACT GLOBAL ranks with doc_id tie-break, computed by embedding
+    * (score, ¬doc_id) into one unique int64 sort key and ranking via
+    * the sharded prefix machinery — never a global window, no
+    * top-N-then-rerank approximation. Top-20 fused docs.
+    *
+    * Plan shape: one documents scan (per-row tf scalar — no explode)
+    * ⋈ the persisted vector relation ⋈ 1-row broadcast probe; two
+    * sharded rank passes over the scored relation (bounded shards:
+    * tf div 32, cos-ppm div 2¹⁵); top-20 via TakeOrderedAndProject.
+    * At 100 TB: two doc-grain shuffles (the rank joins), no
+    * all-pairs anything.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val probe = vecs.where(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val docs = Tables.read(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          x => x === lit("join"))).cast("long").as("tf"))
+    val uni = docs
+      .join(
+        vecs.select(
+          col("vec_id").as("doc_id"), col("v"), col("nrm")),
+        "doc_id")
+      .crossJoin(broadcast(probe)) // 1-row probe: documented exception
+      .select(
+        col("doc_id"), col("tf"),
+        dot(col("qv"), col("v")).as("dotq"), col("qn"), col("nrm"))
+      .select(
+        col("doc_id"), col("tf"),
+        expr("""CASE WHEN nrm = 0 THEN CAST(-2000000 AS BIGINT)
+          ELSE CAST(floor(1000000.0 * dotq
+            / sqrt(CAST(qn AS DOUBLE) * nrm)) AS BIGINT) END""")
+          .as("cos_ppm"))
+      .localCheckpoint(eager = false) // two rank passes + final join
+    // unique int64 sort keys: (score, ¬doc_id) — DESC key order is
+    // exactly (score DESC, doc_id ASC); doc_id < 2^40 by contract.
+    val lexKey = uni.select(
+      col("doc_id"),
+      expr("tf * 1099511627776 + (1099511627775 - doc_id)").as("skl"))
+    val vecKey = uni.select(
+      col("doc_id"),
+      expr("(cos_ppm + 2000000) * 1099511627776 + (1099511627775 - doc_id)")
+        .as("skv"))
+    val rLex = descRank(lexKey, "skl", 35184372088832L, "r_lex") // 2^45
+    val rVec = descRank(vecKey, "skv", 36028797018963968L, "r_vec") // 2^55
+    uni.join(rLex, "doc_id").join(rVec, "doc_id")
+      .withColumn(
+        "rrf_micro",
+        expr("""CAST(1000000 AS BIGINT) div (60 + r_lex)
+          + CAST(1000000 AS BIGINT) div (60 + r_vec)"""))
+      .select(
+        col("doc_id"), col("tf"), col("cos_ppm"), col("r_lex"),
+        col("r_vec"), col("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  def rrfFusionOracle: String =
+    s"""WITH $VectorsSql,
+       |d AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x = 'join')) AS BIGINT) tf
+       |  FROM documents),
+       |q AS (SELECT v qv, nrm qn FROM vn WHERE vec_id = 0),
+       |u AS (
+       |  SELECT d.doc_id, d.tf,
+       |    CASE WHEN vn.nrm = 0 THEN CAST(-2000000 AS BIGINT)
+       |      ELSE CAST(floor(1000000.0 * ${dotSql("qv", "v")}
+       |        / sqrt(CAST(q.qn AS DOUBLE) * vn.nrm)) AS BIGINT) END cos_ppm
+       |  FROM d JOIN vn ON vn.vec_id = d.doc_id CROSS JOIN q),
+       |r AS (
+       |  SELECT doc_id, tf, cos_ppm,
+       |    CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS BIGINT)
+       |      r_lex,
+       |    CAST(row_number() OVER (ORDER BY cos_ppm DESC, doc_id) AS BIGINT)
+       |      r_vec
+       |  FROM u)
+       |SELECT doc_id, tf, cos_ppm, r_lex, r_vec,
+       |  CAST(1000000 AS BIGINT) // (60 + r_lex)
+       |    + CAST(1000000 AS BIGINT) // (60 + r_vec) rrf_micro
+       |FROM r ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin
+
   /** `embedding_quantize`: int8-style scalar quantization of the
     * embedding table — the 4-8× memory lever that decides whether an
     * ANN index fits executor RAM at 100 TB — with its reconstruction
@@ -1517,6 +1643,7 @@ object Similarity {
     QueryDef(
       "centroid_similarity", centroidSimilarity,
       Some(centroidSimilarityOracle)),
+    QueryDef("rrf_fusion", rrfFusion, Some(rrfFusionOracle)),
     QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
     QueryDef("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),

@@ -153,6 +153,182 @@ object Sketches {
       |FROM iexact, uest
       |ORDER BY set_expr""".stripMargin
 
+  // --- HyperLogLog: register-max cardinality, merge ≡ recompute ---
+
+  private val HllP = 10 // register-index bits
+  private val HllM = 1024 // 2^p registers
+  private val HllW = 1125899906842624L // 2^50: suffix space below the index
+
+  /** α_m·m²·2⁵¹ / S with S the EXACT integer Σ 2^(51−M_j): every
+    * register term 2^(51−M_j) is an int64 (M_j ≤ 51), the sum over
+    * 1024 registers is ≤ 2⁶¹, and the one float expression is *,/
+    * only — IEEE-correctly-rounded, engine-identical. The small-range
+    * (linear counting) branch is the suite's ONE data-dependent
+    * logarithm: admissible because its domain is FINITE — V ∈ 1..1024
+    * — and floor(1024·ln(1024/V)) was audited EXHAUSTIVELY over all
+    * 1024 inputs against DuckDB's libm this session (identical on
+    * every input; Wave14Spec re-pins the spot values). α_1024 is
+    * spelled as its defining rational so both engines derive the
+    * identical double. */
+  private val HllEstSql =
+    s"""CASE WHEN (0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0
+       |      * 2251799813685248.0 / CAST(s AS DOUBLE) <= 2560.0
+       |    AND v > 0
+       |  THEN CAST(floor(1024.0 * ln(1024.0 / CAST(v AS DOUBLE))) AS BIGINT)
+       |  ELSE CAST(floor((0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0
+       |    * 2251799813685248.0 / CAST(s AS DOUBLE)) AS BIGINT) END"""
+      .stripMargin.replace('\n', ' ').replaceAll(" +", " ")
+
+  /** `hll_distinct`: HyperLogLog (p=10, 1024 registers) distinct
+    * customers per order priority PLUS the union-by-register-max
+    * merge — the mergeable-identity discipline of `minhash_merge` /
+    * `countmin_merge` applied to the one sketch those two can't
+    * replace (KMV `kmv_distinct` gives set ops but needs k minima
+    * per group; HLL is 1024 bytes per group, period — the
+    * per-dimension distinct-counter you actually ship at 100 TB).
+    * Register: bucket = top 10 bits of the 60-bit md5 content hash
+    * (the `kmv_distinct` hash), M_j = max over the group of
+    * ρ(suffix) = 51 − bitlen(w) (bitlen via length(ltrim(bin(w),
+    * '0')) — exact integers, no float anywhere in the register
+    * build; w = 0 ⇒ ρ = 51). Union path 'merged' takes register-wise
+    * MAX of the two segments' registers; path 'recomputed' rebuilds
+    * from the filtered rows — identical by max-associativity, and the
+    * hash PINS that identity (both rows must match the oracle).
+    * err_ppm sits beside each estimate per the measured-error-gate
+    * convention.
+    *
+    * Scale shape: ONE map-side-combinable aggregate to (seg, bucket)
+    * — ≤ 5·1024 rows out of any input size — then arithmetic on the
+    * register relation. The exact side is the audit column
+    * (count-distinct), not the production path. At 100 TB the sketch
+    * build is scan-bound with a 5 KiB reduce state.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.read(spark, dir, "orders")
+    val regs = orders
+      .select(col("o_orderpriority").as("seg"), custHash.as("h"))
+      .select(
+        col("seg"),
+        expr(s"h div $HllW").as("bucket"),
+        expr(s"h % $HllW").as("w"))
+      .select(
+        col("seg"), col("bucket"),
+        when(col("w") === 0, lit(51L))
+          .otherwise(lit(51L) - length(ltrim(bin(col("w")), "0")))
+          .as("rho"))
+      .groupBy(col("seg"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+      .localCheckpoint(eager = false) // per-seg fold + union merge
+
+    // S = Σ_present 2^(51−M_j) + (m − present)·2^51; V = empty registers.
+    def fold(
+        grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+      grouped
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - mj AS INT))"))
+          .as("sp"),
+        count(lit(1)).as("present"))
+      .select(
+        col("*"),
+        (col("sp") +
+          (lit(HllM.toLong) - col("present")) * lit(2251799813685248L))
+          .as("s"),
+        (lit(HllM.toLong) - col("present")).as("v"))
+      .withColumn("est", expr(HllEstSql))
+
+    val perSeg = fold(regs.groupBy(col("seg")))
+      .select(col("seg"), col("est"))
+    val exactSeg = orders.groupBy(col("o_orderpriority").as("seg"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val segRows = exactSeg.join(perSeg, "seg")
+      .select(
+        col("seg").as("set_expr"), lit("direct").as("path"),
+        col("n_exact"), col("est"))
+
+    val uExact = orders
+      .where(col("o_orderpriority").isin(SegA, SegB))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    // merged: register-wise max of the two segments' registers.
+    val merged = fold(
+      regs.where(col("seg").isin(SegA, SegB))
+        .groupBy(col("bucket")).agg(max(col("mj")).as("mj"))
+        .groupBy())
+      .select(lit(s"union:$SegA|$SegB").as("set_expr"),
+        lit("merged").as("path"), col("est"))
+      .crossJoin(broadcast(uExact)) // 1-row exact: documented exception
+      .select(col("set_expr"), col("path"), col("n_exact"), col("est"))
+    // recomputed: registers rebuilt from the filtered rows.
+    val recomputed = fold(
+      orders.where(col("o_orderpriority").isin(SegA, SegB))
+        .select(custHash.as("h"))
+        .select(
+          expr(s"h div $HllW").as("bucket"), expr(s"h % $HllW").as("w"))
+        .select(
+          col("bucket"),
+          when(col("w") === 0, lit(51L))
+            .otherwise(lit(51L) - length(ltrim(bin(col("w")), "0")))
+            .as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
+        .groupBy())
+      .select(lit(s"union:$SegA|$SegB").as("set_expr"),
+        lit("recomputed").as("path"), col("est"))
+      .crossJoin(broadcast(uExact))
+      .select(col("set_expr"), col("path"), col("n_exact"), col("est"))
+
+    segRows.unionByName(merged).unionByName(recomputed)
+      .withColumn(
+        "err_ppm",
+        expr("abs(est - n_exact) * 1000000 div n_exact"))
+      .orderBy("set_expr", "path")
+  }
+
+  def hllDistinctOracle: String = {
+    val regCte =
+      s"""SELECT seg, h // $HllW bucket,
+         |    MAX(CASE WHEN h % $HllW = 0 THEN 51
+         |      ELSE 51 - length(ltrim(bin(h % $HllW), '0')) END) mj
+         |  FROM hashed GROUP BY 1, 2"""
+    def foldSql(src: String, key: String) =
+      s"""SELECT $key
+         |    CAST(SUM(CAST(1 AS BIGINT) << (51 - mj)) AS BIGINT)
+         |      + (1024 - CAST(COUNT(*) AS BIGINT)) * 2251799813685248 s,
+         |    1024 - CAST(COUNT(*) AS BIGINT) v
+         |  FROM $src ${if (key.nonEmpty) "GROUP BY seg" else ""}"""
+    s"""WITH hashed AS (
+       |  SELECT o_orderpriority seg,
+       |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT h
+       |  FROM orders),
+       |regs AS (
+       |  $regCte),
+       |folded AS (
+       |  ${foldSql("regs", "seg,")}),
+       |per AS (SELECT seg, $HllEstSql est FROM folded),
+       |exact AS (
+       |  SELECT o_orderpriority seg,
+       |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) n_exact
+       |  FROM orders GROUP BY 1),
+       |mregs AS (
+       |  SELECT bucket, MAX(mj) mj FROM regs
+       |  WHERE seg IN ('$SegA', '$SegB') GROUP BY 1),
+       |mfold AS (${foldSql("mregs", "")}),
+       |mest AS (SELECT $HllEstSql est FROM mfold),
+       |uexact AS (
+       |  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) n_exact
+       |  FROM orders WHERE o_orderpriority IN ('$SegA', '$SegB'))
+       |SELECT set_expr, path, n_exact, est,
+       |  abs(est - n_exact) * 1000000 // n_exact err_ppm
+       |FROM (
+       |  SELECT seg set_expr, 'direct' path, n_exact, est
+       |  FROM exact JOIN per USING (seg)
+       |  UNION ALL
+       |  SELECT 'union:$SegA|$SegB', 'merged', uexact.n_exact, mest.est
+       |  FROM uexact, mest
+       |  UNION ALL
+       |  SELECT 'union:$SegA|$SegB', 'recomputed', uexact.n_exact, mest.est
+       |  FROM uexact, mest)
+       |ORDER BY set_expr, path""".stripMargin
+  }
+
   private val D = 3 // Count-Min hash rows
   private val W = 64 // Count-Min cells per row
 
@@ -809,6 +985,7 @@ object Sketches {
       "bitmap_rollup_merge", bitmapRollupMerge,
       Some(bitmapRollupMergeOracle)),
     QueryDef("kmv_distinct", kmvDistinct, Some(kmvDistinctOracle)),
+    QueryDef("hll_distinct", hllDistinct, Some(hllDistinctOracle)),
     QueryDef("countmin_freq", countminFreq, Some(countminFreqOracle)),
     QueryDef("countmin_error", countminError, Some(countminErrorOracle)),
     QueryDef("bitmap_distinct", bitmapDistinctQ, Some(bitmapDistinctOracle)),
