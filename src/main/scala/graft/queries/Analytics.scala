@@ -1933,6 +1933,115 @@ object Analytics {
        |  peak_cents - s_cents AS dd_cents
        |FROM pk ORDER BY dd_cents DESC, d LIMIT 10""".stripMargin
 
+  /** `top_journeys`: the most common user journeys — each user's
+    * first 8 event types in arrival order joined into one path
+    * string, counted across users, top-10 (count desc, path asc).
+    * The funnel family's free-form complement: `window_funnel`
+    * matches ONE prescribed sequence, `markov_next` keeps only
+    * one-step transitions; this surfaces which full paths actually
+    * dominate — the question a growth team asks before prescribing
+    * any funnel. Arrival order is (ts, event_id) — event_id breaks
+    * same-micro ties deterministically.
+    *
+    * Plan shape: one user-PARTITIONED window (never global) for the
+    * first-8 cut, one per-user aggregate building the bounded path
+    * string (array_sort on (rn, type) structs — order independent of
+    * shuffle arrival), one count aggregate over journey strings;
+    * top-10 via TakeOrderedAndProject. Journey cardinality is
+    * bounded by |event_types|⁸, but the count aggregate is map-side
+    * combinable so even the long tail never concentrates.
+    */
+  def topJourneys(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 8)
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(
+          ">",
+          transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            s => s.getField("event_type"))).as("journey"))
+      .groupBy(col("journey"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("journey"))
+      .limit(10)
+  }
+
+  def topJourneysOracle: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) rn
+      |  FROM events),
+      |j AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) journey
+      |  FROM r WHERE rn <= 8 GROUP BY user_id)
+      |SELECT journey, CAST(COUNT(*) AS BIGINT) n_users
+      |FROM j GROUP BY 1 ORDER BY n_users DESC, journey LIMIT 10"""
+      .stripMargin
+
+  /** `weekday_seasonality`: the measured weekly rhythm of order
+    * revenue — per ISO weekday (1=Mon): day count, revenue, share,
+    * and the seasonal INDEX (that weekday's mean daily revenue over
+    * the all-days mean, ppm; 10⁶ = flat). This is the direct
+    * measurement behind what holt_winters MODELS with its seven
+    * seasonal states — the pair gives both the fitted and the
+    * empirical answer to "is there a weekly cycle". The index
+    * cross-multiply (revenue·days·10⁶) crosses 2^63 past ~10¹³
+    * cents — DECIMAL(38,0), the suite's overflow convention.
+    *
+    * Plan shape: one orders scan → day grid → 7-row weekday grid;
+    * totals are a 1-row broadcast. Output-bounded at any scale.
+    */
+  def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.read(spark, dir, "orders")
+      .select(
+        to_date(col("o_orderdate")).as("d"),
+        Quantize.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("d"))
+      .agg(sum(col("cents")).as("x"))
+      .select(expr("CAST(weekday(d) + 1 AS BIGINT)").as("wd"), col("x"))
+      .groupBy(col("wd"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("rev_c"))
+      .localCheckpoint(eager = false) // totals fold + per-row index
+    val tot = days.agg(
+      sum(col("n_days")).as("nd_all"), sum(col("rev_c")).as("rev_all"))
+    days.crossJoin(broadcast(tot)) // 1-row totals: documented exception
+      .select(
+        col("wd"), col("n_days"), col("rev_c"),
+        expr("CAST(CAST(rev_c AS DECIMAL(38,0)) * 1000000"
+          + " div rev_all AS BIGINT)").as("share_ppm"),
+        expr("CAST(CAST(rev_c AS DECIMAL(38,0)) * nd_all * 1000000"
+          + " div (CAST(rev_all AS DECIMAL(38,0)) * n_days) AS BIGINT)")
+          .as("index_ppm"))
+      .orderBy("wd")
+  }
+
+  def weekdaySeasonalityOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) x
+       |  FROM orders GROUP BY 1),
+       |wg AS (
+       |  SELECT isodow(d) wd, CAST(COUNT(*) AS BIGINT) n_days,
+       |    CAST(SUM(x) AS BIGINT) rev_c
+       |  FROM days GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_days) AS BIGINT) nd_all,
+       |  CAST(SUM(rev_c) AS BIGINT) rev_all FROM wg)
+       |SELECT wd, n_days, rev_c,
+       |  CAST(CAST(rev_c AS HUGEINT) * 1000000 // rev_all AS BIGINT)
+       |    share_ppm,
+       |  CAST(CAST(rev_c AS HUGEINT) * nd_all * 1000000
+       |    // (CAST(rev_all AS HUGEINT) * n_days) AS BIGINT) index_ppm
+       |FROM wg, tot ORDER BY wd""".stripMargin
+
   /** `mase_eval`: MASE (mean absolute scaled error) of the naive
     * last-value forecaster on daily order revenue, scaled by the
     * seasonal-naive(7) baseline — the forecast-accuracy gate the
@@ -2359,6 +2468,10 @@ object Analytics {
     QueryDef("cusum_shift", cusumShift, Some(cusumShiftOracle)),
     QueryDef("max_drawdown", maxDrawdown, Some(maxDrawdownOracle)),
     QueryDef("mase_eval", maseEval, Some(maseEvalOracle)),
+    QueryDef("top_journeys", topJourneys, Some(topJourneysOracle)),
+    QueryDef(
+      "weekday_seasonality", weekdaySeasonality,
+      Some(weekdaySeasonalityOracle)),
     QueryDef("multi_touch", multiTouch, Some(multiTouchOracle)),
     QueryDef("ohlc_bars", ohlcBars, Some(ohlcBarsOracle)),
     QueryDef("whale_share", whaleShare, Some(whaleShareOracle)),

@@ -1136,7 +1136,91 @@ object Graph {
        |    assortativity
        |FROM m""".stripMargin
 
+  /** `trade_reciprocity`: reciprocity of the DIRECTED nation trade
+    * graph — edges supplier-nation → customer-nation weighted by
+    * lineitem revenue cents (the q5/q7 join shape), self-loops
+    * excluded. The directed complement to `degree_assortativity`
+    * (who connects to whom by degree) and the bipartite projections:
+    * reciprocity asks whether flow i→j is answered by j→i. One row:
+    * unweighted (edge-count) reciprocity — share of directed edges
+    * whose reverse exists — and weighted reciprocity Σ min(w_ij,
+    * w_ji) / Σ w_ij (Squartini et al.'s W-reciprocity), both exact
+    * integer ppm.
+    *
+    * Plan shape: the one fact join (lineitem ⋈ orders ⋈ broadcast
+    * customer/supplier nation keys) collapses straight to the
+    * ≤ 25×25 nation grid; the reverse-edge match is a self-join OF
+    * THE GRID. At 100 TB only the fact join scales; everything
+    * after is constant-size.
+    */
+  def tradeReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("cn"))
+    val supp = Tables.read(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("sn"))
+    val grid = Tables.read(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_suppkey"),
+        Quantize.cents(col("l_extendedprice")).as("cents"))
+      .join(
+        Tables.read(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("sn"), col("cn"))
+      .agg(sum(col("cents")).as("w"))
+      // self-loop filter AFTER the aggregate: a cross-dimension
+      // predicate in the join graph invites the optimizer (DuckDB
+      // does it) to build a supplier×customer nested-loop join;
+      // post-aggregate it touches ≤ 25² grid rows instead.
+      .where(col("sn") =!= col("cn"))
+      .localCheckpoint(eager = false) // grid self-join + totals
+    val rev = grid.select(
+      col("cn").as("sn"), col("sn").as("cn"), col("w").as("w_rev"))
+    grid.join(broadcast(rev), Seq("sn", "cn"), "left")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(when(col("w_rev").isNotNull, 1L).otherwise(0L))
+          .as("n_reciprocated"),
+        sum(col("w")).as("w_total_c"),
+        sum(least(col("w"), coalesce(col("w_rev"), lit(0L))))
+          .as("w_min_c"))
+      .select(
+        col("n_edges"), col("n_reciprocated"),
+        expr("n_reciprocated * 1000000 div n_edges").as("recip_ppm"),
+        col("w_total_c"), col("w_min_c"),
+        expr("CAST(CAST(w_min_c AS DECIMAL(38,0)) * 1000000"
+          + " div w_total_c AS BIGINT)").as("w_recip_ppm"))
+  }
+
+  def tradeReciprocityOracle: String =
+    s"""WITH g0 AS MATERIALIZED (
+       |  SELECT s.s_nationkey sn, c.c_nationkey cn,
+       |    CAST(SUM(${Quantize.centsSql("l_extendedprice")}) AS BIGINT) w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier s ON l_suppkey = s.s_suppkey
+       |  JOIN customer c ON o_custkey = c.c_custkey
+       |  GROUP BY 1, 2),
+       |grid AS (SELECT * FROM g0 WHERE sn <> cn),
+       |j AS (
+       |  SELECT a.w, b.w w_rev FROM grid a
+       |  LEFT JOIN grid b ON b.sn = a.cn AND b.cn = a.sn)
+       |SELECT CAST(COUNT(*) AS BIGINT) n_edges,
+       |  CAST(SUM(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) n_reciprocated,
+       |  CAST(SUM(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) recip_ppm,
+       |  CAST(SUM(w) AS BIGINT) w_total_c,
+       |  CAST(SUM(least(w, COALESCE(w_rev, 0))) AS BIGINT) w_min_c,
+       |  CAST(CAST(SUM(least(w, COALESCE(w_rev, 0))) AS HUGEINT) * 1000000
+       |    // SUM(w) AS BIGINT) w_recip_ppm
+       |FROM j""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "trade_reciprocity", tradeReciprocity, Some(tradeReciprocityOracle)),
     QueryDef(
       "degree_assortativity", degreeAssortativity,
       Some(degreeAssortativityOracle)),

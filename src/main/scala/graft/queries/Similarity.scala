@@ -1113,10 +1113,13 @@ object Similarity {
         (col("n_all") - (col("off") + col("rk_in")) + 1).as(rankName))
   }
 
-  /** `rrf_fusion`: reciprocal-rank fusion of a LEXICAL and a VECTOR
-    * ranking over the document corpus — the hybrid-search merge step
+  /** `hybrid_rank_fusion`: reciprocal-rank fusion of a LEXICAL and a
+    * VECTOR ranking over the document corpus — the hybrid-search merge
     * every modern retrieval stack runs between BM25 and the ANN index
-    * (Cormack et al. 2009): fused(d) = Σ 1/(60+rank_i(d)), kept
+    * (Cormack et al. 2009). `rrf_fusion` (TextAnalysis) fuses two
+    * LEXICAL rankers over the top-k-sized relation; this is the
+    * cross-MODAL form whose ranks are exact GLOBAL ranks over the
+    * whole corpus: fused(d) = Σ 1/(60+rank_i(d)), kept
     * integer as micro-units 10⁶ div (60+r) so the fusion — not just
     * the inputs — hash-pins. Ranker L: per-doc term frequency of
     * 'join' (the corpus's hottest term; whitespace case-folded toks,
@@ -1135,7 +1138,7 @@ object Similarity {
     * At 100 TB: two doc-grain shuffles (the rank joins), no
     * all-pairs anything.
     */
-  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+  def hybridRankFusion(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir)
     val probe = vecs.where(col("vec_id") === 0)
       .select(col("v").as("qv"), col("nrm").as("qn"))
@@ -1183,7 +1186,7 @@ object Similarity {
       .limit(20)
   }
 
-  def rrfFusionOracle: String =
+  def hybridRankFusionOracle: String =
     s"""WITH $VectorsSql,
        |d AS (
        |  SELECT doc_id,
@@ -1643,7 +1646,9 @@ object Similarity {
     QueryDef(
       "centroid_similarity", centroidSimilarity,
       Some(centroidSimilarityOracle)),
-    QueryDef("rrf_fusion", rrfFusion, Some(rrfFusionOracle)),
+    QueryDef(
+      "hybrid_rank_fusion", hybridRankFusion,
+      Some(hybridRankFusionOracle)),
     QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
     QueryDef("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),

@@ -1498,6 +1498,72 @@ object TextAnalysis {
       .orderBy(col("coll_ppm").desc, col("doc_id"))
       .limit(100)
 
+  /** `term_keyness`: the distinctive vocabulary of the English slice
+    * — per term, the 2×2 χ² keyness of its token count in lang='en'
+    * vs the rest of the corpus (Dunning-style contrastive corpus
+    * analysis with χ² instead of the log-likelihood ratio — the same
+    * ranking question answered WITHOUT a logarithm, the suite's
+    * no-libm discipline; `cramers_v` asks "are lang and term
+    * dependent at all", this ranks WHICH terms carry it). With
+    * a = en count, b = rest count and column totals ta/tb, the 2×2
+    * determinant collapses to ad−bc = a·tb − b·ta (exact int64 to
+    * ~10¹⁷ token-pairs); χ² = N·(ad−bc)²/((a+b)(c+d)·ta·tb) is the
+    * one final float — *,/ over exact integers only, squared in
+    * DOUBLE because diff² would cross 2^63. `enriched` gives the
+    * direction (over- vs under-represented in en). Top-20 by χ²
+    * (term tie-break).
+    *
+    * Plan shape: one tokenize explode → per-term 2-column count grid
+    * (map-side combinable; grid = vocabulary-sized); totals are a
+    * 1-row broadcast; top-20 via TakeOrderedAndProject. At 100 TB
+    * the explode is scan-bound and nothing downstream exceeds the
+    * vocabulary.
+    */
+  def termKeyness(spark: SparkSession, dir: String): DataFrame = {
+    val chi2 =
+      "CAST(ta + tb AS DOUBLE)" +
+        " * (CAST(a * tb - b * ta AS DOUBLE) * CAST(a * tb - b * ta AS DOUBLE))" +
+        " / (CAST(a + b AS DOUBLE) * CAST(ta + tb - a - b AS DOUBLE)" +
+        " * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))"
+    val grid = Tables.read(spark, dir, "documents")
+      .select(
+        col("lang"), explode(toks(lower(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("a"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("b"))
+      .localCheckpoint(eager = false) // totals fold + per-term chi2
+    val tot = grid.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    grid.crossJoin(broadcast(tot)) // 1-row totals: documented exception
+      .select(
+        col("term"), col("a").as("en_tf"), col("b").as("rest_tf"),
+        (col("a") * col("tb") > col("b") * col("ta")).as("enriched"),
+        expr(chi2).as("chi2"))
+      .orderBy(col("chi2").desc, col("term"))
+      .limit(20)
+  }
+
+  def termKeynessOracle: String =
+    s"""WITH tk AS (SELECT lang,
+       |    unnest(${ToksSql.format("lower(text)")}) term
+       |  FROM documents),
+       |grid AS (
+       |  SELECT term,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) a,
+       |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) b
+       |  FROM tk GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(a) AS BIGINT) ta,
+       |  CAST(SUM(b) AS BIGINT) tb FROM grid)
+       |SELECT term, a AS en_tf, b AS rest_tf,
+       |  a * tb > b * ta AS enriched,
+       |  CAST(ta + tb AS DOUBLE)
+       |    * (CAST(a * tb - b * ta AS DOUBLE)
+       |      * CAST(a * tb - b * ta AS DOUBLE))
+       |    / (CAST(a + b AS DOUBLE) * CAST(ta + tb - a - b AS DOUBLE)
+       |      * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS chi2
+       |FROM grid, tot
+       |ORDER BY chi2 DESC, term LIMIT 20""".stripMargin
+
   def collisionEntropyOracle: String =
     s"""WITH tk AS (SELECT doc_id,
        |    unnest(${ToksSql.format("lower(text)")}) tk
@@ -2062,6 +2128,7 @@ object TextAnalysis {
     QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltyOracle)),
     QueryDef(
       "collision_entropy", collisionEntropy, Some(collisionEntropyOracle)),
+    QueryDef("term_keyness", termKeyness, Some(termKeynessOracle)),
     QueryDef("mrr_eval", mrrEval, Some(mrrEvalOracle)),
     QueryDef("ndcg_eval", ndcgEval, Some(ndcgEvalOracle)),
     QueryDef(

@@ -170,9 +170,9 @@ class Wave14Spec extends AnyFunSuite {
     assert(r.getDouble(4) === sae1.toDouble * n7 / (sae7.toDouble * n1))
   }
 
-  // --- rrf_fusion ---
+  // --- hybrid_rank_fusion ---
 
-  test("rrf_fusion equals a full-ranking replay with exact ranks") {
+  test("hybrid_rank_fusion equals a full-ranking replay, exact ranks") {
     val docs = Tables.read(spark, dir, "documents")
       .selectExpr("doc_id", "lower(text) t").collect()
       .map(r => (r.getLong(0),
@@ -206,7 +206,7 @@ class Wave14Spec extends AnyFunSuite {
       (id, tf, cos, rLex(id), rVec(id),
         1000000L / (60 + rLex(id)) + 1000000L / (60 + rVec(id)))
     }.sortBy(t => (-t._6, t._1)).take(20)
-    val got = Similarity.rrfFusion(spark, dir).collect()
+    val got = Similarity.hybridRankFusion(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
     assert(got.toSeq === fused)
