@@ -76,6 +76,97 @@ object Layout {
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** One Hilbert-curve refinement level (s = 2^k): the standard
+    * xy→d step — quadrant = (3·rx) XOR ry spelled as the arithmetic
+    * identity 3rx + ry − 2·rx·ry (no engine-specific XOR), then the
+    * ry=0 reflect-and-swap rotation. Emitted as SQL text so Spark
+    * (selectExpr) and DuckDB (chained CTEs) evaluate the IDENTICAL
+    * integer expressions level by level.
+    */
+  private def hilbertLevel(s: Long): (String, String, String) = {
+    val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+    val dStep =
+      s"hd + $s * $s * (3 * $rx + $ry - 2 * $rx * $ry)"
+    val nx =
+      s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $s - 1 - hy" +
+        s" ELSE hy END) ELSE hx END"
+    val ny =
+      s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $s - 1 - hx" +
+        s" ELSE hx END) ELSE hy END"
+    (dStep, nx, ny)
+  }
+
+  /** `hilbert_layout`: the same two-dimension layout question as
+    * [[zorderLayout]] answered with the Hilbert curve — the
+    * space-filling order whose consecutive cells are always GRID
+    * NEIGHBORS (Z's diagonal jumps are exactly what inflates its
+    * bucket spans), so Hilbert-bucketed files carry tighter min/max
+    * ranges on both dimensions. Same (customer-bucket, price-bucket)
+    * points, same 64 file buckets (top 6 of 20 index bits), same
+    * span metrics — the two queries together price the Z-vs-Hilbert
+    * ingest decision on real data (HilbertSpec additionally pins the
+    * curve itself: bijective on the full 1024² grid and every
+    * consecutive pair adjacent, plus Σ span_product ≤ the Z layout's
+    * on this dataset). The index is 10 unrolled refinement levels of
+    * pure integer CASE arithmetic — no UDF, fully codegen-friendly,
+    * identical text in both engines.
+    *
+    * Plan shape: one narrow orders scan → 10 stacked projections
+    * (collapse into one WholeStageCodegen) → one 64-group aggregate.
+    * Scan-bound at any scale.
+    */
+  def hilbertLayout(spark: SparkSession, dir: String): DataFrame = {
+    val mask = (1L << Bits) - 1
+    var df = Tables.read(spark, dir, "orders").select(
+      (col("o_custkey").bitwiseAND(lit(mask))).as("x"),
+      (Quantize.cents(col("o_totalprice"))
+        .divide(lit(6000)).cast("long").bitwiseAND(lit(mask))).as("y"))
+      .selectExpr("x", "y", "x AS hx", "y AS hy", "CAST(0 AS BIGINT) AS hd")
+    for (k <- (0 until Bits).reverse) {
+      val (dStep, nx, ny) = hilbertLevel(1L << k)
+      df = df.selectExpr(
+        "x", "y", s"($dStep) AS hd2", s"($nx) AS hx2", s"($ny) AS hy2")
+        .selectExpr("x", "y", "hd2 AS hd", "hx2 AS hx", "hy2 AS hy")
+    }
+    df
+      .selectExpr(
+        "x", "y", s"shiftright(hd, ${2 * Bits - BucketBits}) AS bucket")
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .withColumn(
+        "span_product",
+        (col("x_max") - col("x_min") + 1) * (col("y_max") - col("y_min") + 1))
+      .orderBy("bucket")
+  }
+
+  def hilbertLayoutOracle: String = {
+    val mask = (1L << Bits) - 1
+    val levels = (0 until Bits).reverse.zipWithIndex.map { case (k, i) =>
+      val (dStep, nx, ny) = hilbertLevel(1L << k)
+      s"""l${i + 1} AS (
+         |  SELECT x, y, ($dStep) AS hd, ($nx) AS hx, ($ny) AS hy
+         |  FROM l$i)"""
+    }.mkString(",\n")
+    s"""WITH l0 AS (
+       |  SELECT o_custkey & $mask AS x,
+       |    (${Quantize.centsSql("o_totalprice")} // 6000) & $mask AS y,
+       |    o_custkey & $mask AS hx,
+       |    (${Quantize.centsSql("o_totalprice")} // 6000) & $mask AS hy,
+       |    CAST(0 AS BIGINT) AS hd
+       |  FROM orders),
+       |$levels,
+       |z AS (SELECT x, y, hd >> ${2 * Bits - BucketBits} AS bucket
+       |  FROM l$Bits)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) n,
+       |  MIN(x) x_min, MAX(x) x_max, MIN(y) y_min, MAX(y) y_max,
+       |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS span_product
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   private val CompactTarget = 2000L // rows per compacted output file
 
   /** `compaction_plan`: the small-file compaction planner — group a
@@ -359,5 +450,6 @@ object Layout {
       "posting_compression", postingCompression,
       Some(postingCompressionOracle)),
     QueryDef("zorder_layout", zorderLayout, Some(zorderLayoutOracle)),
+    QueryDef("hilbert_layout", hilbertLayout, Some(hilbertLayoutOracle)),
     QueryDef("compaction_plan", compactionPlan, Some(compactionPlanOracle)))
 }

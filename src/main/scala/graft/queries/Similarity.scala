@@ -1083,6 +1083,103 @@ object Similarity {
        |    (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) cos
        |FROM p ORDER BY la, lb""".stripMargin
 
+  /** `cluster_silhouette`: simplified silhouette of the label
+    * clustering over squared centroid distances — the cluster-quality
+    * verdict the ANN family assumes but never measures (`ivf_balance`
+    * checks cell SIZES, `knn_recall` answer quality; nothing asks
+    * whether the labels are actually separated). Per vector: a² =
+    * squared distance to the OWN label centroid, b² = min squared
+    * distance to any other centroid, s = (b²−a²)·10⁶ div max(a²,b²,1)
+    * — the squared-distance silhouette, all operands exact integers
+    * (d² = nrm − 2·v·c + c·c on the shared quantized relation;
+    * centroids are the `centroid_similarity` rounded means), so the
+    * per-vector score is a pure integer and per-label means are
+    * integer sums — no float anywhere. Negative s = the vector sits
+    * closer to a foreign centroid (misclustered). Per label: n, mean,
+    * min; plus the label = −1 overall row (summary-inside-the-hash).
+    *
+    * Plan shape: the persisted vector relation ⋈ a ≤10×64 broadcast
+    * centroid table (one Expand-free join, 10 rows per vector) → two
+    * aggregates (per-vector fold, per-label mean). At 100 TB:
+    * scan-bound; centroid build is one map-side-combinable aggregate.
+    */
+  def clusterSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val cents = vecs.groupBy(col("label"))
+      .agg(
+        graft.functions.VectorFunctions.vecSum(col("v")).as("s"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("label").as("clabel"),
+        transform(
+          col("s"),
+          x => floor(x.cast("double") / col("cnt") + 0.5).cast("long"))
+          .as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    val perVec = vecs
+      .crossJoin(broadcast(cents)) // ≤10-row centroid table: bounded grid
+      .select(
+        col("vec_id"), col("label"), col("clabel"),
+        (col("nrm") - lit(2L) * dot(col("v"), col("cv")) + col("cn2"))
+          .as("d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+      .select(
+        col("label"),
+        expr("(b2 - a2) * 1000000 div greatest(a2, b2, 1)").as("s_ppm"))
+    val byLabel = perVec.groupBy(col("label").cast("long").as("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("sum(s_ppm) div count(1)").as("mean_s_ppm"),
+        min(col("s_ppm")).as("min_s_ppm"))
+    val overall = perVec.agg(
+      count(lit(1)).as("n"),
+      expr("sum(s_ppm) div count(1)").as("mean_s_ppm"),
+      min(col("s_ppm")).as("min_s_ppm"))
+      .select(lit(-1L).as("label"), col("n"), col("mean_s_ppm"),
+        col("min_s_ppm"))
+    byLabel.unionByName(overall).orderBy("label")
+  }
+
+  def clusterSilhouetteOracle: String =
+    s"""WITH $VectorsSql,
+       |m AS (
+       |  SELECT label, i,
+       |    CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) mu
+       |  FROM vn, unnest(range(1, 65)) t(i)
+       |  GROUP BY label, i),
+       |cents AS (
+       |  SELECT label clabel, list(mu ORDER BY i) cv FROM m GROUP BY label),
+       |cn AS (SELECT clabel, cv, ${dotSql("cv", "cv")} cn2 FROM cents),
+       |d AS (
+       |  SELECT vn.vec_id, vn.label, cn.clabel,
+       |    vn.nrm - 2 * ${dotSql("v", "cv")} + cn.cn2 d2
+       |  FROM vn CROSS JOIN cn),
+       |pv AS (
+       |  SELECT vec_id, label,
+       |    MAX(CASE WHEN clabel = label THEN d2 END) a2,
+       |    MIN(CASE WHEN clabel <> label THEN d2 END) b2
+       |  FROM d GROUP BY 1, 2),
+       |sv AS (
+       |  SELECT label, (b2 - a2) * 1000000 // greatest(a2, b2, 1) s_ppm
+       |  FROM pv),
+       |lab AS (
+       |  SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) n,
+       |    CAST(SUM(s_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+       |      mean_s_ppm,
+       |    CAST(MIN(s_ppm) AS BIGINT) min_s_ppm
+       |  FROM sv GROUP BY 1),
+       |ov AS (
+       |  SELECT CAST(-1 AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) n,
+       |    CAST(SUM(s_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+       |      mean_s_ppm,
+       |    CAST(MIN(s_ppm) AS BIGINT) min_s_ppm
+       |  FROM sv)
+       |SELECT * FROM lab UNION ALL SELECT * FROM ov ORDER BY label"""
+      .stripMargin
+
   /** Exact global DESCENDING rank (1 = best) of a UNIQUE integer sort
     * key, without a global window: the gini/cusum sharded prefix
     * discipline — in-shard counts partitioned by a value-range shard
@@ -1649,6 +1746,9 @@ object Similarity {
     QueryDef(
       "hybrid_rank_fusion", hybridRankFusion,
       Some(hybridRankFusionOracle)),
+    QueryDef(
+      "cluster_silhouette", clusterSilhouette,
+      Some(clusterSilhouetteOracle)),
     QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
     QueryDef("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),

@@ -1578,7 +1578,103 @@ object TrainingPipeline {
        |  END err_ppm
        |FROM k ORDER BY source""".stripMargin
 
+  /** `source_coverage_greedy`: greedy maximum-coverage source
+    * selection — pick 5 of the corpus's sources maximizing cumulative
+    * DISTINCT trigram-shingle coverage, the "which feeds do I license
+    * under a budget" question (`mix_allocate` decides proportions
+    * among CHOSEN sources; `source_overlap_matrix` measures pairwise
+    * redundancy; this makes the pick, with the classical (1−1/e)
+    * guarantee). Exact greedy, not sketched: each round scores every
+    * remaining source by its anti-joined novel-shingle count and
+    * takes the max (source-name tie-break); per round emits the pick,
+    * its marginal gain, and the running covered total — the coverage
+    * CURVE, so the budget cutoff is a read, not a rerun.
+    *
+    * The 5 argmax reads are 1-row collects (the hits/bom_rollup
+    * bounded driver-arithmetic exception — round count is a
+    * constant, never data-sized). Plan shape per round: one anti-join
+    * of the persisted (source, shingle) relation against the covered
+    * set + one per-source count — both shingle-partitioned; the
+    * covered set only ever holds picked-source shingles. At 100 TB:
+    * 5 × (anti-join + aggregate) over the shared shingle grain.
+    */
+  def sourceCoverageGreedy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Dedup.shingles(spark, dir)
+      .join(
+        Tables.read(spark, dir, "documents")
+          .select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("source"), col("shingle"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ps.count() // materialize once; 5 rounds re-read it
+    var picked = Vector.empty[(Long, String, Long, Long)]
+    var coveredTotal = 0L
+    try {
+      for (r <- 1 to 5) {
+        val pickedNames = picked.map(_._2)
+        val remaining =
+          if (pickedNames.isEmpty) ps
+          else ps
+            .where(!col("source").isin(pickedNames: _*))
+            .join(
+              ps.where(col("source").isin(pickedNames: _*))
+                .select(col("shingle")).distinct(),
+              Seq("shingle"), "left_anti")
+        val best = remaining
+          .groupBy(col("source")).agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("source")).limit(1)
+          .collect()(0)
+        coveredTotal += best.getLong(1)
+        picked :+= ((r.toLong, best.getString(0), best.getLong(1),
+          coveredTotal))
+      }
+    } finally ps.unpersist()
+    picked.toDF("round", "source", "gain", "covered_total")
+  }
+
+  def sourceCoverageGreedyOracle: String = {
+    val rounds = (1 to 5).map { r =>
+      val prevPicks = (1 until r).map(i => s"SELECT source FROM p$i")
+        .mkString(" UNION ALL ")
+      val notPicked =
+        if (r == 1) ""
+        else s"WHERE source NOT IN ($prevPicks)" +
+          s" AND shingle NOT IN (SELECT shingle FROM c${r - 1})"
+      // every c/ss CTE is MATERIALIZED: c_r references c_{r-1} and
+      // g_r references both, so inlined CTEs re-evaluate the shingle
+      // explode exponentially (measured: a 78 GB spill at sf1)
+      val cov =
+        if (r == 1)
+          "c1 AS MATERIALIZED (" +
+            "SELECT DISTINCT shingle FROM ss JOIN p1 USING (source))"
+        else s"c$r AS MATERIALIZED (SELECT shingle FROM c${r - 1} UNION " +
+          s"SELECT shingle FROM ss JOIN p$r USING (source))"
+      s"""g$r AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) gain FROM ss
+         |  $notPicked GROUP BY 1),
+         |p$r AS (
+         |  SELECT source, gain FROM g$r
+         |  ORDER BY gain DESC, source LIMIT 1),
+         |$cov""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map { r =>
+      s"SELECT CAST($r AS BIGINT) round, source, gain," +
+        s" (SELECT CAST(COUNT(*) AS BIGINT) FROM c$r) covered_total FROM p$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${Dedup.ShinglesSql},
+       |ss AS MATERIALIZED (
+       |  SELECT DISTINCT d.source, sh.shingle
+       |  FROM sh JOIN documents d USING (doc_id)),
+       |$rounds
+       |SELECT * FROM ($out) ORDER BY round""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "source_coverage_greedy", sourceCoverageGreedy,
+      Some(sourceCoverageGreedyOracle)),
     QueryDef("time_split_cv", timeSplitCv, Some(timeSplitCvOracle)),
     QueryDef("target_encoding", targetEncoding, Some(targetEncodingOracle)),
     QueryDef(
