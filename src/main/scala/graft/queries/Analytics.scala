@@ -1300,6 +1300,207 @@ object Analytics {
        |       ELSE (1000000 * num) // den END AS BIGINT) acf_ppm
        |FROM pairs, den ORDER BY lag""".stripMargin
 
+  /** The ppm-quantized Durbin–Levinson recursion, unrolled to lag 5,
+    * as SQL text shared verbatim by both engines (`d` = the truncating
+    * integer-division operator: Spark `div`, DuckDB `//`). Every
+    * intermediate is a ppm BIGINT: products ≤ 10¹², divisions truncate
+    * toward zero identically on integer operands (the holt_linear
+    * verification), and the one denominator guard (0 → 1) is stated
+    * in both engines. φ(k,j) columns are named p{k}{j}.
+    */
+  private def durbinLevinson(d: String): Seq[Seq[String]] = {
+    def g(x: String) = s"(CASE WHEN ($x) = 0 THEN 1 ELSE ($x) END)"
+    Seq(
+      Seq("r1 AS p11"),
+      Seq(
+        s"(r2 - (p11 * r1) $d 1000000) * 1000000 " +
+          s"$d ${g(s"1000000 - (p11 * r1) $d 1000000")} AS p22"),
+      Seq(s"p11 - (p22 * p11) $d 1000000 AS p21"),
+      Seq(
+        s"(r3 - (p21 * r2 + p22 * r1) $d 1000000) * 1000000 " +
+          s"$d ${g(s"1000000 - (p21 * r1 + p22 * r2) $d 1000000")} AS p33"),
+      Seq(
+        s"p21 - (p33 * p22) $d 1000000 AS p31",
+        s"p22 - (p33 * p21) $d 1000000 AS p32"),
+      Seq(
+        s"(r4 - (p31 * r3 + p32 * r2 + p33 * r1) $d 1000000) * 1000000 " +
+          s"$d ${g(s"1000000 - (p31 * r1 + p32 * r2 + p33 * r3) $d 1000000")}" +
+          " AS p44"),
+      Seq(
+        s"p31 - (p44 * p33) $d 1000000 AS p41",
+        s"p32 - (p44 * p32) $d 1000000 AS p42",
+        s"p33 - (p44 * p31) $d 1000000 AS p43"),
+      Seq(
+        s"(r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1) $d 1000000)" +
+          s" * 1000000 $d ${g(
+            s"1000000 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4)" +
+              s" $d 1000000")} AS p55"))
+  }
+
+  /** `pacf_lags`: the partial autocorrelation function of daily order
+    * revenue at lags 1–5 — the AR-order diagnostic [[autocorrLag]]'s
+    * raw ACF cannot give (ACF at lag 2 conflates direct dependence
+    * with propagation through lag 1; PACF is the lag-k coefficient
+    * with 1..k−1 regressed out, read off the Durbin–Levinson
+    * recursion). Inputs are the EXACT integer ACF ppm values in
+    * autocorr_lag's convention (global-mean centering via
+    * c = n·x − S in DECIMAL(38,0), shared denominator); the recursion
+    * itself is ppm-QUANTIZED — every φ(k,j) floors to a ppm BIGINT
+    * before reuse — so the whole computation is integer arithmetic
+    * both engines replay verbatim (the suite's answer to a float
+    * recursion; the quantization error is ≤ 5 ppm per level and the
+    * QUANTIZED recursion is the pinned semantics). Emits (lag,
+    * acf_ppm, pacf_ppm), with pacf(1) ≡ acf(1) structural.
+    *
+    * Plan shape: one orders scan → day grid; 5 lag equi-joins of the
+    * grid (broadcast); the recursion is a scalar chain on ONE wide
+    * row. Output-bounded at any scale.
+    */
+  def pacfLags(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.read(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(Quantize.cents(col("o_totalprice"))).as("x"))
+      .localCheckpoint(eager = false) // mean + den + 5 lag joins
+    val mom = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val centered = daily.crossJoin(broadcast(mom))
+      .select(
+        col("day"),
+        (col("n").cast("decimal(38,0)") * col("x") - col("s")).as("c"))
+      .localCheckpoint(eager = false)
+    val den = centered.agg(sum(col("c") * col("c")).as("den"))
+    val rRows = (1 to 5).map { lag =>
+      val lead = centered.select(col("day").as("lday"), col("c").as("lc"))
+      centered
+        .join(lead, date_add(col("day"), lag) === col("lday"))
+        .agg(lit(lag.toLong).as("lag"), sum(col("c") * col("lc")).as("num"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(den))
+      .select(
+        col("lag"),
+        (signum(col("num")).cast("long") *
+          expr("CAST((1000000 * abs(num)) div den AS BIGINT)")).as("r"))
+    val rCols = (1 to 5).map(k =>
+      max(when(col("lag") === k, col("r"))).as(s"r$k"))
+    var wide = rRows.groupBy().agg(rCols.head, rCols.tail: _*)
+    durbinLevinson("div").foreach { stage =>
+      wide = wide.selectExpr("*" +: stage: _*)
+    }
+    val out = (1 to 5).map { k =>
+      wide.selectExpr(
+        s"CAST($k AS BIGINT) AS lag", s"r$k AS acf_ppm",
+        s"p$k$k AS pacf_ppm")
+    }.reduce(_ unionByName _)
+    out.orderBy("lag")
+  }
+
+  def pacfLagsOracle: String = {
+    val stages = durbinLevinson("//").zipWithIndex.map { case (st, i) =>
+      s"dl${i + 1} AS (SELECT *, ${st.mkString(", ")} FROM dl$i)"
+    }.mkString(",\n")
+    val out = (1 to 5).map(k =>
+      s"SELECT CAST($k AS BIGINT) lag, r$k acf_ppm, p$k$k pacf_ppm" +
+        s" FROM dl8").mkString(" UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    CAST(sum(${Quantize.centsSql("o_totalprice")}) AS BIGINT) x
+       |  FROM orders GROUP BY 1),
+       |mom AS (SELECT CAST(count(*) AS HUGEINT) n,
+       |  CAST(sum(x) AS HUGEINT) s FROM daily),
+       |c AS (SELECT d, n * x - s AS c FROM daily, mom),
+       |den AS (SELECT sum(c * c) den FROM c),
+       |rr AS (
+       |  SELECT l.lg, sum(a.c * b.c) num
+       |  FROM (VALUES (1), (2), (3), (4), (5)) l(lg)
+       |  CROSS JOIN c a
+       |  JOIN c b ON b.d = a.d + l.lg
+       |  GROUP BY l.lg),
+       |rv AS (
+       |  SELECT lg, CAST(CASE WHEN num < 0 THEN -((1000000 * -num) // den)
+       |    ELSE (1000000 * num) // den END AS BIGINT) r
+       |  FROM rr, den),
+       |dl0 AS (
+       |  SELECT ${(1 to 5).map(k =>
+      s"MAX(CASE WHEN lg = $k THEN r END) r$k").mkString(", ")}
+       |  FROM rv),
+       |$stages
+       |SELECT * FROM ($out) ORDER BY lag""".stripMargin
+  }
+
+  /** `xcorr_lags`: lead–lag cross-correlation between daily order
+    * VOLUME (count) and daily order VALUE (revenue cents) at lags
+    * −3..+3 — does a volume surge lead a revenue surge, the
+    * two-series question autocorr/pacf ask of one series. Exact
+    * integer moments in the autocorr_lag convention (c = n·x − S per
+    * series, DECIMAL(38,0)); the correlation per lag is the one final
+    * float 10⁶·num/√(denx·deny) — *,/,√ only, floored to ppm. The
+    * shared global denominator across lags keeps the 7 rows mutually
+    * comparable (a per-lag denominator would re-normalize each
+    * window).
+    *
+    * Plan shape: one orders scan → day grid carrying both series; 7
+    * lag equi-joins of the bounded grid; 1-row moments broadcast.
+    * Output-bounded at any scale.
+    */
+  def xcorrLags(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.read(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(
+        count(lit(1)).as("y"),
+        sum(Quantize.cents(col("o_totalprice"))).as("x"))
+      .localCheckpoint(eager = false) // moments + 7 lag joins
+    val mom = daily.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+    val centered = daily.crossJoin(broadcast(mom))
+      .select(
+        col("day"),
+        (col("n").cast("decimal(38,0)") * col("x") - col("sx")).as("cx"),
+        (col("n").cast("decimal(38,0)") * col("y") - col("sy")).as("cy"))
+      .localCheckpoint(eager = false)
+    val den = centered.agg(
+      sum(col("cx") * col("cx")).as("denx"),
+      sum(col("cy") * col("cy")).as("deny"))
+    val rows = (-3 to 3).map { lag =>
+      val lead = centered.select(col("day").as("lday"), col("cy").as("lcy"))
+      centered
+        .join(lead, date_add(col("day"), lag) === col("lday"))
+        .agg(
+          lit(lag.toLong).as("lag"),
+          count(lit(1)).as("n_pairs"),
+          sum(col("cx") * col("lcy")).as("num"))
+    }.reduce(_ unionByName _)
+    rows.crossJoin(broadcast(den))
+      .select(
+        col("lag"), col("n_pairs"),
+        expr("CAST(floor(1000000.0 * CAST(num AS DOUBLE)" +
+          " / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)))" +
+          " AS BIGINT)").as("xcorr_ppm"))
+      .orderBy("lag")
+  }
+
+  def xcorrLagsOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    CAST(count(*) AS BIGINT) y,
+       |    CAST(sum(${Quantize.centsSql("o_totalprice")}) AS BIGINT) x
+       |  FROM orders GROUP BY 1),
+       |mom AS (SELECT CAST(count(*) AS HUGEINT) n,
+       |  CAST(sum(x) AS HUGEINT) sx, CAST(sum(y) AS HUGEINT) sy
+       |  FROM daily),
+       |c AS (SELECT d, n * x - sx AS cx, n * y - sy AS cy FROM daily, mom),
+       |den AS (SELECT sum(cx * cx) denx, sum(cy * cy) deny FROM c),
+       |rows7 AS (
+       |  SELECT l.lg, CAST(count(*) AS BIGINT) n_pairs,
+       |    sum(a.cx * b.cy) num
+       |  FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) l(lg)
+       |  CROSS JOIN c a
+       |  JOIN c b ON b.d = a.d + l.lg
+       |  GROUP BY l.lg)
+       |SELECT CAST(lg AS BIGINT) lag, n_pairs,
+       |  CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+       |    / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)))
+       |    AS BIGINT) xcorr_ppm
+       |FROM rows7, den ORDER BY lag""".stripMargin
+
   /** `mom_growth`: month-over-month revenue growth in integer ppm —
     * the first panel on any revenue dashboard. The consecutive-month
     * pairing is an equi-join on an integer month number (year·12 +
@@ -2469,6 +2670,8 @@ object Analytics {
     QueryDef("max_drawdown", maxDrawdown, Some(maxDrawdownOracle)),
     QueryDef("mase_eval", maseEval, Some(maseEvalOracle)),
     QueryDef("top_journeys", topJourneys, Some(topJourneysOracle)),
+    QueryDef("pacf_lags", pacfLags, Some(pacfLagsOracle)),
+    QueryDef("xcorr_lags", xcorrLags, Some(xcorrLagsOracle)),
     QueryDef(
       "weekday_seasonality", weekdaySeasonality,
       Some(weekdaySeasonalityOracle)),
