@@ -1501,6 +1501,64 @@ object Analytics {
        |    AS BIGINT) xcorr_ppm
        |FROM rows7, den ORDER BY lag""".stripMargin
 
+  /** `price_elasticity`: midpoint arc elasticity of demand along the
+    * discount ladder — per adjacent discount-percent pair (d, d+1):
+    * how much mean line quantity moves per percent of effective-price
+    * change, ε = (Δq/q̄)/(Δp/p̄). The econ readout the revenue panels
+    * (mom_growth, whale_share) stop short of: whether discounts
+    * actually buy volume. Mean quantities stay EXACT rationals —
+    * q = S/n is never materialized; the elasticity cross-multiplies
+    * to ((S₂n₁−S₁n₂)(p₁+p₂)·10⁶) div ((p₁−p₂)(S₂n₁+S₁n₂)) with
+    * p = 100−d (so Δp = −1 per rung and the sign carries through),
+    * DECIMAL(38,0) per the overflow convention. Emits the ladder
+    * itself (n, Σqty per level) beside each ε.
+    *
+    * Plan shape: one lineitem scan → ≤11-row discount-level grid;
+    * the pair join is grid×grid. Scan-bound at any scale.
+    */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val levels = Tables.read(spark, dir, "lineitem")
+      .select(
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("d"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+      .localCheckpoint(eager = false) // grid self-join
+    val a = levels.select(
+      col("d").as("d1"), col("n").as("n1"), col("s").as("s1"))
+    val b = levels.select(
+      col("d").as("d2"), col("n").as("n2"), col("s").as("s2"))
+    a.join(broadcast(b), col("d2") === col("d1") + 1)
+      .select(
+        col("d1").as("disc_from"), col("d2").as("disc_to"),
+        col("n1"), col("s1").as("qty1"), col("n2"), col("s2").as("qty2"),
+        expr("""CAST(
+          (CAST(s2 AS DECIMAL(38,0)) * n1 - CAST(s1 AS DECIMAL(38,0)) * n2)
+            * ((100 - d1) + (100 - d2)) * 1000000
+          div (((100 - d1) - (100 - d2))
+            * (CAST(s2 AS DECIMAL(38,0)) * n1
+              + CAST(s1 AS DECIMAL(38,0)) * n2)) AS BIGINT)""")
+          .as("elasticity_ppm"))
+      .orderBy("disc_from")
+  }
+
+  def priceElasticityOracle: String =
+    """WITH lv AS (
+      |  SELECT CAST(round(l_discount * 100) AS BIGINT) d,
+      |    CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) s
+      |  FROM lineitem GROUP BY 1)
+      |SELECT a.d disc_from, b.d disc_to, a.n n1, a.s qty1,
+      |  b.n n2, b.s qty2,
+      |  CAST(
+      |    (CAST(b.s AS HUGEINT) * a.n - CAST(a.s AS HUGEINT) * b.n)
+      |      * ((100 - a.d) + (100 - b.d)) * 1000000
+      |    // (((100 - a.d) - (100 - b.d))
+      |      * (CAST(b.s AS HUGEINT) * a.n + CAST(a.s AS HUGEINT) * b.n))
+      |    AS BIGINT) elasticity_ppm
+      |FROM lv a JOIN lv b ON b.d = a.d + 1
+      |ORDER BY disc_from""".stripMargin
+
   /** `mom_growth`: month-over-month revenue growth in integer ppm —
     * the first panel on any revenue dashboard. The consecutive-month
     * pairing is an equi-join on an integer month number (year·12 +
@@ -2672,6 +2730,8 @@ object Analytics {
     QueryDef("top_journeys", topJourneys, Some(topJourneysOracle)),
     QueryDef("pacf_lags", pacfLags, Some(pacfLagsOracle)),
     QueryDef("xcorr_lags", xcorrLags, Some(xcorrLagsOracle)),
+    QueryDef(
+      "price_elasticity", priceElasticity, Some(priceElasticityOracle)),
     QueryDef(
       "weekday_seasonality", weekdaySeasonality,
       Some(weekdaySeasonalityOracle)),

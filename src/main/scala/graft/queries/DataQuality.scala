@@ -830,7 +830,66 @@ object DataQuality {
       .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
   }
 
+  /** `primary_key_audit`: key uniqueness over ALL TEN tables — the
+    * PK half of the constraint audit (`referential_integrity` walks
+    * every FK edge; this pins that each table's declared key is
+    * actually a key, lineitem's COMPOSITE (orderkey, linenumber)
+    * included). Per table: rows, distinct keys, duplicate rows, and
+    * the boolean verdict inside the hash. A key audit is the first
+    * thing a 100 TB ingest runs — a silently duplicated key corrupts
+    * every downstream join fan-out, and catching it costs one
+    * map-side-combinable distinct per table.
+    *
+    * Plan shape: ten independent (count, count-distinct) aggregates
+    * unioned — each a two-phase hash aggregate on the key; no joins.
+    */
+  def primaryKeyAudit(spark: SparkSession, dir: String): DataFrame = {
+    def one(table: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(keys.head), keys.tail.map(col): _*)
+          .as("n_keys"))
+        .select(
+          lit(table).as("table_name"),
+          lit(keys.mkString(",")).as("key_cols"),
+          col("n_rows"), col("n_keys"),
+          (col("n_rows") - col("n_keys")).as("dup_rows"),
+          (col("n_rows") === col("n_keys")).as("pk_ok"))
+    val parts = Seq(
+      ("region", Seq("r_regionkey")), ("nation", Seq("n_nationkey")),
+      ("customer", Seq("c_custkey")), ("supplier", Seq("s_suppkey")),
+      ("part", Seq("p_partkey")), ("orders", Seq("o_orderkey")),
+      ("lineitem", Seq("l_orderkey", "l_linenumber")),
+      ("documents", Seq("doc_id")), ("embeddings", Seq("vec_id")))
+      .map { case (t, k) => one(t, Tables.read(spark, dir, t), k) }
+    val ev = one("events", Tables.events(spark, dir), Seq("event_id"))
+    (parts :+ ev).reduce(_ unionByName _).orderBy("table_name")
+  }
+
+  def primaryKeyAuditOracle: String = {
+    val specs = Seq(
+      ("region", Seq("r_regionkey")), ("nation", Seq("n_nationkey")),
+      ("customer", Seq("c_custkey")), ("supplier", Seq("s_suppkey")),
+      ("part", Seq("p_partkey")), ("orders", Seq("o_orderkey")),
+      ("lineitem", Seq("l_orderkey", "l_linenumber")),
+      ("documents", Seq("doc_id")), ("embeddings", Seq("vec_id")),
+      ("events", Seq("event_id")))
+    specs.map { case (t, k) =>
+      val kd =
+        if (k.size == 1) k.head else s"(${k.mkString(", ")})"
+      s"""SELECT '$t' table_name, '${k.mkString(",")}' key_cols,
+         |  CAST(COUNT(*) AS BIGINT) n_rows,
+         |  CAST(COUNT(DISTINCT $kd) AS BIGINT) n_keys,
+         |  CAST(COUNT(*) - COUNT(DISTINCT $kd) AS BIGINT) dup_rows,
+         |  COUNT(*) = COUNT(DISTINCT $kd) pk_ok
+         |FROM $t""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY table_name")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "primary_key_audit", primaryKeyAudit, Some(primaryKeyAuditOracle)),
     QueryDef(
       "referential_integrity", referentialIntegrity,
       Some(referentialIntegrityOracle)),

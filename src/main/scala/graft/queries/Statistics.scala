@@ -1956,7 +1956,88 @@ object Statistics {
        |FROM fin""".stripMargin
   }
 
+  /** `did_estimate`: difference-in-differences — the experiment
+    * family's observational cousin (ab_test randomizes, srm_check
+    * validates the split, cuped_adjust shrinks variance; DiD is what
+    * you run when assignment came from the WORLD, netting out both
+    * the group baseline and the common time shock). Groups: treated =
+    * nation key < 12 (a fixed, reproducible cohort, not data-peeked);
+    * periods split at 1996-01-01; outcome = mean order value in
+    * floor-division cents (mean_c = sum div n — the suite's exact-
+    * until-the-last-div convention, and the DiD combines the four
+    * FLOORED means so both engines state the identical estimate).
+    * Emits the four cells (n, sum, mean) and the `zz_did` summary row
+    * inside the hash.
+    *
+    * Plan shape: one orders ⋈ broadcast customer-cohort join → 4-cell
+    * aggregate; scalar algebra after. Scan-bound at any scale.
+    */
+  def didEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val cohort = Tables.read(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        when(col("c_nationkey") < 12, "treat").otherwise("control")
+          .as("grp"))
+    val cells = Tables.read(spark, dir, "orders")
+      .select(
+        col("o_custkey"),
+        expr("CASE WHEN CAST(o_orderdate AS DATE) >= DATE'1996-01-01'" +
+          " THEN 'post' ELSE 'pre' END").as("period"),
+        Quantize.cents(col("o_totalprice")).as("cents"))
+      .join(broadcast(cohort), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("grp"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"))
+      .withColumn("mean_c", expr("sum_c div n"))
+      .localCheckpoint(eager = false) // cells + the zz fold
+    val did = cells
+      .groupBy()
+      .agg(
+        (sum(when(col("grp") === "treat" && col("period") === "post",
+          col("mean_c")).otherwise(lit(0L))) -
+          sum(when(col("grp") === "treat" && col("period") === "pre",
+            col("mean_c")).otherwise(lit(0L))) -
+          sum(when(col("grp") === "control" && col("period") === "post",
+            col("mean_c")).otherwise(lit(0L))) +
+          sum(when(col("grp") === "control" && col("period") === "pre",
+            col("mean_c")).otherwise(lit(0L)))).as("mean_c"))
+      .select(
+        lit("zz_did").as("grp"), lit("diff").as("period"),
+        lit(0L).as("n"), lit(0L).as("sum_c"), col("mean_c"))
+    cells
+      .select(col("grp"), col("period"), col("n"), col("sum_c"),
+        col("mean_c"))
+      .unionByName(did)
+      .orderBy("grp", "period")
+  }
+
+  def didEstimateOracle: String =
+    s"""WITH cells AS (
+       |  SELECT CASE WHEN c_nationkey < 12 THEN 'treat'
+       |      ELSE 'control' END grp,
+       |    CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 'post'
+       |      ELSE 'pre' END period,
+       |    CAST(COUNT(*) AS BIGINT) n,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) sum_c
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |m AS (SELECT grp, period, n, sum_c, sum_c // n mean_c FROM cells),
+       |did AS (
+       |  SELECT 'zz_did' grp, 'diff' period, CAST(0 AS BIGINT) n,
+       |    CAST(0 AS BIGINT) sum_c,
+       |    CAST(SUM(CASE WHEN grp = 'treat' AND period = 'post'
+       |        THEN mean_c ELSE 0 END)
+       |      - SUM(CASE WHEN grp = 'treat' AND period = 'pre'
+       |        THEN mean_c ELSE 0 END)
+       |      - SUM(CASE WHEN grp = 'control' AND period = 'post'
+       |        THEN mean_c ELSE 0 END)
+       |      + SUM(CASE WHEN grp = 'control' AND period = 'pre'
+       |        THEN mean_c ELSE 0 END) AS BIGINT) mean_c
+       |  FROM m)
+       |SELECT * FROM m UNION ALL SELECT * FROM did
+       |ORDER BY grp, period""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("did_estimate", didEstimate, Some(didEstimateOracle)),
     QueryDef("median_merge", medianMerge, Some(medianMergeOracle)),
     QueryDef("srm_check", srmCheck, Some(srmCheckOracle)),
     QueryDef("ab_power", abPower, Some(abPowerOracle)),
