@@ -1501,6 +1501,120 @@ object Analytics {
        |    AS BIGINT) xcorr_ppm
        |FROM rows7, den ORDER BY lag""".stripMargin
 
+  /** `funnel_negation`: conversion WITH an exclusion constraint — of
+    * the users whose first signup converts to a later purchase, how
+    * many did it with ZERO error events strictly between the two
+    * timestamps. Sequence-with-negation is the funnel feature
+    * [[windowFunnel]] (prescribed steps) and [[conversionLatency]]
+    * (time-to-convert) cannot express — "A then B with no X between"
+    * is its own operator in every product-analytics engine. Greedy
+    * first-conversion matching (the conversionLatency rule); the
+    * negation is a per-user count of error events inside the open
+    * interval, folded to the clean/contaminated split in ppm.
+    *
+    * Plan shape: three user-co-partitioned aggregates (first signup,
+    * earliest later purchase, in-window error count via one join back)
+    * — no windows, no fact self-join beyond the user-keyed pairing.
+    * Single-row output at any scale.
+    */
+  def funnelNegation(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val su = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(su, "user_id")
+      .where(col("ts") > col("s_ts"))
+      .groupBy(col("user_id"), col("s_ts"))
+      .agg(min(col("ts")).as("p_ts"))
+      .localCheckpoint(eager = false) // error join + final fold
+    val errCnt = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("e_ts"))
+      .join(conv, "user_id")
+      .where(col("e_ts") > col("s_ts") && col("e_ts") < col("p_ts"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_err"))
+    conv.join(errCnt, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_converted"),
+        sum(when(col("n_err").isNull, 1L).otherwise(0L)).as("n_clean"))
+      .select(
+        col("n_converted"), col("n_clean"),
+        expr("n_clean * 1000000 div n_converted").as("clean_ppm"))
+  }
+
+  def funnelNegationOracle: String =
+    """WITH su AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) s_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |conv AS (
+      |  SELECT e.user_id, su.s_ts, MIN(CAST(e.ts AS TIMESTAMP)) p_ts
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(e.ts AS TIMESTAMP) > su.s_ts
+      |  GROUP BY 1, 2),
+      |ec AS (
+      |  SELECT e.user_id, CAST(COUNT(*) AS BIGINT) n_err
+      |  FROM events e JOIN conv ON e.user_id = conv.user_id
+      |  WHERE e.event_type = 'error'
+      |    AND CAST(e.ts AS TIMESTAMP) > conv.s_ts
+      |    AND CAST(e.ts AS TIMESTAMP) < conv.p_ts
+      |  GROUP BY 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) n_converted,
+      |  CAST(SUM(CASE WHEN ec.n_err IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    n_clean,
+      |  CAST(SUM(CASE WHEN ec.n_err IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // CAST(COUNT(*) AS BIGINT) clean_ppm
+      |FROM conv LEFT JOIN ec ON conv.user_id = ec.user_id""".stripMargin
+
+  /** `burst_days`: trailing-baseline burst detection over the daily
+    * event count — per day with a FULL 7-day trailing window: the
+    * day's count against the trailing mean as an exact ratio
+    * (n·7·10⁶ div trail_sum) and the ≥3× burst verdict. The rate
+    * sibling of [[cusumShift]] (location of a sustained mean shift)
+    * and p_chart (proportion limits): bursts are single-day spikes a
+    * CUSUM smooths over. The trailing window is a BAND SELF-JOIN of
+    * the bounded day grid (b.d in [a.d−7, a.d−1]) — never a window
+    * function, and calendar gaps surface as trail_days < 7 rows,
+    * excluded explicitly rather than silently zero-filled.
+    *
+    * Plan shape: one events scan → day grid; one grid×grid band join
+    * (≤7 rows per day). Output-bounded at any scale.
+    */
+  def burstDays(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // band self-join below
+    val trail = days.select(col("d").as("td"), col("n").as("tn"))
+    days
+      .join(
+        broadcast(trail),
+        col("td") >= date_sub(col("d"), 7) && col("td") < col("d"))
+      .groupBy(col("d"), col("n"))
+      .agg(count(lit(1)).as("trail_days"), sum(col("tn")).as("trail_sum"))
+      .where(col("trail_days") === 7)
+      .select(
+        col("d"), col("n"), col("trail_sum"),
+        expr("n * 7 * 1000000 div trail_sum").as("ratio_ppm"))
+      .withColumn("burst", col("ratio_ppm") > 3000000L)
+      .orderBy("d")
+  }
+
+  def burstDaysOracle: String =
+    """WITH days AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) d,
+      |    CAST(COUNT(*) AS BIGINT) n
+      |  FROM events GROUP BY 1),
+      |tr AS (
+      |  SELECT a.d, a.n, CAST(COUNT(*) AS BIGINT) trail_days,
+      |    CAST(SUM(b.n) AS BIGINT) trail_sum
+      |  FROM days a JOIN days b ON b.d >= a.d - 7 AND b.d < a.d
+      |  GROUP BY 1, 2)
+      |SELECT d, n, trail_sum,
+      |  n * 7 * 1000000 // trail_sum ratio_ppm,
+      |  n * 7 * 1000000 // trail_sum > 3000000 burst
+      |FROM tr WHERE trail_days = 7 ORDER BY d""".stripMargin
+
   /** `price_elasticity`: midpoint arc elasticity of demand along the
     * discount ladder — per adjacent discount-percent pair (d, d+1):
     * how much mean line quantity moves per percent of effective-price
@@ -2732,6 +2846,8 @@ object Analytics {
     QueryDef("xcorr_lags", xcorrLags, Some(xcorrLagsOracle)),
     QueryDef(
       "price_elasticity", priceElasticity, Some(priceElasticityOracle)),
+    QueryDef("funnel_negation", funnelNegation, Some(funnelNegationOracle)),
+    QueryDef("burst_days", burstDays, Some(burstDaysOracle)),
     QueryDef(
       "weekday_seasonality", weekdaySeasonality,
       Some(weekdaySeasonalityOracle)),

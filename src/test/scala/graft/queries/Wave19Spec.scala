@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model checks for the round-8 eleventh wave: the negation funnel
+  * and the trailing-baseline burst detector, replayed in memory.
+  */
+class Wave19Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def events(): Array[(Long, Long, String)] =
+    Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) tm", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+
+  test("funnel_negation equals an interval-count replay") {
+    val ev = events()
+    val su = ev.filter(_._3 == "signup").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._2).min }
+    val conv = su.flatMap { case (u, s) =>
+      val ps = ev.filter(e => e._1 == u && e._3 == "purchase" && e._2 > s)
+      if (ps.isEmpty) None else Some((u, s, ps.map(_._2).min))
+    }
+    val clean = conv.count { case (u, s, p) =>
+      !ev.exists(e => e._1 == u && e._3 == "error" && e._2 > s && e._2 < p)
+    }.toLong
+    val r = Analytics.funnelNegation(spark, dir).collect().head
+    assert(r.getLong(0) === conv.size.toLong)
+    assert(r.getLong(1) === clean)
+    assert(r.getLong(2) === clean * 1000000L / conv.size)
+    // negation bites on this data: some conversions are contaminated
+    assert(clean < conv.size.toLong)
+  }
+
+  test("burst_days equals a trailing-window replay; gaps excluded") {
+    val byDay = Tables.events(spark, dir)
+      .selectExpr("CAST(ts AS DATE) d").collect()
+      .map(_.getDate(0).toLocalDate)
+      .groupBy(identity).map { case (d, g) => d -> g.size.toLong }
+    val expect = byDay.toSeq.sortBy(_._1).flatMap { case (d, n) =>
+      val trail = (1 to 7).flatMap(k => byDay.get(d.minusDays(k.toLong)))
+      if (trail.size != 7) None
+      else {
+        val ts = trail.sum
+        val ratio = n * 7L * 1000000L / ts
+        Some((d.toString, n, ts, ratio, ratio > 3000000L))
+      }
+    }
+    val got = Analytics.burstDays(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty) // the day grid is dense enough to window
+  }
+}
