@@ -435,8 +435,46 @@ object RefSurface {
       |  CAST(min(id) AS BIGINT) min_id, CAST(max(id) AS BIGINT) max_id
       |FROM g GROUP BY tag ORDER BY tag""".stripMargin
 
+  /** `gen_source_pushagg`: DataSourceV2 AGGREGATE pushdown
+    * (`SupportsPushDownAggregates`, partial mode) made observable —
+    * the same V2 table as [[genSourceAgg]], but grouped by `bucket`
+    * so the connector ACCEPTS the aggregation: each of the 8 splits
+    * folds its generated id range locally and ships ≤ 97 partial
+    * rows (count/min/max/sum per bucket) instead of 95k raw rows;
+    * Spark plans only the final merge. This is the row-group-
+    * statistics contract a real warehouse connector implements —
+    * at 100 TB the difference between a scan-shaped and a
+    * metadata-shaped GROUP BY. GraftGenSourceSpec pins that the
+    * pushdown actually ENGAGED (lastAggPushed set, raw-scan schema
+    * untouched) and that filter pushdown composes with it (the
+    * pushed id range still narrows first).
+    */
+  def genSourcePushAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.GraftGenSource")
+      .option("rows", "200000").option("slices", "8").load()
+      .where(col("id") >= 50000 && col("id") < 150000)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        sum(col("value")).as("sum_value"))
+      .orderBy("bucket")
+
+  def genSourcePushAggOracle: String =
+    """WITH g AS (
+      |  SELECT i AS id, i % 97 AS bucket,
+      |    (i * 2654435761) % 1000000 AS v
+      |  FROM range(50000, 150000) t(i))
+      |SELECT bucket, CAST(count(*) AS BIGINT) n,
+      |  CAST(min(id) AS BIGINT) min_id, CAST(max(id) AS BIGINT) max_id,
+      |  CAST(sum(v) AS BIGINT) sum_value
+      |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("gen_source_agg", genSourceAgg, Some(genSourceAggOracle)),
+    QueryDef(
+      "gen_source_pushagg", genSourcePushAgg, Some(genSourcePushAggOracle)),
     QueryDef("csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle)),
     QueryDef("json_roundtrip", jsonRoundtrip, Some(jsonRoundtripOracle)),
     QueryDef("fanout", fanout, Some(fanoutOracle)),

@@ -8,9 +8,13 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{
   SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{
+  AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{
   EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan,
   LessThanOrEqual}
@@ -63,9 +67,13 @@ object GraftGenSource {
   @volatile var lastPushed: Seq[Filter] = Nil
   @volatile var lastSchema: StructType = Schema
   @volatile var lastRange: (Long, Long) = (0L, 0L)
+  @volatile var lastAggPushed: Option[String] = None
 
   def valueOf(id: Long): Long = (id * 2654435761L) % 1000000L
   def tagOf(id: Long): String = "T" + (id % 10)
+
+  /** Columns aggregate pushdown accepts (the long-typed ones). */
+  val LongCols: Set[String] = Set("id", "bucket", "value")
 }
 
 final class GraftGenTable(rows: Long, slices: Int)
@@ -82,12 +90,49 @@ final class GraftGenTable(rows: Long, slices: Int)
 final class GraftGenScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var pushed = mutable.ArrayBuffer.empty[Filter]
   private var required: StructType = GraftGenSource.Schema
+  private var agg: Option[Aggregation] = None
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` = false,
+    * the default): the scan emits per-partition (group, partial)
+    * rows — group-by `bucket` or global; COUNT(*) / COUNT(col) /
+    * MIN / MAX / SUM over the generated long columns — and Spark
+    * plans the final merge on top. This is the row-group-statistics
+    * contract of a real warehouse connector made observable: a
+    * 100 TB scan feeding `GROUP BY bucket, count(*)` ships ≤ 97 rows
+    * per split instead of every row.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val gbOk = aggregation.groupByExpressions().forall(e =>
+      colName(e).contains("bucket"))
+    val aggOk = aggregation.aggregateExpressions().forall {
+      case _: CountStar => true
+      case c: Count =>
+        !c.isDistinct && colName(c.column).exists(GraftGenSource.LongCols)
+      case m: Min => colName(m.column).exists(GraftGenSource.LongCols)
+      case m: Max => colName(m.column).exists(GraftGenSource.LongCols)
+      case s: Sum =>
+        !s.isDistinct && colName(s.column).exists(GraftGenSource.LongCols)
+      case _ => false
+    }
+    if (gbOk && aggOk && aggregation.aggregateExpressions().nonEmpty) {
+      agg = Some(aggregation)
+      true
+    } else false
+  }
 
   /** Accept range/point predicates on `id` by narrowing [lo, hi);
     * everything else is the caller's residual.
@@ -118,7 +163,115 @@ final class GraftGenScanBuilder(rows: Long, slices: Int)
     GraftGenSource.lastPushed = pushed.toList
     GraftGenSource.lastSchema = required
     GraftGenSource.lastRange = (lo, math.max(lo, hi))
-    new GraftGenScan(lo, math.max(lo, hi), slices, required)
+    agg match {
+      case Some(a) =>
+        GraftGenSource.lastAggPushed = Some(a.toString)
+        new GraftGenAggScan(lo, math.max(lo, hi), slices, a)
+      case None =>
+        GraftGenSource.lastAggPushed = None
+        new GraftGenScan(lo, math.max(lo, hi), slices, required)
+    }
+  }
+}
+
+/** Aggregated scan: each partition folds its generated id range into
+  * per-group partial rows (group keys first, then one column per
+  * aggregate, all LongType — the partial-pushdown schema contract).
+  */
+final class GraftGenAggScan(
+    lo: Long, hi: Long, slices: Int, agg: Aggregation)
+    extends Scan with Batch {
+
+  private val groupCols: Array[String] =
+    agg.groupByExpressions().flatMap {
+      case r: NamedReference => Some(r.fieldNames()(0))
+      case _ => None
+    }
+  // (kind, col) per aggregate; kind ∈ count*, count, min, max, sum
+  private val aggSpecs: Array[(String, String)] =
+    agg.aggregateExpressions().map {
+      case _: CountStar => ("count*", "")
+      case c: Count =>
+        ("count", c.column.asInstanceOf[NamedReference].fieldNames()(0))
+      case m: Min =>
+        ("min", m.column.asInstanceOf[NamedReference].fieldNames()(0))
+      case m: Max =>
+        ("max", m.column.asInstanceOf[NamedReference].fieldNames()(0))
+      case s: Sum =>
+        ("sum", s.column.asInstanceOf[NamedReference].fieldNames()(0))
+      case other =>
+        throw new IllegalStateException(s"unaccepted aggregate $other")
+    }
+
+  override def readSchema(): StructType = StructType(
+    groupCols.map(c => StructField(c, LongType, nullable = false)) ++
+      aggSpecs.zipWithIndex.map { case ((kind, c), i) =>
+        StructField(s"${kind.stripSuffix("*")}_${if (c.isEmpty) "star" else c}_$i",
+          LongType, nullable = false)
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftGenAggScan[$lo,$hi) groups=${groupCols.mkString(",")} " +
+      s"aggs=${aggSpecs.map(t => t._1 + "(" + t._2 + ")").mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, slices)
+    val span = math.max(0L, hi - lo)
+    (0 until n).map { i =>
+      GenPartition(lo + span * i / n, lo + span * (i + 1) / n)
+    }.filter(p => p.end > p.start).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenAggReaderFactory(groupCols, aggSpecs)
+}
+
+final class GenAggReaderFactory(
+    groupCols: Array[String], aggSpecs: Array[(String, String)])
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GenPartition]
+    def colVal(c: String, id: Long): Long = c match {
+      case "id" => id
+      case "bucket" => id % 97L
+      case "value" => GraftGenSource.valueOf(id)
+    }
+    // fold the range into per-group accumulators
+    val accs = mutable.LinkedHashMap.empty[Seq[Long], Array[Long]]
+    var id = p.start
+    while (id < p.end) {
+      val key = groupCols.toSeq.map(colVal(_, id))
+      val acc = accs.getOrElseUpdate(
+        key,
+        aggSpecs.map {
+          case ("min", _) => Long.MaxValue
+          case ("max", _) => Long.MinValue
+          case _ => 0L
+        })
+      var i = 0
+      while (i < aggSpecs.length) {
+        val (kind, c) = aggSpecs(i)
+        kind match {
+          case "count*" | "count" => acc(i) += 1L
+          case "min" => acc(i) = math.min(acc(i), colVal(c, id))
+          case "max" => acc(i) = math.max(acc(i), colVal(c, id))
+          case "sum" => acc(i) += colVal(c, id)
+        }
+        i += 1
+      }
+      id += 1
+    }
+    val it = accs.iterator
+    new PartitionReader[InternalRow] {
+      private var cur: (Seq[Long], Array[Long]) = _
+      override def next(): Boolean = {
+        if (it.hasNext) { cur = it.next(); true } else false
+      }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(cur._1 ++ cur._2.toSeq)
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -50,8 +50,10 @@ class GraftGenSourceSpec extends AnyFunSuite {
   }
 
   test("column pruning reaches the reader (only requested columns generated)") {
-    val df = table(rows = 1000).select(sum(col("value")).as("s"))
-    val got = df.collect().head.getLong(0)
+    // a bare projection (no aggregate, which would take the
+    // aggregate-pushdown path instead) exercises pruneColumns
+    val df = table(rows = 1000).select(col("value"))
+    val got = df.collect().map(_.getLong(0)).sum
     assert(GraftGenSource.lastSchema.fieldNames.toSeq == Seq("value"),
       s"pruned schema: ${GraftGenSource.lastSchema.fieldNames.toSeq}")
     assert(got == (0L until 1000L).map(GraftGenSource.valueOf).sum)
@@ -64,5 +66,37 @@ class GraftGenSourceSpec extends AnyFunSuite {
     // empty range -> zero partitions, not a crash
     val empty = table(rows = 1000).where(col("id") >= 2000)
     assert(empty.count() == 0)
+  }
+
+  test("aggregate pushdown engages for bucket grouping; values exact") {
+    val df = table(rows = 20000, slices = 4)
+      .where(col("id") >= 3000 && col("id") < 17000)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"), sum(col("value")).as("sv"))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(GraftGenSource.lastAggPushed.isDefined,
+      "aggregation must reach the ScanBuilder")
+    assert(GraftGenSource.lastRange == (3000L, 17000L),
+      "filter pushdown must compose with aggregate pushdown")
+    // the executed plan scans partial rows, not the raw table
+    assert(df.queryExecution.executedPlan.toString
+      .contains("GraftGenAggScan"))
+    val expect = (3000L until 17000L).groupBy(_ % 97).map { case (b, g) =>
+      b -> (g.size.toLong, g.min, g.max,
+        g.map(GraftGenSource.valueOf).sum)
+    }
+    assert(got === expect)
+  }
+
+  test("aggregate pushdown declines unsupported shapes (tag group)") {
+    val df = table(rows = 5000)
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+    val n = df.collect().map(_.getLong(1)).sum
+    assert(n == 5000L)
+    assert(GraftGenSource.lastAggPushed.isEmpty,
+      "tag grouping must fall back to the raw scan")
   }
 }
