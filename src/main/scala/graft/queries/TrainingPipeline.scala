@@ -1578,6 +1578,73 @@ object TrainingPipeline {
        |  END err_ppm
        |FROM k ORDER BY source""".stripMargin
 
+  /** `rfm_features`: the classical recency / frequency / monetary
+    * feature block per user from the event stream — the feature-
+    * engineering step between the raw tables and every churn or LTV
+    * model (`cohort_ltv` aggregates the cohort; this emits the
+    * PER-USER training row): days since last purchase (vs the
+    * corpus's max timestamp — reproducible, not wall clock),
+    * purchase count, lifetime purchase cents, tenure days (first
+    * event → corpus end), and the error share of all events in ppm.
+    * Top-100 by monetary (user tie-break) keeps the dump bounded;
+    * the feature computation itself is full-corpus.
+    *
+    * Plan shape: one events scan → per-user conditional aggregate;
+    * corpus max-ts is a 1-row broadcast. Scan-bound at any scale.
+    */
+  def rfmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val maxTs = ev.agg(max(col("ts")).as("max_ts"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", col("ts"))).as("last_p"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          Quantize.cents(col("value"))).otherwise(0L)).as("monetary_c"),
+        min(col("ts")).as("first_ts"),
+        sum((col("event_type") === "error").cast("long")).as("n_err"),
+        count(lit(1)).as("n_ev"))
+      .where(col("last_p").isNotNull) // purchasers only: model rows
+      .crossJoin(broadcast(maxTs)) // 1-row corpus end
+      .select(
+        col("user_id"),
+        expr("(unix_micros(max_ts) - unix_micros(last_p))" +
+          " div 86400000000").as("recency_days"),
+        col("frequency"), col("monetary_c"),
+        expr("(unix_micros(max_ts) - unix_micros(first_ts))" +
+          " div 86400000000").as("tenure_days"),
+        expr("n_err * 1000000 div n_ev").as("error_ppm"))
+      .orderBy(col("monetary_c").desc, col("user_id"))
+      .limit(100)
+  }
+
+  def rfmFeaturesOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type,
+      |    CAST(round(value * 100) AS BIGINT) cents
+      |  FROM events),
+      |mx AS (SELECT MAX(ts) max_ts FROM ev),
+      |u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN ts END) last_p,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) frequency,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents
+      |      ELSE 0 END) AS BIGINT) monetary_c,
+      |    MIN(ts) first_ts,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) n_err,
+      |    CAST(COUNT(*) AS BIGINT) n_ev
+      |  FROM ev GROUP BY 1)
+      |SELECT user_id,
+      |  epoch_us(max_ts - last_p) // 86400000000 recency_days,
+      |  frequency, monetary_c,
+      |  epoch_us(max_ts - first_ts) // 86400000000 tenure_days,
+      |  n_err * 1000000 // n_ev error_ppm
+      |FROM u, mx WHERE last_p IS NOT NULL
+      |ORDER BY monetary_c DESC, user_id LIMIT 100""".stripMargin
+
   /** `source_coverage_greedy`: greedy maximum-coverage source
     * selection — pick 5 of the corpus's sources maximizing cumulative
     * DISTINCT trigram-shingle coverage, the "which feeds do I license
@@ -1675,6 +1742,7 @@ object TrainingPipeline {
     QueryDef(
       "source_coverage_greedy", sourceCoverageGreedy,
       Some(sourceCoverageGreedyOracle)),
+    QueryDef("rfm_features", rfmFeatures, Some(rfmFeaturesOracle)),
     QueryDef("time_split_cv", timeSplitCv, Some(timeSplitCvOracle)),
     QueryDef("target_encoding", targetEncoding, Some(targetEncodingOracle)),
     QueryDef(

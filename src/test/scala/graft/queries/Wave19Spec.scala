@@ -34,6 +34,32 @@ class Wave19Spec extends AnyFunSuite {
     assert(clean < conv.size.toLong)
   }
 
+  test("rfm_features equals a per-user fold replay") {
+    val withVal = Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) tm", "event_type",
+        "CAST(round(value * 100) AS LONG) c")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val mx = withVal.map(_._2).max
+    val rows = withVal.groupBy(_._1).flatMap { case (u, g) =>
+      val p = g.filter(_._3 == "purchase")
+      if (p.isEmpty) None
+      else Some((u,
+        (mx - p.map(_._2).max) / 86400000000L,
+        p.size.toLong,
+        p.map(_._4).sum,
+        (mx - g.map(_._2).min) / 86400000000L,
+        g.count(_._3 == "error").toLong * 1000000L / g.size))
+    }.toSeq.sortBy(t => (-t._4, t._1)).take(100)
+    val got = TrainingPipeline.rfmFeatures(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === rows)
+    // purchasers only: every emitted user really has a purchase
+    val purchasers = withVal.filter(_._3 == "purchase").map(_._1).toSet
+    assert(got.forall(r => purchasers(r._1)))
+  }
+
   test("burst_days equals a trailing-window replay; gaps excluded") {
     val byDay = Tables.events(spark, dir)
       .selectExpr("CAST(ts AS DATE) d").collect()
