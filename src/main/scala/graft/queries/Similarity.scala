@@ -1180,6 +1180,82 @@ object Similarity {
        |SELECT * FROM lab UNION ALL SELECT * FROM ov ORDER BY label"""
       .stripMargin
 
+  /** `embedding_drift`: snapshot-to-snapshot drift for the VECTOR
+    * modality — the panel `tv_drift`/`hellinger_drift`/`wasserstein_1d`
+    * built for categorical and scalar columns, applied to embeddings:
+    * split the table by vec_id parity (a deterministic stand-in for
+    * two corpus snapshots), compare the two mean vectors. Emits the
+    * centroid cosine (the one final √ float over exact integer
+    * sums), the exact squared distance between centroids, and the
+    * per-dimension worst shift (max |μ₁ᵢ−μ₂ᵢ|, milli-units) with its
+    * dimension index — the readout that tells you WHICH feature
+    * moved, which a single cosine hides. Centroids are the
+    * `centroid_similarity` rounded-mean convention.
+    *
+    * Plan shape: one embeddings scan → two 64-long vector sums (one
+    * conditional aggregate), scalar algebra on a 1-row relation.
+    * Scan-bound at any scale.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir)
+    val halves = vecs
+      .groupBy((col("vec_id") % 2).as("half"))
+      .agg(
+        graft.functions.VectorFunctions.vecSum(col("v")).as("s"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("half"),
+        transform(
+          col("s"),
+          x => floor(x.cast("double") / col("cnt") + 0.5).cast("long"))
+          .as("mu"))
+    val a = halves.where(col("half") === 0).select(col("mu").as("ma"))
+    val b = halves.where(col("half") === 1).select(col("mu").as("mb"))
+    a.crossJoin(broadcast(b)) // two 1-row halves: documented exception
+      .select(
+        dot(col("ma"), col("mb")).as("dot_ab"),
+        dot(col("ma"), col("ma")).as("n2a"),
+        dot(col("mb"), col("mb")).as("n2b"),
+        aggregate(
+          zip_with(col("ma"), col("mb"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("dist2"),
+        expr("""array_max(transform(zip_with(ma, mb, (x, y) -> abs(x - y)),
+          v -> v))""").as("max_dim_shift"),
+        expr("""array_position(zip_with(ma, mb, (x, y) -> abs(x - y)),
+          array_max(zip_with(ma, mb, (x, y) -> abs(x - y))))""")
+          .as("worst_dim"))
+      .withColumn("cos", cosine(col("dot_ab"), col("n2a"), col("n2b")))
+  }
+
+  def embeddingDriftOracle: String =
+    s"""WITH $VectorsSql,
+       |h AS (
+       |  SELECT vec_id % 2 half, i,
+       |    CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*) + 0.5)
+       |      AS BIGINT) mu
+       |  FROM vn, unnest(range(1, 65)) t(i)
+       |  GROUP BY 1, 2),
+       |hv AS (SELECT half, list(mu ORDER BY i) mu FROM h GROUP BY half),
+       |p AS (
+       |  SELECT a.mu ma, b.mu mb
+       |  FROM hv a, hv b WHERE a.half = 0 AND b.half = 1),
+       |f AS (
+       |  SELECT ${dotSql("ma", "mb")} dot_ab,
+       |    ${dotSql("ma", "ma")} n2a, ${dotSql("mb", "mb")} n2b,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (ma[i] - mb[i]) * (ma[i] - mb[i]))) AS BIGINT) dist2,
+       |    CAST(list_max(list_transform(range(1, 65),
+       |      i -> abs(ma[i] - mb[i]))) AS BIGINT) max_dim_shift,
+       |    CAST(list_position(list_transform(range(1, 65),
+       |      i -> abs(ma[i] - mb[i])),
+       |      list_max(list_transform(range(1, 65),
+       |        i -> abs(ma[i] - mb[i])))) AS BIGINT) worst_dim
+       |  FROM p)
+       |SELECT dot_ab, n2a, n2b, dist2, max_dim_shift, worst_dim,
+       |  CAST(dot_ab AS DOUBLE)
+       |    / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) cos
+       |FROM f""".stripMargin
+
   /** Exact global DESCENDING rank (1 = best) of a UNIQUE integer sort
     * key, without a global window: the gini/cusum sharded prefix
     * discipline — in-shard counts partitioned by a value-range shard
@@ -1749,6 +1825,7 @@ object Similarity {
     QueryDef(
       "cluster_silhouette", clusterSilhouette,
       Some(clusterSilhouetteOracle)),
+    QueryDef("embedding_drift", embeddingDrift, Some(embeddingDriftOracle)),
     QueryDef("knn_brute", knnBrute, Some(knnBruteOracle)),
     QueryDef("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     QueryDef("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),

@@ -60,6 +60,37 @@ class Wave19Spec extends AnyFunSuite {
     assert(got.forall(r => purchasers(r._1)))
   }
 
+  test("embedding_drift equals a parity-split centroid replay") {
+    val vecs = Tables.read(spark, dir, "embeddings")
+      .selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(round(x * 1000) AS LONG)) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def centroid(half: Long): Array[Long] = {
+      val g = vecs.filter(_._1 % 2 == half).map(_._2)
+      (0 until 64).map(i =>
+        math.floor(g.map(_(i)).sum.toDouble / g.length + 0.5).toLong)
+        .toArray
+    }
+    val ma = centroid(0); val mb = centroid(1)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val shifts = ma.zip(mb).map { case (x, y) => (x - y).abs }
+    val r = Similarity.embeddingDrift(spark, dir).collect().head
+    assert(r.getLong(0) === dot(ma, mb))
+    assert(r.getLong(1) === dot(ma, ma))
+    assert(r.getLong(2) === dot(mb, mb))
+    assert(r.getLong(3) ===
+      ma.zip(mb).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(r.getLong(4) === shifts.max)
+    assert(r.getLong(5) === (shifts.indexOf(shifts.max) + 1).toLong)
+    assert(r.getDouble(6) === dot(ma, mb).toDouble /
+      math.sqrt((dot(ma, ma) * dot(mb, mb)).toDouble))
+    // dist² identity: ‖a−b‖² = ‖a‖² + ‖b‖² − 2a·b
+    assert(r.getLong(3) === r.getLong(1) + r.getLong(2) - 2 * r.getLong(0))
+  }
+
   test("burst_days equals a trailing-window replay; gaps excluded") {
     val byDay = Tables.events(spark, dir)
       .selectExpr("CAST(ts AS DATE) d").collect()
