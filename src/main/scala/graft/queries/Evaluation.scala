@@ -211,6 +211,81 @@ object Evaluation {
 
   private val PPpmSql = "least(greatest(score, 0), 1000) * 1000"
 
+  /** `isotonic_calibration`: the monotone (PAVA) recalibration of the
+    * quality scorer — [[calibrationBins]] MEASURES the miscalibration
+    * (ECE); this emits the isotonic FIT that corrects it, via the
+    * closed-form minimax identity ŷᵢ = max_{j≤i} min_{k≥i}
+    * avg(y_j..y_k) (weighted) instead of the sequential pool-adjacent
+    * algorithm — the identity turns an inherently iterative fit into
+    * three bounded grid aggregates both engines state identically.
+    * Segment averages floor to ppm BEFORE the minimax (the quantized
+    * semantics ARE the pinned semantics, the pacf_lags discipline);
+    * monotonicity of the output is structural (max over a growing j
+    * set of min over a shrinking k set) and re-pinned in Wave20Spec.
+    *
+    * Plan shape: the 10-bin grid from one corpus scan; a ≤55-row
+    * (j,k) segment grid and a ≤550-row minimax join — all broadcast
+    * bounded grids. Scan-bound at any scale.
+    */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val bins = TrainingPipeline.qualityScoredDocs(spark, dir)
+      .select(
+        pPpm(col("score")).as("p"),
+        (col("lang") === "en").cast("long").as("pos"))
+      .withColumn("bin", least(expr("p div 100000"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+      .localCheckpoint(eager = false) // segment grid + output join
+    val seg = bins.select(col("bin").as("j"))
+      .crossJoin(broadcast(bins.select(col("bin").as("k"))))
+      .where(col("j") <= col("k")) // bounded ≤55-pair grid
+      .join(
+        broadcast(bins),
+        col("bin") >= col("j") && col("bin") <= col("k"))
+      .groupBy(col("j"), col("k"))
+      .agg(expr("sum(npos) * 1000000 div sum(n)").as("a_jk"))
+    val fit = bins.select(col("bin").as("i"))
+      .crossJoin(broadcast(seg)) // bounded ≤550-row minimax grid
+      .where(col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(min(col("a_jk")).as("m"))
+      .groupBy(col("i"))
+      .agg(max(col("m")).as("iso_ppm"))
+    bins
+      .join(fit, col("bin") === col("i"))
+      .select(
+        col("bin"), col("n"), col("npos"),
+        expr("npos * 1000000 div n").as("raw_ppm"),
+        col("iso_ppm"))
+      .orderBy("bin")
+  }
+
+  def isotonicCalibrationOracle: String =
+    s"""WITH ${TrainingPipeline.QualityScoreCtes},
+       |p AS (
+       |  SELECT $PPpmSql p,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END pos
+       |  FROM qscore),
+       |b AS (
+       |  SELECT least(p // 100000, 9) bin, CAST(count(*) AS BIGINT) n,
+       |    CAST(SUM(pos) AS BIGINT) npos
+       |  FROM p GROUP BY 1),
+       |seg AS (
+       |  SELECT j.bin j, k.bin k,
+       |    CAST(SUM(x.npos) AS BIGINT) * 1000000
+       |      // CAST(SUM(x.n) AS BIGINT) a_jk
+       |  FROM b j, b k, b x
+       |  WHERE j.bin <= k.bin AND x.bin BETWEEN j.bin AND k.bin
+       |  GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT i.bin i, seg.j, MIN(seg.a_jk) m
+       |  FROM b i JOIN seg ON seg.j <= i.bin AND seg.k >= i.bin
+       |  GROUP BY 1, 2),
+       |fit AS (SELECT i, CAST(MAX(m) AS BIGINT) iso_ppm FROM mm GROUP BY 1)
+       |SELECT bin, n, npos, npos * 1000000 // n raw_ppm, iso_ppm
+       |FROM b JOIN fit ON fit.i = b.bin
+       |ORDER BY bin""".stripMargin
+
   /** `calibration_bins`: the reliability diagram + expected
     * calibration error of the quality scorer read as a probability —
     * per confidence decile: n, mean claimed confidence (ppm), and the
@@ -723,6 +798,9 @@ object Evaluation {
     QueryDef("mannwhitney_u", mannwhitneyU, Some(mannwhitneyUOracle)),
     QueryDef(
       "calibration_bins", calibrationBins, Some(calibrationBinsOracle)),
+    QueryDef(
+      "isotonic_calibration", isotonicCalibration,
+      Some(isotonicCalibrationOracle)),
     QueryDef("pr_curve", prCurve, Some(prCurveOracle)),
     QueryDef("cohens_kappa", cohensKappa, Some(cohensKappaOracle)),
     QueryDef("mcnemar_test", mcnemarTest, Some(mcnemarTestOracle)),

@@ -2036,8 +2036,90 @@ object Statistics {
        |SELECT * FROM m UNION ALL SELECT * FROM did
        |ORDER BY grp, period""".stripMargin
 
+  /** `stratified_effect`: the treatment-effect estimate with
+    * CONFOUNDER STRATIFICATION — [[didEstimate]] nets out a time
+    * shock; this nets out composition (a cohort skewed toward
+    * big-spending segments would fake an effect in the raw means):
+    * within each market segment, treated-minus-control mean order
+    * value; the overall ATT is the treated-weighted average of the
+    * per-stratum gaps (the Cochran/MH direct-standardization form).
+    * Same fixed nation cohort as DiD; means floor to cents
+    * (mean = sum div n) so every gap — and the weighted fold — is
+    * exact integer arithmetic. Per-stratum rows + the `zz_att`
+    * summary inside the hash.
+    *
+    * Plan shape: one orders ⋈ broadcast customer (cohort + stratum)
+    * join → ≤5×2-cell aggregate; scalar algebra after. Scan-bound.
+    */
+  def stratifiedEffect(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        when(col("c_nationkey") < 12, "treat").otherwise("control")
+          .as("grp"),
+        col("c_mktsegment").as("stratum"))
+    val cells = Tables.read(spark, dir, "orders")
+      .select(col("o_custkey"), Quantize.cents(col("o_totalprice")).as("c"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("stratum"), col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      .withColumn("mean_c", expr("s div n"))
+    val wide = cells.groupBy(col("stratum"))
+      .agg(
+        max(when(col("grp") === "treat", col("n"))).as("n_treat"),
+        max(when(col("grp") === "treat", col("mean_c"))).as("m_treat_c"),
+        max(when(col("grp") === "control", col("n"))).as("n_control"),
+        max(when(col("grp") === "control", col("mean_c")))
+          .as("m_control_c"))
+      .withColumn("diff_c", col("m_treat_c") - col("m_control_c"))
+      .localCheckpoint(eager = false) // strata rows + the ATT fold
+    val att = wide.agg(
+      sum(col("n_treat")).as("n_treat"),
+      expr("sum(n_treat * diff_c) div sum(n_treat)").as("diff_c"))
+      .select(
+        lit("zz_att").as("stratum"), col("n_treat"),
+        lit(null).cast("long").as("m_treat_c"),
+        lit(null).cast("long").as("n_control"),
+        lit(null).cast("long").as("m_control_c"), col("diff_c"))
+    wide
+      .select(col("stratum"), col("n_treat"), col("m_treat_c"),
+        col("n_control"), col("m_control_c"), col("diff_c"))
+      .unionByName(att)
+      .orderBy("stratum")
+  }
+
+  def stratifiedEffectOracle: String =
+    s"""WITH cells AS (
+       |  SELECT c_mktsegment stratum,
+       |    CASE WHEN c_nationkey < 12 THEN 'treat' ELSE 'control' END grp,
+       |    CAST(COUNT(*) AS BIGINT) n,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) s
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |m AS (SELECT stratum, grp, n, s // n mean_c FROM cells),
+       |w AS (
+       |  SELECT stratum,
+       |    MAX(CASE WHEN grp = 'treat' THEN n END) n_treat,
+       |    MAX(CASE WHEN grp = 'treat' THEN mean_c END) m_treat_c,
+       |    MAX(CASE WHEN grp = 'control' THEN n END) n_control,
+       |    MAX(CASE WHEN grp = 'control' THEN mean_c END) m_control_c,
+       |    MAX(CASE WHEN grp = 'treat' THEN mean_c END)
+       |      - MAX(CASE WHEN grp = 'control' THEN mean_c END) diff_c
+       |  FROM m GROUP BY 1),
+       |att AS (
+       |  SELECT 'zz_att' stratum, CAST(SUM(n_treat) AS BIGINT) n_treat,
+       |    CAST(NULL AS BIGINT) m_treat_c, CAST(NULL AS BIGINT) n_control,
+       |    CAST(NULL AS BIGINT) m_control_c,
+       |    CAST(SUM(n_treat * diff_c) // SUM(n_treat) AS BIGINT) diff_c
+       |  FROM w)
+       |SELECT stratum, n_treat, m_treat_c, n_control, m_control_c, diff_c
+       |FROM w
+       |UNION ALL SELECT * FROM att ORDER BY stratum""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("did_estimate", didEstimate, Some(didEstimateOracle)),
+    QueryDef(
+      "stratified_effect", stratifiedEffect, Some(stratifiedEffectOracle)),
     QueryDef("median_merge", medianMerge, Some(medianMergeOracle)),
     QueryDef("srm_check", srmCheck, Some(srmCheckOracle)),
     QueryDef("ab_power", abPower, Some(abPowerOracle)),
