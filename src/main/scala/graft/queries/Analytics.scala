@@ -1501,6 +1501,221 @@ object Analytics {
        |    AS BIGINT) xcorr_ppm
        |FROM rows7, den ORDER BY lag""".stripMargin
 
+  /** `quantile_map`: decile-level distribution alignment between two
+    * customer segments' order values — the quantile-normalization /
+    * batch-effect-correction primitive: for q = 10..90, the exact
+    * order statistic of each segment and the value mapping A→B at
+    * that rank (shift in cents, ratio in ppm). `ks_test` answers
+    * whether the distributions differ; this emits the monotone MAP
+    * that would align them. Order statistics are exact rank
+    * arithmetic over per-segment value histograms with SEGMENT-
+    * partitioned cumulative windows (the percentile_report
+    * discipline — never a global window, never a sort of the fact).
+    *
+    * Plan shape: one orders ⋈ broadcast customer-segment join → two
+    * per-(segment, cent) histograms; windows partitioned by segment;
+    * a 9-row quantile grid joined against both. Scan-bound.
+    */
+  def quantileMap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val SegA = "BUILDING"
+    val SegB = "AUTOMOBILE"
+    val seg = Tables.read(spark, dir, "customer")
+      .where(col("c_mktsegment").isin(SegA, SegB))
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val hist = Tables.read(spark, dir, "orders")
+      .select(col("o_custkey"), Quantize.cents(col("o_totalprice")).as("v"))
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("hi", sum(col("cnt")).over(w))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .withColumn(
+        "n", sum(col("cnt")).over(Window.partitionBy(col("seg"))))
+    // decile rank r_q = (q·n + 9) div 10 hits exactly one [lo, hi] run
+    def at(segName: String) = ranked
+      .where(col("seg") === segName)
+      .crossJoin(broadcast(
+        spark.range(1, 10).select((col("id") * 10).as("q"))))
+      .where(
+        expr("(q * n + 90) div 100").between(col("lo"), col("hi")))
+      .select(col("q"), col("v"))
+    at(SegA).withColumnRenamed("v", "v_a_c")
+      .join(at(SegB).withColumnRenamed("v", "v_b_c"), "q")
+      .select(
+        col("q"), col("v_a_c"), col("v_b_c"),
+        (col("v_b_c") - col("v_a_c")).as("shift_c"),
+        expr("v_b_c * 1000000 div v_a_c").as("ratio_ppm"))
+      .orderBy("q")
+  }
+
+  def quantileMapOracle: String =
+    s"""WITH seg AS (
+       |  SELECT c_custkey, c_mktsegment seg FROM customer
+       |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+       |h AS (
+       |  SELECT seg, ${Quantize.centsSql("o_totalprice")} v,
+       |    CAST(COUNT(*) AS BIGINT) cnt
+       |  FROM orders JOIN seg ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, SUM(cnt) OVER (PARTITION BY seg ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) hi,
+       |    SUM(cnt) OVER (PARTITION BY seg) n
+       |  FROM h),
+       |i AS (SELECT *, hi - cnt + 1 lo FROM r),
+       |qs AS (SELECT q * 10 q FROM range(1, 10) t(q)),
+       |a AS (
+       |  SELECT q, v v_a_c FROM i, qs
+       |  WHERE seg = 'BUILDING' AND (q * n + 90) // 100 BETWEEN lo AND hi),
+       |bq AS (
+       |  SELECT q, v v_b_c FROM i, qs
+       |  WHERE seg = 'AUTOMOBILE'
+       |    AND (q * n + 90) // 100 BETWEEN lo AND hi)
+       |SELECT a.q, v_a_c, v_b_c, v_b_c - v_a_c shift_c,
+       |  v_b_c * 1000000 // v_a_c ratio_ppm
+       |FROM a JOIN bq ON a.q = bq.q ORDER BY a.q""".stripMargin
+
+  /** `double_changepoint`: the best TWO-breakpoint segmentation of
+    * daily order revenue — exhaustive minimization of pooled
+    * within-segment SSE over all (t₁ < t₂) day pairs
+    * (`segmented_trend` finds ONE break; regime analyses need the
+    * window between two). Prefix moments Σy and Σy² accumulate EXACT
+    * (int64 / DECIMAL(38,0)); the 10³¹-magnitude comparison
+    * objective is one fixed double chain over those exact operands —
+    * decimal→double casts and +,−,×,÷ are correctly rounded in both
+    * engines, so the ARGMIN is engine-identical even though the
+    * objective never materializes exactly (it stays internal; the
+    * emitted break dates, segment sizes, and floored mean cents are
+    * all int64). Argmin tie-breaks (t₁, t₂) ascending.
+    *
+    * Plan shape: one orders scan → day grid; prefix Σy and Σy² via
+    * the cusum SHARDED discipline (never a global window); the
+    * candidate relation is the (t₁, t₂) pair grid of the
+    * CALENDAR-BOUNDED day grid (~2400² / 2 rows at ANY scale factor
+    * — constant work as data grows); argmin via
+    * TakeOrderedAndProject. The one scale-variant stage is the first
+    * aggregate.
+    */
+  def doubleChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.read(spark, dir, "orders")
+      .select(
+        to_date(col("o_orderdate")).as("d"),
+        Quantize.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("d"))
+      .agg(sum(col("cents")).as("y"))
+      .select(
+        col("d"), col("y"),
+        (col("y").cast("decimal(38,0)") * col("y")).as("y2"))
+      .withColumn("shard", expr("(year(d) * 12 + month(d)) div 4"))
+      .localCheckpoint(eager = false) // in-shard windows + shard totals
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inShard = days
+      .withColumn("pre1", sum(col("y")).over(wIn))
+      .withColumn("pre2", sum(col("y2")).over(wIn))
+      .withColumn("rk", count(lit(1)).over(wIn))
+    val shardTot = days.groupBy(col("shard"))
+      .agg(
+        sum(col("y")).as("t1"), sum(col("y2")).as("t2"),
+        count(lit(1)).as("tc"))
+    val offs = shardTot.as("a")
+      .join(
+        broadcast(shardTot.as("b")), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(
+        coalesce(sum(col("b.t1")), lit(0L).cast("decimal(38,0)"))
+          .as("off1"),
+        coalesce(sum(col("b.t2")), lit(0L).cast("decimal(38,0)"))
+          .as("off2"),
+        coalesce(sum(col("b.tc")), lit(0L)).as("offc"))
+    val pref = inShard.join(broadcast(offs), "shard")
+      .select(
+        col("d"),
+        (col("offc") + col("rk")).as("idx"),
+        (col("off1") + col("pre1")).cast("decimal(38,0)").as("s1"),
+        (col("off2") + col("pre2")).cast("decimal(38,0)").as("s2"))
+      .localCheckpoint(eager = false) // two pair-grid readers + totals
+    val tot = pref.agg(
+      max(col("idx")).as("nn"), max(col("s1")).as("tt1"),
+      max(col("s2")).as("tt2"))
+    val p1 = pref.select(
+      col("d").as("d1"), col("idx").as("i1"), col("s1").as("a1"),
+      col("s2").as("a2"))
+    val p2 = pref.select(
+      col("d").as("d2"), col("idx").as("i2"), col("s1").as("b1"),
+      col("s2").as("b2"))
+    // the comparison objective is ONE double chain over the exact
+    // decimal prefixes (decimal→double casts are correctly rounded in
+    // both engines, so the argmin is engine-identical); the EMITTED
+    // columns stay exact integers
+    val sse =
+      """(CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE)
+        |   / CAST(i1 AS DOUBLE))
+        | + (CAST(b2 - a2 AS DOUBLE)
+        |   - CAST(b1 - a1 AS DOUBLE) * CAST(b1 - a1 AS DOUBLE)
+        |   / CAST(i2 - i1 AS DOUBLE))
+        | + (CAST(tt2 - b2 AS DOUBLE)
+        |   - CAST(tt1 - b1 AS DOUBLE) * CAST(tt1 - b1 AS DOUBLE)
+        |   / CAST(nn - i2 AS DOUBLE))"""
+        .stripMargin.replace("\n", " ")
+    p1.join(broadcast(p2), col("i2") > col("i1"))
+      .crossJoin(broadcast(tot)) // 1-row totals: documented exception
+      .where(col("i2") < col("nn")) // third segment non-empty
+      .select(
+        col("d1"), col("d2"), col("i1"), col("i2"),
+        col("a1"), col("b1"), col("nn"), col("tt1"),
+        expr(sse).as("obj"))
+      .orderBy(col("obj").asc, col("i1"), col("i2"))
+      .limit(1)
+      .select(
+        col("d1"), col("d2"),
+        col("i1").as("n1"),
+        (col("i2") - col("i1")).as("n2"),
+        (col("nn") - col("i2")).as("n3"),
+        expr("CAST(a1 div i1 AS BIGINT)").as("mean1_c"),
+        expr("CAST((b1 - a1) div (i2 - i1) AS BIGINT)").as("mean2_c"),
+        expr("CAST((tt1 - b1) div (nn - i2) AS BIGINT)").as("mean3_c"))
+  }
+
+  def doubleChangepointOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")}) AS BIGINT) y
+       |  FROM orders GROUP BY 1),
+       |pref AS (
+       |  SELECT d,
+       |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) idx,
+       |    CAST(SUM(y) OVER (ORDER BY d) AS HUGEINT) s1,
+       |    SUM(CAST(y AS HUGEINT) * y) OVER (ORDER BY d) s2
+       |  FROM days),
+       |tot AS (SELECT MAX(idx) nn, MAX(s1) tt1, MAX(s2) tt2 FROM pref),
+       |cand AS (
+       |  SELECT p1.d d1, p2.d d2, p1.idx i1, p2.idx i2,
+       |    p1.s1 a1, p2.s1 b1,
+       |    (CAST(p1.s2 AS DOUBLE) - CAST(p1.s1 AS DOUBLE)
+       |        * CAST(p1.s1 AS DOUBLE) / CAST(p1.idx AS DOUBLE))
+       |      + (CAST(p2.s2 - p1.s2 AS DOUBLE)
+       |        - CAST(p2.s1 - p1.s1 AS DOUBLE)
+       |          * CAST(p2.s1 - p1.s1 AS DOUBLE)
+       |          / CAST(p2.idx - p1.idx AS DOUBLE))
+       |      + (CAST(tt2 - p2.s2 AS DOUBLE)
+       |        - CAST(tt1 - p2.s1 AS DOUBLE)
+       |          * CAST(tt1 - p2.s1 AS DOUBLE)
+       |          / CAST(nn - p2.idx AS DOUBLE)) obj,
+       |    nn, tt1
+       |  FROM pref p1, pref p2, tot
+       |  WHERE p2.idx > p1.idx AND p2.idx < nn)
+       |SELECT d1, d2, i1 n1, i2 - i1 n2, nn - i2 n3,
+       |  CAST(a1 // i1 AS BIGINT) mean1_c,
+       |  CAST((b1 - a1) // (i2 - i1) AS BIGINT) mean2_c,
+       |  CAST((tt1 - b1) // (nn - i2) AS BIGINT) mean3_c
+       |FROM cand ORDER BY obj, i1, i2 LIMIT 1""".stripMargin
+
   /** `funnel_negation`: conversion WITH an exclusion constraint — of
     * the users whose first signup converts to a later purchase, how
     * many did it with ZERO error events strictly between the two
@@ -2848,6 +3063,10 @@ object Analytics {
       "price_elasticity", priceElasticity, Some(priceElasticityOracle)),
     QueryDef("funnel_negation", funnelNegation, Some(funnelNegationOracle)),
     QueryDef("burst_days", burstDays, Some(burstDaysOracle)),
+    QueryDef("quantile_map", quantileMap, Some(quantileMapOracle)),
+    QueryDef(
+      "double_changepoint", doubleChangepoint,
+      Some(doubleChangepointOracle)),
     QueryDef(
       "weekday_seasonality", weekdaySeasonality,
       Some(weekdaySeasonalityOracle)),

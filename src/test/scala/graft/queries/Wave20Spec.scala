@@ -61,6 +61,70 @@ class Wave20Spec extends AnyFunSuite {
     }
   }
 
+  test("quantile_map equals an order-statistic replay; map is monotone") {
+    val cust = Tables.read(spark, dir, "customer")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byId = Tables.read(spark, dir, "orders")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS LONG) c")
+      .collect().map(r => (cust(r.getLong(0)), r.getLong(1)))
+    def decile(seg: String, q: Int): Long = {
+      val vs = byId.filter(_._1 == seg).map(_._2).sorted
+      vs(((q * vs.length + 90) / 100 - 1).toInt) // 1-based rank
+    }
+    val got = Analytics.quantileMap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === (1 to 9).map(_ * 10L))
+    got.foreach { case (q, va, vb, sh, ratio) =>
+      assert(va === decile("BUILDING", q.toInt))
+      assert(vb === decile("AUTOMOBILE", q.toInt))
+      assert(sh === vb - va)
+      assert(ratio === vb * 1000000L / va)
+    }
+    // both decile ladders are monotone non-decreasing
+    got.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b); case _ => }
+    got.map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b); case _ => }
+  }
+
+  test("double_changepoint equals an exhaustive SSE replay") {
+    val days = Tables.read(spark, dir, "orders")
+      .selectExpr(
+        "CAST(o_orderdate AS DATE) d",
+        "CAST(round(o_totalprice * 100) AS LONG) c")
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .groupBy(_._1).map { case (d, g) => (d, g.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val n = days.length
+    val s1 = days.scanLeft(BigInt(0))(_ + _._2).tail
+    val s2 = days.scanLeft(BigInt(0))((a, t) =>
+      a + BigInt(t._2) * t._2).tail
+    def obj(i1: Int, i2: Int): Double = {
+      def seg(a1: BigInt, a2: BigInt, cnt: Int): Double =
+        a2.toDouble - a1.toDouble * a1.toDouble / cnt.toDouble
+      seg(s1(i1 - 1), s2(i1 - 1), i1) +
+        seg(s1(i2 - 1) - s1(i1 - 1), s2(i2 - 1) - s2(i1 - 1), i2 - i1) +
+        seg(s1(n - 1) - s1(i2 - 1), s2(n - 1) - s2(i2 - 1), n - i2)
+    }
+    val best = (for {
+      i1 <- 1 until n - 1
+      i2 <- i1 + 1 until n
+    } yield (obj(i1, i2), i1, i2)).minBy(t => (t._1, t._2, t._3))
+    val (_, b1, b2) = best
+    val r = Analytics.doubleChangepoint(spark, dir).collect().head
+    assert(r.getDate(0).toLocalDate === days(b1 - 1)._1)
+    assert(r.getDate(1).toLocalDate === days(b2 - 1)._1)
+    assert(r.getLong(2) === b1.toLong)
+    assert(r.getLong(3) === (b2 - b1).toLong)
+    assert(r.getLong(4) === (n - b2).toLong)
+    assert(r.getLong(5) === (s1(b1 - 1) / b1).toLong)
+    assert(r.getLong(6) ===
+      ((s1(b2 - 1) - s1(b1 - 1)) / (b2 - b1)).toLong)
+    assert(r.getLong(7) === ((s1(n - 1) - s1(b2 - 1)) / (n - b2)).toLong)
+  }
+
   test("stratified_effect equals a per-cell replay; ATT is the fold") {
     val cust = Tables.read(spark, dir, "customer")
       .selectExpr("c_custkey", "c_nationkey < 12 t", "c_mktsegment s")
