@@ -1643,9 +1643,14 @@ object Analytics {
     val tot = pref.agg(
       max(col("idx")).as("nn"), max(col("s1")).as("tt1"),
       max(col("s2")).as("tt2"))
+    // spread the NLJ probe side across the full parallelism: the
+    // 2400-row stream side is byte-tiny, so AQE coalesces an implicit
+    // shuffle back to ONE task and the ~3M-pair evaluation runs on one
+    // core (measured 7.9s); an EXPLICIT partition count survives AQE
     val p1 = pref.select(
       col("d").as("d1"), col("idx").as("i1"), col("s1").as("a1"),
       col("s2").as("a2"))
+      .repartition(spark.sparkContext.defaultParallelism, col("d1"))
     val p2 = pref.select(
       col("d").as("d2"), col("idx").as("i2"), col("s1").as("b1"),
       col("s2").as("b2"))
