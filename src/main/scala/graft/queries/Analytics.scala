@@ -1501,6 +1501,105 @@ object Analytics {
        |    AS BIGINT) xcorr_ppm
        |FROM rows7, den ORDER BY lag""".stripMargin
 
+  /** `seasonal_strength`: how much of daily revenue variance the
+    * weekly cycle EXPLAINS — η² of ISO weekday on the day grid
+    * (SS_between / SS_total), the effect size beside
+    * [[weekdaySeasonality]]'s per-weekday index (an index can look
+    * dramatic while explaining 2% of variance; η² is the go/no-go
+    * for adding the seasonal term holt_winters models). Moments
+    * accumulate EXACT (Σy int64, Σy² DECIMAL(38,0), per-weekday S_w
+    * and n_w int64); the seven weekday cells pivot into ONE wide row
+    * so the final η² = (N·Σ_w S_w²/n_w − (Σy)²)/(N·Σy² − (Σy)²) is a
+    * FIXED-ORDER scalar double chain over exact operands (the anova_f
+    * discipline — never a distributed float sum), floored to ppm.
+    * Single row: n_days, eta2_ppm.
+    *
+    * Plan shape: one orders scan → day grid → 7-row weekday grid +
+    * 1-row moments; scalar algebra. Scan-bound at any scale.
+    */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.read(spark, dir, "orders")
+      .select(
+        to_date(col("o_orderdate")).as("d"),
+        Quantize.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("d"))
+      .agg(sum(col("cents")).as("y"))
+      .select(expr("CAST(weekday(d) + 1 AS BIGINT)").as("wd"), col("y"))
+      .localCheckpoint(eager = false) // totals + weekday pivot
+    val tot = days.agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("s"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("q"))
+    val wide = days.groupBy(col("wd"))
+      .agg(count(lit(1)).as("nw"), sum(col("y")).as("sw"))
+      .groupBy()
+      .agg(
+        max(when(col("wd") === 1, col("sw"))).as("s1"),
+        max(when(col("wd") === 1, col("nw"))).as("n1"),
+        max(when(col("wd") === 2, col("sw"))).as("s2"),
+        max(when(col("wd") === 2, col("nw"))).as("n2"),
+        max(when(col("wd") === 3, col("sw"))).as("s3"),
+        max(when(col("wd") === 3, col("nw"))).as("n3"),
+        max(when(col("wd") === 4, col("sw"))).as("s4"),
+        max(when(col("wd") === 4, col("nw"))).as("n4"),
+        max(when(col("wd") === 5, col("sw"))).as("s5"),
+        max(when(col("wd") === 5, col("nw"))).as("n5"),
+        max(when(col("wd") === 6, col("sw"))).as("s6"),
+        max(when(col("wd") === 6, col("nw"))).as("n6"),
+        max(when(col("wd") === 7, col("sw"))).as("s7"),
+        max(when(col("wd") === 7, col("nw"))).as("n7"),
+        count(lit(1)).as("n_wd"))
+    val b = "(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE) + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE) + CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE) / CAST(n5 AS DOUBLE) + CAST(s6 AS DOUBLE) * CAST(s6 AS DOUBLE) / CAST(n6 AS DOUBLE) + CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE))"
+    tot.crossJoin(broadcast(wide)) // 1-row moments: documented exception
+      .select(
+        col("n").as("n_days"),
+        expr(s"""CAST(floor(
+          (CAST(n AS DOUBLE) * $b
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) * 1000000.0
+          / (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT)""")
+          .as("eta2_ppm"))
+  }
+
+  def seasonalStrengthOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) d,
+       |    CAST(SUM(${Quantize.centsSql("o_totalprice")} ) AS BIGINT) y
+       |  FROM orders GROUP BY 1),
+       |wg AS (SELECT isodow(d) wd, y FROM days),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+       |  CAST(SUM(y) AS BIGINT) s,
+       |  SUM(CAST(y AS HUGEINT) * y) q FROM wg),
+       |cells AS (
+       |  SELECT wd, CAST(COUNT(*) AS BIGINT) nw,
+       |    CAST(SUM(y) AS BIGINT) sw
+       |  FROM wg GROUP BY 1),
+       |wide AS (
+       |  SELECT
+       |    MAX(CASE WHEN wd = 1 THEN sw END) s1,
+       |    MAX(CASE WHEN wd = 1 THEN nw END) n1,
+       |    MAX(CASE WHEN wd = 2 THEN sw END) s2,
+       |    MAX(CASE WHEN wd = 2 THEN nw END) n2,
+       |    MAX(CASE WHEN wd = 3 THEN sw END) s3,
+       |    MAX(CASE WHEN wd = 3 THEN nw END) n3,
+       |    MAX(CASE WHEN wd = 4 THEN sw END) s4,
+       |    MAX(CASE WHEN wd = 4 THEN nw END) n4,
+       |    MAX(CASE WHEN wd = 5 THEN sw END) s5,
+       |    MAX(CASE WHEN wd = 5 THEN nw END) n5,
+       |    MAX(CASE WHEN wd = 6 THEN sw END) s6,
+       |    MAX(CASE WHEN wd = 6 THEN nw END) n6,
+       |    MAX(CASE WHEN wd = 7 THEN sw END) s7,
+       |    MAX(CASE WHEN wd = 7 THEN nw END) n7
+       |  FROM cells)
+       |SELECT n n_days,
+       |  CAST(floor(
+       |    (CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE) + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE) + CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE) / CAST(n5 AS DOUBLE) + CAST(s6 AS DOUBLE) * CAST(s6 AS DOUBLE) / CAST(n6 AS DOUBLE) + CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE))
+       |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) * 1000000.0
+       |    / (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+       |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT)
+       |    eta2_ppm
+       |FROM tot, wide""".stripMargin
+
   /** `quantile_map`: decile-level distribution alignment between two
     * customer segments' order values — the quantile-normalization /
     * batch-effect-correction primitive: for q = 10..90, the exact
@@ -3069,6 +3168,8 @@ object Analytics {
     QueryDef("funnel_negation", funnelNegation, Some(funnelNegationOracle)),
     QueryDef("burst_days", burstDays, Some(burstDaysOracle)),
     QueryDef("quantile_map", quantileMap, Some(quantileMapOracle)),
+    QueryDef(
+      "seasonal_strength", seasonalStrength, Some(seasonalStrengthOracle)),
     QueryDef(
       "double_changepoint", doubleChangepoint,
       Some(doubleChangepointOracle)),

@@ -125,6 +125,35 @@ class Wave20Spec extends AnyFunSuite {
     assert(r.getLong(7) === ((s1(n - 1) - s1(b2 - 1)) / (n - b2)).toLong)
   }
 
+  test("seasonal_strength equals a fixed-order eta-squared replay") {
+    val days = Tables.read(spark, dir, "orders")
+      .selectExpr(
+        "CAST(o_orderdate AS DATE) d",
+        "CAST(round(o_totalprice * 100) AS LONG) c")
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (d, g) =>
+        (d.getDayOfWeek.getValue.toLong, g.map(_._2).sum)
+      }
+    val n = days.length.toLong
+    val s = days.map(t => BigInt(t._2)).sum
+    val q = days.map(t => BigInt(t._2) * t._2).sum
+    val cells = days.groupBy(_._1).map { case (wd, g) =>
+      wd -> (g.size.toLong, g.map(t => BigInt(t._2)).sum)
+    }
+    // the engine's fixed-order wd=1..7 double chain, replayed verbatim
+    val b = (1L to 7L).map { wd =>
+      val (nw, sw) = cells(wd)
+      sw.toDouble * sw.toDouble / nw.toDouble
+    }.sum // Seq.sum folds left in index order — the same fixed order
+    val eta2 = math.floor(
+      (n.toDouble * b - s.toDouble * s.toDouble) * 1000000.0 /
+        (n.toDouble * q.toDouble - s.toDouble * s.toDouble)).toLong
+    val r = Analytics.seasonalStrength(spark, dir).collect().head
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === eta2)
+    assert(eta2 >= 0L && eta2 <= 1000000L) // variance share bounds
+  }
+
   test("stratified_effect equals a per-cell replay; ATT is the fold") {
     val cust = Tables.read(spark, dir, "customer")
       .selectExpr("c_custkey", "c_nationkey < 12 t", "c_mktsegment s")
