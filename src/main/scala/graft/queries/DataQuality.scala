@@ -844,10 +844,18 @@ object DataQuality {
     * unioned — each a two-phase hash aggregate on the key; no joins.
     */
   def primaryKeyAudit(spark: SparkSession, dir: String): DataFrame = {
+    // Composite keys count as a null-safe STRUCT: Spark's plain
+    // countDistinct(k1, k2) drops any row with a NULL key column,
+    // while DuckDB's COUNT(DISTINCT (k1, k2)) counts the tuple — a
+    // NULL in one component would silently vanish from the dup count
+    // AND diverge the engines. A struct is never NULL itself, so both
+    // engines see the same tuple universe (single-column keys keep
+    // plain COUNT(DISTINCT k), which skips NULLs identically in both).
     def one(table: String, df: DataFrame, keys: Seq[String]): DataFrame =
       df.agg(
         count(lit(1)).as("n_rows"),
-        countDistinct(col(keys.head), keys.tail.map(col): _*)
+        (if (keys.size == 1) countDistinct(col(keys.head))
+         else countDistinct(struct(keys.map(col): _*)))
           .as("n_keys"))
         .select(
           lit(table).as("table_name"),

@@ -159,8 +159,11 @@ object DriftStats {
     * IEEE-exact in both engines where ln (PSI/KL/JS) is libm-specific.
     * Emits the per-bin audit rows (counts, shares in ppm, quantized
     * contribution) plus the `calibration_bins`-style summary row
-    * (bin = 10) whose h_nano is the total H²·2·10⁹ — all inside the
-    * hash.
+    * (bin = 10) whose h_nano is the total H²·2·10⁹ and whose
+    * p_ppm/q_ppm are the SUMS of the floor-divided per-bin shares
+    * (slightly under 10⁶ — the honest total of what the audit rows
+    * show, not a 10⁶ label pretending the floors didn't happen) —
+    * all inside the hash.
     *
     * Scale shape: ONE fact aggregate to the bounded 10-bin grid; all
     * divergence arithmetic happens on grid-sized rows. Per-bin double
@@ -190,12 +193,17 @@ object DriftStats {
             (sqrt(col("n1").cast("double") / col("t1").cast("double")) -
               sqrt(col("n2").cast("double") / col("t2").cast("double"))) *
             lit(1000000000.0)).as("h_nano"))
+    // The summary row totals the per-bin FLOOR-divided shares, so its
+    // p_ppm/q_ppm read slightly under 10^6 — an honest "what the audit
+    // rows sum to", not a hardcoded 1000000 label masquerading as an
+    // exact total (the floor residue is itself a useful quantization
+    // readout: 10^6 − sum = ppm lost to rounding across bins).
     val summary = perBin.crossJoin(broadcast(totals))
       .groupBy()
       .agg(
         max(lit(10L)).as("bin"),
         max(col("t1")).as("n1"), max(col("t2")).as("n2"),
-        max(lit(1000000L)).as("p_ppm"), max(lit(1000000L)).as("q_ppm"),
+        sum(col("p_ppm")).as("p_ppm"), sum(col("q_ppm")).as("q_ppm"),
         sum(col("h_nano")).as("h_nano"))
     perBin.select("bin", "n1", "n2", "p_ppm", "q_ppm", "h_nano")
       .unionAll(summary)
@@ -229,7 +237,8 @@ object DriftStats {
       |SELECT bin, n1, n2, p_ppm, q_ppm, h_nano FROM per
       |UNION ALL
       |SELECT CAST(10 AS BIGINT), t.t1, t.t2,
-      |  CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT),
+      |  (SELECT CAST(sum(p_ppm) AS BIGINT) FROM per),
+      |  (SELECT CAST(sum(q_ppm) AS BIGINT) FROM per),
       |  (SELECT CAST(sum(h_nano) AS BIGINT) FROM per)
       |FROM t
       |ORDER BY bin""".stripMargin
@@ -576,7 +585,10 @@ object DriftStats {
     * the measured-answer-quality stance (bloom_fpp/minhash_estimate/
     * countmin_error) applied to population inference. Independence
     * of captures is the assumption; the signed error ppm is exactly
-    * the readout that audits it. Pure integer (floor divisions).
+    * the readout that audits it. Pure integer (floor divisions); the
+    * n1·n2-class products cross 2^63 past ~3e9 users per capture, so
+    * they run in DECIMAL(38,0)/HUGEINT (the suite's overflow
+    * convention) with only the final estimates cast back to BIGINT.
     *
     * Plan shape: ONE user-grain conditional aggregate, then 1-row
     * algebra. Nothing else moves at 100 TB.
@@ -595,13 +607,18 @@ object DriftStats {
       .select(
         col("n1"), col("n2"), col("overlap"), col("n_true"),
         expr("""CASE WHEN overlap = 0 THEN CAST(NULL AS BIGINT)
-          |ELSE n1 * n2 div overlap END""".stripMargin).as("lp_est"),
-        expr("(n1 + 1) * (n2 + 1) div (overlap + 1) - 1").as("chapman_est"))
+          |ELSE CAST(CAST(n1 AS DECIMAL(38,0)) * n2 div overlap AS BIGINT)
+          |END""".stripMargin).as("lp_est"),
+        expr("""CAST((CAST(n1 AS DECIMAL(38,0)) + 1) * (n2 + 1)
+          |div (overlap + 1) - 1 AS BIGINT)""".stripMargin)
+          .as("chapman_est"))
       .withColumn(
         "err_ppm",
         expr("""CASE WHEN chapman_est - n_true < 0
-          |THEN -((n_true - chapman_est) * 1000000 div n_true)
-          |ELSE (chapman_est - n_true) * 1000000 div n_true
+          |THEN -CAST((CAST(n_true AS DECIMAL(38,0)) - chapman_est)
+          |  * 1000000 div n_true AS BIGINT)
+          |ELSE CAST((CAST(chapman_est AS DECIMAL(38,0)) - n_true)
+          |  * 1000000 div n_true AS BIGINT)
           |END""".stripMargin))
 
   def captureRecaptureOracle: String =
@@ -616,18 +633,23 @@ object DriftStats {
       |  SELECT CAST(sum(a) AS BIGINT) n1, CAST(sum(b) AS BIGINT) n2,
       |    CAST(sum(a * b) AS BIGINT) overlap,
       |    CAST(sum(CASE WHEN a + b > 0 THEN 1 ELSE 0 END) AS BIGINT) n_true
-      |  FROM u)
-      |SELECT n1, n2, overlap, n_true,
-      |  CASE WHEN overlap = 0 THEN CAST(NULL AS BIGINT)
-      |    ELSE n1 * n2 // overlap END lp_est,
-      |  (n1 + 1) * (n2 + 1) // (overlap + 1) - 1 chapman_est,
-      |  CASE WHEN (n1 + 1) * (n2 + 1) // (overlap + 1) - 1 - n_true < 0
-      |    THEN -((n_true - ((n1 + 1) * (n2 + 1) // (overlap + 1) - 1))
-      |      * 1000000 // n_true)
-      |    ELSE (((n1 + 1) * (n2 + 1) // (overlap + 1) - 1) - n_true)
-      |      * 1000000 // n_true
+      |  FROM u),
+      |c AS (
+      |  SELECT n1, n2, overlap, n_true,
+      |    CASE WHEN overlap = 0 THEN CAST(NULL AS BIGINT)
+      |      ELSE CAST(CAST(n1 AS HUGEINT) * n2 // overlap AS BIGINT)
+      |    END lp_est,
+      |    CAST((CAST(n1 AS HUGEINT) + 1) * (n2 + 1) // (overlap + 1) - 1
+      |      AS BIGINT) chapman_est
+      |  FROM w)
+      |SELECT n1, n2, overlap, n_true, lp_est, chapman_est,
+      |  CASE WHEN chapman_est - n_true < 0
+      |    THEN -CAST((CAST(n_true AS HUGEINT) - chapman_est)
+      |      * 1000000 // n_true AS BIGINT)
+      |    ELSE CAST((CAST(chapman_est AS HUGEINT) - n_true)
+      |      * 1000000 // n_true AS BIGINT)
       |  END err_ppm
-      |FROM w""".stripMargin
+      |FROM c""".stripMargin
 
   /** `mann_kendall`: the distribution-free monotone-trend test on the
     * daily order-revenue series — linreg_trend fits a LINE (and its

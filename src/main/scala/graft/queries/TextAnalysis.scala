@@ -1506,8 +1506,10 @@ object TextAnalysis {
     * no-libm discipline; `cramers_v` asks "are lang and term
     * dependent at all", this ranks WHICH terms carry it). With
     * a = en count, b = rest count and column totals ta/tb, the 2×2
-    * determinant collapses to ad−bc = a·tb − b·ta (exact int64 to
-    * ~10¹⁷ token-pairs); χ² = N·(ad−bc)²/((a+b)(c+d)·ta·tb) is the
+    * determinant collapses to ad−bc = a·tb − b·ta, computed in
+    * DECIMAL(38,0)/HUGEINT (the suite's overflow convention — raw
+    * int64 would wrap silently past ~10¹⁷ token-pairs);
+    * χ² = N·(ad−bc)²/((a+b)(c+d)·ta·tb) is the
     * one final float — *,/ over exact integers only, squared in
     * DOUBLE because diff² would cross 2^63. `enriched` gives the
     * direction (over- vs under-represented in en). Top-20 by χ²
@@ -1520,9 +1522,16 @@ object TextAnalysis {
     * vocabulary.
     */
   def termKeyness(spark: SparkSession, dir: String): DataFrame = {
+    // The determinant a·tb − b·ta runs in DECIMAL(38,0) (the suite's
+    // overflow convention): raw int64 would wrap SILENTLY past ~10^17
+    // token-pairs (ANSI off) while the oracle errors — a wrong χ²
+    // ranking instead of a loud failure. Exactness up to 2^63 is
+    // unchanged; only the headroom moves to 10^38.
+    val det = "CAST(CAST(a AS DECIMAL(38,0)) * tb" +
+      " - CAST(b AS DECIMAL(38,0)) * ta AS DOUBLE)"
     val chi2 =
       "CAST(ta + tb AS DOUBLE)" +
-        " * (CAST(a * tb - b * ta AS DOUBLE) * CAST(a * tb - b * ta AS DOUBLE))" +
+        s" * ($det * $det)" +
         " / (CAST(a + b AS DOUBLE) * CAST(ta + tb - a - b AS DOUBLE)" +
         " * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))"
     val grid = Tables.read(spark, dir, "documents")
@@ -1537,7 +1546,8 @@ object TextAnalysis {
     grid.crossJoin(broadcast(tot)) // 1-row totals: documented exception
       .select(
         col("term"), col("a").as("en_tf"), col("b").as("rest_tf"),
-        (col("a") * col("tb") > col("b") * col("ta")).as("enriched"),
+        (col("a").cast("decimal(38,0)") * col("tb") >
+          col("b").cast("decimal(38,0)") * col("ta")).as("enriched"),
         expr(chi2).as("chi2"))
       .orderBy(col("chi2").desc, col("term"))
       .limit(20)
@@ -1555,10 +1565,12 @@ object TextAnalysis {
        |tot AS (SELECT CAST(SUM(a) AS BIGINT) ta,
        |  CAST(SUM(b) AS BIGINT) tb FROM grid)
        |SELECT term, a AS en_tf, b AS rest_tf,
-       |  a * tb > b * ta AS enriched,
+       |  CAST(a AS HUGEINT) * tb > CAST(b AS HUGEINT) * ta AS enriched,
        |  CAST(ta + tb AS DOUBLE)
-       |    * (CAST(a * tb - b * ta AS DOUBLE)
-       |      * CAST(a * tb - b * ta AS DOUBLE))
+       |    * (CAST(CAST(a AS HUGEINT) * tb
+       |        - CAST(b AS HUGEINT) * ta AS DOUBLE)
+       |      * CAST(CAST(a AS HUGEINT) * tb
+       |        - CAST(b AS HUGEINT) * ta AS DOUBLE))
        |    / (CAST(a + b AS DOUBLE) * CAST(ta + tb - a - b AS DOUBLE)
        |      * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS chi2
        |FROM grid, tot

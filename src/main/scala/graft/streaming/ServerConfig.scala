@@ -76,11 +76,16 @@ object ServerConfig {
   }
 
   /** CLI parity with the reference: `-c/--config-file`, `-s/--socket`,
-    * `-p/--port`, `-d/--debug`, plus `--ping-interval`.
+    * `--ssl-key`, `--ssl-cert`, `-p/--port`, `-d/--debug`
+    * (evtstrd/cmdargs.py:10-17), plus `--ping-interval`. Flags
+    * override the config file, exactly as cmdargs.py:22-31 applies
+    * them after read_config.
     */
   def parseArgs(args: Array[String]): ServerConfig = {
     var cfg: Option[ServerConfig] = None
     var socket: Option[String] = None
+    var sslKey: Option[String] = None
+    var sslCert: Option[String] = None
     var port: Option[Int] = None
     var ping: Option[Long] = None
     var debug = false
@@ -96,6 +101,8 @@ object ServerConfig {
         case f @ ("-c" | "--config-file") =>
           cfg = Some(readConfig(value(f))); i += 2
         case f @ ("-s" | "--socket") => socket = Some(value(f)); i += 2
+        case f @ "--ssl-key" => sslKey = Some(value(f)); i += 2
+        case f @ "--ssl-cert" => sslCert = Some(value(f)); i += 2
         case f @ ("-p" | "--port") => port = Some(value(f).toInt); i += 2
         case f @ "--ping-interval" => ping = Some(value(f).toLong); i += 2
         case "-d" | "--debug" => debug = true; i += 1
@@ -110,6 +117,8 @@ object ServerConfig {
     }
     base.copy(
       socketFile = socket.getOrElse(base.socketFile),
+      keyFile = sslKey.orElse(base.keyFile),
+      certFile = sslCert.orElse(base.certFile),
       httpPort = port.getOrElse(base.httpPort),
       pingIntervalSec = ping.getOrElse(base.pingIntervalSec),
       debug = debug)

@@ -44,4 +44,35 @@ class ServerConfigSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       ServerConfig.parseArgs(Array("--port")))
   }
+
+  test("--ssl-key/--ssl-cert flags (cmdargs.py:12-13) override config") {
+    // flags alone enable TLS, exactly like the reference's start.sh
+    // pattern of passing cert/key on the command line
+    val flagsOnly = ServerConfig.parseArgs(
+      Array("--ssl-key", "/tmp/k.pem", "--ssl-cert", "/tmp/c.pem"))
+    assert(flagsOnly.keyFile.contains("/tmp/k.pem"))
+    assert(flagsOnly.certFile.contains("/tmp/c.pem"))
+    assert(flagsOnly.tls.contains(("/tmp/c.pem", "/tmp/k.pem")))
+
+    // flags override the config-file SSLKeyFile/SSLCertificateFile
+    // (cmdargs.py:26-29 applies args AFTER read_config)
+    val f = Files.createTempFile("graft-conf", ".conf")
+    Files.writeString(f, """[General]
+      |SSLCertificateFile = /etc/old-cert.pem
+      |SSLKeyFile = /etc/old-key.pem
+      |""".stripMargin)
+    val c = ServerConfig.parseArgs(
+      Array("-c", f.toString, "--ssl-key", "/tmp/new-k.pem",
+        "--ssl-cert", "/tmp/new-c.pem"))
+    assert(c.tls.contains(("/tmp/new-c.pem", "/tmp/new-k.pem")))
+    // one flag overrides its half only; the other half keeps config
+    val half = ServerConfig.parseArgs(
+      Array("-c", f.toString, "--ssl-key", "/tmp/new-k.pem"))
+    assert(half.tls.contains(("/etc/old-cert.pem", "/tmp/new-k.pem")))
+    // a key alone (no cert anywhere) must NOT enable TLS
+    // (config.py with_ssl requires both)
+    val keyOnly = ServerConfig.parseArgs(Array("--ssl-key", "/tmp/k.pem"))
+    assert(keyOnly.tls.isEmpty)
+    Files.delete(f)
+  }
 }

@@ -96,6 +96,26 @@ class TlsSpec extends AnyFunSuite {
     Files.delete(conf)
   }
 
+  test("--ssl-key/--ssl-cert CLI flags drive a real TLS endpoint") {
+    // the reference's start.sh pattern: cert/key passed as flags, no
+    // config file at all (evtstrd/cmdargs.py:12-13,26-29)
+    val cfg = ServerConfig.parseArgs(
+      Array("--ssl-cert", fixture("cert.pem"), "--ssl-key", fixture("key.pem")))
+    assert(cfg.tls.contains((fixture("cert.pem"), fixture("key.pem"))))
+    val server = new SseServer(0, pingIntervalSec = 3600, tls = cfg.tls)
+    try {
+      val sock = Tls.clientContext(fixture("cert.pem"))
+        .getSocketFactory
+        .createSocket("127.0.0.1", server.actualPort)
+        .asInstanceOf[SSLSocket]
+      sock.startHandshake()
+      assert(sock.getSession.isValid)
+      writeHead(sock, "/events?subsystem=cliflags")
+      assert(read(sock, "\r\n\r\n").startsWith("HTTP/1.1 200"))
+      sock.close()
+    } finally server.close()
+  }
+
   test("wedged subscriber is reaped by the write watchdog") {
     val server =
       new SseServer(0, pingIntervalSec = 3600, writeTimeoutMs = 500)
