@@ -395,24 +395,31 @@ object Graph {
     // note), so the driver hop adds no memory class and removes the
     // per-half-step checkpoint + 1-row-max + rescale stages that were
     // most of the 3s fixed floor at bench scale.
-    def halfStep(scores: Seq[(Long, Long)], joinSide: String,
-        outSide: String): Seq[(Long, Long)] = {
-      val sdf = scores.toDF("node", "x")
-      val raw = directed
-        .join(broadcast(sdf), directed(joinSide) === sdf("node"))
-        .groupBy(col(outSide))
-        .agg(sum(col("x") * col("w")).as("x"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def normalize(raw: Array[(Long, Long)]): Seq[(Long, Long)] = {
       val mx = raw.map(_._2).max
       raw.map { case (n, x) => (n, x * 1000000L / mx) }.toSeq
     }
-    var hubs = directed.select(col("src")).distinct().collect()
-      .map(r => (r.getLong(0), 1000000L)).toSeq
-    var auths: Seq[(Long, Long)] = Seq.empty
-    for (_ <- 1 to 2) {
-      auths = halfStep(hubs, "src", "dst")
-      hubs = halfStep(auths, "dst", "src")
+    def halfStep(scores: Seq[(Long, Long)], joinSide: String,
+        outSide: String): Seq[(Long, Long)] = {
+      val sdf = scores.toDF("node", "x")
+      normalize(directed
+        .join(broadcast(sdf), directed(joinSide) === sdf("node"))
+        .groupBy(col(outSide))
+        .agg(sum(col("x") * col("w")).as("x"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
     }
+    // First half-step folded: every hub starts at exactly 10⁶, so
+    // auths₁ = Σ 10⁶·w per dst needs NO score join and no initial
+    // distinct-src job — one aggregate over the cached edges replaces
+    // the two jobs the generic half-step would take (values identical:
+    // the old join hit every src with x = 10⁶).
+    var auths = normalize(directed
+      .groupBy(col("dst"))
+      .agg(sum(col("w") * lit(1000000L)).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    var hubs = halfStep(auths, "dst", "src")
+    auths = halfStep(hubs, "src", "dst")
+    hubs = halfStep(auths, "dst", "src")
     def top(kind: String, xs: Seq[(Long, Long)]) = xs
       .map { case (n, x) => (kind, n / 2, x) }
       .sortBy { case (_, e, x) => (-x, e) }.take(15)

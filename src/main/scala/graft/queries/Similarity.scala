@@ -1746,6 +1746,12 @@ object Similarity {
     val projCols = (0 until JlK).map(j =>
       expr(s"CAST(${jlTermSql(j, i => s"element_at(v, $i)")} AS BIGINT)")
         .as(s"p$j"))
+    // localCheckpoint: without it the optimizer inlines all 16
+    // 64-term sign polynomials into BOTH sides of the self-join —
+    // 2×16×64 literal-coefficient terms of codegen for a 40-row
+    // relation (3.1s of compilation, constant in data size).
+    // Materializing the 40 projected rows once makes the join read
+    // plain columns; the projection itself stays one narrow map.
     val proj = vectors(spark, dir)
       .where(col("vec_id") < 40)
       .select(
@@ -1753,6 +1759,7 @@ object Similarity {
       .select(
         col("vec_id"), col("v"),
         array((0 until JlK).map(j => col(s"p$j")): _*).as("p"))
+      .localCheckpoint(eager = false)
     val a = proj.select(
       col("vec_id").as("a"), col("v").as("va"), col("p").as("pa"))
     val b = proj.select(

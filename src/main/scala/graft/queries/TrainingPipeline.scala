@@ -1667,6 +1667,13 @@ object TrainingPipeline {
     */
   def sourceCoverageGreedy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // persisted PRE-PARTITIONED on the anti-join key: every round's
+    // anti-join reads both sides (remaining = !isin slice, covered =
+    // isin slice) out of this one cache with shingle partitioning
+    // already in place — the 5 rounds run exchange-free on the
+    // shingle grain instead of re-shuffling the full relation per
+    // round (the round-8 cost was exactly that: isin+distinct
+    // re-derived and re-shuffled the covered set every round)
     val ps = Dedup.shingles(spark, dir)
       .join(
         Tables.read(spark, dir, "documents")
@@ -1674,6 +1681,7 @@ object TrainingPipeline {
         "doc_id")
       .select(col("source"), col("shingle"))
       .distinct()
+      .repartition(col("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ps.count() // materialize once; 5 rounds re-read it
     var picked = Vector.empty[(Long, String, Long, Long)]
@@ -1686,8 +1694,12 @@ object TrainingPipeline {
           else ps
             .where(!col("source").isin(pickedNames: _*))
             .join(
+              // no distinct: LEFT ANTI is insensitive to duplicate
+              // right-side keys, and the slice already carries the
+              // cache's shingle partitioning — dedup would only add
+              // an aggregate to save the join nothing
               ps.where(col("source").isin(pickedNames: _*))
-                .select(col("shingle")).distinct(),
+                .select(col("shingle")),
               Seq("shingle"), "left_anti")
         val best = remaining
           .groupBy(col("source")).agg(count(lit(1)).as("gain"))
