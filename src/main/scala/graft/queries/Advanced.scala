@@ -372,47 +372,26 @@ object Advanced {
     * exact_median treats a 1-unit and 50-unit line identically).
     * Stated rule: smallest value whose cumulative weight reaches half
     * the total (2·cum ≥ W, pure integer — no float half). The flag
-    * partitions are fact-sized, so cumulative weights use the
-    * ks_test/equidepth SHARDED prefix sum — (flag, $5k-price-shard)
+    * partitions are fact-sized, so cumulative weights ride the shared
+    * [[Statistics.cumWeightHist]] kernel — (flag, value-shard)
     * partitioned running sums plus triangular cross-shard offsets
     * over the per-flag shard-total grid — never a 3-partition window
     * over a fact-sized histogram. One histogram shuffle; everything
     * after is shard-grid-sized.
     */
-  private val WMedShard = 500000L // $5k price shards, cents
-
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.read(spark, dir, "lineitem")
+    // checkpointed: the kernel's bounds/grid/slice passes re-read
+    // this one quantized scan instead of re-running it
+    val rows = Tables.read(spark, dir, "lineitem")
       .select(
         col("l_returnflag").as("flag"),
         Quantize.cents(col("l_extendedprice")).as("vc"),
         Quantize.cents(col("l_quantity")).as("wt"))
-      .groupBy(col("flag"), col("vc"))
-      .agg(sum(col("wt")).as("w"))
-      .withColumn("shard", expr(s"vc div $WMedShard"))
-      // three consumers below (shard totals, per-flag totals, the
-      // ranked join) — without the pin each re-ran the fact scan +
-      // (flag, vc) aggregate
       .localCheckpoint(eager = false)
-    val shardTot = hist.groupBy(col("flag"), col("shard"))
-      .agg(sum(col("w")).as("tot"))
-      .localCheckpoint(eager = false) // both sides of the offsets join
-    val offsets = shardTot
-      .join(
-        broadcast(shardTot.toDF("flag2", "s2", "t2")),
-        col("flag") === col("flag2") && col("s2") < col("shard"), "left")
-      .groupBy(col("flag"), col("shard"))
-      .agg(coalesce(sum(col("t2")), lit(0L)).as("cum_off"))
-    val wsh = Window.partitionBy(col("flag"), col("shard")).orderBy(col("vc"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = hist.groupBy(col("flag")).agg(sum(col("w")).as("wtot"))
-    hist
-      .join(broadcast(offsets), Seq("flag", "shard"))
-      .withColumn("cum", sum(col("w")).over(wsh) + col("cum_off"))
-      .join(broadcast(totals), "flag")
-      .where(col("cum") * 2 >= col("wtot"))
-      .groupBy(col("flag"))
-      .agg(min(col("vc")).as("wmedian_cents"), max(col("wtot")).as("total_weight"))
+    Statistics.lowerMedianBy(rows, Seq("flag"), "vc", Some("wt"))
+      .select(
+        col("flag"), col("med").as("wmedian_cents"),
+        col("wtot").as("total_weight"))
       .orderBy("flag")
   }
 

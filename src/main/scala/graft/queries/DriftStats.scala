@@ -769,39 +769,26 @@ object DriftStats {
     * conditional-aggregation wide-row chain as anova_f.
     *
     * Plan shape: one histogram aggregate (flag × cent value) with
-    * cumulatives via the (flag, value-shard)-partitioned prefix sums
-    * + triangular broadcast offsets (never a 3-partition window over
-    * a fact-sized histogram), 3-row median broadcast back onto a
-    * second fact scan, ONE wide-row conditional aggregate.
+    * cumulatives via the shared [[Statistics.cumWeightHist]] kernel
+    * ((flag, value-shard)-partitioned prefix sums + triangular
+    * broadcast offsets — never a 3-partition window over a fact-sized
+    * histogram), 3-row median broadcast back onto a second fact scan,
+    * ONE wide-row conditional aggregate.
     */
   def leveneBf(spark: SparkSession, dir: String): DataFrame = {
     val c = Quantize.cents(col("l_extendedprice"))
+    // checkpointed: the kernel's bounds/grid/slice passes and the
+    // deviation scan all re-read this one quantized relation
     val rows = Tables.read(spark, dir, "lineitem")
       .select(col("l_returnflag").as("g"), c.as("c"))
-    val hist = rows.groupBy(col("g"), col("c"))
-      .agg(count(lit(1)).as("cnt"))
-    val width = hist.agg(expr("max(c) div 64 + 1").as("w"))
-    val sharded = hist.crossJoin(broadcast(width))
-      .withColumn("shard", expr("c div w"))
       .localCheckpoint(eager = false)
-    val wIn = Window.partitionBy(col("g"), col("shard")).orderBy(col("c"))
-    val inShard = sharded.withColumn("cum_in", sum(col("cnt")).over(wIn))
-    val shardTotals = sharded.groupBy(col("g"), col("shard"))
-      .agg(sum(col("cnt")).as("t"))
-    val offsets = shardTotals.as("a")
-      .join(
-        broadcast(shardTotals.as("b")),
-        col("b.g") === col("a.g") && col("b.shard") < col("a.shard"),
-        "left")
-      .groupBy(col("a.g").as("g"), col("a.shard").as("shard"))
-      .agg(coalesce(sum(col("b.t")), lit(0L)).as("off"))
-    val totals = hist.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
-    val medians = inShard
-      .join(broadcast(offsets), Seq("g", "shard"))
-      .join(broadcast(totals), "g")
-      .where((col("off") + col("cum_in")) * 2 >= col("n_g"))
-      .groupBy(col("g"))
-      .agg(min(col("c")).as("med"))
+    // exact lower medians via the shared order-statistics kernel;
+    // the 3-row result is checkpointed because it feeds TWO broadcast
+    // consumers (the deviation join and the medWide pivot) — without
+    // the pin the whole probe machinery evaluated twice
+    val medians = Statistics.lowerMedianBy(rows, Seq("g"), "c", None)
+      .select(col("g"), col("med"))
+      .localCheckpoint(eager = false)
     val dev = rows.join(broadcast(medians), "g")
       .select(col("g"), abs(col("c") - col("med")).as("z"))
     val wide = dev.agg(

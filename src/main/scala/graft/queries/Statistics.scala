@@ -21,6 +21,96 @@ import org.apache.spark.sql.functions._
   */
 object Statistics {
 
+  /** THE shared exact-order-statistics kernel: per-key exact LOWER
+    * WEIGHTED MEDIAN — the smallest value whose cumulative weight
+    * reaches ⌈W/2⌉ (2·cum ≥ W, pure integer) — over ROW-grain input
+    * `(keys..., value: long, weight)`. Output: one row per key with
+    * `med` and `wtot`.
+    *
+    * Two-pass probe, the shape a 100 TB quantile wants — NO
+    * fact-sized shuffle anywhere:
+    *  1. a 1-row bounds collect (the suite's bounded driver-
+    *     arithmetic exception) sizes ≤65 ORDERED value shards to the
+    *     observed range ((hi−lo) div 64 + 1 — a fixed width blows the
+    *     shard count on a wider domain, the round-7 mannwhitney
+    *     lesson);
+    *  2. one map-side-combinable aggregate to the (keys × shard)
+    *     GRID (≤ 65·|keys| rows — callers must have bounded key
+    *     cardinality); a triangular broadcast self-join over the grid
+    *     locates each key's CROSSING shard and its prefix offset;
+    *  3. the fact re-scan keeps only each key's crossing shard
+    *     (broadcast semi-filter, ~1/64 of values) and resolves the
+    *     exact median with a keys-partitioned window over that slice
+    *     — partition size is value-domain/64-bounded, never
+    *     fact-bounded.
+    *
+    * Shard boundaries cannot affect the result (any contiguous
+    * sharding telescopes to the same prefix), so callers that
+    * previously rolled their own full prefix sums keep bit-identical
+    * medians. Consumers: weighted_median, levene_bf, median_merge
+    * (per-content-shard medians). The same prefix-sum discipline
+    * inlined at ks_test / wasserstein_1d / spearman_rho / theil_sen
+    * needs EVERY cumulative, not one probe, and predates this kernel.
+    */
+  private[queries] def lowerMedianBy(
+      rows: DataFrame, keys: Seq[String], value: String,
+      weight: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val w = weight.map(col).getOrElse(lit(1L))
+    val b = rows
+      .agg(min(col(value)).cast("long"), max(col(value)).cast("long"))
+      .head
+    val lo = b.getLong(0)
+    val wd = (b.getLong(1) - lo) / 64 + 1
+    // (value − lo) ≥ 0, so truncating div IS floor and shard order
+    // follows value order
+    val shard = expr(s"($value - ${lo}L) div ${wd}L")
+    val grid = rows
+      .groupBy((keyCols :+ shard.as("shard_")): _*)
+      .agg(sum(w).as("t_"))
+      .localCheckpoint(eager = false) // 4 grid-sized consumers
+    val wtot =
+      grid.groupBy(keyCols: _*).agg(sum(col("t_")).as("wtot"))
+    val sameKeyLe = keys
+      .map(k => col(s"b.$k") <=> col(s"a.$k"))
+      .foldLeft(col("b.shard_") <= col("a.shard_"))(_ && _)
+    // crossing shard per key: first shard whose grid-cumulative
+    // reaches the target rank; min(struct) picks (shard, offset)
+    // atomically on the shard order
+    val star = grid.as("a")
+      .join(broadcast(grid.as("b")), sameKeyLe)
+      .groupBy(
+        (keys.map(k => col(s"a.$k").as(k)) :+ col("a.shard_").as("shard_")
+          :+ col("a.t_").as("t_")): _*)
+      .agg(sum(col("b.t_")).as("cumg_"))
+      .join(broadcast(wtot), keys)
+      .where(col("cumg_") * 2 >= col("wtot"))
+      .groupBy(keyCols: _*)
+      .agg(min(struct(col("shard_"), (col("cumg_") - col("t_")).as("off_")))
+        .as("sel_"), max(col("wtot")).as("wtot"))
+      // fresh aliases: star descends from `rows`, so un-renamed key
+      // columns would carry the same attribute ids into the join
+      .select(
+        (keys.map(k => col(k).as(s"${k}__k"))
+          :+ col("sel_.shard_").as("vshard__")
+          :+ col("sel_.off_").as("off_") :+ col("wtot")): _*)
+    val slice = rows
+      .join(broadcast(star),
+        keys.map(k => col(k) <=> col(s"${k}__k"))
+          .reduce(_ && _) && shard === col("vshard__"))
+      .groupBy((keyCols :+ col(value).as("v_")
+        :+ col("off_") :+ col("wtot")): _*)
+      .agg(sum(w).as("wv_"))
+    val wsl = Window.partitionBy(keyCols: _*).orderBy(col("v_"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slice
+      .withColumn("cum_", sum(col("wv_")).over(wsl) + col("off_"))
+      .where(col("cum_") * 2 >= col("wtot"))
+      .groupBy(keyCols: _*)
+      .agg(min(col("v_")).as("med"), max(col("wtot")).as("wtot"))
+  }
+
   /** Per-event-type z-score outlier report: moment sums in integer
     * cents, then mean/outlier-count from the closed form — a row is an
     * outlier when |x - mean| > 2·stddev (sample stddev), tested as
@@ -1879,27 +1969,36 @@ object Statistics {
     * hash beside the shard count. Exact medians stay shard-local; the
     * merge sees 16 rows.
     *
-    * Plan shape: one shuffle into shard-partitioned rank windows
-    * (never unpartitioned — shards bound every partition), a 16-row
-    * broadcast self-join for the weighted-median prefix (the lorenz
-    * offsets pattern), and one conditional-sum audit scan. At 100 TB
-    * the shard medians are partition summaries and the merge is
+    * Plan shape: one (shard, value) histogram aggregate feeding the
+    * shared [[cumWeightHist]] kernel (never an unpartitioned or
+    * 16-partition rank window over the fact), a 16-row broadcast
+    * self-join for the weighted-median prefix (the lorenz offsets
+    * pattern), and one conditional-sum audit scan. At 100 TB the
+    * shard medians are partition summaries and the merge is
     * driver-sized.
     */
   def medianMerge(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // checkpointed: the md5 bucket evaluates ONCE — three consumers
+    // (shard medians, total, the rank audit) otherwise each re-ran
+    // the fact scan with a per-row md5
     val xs = Tables.read(spark, dir, "lineitem")
       .select(
         Quantize.cents(col("l_extendedprice")).as("x"),
         ContentHash.bucket(
           concat(col("l_orderkey"), lit(":"), col("l_linenumber")), 16)
           .as("shard"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("x"))
-    val stats = xs.groupBy(col("shard")).agg(count(lit(1)).as("ns"))
-    val med = xs.withColumn("rk", row_number().over(w))
-      .join(broadcast(stats), "shard")
-      .where(col("rk") === expr("(ns + 1) div 2"))
-      .select(col("shard"), col("x").as("m"), col("ns"))
+      .localCheckpoint(eager = false)
+    // per-shard exact lower median from the shared probe kernel: the
+    // k-th smallest at k = (ns+1) div 2 is the smallest value whose
+    // cumulative count reaches k — value-identical to the old
+    // per-shard row_number pick under ties, without the 16-partition
+    // full sort of the fact table
+    // 16-row pin: both sides of the triangular prefix self-join and
+    // the est probe read this — unpinned, the whole probe kernel
+    // evaluated once per consumer
+    val med = lowerMedianBy(xs, Seq("shard"), "x", None)
+      .select(col("shard"), col("med").as("m"), col("wtot").as("ns"))
+      .localCheckpoint(eager = false)
     val tot = xs.agg(count(lit(1)).as("n"))
     val cum = med.as("a")
       .join(
