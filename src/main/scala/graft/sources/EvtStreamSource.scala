@@ -82,7 +82,8 @@ final class EvtStreamTable(properties: util.Map[String, String])
             Option(options.get("owner")),
             Option(options.get("group")),
             Option(options.get("maxLinesPerBatch")).map(_.toLong),
-            Option(options.get("partitionsPerBatch")).map(_.toInt))
+            Option(options.get("partitionsPerBatch")).map(_.toInt),
+            Option(options.get("spool")))
       }
 }
 
@@ -90,6 +91,19 @@ final case class LineOffset(count: Long) extends Offset {
   override def json(): String = count.toString
 }
 
+/** @param spool durable-replay WAL mode: every received line is
+  *   appended to this file BEFORE it becomes visible to the engine
+  *   (write-ahead), the file is fsync'd at each batch commit, and a
+  *   fresh instance recovers the full line history from it — so a
+  *   checkpointed query can restart across a process kill with no
+  *   loss of spooled-but-unprocessed events and no replay of
+  *   committed ones. Without it, a live socket has no history
+  *   (evtstrd/socket_server.py:82-92 has the same property) and a
+  *   restart-from-checkpoint fails fast in planInputPartitions. A
+  *   torn trailing line from a mid-write crash is truncated at
+  *   recovery (it was never visible to the engine: visibility
+  *   follows the completed write).
+  */
 final class EvtStreamMicroBatch(
     path: Option[String],
     port: Option[Int],
@@ -97,7 +111,8 @@ final class EvtStreamMicroBatch(
     socketOwner: Option[String] = None,
     socketGroup: Option[String] = None,
     maxLinesPerBatch: Option[Long] = None,
-    partitionsPerBatch: Option[Int] = None)
+    partitionsPerBatch: Option[Int] = None,
+    spool: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   maxLinesPerBatch.foreach(m => require(m > 0,
     s"maxLinesPerBatch must be positive, got $m (0 would stall the " +
@@ -158,6 +173,39 @@ final class EvtStreamMicroBatch(
       .asInstanceOf[InetSocketAddress].getPort.toString
   }
 
+  // WAL recovery + append channel — set up BEFORE the accept loop so
+  // no live line can interleave with the recovered history
+  private val spoolChannel: Option[java.nio.channels.FileChannel] =
+    spool.map { f =>
+      val p = Path.of(f)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      if (Files.exists(p)) {
+        val bytes = Files.readAllBytes(p)
+        val lastNl = bytes.lastIndexOf('\n'.toByte)
+        val completeLen = lastNl + 1 // 0 when no newline at all
+        if (completeLen < bytes.length) {
+          // torn tail from a mid-write crash: the line never became
+          // visible to the engine (visibility follows the completed
+          // write), so truncating it cannot lose checkpointed data
+          val fc = java.nio.channels.FileChannel.open(
+            p, java.nio.file.StandardOpenOption.WRITE)
+          try fc.truncate(completeLen.toLong)
+          finally fc.close()
+        }
+        if (completeLen > 0) {
+          val recovered = new String(bytes, 0, completeLen,
+            StandardCharsets.UTF_8).split("\n", -1).dropRight(1)
+          lines ++= recovered
+          EvtStreamSource.buffered.put(instanceKey, lines.size)
+        }
+      }
+      java.nio.channels.FileChannel.open(
+        p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
   private val acceptThread = new Thread(() => {
     while (running.get()) {
       try {
@@ -180,6 +228,11 @@ final class EvtStreamMicroBatch(
         .takeWhile(_ != null) // EOF ends this producer (util.py:20-21)
         .foreach { line =>
           lines.synchronized {
+            // WRITE-AHEAD: the spool append precedes buffer
+            // visibility, so any offset the engine checkpoints is
+            // backed by spooled bytes (fsync'd at batch commit)
+            spoolChannel.foreach(_.write(java.nio.ByteBuffer.wrap(
+              (line + "\n").getBytes(StandardCharsets.UTF_8))))
             lines += line
             EvtStreamSource.buffered.put(instanceKey, lines.size)
           }
@@ -255,7 +308,8 @@ final class EvtStreamMicroBatch(
         throw new IllegalStateException(
           s"evtstream offset range [$s, $e) outside buffered window " +
             s"[$committed, ${committed + lines.size}); checkpointed data " +
-            "is not replayable from a live socket — start a fresh query")
+            "is not replayable from a live socket — start a fresh query, " +
+            "or run with the `spool` option for durable-replay restarts")
       lines.slice((s - committed).toInt, (e - committed).toInt).toArray
     }
     // contiguous chunks so each partition's rows keep consecutive
@@ -284,6 +338,11 @@ final class EvtStreamMicroBatch(
     }
 
   override def commit(end: Offset): Unit = {
+    // WAL batch boundary: everything the batch read is on disk before
+    // the engine records it committed
+    spoolChannel.foreach(ch =>
+      try ch.force(false)
+      catch { case _: Exception => () })
     val e = end.asInstanceOf[LineOffset].count
     lines.synchronized {
       val drop = (e - committed).toInt
@@ -295,6 +354,9 @@ final class EvtStreamMicroBatch(
     running.set(false)
     try channel.close()
     catch { case _: Exception => () }
+    spoolChannel.foreach(ch =>
+      try ch.close()
+      catch { case _: Exception => () })
     EvtStreamSource.buffered.remove(instanceKey)
     path.foreach(p =>
       try Files.deleteIfExists(Path.of(p))

@@ -34,7 +34,9 @@ final class EventStreamServer(
     socketGroup: Option[String] = None,
     tls: Option[(String, String)] = None,
     partitionsPerBatch: Option[Int] = None,
-    writeTimeoutMs: Long = 10_000L) {
+    writeTimeoutMs: Long = 10_000L,
+    spool: Option[String] = None,
+    checkpointLocation: Option[String] = None) {
 
   val sse = new SseServer(httpPort, pingIntervalSec, auth, tls, writeTimeoutMs)
 
@@ -45,6 +47,10 @@ final class EventStreamServer(
   socketOwner.foreach(o => reader.option("owner", o))
   socketGroup.foreach(g => reader.option("group", g))
   partitionsPerBatch.foreach(p => reader.option("partitionsPerBatch", p.toString))
+  // durable-replay mode: spool WAL + checkpoint together give
+  // kill-and-restart with no loss of unprocessed events and no replay
+  // of committed ones (see EvtStreamMicroBatch's spool doc)
+  spool.foreach(f => reader.option("spool", f))
   private val lines: DataFrame = reader.load()
 
   /** Above this registry size the per-batch plan would unroll too many
@@ -131,12 +137,15 @@ final class EventStreamServer(
       }
   }
 
-  val query: StreamingQuery = EventStreamPipeline
-    .parseLines(lines)
-    .writeStream
-    .outputMode("append")
-    .foreachBatch(deliverBatch _)
-    .start()
+  val query: StreamingQuery = {
+    val w = EventStreamPipeline
+      .parseLines(lines)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(deliverBatch _)
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 
   def processAllAvailable(): Unit = query.processAllAvailable()
 

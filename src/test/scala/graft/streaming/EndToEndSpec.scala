@@ -435,6 +435,88 @@ class EndToEndSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("kill-and-restart with spool WAL: no loss, no replay through SSE") {
+    // A live socket has no history (socket_server.py:82-92), so a
+    // restarted checkpointed query would otherwise fail fast. With the
+    // spool WAL: events received-but-unprocessed at the kill survive
+    // to the restarted run (no loss), and events committed before the
+    // kill are not re-delivered (no replay) — proven through the SSE
+    // sink with the REAL source, not MemoryStream.
+    val tag = System.nanoTime()
+    val sockPath = s"/tmp/graft-wal-$tag.sock"
+    val spoolFile = s"/tmp/graft-wal-$tag.spool"
+    val ckpt = s"/tmp/graft-wal-$tag.ckpt"
+    def connectProducer() = {
+      val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+      ch.connect(UnixDomainSocketAddress.of(sockPath))
+      new OutputStreamWriter(
+        Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+    }
+    def event(id: Int) =
+      s"""{"action": "notify", "subsystem": "jobs", "event": "add",""" +
+        s""" "data": {"k": $id}, "id": "w$id"}""" + "\n"
+    def awaitBuffered(n: Int): Unit = {
+      val dl = System.currentTimeMillis() + 15000
+      while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < n
+        && System.currentTimeMillis() < dl) Thread.sleep(50)
+    }
+
+    // run 1: deliver w1/w2 through the live socket (exercising the
+    // receive -> write-ahead-spool -> visibility path) and commit them
+    val run1 = new EventStreamServer(
+      spark, socketPath = Some(sockPath), pingIntervalSec = 3600,
+      spool = Some(spoolFile), checkpointLocation = Some(ckpt))
+    try {
+      val sub1 = httpGet(run1.sse.actualPort, "/events?subsystem=jobs")
+      readAvailable(sub1, "\r\n\r\n")
+      val pw = connectProducer()
+      pw.write(event(1)); pw.write(event(2)); pw.flush()
+      awaitBuffered(2)
+      run1.processAllAvailable()
+      val body1 = readAvailable(sub1, "id: w2")
+      assert(body1.contains("id: w1") && body1.contains("id: w2"), got(body1))
+      sub1.close()
+    } finally run1.close()
+
+    // the kill state: w3..w5 were spool-appended but the engine never
+    // saw them (write-ahead order: spool precedes visibility, and the
+    // continuous trigger would otherwise race to commit them before a
+    // stop) — plus a TORN trailing line from a mid-write crash, which
+    // recovery must truncate, not parse
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(spoolFile),
+      (event(3) + event(4) + event(5) +
+        """{"action": "notif""").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+
+    // run 2: same spool + checkpoint; a fresh subscriber must receive
+    // EXACTLY w3..w5, in order, once — w1/w2 were committed pre-kill
+    val run2 = new EventStreamServer(
+      spark, socketPath = Some(sockPath), pingIntervalSec = 3600,
+      spool = Some(spoolFile), checkpointLocation = Some(ckpt))
+    try {
+      val sub2 = httpGet(run2.sse.actualPort, "/events?subsystem=jobs")
+      readAvailable(sub2, "\r\n\r\n")
+      run2.processAllAvailable()
+      val body2 = readAvailable(sub2, "id: w5")
+      assert(!body2.contains("id: w1"), got(body2)) // no replay
+      assert(!body2.contains("id: w2"), got(body2))
+      Seq(3, 4, 5).foreach { i =>
+        assert(body2.contains(s"id: w$i"), got(body2)) // no loss
+        // exactly once: the id appears a single time
+        assert(body2.indexOf(s"id: w$i") == body2.lastIndexOf(s"id: w$i"),
+          got(body2))
+      }
+      // arrival order survives the restart
+      assert(body2.indexOf("id: w3") < body2.indexOf("id: w4"))
+      assert(body2.indexOf("id: w4") < body2.indexOf("id: w5"))
+      sub2.close()
+    } finally {
+      run2.close()
+      java.nio.file.Files.deleteIfExists(java.nio.file.Path.of(spoolFile))
+    }
+  }
+
   test("blank query values are dropped like parse_qs keep_blank_values=False") {
     val sse = new SseServer(pingIntervalSec = 3600)
     try {
@@ -446,6 +528,89 @@ class EndToEndSpec extends AnyFunSuite {
       val sub = httpGet(port, "/events?subsystem=jobs&filter=")
       assert(readAvailable(sub, "\r\n\r\n", 5000).startsWith("HTTP/1.1 200"))
       sub.close()
+    } finally sse.close()
+  }
+
+  test("subscription churn during an active fan-out burst (dispatcher.py:91-93)") {
+    // the reference dispatches over a COPY of the listener bucket so
+    // registry mutation during a fan-out cannot corrupt iteration; pin
+    // the same live semantics: subscribe AND unsubscribe while a burst
+    // is in flight — the new subscriber sees only post-subscribe
+    // events, the removed one stops cleanly, and the healthy peer
+    // receives every event exactly once, in order
+    def idFrame(i: Int) = s"id: c-$i\r" // trailing CR: c-3 must not match c-30
+    val sse = new SseServer(pingIntervalSec = 3600)
+    try {
+      val steady = httpGet(sse.actualPort, "/events?subsystem=churn")
+      readAvailable(steady, "event: ping")
+      val early = httpGet(sse.actualPort, "/events?subsystem=churn")
+      readAvailable(early, "event: ping")
+      val dl0 = System.currentTimeMillis() + 10000
+      while (sse.allListeners.size < 2 && System.currentTimeMillis() < dl0)
+        Thread.sleep(10)
+      assert(sse.allListeners.size == 2)
+
+      val steadyBody = new StringBuilder
+      val steadyReader = new Thread(() => {
+        val g = readAvailable(steady, idFrame(399), 30000)
+        steadyBody.synchronized { steadyBody.append(g); () }
+      })
+      steadyReader.start()
+
+      @volatile var progress = -1
+      val burst = new Thread(() => {
+        var i = 0
+        while (i < 400) {
+          sse.notify("churn", "add", s"""{"i":$i}""", s"c-$i")
+          progress = i
+          i += 1
+          if (i % 50 == 0) Thread.sleep(10) // let churn interleave
+        }
+      })
+      burst.start()
+
+      // unsubscribe mid-burst: the client vanishes while frames fly
+      val dl1 = System.currentTimeMillis() + 20000
+      while (progress < 100 && System.currentTimeMillis() < dl1)
+        Thread.sleep(2)
+      early.close()
+
+      // subscribe mid-burst: registration happens strictly after
+      // event 200 was dispatched, so c-0..c-200 must never reach it
+      while (progress < 200 && System.currentTimeMillis() < dl1)
+        Thread.sleep(2)
+      val late = httpGet(sse.actualPort, "/events?subsystem=churn")
+      readAvailable(late, "\r\n\r\n")
+
+      burst.join(30000)
+      assert(!burst.isAlive, "burst thread wedged")
+      steadyReader.join(30000)
+      val lateBody = readAvailable(late, idFrame(399), 30000)
+      val sBody = steadyBody.synchronized(steadyBody.toString)
+
+      // healthy peer: every event present exactly once, in order
+      (0 until 400).foreach { i =>
+        val at = sBody.indexOf(idFrame(i))
+        assert(at >= 0, s"steady missed c-$i; ${got(sBody)}")
+        assert(sBody.lastIndexOf(idFrame(i)) == at, s"c-$i duplicated")
+      }
+      val positions = (0 until 400).map(i => sBody.indexOf(idFrame(i)))
+      assert(positions == positions.sorted, "steady order violated")
+
+      // late subscriber: tail only — nothing from before it joined
+      assert(lateBody.contains(idFrame(399)), got(lateBody))
+      Seq(0, 50, 100, 150, 200).foreach { i =>
+        assert(!lateBody.contains(idFrame(i)),
+          s"late subscriber replayed pre-subscribe event c-$i")
+      }
+
+      // the closed subscriber is eventually reaped from the registry
+      val dl2 = System.currentTimeMillis() + 15000
+      while (sse.allListeners.size > 2 && System.currentTimeMillis() < dl2)
+        Thread.sleep(50)
+      assert(sse.allListeners.size == 2,
+        s"early listener not deregistered: ${sse.allListeners.size}")
+      steady.close(); late.close()
     } finally sse.close()
   }
 
