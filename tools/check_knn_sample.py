@@ -60,9 +60,9 @@ WHERE vec_id % {MOD} = 0
 con.execute("""
 CREATE TABLE assigned AS
 SELECT vec_id, v, nrm,
-  (min(ROW(
+  (min({d2:
     CAST(list_sum(list_transform(range(1, len(v) + 1),
-      i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS BIGINT), c_id))).c_id cell
+      i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS BIGINT), c: c_id})).c cell
 FROM probe
 CROSS JOIN (SELECT vec_id c_id, v cv FROM vn WHERE vec_id % 53 = 0)
 GROUP BY vec_id, v, nrm""")
