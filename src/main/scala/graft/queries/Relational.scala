@@ -455,9 +455,10 @@ object Relational {
     * then region and grand totals re-aggregate from the nation grid
     * (never re-scanning facts) and broadcast back — ratios in integer
     * ppm of cents, so the division is floor-exact in both engines.
-    * Headroom: region_cents·10⁶ approaches 2^63 around 100× this SF —
-    * past that, swap the ppm arithmetic to DECIMAL(38,0) (the
-    * linreg_trend discipline); ANSI mode fails loud, not wrong.
+    * The ppm cross-products run in DECIMAL(38,0)/HUGEINT (the
+    * linreg_trend discipline): region_cents·10⁶ crosses 2^63 right at
+    * the 100× replica — the round-9 sf10 gate caught the raw-BIGINT
+    * form failing loud under ANSI there.
     */
   def shareOfParent(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables.read(spark, dir, "nation")
@@ -477,8 +478,10 @@ object Relational {
       .crossJoin(broadcast(total))
       .select(
         col("r_name"), col("n_name"), col("cents"),
-        expr("cents * 1000000 div r_cents").as("nation_share_ppm"),
-        expr("r_cents * 1000000 div t_cents").as("region_share_ppm"))
+        expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 div r_cents" +
+          " AS BIGINT)").as("nation_share_ppm"),
+        expr("CAST(CAST(r_cents AS DECIMAL(38,0)) * 1000000 div t_cents" +
+          " AS BIGINT)").as("region_share_ppm"))
       .orderBy("r_name", "n_name")
   }
 
@@ -495,8 +498,10 @@ object Relational {
        |  FROM bn GROUP BY 1),
        |t AS (SELECT CAST(sum(r_cents) AS BIGINT) t_cents FROM br)
        |SELECT bn.r_name, bn.n_name, bn.cents,
-       |  bn.cents * 1000000 // br.r_cents nation_share_ppm,
-       |  br.r_cents * 1000000 // t.t_cents region_share_ppm
+       |  CAST(CAST(bn.cents AS HUGEINT) * 1000000 // br.r_cents
+       |    AS BIGINT) nation_share_ppm,
+       |  CAST(CAST(br.r_cents AS HUGEINT) * 1000000 // t.t_cents
+       |    AS BIGINT) region_share_ppm
        |FROM bn JOIN br ON bn.r_name = br.r_name, t
        |ORDER BY bn.r_name, bn.n_name""".stripMargin
 

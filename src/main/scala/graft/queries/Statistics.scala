@@ -95,20 +95,25 @@ object Statistics {
         (keys.map(k => col(k).as(s"${k}__k"))
           :+ col("sel_.shard_").as("vshard__")
           :+ col("sel_.off_").as("off_") :+ col("wtot")): _*)
+    // ROW-grain running sum over the slice — deliberately NOT a
+    // value-grain pre-aggregate: with cent-exact values the slice has
+    // ~|slice| groups and the hash aggregate OOMs under concurrent
+    // tasks at the 100× replica, while a window sorts and spills
+    // gracefully. Correctness is tie-order-independent: cum is
+    // nondecreasing, so the FIRST crossing row's value is the median
+    // even if the crossing lands mid-way through a run of equal
+    // values (all later rows also cross; min(value) reads the first).
     val slice = rows
       .join(broadcast(star),
         keys.map(k => col(k) <=> col(s"${k}__k"))
           .reduce(_ && _) && shard === col("vshard__"))
-      .groupBy((keyCols :+ col(value).as("v_")
-        :+ col("off_") :+ col("wtot")): _*)
-      .agg(sum(w).as("wv_"))
-    val wsl = Window.partitionBy(keyCols: _*).orderBy(col("v_"))
+    val wsl = Window.partitionBy(keyCols: _*).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     slice
-      .withColumn("cum_", sum(col("wv_")).over(wsl) + col("off_"))
+      .withColumn("cum_", sum(w).over(wsl) + col("off_"))
       .where(col("cum_") * 2 >= col("wtot"))
       .groupBy(keyCols: _*)
-      .agg(min(col("v_")).as("med"), max(col("wtot")).as("wtot"))
+      .agg(min(col(value)).as("med"), max(col("wtot")).as("wtot"))
   }
 
   /** Per-event-type z-score outlier report: moment sums in integer
