@@ -1941,8 +1941,10 @@ object Analytics {
     * (mom_growth, whale_share) stop short of: whether discounts
     * actually buy volume. Mean quantities stay EXACT rationals —
     * q = S/n is never materialized; the elasticity cross-multiplies
-    * to ((S₂n₁−S₁n₂)(p₁+p₂)·10⁶) div ((p₁−p₂)(S₂n₁+S₁n₂)) with
-    * p = 100−d (so Δp = −1 per rung and the sign carries through),
+    * to ((S₂n₁−S₁n₂)(p₁+p₂)·10⁶) div ((p₂−p₁)(S₂n₁+S₁n₂)) with
+    * p = 100−d (Δp = p₂−p₁ = −1 per rung — the round-9 StatModelSpec
+    * sweep caught the earlier (p₁−p₂) form emitting −ε: demand rising
+    * as price falls MUST read as the textbook's negative elasticity),
     * DECIMAL(38,0) per the overflow convention. Emits the ladder
     * itself (n, Σqty per level) beside each ε.
     *
@@ -1968,7 +1970,7 @@ object Analytics {
         expr("""CAST(
           (CAST(s2 AS DECIMAL(38,0)) * n1 - CAST(s1 AS DECIMAL(38,0)) * n2)
             * ((100 - d1) + (100 - d2)) * 1000000
-          div (((100 - d1) - (100 - d2))
+          div (((100 - d2) - (100 - d1))
             * (CAST(s2 AS DECIMAL(38,0)) * n1
               + CAST(s1 AS DECIMAL(38,0)) * n2)) AS BIGINT)""")
           .as("elasticity_ppm"))
@@ -1986,7 +1988,7 @@ object Analytics {
       |  CAST(
       |    (CAST(b.s AS HUGEINT) * a.n - CAST(a.s AS HUGEINT) * b.n)
       |      * ((100 - a.d) + (100 - b.d)) * 1000000
-      |    // (((100 - a.d) - (100 - b.d))
+      |    // (((100 - b.d) - (100 - a.d))
       |      * (CAST(b.s AS HUGEINT) * a.n + CAST(a.s AS HUGEINT) * b.n))
       |    AS BIGINT) elasticity_ppm
       |FROM lv a JOIN lv b ON b.d = a.d + 1
