@@ -85,7 +85,9 @@ class Wave18Spec extends AnyFunSuite {
         val (n1, s1) = lv(d)
         val num = (BigInt(s2) * n1 - BigInt(s1) * n2) *
           ((100 - d) + (100 - (d + 1))) * 1000000
-        val den = BigInt((100 - d) - (100 - (d + 1))) *
+        // Δp = p₂ − p₁ (the round-9 sign fix: a volume gain on a
+        // price cut reads textbook-negative)
+        val den = BigInt((100 - (d + 1)) - (100 - d)) *
           (BigInt(s2) * n1 + BigInt(s1) * n2)
         (d, d + 1, n1, s1, n2, s2, (num / den).toLong)
       }
