@@ -1983,16 +1983,19 @@ object Statistics {
     * driver-sized.
     */
   def medianMerge(spark: SparkSession, dir: String): DataFrame = {
-    // checkpointed: the md5 bucket evaluates ONCE — three consumers
-    // (shard medians, total, the rank audit) otherwise each re-ran
-    // the fact scan with a per-row md5
+    // NOT checkpointed: a fact-grain cache is the same 100 TB smell
+    // as a fact-grain shuffle — at the 100× replica the deserialized
+    // 60M-row pin starved the unified pool into
+    // UNABLE_TO_ACQUIRE_MEMORY. The md5 bucket re-evaluates per
+    // consumer scan (bounds/grid/slice/total/audit), each a narrow
+    // map-side pass — linear, spill-free, and the shape that holds at
+    // any scale
     val xs = Tables.read(spark, dir, "lineitem")
       .select(
         Quantize.cents(col("l_extendedprice")).as("x"),
         ContentHash.bucket(
           concat(col("l_orderkey"), lit(":"), col("l_linenumber")), 16)
           .as("shard"))
-      .localCheckpoint(eager = false)
     // per-shard exact lower median from the shared probe kernel: the
     // k-th smallest at k = (ns+1) div 2 is the smallest value whose
     // cumulative count reaches k — value-identical to the old
