@@ -373,7 +373,7 @@ object Advanced {
     * Stated rule: smallest value whose cumulative weight reaches half
     * the total (2·cum ≥ W, pure integer — no float half). The flag
     * partitions are fact-sized, so cumulative weights ride the shared
-    * [[Statistics.cumWeightHist]] kernel — (flag, value-shard)
+    * [[Statistics.lowerMedianBy]] kernel — (flag, value-shard)
     * partitioned running sums plus triangular cross-shard offsets
     * over the per-flag shard-total grid — never a 3-partition window
     * over a fact-sized histogram. One histogram shuffle; everything

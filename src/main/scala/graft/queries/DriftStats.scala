@@ -769,7 +769,7 @@ object DriftStats {
     * conditional-aggregation wide-row chain as anova_f.
     *
     * Plan shape: one histogram aggregate (flag × cent value) with
-    * cumulatives via the shared [[Statistics.cumWeightHist]] kernel
+    * cumulatives via the shared [[Statistics.lowerMedianBy]] kernel
     * ((flag, value-shard)-partitioned prefix sums + triangular
     * broadcast offsets — never a 3-partition window over a fact-sized
     * histogram), 3-row median broadcast back onto a second fact scan,

@@ -528,7 +528,9 @@ object Graph {
       .localCheckpoint() // 25-row result; lineage-free of the shared edges
 
   /** `clustering_coefficient`: the LOCAL clustering coefficient per
-    * node — 2·tri(v) / (deg(v)·(deg(v)−1)), how close each
+    * node (canonical; `clustering_coeff` is a registered duplicate
+    * that delegates here — see [[clusteringCoeff]])
+    * — 2·tri(v) / (deg(v)·(deg(v)−1)), how close each
     * supplier's co-occurrence neighborhood is to a clique — the
     * community-tightness readout on top of [[triangleCount]]'s exact
     * enumeration (triangles say WHERE density is; the coefficient
@@ -755,34 +757,17 @@ object Graph {
        |  CAST(sum(deg) AS BIGINT) sum_deg
        |FROM deg GROUP BY 1 ORDER BY bucket_bits""".stripMargin
 
-  /** `clustering_coeff`: per-node LOCAL clustering coefficient —
-    * Watts–Strogatz c(v) = triangles(v) / C(deg v, 2), the
-    * how-clique-like-is-this-neighborhood ratio that separates
-    * community cores (c→1) from brokers/hubs bridging otherwise
-    * unconnected partners (c→0); the per-node refinement of
-    * `triangle_count`'s raw counts. Integer-exact in ppm:
-    * n_tri·2·10⁶ div (deg·(deg−1)), nodes with deg < 2 excluded
-    * (undefined denominator), triangle-free nodes kept at 0 via the
-    * left join + coalesce. Plan: the SAME degeneracy-oriented
-    * enumeration core and the |V|-sized degree aggregate over the
-    * shared support-pruned edges — the coefficient costs one extra
-    * broadcast join over what triangle_count already pays. Top 25 by
-    * (cc_ppm desc, suppkey).
+  /** `clustering_coeff`: DEPRECATED duplicate of
+    * [[clusteringCoefficient]] (`clustering_coefficient`) — the two
+    * names landed in different waves computing the identical
+    * Watts–Strogatz local coefficient (same ppm quantization, same
+    * deg ≥ 2 domain, same top-25 order). Kept registered for gate
+    * stability; delegates so the oriented-triangle core and the
+    * shared edge relation are built ONCE per session instead of
+    * twice. Prefer `clustering_coefficient` in new work.
     */
-  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coEdgesShared(spark, dir)
-    val deg = edges.select(col("a").as("node"))
-      .unionAll(edges.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    deg.where(col("deg") >= 2)
-      .join(triangleCountOn(edges), Seq("node"), "left")
-      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
-      .withColumn("cc_ppm", expr("n_tri * 2000000 div (deg * (deg - 1))"))
-      .select(col("node").as("suppkey"), col("deg"), col("n_tri"), col("cc_ppm"))
-      .orderBy(col("cc_ppm").desc, col("suppkey"))
-      .limit(25)
-      .localCheckpoint() // 25-row panel; lineage-free of the shared edges
-  }
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoefficient(spark, dir)
 
   def clusteringCoeffOracle: String =
     s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),

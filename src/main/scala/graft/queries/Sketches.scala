@@ -907,7 +907,12 @@ object Sketches {
   private val JsW = 512 // join-size sketch: cells per row
 
   /** `join_size_est`: join-cardinality estimation from per-side
-    * Count-Min rows — the optimizer-statistics question ("how big is
+    * Count-Min rows. DISTINCT from `join_size_estimate`
+    * ([[graft.queries.Statistics.joinSizeEstimate]]): that one is the
+    * textbook |A|·|B|/max(d_A,d_B) formula from exact per-side
+    * stats; this one estimates via the sketch inner product without
+    * exact distinct counts — the sub-linear-memory variant of the
+    * same planner question. The optimizer-statistics question ("how big is
     * events ⋈ orders on the customer key?") answered WITHOUT running
     * the join, by the sketch inner product Σ_b e[b]·o[b] (Alon-
     * Matias-Szegedy / Count-Min join-size estimator: an overestimate

@@ -61,8 +61,12 @@ object Statistics {
     val b = rows
       .agg(min(col(value)).cast("long"), max(col(value)).cast("long"))
       .head
-    val lo = b.getLong(0)
-    val wd = (b.getLong(1) - lo) / 64 + 1
+    // empty input: min/max are NULL — any (lo, wd) works since every
+    // downstream relation is empty; (0, 1) keeps the plan well-formed
+    // and the output schema identical
+    val (lo, wd) =
+      if (b.isNullAt(0)) (0L, 1L)
+      else { val l = b.getLong(0); (l, (b.getLong(1) - l) / 64 + 1) }
     // (value − lo) ≥ 0, so truncating div IS floor and shard order
     // follows value order
     val shard = expr(s"($value - ${lo}L) div ${wd}L")
@@ -84,7 +88,14 @@ object Statistics {
         (keys.map(k => col(s"a.$k").as(k)) :+ col("a.shard_").as("shard_")
           :+ col("a.t_").as("t_")): _*)
       .agg(sum(col("b.t_")).as("cumg_"))
-      .join(broadcast(wtot), keys)
+      // null-safe like the triangular and slice joins: the kernel is
+      // generic over key columns, so a NULL-keyed group must flow
+      // through every stage, not silently drop at this one equi-join
+      .join(
+        broadcast(wtot.select(
+          keys.map(k => col(k).as(s"${k}__w")) :+ col("wtot"): _*)),
+        keys.map(k => col(k) <=> col(s"${k}__w")).reduce(_ && _))
+      .drop(keys.map(k => s"${k}__w"): _*)
       .where(col("cumg_") * 2 >= col("wtot"))
       .groupBy(keyCols: _*)
       .agg(min(struct(col("shard_"), (col("cumg_") - col("t_")).as("off_")))
@@ -924,7 +935,11 @@ object Statistics {
   }
 
   /** `join_size_estimate`: the textbook equi-join cardinality
-    * estimate |A⋈B| ≈ |A|·|B| / max(d_A, d_B) computed from exact
+    * estimate. DISTINCT from `join_size_est`
+    * ([[graft.queries.Sketches.joinSizeEst]]): that one answers the
+    * same planner question from Count-Min sketch inner products
+    * (sub-linear memory, overestimate bound); this one uses the
+    * exact-statistics formula |A⋈B| ≈ |A|·|B| / max(d_A, d_B) computed from exact
     * per-side statistics and compared against the true join size —
     * the optimizer-diagnostics readout (a large err_ppm on a
     * production join is the signal its key distribution violates the
@@ -1975,7 +1990,7 @@ object Statistics {
     * merge sees 16 rows.
     *
     * Plan shape: one (shard, value) histogram aggregate feeding the
-    * shared [[cumWeightHist]] kernel (never an unpartitioned or
+    * shared [[lowerMedianBy]] kernel (never an unpartitioned or
     * 16-partition rank window over the fact), a 16-row broadcast
     * self-join for the weighted-median prefix (the lorenz offsets
     * pattern), and one conditional-sum audit scan. At 100 TB the

@@ -83,7 +83,8 @@ final class EvtStreamTable(properties: util.Map[String, String])
             Option(options.get("group")),
             Option(options.get("maxLinesPerBatch")).map(_.toLong),
             Option(options.get("partitionsPerBatch")).map(_.toInt),
-            Option(options.get("spool")))
+            Option(options.get("spool")),
+            Option(options.get("spoolSegmentBytes")).map(_.toLong))
       }
 }
 
@@ -92,17 +93,33 @@ final case class LineOffset(count: Long) extends Offset {
 }
 
 /** @param spool durable-replay WAL mode: every received line is
-  *   appended to this file BEFORE it becomes visible to the engine
-  *   (write-ahead), the file is fsync'd at each batch commit, and a
-  *   fresh instance recovers the full line history from it — so a
-  *   checkpointed query can restart across a process kill with no
-  *   loss of spooled-but-unprocessed events and no replay of
-  *   committed ones. Without it, a live socket has no history
-  *   (evtstrd/socket_server.py:82-92 has the same property) and a
-  *   restart-from-checkpoint fails fast in planInputPartitions. A
-  *   torn trailing line from a mid-write crash is truncated at
+  *   appended to the active spool segment BEFORE it becomes visible
+  *   to the engine (write-ahead), segments are fsync'd at each batch
+  *   commit, and a fresh instance recovers the uncommitted line tail
+  *   from them — so a checkpointed query can restart across a
+  *   process kill with no loss of spooled-but-unprocessed events and
+  *   no replay of committed ones. Without it, a live socket has no
+  *   history (evtstrd/socket_server.py:82-92 has the same property)
+  *   and a restart-from-checkpoint fails fast in planInputPartitions.
+  *   A torn trailing line from a mid-write crash is truncated at
   *   recovery (it was never visible to the engine: visibility
   *   follows the completed write).
+  *
+  *   COMPACTION: the spool is segmented — the first segment is the
+  *   `spool` path itself (base line-offset 0), rolled segments live
+  *   at `<spool>.seg<base>` where `<base>` is the global offset of
+  *   the segment's first line. At each commit the active segment
+  *   rolls once it exceeds `spoolSegmentBytes`, and any segment
+  *   whose entire line range is below the committed watermark is
+  *   deleted — so on-disk size and restart replay are O(uncommitted
+  *   tail), not O(stream lifetime). Segment bases ride in the file
+  *   names, so a crash between roll and delete only leaves an extra
+  *   already-committed segment behind (replayed into the buffer with
+  *   correct global offsets, never re-delivered: the engine asks
+  *   from its checkpointed offset).
+  *
+  * @param spoolSegmentBytes roll threshold for the active segment
+  *   (default 16 MiB); tests shrink it to force rotation.
   */
 final class EvtStreamMicroBatch(
     path: Option[String],
@@ -112,7 +129,8 @@ final class EvtStreamMicroBatch(
     socketGroup: Option[String] = None,
     maxLinesPerBatch: Option[Long] = None,
     partitionsPerBatch: Option[Int] = None,
-    spool: Option[String] = None)
+    spool: Option[String] = None,
+    spoolSegmentBytes: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   maxLinesPerBatch.foreach(m => require(m > 0,
     s"maxLinesPerBatch must be positive, got $m (0 would stall the " +
@@ -173,38 +191,84 @@ final class EvtStreamMicroBatch(
       .asInstanceOf[InetSocketAddress].getPort.toString
   }
 
+  private val segBytesLimit: Long = spoolSegmentBytes.getOrElse(16L << 20)
+  require(segBytesLimit > 0,
+    s"spoolSegmentBytes must be positive, got $segBytesLimit")
+  // retained spool segments in base-offset order; last one is active
+  private val spoolSegments = ArrayBuffer.empty[(Long, Path)]
+  @volatile private var spoolActive: Option[java.nio.channels.FileChannel] = None
+  private var spoolActiveBytes = 0L
+
+  private def segPath(base: Long): Path =
+    if (base == 0L) Path.of(spool.get) else Path.of(spool.get + ".seg" + base)
+
   // WAL recovery + append channel — set up BEFORE the accept loop so
-  // no live line can interleave with the recovered history
-  private val spoolChannel: Option[java.nio.channels.FileChannel] =
-    spool.map { f =>
-      val p = Path.of(f)
-      Option(p.getParent).foreach(Files.createDirectories(_))
-      if (Files.exists(p)) {
-        val bytes = Files.readAllBytes(p)
-        val lastNl = bytes.lastIndexOf('\n'.toByte)
-        val completeLen = lastNl + 1 // 0 when no newline at all
-        if (completeLen < bytes.length) {
-          // torn tail from a mid-write crash: the line never became
-          // visible to the engine (visibility follows the completed
-          // write), so truncating it cannot lose checkpointed data
-          val fc = java.nio.channels.FileChannel.open(
-            p, java.nio.file.StandardOpenOption.WRITE)
-          try fc.truncate(completeLen.toLong)
-          finally fc.close()
-        }
-        if (completeLen > 0) {
-          val recovered = new String(bytes, 0, completeLen,
-            StandardCharsets.UTF_8).split("\n", -1).dropRight(1)
-          lines ++= recovered
-          EvtStreamSource.buffered.put(instanceKey, lines.size)
-        }
+  // no live line can interleave with the recovered history. Reads
+  // only the retained segments (everything wholly below the committed
+  // watermark was deleted at commit), so restart replay is
+  // O(uncommitted tail), not O(stream lifetime).
+  spool.foreach { f =>
+    val p = Path.of(f)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val segPrefix = p.getFileName.toString + ".seg"
+    val rolled =
+      Option(p.getParent).map { dir =>
+        if (Files.exists(dir)) {
+          val it = Files.list(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            it.iterator().asScala.flatMap { q =>
+              val n = q.getFileName.toString
+              if (n.startsWith(segPrefix))
+                n.stripPrefix(segPrefix).toLongOption.map(_ -> q)
+              else None
+            }.toVector
+          } finally it.close()
+        } else Vector.empty
+      }.getOrElse(Vector.empty)
+    val found = ((if (Files.exists(p)) Vector(0L -> p) else Vector.empty)
+      ++ rolled).sortBy(_._1)
+    var nextBase = found.headOption.map(_._1).getOrElse(0L)
+    committed = nextBase
+    found.zipWithIndex.foreach { case ((base, q), i) =>
+      if (base != nextBase)
+        throw new IllegalStateException(
+          s"corrupted spool: segment $q starts at line $base but the " +
+            s"previous segment ends at line $nextBase")
+      val bytes = Files.readAllBytes(q)
+      val lastNl = bytes.lastIndexOf('\n'.toByte)
+      val completeLen = lastNl + 1 // 0 when no newline at all
+      if (completeLen < bytes.length) {
+        // torn tail from a mid-write crash: only the ACTIVE (last)
+        // segment ever receives writes, and the line never became
+        // visible to the engine (visibility follows the completed
+        // write), so truncating it cannot lose checkpointed data
+        if (i != found.size - 1)
+          throw new IllegalStateException(
+            s"corrupted spool: non-final segment $q has a torn tail")
+        val fc = java.nio.channels.FileChannel.open(
+          q, java.nio.file.StandardOpenOption.WRITE)
+        try fc.truncate(completeLen.toLong)
+        finally fc.close()
       }
-      java.nio.channels.FileChannel.open(
-        p,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.APPEND)
+      if (completeLen > 0) {
+        val recovered = new String(bytes, 0, completeLen,
+          StandardCharsets.UTF_8).split("\n", -1).dropRight(1)
+        lines ++= recovered
+        nextBase += recovered.length
+      }
+      spoolSegments += ((base, q))
     }
+    EvtStreamSource.buffered.put(instanceKey, lines.size)
+    if (spoolSegments.isEmpty) spoolSegments += ((0L, p))
+    val active = spoolSegments.last._2
+    spoolActiveBytes = if (Files.exists(active)) Files.size(active) else 0L
+    spoolActive = Some(java.nio.channels.FileChannel.open(
+      active,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.APPEND))
+  }
 
   private val acceptThread = new Thread(() => {
     while (running.get()) {
@@ -231,8 +295,11 @@ final class EvtStreamMicroBatch(
             // WRITE-AHEAD: the spool append precedes buffer
             // visibility, so any offset the engine checkpoints is
             // backed by spooled bytes (fsync'd at batch commit)
-            spoolChannel.foreach(_.write(java.nio.ByteBuffer.wrap(
-              (line + "\n").getBytes(StandardCharsets.UTF_8))))
+            spoolActive.foreach { ch =>
+              val bytes = (line + "\n").getBytes(StandardCharsets.UTF_8)
+              ch.write(java.nio.ByteBuffer.wrap(bytes))
+              spoolActiveBytes += bytes.length
+            }
             lines += line
             EvtStreamSource.buffered.put(instanceKey, lines.size)
           }
@@ -339,22 +406,67 @@ final class EvtStreamMicroBatch(
 
   override def commit(end: Offset): Unit = {
     // WAL batch boundary: everything the batch read is on disk before
-    // the engine records it committed
-    spoolChannel.foreach(ch =>
+    // the engine records it committed. A failed fsync FAILS THE
+    // COMMIT — swallowing it would let the engine record a batch
+    // whose WAL bytes never reached disk, silently voiding the
+    // no-loss recovery contract after a machine crash.
+    spoolActive.foreach { ch =>
       try ch.force(false)
-      catch { case _: Exception => () })
+      catch {
+        case ex: Exception =>
+          throw new IllegalStateException(
+            "evtstream spool fsync failed at batch commit — the WAL " +
+              "durability contract cannot be honored for this batch", ex)
+      }
+    }
     val e = end.asInstanceOf[LineOffset].count
     lines.synchronized {
       val drop = (e - committed).toInt
       if (drop > 0) { lines.remove(0, math.min(drop, lines.size)); committed = e }
+      compactSpool()
     }
   }
+
+  /** Roll the active segment past the size threshold and delete every
+    * segment wholly below the committed watermark; holds the `lines`
+    * lock so no append can interleave with a roll. O(segment count),
+    * no data copy — deletion only, bases ride in file names.
+    */
+  private def compactSpool(): Unit = spoolActive.foreach { ch =>
+    if (spoolActiveBytes >= segBytesLimit) {
+      ch.force(false); ch.close()
+      val base = committed + lines.size // next line's global offset
+      val p = segPath(base)
+      spoolSegments += ((base, p))
+      spoolActiveBytes = 0L
+      spoolActive = Some(java.nio.channels.FileChannel.open(
+        p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.APPEND))
+    }
+    // a segment is dead when the NEXT segment's base is <= committed
+    // (its last line is nextBase-1); the active segment never dies
+    while (spoolSegments.size >= 2 && spoolSegments(1)._1 <= committed) {
+      val (_, dead) = spoolSegments.remove(0)
+      try Files.deleteIfExists(dead)
+      catch { case _: Exception => () } // retried at the next commit
+    }
+  }
+
+  /** Test hook: the active spool channel, to provoke fsync failure. */
+  private[graft] def spoolActiveChannelForTest: Option[java.nio.channels.FileChannel] =
+    spoolActive
+
+  /** Test hook: retained on-disk segment paths in base order. */
+  private[graft] def spoolSegmentsForTest: Seq[(Long, Path)] =
+    lines.synchronized(spoolSegments.toSeq)
 
   override def stop(): Unit = {
     running.set(false)
     try channel.close()
     catch { case _: Exception => () }
-    spoolChannel.foreach(ch =>
+    spoolActive.foreach(ch =>
       try ch.close()
       catch { case _: Exception => () })
     EvtStreamSource.buffered.remove(instanceKey)

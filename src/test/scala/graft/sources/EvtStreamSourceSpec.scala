@@ -162,6 +162,94 @@ class EvtStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("spool WAL compacts at commit: disk and restart replay are tail-sized") {
+    // a long-running stream must not accumulate its full history in
+    // the spool: segments wholly below the committed watermark are
+    // deleted at commit, and a restart replays only the retained tail
+    val prefix = s"/tmp/graft-compact-${System.nanoTime()}.spool"
+    val line = (i: Int) => f"line-$i%05d-padding-padding-padding" // 31 B
+    val mb = new EvtStreamMicroBatch(
+      path = None, port = Some(0), spool = Some(prefix),
+      spoolSegmentBytes = Some(512L)) // ~16 lines per segment
+    try {
+      val port = mb.instanceKey.stripPrefix("tcp:").toInt
+      val ch = SocketChannel.open(new InetSocketAddress("127.0.0.1", port))
+      val w = new OutputStreamWriter(
+        java.nio.channels.Channels.newOutputStream(ch), StandardCharsets.UTF_8)
+      // commit in waves so rotation interleaves with ingestion the way
+      // a live micro-batch loop would
+      var sent = 0
+      for (upTo <- Seq(300, 600, 900)) {
+        (sent until upTo).foreach(i => w.write(line(i) + "\n"))
+        w.flush()
+        val dl = System.currentTimeMillis() + 10000
+        def buffered = EvtStreamSource.buffered.getOrDefault(mb.instanceKey, 0).toInt
+        // each prior wave was fully committed, so the buffer holds
+        // only this wave's lines once they all arrive
+        while (buffered < upTo - sent && System.currentTimeMillis() < dl)
+          Thread.sleep(20)
+        sent = upTo
+        mb.commit(LineOffset(upTo.toLong))
+      }
+      ch.close(); mb.stop()
+
+      // on-disk state: only tail-adjacent segments survive — the full
+      // 900-line history is ~28 KB; the retained spool must be one
+      // (possibly empty) active segment plus at most one predecessor
+      val segs = mb.spoolSegmentsForTest
+      assert(segs.size <= 2, segs)
+      assert(segs.head._1 <= 900L && segs.last._1 <= 900L, segs)
+      val diskBytes = segs.map { case (_, p) =>
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+      }.sum
+      assert(diskBytes <= 2 * 512L + 64L, s"spool not compacted: $diskBytes bytes")
+
+      // restart: recovery replays only the retained tail, with global
+      // offsets intact — feed 5 post-restart lines and read them back
+      val mb2 = new EvtStreamMicroBatch(
+        path = None, port = Some(0), spool = Some(prefix),
+        spoolSegmentBytes = Some(512L))
+      try {
+        val recovered = EvtStreamSource.buffered.getOrDefault(mb2.instanceKey, 0).toInt
+        assert(recovered <= 32, s"restart replayed $recovered lines, not the tail")
+        val ch2 = SocketChannel.open(
+          new InetSocketAddress("127.0.0.1", mb2.instanceKey.stripPrefix("tcp:").toInt))
+        val w2 = new OutputStreamWriter(
+          java.nio.channels.Channels.newOutputStream(ch2), StandardCharsets.UTF_8)
+        (900 until 905).foreach(i => w2.write(line(i) + "\n"))
+        w2.flush()
+        val dl = System.currentTimeMillis() + 10000
+        while (EvtStreamSource.buffered.getOrDefault(mb2.instanceKey, 0) < recovered + 5
+          && System.currentTimeMillis() < dl) Thread.sleep(20)
+        // the engine restarts from its checkpoint (900): the slice is
+        // exactly the five new lines at their correct global offsets
+        assert(lines(mb2.planInputPartitions(LineOffset(900), LineOffset(905)))
+          == (900 until 905).map(line))
+        ch2.close()
+      } finally mb2.stop()
+    } finally {
+      mb.spoolSegmentsForTest.foreach { case (_, p) =>
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      java.nio.file.Files.deleteIfExists(java.nio.file.Path.of(prefix))
+    }
+  }
+
+  test("commit fails loud when the spool fsync fails (WAL durability contract)") {
+    val prefix = s"/tmp/graft-fsync-${System.nanoTime()}.spool"
+    val mb = new EvtStreamMicroBatch(
+      path = None, port = Some(0), spool = Some(prefix))
+    try {
+      // simulate a dead disk: the active channel is closed underneath
+      mb.spoolActiveChannelForTest.foreach(_.close())
+      val ex = intercept[IllegalStateException](mb.commit(LineOffset(0)))
+      assert(ex.getMessage.contains("fsync"), ex.getMessage)
+    } finally {
+      mb.stop()
+      java.nio.file.Files.deleteIfExists(java.nio.file.Path.of(prefix))
+    }
+  }
+
   test("engine honors the cap: a live query drains a burst in bounded batches") {
     val spark = graft.TestSpark.spark
     val sockPath = s"/tmp/graft-cap-${System.nanoTime()}.sock"

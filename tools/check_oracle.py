@@ -63,11 +63,15 @@ def canon(v):
 
 fails = 0
 timeouts = 0
+checked = 0
+skipped = 0
 for name, sql in sorted(oracles.items()):
     if name in SKIP or (ONLY and name not in ONLY):
+        skipped += 1
         if name in SKIP:
             print(f"SKIP {name}: named oracle-cost exception")
         continue
+    checked += 1
     con = connect()
     timer = None
     if TIMEOUT:
@@ -157,5 +161,9 @@ if timeouts:
     print(f"TIMEOUTS: {timeouts} (wall budget {TIMEOUT}s — rerun "
           "individually with a bigger budget or record a named "
           "oracle-cost exception)")
-print("RESULT:", "FAIL" if fails else "PASS", f"({len(oracles)} queries)")
+coverage = f"({checked} checked"
+if skipped:
+    coverage += f", {skipped} SKIPPED of {len(oracles)} registered"
+coverage += ")"
+print("RESULT:", "FAIL" if fails else "PASS", coverage)
 sys.exit(1 if fails or timeouts else 0)
