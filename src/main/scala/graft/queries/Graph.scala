@@ -110,6 +110,8 @@ object Graph {
     if (df != null) df.unpersist()
     val ce = coEdgeCache.remove((spark, dir))
     if (ce != null) ce.unpersist()
+    val tc = triCountCache.remove((spark, dir))
+    if (tc != null) tc.unpersist()
     pathDistCache.remove((spark, dir))
   }
 
@@ -520,8 +522,33 @@ object Graph {
       })
   }
 
+  /** Per-node triangle counts (node, n_tri) over the shared
+    * support-pruned co-edges — the degeneracy-oriented ENUMERATION is
+    * the costly step that all three triangle consumers
+    * (`triangle_count`, `clustering_coefficient`, and its
+    * `clustering_coeff` delegate) descend from, so it runs once per
+    * (session, dir) instead of once per query. |V|-sized, persisted;
+    * same registry discipline as [[coEdgesShared]], dropped by
+    * [[invalidateShared]].
+    */
+  private val triCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def triCountsShared(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val stale =
+      triCountCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(triCountCache.remove)
+    triCountCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        triangleCountOn(coEdgesShared(s, d))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
   def triangleCount(spark: SparkSession, dir: String): DataFrame =
-    triangleCountOn(coEdgesShared(spark, dir))
+    triCountsShared(spark, dir)
       .withColumnRenamed("node", "suppkey")
       .orderBy(col("n_tri").desc, col("suppkey"))
       .limit(25)
@@ -550,7 +577,7 @@ object Graph {
     val deg = edges.select(col("a").as("suppkey"))
       .unionAll(edges.select(col("b").as("suppkey")))
       .groupBy(col("suppkey")).agg(count(lit(1)).as("deg"))
-    val tri = triangleCountOn(edges).withColumnRenamed("node", "suppkey")
+    val tri = triCountsShared(spark, dir).withColumnRenamed("node", "suppkey")
     deg.where(col("deg") >= 2)
       .join(broadcast(tri), Seq("suppkey"), "left")
       .select(

@@ -114,8 +114,22 @@ object Statistics {
     // nondecreasing, so the FIRST crossing row's value is the median
     // even if the crossing lands mid-way through a run of equal
     // values (all later rows also cross; min(value) reads the first).
+    //
+    // Crossing-shard pre-filter: the distinct crossing value-shards
+    // (≤ |keys| of the ≤65-shard grid, usually 1–3 — iid keys cross
+    // near the same global rank) are collected and pushed as a CHEAP
+    // arithmetic IN-filter on the fact scan, so the join — and, for
+    // callers whose key column is an expensive expression (e.g.
+    // median_merge's md5 content bucket), the key evaluation itself —
+    // runs over only the ~1/64-per-key crossing slice instead of
+    // every row. Pure pruning: the join keeps exactly the
+    // (key, crossing-shard) rows either way.
+    val starPinned = star.localCheckpoint(eager = false) // collect + join
+    val crossing = starPinned.select(col("vshard__")).distinct()
+      .collect().map(_.getLong(0))
     val slice = rows
-      .join(broadcast(star),
+      .where(shard.isin(crossing: _*))
+      .join(broadcast(starPinned),
         keys.map(k => col(k) <=> col(s"${k}__k"))
           .reduce(_ && _) && shard === col("vshard__"))
     val wsl = Window.partitionBy(keyCols: _*).orderBy(col(value))
@@ -2022,7 +2036,10 @@ object Statistics {
     val med = lowerMedianBy(xs, Seq("shard"), "x", None)
       .select(col("shard"), col("med").as("m"), col("wtot").as("ns"))
       .localCheckpoint(eager = false)
-    val tot = xs.agg(count(lit(1)).as("n"))
+    // total = Σ shard counts from the 16-row median relation — the
+    // kernel already counted every row into wtot, so a fifth
+    // fact-table pass for count(*) would be pure waste
+    val tot = med.agg(sum(col("ns")).as("n"))
     val cum = med.as("a")
       .join(
         broadcast(med.as("b")),

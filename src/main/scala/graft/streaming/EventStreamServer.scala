@@ -36,6 +36,7 @@ final class EventStreamServer(
     partitionsPerBatch: Option[Int] = None,
     writeTimeoutMs: Long = 10_000L,
     spool: Option[String] = None,
+    spoolSegmentBytes: Option[Long] = None,
     checkpointLocation: Option[String] = None) {
 
   val sse = new SseServer(httpPort, pingIntervalSec, auth, tls, writeTimeoutMs)
@@ -51,6 +52,7 @@ final class EventStreamServer(
   // kill-and-restart with no loss of unprocessed events and no replay
   // of committed ones (see EvtStreamMicroBatch's spool doc)
   spool.foreach(f => reader.option("spool", f))
+  spoolSegmentBytes.foreach(b => reader.option("spoolSegmentBytes", b.toString))
   private val lines: DataFrame = reader.load()
 
   /** Above this registry size the per-batch plan would unroll too many
