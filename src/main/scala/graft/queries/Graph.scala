@@ -1127,14 +1127,19 @@ object Graph {
           .as("assortativity"))
   }
 
+  // os/e/deg MATERIALIZED: DuckDB otherwise re-inlines the order-pair
+  // self-join once per reference and the sf10 replay spills past free
+  // disk (the hits/pagerank CTE lesson); with the hints + the
+  // established resource knobs the full sf10 oracle replays in ~2.5
+  // min instead of dying — SF1_ORACLE.md round-10 section
   def degreeAssortativityOracle: String =
-    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-       |e AS (
+    s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS MATERIALIZED (
        |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
        |  FROM os x JOIN os y
        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
        |  GROUP BY 1, 2 HAVING count(*) >= $TriSupport),
-       |deg AS (
+       |deg AS MATERIALIZED (
        |  SELECT n, CAST(count(*) AS BIGINT) d FROM (
        |    SELECT a n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
        |pairs AS (
