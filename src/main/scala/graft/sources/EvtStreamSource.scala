@@ -422,7 +422,22 @@ final class EvtStreamMicroBatch(
     val e = end.asInstanceOf[LineOffset].count
     lines.synchronized {
       val drop = (e - committed).toInt
-      if (drop > 0) { lines.remove(0, math.min(drop, lines.size)); committed = e }
+      if (drop > 0) {
+        // a commit past the buffered window would desynchronize the
+        // offset math (lines(0) must sit at offset `committed`): the
+        // engine only ever commits offsets it has read, so this is
+        // always a caller bug — fail loud instead of corrupting
+        if (drop > lines.size)
+          throw new IllegalStateException(
+            s"evtstream commit($e) outruns the buffered window " +
+              s"[$committed, ${committed + lines.size})")
+        lines.remove(0, drop)
+        committed = e
+        // keep the observable count in step with the trim — the
+        // receiver thread only updates it on append, and a stale
+        // post-commit reading over-reports the uncommitted backlog
+        EvtStreamSource.buffered.put(instanceKey, lines.size)
+      }
       compactSpool()
     }
   }

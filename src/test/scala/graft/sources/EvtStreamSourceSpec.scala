@@ -29,7 +29,7 @@ class EvtStreamSourceSpec extends AnyFunSuite {
         java.nio.channels.Channels.newOutputStream(ch), StandardCharsets.UTF_8)
       (1 to 4).foreach(i => w.write(s"line-$i\n"))
       w.flush()
-      val deadline = System.currentTimeMillis() + 10000
+      val deadline = System.currentTimeMillis() + 60000
       while (EvtStreamSource.buffered.getOrDefault(mb.instanceKey, 0) < 4
         && System.currentTimeMillis() < deadline) Thread.sleep(20)
       def off(n: Long): Offset = LineOffset(n)
@@ -57,7 +57,7 @@ class EvtStreamSourceSpec extends AnyFunSuite {
         java.nio.channels.Channels.newOutputStream(ch), StandardCharsets.UTF_8)
       (1 to 8).foreach(i => w.write(s"line-$i\n"))
       w.flush()
-      val deadline = System.currentTimeMillis() + 10000
+      val deadline = System.currentTimeMillis() + 60000
       while (EvtStreamSource.buffered.getOrDefault(mb.instanceKey, 0) < 8
         && System.currentTimeMillis() < deadline) Thread.sleep(20)
 
@@ -90,7 +90,7 @@ class EvtStreamSourceSpec extends AnyFunSuite {
         java.nio.channels.Channels.newOutputStream(ch), StandardCharsets.UTF_8)
       (1 to 8).foreach(i => w.write(s"line-$i\n"))
       w.flush()
-      val deadline = System.currentTimeMillis() + 10000
+      val deadline = System.currentTimeMillis() + 60000
       while (EvtStreamSource.buffered.getOrDefault(mb.instanceKey, 0) < 8
         && System.currentTimeMillis() < deadline) Thread.sleep(20)
 
@@ -101,7 +101,7 @@ class EvtStreamSourceSpec extends AnyFunSuite {
       assert(target == 8L)
       // a line arriving AFTER prepare is outside this run
       w.write("late-line\n"); w.flush()
-      val dl2 = System.currentTimeMillis() + 10000
+      val dl2 = System.currentTimeMillis() + 60000
       while (EvtStreamSource.buffered.getOrDefault(mb.instanceKey, 0) < 9
         && System.currentTimeMillis() < dl2) Thread.sleep(20)
 
@@ -132,7 +132,7 @@ class EvtStreamSourceSpec extends AnyFunSuite {
         java.nio.channels.Channels.newOutputStream(ch), StandardCharsets.UTF_8)
       (1 to 7).foreach(i => w.write(s"line-$i\n"))
       w.flush()
-      val deadline = System.currentTimeMillis() + 10000
+      val deadline = System.currentTimeMillis() + 60000
       while (EvtStreamSource.buffered.getOrDefault(mb.instanceKey, 0) < 7
         && System.currentTimeMillis() < deadline) Thread.sleep(20)
 
@@ -182,12 +182,19 @@ class EvtStreamSourceSpec extends AnyFunSuite {
       for (upTo <- Seq(300, 600, 900)) {
         (sent until upTo).foreach(i => w.write(line(i) + "\n"))
         w.flush()
-        val dl = System.currentTimeMillis() + 10000
+        // generous deadline: this box runs the suite alongside sf10
+        // sweeps at loadavg 30+, where 10s was observed to flake
+        val dl = System.currentTimeMillis() + 60000
         def buffered = EvtStreamSource.buffered.getOrDefault(mb.instanceKey, 0).toInt
         // each prior wave was fully committed, so the buffer holds
         // only this wave's lines once they all arrive
         while (buffered < upTo - sent && System.currentTimeMillis() < dl)
           Thread.sleep(20)
+        // fail HERE, by name, if the wave never arrived — committing an
+        // offset past the received lines would corrupt every assertion
+        // downstream and point the failure at the wrong place
+        assert(buffered == upTo - sent,
+          s"wave to $upTo: only $buffered of ${upTo - sent} lines arrived")
         sent = upTo
         mb.commit(LineOffset(upTo.toLong))
       }
@@ -218,7 +225,7 @@ class EvtStreamSourceSpec extends AnyFunSuite {
           java.nio.channels.Channels.newOutputStream(ch2), StandardCharsets.UTF_8)
         (900 until 905).foreach(i => w2.write(line(i) + "\n"))
         w2.flush()
-        val dl = System.currentTimeMillis() + 10000
+        val dl = System.currentTimeMillis() + 60000
         while (EvtStreamSource.buffered.getOrDefault(mb2.instanceKey, 0) < recovered + 5
           && System.currentTimeMillis() < dl) Thread.sleep(20)
         // the engine restarts from its checkpoint (900): the slice is
@@ -269,7 +276,7 @@ class EvtStreamSourceSpec extends AnyFunSuite {
     try {
       // the source (and its listening socket) comes up asynchronously
       // with the query's first trigger — wait for the file
-      val sockDl = System.currentTimeMillis() + 10000
+      val sockDl = System.currentTimeMillis() + 60000
       while (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(sockPath))
         && System.currentTimeMillis() < sockDl) Thread.sleep(20)
@@ -282,7 +289,7 @@ class EvtStreamSourceSpec extends AnyFunSuite {
         StandardCharsets.UTF_8)
       (1 to 10).foreach(i => w.write(s"line-$i\n"))
       w.flush()
-      val deadline = System.currentTimeMillis() + 10000
+      val deadline = System.currentTimeMillis() + 60000
       while (EvtStreamSource.buffered.getOrDefault(sockPath, 0) < 10
         && System.currentTimeMillis() < deadline) Thread.sleep(20)
       q.processAllAvailable()
