@@ -24,6 +24,11 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 MEMORY = os.environ.get("GRAFT_DUCKDB_MEMORY")
 TEMPDIR = os.environ.get("GRAFT_DUCKDB_TEMPDIR")
 THREADS = os.environ.get("GRAFT_DUCKDB_THREADS")
+# cap the spill dir so one ceiling-class oracle dies with a clean
+# out-of-temp error instead of zeroing the whole disk and taking
+# concurrently-running replays down with it (observed at the sf10
+# sweep: the wedge-join oracle filled 64 GB and starved its neighbors)
+MAX_TEMP = os.environ.get("GRAFT_DUCKDB_MAX_TEMP")
 TIMEOUT = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
 SKIP = set(
     s for s in os.environ.get("GRAFT_ORACLE_SKIP", "").split(",") if s)
@@ -41,6 +46,8 @@ def connect():
         c.execute(f"SET memory_limit='{MEMORY}'")
     if TEMPDIR:
         c.execute(f"SET temp_directory='{TEMPDIR}'")
+    if MAX_TEMP:
+        c.execute(f"SET max_temp_directory_size='{MAX_TEMP}'")
     if THREADS:
         c.execute(f"SET threads={int(THREADS)}")
     for t in ("region nation customer supplier part orders lineitem events "
