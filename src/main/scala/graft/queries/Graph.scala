@@ -188,21 +188,21 @@ object Graph {
       |         CAST(count(*) AS BIGINT) AS w
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT src, dst, w FROM eraw
       |  UNION ALL
       |  SELECT dst AS src, src AS dst, w FROM eraw),
-      |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw
+      |outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS tw
       |         FROM edges GROUP BY src),
-      |e AS (SELECT edges.src, edges.dst, edges.w, outw.tw
+      |e AS MATERIALIZED (SELECT edges.src, edges.dst, edges.w, outw.tw
       |      FROM edges JOIN outw ON edges.src = outw.src),
-      |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r
+      |r0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r
       |       FROM e),
-      |r1 AS (SELECT e.dst AS node,
+      |r1 AS MATERIALIZED (SELECT e.dst AS node,
       |              CAST(150000 + sum((r0.r * 85 * e.w) // (e.tw * 100))
       |                   AS BIGINT) AS r
       |       FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
-      |r2 AS (SELECT e.dst AS node,
+      |r2 AS MATERIALIZED (SELECT e.dst AS node,
       |              CAST(150000 + sum((r1.r * 85 * e.w) // (e.tw * 100))
       |                   AS BIGINT) AS r
       |       FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
@@ -292,7 +292,7 @@ object Graph {
       s"""s$i AS (
          |  SELECT e.dst AS node, min($prev.dist) + 1 AS dist
          |  FROM e JOIN $prev ON e.src = $prev.node GROUP BY e.dst),
-         |d$i AS (
+         |d$i AS MATERIALIZED (
          |  SELECT node, CAST(min(dist) AS BIGINT) AS dist
          |  FROM (SELECT node, dist FROM $prev
          |        UNION ALL SELECT node, dist FROM s$i) u
@@ -302,11 +302,11 @@ object Graph {
        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  GROUP BY 1, 2),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT src, dst FROM eraw
        |  UNION ALL
        |  SELECT dst AS src, src AS dst FROM eraw),
-       |d0 AS (
+       |d0 AS MATERIALIZED (
        |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
        |  FROM e WHERE src % 2 = 0 AND src < 20),
        |${(1 to 4).map(stepAndMin).mkString(",\n")}
@@ -346,7 +346,7 @@ object Graph {
       s"""s$i AS (
          |  SELECT e.dst AS node, min($prev.dist + e.cost) AS dist
          |  FROM e JOIN $prev ON e.src = $prev.node GROUP BY e.dst),
-         |d$i AS (
+         |d$i AS MATERIALIZED (
          |  SELECT node, CAST(min(dist) AS BIGINT) AS dist
          |  FROM (SELECT node, dist FROM $prev
          |        UNION ALL SELECT node, dist FROM s$i) u
@@ -357,11 +357,11 @@ object Graph {
        |    CAST(count(*) AS BIGINT) w
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  GROUP BY 1, 2),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT src, dst, 1000000 // w + 1 AS cost FROM eraw
        |  UNION ALL
        |  SELECT dst, src, 1000000 // w + 1 FROM eraw),
-       |d0 AS (
+       |d0 AS MATERIALIZED (
        |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
        |  FROM e WHERE src % 2 = 0 AND src < 20),
        |${(1 to 4).map(stepAndMin).mkString(",\n")}
@@ -590,8 +590,8 @@ object Graph {
   }
 
   def clusteringCoefficientOracle: String =
-    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-       |e AS (
+    s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS MATERIALIZED (
        |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
        |  FROM os x JOIN os y
        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
@@ -657,8 +657,8 @@ object Graph {
   }
 
   def triangleCountOracle: String =
-    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-       |e AS (
+    s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS MATERIALIZED (
        |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
        |  FROM os x JOIN os y
        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
@@ -724,8 +724,8 @@ object Graph {
   }
 
   def nodeSimilarityOracle: String =
-    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-       |e AS (
+    s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS MATERIALIZED (
        |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
        |  FROM os x JOIN os y
        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
@@ -768,8 +768,8 @@ object Graph {
   }
 
   def degreeDistOracle: String =
-    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-       |e AS (
+    s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS MATERIALIZED (
        |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
        |  FROM os x JOIN os y
        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
@@ -797,8 +797,8 @@ object Graph {
     clusteringCoefficient(spark, dir)
 
   def clusteringCoeffOracle: String =
-    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-       |e AS (
+    s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS MATERIALIZED (
        |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
        |  FROM os x JOIN os y
        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
@@ -859,20 +859,20 @@ object Graph {
   }
 
   def randomWalksOracle: String =
-    s"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-       |e AS (
+    s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS MATERIALIZED (
        |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
        |  FROM os x JOIN os y
        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
        |  GROUP BY 1, 2 HAVING count(*) >= $TriSupport),
-       |adj AS (SELECT a x, b m FROM e UNION ALL SELECT b, a FROM e),
-       |w0 AS (SELECT DISTINCT x AS start FROM adj),
-       |w1 AS (
+       |adj AS MATERIALIZED (SELECT a x, b m FROM e UNION ALL SELECT b, a FROM e),
+       |w0 AS MATERIALIZED (SELECT DISTINCT x AS start FROM adj),
+       |w1 AS MATERIALIZED (
        |  SELECT w0.start,
        |    min_by(adj.m, md5(CAST(w0.start AS VARCHAR) || '|1|'
        |      || CAST(adj.m AS VARCHAR))) hop1
        |  FROM w0 JOIN adj ON adj.x = w0.start GROUP BY 1),
-       |w2 AS (
+       |w2 AS MATERIALIZED (
        |  SELECT w1.start,
        |    min_by(adj.m, md5(CAST(w1.start AS VARCHAR) || '|2|'
        |      || CAST(adj.m AS VARCHAR))) hop2
@@ -1065,13 +1065,13 @@ object Graph {
          |      ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) rn
          |    FROM cnt$i) WHERE rn = 1)""".stripMargin
     }
-    s"""WITH und AS (
+    s"""WITH und AS MATERIALIZED (
        |  SELECT x.l_suppkey AS a, y.l_suppkey AS b
        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) x
        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) y
        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
        |  GROUP BY 1, 2 HAVING count(*) >= $TriSupport),
-       |adj AS (SELECT a u, b v FROM und UNION ALL SELECT b, a FROM und),
+       |adj AS MATERIALIZED (SELECT a u, b v FROM und UNION ALL SELECT b, a FROM und),
        |l0 AS (SELECT DISTINCT u node, u lbl FROM adj),
        |${(1 to 3).map(round).mkString(",\n")}
        |SELECT lbl AS community, CAST(count(*) AS BIGINT) n_members
