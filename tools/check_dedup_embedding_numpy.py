@@ -37,7 +37,14 @@ raw = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
 n, dim = raw.shape
 print(f"{n} vectors x {dim} dims")
 
-# DuckDB round(): half away from zero
+# DuckDB round(): half away from zero. Known edge (round-10 advice):
+# floor(|x|*1000+0.5) is not strictly identical to decimal-string
+# HALF_UP at binary-representability boundaries where IEEE addition
+# rounds |x|*1000+0.5 up (e.g. 0.49999999999999994+0.5 == 1.0). The
+# divergence direction is a spurious MISMATCH (false FAIL), never a
+# false PASS — if a mismatch ever reports a cos differing only at the
+# last quantized digit, recompute the quantization in DuckDB before
+# blaming the engine.
 v = np.sign(raw) * np.floor(np.abs(raw) * 1000.0 + 0.5)
 nrm = (v.astype(np.int64) ** 2).sum(axis=1)
 
@@ -67,6 +74,13 @@ claimed = con.sql(
 bad = 0
 seen = set()
 for lab, a, b, cos in claimed:
+    # Duplicate claimed rows are a FAIL: the full-oracle row-list
+    # comparison this substitutes for would reject them (e.g. leftover
+    # retried part-files matched by the *.parquet glob).
+    if (a, b) in seen:
+        print(f"MISMATCH: duplicate claimed pair ({a},{b})")
+        bad += 1
+        continue
     seen.add((a, b))
     want = truth.get((a, b))
     if want is None:

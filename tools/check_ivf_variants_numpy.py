@@ -55,7 +55,14 @@ raw = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
 n, dim = raw.shape
 print(f"{n} vectors x {dim} dims")
 
-# DuckDB round(): half away from zero (numpy rounds half to even)
+# DuckDB round(): half away from zero (numpy rounds half to even).
+# Known edge (round-10 advice): floor(|x|*1000+0.5) is not strictly
+# identical to decimal-string HALF_UP where IEEE addition rounds
+# |x|*1000+0.5 up at a binary-representability boundary (e.g.
+# 0.49999999999999994+0.5 == 1.0). Divergence direction is a spurious
+# MISMATCH (false FAIL), never a false PASS — if a mismatch is a
+# single off-by-one quantized component, recompute the quantization
+# in DuckDB before blaming the engine.
 v = np.sign(raw) * np.floor(np.abs(raw) * 1000.0 + 0.5)
 nrm_i = (v.astype(np.int64) ** 2).sum(axis=1)      # exact int64
 nrm = nrm_i.astype(np.float64)

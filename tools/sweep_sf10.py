@@ -34,6 +34,11 @@ shards = int(opt("--shards", "4"))
 skip = set(s for s in opt("--skip", "").split(",") if s)
 mem = opt("--mem", "20GB")
 timeout = opt("--timeout", "900")
+# Total spill budget divided across shards so N concurrent shards
+# cannot jointly zero the disk the per-shard cap is meant to protect
+# (round-10 advice): e.g. --spill-total 40GB with 4 shards -> 10GB each.
+spill_total_gb = float(opt("--spill-total", "40GB").rstrip("GBgb"))
+spill_per_shard = f"{max(1, int(spill_total_gb / shards))}GB"
 
 with open(f"{outdir}/oracle_sql.json") as f:
     names = sorted(json.load(f))
@@ -54,7 +59,7 @@ for i in range(shards):
         "GRAFT_ORACLE_ONLY": ",".join(assign[i]),
         "GRAFT_DUCKDB_MEMORY": mem,
         "GRAFT_DUCKDB_TEMPDIR": spill,
-        "GRAFT_DUCKDB_MAX_TEMP": "15GB",
+        "GRAFT_DUCKDB_MAX_TEMP": spill_per_shard,
         "GRAFT_DUCKDB_THREADS": "8",
         "GRAFT_ORACLE_TIMEOUT": timeout,
     })
@@ -68,16 +73,30 @@ for i, p, log in procs:
     codes[i] = p.wait()
     log.close()
 
-passed, failed, timed = [], [], []
+# Sets, not lists: multi-line "FAIL name: column ..." detail output
+# from check_oracle.py must not inflate the counts (round-10 advice).
+passed, failed, timed = set(), set(), set()
 for i in range(shards):
     with open(f"{outdir}/_sweep_shard{i}.log") as f:
         for line in f:
             if line.startswith("PASS "):
-                passed.append(line.split()[1].rstrip(":"))
+                passed.add(line.split()[1].rstrip(":"))
             elif line.startswith("FAIL "):
-                failed.append(line.split()[1].rstrip(":"))
+                failed.add(line.split()[1].rstrip(":"))
             elif line.startswith("TIMEOUT "):
-                timed.append(line.split()[1].rstrip(":"))
+                timed.add(line.split()[1].rstrip(":"))
+# Coverage accounting (round-10 advice): a shard that dies mid-run
+# (OOM-kill, DuckDB native crash) without printing FAIL/TIMEOUT lines
+# would otherwise leave its remaining oracles silently unverified.
+# Every assigned oracle must be accounted for, and a nonzero shard
+# exit with no FAIL/TIMEOUT evidence is itself a sweep failure.
+unaccounted = sorted(set(run) - passed - failed - timed)
+shard_crashes = []
+for i in range(shards):
+    if codes.get(i, 0) != 0:
+        shard_names = set(assign[i])
+        if not (shard_names & (failed | timed)):
+            shard_crashes.append(i)
 print(f"SWEEP: {len(passed)} PASS, {len(failed)} FAIL, "
       f"{len(timed)} TIMEOUT, {len(skip)} skipped "
       f"(of {len(names)} registered)")
@@ -85,8 +104,14 @@ if failed:
     print("failed:", sorted(failed))
 if timed:
     print("timed out:", sorted(timed))
+if unaccounted:
+    print("UNACCOUNTED (shard died without verdicts):", unaccounted)
+if shard_crashes:
+    print("SHARD CRASH (nonzero exit, no FAIL/TIMEOUT evidence):",
+          shard_crashes, "codes:", {i: codes[i] for i in shard_crashes})
 summary = {"pass": sorted(passed), "fail": sorted(failed),
-           "timeout": sorted(timed), "skip": sorted(skip & set(names))}
+           "timeout": sorted(timed), "skip": sorted(skip & set(names)),
+           "unaccounted": unaccounted, "shard_exit_codes": codes}
 with open(f"{outdir}/_sweep_summary.json", "w") as f:
     json.dump(summary, f, indent=1)
-sys.exit(1 if failed or timed else 0)
+sys.exit(1 if failed or timed or unaccounted or shard_crashes else 0)
