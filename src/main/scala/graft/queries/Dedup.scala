@@ -102,17 +102,26 @@ object Dedup {
     if (t != null) t.unpersist()
   }
 
-  /** The exact ≥0.5-Jaccard truth pair set (the audit-class all-pairs
-    * baseline), persisted and shared by its answer-quality consumers
-    * (`lsh_recall`, `lsh_band_curve`) — the truth side is the
-    * expensive half of both gates and is identical between them; one
-    * materialization per (session, dir), same registry discipline as
-    * the other shared relations.
+  /** The exact ≥0.20-Jaccard pair relation WITH its evidence columns
+    * (a, b, inter, na, nb) — the audit-class all-pairs baseline,
+    * persisted ONCE per (session, dir) and shared by all three
+    * answer-quality consumers: `lsh_recall` and `lsh_band_curve` read
+    * the ≥0.5 slice ([[exactTruthShared]]), `jaccard_threshold_curve`
+    * reads the whole relation (its grid floor is t = 20%). Round 10
+    * measured the curve creeping 2.40→2.72 s because it re-ran the
+    * posting expansion — the previous cache kept only (a, b) at ≥0.5,
+    * too narrow for the curve's conditional sums — so the cache now
+    * stores the widest slice any consumer needs and everything
+    * derives from it. Cutoffs are cross-multiplied integer predicates
+    * (inter·5 ≥ |A∪B|, inter·2 ≥ |A∪B|): at document-sized shingle
+    * sets the double `jacc` and the exact rational test cannot
+    * disagree (min nonzero |jacc − t| ≥ 1/(2·|A∪B|) ≫ one ulp), and
+    * the t = 20 filter is bit-identical to the curve's own grid test.
     */
   private val truthCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[queries] def exactTruthShared(
+  private[queries] def exactPairsShared(
       spark: SparkSession, dir: String): DataFrame = {
     val stale =
       truthCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
@@ -123,11 +132,20 @@ object Dedup {
         val sizes = docShingleArraysShared(s, d)
           .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
         jaccardPairs(shingles(s, d), sizes)
-          .where(col("jacc") >= 0.5)
-          .select(col("a"), col("b"))
+          .where(col("inter") * 5 >= col("na") + col("nb") - col("inter"))
+          .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
           .persist(StorageLevel.MEMORY_AND_DISK)
       })
   }
+
+  /** The ≥0.5 truth slice of [[exactPairsShared]] — the recall gates'
+    * truth set, unchanged in content from the pre-widening cache.
+    */
+  private[queries] def exactTruthShared(
+      spark: SparkSession, dir: String): DataFrame =
+    exactPairsShared(spark, dir)
+      .where(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select(col("a"), col("b"))
 
   /** The verified LSH near-dup pair relation, persisted and shared by
     * its DOWNSTREAM consumers (dedup_clusters' edge list, corpus_clean's
@@ -1493,9 +1511,11 @@ object Dedup {
     */
   def jaccardThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
     val docarr = docShingleArraysShared(spark, dir)
-    val sizes = docarr.select(col("doc_id"), size(col("arr")).cast("long")
-      .as("n"))
-    val exact = jaccardPairs(shingles(spark, dir), sizes)
+    // the shared ≥0.20 exact pair relation: its filter is the same
+    // cross-multiplied test as this grid's t = 20 row, so no pair
+    // that could count toward any n_true/n_cand_true is lost — and
+    // the posting expansion is paid once per session, not per query
+    val exact = exactPairsShared(spark, dir)
     val bands = minhashBands(docarr)
     val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("a"))
       .join(

@@ -168,9 +168,23 @@ object Graph {
       outw: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
     val spark = outw.sparkSession
     import spark.implicits._
-    var ranks: Seq[(Long, Long)] = outw.select(col("src")).collect()
-      .map(r => (r.getLong(0), 1000000L)).toSeq
-    for (_ <- 1 to iterations) {
+    // Round 1 folded (the hits first-half-step notch): every node
+    // starts at exactly 10⁶, so the first propagate needs NO rank
+    // join and no initial node-table collect — one aggregate over the
+    // cached edges replaces the two jobs the generic round takes.
+    // Values identical: the old round-1 join matched EVERY edge (the
+    // edge relation is built by joining outw, whose key set is r0's
+    // node set) at r = 10⁶.
+    var ranks: Seq[(Long, Long)] =
+      if (iterations >= 1)
+        edges
+          .groupBy(col("dst"))
+          .agg((sum(expr("(1000000L * 85 * w) div (tw * 100)"))
+            + lit(150000L)).as("r"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      else outw.select(col("src")).collect()
+        .map(r => (r.getLong(0), 1000000L)).toSeq
+    for (_ <- 2 to iterations) {
       val rdf = ranks.toDF("node", "r")
       ranks = edges
         .join(broadcast(rdf), edges("src") === rdf("node"))

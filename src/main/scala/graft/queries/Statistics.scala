@@ -36,8 +36,14 @@ object Statistics {
     *     lesson);
     *  2. one map-side-combinable aggregate to the (keys × shard)
     *     GRID (≤ 65·|keys| rows — callers must have bounded key
-    *     cardinality); a triangular broadcast self-join over the grid
-    *     locates each key's CROSSING shard and its prefix offset;
+    *     cardinality), COLLECTED: the crossing-shard search over the
+    *     grid (sort, prefix-sum, first shard reaching the target
+    *     rank) is plain Long arithmetic on a bounded relation — the
+    *     same driver-arithmetic class as the bounds collect — so it
+    *     runs here instead of as a triangular broadcast self-join +
+    *     two checkpoints + a separate crossing collect (round-10
+    *     profile: ~0.5 s of small-stage scheduling per call at bench
+    *     scale, all fixed floor);
     *  3. the fact re-scan keeps only each key's crossing shard
     *     (broadcast semi-filter, ~1/64 of values) and resolves the
     *     exact median with a keys-partitioned window over that slice
@@ -70,42 +76,48 @@ object Statistics {
     // (value − lo) ≥ 0, so truncating div IS floor and shard order
     // follows value order
     val shard = expr(s"($value - ${lo}L) div ${wd}L")
-    val grid = rows
+    // ONE grid job, then driver arithmetic: the grid is ≤ 65·|keys|
+    // rows by construction. Weights are integral across the suite
+    // (cents / counts), so t_ casts to Long losslessly.
+    val gridSchema = rows
       .groupBy((keyCols :+ shard.as("shard_")): _*)
-      .agg(sum(w).as("t_"))
-      .localCheckpoint(eager = false) // 4 grid-sized consumers
-    val wtot =
-      grid.groupBy(keyCols: _*).agg(sum(col("t_")).as("wtot"))
-    val sameKeyLe = keys
-      .map(k => col(s"b.$k") <=> col(s"a.$k"))
-      .foldLeft(col("b.shard_") <= col("a.shard_"))(_ && _)
-    // crossing shard per key: first shard whose grid-cumulative
-    // reaches the target rank; min(struct) picks (shard, offset)
-    // atomically on the shard order
-    val star = grid.as("a")
-      .join(broadcast(grid.as("b")), sameKeyLe)
-      .groupBy(
-        (keys.map(k => col(s"a.$k").as(k)) :+ col("a.shard_").as("shard_")
-          :+ col("a.t_").as("t_")): _*)
-      .agg(sum(col("b.t_")).as("cumg_"))
-      // null-safe like the triangular and slice joins: the kernel is
-      // generic over key columns, so a NULL-keyed group must flow
-      // through every stage, not silently drop at this one equi-join
-      .join(
-        broadcast(wtot.select(
-          keys.map(k => col(k).as(s"${k}__w")) :+ col("wtot"): _*)),
-        keys.map(k => col(k) <=> col(s"${k}__w")).reduce(_ && _))
-      .drop(keys.map(k => s"${k}__w"): _*)
-      .where(col("cumg_") * 2 >= col("wtot"))
-      .groupBy(keyCols: _*)
-      .agg(min(struct(col("shard_"), (col("cumg_") - col("t_")).as("off_")))
-        .as("sel_"), max(col("wtot")).as("wtot"))
-      // fresh aliases: star descends from `rows`, so un-renamed key
-      // columns would carry the same attribute ids into the join
-      .select(
-        (keys.map(k => col(k).as(s"${k}__k"))
-          :+ col("sel_.shard_").as("vshard__")
-          :+ col("sel_.off_").as("off_") :+ col("wtot")): _*)
+      .agg(sum(w).cast("long").as("t_"))
+    val gridRows = gridSchema.collect()
+    val k = keys.length
+    // crossing shard per key: first shard (in shard = value order)
+    // whose grid-cumulative reaches the target rank — identical to
+    // the former min(struct(shard, off)) over qualifying shards,
+    // since the cumulative is nondecreasing. NULL-keyed groups flow
+    // through untouched (the key tuple is compared by value here and
+    // by <=> in the slice join below).
+    val sels = gridRows
+      .groupBy(r => (0 until k).map(r.get).toList)
+      .map { case (kv, rs) =>
+        val sorted = rs.sortBy(_.getLong(k))
+        val wtot = sorted.iterator.map(_.getLong(k + 1)).sum
+        var cum = 0L
+        val cross = sorted
+          .find { r => cum += r.getLong(k + 1); cum * 2 >= wtot }.get
+        (kv, cross.getLong(k), cum - cross.getLong(k + 1), wtot)
+      }
+      .toSeq
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // fresh __k names: the slice join below must not capture the
+    // fact-side attribute ids
+    val starSchema = StructType(
+      keys.zipWithIndex.map { case (kn, i) =>
+        StructField(s"${kn}__k", gridSchema.schema(i).dataType,
+          nullable = true)
+      } ++ Seq(
+        StructField("vshard__", LongType, nullable = false),
+        StructField("off_", LongType, nullable = false),
+        StructField("wtot", LongType, nullable = false)))
+    val star = rows.sparkSession.createDataFrame(
+      java.util.Arrays.asList(sels.map { case (kv, vs, off, wtot) =>
+        Row.fromSeq(kv ++ Seq(vs, off, wtot))
+      }: _*),
+      starSchema)
     // ROW-grain running sum over the slice — deliberately NOT a
     // value-grain pre-aggregate: with cent-exact values the slice has
     // ~|slice| groups and the hash aggregate OOMs under concurrent
@@ -117,19 +129,17 @@ object Statistics {
     //
     // Crossing-shard pre-filter: the distinct crossing value-shards
     // (≤ |keys| of the ≤65-shard grid, usually 1–3 — iid keys cross
-    // near the same global rank) are collected and pushed as a CHEAP
-    // arithmetic IN-filter on the fact scan, so the join — and, for
-    // callers whose key column is an expensive expression (e.g.
-    // median_merge's md5 content bucket), the key evaluation itself —
-    // runs over only the ~1/64-per-key crossing slice instead of
-    // every row. Pure pruning: the join keeps exactly the
-    // (key, crossing-shard) rows either way.
-    val starPinned = star.localCheckpoint(eager = false) // collect + join
-    val crossing = starPinned.select(col("vshard__")).distinct()
-      .collect().map(_.getLong(0))
+    // near the same global rank) are already in hand from the driver
+    // search and pushed as a CHEAP arithmetic IN-filter on the fact
+    // scan, so the join — and, for callers whose key column is an
+    // expensive expression (e.g. median_merge's md5 content bucket),
+    // the key evaluation itself — runs over only the ~1/64-per-key
+    // crossing slice instead of every row. Pure pruning: the join
+    // keeps exactly the (key, crossing-shard) rows either way.
+    val crossing = sels.map(_._2).distinct
     val slice = rows
       .where(shard.isin(crossing: _*))
-      .join(broadcast(starPinned),
+      .join(broadcast(star),
         keys.map(k => col(k) <=> col(s"${k}__k"))
           .reduce(_ && _) && shard === col("vshard__"))
     val wsl = Window.partitionBy(keyCols: _*).orderBy(col(value))
@@ -2030,33 +2040,32 @@ object Statistics {
     // cumulative count reaches k — value-identical to the old
     // per-shard row_number pick under ties, without the 16-partition
     // full sort of the fact table
-    // 16-row pin: both sides of the triangular prefix self-join and
-    // the est probe read this — unpinned, the whole probe kernel
-    // evaluated once per consumer
     val med = lowerMedianBy(xs, Seq("shard"), "x", None)
       .select(col("shard"), col("med").as("m"), col("wtot").as("ns"))
-      .localCheckpoint(eager = false)
-    // total = Σ shard counts from the 16-row median relation — the
-    // kernel already counted every row into wtot, so a fifth
-    // fact-table pass for count(*) would be pure waste
-    val tot = med.agg(sum(col("ns")).as("n"))
-    val cum = med.as("a")
-      .join(
-        broadcast(med.as("b")),
-        col("b.m") < col("a.m") ||
-          (col("b.m") === col("a.m") && col("b.shard") <= col("a.shard")))
-      .groupBy(col("a.shard").as("shard"), col("a.m").as("m"))
-      .agg(sum(col("b.ns")).as("cw"))
-    val est = cum.crossJoin(broadcast(tot)) // 1-row total: documented exception
-      .where(col("cw") >= expr("(n + 1) div 2"))
-      .agg(min(col("m")).as("est_median"))
-    xs.crossJoin(broadcast(est)) // 1-row estimate: documented exception
-      .agg(
+    // 16-ROW DRIVER MERGE (bounded driver-arithmetic exception, like
+    // the kernel's own bounds collect): the merge step of a two-level
+    // distributed median is by construction summary-sized — 16
+    // (shard, median, count) rows — so the weighted lower median of
+    // the shard medians is plain Long arithmetic here, replacing the
+    // former triangular self-join + crossJoin probe (three extra
+    // stages per run on a 16-row relation). Identical semantics: sort
+    // by (m, shard), first cumulative weight reaching (n+1) div 2.
+    val shardMeds = med.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (shard, m, _) => (m, shard) }
+    val n = shardMeds.map(_._3).sum
+    var cw = 0L
+    val est = shardMeds
+      .find { case (_, _, ns) => { cw += ns; cw * 2 >= n + (n & 1L) } }
+      // cw >= (n+1) div 2  <=>  2*cw >= n + (n odd ? 1 : 0)
+      .map(_._2).getOrElse(0L)
+    // one audit scan against the literal estimate (column-pruned to x
+    // — the md5 bucket is not evaluated here)
+    xs.agg(
         count(lit(1)).as("n"),
-        sum(when(col("x") <= col("est_median"), 1L).otherwise(0L)).as("le"),
-        max(col("est_median")).as("est_median"))
+        sum(when(col("x") <= lit(est), 1L).otherwise(0L)).as("le"))
       .select(
-        col("n"), lit(16L).as("n_shards"), col("est_median"),
+        col("n"), lit(16L).as("n_shards"), lit(est).as("est_median"),
         expr("le * 1000000 div n").as("rank_ppm"),
         expr("abs(le * 1000000 div n - 500000)").as("err_ppm"))
   }

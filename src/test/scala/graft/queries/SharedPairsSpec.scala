@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the widened exact-pair share (round-10 verdict item 5):
+  * `exactPairsShared` is the ONE materialization of the all-pairs
+  * posting expansion, and all three answer-quality consumers
+  * (`lsh_recall`, `lsh_band_curve`, `jaccard_threshold_curve`)
+  * derive from it — the curve's 2.40→2.72 s creep was it silently
+  * re-running the expansion because the old cache kept only the
+  * (a, b) ≥0.5 slice.
+  */
+class SharedPairsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("truth slice is unchanged by the widening: cross-multiplied " +
+    "≥0.5 over the ≥0.2 cache == direct double-jacc filter") {
+    val docarr = Dedup.docShingleArraysShared(spark, dir)
+    val sizes = docarr
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
+    val direct = Dedup.jaccardPairs(Dedup.shingles(spark, dir), sizes)
+      .where(col("jacc") >= 0.5)
+      .select(col("a"), col("b"))
+    val shared = Dedup.exactTruthShared(spark, dir)
+    assert(direct.exceptAll(shared).isEmpty && shared.exceptAll(direct).isEmpty)
+    assert(shared.count() > 0) // non-vacuous: sf0.001 has near-dup pairs
+  }
+
+  test("cache-hit observable: one instance serves all three consumers") {
+    val first = Dedup.exactPairsShared(spark, dir)
+    // the registry consumers run end-to-end...
+    Dedup.lshRecall(spark, dir).collect()
+    Dedup.lshBandCurve(spark, dir).collect()
+    Dedup.jaccardThresholdCurve(spark, dir).collect()
+    // ...and the cache still returns the SAME DataFrame instance —
+    // computeIfAbsent never re-ran the expansion for any of them
+    assert(Dedup.exactPairsShared(spark, dir) eq first)
+    // and the instance is actually persisted (shared, not recomputed
+    // per action)
+    assert(first.storageLevel.useMemory || first.storageLevel.useDisk)
+  }
+
+  test("curve floor == cache filter: no ≥0.2 pair is lost to the grid") {
+    val pairs = Dedup.exactPairsShared(spark, dir)
+    // every cached pair satisfies the t=20 grid test (the filter IS
+    // that test), and the t=20 n_true equals the cache cardinality
+    val viol = pairs
+      .where(!(col("inter") * 100 >= lit(20L) *
+        (col("na") + col("nb") - col("inter"))))
+      .count()
+    assert(viol == 0L)
+    val curve = Dedup.jaccardThresholdCurve(spark, dir)
+      .where(col("t") === 20L).select(col("n_true")).head.getLong(0)
+    assert(curve == pairs.count())
+  }
+}
