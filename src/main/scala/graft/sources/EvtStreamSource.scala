@@ -61,6 +61,13 @@ object EvtStreamSource {
 
   /** Test/ops hook: live line counts per source instance key. */
   val buffered = new ConcurrentHashMap[String, Integer]()
+
+  /** Test/ops hook: global received high-water (the next line's
+    * offset) per instance key — unlike [[buffered]] it never shrinks
+    * at commit, so the arrival of a production burst stays observable
+    * while a live query is committing batches underneath.
+    */
+  val highWater = new ConcurrentHashMap[String, java.lang.Long]()
 }
 
 final class EvtStreamTable(properties: util.Map[String, String])
@@ -260,6 +267,7 @@ final class EvtStreamMicroBatch(
       spoolSegments += ((base, q))
     }
     EvtStreamSource.buffered.put(instanceKey, lines.size)
+    EvtStreamSource.highWater.put(instanceKey, committed + lines.size)
     if (spoolSegments.isEmpty) spoolSegments += ((0L, p))
     val active = spoolSegments.last._2
     spoolActiveBytes = if (Files.exists(active)) Files.size(active) else 0L
@@ -302,6 +310,7 @@ final class EvtStreamMicroBatch(
             }
             lines += line
             EvtStreamSource.buffered.put(instanceKey, lines.size)
+            EvtStreamSource.highWater.put(instanceKey, committed + lines.size)
           }
         }
     } catch { case _: Exception => () }

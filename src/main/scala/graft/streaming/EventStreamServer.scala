@@ -37,7 +37,8 @@ final class EventStreamServer(
     writeTimeoutMs: Long = 10_000L,
     spool: Option[String] = None,
     spoolSegmentBytes: Option[Long] = None,
-    checkpointLocation: Option[String] = None) {
+    checkpointLocation: Option[String] = None,
+    maxLinesPerBatch: Option[Long] = None) {
 
   val sse = new SseServer(httpPort, pingIntervalSec, auth, tls, writeTimeoutMs)
 
@@ -53,6 +54,11 @@ final class EventStreamServer(
   // of committed ones (see EvtStreamMicroBatch's spool doc)
   spool.foreach(f => reader.option("spool", f))
   spoolSegmentBytes.foreach(b => reader.option("spoolSegmentBytes", b.toString))
+  // burst admission control (source doc at EvtStreamMicroBatch): a
+  // producer burst drains over bounded micro-batches instead of one
+  // unbounded batch — also what makes a mid-burst kill leave a
+  // deterministic uncommitted tail for the WAL restart specs
+  maxLinesPerBatch.foreach(m => reader.option("maxLinesPerBatch", m.toString))
   private val lines: DataFrame = reader.load()
 
   /** Above this registry size the per-batch plan would unroll too many
