@@ -100,6 +100,8 @@ object Dedup {
     if (l != null) l.unpersist()
     val t = truthCache.remove((spark, dir))
     if (t != null) t.unpersist()
+    val ap = allPairsCache.remove((spark, dir))
+    if (ap != null) ap.unpersist()
   }
 
   /** The exact ≥0.20-Jaccard pair relation WITH its evidence columns
@@ -121,6 +123,35 @@ object Dedup {
   private val truthCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** The COMPLETE exact pair relation (a, b, inter, na, nb, jacc) —
+    * every co-shingled pair with its evidence columns, materialized
+    * ONCE per (session, dir). This is the single-shuffle posting
+    * expansion that `ngram_jaccard`, `dedup_containment` and (via the
+    * ≥0.2 slice) the three answer-quality gates each re-ran
+    * independently (~1.5 s apiece at bench scale); the relation is
+    * Σ df²-bounded output the audit-class consumers pay for anyway,
+    * so persisting it once (spilling past memory) strictly dominates
+    * N re-expansions. Downstream filters keep their original `jacc`
+    * predicates textually unchanged — same column, same doubles.
+    */
+  private val allPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[queries] def allPairsShared(
+      spark: SparkSession, dir: String): DataFrame = {
+    val stale =
+      allPairsCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(allPairsCache.remove)
+    allPairsCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        val sizes = docShingleArraysShared(s, d)
+          .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
+        jaccardPairs(shingles(s, d), sizes)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
   private[queries] def exactPairsShared(
       spark: SparkSession, dir: String): DataFrame = {
     val stale =
@@ -129,9 +160,7 @@ object Dedup {
     truthCache.computeIfAbsent(
       (spark, dir),
       { case (s, d) =>
-        val sizes = docShingleArraysShared(s, d)
-          .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
-        jaccardPairs(shingles(s, d), sizes)
+        allPairsShared(s, d)
           .where(col("inter") * 5 >= col("na") + col("nb") - col("inter"))
           .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -252,11 +281,9 @@ object Dedup {
   // --- n-gram Jaccard near-dup pairs ---
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // sizes come narrowly from the per-doc array (arr is distinct, so
-    // size(arr) == the distinct-shingle count) — no groupBy(doc) shuffle
-    val sizes = docShingleArraysShared(spark, dir)
-      .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
-    jaccardPairs(shingles(spark, dir), sizes)
+    // the shared complete pair relation; the >=0.3 predicate is
+    // textually unchanged over the same jacc column
+    allPairsShared(spark, dir)
       .where(col("jacc") >= 0.3)
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jacc"))
       .orderBy("a", "b")
@@ -1598,9 +1625,7 @@ object Dedup {
     * like every production dedup path.
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val sizes = docShingleArraysShared(spark, dir)
-      .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
-    jaccardPairs(shingles(spark, dir), sizes)
+    allPairsShared(spark, dir)
       .where(col("jacc") < 0.5)
       .select(
         when(col("na") <= col("nb"), col("a")).otherwise(col("b"))

@@ -43,6 +43,20 @@ class SharedPairsSpec extends AnyFunSuite {
     assert(first.storageLevel.useMemory || first.storageLevel.useDisk)
   }
 
+  test("complete-pair share: ngram_jaccard and dedup_containment read " +
+    "ONE materialized expansion") {
+    val first = Dedup.allPairsShared(spark, dir)
+    Dedup.ngramJaccard(spark, dir).collect()
+    Dedup.dedupContainment(spark, dir).collect()
+    assert(Dedup.allPairsShared(spark, dir) eq first)
+    assert(first.storageLevel.useMemory || first.storageLevel.useDisk)
+    // the ≥0.2 slice derives from the same instance, so the whole
+    // family is one expansion deep
+    assert(Dedup.exactPairsShared(spark, dir).count() ==
+      first.where(col("inter") * 5 >= col("na") + col("nb") - col("inter"))
+        .count())
+  }
+
   test("curve floor == cache filter: no ≥0.2 pair is lost to the grid") {
     val pairs = Dedup.exactPairsShared(spark, dir)
     // every cached pair satisfies the t=20 grid test (the filter IS
