@@ -23,9 +23,19 @@ import duckdb
 
 src, dst = sys.argv[1], sys.argv[2]
 n_rep = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# Optional table filter so big replicas (1000x) can build tables in
+# PARALLEL worker processes: make_sf1.py src dst 1000 lineitem
+only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+
 STRIDE = 10_000_000
 
 con = duckdb.connect()
+# Row order within a parquet file is semantically irrelevant to every
+# consumer (Spark scans are parallel and unordered; every query has
+# deterministic sorts/aggregates) — not preserving it lets DuckDB
+# stream the replica cross-join to disk instead of buffering the whole
+# output table in memory (12 GB+ and single-threaded at 1000x).
+con.execute("SET preserve_insertion_order=false")
 
 copy_as_is = ["region", "nation"]
 keyed = {
@@ -37,12 +47,20 @@ keyed = {
     "events": ["event_id", "user_id"],
 }
 
+def want(t):
+    return only is None or t in only
+
+
 for t in copy_as_is:
+    if not want(t):
+        continue
     con.execute(
         f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet'")
     print(t, "copied")
 
 for t, keys in keyed.items():
+    if not want(t):
+        continue
     cols = [c[0] for c in
             con.sql(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
     types = {c[0]: c[1] for c in
@@ -75,7 +93,8 @@ for t, keys in keyed.items():
 # scheme measures as densifying no matter how many buckets it has.
 flip = ("(CASE WHEN ascii(substr(md5(CAST(r.i AS VARCHAR) || '#' || "
         "CAST(d - 1 AS VARCHAR)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END)")
-con.execute(
+if want("embeddings"):
+    con.execute(
     f"""COPY (SELECT vec_id + r.i * {STRIDE} AS vec_id,
       CASE WHEN r.i = 0 THEN embedding
            ELSE CAST(list_transform(range(1, len(embedding) + 1),
@@ -83,16 +102,17 @@ con.execute(
       label
       FROM '{src}/embeddings.parquet',
       (SELECT unnest(range({n_rep})) AS i) r) TO '{dst}/embeddings.parquet'""")
-print("embeddings x", n_rep, "(sign-flip salted)")
+    print("embeddings x", n_rep, "(sign-flip salted)")
 
 # documents: offset doc_id AND salt the text per replica (replica 0
 # keeps the original bytes) so similarity structure is intra-replica
-con.execute(
-    f"""COPY (SELECT doc_id + r.i * {STRIDE} AS doc_id,
+if want("documents"):
+    con.execute(
+        f"""COPY (SELECT doc_id + r.i * {STRIDE} AS doc_id,
       CASE WHEN r.i = 0 THEN text
            ELSE replace(text, ' ', ' x' || CAST(r.i AS VARCHAR)) END AS text,
       lang, source, n_chars
       FROM '{src}/documents.parquet',
       (SELECT unnest(range({n_rep})) AS i) r) TO '{dst}/documents.parquet'""")
-print("documents x", n_rep, "(salted)")
+    print("documents x", n_rep, "(salted)")
 print("done ->", dst)

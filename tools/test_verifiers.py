@@ -36,8 +36,15 @@ QUERIES = [
     "knn_ivf_kmeans", "knn_ivf_probe2", "knn_ivf_pq", "knn_pq",
     "knn_recall", "dedup_embedding", "dedup_embedding_lsh",
     "embedding_clusters",
+    # replica-reduction family (check_replica_local.py)
+    "pagerank", "hits", "degree_assortativity",
 ]
 
+# check_replica_local.py takes a replica count after the dump dir; at
+# reps=1 the reduction is the identity, so the small-SF battery dump
+# exercises the whole compare path (the reps>1 expansion itself is
+# validated by the committed 2-replica run in SF1_ORACLE.md and by the
+# same mutations at any reps — the expansion only ADDS rows).
 VERIFIERS = [
     "check_triangles_sample.py",
     "check_knn_sample.py",
@@ -47,7 +54,10 @@ VERIFIERS = [
     "check_flatpq_sample.py",
     "check_emb_clusters_sample.py",
     "check_dedup_embedding_numpy.py",
+    "check_replica_local.py",
 ]
+
+EXTRA_ARGS = {"check_replica_local.py": ["1"]}
 
 # (mutation label, verifier, mutated query dir, duckdb SELECT over `t`)
 # Perturbations apply to ALL rows so sampled verifiers (mod-97 probe
@@ -103,6 +113,18 @@ MUTATIONS = [
      "dedup_embedding",
      "SELECT * FROM t UNION ALL "
      "SELECT * FROM (SELECT * FROM t ORDER BY a, b LIMIT 1)"),
+    ("perturbed pagerank ppm", "check_replica_local.py",
+     "pagerank",
+     "SELECT kind, entity, CAST(rank_ppm + 1 AS BIGINT) AS rank_ppm FROM t"),
+    ("dropped pagerank row", "check_replica_local.py",
+     "pagerank",
+     "SELECT * FROM t QUALIFY row_number() OVER (ORDER BY entity) > 1"),
+    ("hits entity key drift", "check_replica_local.py",
+     "hits",
+     "SELECT kind, entity + 1 AS entity, score_ppm FROM t"),
+    ("assortativity edge-count drift", "check_replica_local.py",
+     "degree_assortativity",
+     "SELECT n_edges + 1 AS n_edges, assortativity FROM t"),
 ]
 
 
@@ -118,7 +140,8 @@ def gen_dump(sfdir, dumpdir):
 
 def run_verifier(script, sfdir, dumpdir):
     p = subprocess.run(
-        [sys.executable, os.path.join(TOOLS, script), sfdir, dumpdir],
+        [sys.executable, os.path.join(TOOLS, script), sfdir, dumpdir]
+        + EXTRA_ARGS.get(script, []),
         capture_output=True, text=True)
     return p.returncode, p.stdout + p.stderr
 
@@ -129,7 +152,8 @@ def make_mutant(dumpdir, workdir, query, sql):
     os.makedirs(workdir)
     for name in os.listdir(dumpdir):
         src = os.path.join(dumpdir, name)
-        if name != query and os.path.isdir(src):
+        # plain files too: check_replica_local.py reads oracle_sql.json
+        if name != query and name != "_mutants":
             os.symlink(src, os.path.join(workdir, name))
     qdir = os.path.join(workdir, query)
     os.makedirs(qdir)
