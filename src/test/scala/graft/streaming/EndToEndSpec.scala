@@ -776,8 +776,12 @@ class EndToEndSpec extends AnyFunSuite {
       assert(hw == total, s"burst arrival: $hw of $total")
       // let the live trigger run a few more 500-line commit cycles:
       // each commit rolls the oversized active segment, building the
-      // multi-segment tail while barely denting its size
-      dl = System.currentTimeMillis() + 30000
+      // multi-segment tail while barely denting its size. The loop
+      // exits as soon as the 3rd segment lands, so the deadline only
+      // bounds pathology — keep it generous: on a saturated box the
+      // trigger cycles run 3-5x slower and 30s produced only 2 rolls
+      // (observed flake, round 11).
+      dl = System.currentTimeMillis() + 120000
       while (spoolFiles().size < 3 && System.currentTimeMillis() < dl)
         Thread.sleep(50)
       watermarkLow = total.toLong -
