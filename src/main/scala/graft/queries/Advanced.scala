@@ -380,14 +380,19 @@ object Advanced {
     * after is shard-grid-sized.
     */
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    // checkpointed: the kernel's bounds/grid/slice passes re-read
-    // this one quantized scan instead of re-running it
+    // NOT checkpointed (median_merge's lesson, re-proven at the 1000×
+    // replica): a fact-grain localCheckpoint pins deserialized row
+    // blocks — ~20 GB at 600M rows — and the block-manager/GC churn
+    // stalled the driver past the executor's heartbeat budget,
+    // killing the SparkContext mid-run. The kernel's bounds/grid/
+    // slice passes each re-read a 3-column pruned parquet scan with
+    // cheap cent arithmetic — linear, spill-free, and cheaper than
+    // materializing the projection at any replica scale
     val rows = Tables.read(spark, dir, "lineitem")
       .select(
         col("l_returnflag").as("flag"),
         Quantize.cents(col("l_extendedprice")).as("vc"),
         Quantize.cents(col("l_quantity")).as("wt"))
-      .localCheckpoint(eager = false)
     Statistics.lowerMedianBy(rows, Seq("flag"), "vc", Some("wt"))
       .select(
         col("flag"), col("med").as("wmedian_cents"),

@@ -777,11 +777,14 @@ object DriftStats {
     */
   def leveneBf(spark: SparkSession, dir: String): DataFrame = {
     val c = Quantize.cents(col("l_extendedprice"))
-    // checkpointed: the kernel's bounds/grid/slice passes and the
-    // deviation scan all re-read this one quantized relation
+    // NOT checkpointed (median_merge's lesson, re-proven by
+    // weighted_median at the 1000× replica): a fact-grain
+    // localCheckpoint pins deserialized row blocks and the GC churn
+    // stalls the driver past the heartbeat budget. The kernel passes
+    // and the deviation scan each re-read a 2-column pruned parquet
+    // scan — cheaper than materializing at any replica scale
     val rows = Tables.read(spark, dir, "lineitem")
       .select(col("l_returnflag").as("g"), c.as("c"))
-      .localCheckpoint(eager = false)
     // exact lower medians via the shared order-statistics kernel;
     // the 3-row result is checkpointed because it feeds TWO broadcast
     // consumers (the deviation join and the medWide pivot) — without
