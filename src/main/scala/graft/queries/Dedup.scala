@@ -588,8 +588,13 @@ object Dedup {
     * adds the label-of-label shortcut (pointer jumping) to each
     * round, collapsing convergence from O(diameter) to
     * O(log diameter) rounds — worth one extra small join per round
-    * on LARGE-diameter graphs (grid mosaics, chains); the near-dup
-    * pair graphs have tiny diameters, so the dedup callers skip it.
+    * on LARGE-diameter graphs (grid mosaics, chains, and — the
+    * 1000×-replica lesson — percolated embedding near-dup graphs,
+    * where chance cosine-threshold crossings grow with corpus² and
+    * produced a 594k-node giant component). The TEXT dedup callers
+    * still skip it: their pairs verify on discrete set overlap
+    * (exact Jaccard ≥ threshold), which chance cannot satisfy, so
+    * those diameters stay tiny.
     */
   /** Connected components for a SUMMARY-GRAIN edge relation: one
     * union-find pass in a single task, emitting (doc, root = min

@@ -352,9 +352,22 @@ object Similarity {
     * min-label propagation core ([[Dedup.ccOn]]); the pair relation
     * is persisted inside ccOn for the fixpoint rounds, so the LSH
     * pipeline runs once however many rounds convergence takes.
+    *
+    * pointerJump = true (1000×-replica lesson): cosine is continuous,
+    * so chance threshold crossings grow with corpus² and the pair
+    * graph PERCOLATES at scale — the 1000× replica produced a 594k-
+    * node giant component whose diameter blew past plain min-label
+    * propagation's 25-round budget (the text-side callers are safe:
+    * salted token sets have exactly-zero cross-replica Jaccard, and
+    * real text pair graphs verify on discrete overlap). Pointer
+    * jumping collapses convergence to O(log diameter) for one extra
+    * node-sized join per round — the shape giant near-dup components
+    * need at any real corpus scale. Fixpoint (and hash) unchanged.
     */
   def embeddingClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ccOn(dedupEmbeddingLsh(spark, dir).select(col("a"), col("b")))
+    Dedup.ccOn(
+      dedupEmbeddingLsh(spark, dir).select(col("a"), col("b")),
+      pointerJump = true)
       .groupBy(col("root").as("cluster_id"))
       .agg(
         count(lit(1)).as("n_members"),
