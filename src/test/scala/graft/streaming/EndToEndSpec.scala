@@ -765,25 +765,49 @@ class EndToEndSpec extends AnyFunSuite {
       assert(phase1Disk() <= 2 * segBytes,
         s"phase-1 history not compacted: ${phase1Disk()} bytes on disk")
 
-      // the burst the kill lands in
-      (phase1 + nudge until total).foreach { i =>
-        pw.write(event(i)); bytesProduced += event(i).length
-        if (i % 500 == 0) pw.flush()
+      // the burst the kill lands in — written in thirds, pausing
+      // after the first two until a commit cycle ROLLS the oversized
+      // active segment (observable as a new, higher segment base).
+      // Rolls happen only at commit time on an oversized active
+      // segment, so once the last burst byte has arrived the file
+      // count can only ever DECREASE (commits drain the fixed tail,
+      // compaction deletes committed segments): the pre-round-11
+      // shape — write everything, then wait for a 3rd file — races
+      // the drain on a fast box and can never catch up on a slow one
+      // (both observed). Forcing a roll between thirds makes the
+      // multi-segment tail a precondition the burst itself
+      // establishes, while the commits spent waiting (one-ish
+      // 500-line cycle each) stay far below the >=10k-uncommitted
+      // budget the post-kill assertions check.
+      def maxSegBase(): Long = {
+        val baseName = java.nio.file.Path.of(spoolFile).getFileName.toString
+        val bs = spoolFiles().map { p =>
+          val n = p.getFileName.toString
+          if (n == baseName) 0L else n.stripPrefix(baseName + ".seg").toLong
+        }
+        if (bs.isEmpty) -1L else bs.max
       }
-      pw.flush()
-      dl = System.currentTimeMillis() + 60000
-      while (hw < total && System.currentTimeMillis() < dl) Thread.sleep(10)
-      assert(hw == total, s"burst arrival: $hw of $total")
-      // let the live trigger run a few more 500-line commit cycles:
-      // each commit rolls the oversized active segment, building the
-      // multi-segment tail while barely denting its size. The loop
-      // exits as soon as the 3rd segment lands, so the deadline only
-      // bounds pathology — keep it generous: on a saturated box the
-      // trigger cycles run 3-5x slower and 30s produced only 2 rolls
-      // (observed flake, round 11).
-      dl = System.currentTimeMillis() + 120000
-      while (spoolFiles().size < 3 && System.currentTimeMillis() < dl)
-        Thread.sleep(50)
+      val thirds = Seq(phase1 + nudge, phase1 + nudge + 8000,
+        phase1 + nudge + 16000, total)
+      thirds.sliding(2).zipWithIndex.foreach { case (Seq(from, until), k) =>
+        (from until until).foreach { i =>
+          pw.write(event(i)); bytesProduced += event(i).length
+          if (i % 500 == 0) pw.flush()
+        }
+        pw.flush()
+        dl = System.currentTimeMillis() + 60000
+        while (hw < until && System.currentTimeMillis() < dl) Thread.sleep(10)
+        assert(hw == until, s"burst arrival: $hw of $until")
+        if (k < 2) {
+          val before = maxSegBase()
+          dl = System.currentTimeMillis() + 120000
+          while (maxSegBase() <= before && System.currentTimeMillis() < dl)
+            Thread.sleep(50)
+          assert(maxSegBase() > before,
+            s"no commit cycle rolled the oversized active segment " +
+              s"within 120s of burst third $k: ${spoolFiles()}")
+        }
+      }
       watermarkLow = total.toLong -
         graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0).toLong
       // KILL: no drain, no processAllAvailable — close() stops the
