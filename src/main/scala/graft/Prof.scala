@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler for optimization work: times labeled
+  * sub-plans of a query with the noop sink (guide §1.4/§1.5). Not part
+  * of the bench contract; run via
+  * `sbt "runMain graft.Prof <probe>"`.
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(label: String)(df: => DataFrame): Unit = {
+      val built = df
+      // warm once, then min-of-2 like the bench
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        built.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run()
+      val v = math.min(run(), run())
+      println(f"PROF $label%-40s $v%8.3f s")
+    }
+
+    args.headOption.getOrElse("scg") match {
+      case "scg" => queries.Probes.scg(spark, sfDir, t)
+      case "dcp" => queries.Probes.dcp(spark, sfDir, t)
+      case "q9" => queries.Probes.q9(spark, sfDir, t)
+      case other => println(s"unknown probe $other")
+    }
+    spark.stop()
+  }
+}

@@ -1746,36 +1746,63 @@ object Analytics {
     // 2400-row stream side is byte-tiny, so AQE coalesces an implicit
     // shuffle back to ONE task and the ~3M-pair evaluation runs on one
     // core (measured 7.9s); an EXPLICIT partition count survives AQE
+    //
+    // Round 11 (guide §1.2 per-task work): the first and third SSE
+    // terms depend only on ONE pair endpoint (+ the 1-row totals), so
+    // they are hoisted out of the ~3M-pair loop and computed once per
+    // DAY row (2400 each) — `term1` on the t₁ side, `term3` on the t₂
+    // side after attaching the totals. Only the middle term's two
+    // decimal(38,0) differences remain per pair. The objective is the
+    // SAME ops in the SAME left-associated order ((term1 + term2) +
+    // term3), each term's internal chain textually unchanged — double
+    // arithmetic is deterministic, so every obj value and the argmin
+    // are bit-identical to the unhoisted form (oracle-hash re-proven).
     val p1 = pref.select(
       col("d").as("d1"), col("idx").as("i1"), col("s1").as("a1"),
       col("s2").as("a2"))
+      .withColumn(
+        "term1",
+        expr("""CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE)
+               |   / CAST(i1 AS DOUBLE)""".stripMargin.replace("\n", " ")))
       .repartition(spark.sparkContext.defaultParallelism, col("d1"))
     val p2 = pref.select(
       col("d").as("d2"), col("idx").as("i2"), col("s1").as("b1"),
       col("s2").as("b2"))
-    // the comparison objective is ONE double chain over the exact
-    // decimal prefixes (decimal→double casts are correctly rounded in
-    // both engines, so the argmin is engine-identical); the EMITTED
-    // columns stay exact integers
+      .crossJoin(broadcast(tot)) // 1-row totals: documented exception
+      .withColumn(
+        "term3",
+        expr("""CAST(tt2 - b2 AS DOUBLE)
+               |   - CAST(tt1 - b1 AS DOUBLE) * CAST(tt1 - b1 AS DOUBLE)
+               |   / CAST(nn - i2 AS DOUBLE)""".stripMargin.replace("\n", " ")))
+      .select(
+        col("d2"), col("i2"), col("b1"), col("b2"),
+        col("nn"), col("tt1"), col("term3"))
     val sse =
-      """(CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE)
-        |   / CAST(i1 AS DOUBLE))
+      """(term1
         | + (CAST(b2 - a2 AS DOUBLE)
         |   - CAST(b1 - a1 AS DOUBLE) * CAST(b1 - a1 AS DOUBLE)
-        |   / CAST(i2 - i1 AS DOUBLE))
-        | + (CAST(tt2 - b2 AS DOUBLE)
-        |   - CAST(tt1 - b1 AS DOUBLE) * CAST(tt1 - b1 AS DOUBLE)
-        |   / CAST(nn - i2 AS DOUBLE))"""
+        |   / CAST(i2 - i1 AS DOUBLE)))
+        | + term3"""
         .stripMargin.replace("\n", " ")
-    p1.join(broadcast(p2), col("i2") > col("i1"))
-      .crossJoin(broadcast(tot)) // 1-row totals: documented exception
+    // Round 11: the argmin scans NARROW (obj, i1, i2) rows — the old
+    // projection dragged two dates + five decimal(38,0)s through the
+    // ~3M-row join output and TakeOrderedAndProject; the evidence
+    // columns are re-attached AFTER limit(1) by two 1-row broadcast
+    // lookups into `pref` (checkpointed, day-grain). Argmin key
+    // (obj asc, i1, i2) unchanged, so the selected pair — and every
+    // emitted value, recomputed from the same pref row — is identical.
+    val winner = p1.join(broadcast(p2), col("i2") > col("i1"))
       .where(col("i2") < col("nn")) // third segment non-empty
-      .select(
-        col("d1"), col("d2"), col("i1"), col("i2"),
-        col("a1"), col("b1"), col("nn"), col("tt1"),
-        expr(sse).as("obj"))
+      .select(col("i1"), col("i2"), expr(sse).as("obj"))
       .orderBy(col("obj").asc, col("i1"), col("i2"))
       .limit(1)
+    val e1 = pref.select(
+      col("d").as("d1"), col("idx").as("i1"), col("s1").as("a1"))
+    val e2 = pref.select(
+      col("d").as("d2"), col("idx").as("i2"), col("s1").as("b1"))
+    e2.join(
+      broadcast(e1.join(broadcast(winner), Seq("i1"))), Seq("i2"))
+      .crossJoin(broadcast(tot))
       .select(
         col("d1"), col("d2"),
         col("i1").as("n1"),

@@ -85,7 +85,26 @@ object Dedup {
     stale.foreach(docarrCache.remove)
     docarrCache.computeIfAbsent(
       (spark, dir),
-      { case (s, d) => docShingleArrays(s, d).persist(StorageLevel.DISK_ONLY) })
+      { case (s, d) =>
+        // Scale-adaptive cache layout (round 11, guide §2.5 input
+        // skew): ~15 consumers run their first stage (explode, map-
+        // side aggregation, signature kernels) directly on this
+        // cache's partitions. When the documents scan yields FEWER
+        // partitions than the session's parallelism (single-file /
+        // single-row-group inputs — parquet can only split at row
+        // groups), every consumer's pre-shuffle stage would run
+        // near-serial; one doc-grain round-robin shuffle at
+        // materialization fixes that for all of them. At real scale
+        // the scan already has ≥ cores partitions and the condition
+        // is FALSE — no repartition, no added shuffle, so this is a
+        // derived-from-input policy, not a local tuning constant.
+        val base = docShingleArrays(s, d)
+        val par = s.sparkContext.defaultParallelism
+        val laidOut =
+          if (base.rdd.getNumPartitions < par) base.repartition(par)
+          else base
+        laidOut.persist(StorageLevel.DISK_ONLY)
+      })
   }
 
   /** Drop (and unpersist) the shared relations for `dir`, e.g. after

@@ -519,21 +519,51 @@ object Relational {
     * aggregation collapses to a 175-row grid.
     */
   def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    // Round 11 (guide §2.3 narrower types / §1.2 per-task work): the
+    // DECIMAL(18,2) products ran at precision 37 and the sum at 38 —
+    // the non-compact BigDecimal path, per fact row, inside the
+    // single-task scan stage. The same EXACT value in 1e-4-dollar
+    // integer units: each factor is integral after the (unchanged)
+    // DECIMAL(18,2) cast ×100, so the per-row value v_e4 =
+    // ep_c·(100−d_c) − rp_c·q_c is exact long arithmetic (|v_e4| ≲
+    // 1e9 ≪ 2^63). The sum is carried as SPLIT longs (quotient /
+    // remainder by 1e6; v = 1e6·(v div 1e6) + (v % 1e6) exactly for
+    // either sign) so each partial stays ≲ rows·1e3 and rows·1e6 —
+    // overflow-safe past 10^14 rows per group where a single long sum
+    // of v_e4 would clip near 10^9.5 rows. The exact total is
+    // reconstructed ONCE per output group in DECIMAL(38,0) and
+    // surfaced as double through an exact scale-4 value — the same
+    // correctly-rounded double the decimal sum produced. rp_c is
+    // hoisted onto the broadcast part dimension (once per part, not
+    // per fact row).
     val li = Tables.read(spark, dir, "lineitem")
-    val part = Tables.read(spark, dir, "part")
+    val part = Tables.read(spark, dir, "part").select(
+      col("p_partkey"),
+      (col("p_retailprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("rp_c"))
     val supp = Tables.read(spark, dir, "supplier")
     val nation = Tables.read(spark, dir, "nation")
-    val one = lit(java.math.BigDecimal.ONE)
-    val profit =
-      col("l_extendedprice").cast(DecimalType(18, 2)) *
-        (one - col("l_discount").cast(DecimalType(18, 2))) -
-        col("p_retailprice").cast(DecimalType(18, 2)) *
-        col("l_quantity").cast(DecimalType(18, 2))
+    val epC = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val dC = (col("l_discount").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val qC = (col("l_quantity").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
-      .agg(sum(profit).cast("double").as("profit"))
+      .select(
+        col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("o_year"),
+        (epC * (lit(100L) - dC) - col("rp_c") * qC).as("v_e4"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(
+        sum(expr("v_e4 div 1000000")).as("vq"),
+        sum(expr("v_e4 % 1000000")).as("vr"))
+      .select(
+        col("nation"), col("o_year"),
+        ((col("vq").cast(DecimalType(38, 0)) * 1000000 + col("vr")) / 10000)
+          .cast("double").as("profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 

@@ -1659,57 +1659,83 @@ object TrainingPipeline {
     *
     * The 5 argmax reads are 1-row collects (the hits/bom_rollup
     * bounded driver-arithmetic exception — round count is a
-    * constant, never data-sized). Plan shape per round: one anti-join
-    * of the persisted (source, shingle) relation against the covered
-    * set + one per-source count — both shingle-partitioned; the
-    * covered set only ever holds picked-source shingles. At 100 TB:
-    * 5 × (anti-join + aggregate) over the shared shingle grain.
+    * constant, never data-sized). Plan shape (round 11, guide §2.4):
+    * the per-shingle SOURCE BITMASK collapses the whole greedy to one
+    * shingle-grain aggregate. `bit_or` is duplicate-insensitive, so
+    * the old (source, shingle) `distinct` AND the per-round
+    * covered-set anti-joins all disappear: one groupBy(shingle) →
+    * bit_or(source bit), one groupBy(mask) → count, and the 5 rounds
+    * run over the mask-grain rollup (≤ #distinct source-co-occurrence
+    * combinations — combinatorially bounded by the source count, not
+    * the corpus). gain(s | covered) = Σ cnt[m] over masks with bit s
+    * set and m ∩ covered = ∅ — exactly the old anti-joined novel-
+    * shingle count, same (gain desc, source asc) tie-break. At
+    * 100 TB: ONE pass over the shingle grain instead of a persisted
+    * copy + 5 anti-join/aggregate rounds. Source cardinality is a
+    * corpus property (licensed feeds), required ≤ 63 so masks fit one
+    * int64 — the REQUIRE fails loudly, never silently degrades.
     */
   def sourceCoverageGreedy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // persisted PRE-PARTITIONED on the anti-join key: every round's
-    // anti-join reads both sides (remaining = !isin slice, covered =
-    // isin slice) out of this one cache with shingle partitioning
-    // already in place — the 5 rounds run exchange-free on the
-    // shingle grain instead of re-shuffling the full relation per
-    // round (the round-8 cost was exactly that: isin+distinct
-    // re-derived and re-shuffled the covered set every round)
-    val ps = Dedup.shingles(spark, dir)
+    val ss = Dedup.shingles(spark, dir)
       .join(
         Tables.read(spark, dir, "documents")
           .select(col("doc_id"), col("source")),
         "doc_id")
-      .select(col("source"), col("shingle"))
-      .distinct()
-      .repartition(col("shingle"))
+    // stable source → bit mapping (sorted ascending, so the mapping —
+    // and every mask — is deterministic across runs and partitionings).
+    // Sources come from the doc-grain table directly — no shingle
+    // explode; a source whose documents yield no shingles gets a bit
+    // but appears in no mask, so it can never be picked (exactly the
+    // old behavior, where it never entered the posting relation).
+    val srcs = Tables.read(spark, dir, "documents")
+      .select(col("source")).distinct()
+      .orderBy(col("source")).as[String].collect()
+    require(
+      srcs.length <= 63,
+      s"source_coverage_greedy bitmask supports <= 63 sources, got " +
+        s"${srcs.length}: widen to a 2-word mask before raising the cap")
+    val dim = srcs.zipWithIndex
+      .map { case (s, i) => (s, 1L << i) }.toSeq.toDF("source", "bit")
+    val masks = ss.join(broadcast(dim), "source")
+      .groupBy(col("shingle"))
+      .agg(expr("bit_or(bit)").as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ps.count() // materialize once; 5 rounds re-read it
     var picked = Vector.empty[(Long, String, Long, Long)]
     var coveredTotal = 0L
+    var covered = 0L
     try {
       for (r <- 1 to 5) {
-        val pickedNames = picked.map(_._2)
-        val remaining =
-          if (pickedNames.isEmpty) ps
-          else ps
-            .where(!col("source").isin(pickedNames: _*))
-            .join(
-              // no distinct: LEFT ANTI is insensitive to duplicate
-              // right-side keys, and the slice already carries the
-              // cache's shingle partitioning — dedup would only add
-              // an aggregate to save the join nothing
-              ps.where(col("source").isin(pickedNames: _*))
-                .select(col("shingle")),
-              Seq("shingle"), "left_anti")
-        val best = remaining
-          .groupBy(col("source")).agg(count(lit(1)).as("gain"))
-          .orderBy(col("gain").desc, col("source")).limit(1)
+        // ONE two-stage job per round: every source's gain as a
+        // separate conditional-sum column over the uncovered masks
+        // (source cardinality is ≤ 63 by the REQUIRE, so the row is
+        // bounded-width driver arithmetic). A picked source's masks
+        // all intersect `covered`, so its column goes NULL and it can
+        // never be re-picked — the old !isin exclusion. sum(when) is
+        // NULL exactly when the old groupBy had no row for the
+        // source, and a present gain is ≥ 1 (cnt ≥ 1), so the -1
+        // sentinel can never collide with a real gain.
+        val gainCols = srcs.indices.map { i =>
+          sum(when(col("m").bitwiseAND(lit(1L << i)) =!= 0, col("cnt")))
+            .as(s"g$i")
+        }
+        val row = masks
+          .where(col("m").bitwiseAND(lit(covered)) === 0)
+          .agg(gainCols.head, gainCols.tail: _*)
           .collect()(0)
-        coveredTotal += best.getLong(1)
-        picked :+= ((r.toLong, best.getString(0), best.getLong(1),
-          coveredTotal))
+        val gains = srcs.indices
+          .map(i => if (row.isNullAt(i)) -1L else row.getLong(i))
+        require(gains.max >= 0, s"greedy round $r: no uncovered source")
+        // maxBy keeps the FIRST index at the max; srcs is sorted
+        // ascending, so ties resolve (gain desc, source asc) — the
+        // old orderBy tie-break
+        val bi = gains.indices.maxBy(gains)
+        coveredTotal += gains(bi)
+        covered |= 1L << bi
+        picked :+= ((r.toLong, srcs(bi), gains(bi), coveredTotal))
       }
-    } finally ps.unpersist()
+    } finally masks.unpersist()
     picked.toDF("round", "source", "gain", "covered_total")
   }
 
