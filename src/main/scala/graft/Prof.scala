@@ -34,10 +34,41 @@ object Prof {
       println(f"PROF $label%-40s $v%8.3f s")
     }
 
+    // per-job wall times: attribute a query's cost to its jobs
+    if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, System.nanoTime())
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val t0 = Option(starts.remove(j.jobId))
+            val ms = t0.map(t => (System.nanoTime() - t) / 1e6).getOrElse(-1.0)
+            println(f"JOB ${j.jobId}%4d ${ms}%9.1f ms")
+          }
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val i = s.stageInfo
+            val wall = (for {
+              a <- i.completionTime; b <- i.submissionTime
+            } yield a - b).getOrElse(-1L)
+            val run = i.taskMetrics.executorRunTime
+            val cpu = i.taskMetrics.executorCpuTime / 1000000
+            println(
+              f"  STAGE ${i.stageId}%4d tasks=${i.numTasks}%3d " +
+                f"wall=${wall}%6d run=${run}%6d cpu=${cpu}%6d  ${i.name.take(60)}")
+          }
+        })
+    }
     args.headOption.getOrElse("scg") match {
       case "scg" => queries.Probes.scg(spark, sfDir, t)
       case "dcp" => queries.Probes.dcp(spark, sfDir, t)
       case "q9" => queries.Probes.q9(spark, sfDir, t)
+      case "pr" => queries.Probes.pr(spark, sfDir, t)
+      case "prpart" => queries.Probes.prpart(spark, sfDir, t)
       case other => println(s"unknown probe $other")
     }
     spark.stop()

@@ -70,9 +70,17 @@ object Graph {
             (col("o_custkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
           .agg(count(lit(1)).as("w"))
+        // input-derived cache layout (guide §2.2): the union of two
+        // 32-partition aggregates would pin 64 micro-partitions whose
+        // per-task overhead every iteration of every consumer re-pays
+        // (measured: one pagerank iteration 0.65 s on 64 parts vs
+        // 0.15 s on 1 at sf0.1); one partition per 128 MB of source
+        // fact data scales the count with the input
+        val p = Tables.cacheParts(Tables.inputBytes(s, d, "lineitem"))
         eraw.select(col("src"), col("dst"), col("w"))
           .unionByName(
             eraw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .coalesce(p)
           .persist(StorageLevel.MEMORY_AND_DISK)
       })
   }
@@ -94,7 +102,10 @@ object Graph {
       (spark, dir),
       { case (s, d) =>
         val both = tradeEdges(s, d)
+        // node-sized: same input-derived layout as the edge cache
+        val p = Tables.cacheParts(Tables.inputBytes(s, d, "lineitem"))
         val outw = both.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+          .coalesce(p)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val edges = both.join(broadcast(outw), "src")
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -532,6 +543,13 @@ object Graph {
           .agg(count(lit(1)).as("c"))
           .where(col("c") >= TriSupport)
           .select("a", "b")
+          // input-derived cache layout (guide §2.2), like tradeEdges:
+          // consumers' heavy stages (wedge joins, LPA rounds) run
+          // POST-shuffle, so their parallelism comes from the shuffle
+          // partitioning, not this scan-side count — measured, the
+          // per-task overhead of 32 micro-partitions dominates the
+          // scan-side md5/explode work at bench scale
+          .coalesce(Tables.cacheParts(Tables.inputBytes(s, d, "lineitem")))
           .persist(StorageLevel.MEMORY_AND_DISK)
       })
   }
@@ -557,6 +575,7 @@ object Graph {
       (spark, dir),
       { case (s, d) =>
         triangleCountOn(coEdgesShared(s, d))
+          .coalesce(Tables.cacheParts(Tables.inputBytes(s, d, "lineitem")))
           .persist(StorageLevel.MEMORY_AND_DISK)
       })
   }

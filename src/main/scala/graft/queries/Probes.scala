@@ -87,6 +87,46 @@ object Probes {
         .groupBy(col("o_orderdate")).agg(count(lit(1)).as("n")))
   }
 
+  def pr(
+      spark: SparkSession, sfDir: String,
+      t: String => (=> DataFrame) => Unit): Unit = {
+    // warm shared caches
+    Graph.pagerank(spark, sfDir).write.format("noop").mode("overwrite").save()
+    println("=== pagerank timed ===")
+    val t0 = System.nanoTime()
+    Graph.pagerank(spark, sfDir).write.format("noop").mode("overwrite").save()
+    println(f"TOTAL pagerank ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    println("=== hits timed ===")
+    val t1 = System.nanoTime()
+    Graph.hits(spark, sfDir).write.format("noop").mode("overwrite").save()
+    println(f"TOTAL hits ${(System.nanoTime() - t1) / 1e9}%.3f s")
+    println("=== median_merge timed ===")
+    val t2 = System.nanoTime()
+    Statistics.medianMerge(spark, sfDir).write.format("noop").mode("overwrite").save()
+    println(f"TOTAL median_merge ${(System.nanoTime() - t2) / 1e9}%.3f s")
+  }
+
+  def prpart(
+      spark: SparkSession, sfDir: String,
+      t: String => (=> DataFrame) => Unit): Unit = {
+    val (outw, edges) = Graph.weightedTradeEdges(spark, sfDir)
+    println(s"PROFC edges=${edges.count()} parts=${edges.rdd.getNumPartitions}")
+    val r0 = edges.groupBy(col("dst"))
+      .agg((sum(expr("(1000000L * 85 * w) div (tw * 100)"))
+        + lit(150000L)).as("r"))
+    t("iter on 64-part cache")(r0)
+    for (p <- Seq(32, 8, 2, 1)) {
+      val e = edges.coalesce(p)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      t(s"iter on $p-part cache")(
+        e.groupBy(col("dst"))
+          .agg((sum(expr("(1000000L * 85 * w) div (tw * 100)"))
+            + lit(150000L)).as("r")))
+      e.unpersist()
+    }
+  }
+
   def dcp(
       spark: SparkSession, sfDir: String,
       t: String => (=> DataFrame) => Unit): Unit = {

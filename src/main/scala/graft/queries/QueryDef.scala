@@ -15,6 +15,46 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** On-disk bytes of a source table — the scale signal for sizing
+    * cached-relation partitions (round 11, guide §2.2). Hadoop-FS
+    * path so it works for any scheme the session can read.
+    */
+  def inputBytes(spark: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Gate-repartition a scan whose downstream per-row work is heavy
+    * (tokenization, JSON predicate batteries, codec decode): when the
+    * source yields FEWER partitions than the session parallelism —
+    * single-file / single-row-group inputs, which parquet can only
+    * split at row-group grain — one cheap shuffle of the raw rows
+    * unlocks the cores for the expensive map stage (guide §2.5 input
+    * skew: "one huge unsplittable file … repartition immediately
+    * after the read"). At real scale the scan already has ≥ cores
+    * partitions and this is the identity — no added shuffle — so the
+    * policy is input-derived, never a local tuning constant. Apply
+    * ONLY where the per-row work dwarfs one extra exchange of the
+    * input rows.
+    */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+  /** Partition count for a persisted multi-consumer relation DERIVED
+    * from ~`bytes` of input: one partition per 128 MB of source data,
+    * floored at 1 (guide §2.2 "fewer, larger partitions" — tiny
+    * cached partitions cost a fixed per-task overhead every consumer
+    * and every iteration re-pays; at real scale the quotient grows
+    * with the data, so this is input-derived, never a local-core
+    * constant).
+    */
+  def cacheParts(bytes: Long): Int =
+    math.max(1L, math.min(1L << 20, (bytes + (128L << 20) - 1) / (128L << 20)))
+      .toInt
+
   /** The events table's `ts` encoding has varied across driver data
     * generations: TIMESTAMP(NANOS) (surfaced by Spark only as a LONG
     * via the nanosAsLong legacy conf) and TIMESTAMP(MICROS,

@@ -210,7 +210,9 @@ object RefSurface {
     "c_cross_key" -> Seq("d>=2024-01-01", "k>=0"))
 
   def filterLang(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    // spread (guide §2.5): ~80 JSON-path predicates evaluate per row
+    // in the scan stage — the heaviest per-row map work in the suite
+    val ev = Tables.spread(spark, Tables.events(spark, dir))
     val kv = get_json_object(col("props"), "$.k")
     val payload = when(col("event_id") % 4 === 0, col("props"))
       .when(col("event_id") % 4 === 1, concat(lit("{\"k\": \""), kv, lit("\"}")))

