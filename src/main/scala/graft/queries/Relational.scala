@@ -25,6 +25,30 @@ object Relational {
     sum(c.cast(DecimalType(18, 2))).cast("double")
   private val SumExactSql = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** Round-11 exact-revenue discipline (the q9 split-sum pattern,
+    * guide §2.3): ep·(1−d) per row in 1e-4-dollar LONGS — the
+    * DECIMAL(18,2) casts are unchanged, the precision-37 product and
+    * precision-38 sum are not paid per fact row. [[sumE4]] carries
+    * the sum as quotient/remainder longs (exact for either sign,
+    * overflow-safe past 10^14 rows per group); [[reconE4]] rebuilds
+    * the exact DECIMAL(38,0) e4 total once per output group.
+    */
+  private def revE4: Column =
+    (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long") *
+      (lit(100L) -
+        (col("l_discount").cast(DecimalType(18, 2)) * 100).cast("long"))
+  private def sumE4(a: String): Seq[Column] = Seq(
+    sum(expr(s"$a div 1000000")).as(s"${a}_q"),
+    sum(expr(s"$a % 1000000")).as(s"${a}_r"))
+  private def reconE4(a: String): Column =
+    col(s"${a}_q").cast(DecimalType(38, 0)) * 1000000 + col(s"${a}_r")
+  /** The exact e4 total surfaced as the decimal sum's double. */
+  private def e4Double(a: String): Column =
+    (reconE4(a) / 10000).cast("double")
+  /** floor(sum·100) of the old 4-decimal sum — cents, non-negative. */
+  private def e4Cents(a: String): Column =
+    floor(reconE4(a) / 100).cast("long")
+
   /** Timestamp literal resolved in the SESSION timezone (UTC per
     * build.sbt/Verify/Bench), not the JVM default —
     * java.sql.Timestamp.valueOf would shift the boundary on any
@@ -37,18 +61,44 @@ object Relational {
   // --- q1: scan + filter + hash aggregation (TPC-H Q1 shape) ---
 
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    // Round 11: the q9 split-sum discipline — per-row values as exact
+    // scaled-integer longs (cents / 1e-4 dollars after the unchanged
+    // DECIMAL(18,2) casts), summed as quotient/remainder long pairs,
+    // each measure reconstructed exactly in DECIMAL(38,0) once per
+    // output group and surfaced as the same correctly-rounded double
+    // the decimal sums produced. Removes the per-fact-row
+    // BigDecimal products and precision-28/38 sum updates.
     val li = Tables.read(spark, dir, "lineitem")
-    val disc =
-      col("l_extendedprice").cast(DecimalType(18, 2)) *
-        (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2)))
+    val qc = (col("l_quantity").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val epc = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val dc = (col("l_discount").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    def reconC(q: Column, r: Column): Column =
+      ((q.cast(DecimalType(38, 0)) * 1000000 + r) / 100).cast("double")
     li.where(col("l_shipdate") <= ts("2000-12-31 00:00:00"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        qc.as("qc"), epc.as("epc"),
+        (epc * (lit(100L) - dc)).as("v_e4"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sumExact(col("l_quantity")).as("sum_qty"),
-        sumExact(col("l_extendedprice")).as("sum_base_price"),
-        sum(disc).cast("double").as("sum_disc_price"),
-        (sumExact(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        sum(expr("qc div 1000000")).as("qq"),
+        sum(expr("qc % 1000000")).as("qr"),
+        sum(expr("epc div 1000000")).as("eq"),
+        sum(expr("epc % 1000000")).as("er"),
+        sum(expr("v_e4 div 1000000")).as("vq"),
+        sum(expr("v_e4 % 1000000")).as("vr"),
         count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        reconC(col("qq"), col("qr")).as("sum_qty"),
+        reconC(col("eq"), col("er")).as("sum_base_price"),
+        ((col("vq").cast(DecimalType(38, 0)) * 1000000 + col("vr")) / 10000)
+          .cast("double").as("sum_disc_price"),
+        (reconC(col("qq"), col("qr")) / col("count_order")).as("avg_qty"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -73,13 +123,14 @@ object Relational {
       .where(col("o_orderdate") < ts("1999-01-01 00:00:00"))
     val li = Tables.read(spark, dir, "lineitem")
       .where(col("l_shipdate") > ts("1999-01-01 00:00:00"))
-    val disc =
-      col("l_extendedprice").cast(DecimalType(18, 2)) *
-        (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2)))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("l_orderkey"), col("o_orderdate"), revE4.as("v"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(sum(disc).cast("double").as("revenue"))
+      .agg(sumE4("v").head, sumE4("v").tail: _*)
+      .select(
+        col("l_orderkey"), col("o_orderdate"),
+        e4Double("v").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -108,9 +159,6 @@ object Relational {
         col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
           col("o_orderdate") < ts("1998-01-01 00:00:00"))
     val li = Tables.read(spark, dir, "lineitem")
-    val disc =
-      col("l_extendedprice").cast(DecimalType(18, 2)) *
-        (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2)))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(
@@ -119,8 +167,10 @@ object Relational {
           col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), revE4.as("v"))
       .groupBy(col("n_name"))
-      .agg(sum(disc).cast("double").as("revenue"))
+      .agg(sumE4("v").head, sumE4("v").tail: _*)
+      .select(col("n_name"), e4Double("v").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -754,28 +804,36 @@ object Relational {
     * compared. One fact scan, zero fact shuffles, month-grid output.
     */
   def q14TypeShare(spark: SparkSession, dir: String): DataFrame = {
-    val one = lit(java.math.BigDecimal.ONE)
-    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
-      (one - col("l_discount").cast(DecimalType(18, 2))))
+    // Round 11: q9/q1 split-sum discipline. rev_e4 ≥ 0 (price ≥ 0,
+    // discount ≤ 1), so the old floor(sum · 100) is exactly the
+    // DECIMAL(38,0) reconstruction div 100 — truncation and floor
+    // agree on non-negatives.
+    val vE4 = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long") *
+      (lit(100L) -
+        (col("l_discount").cast(DecimalType(18, 2)) * 100).cast("long"))
+    def cents(q: Column, r: Column): Column =
+      floor((q.cast(DecimalType(38, 0)) * 1000000 + r) / 100).cast("long")
     Tables.read(spark, dir, "lineitem")
       .join(
         broadcast(Tables.read(spark, dir, "part")),
         col("l_partkey") === col("p_partkey"))
-      .groupBy(
+      .select(
         year(col("l_shipdate")).cast("long").as("yr"),
-        month(col("l_shipdate")).cast("long").as("mo"))
+        month(col("l_shipdate")).cast("long").as("mo"),
+        vE4.as("v_e4"),
+        when(col("p_type") === "ECONOMY", vE4).otherwise(lit(0L))
+          .as("econ_e4"))
+      .groupBy(col("yr"), col("mo"))
       .agg(
-        sum(when(col("p_type") === "ECONOMY", rev)
-          .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
-          .as("economy_rev"),
-        sum(rev).as("total_rev"))
+        sum(expr("econ_e4 div 1000000")).as("aq"),
+        sum(expr("econ_e4 % 1000000")).as("ar"),
+        sum(expr("v_e4 div 1000000")).as("tq"),
+        sum(expr("v_e4 % 1000000")).as("tr"))
       .select(
         col("yr"), col("mo"),
-        // the 4-decimal revenue sum x100 still has cents fractions;
-        // floor is pinned on BOTH engines (Spark decimal->long truncates,
-        // DuckDB rounds - the fifo_match cast lesson)
-        floor(col("economy_rev") * 100).cast("long").as("economy_c"),
-        floor(col("total_rev") * 100).cast("long").as("total_c"))
+        cents(col("aq"), col("ar")).as("economy_c"),
+        cents(col("tq"), col("tr")).as("total_c"))
       .withColumn(
         // NULL-guard per the suite convention (lsh_recall,
         // selectivity_estimate): group rows can't be empty on this
@@ -815,9 +873,6 @@ object Relational {
     * TakeOrderedAndProject.
     */
   def q10Returned(spark: SparkSession, dir: String): DataFrame = {
-    val one = lit(java.math.BigDecimal.ONE)
-    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
-      (one - col("l_discount").cast(DecimalType(18, 2))))
     val li = Tables.read(spark, dir, "lineitem")
       .where(col("l_returnflag") === "R")
     val ord = Tables.read(spark, dir, "orders")
@@ -831,8 +886,12 @@ object Relational {
       .join(
         broadcast(Tables.read(spark, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), revE4.as("v"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(floor(sum(rev) * 100).cast("long").as("lost_c"))
+      .agg(sumE4("v").head, sumE4("v").tail: _*)
+      .select(
+        col("c_custkey"), col("c_name"), col("n_name"),
+        e4Cents("v").as("lost_c"))
       .orderBy(col("lost_c").desc, col("c_custkey"))
       .limit(20)
   }
@@ -936,9 +995,6 @@ object Relational {
     * the join ever sees a row.
     */
   def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
-    val one = lit(java.math.BigDecimal.ONE)
-    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
-      (one - col("l_discount").cast(DecimalType(18, 2))))
     val band = (
       col("p_brand") === "Brand#12" &&
         col("p_size").between(1, 10) && col("l_quantity").between(1, 11)) ||
@@ -951,8 +1007,10 @@ object Relational {
         broadcast(Tables.read(spark, dir, "part")),
         col("l_partkey") === col("p_partkey"))
       .where(band)
+      .select(col("p_brand"), revE4.as("v"))
       .groupBy(col("p_brand"))
-      .agg(floor(sum(rev) * 100).cast("long").as("revenue_c"))
+      .agg(sumE4("v").head, sumE4("v").tail: _*)
+      .select(col("p_brand"), e4Cents("v").as("revenue_c"))
       .orderBy("p_brand")
   }
 
@@ -1101,15 +1159,14 @@ object Relational {
     * everything after is supplier-grain.
     */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val one = lit(java.math.BigDecimal.ONE)
-    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
-      (one - col("l_discount").cast(DecimalType(18, 2))))
     val view = Tables.read(spark, dir, "lineitem")
       .where(
         col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
           col("l_shipdate") < ts("1997-04-01 00:00:00"))
+      .select(col("l_suppkey"), revE4.as("v"))
       .groupBy(col("l_suppkey"))
-      .agg(floor(sum(rev) * 100).cast("long").as("total_c"))
+      .agg(sumE4("v").head, sumE4("v").tail: _*)
+      .select(col("l_suppkey"), e4Cents("v").as("total_c"))
     val mx = view.agg(max(col("total_c")).as("mx"))
     view
       .crossJoin(broadcast(mx))
@@ -1205,12 +1262,15 @@ object Relational {
           col("l_shipdate") < ts("1998-01-01 00:00:00") &&
           Quantize.cents(col("l_discount")).between(5, 7) &&
           col("l_quantity") < 24)
+      .select(
+        ((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long") *
+          (col("l_discount").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("v"))
       .agg(
-        sum(
-          col("l_extendedprice").cast(DecimalType(18, 2)) *
-            col("l_discount").cast(DecimalType(18, 2)))
-          .cast("double").as("revenue"),
-        count(lit(1)).as("n_lines"))
+        (sumE4("v") :+ count(lit(1)).as("n_lines")).head,
+        (sumE4("v") :+ count(lit(1)).as("n_lines")).tail: _*)
+      .select(e4Double("v").as("revenue"), col("n_lines"))
   }
 
   def q6ForecastOracle: String =
@@ -1246,9 +1306,6 @@ object Relational {
     val cust = Tables.read(spark, dir, "customer")
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
-    val one = lit(java.math.BigDecimal.ONE)
-    val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
-      (one - col("l_discount").cast(DecimalType(18, 2)))
     Tables.read(spark, dir, "lineitem")
       .where(
         col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
@@ -1260,10 +1317,14 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .where(col("supp_nation") =!= col("cust_nation"))
-      .groupBy(
+      .select(
         col("supp_nation"), col("cust_nation"),
-        year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(sum(rev).cast("double").as("revenue"))
+        year(col("l_shipdate")).cast("long").as("l_year"), revE4.as("v"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sumE4("v").head, sumE4("v").tail: _*)
+      .select(
+        col("supp_nation"), col("cust_nation"), col("l_year"),
+        e4Double("v").as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -1313,11 +1374,9 @@ object Relational {
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val parts = Tables.read(spark, dir, "part")
       .where(col("p_type") === "STANDARD").select(col("p_partkey"))
-    val one = lit(java.math.BigDecimal.ONE)
-    val revC = floor(
-      col("l_extendedprice").cast(DecimalType(18, 2)) *
-        (one - col("l_discount").cast(DecimalType(18, 2))) * 100)
-      .cast("long")
+    // per-row cents: rev_e4 ≥ 0 so (v_e4 div 100) IS the old
+    // floor(rev · 100) — pure long arithmetic per row
+    val revC = expr("v_e4 div 100")
     Tables.read(spark, dir, "lineitem")
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
@@ -1329,6 +1388,7 @@ object Relational {
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .withColumn("v_e4", revE4)
       .select(
         year(col("o_orderdate")).cast("long").as("o_year"),
         revC.as("rev_c"),
