@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g local default (round 11): the 392-query bench session carries
+  // codegen classes + shared caches for the whole registry; at 8g the
+  // old-gen stays near-full late in the run and GC time inflates the
+  // back half of the suite on a 128 GiB box. Env-tunable as before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

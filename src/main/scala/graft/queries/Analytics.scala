@@ -1368,12 +1368,18 @@ object Analytics {
         (col("n").cast("decimal(38,0)") * col("x") - col("s")).as("c"))
       .localCheckpoint(eager = false)
     val den = centered.agg(sum(col("c") * col("c")).as("den"))
-    val rRows = (1 to 5).map { lag =>
-      val lead = centered.select(col("day").as("lday"), col("c").as("lc"))
-      centered
-        .join(lead, date_add(col("day"), lag) === col("lday"))
-        .agg(lit(lag.toLong).as("lag"), sum(col("c") * col("lc")).as("num"))
-    }.reduce(_ unionByName _)
+    // Round 11: ONE join + one (lag)-grain aggregate instead of five
+    // separate join+aggregate branches — each day row probes its 5
+    // lead days via an exploded lag column (day-grain × 5, trivial at
+    // any scale); per-lag sums are identical, five stages fewer.
+    val lead = centered.select(col("day").as("lday"), col("c").as("lc"))
+    val rRows = centered
+      .select(
+        col("day"), col("c"),
+        explode(sequence(lit(1), lit(5))).as("lag"))
+      .join(lead, expr("date_add(day, lag)") === col("lday"))
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(sum(col("c") * col("lc")).as("num"))
       .crossJoin(broadcast(den))
       .select(
         col("lag"),

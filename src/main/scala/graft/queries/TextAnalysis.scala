@@ -394,7 +394,9 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    Tables.read(spark, dir, "documents")
+    // spread (guide §2.5): sort+aggregate over per-row bigram arrays
+    // is the heavy map stage
+    Tables.spread(spark, Tables.read(spark, dir, "documents"))
       // Generate barriers: tokenize once per row, build bigrams once
       .select(col("doc_id"), explode(array(t)).as("tk"))
       .select(col("doc_id"), col("tk"), explode(array(bg)).as("bg"))
@@ -2045,7 +2047,8 @@ object TextAnalysis {
     * loses a pair hash-mismatches.
     */
   def fuzzyTermJoin(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.read(spark, dir, "documents")
+    // spread (guide §2.5): tokenize + rlike + query-surgery per row
+    val docs = Tables.spread(spark, Tables.read(spark, dir, "documents"))
     val tok = docs
       .select(col("doc_id"), explode(toks(lower(col("text")))).as("t"))
       .where(col("t").rlike("^[a-z]{3,}$"))

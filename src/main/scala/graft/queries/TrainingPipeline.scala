@@ -1251,7 +1251,7 @@ object TrainingPipeline {
   def bpeApply(spark: SparkSession, dir: String): DataFrame = {
     val seg = bpeSegmentations(spark, dir)
       .select(col("w").as("sw"), size(split(col("s"), " ")).as("n_sub"))
-    Tables.read(spark, dir, "documents")
+    Tables.spread(spark, Tables.read(spark, dir, "documents"))
       .select(col("lang"), explode(TextAnalysis.toks(col("text"))).as("w"))
       .join(broadcast(seg), col("w") === col("sw"))
       .groupBy(col("lang"))
