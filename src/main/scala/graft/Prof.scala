@@ -16,6 +16,14 @@ object Prof {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Codegen class cache sized to the registry (round 11): the
+      // 100-entry default LRU thrashes across a 392-query session —
+      // whole-stage classes are evicted and Janino-recompiled on
+      // every timed pass (measured as the uniform full-suite
+      // inflation vs isolated runs). Static conf, so it is set at
+      // session build; a few thousand generated classes cost tens of
+      // MB against the 16g driver heap.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
