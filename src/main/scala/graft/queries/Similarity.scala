@@ -102,7 +102,14 @@ object Similarity {
     embPairsCache.computeIfAbsent(
       (spark, dir),
       { case (s, d) =>
-        dedupEmbeddingLsh(s, d)
+        // (a, b) projection only — caching the full query plan lets
+        // CacheManager substitute it into the REGISTERED
+        // dedup_embedding_lsh query (PlanShapeSpec caught exactly
+        // that: its band-bucket joins vanished into a cached scan);
+        // the narrower projection matches no subtree of the
+        // registered query, and the CC consumer needs only the edge
+        // list.
+        dedupEmbeddingLsh(s, d).select(col("a"), col("b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
   }
