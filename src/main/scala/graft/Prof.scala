@@ -30,14 +30,15 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
 
     def t(label: String)(df: => DataFrame): Unit = {
-      val built = df
-      // warm once, then min-of-2 like the bench
+      // rebuild per run: eager localCheckpoint queries do their real
+      // work at BUILD time, so hoisting the build out of the timed
+      // region (as this tool originally did) under-reports them.
       def run(): Double = {
         val t0 = System.nanoTime()
-        built.write.format("noop").mode("overwrite").save()
+        df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      run()
+      run() // warm once, then min-of-2 like the bench
       val v = math.min(run(), run())
       println(f"PROF $label%-40s $v%8.3f s")
     }
@@ -77,6 +78,13 @@ object Prof {
       case "q9" => queries.Probes.q9(spark, sfDir, t)
       case "pr" => queries.Probes.pr(spark, sfDir, t)
       case "prpart" => queries.Probes.prpart(spark, sfDir, t)
+      // generic: time any registered queries (comma-separated) with the
+      // bench methodology; with SPARK_GRAFT_JOBLOG=1 the listener above
+      // attributes each to its jobs/stages.
+      case "query" =>
+        val names = args.drop(1).flatMap(_.split(',')).map(_.trim)
+          .filter(_.nonEmpty)
+        for (n <- names) t(n)(SparkEntry.queries(n)(spark, sfDir))
       case other => println(s"unknown probe $other")
     }
     spark.stop()

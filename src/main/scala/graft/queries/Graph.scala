@@ -737,16 +737,41 @@ object Graph {
     * common-neighbor count, degrees, and integer-ppm Jaccard; also
     * model-checked by `GraphPropertySpec` against a brute-force
     * set-intersection counter on seeded random graphs.
+    *
+    * Plan shape (round 12, guide §2.4 remove shuffles outright): the
+    * old form self-joined the adjacency on the middle node — two
+    * passes over adj for the wedges plus two more for the degree
+    * broadcasts, and at bench scale AQE broadcast-converted the wedge
+    * join so the whole Σdeg² expansion ran in the edge cache's single
+    * task (one 2.1 s serial CPU-bound stage = the entire query). Now
+    * ONE groupBy(m) builds each middle's sorted neighbor array; wedge
+    * pairs are generated LOCALLY from the array (x < y by
+    * construction on the sorted array — the same pair set the join
+    * produced), and the degree relation is `size(ns)` off the same
+    * aggregate, free. One shuffle over adj + one pair-grain aggregate
+    * replace four adj passes and a join; per-middle expansion is the
+    * same Σdeg² rows, so the hot-middle-cap scale story is unchanged.
     */
   def nodeSimilarityOn(edges: DataFrame): DataFrame = {
     val adj = edges.select(col("a").as("x"), col("b").as("m"))
       .unionAll(edges.select(col("b").as("x"), col("a").as("m")))
-    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
-    val cn = adj.as("e1")
-      .join(
-        adj.as("e2"),
-        col("e1.m") === col("e2.m") && col("e1.x") < col("e2.x"))
-      .groupBy(col("e1.x").as("x"), col("e2.x").as("y"))
+    // (m, sorted neighbors) — computed once; lazy checkpoint so the
+    // degree broadcast below reads the materialized arrays instead of
+    // re-running the collect
+    val nbrs = adj.groupBy(col("m"))
+      .agg(sort_array(collect_list(col("x"))).as("ns"))
+      .localCheckpoint(eager = false)
+    val deg = nbrs.select(col("m").as("x"), size(col("ns")).cast("long").as("deg"))
+    // spread before the expansion (guide §2.5): the array relation is
+    // BYTES-tiny, so AQE coalesces it to ~1 partition — but its rows
+    // carry deg(m)² expansion work AQE cannot see. Identity once the
+    // relation has ≥ cores partitions (real scale).
+    val cn = Tables.spread(nbrs.sparkSession, nbrs)
+      .select(explode(expr(
+        """flatten(transform(ns,
+          |  (x, i) -> transform(slice(ns, i + 2, size(ns)),
+          |    y -> struct(x, y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
       .agg(count(lit(1)).as("cn"))
     cn
       .join(broadcast(deg.toDF("x", "dx")), "x")
