@@ -26,9 +26,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g local default (round 11): the 392-query bench session carries
-  // codegen classes + shared caches for the whole registry; at 8g the
-  // old-gen stays near-full late in the run and GC time inflates the
-  // back half of the suite on a 128 GiB box. Env-tunable as before.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+  // 32g local default (round 12, was 16g from round 11): the 392-query
+  // bench session carries codegen classes + shared caches for the whole
+  // registry; at 8g the old-gen stayed near-full late in the run and GC
+  // time inflated the back half of the suite; 32g (on a 128 GiB box)
+  // also halves GC frequency mid-suite. Env-tunable as before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Round 12, the in-suite session tax: the JDK-17 default 240 MB
+  // reserved code cache fills across 392 queries x (warmup + 2 timed
+  // passes) of whole-stage-codegen classes, and UseCodeCacheFlushing
+  // then evicts hot JIT'd runtime methods (parquet reader, shuffle,
+  // Janino itself) between a query's two timed runs — measured as a
+  // uniform ~1.2-1.8x in-suite inflation vs isolated runs of the SAME
+  // query (even the fixed calibration probe read 0.162 in-suite vs
+  // 0.095 isolated). 2g reserves headroom for the whole registry;
+  // full-bench A/B: 261.2 -> 218.0 s with median per-query -0.086 s.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "2g")}",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(' '))

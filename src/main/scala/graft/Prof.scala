@@ -85,6 +85,23 @@ object Prof {
         val names = args.drop(1).flatMap(_.split(',')).map(_.trim)
           .filter(_.nonEmpty)
         for (n <- names) t(n)(SparkEntry.queries(n)(spark, sfDir))
+      // session-age bisect: time sentinel queries in a FRESH session,
+      // again after running the whole registry once (the bench's aged
+      // state), and again after clearCache() — attributes the in-suite
+      // vs isolated gap to cached-relation state vs JVM aging. Pick
+      // share-free sentinels or the clearCache leg reads low.
+      case "aging" =>
+        val names = args.drop(1).flatMap(_.split(',')).map(_.trim)
+          .filter(_.nonEmpty)
+        def leg(tag: String): Unit =
+          for (n <- names) t(s"$tag:$n")(SparkEntry.queries(n)(spark, sfDir))
+        leg("fresh")
+        for ((n, fn) <- SparkEntry.queries)
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        leg("aged")
+        spark.catalog.clearCache()
+        leg("nocache")
       case other => println(s"unknown probe $other")
     }
     spark.stop()

@@ -138,6 +138,37 @@ object Similarity {
       })
   }
 
+  /** Per-method (q_id, neighbor) result slices for the recall gate,
+    * persisted once per (session, dir) — the [[knnTruthShared]]
+    * argument applied to the CANDIDATE side: at scale each ANN
+    * method's top-k is the pipeline's emitted output, and the quality
+    * gate scores those emissions; re-deriving all six pipelines per
+    * gate invocation re-pays the expensive part of the session for a
+    * 30-row join input. Each cached entry is the narrow projection
+    * only (the cache-plan honesty discipline: Project(q_id, neighbor)
+    * over the method's Sort root matches no subtree of the REGISTERED
+    * method query, so `knn_ivf` et al. keep their real benched plans —
+    * pinned by SharedKnnSpec).
+    */
+  private val knnMethodCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+
+  private[queries] def knnMethodShared(
+      spark: SparkSession, dir: String, name: String,
+      build: (SparkSession, String) => DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val stale =
+      knnMethodCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(knnMethodCache.remove)
+    knnMethodCache.computeIfAbsent(
+      (spark, dir, name),
+      { case (s, d, _) =>
+        build(s, d).select(col("q_id"), col("neighbor"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
   /** Drop (and unpersist) the shared vector relation for `dir`. */
   def invalidateShared(spark: SparkSession, dir: String): Unit = {
     val df = vecCache.remove((spark, dir))
@@ -146,6 +177,13 @@ object Similarity {
     if (p != null) p.unpersist()
     val t = knnTruthCache.remove((spark, dir))
     if (t != null) t.unpersist()
+    import scala.jdk.CollectionConverters._
+    knnMethodCache.keys.asScala
+      .filter(k => k._1 == spark && k._2 == dir).toList
+      .foreach { k =>
+        val m = knnMethodCache.remove(k)
+        if (m != null) m.unpersist()
+      }
   }
 
   private val VectorsSql =
@@ -985,18 +1023,19 @@ object Similarity {
   def knnRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = knnTruthShared(spark, dir)
     val denom = truth.agg(count(lit(1)).as("n_truth"))
-    def scored(name: String, df: DataFrame): DataFrame =
-      df.select(col("q_id"), col("neighbor"))
+    def scored(name: String, build: (SparkSession, String) => DataFrame)
+        : DataFrame =
+      knnMethodShared(spark, dir, name, build)
         .join(broadcast(truth), Seq("q_id", "neighbor"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .select(lit(name).as("method"), col("hits"))
     Seq(
-        scored("knn_ivf", knnIvf(spark, dir)),
-        scored("knn_ivf_kmeans", knnIvfKmeans(spark, dir)),
-        scored("knn_ivf_probe2", knnIvfProbe2(spark, dir)),
-        scored("knn_ivf_pq", knnIvfPq(spark, dir)),
-        scored("knn_lsh", knnLsh(spark, dir)),
-        scored("knn_pq", knnPq(spark, dir)))
+        scored("knn_ivf", knnIvf),
+        scored("knn_ivf_kmeans", knnIvfKmeans),
+        scored("knn_ivf_probe2", knnIvfProbe2),
+        scored("knn_ivf_pq", knnIvfPq),
+        scored("knn_lsh", knnLsh),
+        scored("knn_pq", knnPq))
       .reduce(_.unionByName(_))
       .crossJoin(broadcast(denom))
       .select(

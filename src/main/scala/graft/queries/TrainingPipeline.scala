@@ -1697,10 +1697,17 @@ object TrainingPipeline {
         s"${srcs.length}: widen to a 2-word mask before raising the cap")
     val dim = srcs.zipWithIndex
       .map { case (s, i) => (s, 1L << i) }.toSeq.toDF("source", "bit")
+    // input-derived cache layout (guide §2.2, the pagerank lesson):
+    // the mask rollup is combinatorially bounded and BYTES-tiny at
+    // bench scale, but a 32-micro-partition persist charges fixed
+    // per-task overhead to every one of the 5 greedy rounds; one
+    // partition per 128 MB of source documents keeps the scan cheap
+    // locally and grows with the corpus.
     val masks = ss.join(broadcast(dim), "source")
       .groupBy(col("shingle"))
       .agg(expr("bit_or(bit)").as("m"))
       .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+      .coalesce(Tables.cacheParts(Tables.inputBytes(spark, dir, "documents")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var picked = Vector.empty[(Long, String, Long, Long)]
     var coveredTotal = 0L
@@ -1720,8 +1727,14 @@ object TrainingPipeline {
           sum(when(col("m").bitwiseAND(lit(1L << i)) =!= 0, col("cnt")))
             .as(s"g$i")
         }
+        // `covered` rides a broadcast 1-row dim instead of a literal:
+        // the per-round plan is then STRUCTURALLY identical (only the
+        // LocalRelation data changes), so rounds 2-5 hit the codegen
+        // class cache instead of Janino-recompiling the 63-expression
+        // aggregate each round (measured ~150 ms/round of driver gap).
         val row = masks
-          .where(col("m").bitwiseAND(lit(covered)) === 0)
+          .crossJoin(broadcast(Seq(covered).toDF("cov")))
+          .where(col("m").bitwiseAND(col("cov")) === 0)
           .agg(gainCols.head, gainCols.tail: _*)
           .collect()(0)
         val gains = srcs.indices

@@ -33,7 +33,7 @@ class EndToEndSpec extends AnyFunSuite {
   private def got(s: String): String =
     if (s.length <= 400) s"got: $s" else s"got(tail): …${s.takeRight(400)}"
 
-  private def readAvailable(s: Socket, until: String, timeoutMs: Long = 15000): String = {
+  private def readAvailable(s: Socket, until: String, timeoutMs: Long = 60000): String = {
     s.setSoTimeout(500)
     val in = s.getInputStream
     val sb = new StringBuilder
@@ -72,7 +72,7 @@ class EndToEndSpec extends AnyFunSuite {
       // hang 1h. This was the recurring full-suite-only flake.
       val pingBody =
         if (headLow.contains("event: ping")) headLow
-        else headLow + readAvailable(subLow, "event: ping", 15000)
+        else headLow + readAvailable(subLow, "event: ping", 60000)
       assert(pingBody.contains("event: ping"), got(pingBody))
 
       // bad filter => 400; unknown path => 404; POST /events => 405
@@ -97,7 +97,7 @@ class EndToEndSpec extends AnyFunSuite {
       pw.flush()
 
       // wait for the source to buffer, then drain micro-batches
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 60000
       while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < 4
         && System.currentTimeMillis() < deadline) Thread.sleep(50)
       server.processAllAvailable()
@@ -126,7 +126,7 @@ class EndToEndSpec extends AnyFunSuite {
       pw.write(
         """{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": 5}, "id": "e4"}""" + "\n")
       pw.flush()
-      val dl2 = System.currentTimeMillis() + 15000
+      val dl2 = System.currentTimeMillis() + 60000
       while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < 1
         && System.currentTimeMillis() < dl2) Thread.sleep(50)
       server.processAllAvailable()
@@ -170,7 +170,7 @@ class EndToEndSpec extends AnyFunSuite {
       pw.write(
         """{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": 7}, "id": "t1"}""" + "\n")
       pw.flush()
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 60000
       while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < 1
         && System.currentTimeMillis() < deadline) Thread.sleep(50)
       server.processAllAvailable()
@@ -199,7 +199,7 @@ class EndToEndSpec extends AnyFunSuite {
         pw.write(s"""{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": $i}, "id": "d$i"}""" + "\n")
       }
       pw.flush()
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 60000
       while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < 3
         && System.currentTimeMillis() < deadline) Thread.sleep(50)
       server.processAllAvailable()
@@ -241,7 +241,7 @@ class EndToEndSpec extends AnyFunSuite {
       val a = httpGet(server.sse.actualPort, "/events?subsystem=jobs")
       val b = httpGet(server.sse.actualPort, "/events?subsystem=jobs")
       readAvailable(a, "\r\n\r\n"); readAvailable(b, "\r\n\r\n")
-      val deadline0 = System.currentTimeMillis() + 15000
+      val deadline0 = System.currentTimeMillis() + 60000
       while (server.sse.allListeners.size < 3
         && System.currentTimeMillis() < deadline0) Thread.sleep(20)
       assert(server.sse.allListeners.size == 3)
@@ -271,7 +271,7 @@ class EndToEndSpec extends AnyFunSuite {
         assert(body.contains("id: s1\r\n") && body.contains(s"id: s$n\r\n"),
           got(body))
       }
-      val deadline1 = System.currentTimeMillis() + 15000
+      val deadline1 = System.currentTimeMillis() + 60000
       while (server.sse.allListeners.size > 2
         && System.currentTimeMillis() < deadline1) Thread.sleep(50)
       assert(server.sse.allListeners.size == 2,
@@ -310,7 +310,7 @@ class EndToEndSpec extends AnyFunSuite {
       for (i <- 1 to n)
         pw.write(s"""{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": $i}, "id": "o$i"}""" + "\n")
       pw.flush()
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 60000
       while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < n
         && System.currentTimeMillis() < deadline) Thread.sleep(50)
       server.processAllAvailable()
@@ -349,7 +349,7 @@ class EndToEndSpec extends AnyFunSuite {
       for (i <- 1 to n)
         pw.write(s"""{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": $i}, "id": "m$i"}""" + "\n")
       pw.flush()
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 60000
       while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < n
         && System.currentTimeMillis() < deadline) Thread.sleep(50)
       server.processAllAvailable()
@@ -390,7 +390,7 @@ class EndToEndSpec extends AnyFunSuite {
       for (i <- 1 to 3)
         pw.write(s"""{"action": "notify", "subsystem": "jobs", "event": "add", "data": {"k": $i}, "id": "y$i"}""" + "\n")
       pw.flush()
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 60000
       while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < 3
         && System.currentTimeMillis() < deadline) Thread.sleep(50)
       server.processAllAvailable()
@@ -429,7 +429,7 @@ class EndToEndSpec extends AnyFunSuite {
       val body = readAvailable(sub, "event: ping", 10000)
       assert(body.contains("event: ping\r\ndata: \r\n\r\n"), got(body))
       server.close()
-      val tail = readAvailable(sub, "0\r\n\r\n", 15000)
+      val tail = readAvailable(sub, "0\r\n\r\n", 60000)
       assert(tail.contains("0\r\n\r\n"), got(tail)) // terminal chunk on drain
       sub.close()
     } finally server.close()
@@ -456,7 +456,7 @@ class EndToEndSpec extends AnyFunSuite {
       s"""{"action": "notify", "subsystem": "jobs", "event": "add",""" +
         s""" "data": {"k": $id}, "id": "w$id"}""" + "\n"
     def awaitBuffered(n: Int): Unit = {
-      val dl = System.currentTimeMillis() + 15000
+      val dl = System.currentTimeMillis() + 60000
       while (graft.sources.EvtStreamSource.buffered.getOrDefault(sockPath, 0) < n
         && System.currentTimeMillis() < dl) Thread.sleep(50)
     }
@@ -522,7 +522,7 @@ class EndToEndSpec extends AnyFunSuite {
     try {
       val port = sse.actualPort
       // 'subsystem=' is NOT an empty-string subsystem — it's missing
-      assert(readAvailable(httpGet(port, "/events?subsystem="), " ", 15000)
+      assert(readAvailable(httpGet(port, "/events?subsystem="), " ", 60000)
         .startsWith("HTTP/1.1 400"))
       // 'filter=' is NOT a parse-failing empty filter — it's no filter
       val sub = httpGet(port, "/events?subsystem=jobs&filter=")
@@ -605,7 +605,7 @@ class EndToEndSpec extends AnyFunSuite {
       }
 
       // the closed subscriber is eventually reaped from the registry
-      val dl2 = System.currentTimeMillis() + 15000
+      val dl2 = System.currentTimeMillis() + 60000
       while (sse.allListeners.size > 2 && System.currentTimeMillis() < dl2)
         Thread.sleep(50)
       assert(sse.allListeners.size == 2,
@@ -618,7 +618,7 @@ class EndToEndSpec extends AnyFunSuite {
     val sse = new SseServer(pingIntervalSec = 3600)
     try {
       val sub = httpGet(sse.actualPort, "/events?subsystem=race")
-      val pre = readAvailable(sub, "event: ping", 15000) // head + immediate ping
+      val pre = readAvailable(sub, "event: ping", 60000) // head + immediate ping
       // drain CONCURRENTLY with the writers: ~80KB of frames would
       // fill the loopback send buffer and block writeBytes forever if
       // nobody reads until after join()
@@ -758,7 +758,7 @@ class EndToEndSpec extends AnyFunSuite {
       while (hw < phase1 + nudge && System.currentTimeMillis() < dl)
         Thread.sleep(20)
       run1.processAllAvailable()
-      dl = System.currentTimeMillis() + 15000
+      dl = System.currentTimeMillis() + 60000
       def phase1Disk() = spoolFiles().map(java.nio.file.Files.size(_)).sum
       while (phase1Disk() > 2 * segBytes && System.currentTimeMillis() < dl)
         Thread.sleep(50)
