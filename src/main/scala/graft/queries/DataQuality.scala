@@ -753,21 +753,34 @@ object DataQuality {
     * aggregates are map-side-combinable counts.
     */
   def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    // Round 12 (guide §2.3 aggregate before you shuffle): fold each
+    // edge to KEY GRAIN first — one child scan + one map-side-
+    // combinable groupBy(k) replaces the old two scans (base agg +
+    // anti-join input) and both countDistinct two-phase rewrites, and
+    // the anti join then probes distinct keys instead of fact rows
+    // (lineitem's three edges each pushed 600k raw rows through their
+    // anti join; now ≤ the key domain). Semantics are identical:
+    // child_rows = Σ cnt (the NULL-key group included, as count(*)
+    // was), child_keys = count(k) (the NULL group contributes nothing,
+    // as countDistinct did), and a NULL key never equals a parent key
+    // so its group survives the anti join into orphan_rows exactly
+    // like the old row-grain anti join counted it.
     def edge(
         name: String, child: DataFrame, childKey: String,
         parent: DataFrame, parentKey: String,
         broadcastParent: Boolean): DataFrame = {
-      val keys = child.select(col(childKey).as("k"))
+      val keyGrain = child.select(col(childKey).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
       val par = parent.select(col(parentKey).as("pk")).distinct()
-      val orphans = keys.join(
+      val orphans = keyGrain.join(
         if (broadcastParent) broadcast(par) else par,
         col("k") === col("pk"), "left_anti")
-      val base = keys.agg(
-        count(lit(1)).as("child_rows"),
-        countDistinct(col("k")).as("child_keys"))
+      val base = keyGrain.agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("child_rows"),
+        count(col("k")).as("child_keys"))
       val orph = orphans.agg(
-        count(lit(1)).as("orphan_rows"),
-        countDistinct(col("k")).as("orphan_keys"))
+        coalesce(sum(col("cnt")), lit(0L)).as("orphan_rows"),
+        count(col("k")).as("orphan_keys"))
       base.crossJoin(orph).select(
         lit(name).as("edge"),
         col("child_rows"), col("child_keys"),

@@ -860,6 +860,11 @@ object Sketches {
     * error surface are identical.
     */
   def sampleExtrapolate(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread (round 12, measured): repartitioning the raw rows
+    // before the per-row md5 bucket costs more than the hash
+    // parallelization buys (1.17 -> 1.36 s A/B) — one md5 of a short
+    // key string is too cheap to amortize an exchange of the rows,
+    // unlike join_size_est's x4-exploded double-width hash.
     val li = Tables.read(spark, dir, "lineitem")
       .select(
         col("l_returnflag"),
@@ -937,10 +942,14 @@ object Sketches {
         16, 10).cast("long") % JsW
     val e = Tables.events(spark, dir).select(col("user_id").as("k"))
     val o = Tables.read(spark, dir, "orders").select(col("o_custkey").as("k"))
-    def sketch(df: DataFrame, cnt: String) = df
-      .select(explode(ds).as("d"), col("k"))
-      .groupBy(col("d"), cell(col("d"), col("k")).as("cell"))
-      .agg(count(lit(1)).as(cnt))
+    // spread the 1-col key relation before the ×4 explode + per-row
+    // md5 (guide §2.5 heavy per-row map work in a single-row-group
+    // scan; the filter_lang discipline) — identity at real scale
+    def sketch(df: DataFrame, cnt: String) =
+      Tables.spread(df.sparkSession, df)
+        .select(explode(ds).as("d"), col("k"))
+        .groupBy(col("d"), cell(col("d"), col("k")).as("cell"))
+        .agg(count(lit(1)).as(cnt))
     val ests = sketch(e, "ce")
       .join(sketch(o, "co"), Seq("d", "cell"))
       .groupBy(col("d")).agg(sum(col("ce") * col("co")).as("ip"))
