@@ -121,6 +121,8 @@ object Dedup {
     if (t != null) t.unpersist()
     val ap = allPairsCache.remove((spark, dir))
     if (ap != null) ap.unpersist()
+    val sg = sigCache.remove((spark, dir))
+    if (sg != null) sg.unpersist()
   }
 
   /** The exact ≥0.20-Jaccard pair relation WITH its evidence columns
@@ -368,6 +370,41 @@ object Dedup {
           graft.functions.TextHashFunctions.minhashSig(col("arr"), NumHashes)))
           .as("sig"))
       .select(Seq(col("doc_id")) ++ sigCols: _*)
+  }
+
+  /** The signature table (doc_id, mh0..mh7), persisted ONCE per
+    * (session, dir) for the ANSWER-QUALITY gates (`lsh_band_curve`,
+    * `jaccard_threshold_curve`) — the exactTruthShared argument
+    * applied to the gates' other input: both sweep banding choices
+    * over the SAME signatures, and re-running the minwise kernels per
+    * gate invocation re-pays the corpus pass for a doc-grain table.
+    * Cache-plan honesty (the minhash_lsh lesson): the persisted plan
+    * is the REORDERED projection (mh0..mh7, doc_id), which sameResults
+    * no subtree of the registered pipeline queries (their signature
+    * subtree leads with doc_id), so `minhash_lsh`,
+    * `minhash_containment` and `dedup_incremental` keep their real
+    * benched plans; gate consumers reorder back on read.
+    */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[queries] def minhashSigShared(
+      spark: SparkSession, dir: String): DataFrame = {
+    val stale =
+      sigCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(sigCache.remove)
+    sigCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        val reordered = (0 until NumHashes).map(h => col(s"mh$h")) :+
+          col("doc_id")
+        minhashSigCols(docShingleArraysShared(s, d))
+          .select(reordered: _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+      .select(
+        Seq(col("doc_id")) ++
+          (0 until NumHashes).map(h => col(s"mh$h")): _*)
   }
 
   /** (doc, band, bkey) rows for any rows-per-band r dividing the
@@ -918,10 +955,12 @@ object Dedup {
     * is hash-checked, not eyeballed.
     */
   def lshBandCurve(spark: SparkSession, dir: String): DataFrame = {
-    val docarr = docShingleArraysShared(spark, dir)
     val truth = exactTruthShared(spark, dir) // persisted; 3 consumers here
-    val sig = minhashSigCols(docarr)
-      .localCheckpoint(eager = false) // 3 consumers
+    // session-shared persisted signatures (round 12): the three band
+    // configurations below AND jaccard_threshold_curve sweep the same
+    // signature table; the share replaces the per-invocation
+    // localCheckpoint
+    val sig = minhashSigShared(spark, dir)
     val rows = Seq(1, 2, 4).map { r =>
       val bands = bandsFor(sig, r)
       val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("a"))
@@ -1571,13 +1610,13 @@ object Dedup {
     * truth side caps (hot-shingle guard) exactly like `lsh_recall`'s.
     */
   def jaccardThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
-    val docarr = docShingleArraysShared(spark, dir)
     // the shared ≥0.20 exact pair relation: its filter is the same
     // cross-multiplied test as this grid's t = 20 row, so no pair
     // that could count toward any n_true/n_cand_true is lost — and
-    // the posting expansion is paid once per session, not per query
+    // the posting expansion is paid once per session, not per query.
+    // Signatures likewise read the session share (round 12).
     val exact = exactPairsShared(spark, dir)
-    val bands = minhashBands(docarr)
+    val bands = bandsFor(minhashSigShared(spark, dir), 2)
     val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("a"))
       .join(
         bands.select(col("band"), col("bkey"), col("doc_id").as("b")),

@@ -57,6 +57,33 @@ class SharedPairsSpec extends AnyFunSuite {
         .count())
   }
 
+  test("signature share: identical content; pipeline queries not substituted") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    Dedup.lshBandCurve(spark, dir).collect() // populates the sig share
+    // content: the shared signatures equal a fresh unshared computation
+    val shared = Dedup.minhashSigShared(spark, dir)
+    val fresh = Dedup.minhashSigCols(Dedup.docShingleArraysShared(spark, dir))
+    assert(shared.exceptAll(fresh).isEmpty && fresh.exceptAll(shared).isEmpty)
+    // honesty: the registered pipeline queries (minhash_lsh et al.)
+    // must not read the gate's cached signature table — the cached
+    // plan is the REORDERED projection precisely so it sameResults no
+    // subtree of theirs (AQE off so the physical tree is traversable)
+    val sigCols = (0 until 8).map(h => s"mh$h").toSet + "doc_id"
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (df <- Seq(
+        Dedup.minhashLsh(spark, dir),
+        Dedup.minhashContainment(spark, dir),
+        Dedup.dedupIncremental(spark, dir))) {
+      val leaked = df.queryExecution.executedPlan.collect {
+        case s: InMemoryTableScanExec
+            if s.output.map(_.name).toSet == sigCols => s
+      }
+      assert(leaked.isEmpty,
+        "registered minhash pipeline query would read the gates' cached signatures")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("curve floor == cache filter: no ≥0.2 pair is lost to the grid") {
     val pairs = Dedup.exactPairsShared(spark, dir)
     // every cached pair satisfies the t=20 grid test (the filter IS
