@@ -864,12 +864,26 @@ object DataQuality {
     // AND diverge the engines. A struct is never NULL itself, so both
     // engines see the same tuple universe (single-column keys keep
     // plain COUNT(DISTINCT k), which skips NULLs identically in both).
+    // Key-grain first (the referential_integrity discipline, guide
+    // §2.3 aggregate-before-shuffle): count(*) + countDistinct in one
+    // aggregate plans as an Expand that pushes every fact row through
+    // the distinct rewrite TWICE; one map-side-combinable groupBy(key)
+    // followed by a tiny rollup shuffles each distinct key once
+    // instead. NULL semantics preserved exactly: a single-column NULL
+    // key groups but drops from count(k) (as COUNT(DISTINCT k) skipped
+    // it) while its rows still sum into n_rows; composite keys count
+    // every group because both engines count the tuple (a struct/row
+    // is never NULL itself) — same universe as COUNT(DISTINCT (k1,k2)).
     def one(table: String, df: DataFrame, keys: Seq[String]): DataFrame =
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        (if (keys.size == 1) countDistinct(col(keys.head))
-         else countDistinct(struct(keys.map(col): _*)))
-          .as("n_keys"))
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("c"))
+        .agg(
+          // coalesce: empty-relation safety (sum over zero groups is
+          // NULL where count(*) was 0) and keeps the column
+          // non-nullable like the count(*) it replaces
+          coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+          (if (keys.size == 1) count(col(keys.head))
+           else count(lit(1))).as("n_keys"))
         .select(
           lit(table).as("table_name"),
           lit(keys.mkString(",")).as("key_cols"),

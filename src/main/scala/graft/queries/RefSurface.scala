@@ -29,7 +29,10 @@ object RefSurface {
 
   /** Flagship: compiled fan-out + SSE frame projection. */
   def fanout(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.events(spark, dir)
+    // spread (guide §2.5): every event evaluates the full compiled
+    // subscription battery (JSON-path extraction × filters) in the
+    // scan stage — identity at real scale
+    val events = Tables.spread(spark, Tables.events(spark, dir))
     Fanout
       .compiled(events, subscriptions, col("event_type"), col("props"))
       .select(
@@ -46,7 +49,9 @@ object RefSurface {
     */
   def fanoutDynamic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val events = Tables.events(spark, dir)
+    // spread: the residual filter interpreter runs per (event × sub)
+    // row after the broadcast join that rides the scan stage
+    val events = Tables.spread(spark, Tables.events(spark, dir))
     val subs = subscriptions
       .map(s => (s.id, s.subsystem, s.filters))
       .toDF("sub_id", "subsystem", "filters")
@@ -146,9 +151,12 @@ object RefSurface {
         .otherwise(line)
     // runs the actual ingest-path plan (single Generate-guarded parse,
     // validity + data-is-object filters) so its semantics stay
-    // oracle-checked
+    // oracle-checked. spread (guide §2.5): the serialize + permissive
+    // JSON re-parse is per-row heavy and otherwise runs inside the
+    // single-row-group events scan — identity at real scale
     graft.streaming.EventStreamPipeline
-      .parseLines(events.select(corrupted.as("value")))
+      .parseLines(
+        Tables.spread(spark, events.select(corrupted.as("value"))))
       .groupBy(col("subsystem"))
       .agg(count(lit(1)).as("n_events"))
       .orderBy("subsystem")
@@ -327,7 +335,9 @@ object RefSurface {
     * calendar forms; unparseable => null, job never fails.
     */
   def dateParse(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.read(spark, dir, "orders")
+    // spread: rlike + two regexp_replace + strict re-parse per row
+    // otherwise run inside the single-row-group orders scan
+    val ord = Tables.spread(spark, Tables.read(spark, dir, "orders"))
     val dashed = date_format(col("o_orderdate"), "yyyy-MM-dd")
     val dateStr = when(col("o_orderkey") % 13 === 0, lit("2020-13-40"))
       .when(col("o_orderkey") % 3 === 0, regexp_replace(dashed, "-", ""))

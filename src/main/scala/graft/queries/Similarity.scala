@@ -1852,15 +1852,19 @@ object Similarity {
     * truth side).
     */
   def jlProjection(spark: SparkSession, dir: String): DataFrame = {
+    // Each projected coordinate is an exact integer dot product of v
+    // with a LITERAL ±1 sign row — the same native kernel the pair
+    // audit uses (LongArrayDot), so the projection is 16 dot calls
+    // over 64-element literal arrays instead of 16 inlined 64-term
+    // sum polynomials (round 12: the polynomial form Janino-compiled
+    // a constant ~1 s of generated code per planning; the dot kernel
+    // sums the identical longs in the identical i = 1..64 order, so
+    // the values are bit-equal).
     val projCols = (0 until JlK).map(j =>
-      expr(s"CAST(${jlTermSql(j, i => s"element_at(v, $i)")} AS BIGINT)")
-        .as(s"p$j"))
-    // localCheckpoint: without it the optimizer inlines all 16
-    // 64-term sign polynomials into BOTH sides of the self-join —
-    // 2×16×64 literal-coefficient terms of codegen for a 40-row
-    // relation (3.1s of compilation, constant in data size).
-    // Materializing the 40 projected rows once makes the join read
-    // plain columns; the projection itself stays one narrow map.
+      dot(typedLit(JlSigns(j).map(_.toLong)), col("v")).as(s"p$j"))
+    // localCheckpoint: materialize the 40 projected rows once so the
+    // self-join reads plain columns instead of re-projecting both
+    // sides.
     val proj = vectors(spark, dir)
       .where(col("vec_id") < 40)
       .select(

@@ -43,10 +43,22 @@ object Sketches {
     * driver-free arithmetic on ~320 rows.
     */
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.read(spark, dir, "orders")
-    val pairs = orders
-      .select(col("o_orderpriority").as("seg"), custHash.as("h"))
+    // ONE distinct (seg, custkey) relation, hashed after the dedup,
+    // feeds the sketch AND every exact baseline (round 12): the old
+    // plan scanned orders four times — sketch pairs, per-seg exact,
+    // union exact, intersection exact — with per-row md5 on the
+    // sketch side and three countDistinct Expand rewrites on the
+    // exact side. Distinct keys are all any consumer needs (duplicate
+    // rows can't change minima or distinct counts), and hashing after
+    // the distinct runs md5 once per distinct pair, not once per row.
+    val base = Tables.read(spark, dir, "orders")
+      .select(col("o_orderpriority").as("seg"), col("o_custkey"))
       .distinct()
+      .select(col("seg"), col("o_custkey"), custHash.as("h"))
+      .localCheckpoint(eager = false) // sketch + 3 exact baselines
+    // distinct again on (seg, h): collisions inside a segment must
+    // collapse to one row exactly as hashing-before-distinct did
+    val pairs = base.select(col("seg"), col("h")).distinct()
     val w = Window.partitionBy(col("seg")).orderBy(col("h"))
     val mins = pairs.withColumn("rn", row_number().over(w))
       .where(col("rn") <= K)
@@ -62,8 +74,8 @@ object Sketches {
     val perSeg = mins.groupBy(col("seg"))
       .agg(count(lit(1)).as("n_min"), max(col("h")).as("theta"))
       .select(col("seg"), estimate(col("n_min"), col("theta")).as("est"))
-    val exactSeg = orders.groupBy(col("o_orderpriority").as("seg"))
-      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val exactSeg = base.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_exact"))
     val segRows = exactSeg.join(perSeg, "seg")
       .select(col("seg").as("set_expr"), col("n_exact"), col("est"))
 
@@ -80,11 +92,12 @@ object Sketches {
       .select(
         estimate(col("n_u"), col("theta_u")).as("est_u"),
         col("n_u"), col("rho"))
-    val unionExact = orders.where(col("o_orderpriority").isin(SegA, SegB))
-      .agg(countDistinct(col("o_custkey")).as("n_exact"))
-    val interExact = orders.where(col("o_orderpriority").isin(SegA, SegB))
+    val unionExact = base.where(col("seg").isin(SegA, SegB))
+      .select(col("o_custkey")).distinct()
+      .agg(count(lit(1)).as("n_exact"))
+    val interExact = base.where(col("seg").isin(SegA, SegB))
       .groupBy(col("o_custkey"))
-      .agg(countDistinct(col("o_orderpriority")).as("np"))
+      .agg(count(lit(1)).as("np"))
       .where(col("np") === 2)
       .agg(count(lit(1)).as("n_exact"))
 
@@ -204,9 +217,19 @@ object Sketches {
     * build is scan-bound with a 5 KiB reduce state.
     */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.read(spark, dir, "orders")
-    val regs = orders
-      .select(col("o_orderpriority").as("seg"), custHash.as("h"))
+    // ONE distinct (seg, custkey) relation feeds registers and every
+    // exact baseline (round 12, the kmv_distinct restructure): the
+    // registers are per-(seg, bucket) MAXima, so duplicate rows can't
+    // change them — building from distinct keys gives bit-identical
+    // registers while scanning orders once instead of four times and
+    // hashing once per distinct pair instead of twice per row.
+    val base = Tables.read(spark, dir, "orders")
+      .select(col("o_orderpriority").as("seg"), col("o_custkey"))
+      .distinct()
+      .select(col("seg"), col("o_custkey"), custHash.as("h"))
+      .localCheckpoint(eager = false) // registers + exact baselines
+    val regs = base
+      .select(col("seg"), col("h"))
       .select(
         col("seg"),
         expr(s"h div $HllW").as("bucket"),
@@ -238,16 +261,17 @@ object Sketches {
 
     val perSeg = fold(regs.groupBy(col("seg")))
       .select(col("seg"), col("est"))
-    val exactSeg = orders.groupBy(col("o_orderpriority").as("seg"))
-      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val exactSeg = base.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_exact"))
     val segRows = exactSeg.join(perSeg, "seg")
       .select(
         col("seg").as("set_expr"), lit("direct").as("path"),
         col("n_exact"), col("est"))
 
-    val uExact = orders
-      .where(col("o_orderpriority").isin(SegA, SegB))
-      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val uExact = base
+      .where(col("seg").isin(SegA, SegB))
+      .select(col("o_custkey")).distinct()
+      .agg(count(lit(1)).as("n_exact"))
     // merged: register-wise max of the two segments' registers.
     val merged = fold(
       regs.where(col("seg").isin(SegA, SegB))
@@ -257,10 +281,10 @@ object Sketches {
         lit("merged").as("path"), col("est"))
       .crossJoin(broadcast(uExact)) // 1-row exact: documented exception
       .select(col("set_expr"), col("path"), col("n_exact"), col("est"))
-    // recomputed: registers rebuilt from the filtered rows.
+    // recomputed: registers rebuilt from the filtered (distinct) rows.
     val recomputed = fold(
-      orders.where(col("o_orderpriority").isin(SegA, SegB))
-        .select(custHash.as("h"))
+      base.where(col("seg").isin(SegA, SegB))
+        .select(col("h"))
         .select(
           expr(s"h div $HllW").as("bucket"), expr(s"h % $HllW").as("w"))
         .select(
@@ -349,7 +373,11 @@ object Sketches {
     * oracle baseline, not part of the production sketch path.
     */
   def countminFreq(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    // spread (guide §2.5): the ×d explode + salted md5 per exploded
+    // row otherwise runs inside the single-row-group events scan —
+    // identity at real scale (also serves countmin_error, which folds
+    // this relation)
+    val ev = Tables.spread(spark, Tables.events(spark, dir))
     val ds = array((0 until D).map(lit): _*)
     val cells = ev
       .select(explode(ds).as("d"), col("user_id"))
@@ -788,8 +816,11 @@ object Sketches {
       .localCheckpoint(eager = false) // count + probe positions
     val nM = members.agg(count(lit(1)).as("n_members"))
     val withM = nM.withColumn("m_bits", col("n_members") * 8L)
+    // spread: the ×k seeded-md5 explode otherwise runs on the
+    // checkpointed relation's few partitions — identity at real scale
     def positions(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(withM))
+      Tables.spread(df.sparkSession, df)
+        .crossJoin(broadcast(withM))
         .select(
           col("k"), col("m_bits"),
           explode(array(seeds.map(s =>

@@ -1647,21 +1647,44 @@ object TextAnalysis {
     * semi-join first; hot grams would ride the same support-pruned
     * backbone the dedup family documents.
     */
+  /** The ranking-score relation both retrieval gates (`mrr_eval`,
+    * `ndcg_eval`) score against: (qdoc, doc, score) where qdoc is a
+    * cluster root and score = |shared distinct trigrams| ≥ 1. Both
+    * gates used to re-run the posting-list join (qpost ⋈ post on the
+    * gram key, grouped) per invocation; that join IS the session-shared
+    * [[Dedup.allPairsShared]] expansion restricted to root-anchored
+    * pairs — `inter` is the same distinct-gram overlap count (the
+    * shingle arrays are array_distinct), the pair relation is a < b
+    * exhaustive over co-shingled pairs, so slicing it in both
+    * directions reproduces the gates' (qdoc, doc, score) rows exactly
+    * (a root pairs with every co-shingled doc; two roots see each
+    * other once per direction, as the posting join emitted).
+    */
+  private def rankScores(spark: SparkSession, dir: String): DataFrame = {
+    val qdocs = Dedup.ccLabelsShared(spark, dir)
+      .select(col("root")).distinct()
+    val pairs = Dedup.allPairsShared(spark, dir)
+      .select(col("a"), col("b"), col("inter"))
+    val fwd = pairs
+      .join(qdocs.withColumnRenamed("root", "a"), "a")
+      .select(col("a").as("qdoc"), col("b").as("doc"),
+        col("inter").as("score"))
+    val rev = pairs
+      .join(qdocs.withColumnRenamed("root", "b"), "b")
+      .select(col("b").as("qdoc"), col("a").as("doc"),
+        col("inter").as("score"))
+    fwd.unionByName(rev)
+  }
+
   def mrrEval(spark: SparkSession, dir: String): DataFrame = {
     val labels = Dedup.ccLabelsShared(spark, dir)
     val qdocs = labels.select(col("root")).distinct()
     val rel = labels.where(col("doc") =!= col("root"))
       .select(col("root").as("qdoc"), col("doc").as("rdoc"))
-    val post = Dedup.shingles(spark, dir)
-    val qpost = post
-      .join(qdocs.withColumnRenamed("root", "doc_id"), "doc_id")
-      .select(col("doc_id").as("qdoc"), col("shingle"))
-    val scores = qpost
-      .join(post.withColumnRenamed("doc_id", "doc"), "shingle")
-      .where(col("doc") =!= col("qdoc"))
-      .groupBy(col("qdoc"), col("doc"))
-      .agg(count(lit(1)).as("score"))
-      .localCheckpoint(eager = false) // best-relevant + rank count
+    // no localCheckpoint: scores is a broadcast-join slice of the
+    // PERSISTED pair relation — re-deriving it per consumer is two
+    // cache reads, cheaper than materializing a pair-grain copy
+    val scores = rankScores(spark, dir)
     val best = scores
       .join(
         rel,
@@ -1788,16 +1811,8 @@ object TextAnalysis {
     val qdocs = labels.select(col("root")).distinct()
     val rel = labels.where(col("doc") =!= col("root"))
       .select(col("root").as("qdoc"), col("doc").as("rdoc"))
-    val post = Dedup.shingles(spark, dir)
-    val qpost = post
-      .join(qdocs.withColumnRenamed("root", "doc_id"), "doc_id")
-      .select(col("doc_id").as("qdoc"), col("shingle"))
-    val scores = qpost
-      .join(post.withColumnRenamed("doc_id", "doc"), "shingle")
-      .where(col("doc") =!= col("qdoc"))
-      .groupBy(col("qdoc"), col("doc"))
-      .agg(count(lit(1)).as("score"))
-      .localCheckpoint(eager = false) // relevant slice + rank counting
+    // no localCheckpoint: see mrrEval — a slice of the persisted pairs
+    val scores = rankScores(spark, dir)
     val relScored = scores
       .join(
         rel,
