@@ -373,11 +373,11 @@ object Sketches {
     * oracle baseline, not part of the production sketch path.
     */
   def countminFreq(spark: SparkSession, dir: String): DataFrame = {
-    // spread (guide §2.5): the ×d explode + salted md5 per exploded
-    // row otherwise runs inside the single-row-group events scan —
-    // identity at real scale (also serves countmin_error, which folds
-    // this relation)
-    val ev = Tables.spread(spark, Tables.events(spark, dir))
+    // spread tried and REVERTED (round 12, the sample_extrapolate
+    // lesson): three salted md5s per event are too cheap to amortize
+    // the extra exchange of the raw rows (matched-calibration A/B
+    // 0.80 -> 0.99 s); the ×d cells collapse map-side either way
+    val ev = Tables.events(spark, dir)
     val ds = array((0 until D).map(lit): _*)
     val cells = ev
       .select(explode(ds).as("d"), col("user_id"))
@@ -816,11 +816,11 @@ object Sketches {
       .localCheckpoint(eager = false) // count + probe positions
     val nM = members.agg(count(lit(1)).as("n_members"))
     val withM = nM.withColumn("m_bits", col("n_members") * 8L)
-    // spread: the ×k seeded-md5 explode otherwise runs on the
-    // checkpointed relation's few partitions — identity at real scale
+    // spread tried and REVERTED (round 12): the ×k seeded-md5 explode
+    // is too cheap to amortize repartitioning the checkpointed inputs
+    // (matched-calibration A/B 0.87 -> 1.09 s)
     def positions(df: DataFrame): DataFrame =
-      Tables.spread(df.sparkSession, df)
-        .crossJoin(broadcast(withM))
+      df.crossJoin(broadcast(withM))
         .select(
           col("k"), col("m_bits"),
           explode(array(seeds.map(s =>
