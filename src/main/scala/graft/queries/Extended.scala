@@ -647,6 +647,11 @@ object Extended {
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // explicit-width repartition on the window key tried and REVERTED
+    // (round 12): pinning the sessionize exchange at session
+    // parallelism to defeat AQE's 4-partition coalesce measured
+    // 1.38 -> 2.27 s in a matched A/B — the wide exchange plus
+    // uncoalesced window tasks cost more than the serial tail saved
     val sessions = Tables.events(spark, dir)
       .withColumn("us", unix_micros(col("ts")))
       .withColumn(
